@@ -1,0 +1,417 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference has no dedup surface — its substrate would express exact
+dedup as map(emit(text, id)) + reduce(keep min id), which is exactly the
+hash-groupBy plan Catalyst produces here.  Near-dup (MinHash+LSH, SimHash,
+n-gram Jaccard) is the 100 TB-critical extension: all-pairs comparison is
+O(n²) and impossible at scale, so every near-dup operator below goes
+through a candidate-generation join (LSH band / simhash band / rare-shingle
+inverted index) followed by exact verification on candidates only.
+
+Everything is built-in expressions (md5, transform/aggregate/array ops) —
+no Python in the row path — and every query has a DuckDB oracle generated
+from the same constants, so the whole pipeline is value-hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.hashes import (
+    MOD_P,
+    affine_apply,
+    affine_apply_sql,
+    affine_hashes,
+    md5_long,
+    md5_long_sql,
+)
+from ..functions.textfns import tokens, tokens_sql
+
+# MinHash configuration (shared by Spark plan and generated oracle SQL).
+SHINGLE_N = 5          # word 5-grams: rare enough that only true near-dups collide
+N_HASHES = 12          # signature length
+BAND_ROWS = 2          # rows per LSH band -> 6 bands; P(collide) = 1-(1-J^2)^6
+JACCARD_THRESHOLD = 0.8
+HASHES = affine_hashes(N_HASHES, seed=42)
+N_BANDS = N_HASHES // BAND_ROWS
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared expression builders)
+# ---------------------------------------------------------------------------
+
+
+def shingles(tok: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram strings from a token-array column."""
+    base = F.slice(tok, 1, F.greatest(F.size(tok) - (n - 1), F.lit(0)))
+    gram = F.transform(
+        base,
+        lambda x, i: F.concat_ws(
+            " ", x, *[F.element_at(tok, i + j + 1) for j in range(1, n)]
+        ),
+    )
+    return F.array_distinct(gram)
+
+
+def shingles_sql(w: str = "w", n: int = SHINGLE_N) -> str:
+    parts = ", ' ', ".join(f"{w}[i + {j}]" for j in range(1, n))
+    return (
+        f"list_distinct(list_transform({w}[1:greatest(len({w}) - {n - 1}, 0)], "
+        f"(x, i) -> concat(x, ' ', {parts})))"
+    )
+
+
+_DOC_SHINGLES_SQL = f"""
+SELECT doc_id, {shingles_sql('w')} AS sh
+FROM (SELECT doc_id, {tokens_sql('text')} AS w FROM documents) toks
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", shingles(tokens("text")).alias("sh"))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate grouping by full text: keep min doc_id per text.
+
+    hash-groupBy with partial aggregation — at 100 TB group on
+    md5(text) instead of the full text to cut shuffle width (semantically
+    identical absent md5 collisions); here we group on text directly so the
+    oracle is trivially equivalent.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("dup_cnt"),
+    ).select("keep_id", "dup_cnt", F.md5("text").alias("text_md5"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt, md5(text) AS text_md5
+FROM documents
+GROUP BY text
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate join + exact verification
+# ---------------------------------------------------------------------------
+
+
+def _minhash_cols(sh: Column) -> list[Column]:
+    """One min-hash per (a,b) pair over the shingle array."""
+    base = F.transform(sh, lambda s: md5_long(s) % F.lit(MOD_P))
+    out = []
+    for i, (a, b) in enumerate(HASHES):
+        out.append(
+            F.array_min(F.transform(base, lambda x: affine_apply(x, a, b))).alias(
+                f"mh{i}"
+            )
+        )
+    return out
+
+
+def _minhash_cols_sql() -> list[str]:
+    base = f"list_transform(sh, s -> {md5_long_sql('s')} % {MOD_P})"
+    return [
+        f"list_min(list_transform({base}, x -> {affine_apply_sql('x', a, b)})) AS mh{i}"
+        for i, (a, b) in enumerate(HASHES)
+    ]
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (the LSH building block), as columns.
+
+    Narrow, shuffle-free: one scan, all hashing inside codegen'd
+    expressions.  At 100 TB this is the cheap pass; only the band join
+    below shuffles, and it shuffles 6 small (band_key, doc_id) pairs per
+    doc, never the text.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    return sh.select("doc_id", F.size("sh").alias("n_shingles"), *_minhash_cols(F.col("sh")))
+
+
+MINHASH_SIGNATURES_SQL = (
+    "SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_shingles, "
+    + ", ".join(_minhash_cols_sql())
+    + f" FROM ({_DOC_SHINGLES_SQL}) t"
+)
+
+
+def _band_pairs(sig: DataFrame) -> DataFrame:
+    """LSH band self-join -> distinct candidate pairs (da < db)."""
+    band_cols = [
+        F.concat_ws(
+            ":",
+            F.lit(str(i)),
+            *[F.col(f"mh{i * BAND_ROWS + r}") for r in range(BAND_ROWS)],
+        ).alias(f"band{i}")
+        for i in range(N_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _band_pairs_sql() -> str:
+    band_exprs = ", ".join(
+        "concat('{i}', ':', mh{x}, ':', mh{y})".format(
+            i=i, x=i * BAND_ROWS, y=i * BAND_ROWS + 1
+        )
+        for i in range(N_BANDS)
+    )
+    return f"""
+WITH sig AS ({MINHASH_SIGNATURES_SQL}),
+banded AS (
+  SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, exactly verified.
+
+    Pipeline: shingle -> minhash signature -> band keys -> self-join on
+    band key (candidate generation, the only shuffle) -> exact Jaccard on
+    candidates -> keep pairs >= threshold.  This is the scale path: the
+    O(n²) comparison never happens; candidates are only docs agreeing on a
+    full band.  Jaccard is computed on distinct-shingle sets (int division
+    in double — deterministic).
+    """
+    sig = minhash_signatures(spark, sf_dir)
+    pairs = _band_pairs(sig)
+    sh = _doc_shingles(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+DEDUP_NEAR_SQL = f"""
+WITH pairs AS ({_band_pairs_sql()}),
+sh AS ({_DOC_SHINGLES_SQL})
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM pairs
+JOIN sh a ON pairs.doc_a = a.doc_id
+JOIN sh b ON pairs.doc_b = b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via rare-shingle inverted index.
+
+    Candidate generation here is the inverted index itself (docs sharing at
+    least one 5-gram); with a 5-word shingle the collision rate for
+    non-duplicates is ~0, so the pair explosion LSH avoids never happens on
+    this data shape.  Complements dedup_near: same verification metric,
+    different (exact) candidate generator.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("s")
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("s")
+    )
+    inter = (
+        a.join(b, ["s"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_DOC_SHINGLES_SQL}),
+ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+         count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+FROM inter
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # md5_long yields 60 usable bits
+SIMHASH_BAND_BITS = 15
+SIMHASH_HAMMING_MAX = 3
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 60-bit SimHash fingerprint.
+
+    Token-frequency-weighted bit voting: bit b of the fingerprint is set
+    iff sum over tokens of cnt * (+1 if bit b of md5(token) else -1) > 0.
+    One explode + one groupBy(doc) with 60 conditional sums — all codegen.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).withColumn("h", md5_long("token"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+_SIMHASH_VOTES_SQL = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIMHASH_VALUE_SQL = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    for b in range(SIMHASH_BITS)
+)
+
+DEDUP_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {md5_long_sql('token')} AS h
+  FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents) t
+),
+agg AS (SELECT doc_id, {_SIMHASH_VOTES_SQL} FROM tok GROUP BY doc_id)
+SELECT doc_id, {_SIMHASH_VALUE_SQL} AS simhash FROM agg
+"""
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash: band join + Hamming-distance verify.
+
+    Pigeonhole: Hamming distance <= 3 over 4 bands of 15 bits guarantees at
+    least one identical band, so the band equi-join finds all such pairs
+    without an all-pairs scan.
+    """
+    sim = dedup_simhash(spark, sf_dir)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(i)),
+                        F.shiftright("simhash", i * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                        .cast("string"),
+                    )
+                    for i in range(SIMHASH_BITS // SIMHASH_BAND_BITS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+
+
+_SIMHASH_BAND_EXPRS = ", ".join(
+    f"concat('{i}', ':', (simhash >> {i * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1})"
+    for i in range(SIMHASH_BITS // SIMHASH_BAND_BITS)
+)
+
+DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH sim AS ({DEDUP_SIMHASH_SQL}),
+bands AS (SELECT doc_id, simhash, unnest([{_SIMHASH_BAND_EXPRS}]) AS band_key FROM sim)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "minhash_signatures": minhash_signatures,
+    "dedup_near": dedup_near,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "minhash_signatures": MINHASH_SIGNATURES_SQL,
+    "dedup_near": DEDUP_NEAR_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
+}

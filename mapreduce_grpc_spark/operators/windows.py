@@ -1,0 +1,183 @@
+"""Event-time window aggregations over the ``events`` table.
+
+The reference is strictly batch BSP with a hard phase barrier
+(/root/reference/src/master.h:297-299) — no streaming, no windows
+(SURVEY.md §2.B).  This module provides the standard event-time window
+family as batch queries using the same ``window()`` / ``session_window()``
+operators Structured Streaming uses, so the logic transfers 1:1 to the
+streaming variants in ``mapreduce_grpc_spark.streaming`` (add readStream +
+withWatermark, keep the aggregation).
+
+Oracle notes: window starts are computed with epoch-aligned bucketing
+(identical to DuckDB ``time_bucket``); session windows are the classic
+gaps-and-islands rewrite.  Session TZ is pinned UTC by ``tune_session`` so
+wall-clock bucketing agrees across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.numeric import dsum, dsum_sql
+
+
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling counts/sums per event_type.
+
+    ``window()`` is a scan-stage projection (no shuffle beyond the final
+    group-by); at 100 TB the group-by keys (window x type) are low-
+    cardinality so partial aggregation collapses almost everything map-side.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+TUMBLING_WINDOW_SQL = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {dsum_sql('value')} AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event in 2 windows)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SLIDING_WINDOW_SQL = f"""
+SELECT window_start,
+       count(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+           AS window_start,
+         value
+  FROM events
+) t
+GROUP BY window_start
+"""
+
+
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap.
+
+    Uses Spark's native ``session_window`` (the same operator the streaming
+    engine uses for stateful session merging).  The oracle reproduces the
+    semantics with the gaps-and-islands rewrite: a new session starts when
+    ts - prev_ts >= gap (session windows are half-open [start, last+gap)).
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_WINDOW_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       count(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON extraction from the props column + grouped agg.
+
+    ``get_json_object`` is a built-in JVM expression (no Python); the
+    oracle uses the same path syntax through DuckDB's JSON reader.
+    """
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "tumbling_window": tumbling_window,
+    "sliding_window": sliding_window,
+    "session_window": session_window_agg,
+    "events_json": events_json_extract,
+}
+
+ORACLES = {
+    "tumbling_window": TUMBLING_WINDOW_SQL,
+    "sliding_window": SLIDING_WINDOW_SQL,
+    "session_window": SESSION_WINDOW_SQL,
+    "events_json": EVENTS_JSON_SQL,
+}

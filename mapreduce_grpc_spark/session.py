@@ -45,6 +45,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -59,6 +60,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
     safe wins (AQE), and are all runtime-mutable.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet stores TIMESTAMP(NANOS) which vanilla Spark refuses to
+    # read; read as long and let catalog.table() rebuild a micros timestamp.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
