@@ -1,0 +1,133 @@
+"""The reference's MapReduce API surface, executed natively by Spark.
+
+Reproduces the user-visible contract of ``distribuitech/mapreduce_grpc``:
+
+ - user ``map(line) -> (key, value)*`` and ``reduce(key, values) ->
+   (key, value)*`` callables over opaque strings
+   (/root/reference/external/include/mr_task_factory.h:20-21,37-38);
+ - a job registry keyed by user id (O11,
+   /root/reference/src/mr_task_factory.cc:30-88);
+ - hash-partitioning into ``n_output_files`` buckets with the reference's
+   polynomial hash ``h=(h*131+byte)%R`` (/root/reference/src/mr_tasks.h:24-32);
+ - keys lexicographically sorted within each bucket
+   (/root/reference/src/worker.h:108-117), values in arrival order;
+ - ``key,value`` line output, first-comma split on re-read
+   (/root/reference/src/worker.h:92-94 — keys must not contain commas;
+   we *validate* instead of silently corrupting);
+ - output directory must not pre-exist
+   (/root/reference/src/mapreduce_spec.h:88-91) ≡ mode("errorifexists").
+
+Execution is one Spark job with a single shuffle:
+``read.text -> flatMap(map) -> repartitionAndSortWithinPartitions(R,
+hash131) -> per-partition streaming group -> flatMap(reduce) -> write``.
+This is the only RDD code in the engine — the string-pair model with
+arbitrary Python callables is genuinely per-row imperative, which is the
+one case SURVEY.md §1.2 reserves for RDDs.  Unlike the reference, grouping
+is streaming per sorted partition (no whole-bucket std::map in memory,
+/root/reference/src/worker.h:83) and map outputs shuffle through Spark's
+spillable sort shuffle.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from collections.abc import Callable, Iterable, Iterator
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+Pair = tuple[str, str]
+Mapper = Callable[[str], Iterable[Pair]]
+Reducer = Callable[[str, list[str]], Iterable[Pair]]
+
+
+def hash131(key: str, n_buckets: int) -> int:
+    """Reference bucket hash over utf-8 bytes (mr_tasks.h:24-32 semantics)."""
+    h = 0
+    for byte in key.encode("utf-8"):
+        h = (h * 131 + byte) % n_buckets
+    return h
+
+
+@dataclass
+class MapReduceSpec:
+    """The job spec — the surviving fields of the reference's ini config
+    (/root/reference/src/mapreduce_spec.h:13-21).  Cluster fields
+    (n_workers, worker addresses) are owned by the SparkSession."""
+
+    input_paths: list[str]
+    output_dir: str | None = None
+    n_output_files: int = 8
+    user_id: str = "default"
+    extra: dict = field(default_factory=dict)
+
+    def validate(self) -> None:
+        if self.n_output_files <= 0:
+            raise ValueError("n_output_files must be positive")
+        if not self.input_paths:
+            raise ValueError("at least one input path required")
+        if self.output_dir and os.path.exists(self.output_dir):
+            # mapreduce_spec.h:88-91: output dir must not pre-exist
+            raise FileExistsError(f"output_dir exists: {self.output_dir}")
+
+
+_REGISTRY: dict[str, tuple[Mapper, Reducer]] = {}
+
+
+def register_job(user_id: str, mapper: Mapper, reducer: Reducer) -> bool:
+    """O11: global (mapper, reducer) registry keyed by user id."""
+    _REGISTRY[user_id] = (mapper, reducer)
+    return True
+
+
+def get_job(user_id: str) -> tuple[Mapper, Reducer]:
+    return _REGISTRY[user_id]
+
+
+def _grouped(part: Iterator[Pair], reducer: Reducer) -> Iterator[Pair]:
+    """Streaming group-by over a key-sorted partition (no dict in memory)."""
+    for key, kvs in itertools.groupby(part, key=lambda kv: kv[0]):
+        yield from reducer(key, [v for _, v in kvs])
+
+
+def run_mapreduce(
+    spark: SparkSession,
+    spec: MapReduceSpec,
+    mapper: Mapper | None = None,
+    reducer: Reducer | None = None,
+) -> DataFrame:
+    """Run a MapReduce job; returns the result as DataFrame(key, value).
+
+    If mapper/reducer are omitted they are looked up from the registry by
+    ``spec.user_id`` (the reference's userid->factory flow,
+    /root/reference/src/worker.h:38-39).  When ``spec.output_dir`` is set,
+    also writes the reference's ``key,value`` text format, one file per
+    non-empty bucket, keys sorted within bucket.
+    """
+    spec.validate()
+    if mapper is None or reducer is None:
+        mapper, reducer = get_job(spec.user_id)
+
+    r = spec.n_output_files
+    lines = spark.read.text(spec.input_paths).rdd.map(lambda row: row[0])
+
+    def checked_map(line: str) -> Iterable[Pair]:
+        for k, v in mapper(line):
+            if "," in k:
+                # worker.h:92-94 would corrupt this silently; we refuse.
+                raise ValueError(f"key may not contain ',': {k!r}")
+            yield (k, v)
+
+    pairs = lines.flatMap(checked_map)
+    shuffled = pairs.repartitionAndSortWithinPartitions(
+        numPartitions=r,
+        partitionFunc=lambda k: hash131(k, r),
+        ascending=True,
+    )
+    reduced = shuffled.mapPartitions(lambda part: _grouped(part, reducer))
+
+    if spec.output_dir:
+        reduced.map(lambda kv: f"{kv[0]},{kv[1]}").saveAsTextFile(spec.output_dir)
+
+    return spark.createDataFrame(reduced, schema="key string, value string")

@@ -15,7 +15,7 @@ from the same constants, so the whole pipeline is value-hash-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -106,23 +106,71 @@ GROUP BY text
 # ---------------------------------------------------------------------------
 
 
-def _minhash_cols(sh: Column) -> list[Column]:
-    """One min-hash per (a,b) pair over the shingle array."""
-    base = F.transform(sh, lambda s: md5_long(s) % F.lit(MOD_P))
-    out = []
-    for i, (a, b) in enumerate(HASHES):
-        out.append(
-            F.array_min(F.transform(base, lambda x: affine_apply(x, a, b))).alias(
-                f"mh{i}"
-            )
+def _hashed_shingles(sh: Column) -> Column:
+    """Shingle strings -> 60-bit hashes mod p.  Computed ONCE per doc and
+    reused by all signature columns — md5 is the expensive part, and
+    duplicating it per hash function costs N_HASHES x the work."""
+    return F.transform(sh, lambda s: md5_long(s) % F.lit(MOD_P))
+
+
+def _hashed_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n, x): one row per distinct shingle hash per document.
+
+    This is the shape MinHash wants at scale: the minhash of hash i is a
+    plain ``min()`` aggregate over these rows — fully codegen'd with
+    map-side partial aggregation.  The array formulation
+    (array_min over transform) re-evaluates the md5 transform once per
+    signature column because CollapseProject inlines it and higher-order
+    functions opt out of subexpression elimination — measured 12x slower.
+    """
+    # Shingling via posexplode + window lead(): everything stays in
+    # codegen'd/native operators.  The array-transform formulation
+    # (nested element_at inside a transform() lambda) runs interpreted —
+    # higher-order functions opt out of WholeStageCodegen — and measured
+    # ~20x slower on the same data.  Cost here is one shuffle of token
+    # rows by doc_id, which is also the 100 TB shape (bounded by document
+    # length, not corpus size).
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w0")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = tok.select(
+        "doc_id",
+        "w0",
+        *[F.lead("w0", j).over(win).alias(f"w{j}") for j in range(1, SHINGLE_N)],
+    )
+    gram = (
+        leads.filter(F.col(f"w{SHINGLE_N - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[f"w{j}" for j in range(SHINGLE_N)]).alias("s"),
         )
-    return out
+        .dropDuplicates(["doc_id", "s"])
+    )
+    counted = gram.withColumn(
+        "n", F.count("*").over(Window.partitionBy("doc_id")).cast("int")
+    )
+    # md5 as a TOP-LEVEL expression on exploded rows (codegen), not inside
+    # a lambda.  Shingles are distinct per doc at this point, so n = |set|.
+    return counted.select(
+        "doc_id", "n", (md5_long("s") % F.lit(MOD_P)).alias("x")
+    )
 
 
-def _minhash_cols_sql() -> list[str]:
-    base = f"list_transform(sh, s -> {md5_long_sql('s')} % {MOD_P})"
+_EX_SQL = f"""
+SELECT doc_id, n, {md5_long_sql('s')} % {MOD_P} AS x
+FROM (
+  SELECT doc_id, len(sh) AS n, unnest(sh) AS s
+  FROM ({_DOC_SHINGLES_SQL}) t0
+) t1
+"""
+
+
+def _minhash_aggs() -> list[Column]:
+    """min((a*x + b) % p) per hash function — one aggregate each."""
     return [
-        f"list_min(list_transform({base}, x -> {affine_apply_sql('x', a, b)})) AS mh{i}"
+        F.min(affine_apply(F.col("x"), a, b)).alias(f"mh{i}")
         for i, (a, b) in enumerate(HASHES)
     ]
 
@@ -130,19 +178,29 @@ def _minhash_cols_sql() -> list[str]:
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature (the LSH building block), as columns.
 
-    Narrow, shuffle-free: one scan, all hashing inside codegen'd
-    expressions.  At 100 TB this is the cheap pass; only the band join
-    below shuffles, and it shuffles 6 small (band_key, doc_id) pairs per
-    doc, never the text.
+    One scan -> explode distinct shingle hashes -> groupBy(doc) with
+    N_HASHES min() aggregates.  The only shuffle is the tiny signature
+    aggregation (partial mins computed map-side); the text itself never
+    shuffles.
     """
-    sh = _doc_shingles(spark, sf_dir)
-    return sh.select("doc_id", F.size("sh").alias("n_shingles"), *_minhash_cols(F.col("sh")))
+    ex = _hashed_exploded(spark, sf_dir)
+    return (
+        ex.groupBy("doc_id", "n")
+        .agg(*_minhash_aggs())
+        .select(
+            "doc_id", F.col("n").cast("int").alias("n_shingles"),
+            *[F.col(f"mh{i}") for i in range(N_HASHES)],
+        )
+    )
 
 
 MINHASH_SIGNATURES_SQL = (
-    "SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_shingles, "
-    + ", ".join(_minhash_cols_sql())
-    + f" FROM ({_DOC_SHINGLES_SQL}) t"
+    "SELECT doc_id, CAST(n AS INTEGER) AS n_shingles, "
+    + ", ".join(
+        f"min({affine_apply_sql('x', a, b)}) AS mh{i}"
+        for i, (a, b) in enumerate(HASHES)
+    )
+    + f" FROM ({_EX_SQL}) ex GROUP BY doc_id, n"
 )
 
 
@@ -200,36 +258,51 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     full band.  Jaccard is computed on distinct-shingle sets (int division
     in double — deterministic).
     """
-    sig = minhash_signatures(spark, sf_dir)
+    # one exploded hash relation, computed once and persisted: it is tiny
+    # relative to the corpus (ids + 60-bit hashes), and three downstream
+    # branches (signature agg, verify-left, verify-right) reuse it — at
+    # 100 TB this is "write the shingle-hash table, then join it".
+    ex = _hashed_exploded(spark, sf_dir).persist()
+    sig = ex.groupBy("doc_id", "n").agg(*_minhash_aggs())
     pairs = _band_pairs(sig)
-    sh = _doc_shingles(spark, sf_dir)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    verified = (
+    # exact Jaccard on candidates only: |A∩B| via the exploded relation
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "x"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "x"
+    )
+    inter = (
         pairs.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn(
+        .join(b, ["doc_b", "x"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
     )
-    return verified.select("doc_a", "doc_b", "jaccard")
 
 
 DEDUP_NEAR_SQL = f"""
 WITH pairs AS ({_band_pairs_sql()}),
-sh AS ({_DOC_SHINGLES_SQL})
+ex AS ({_EX_SQL}),
+inter AS (
+  SELECT pairs.doc_a, pairs.doc_b, a.n AS na, b.n AS nb, count(*) AS inter
+  FROM pairs
+  JOIN ex a ON pairs.doc_a = a.doc_id
+  JOIN ex b ON pairs.doc_b = b.doc_id AND b.x = a.x
+  GROUP BY 1, 2, 3, 4
+)
 SELECT doc_a, doc_b,
-       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-FROM pairs
-JOIN sh a ON pairs.doc_a = a.doc_id
-JOIN sh b ON pairs.doc_b = b.doc_id
-WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-      >= {JACCARD_THRESHOLD}
+       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+FROM inter
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
 """
 
 
@@ -242,13 +315,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     this data shape.  Complements dedup_near: same verification metric,
     different (exact) candidate generator.
     """
-    sh = _doc_shingles(spark, sf_dir)
-    ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    # join on the 60-bit shingle hash, not the 5-word string: the shuffle
+    # key shrinks ~10x and the exploded index is computed once (persisted)
+    # instead of once per join side.
+    ex = _hashed_exploded(spark, sf_dir).persist()
     a = ex.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("s")
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("x").alias("s")
     )
     b = ex.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("s")
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("x").alias("s")
     )
     inter = (
         a.join(b, ["s"])
@@ -267,12 +342,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
-WITH sh AS ({_DOC_SHINGLES_SQL}),
-ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+WITH ex AS ({_EX_SQL}),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
          count(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
 )
 SELECT doc_a, doc_b,

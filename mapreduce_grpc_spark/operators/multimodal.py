@@ -1,0 +1,163 @@
+"""Multimodal (binary) column processing.
+
+Pattern for 100 TB media pipelines: media lives as opaque ``binary``
+columns with a typed metadata struct alongside; decode / feature-extract /
+resize / frame-sample run as Arrow-batched Pandas functions via
+``mapInPandas`` (one Python worker per partition, columnar transfer — never
+row-at-a-time UDFs).
+
+The container has no image/audio codecs, so the actual decode is stubbed
+(`decode_media`, raising NotImplementedError unless a known deterministic
+fake codec is requested) — but everything Spark-side is real and tested:
+the binary schema, the mapInPandas batch iteration, the output schema, the
+frame explosion, and partition behavior.  The fake codec is byte-exact
+deterministic (md5/length arithmetic), which makes even the Python-side
+path value-hash-checkable against a DuckDB oracle over the same bytes.
+
+The fixture has no binary table; ``media_table`` manufactures one from
+``documents`` (payload = utf8 bytes of text, media_type cycled by doc_id)
+— the provenance every oracle can reproduce with ``encode(text)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+
+MEDIA_TYPES = ("image", "audio", "video")
+FRAME_BYTES = 256  # fake video codec: one "frame" per 256-byte chunk
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, media_type, payload binary, meta struct)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.col("n_chars").alias("n_bytes_declared"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, media_type: str, codec: str = "fake"):
+    """Decode one media payload.  Real codecs are unavailable in this
+    environment — only the deterministic ``fake`` codec is implemented;
+    anything else raises, marking the integration point for PIL/ffmpeg.
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r}: real decoders (PIL/ffmpeg/soundfile) are not "
+            "installed in this environment; plug them in here"
+        )
+    digest = hashlib.md5(payload).hexdigest()
+    return {
+        "n_bytes": len(payload),
+        "checksum": digest,
+        # fake "decoded dimensions": stable functions of the bytes
+        "width": int(digest[:4], 16) % 1024,
+        "height": int(digest[4:8], 16) % 1024,
+    }
+
+
+FEATURES_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, checksum string, "
+    "width int, height int"
+)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (mapInPandas).
+
+    Each batch arrives as a pandas DataFrame (Arrow transfer, no per-row
+    pickling); output schema is declared up front.  At scale this is the
+    shape for any Python-only codec work — repartition first so batches
+    are uniform, keep the UDF stateless.
+    """
+    media = media_table(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_media(p, t) for p, t in zip(pdf["payload"], pdf["media_type"])]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "media_type", pdf["media_type"].values)
+            yield out[["doc_id", "media_type", "n_bytes", "checksum", "width", "height"]]
+
+    return media.mapInPandas(extract, FEATURES_SCHEMA)
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id,
+       ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum,
+       CAST(CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 1024 AS INTEGER) AS width,
+       CAST(CAST(concat('0x', substr(md5(text), 5, 4)) AS INTEGER) % 1024 AS INTEGER) AS height
+FROM documents
+"""
+
+
+FRAMES_SCHEMA = "doc_id long, frame_no int, frame_bytes long, frame_md5 string"
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for 'video' payloads: explode fixed-size byte chunks.
+
+    mapInPandas with a 1->N row explosion (the frame axis) — the streaming-
+    friendly shape for video: no frame list is ever materialized per file,
+    batches flow through Arrow.
+    """
+    media = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(0, len(payload), FRAME_BYTES):
+                    chunk = payload[i : i + FRAME_BYTES]
+                    rows.append(
+                        (doc_id, i // FRAME_BYTES, len(chunk),
+                         hashlib.md5(chunk).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "frame_bytes", "frame_md5"]
+            )
+
+    return media.mapInPandas(frames, FRAMES_SCHEMA)
+
+
+FRAME_SAMPLE_SQL = f"""
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_no,
+       CAST(length(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS BIGINT)
+         AS frame_bytes,
+       md5(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(0,
+                CAST(ceil(length(text) / {FRAME_BYTES}.0) AS INTEGER) - 1)) AS i) u
+WHERE doc_id % 3 = 2
+"""
+
+
+QUERIES = {
+    "multimodal_features": multimodal_features,
+    "frame_sample": frame_sample,
+}
+
+ORACLES = {
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "frame_sample": FRAME_SAMPLE_SQL,
+}

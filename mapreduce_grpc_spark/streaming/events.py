@@ -1,0 +1,112 @@
+"""Streaming event-window queries (readStream -> window agg -> sink).
+
+The reference is strictly batch (hard map->reduce barrier,
+/root/reference/src/master.h:297-299); streaming is a §2.B gap this module
+fills with Structured Streaming.  The aggregation logic is shared with the
+batch module (``operators.windows``): same ``window()`` /
+``session_window()`` operators, which is the point — one definition, two
+execution modes.
+
+``run_streaming_tumbling`` executes the stream to completion with
+``Trigger.AvailableNow`` (batch-equivalent semantics) into an in-memory
+sink and returns the result table, so the driver can hash-check the
+streaming engine's output against the same DuckDB oracle as the batch
+tumbling query.
+
+At scale: swap the parquet source dir for Kafka/files-arriving, keep the
+watermark, and use update/append mode with a real sink; state store
+(RocksDB) holds the open windows.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (ns timestamps rebuilt to µs)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the streaming file source wants a directory: stream the sf dir with a
+    # glob pinned to the events file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_agg(events: DataFrame, with_watermark: bool = False) -> DataFrame:
+    """1-hour tumbling aggregation, streaming-safe.
+
+    Same window/grouping as the batch query but without COUNT(DISTINCT)
+    (unsupported on streams — the streaming-scale substitute is
+    approx_count_distinct, demonstrated in the batch module).
+    """
+    if with_watermark:
+        events = events.withWatermark("ts", "2 hours")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the tumbling window as a stream to completion; return results.
+
+    AvailableNow processes all existing files then stops — the streaming
+    engine's answer must equal the batch plan's, which the driver verifies
+    against the batch oracle SQL.
+    """
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_agg(_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+QUERIES = {
+    "streaming_tumbling": run_streaming_tumbling,
+}
+
+# Oracle: the batch tumbling semantics minus the distinct agg — the
+# streaming engine's complete-mode output must equal the batch answer.
+from ..functions.numeric import dsum_sql  # noqa: E402
+
+STREAMING_TUMBLING_SQL = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+ORACLES = {
+    "streaming_tumbling": STREAMING_TUMBLING_SQL,
+}

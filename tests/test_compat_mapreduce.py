@@ -1,0 +1,110 @@
+"""MapReduce facade: reference semantics on Spark (SURVEY.md §7.1 M1)."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_grpc_spark.catalog import table
+from mapreduce_grpc_spark.compat import MapReduceSpec, register_job, run_mapreduce
+from mapreduce_grpc_spark.compat.mapreduce import hash131
+
+# the reference's strtok delimiter class (test/user_tasks.cc:15)
+DELIMS = re.compile(r"""[ ,."']+""")
+
+
+def wc_map(line: str):
+    for tok in DELIMS.split(line):
+        if tok:
+            yield (tok, "1")
+
+
+def wc_reduce(key: str, values: list[str]):
+    yield (key, str(sum(int(v) for v in values)))
+
+
+@pytest.fixture(scope="module")
+def text_inputs(spark, sf_dir, tmp_path_factory):
+    """documents.text dumped as newline text files (the reference's input
+    model) so the facade reads genuine line-oriented input."""
+    out = str(tmp_path_factory.mktemp("mr") / "input")
+    table(spark, sf_dir, "documents").select("text").coalesce(2).write.text(out)
+    return out
+
+
+def test_wordcount_parity_with_dataframe_plan(spark, sf_dir, text_inputs):
+    """Facade word count == native DataFrame word count (same tokenizer)."""
+    spec = MapReduceSpec(input_paths=[text_inputs], n_output_files=8)
+    got = run_mapreduce(spark, spec, wc_map, wc_reduce)
+    facade = {(r.key, int(r.value)) for r in got.collect()}
+
+    from mapreduce_grpc_spark.operators.text import wordcount
+
+    native = {(r.word, r.cnt) for r in wordcount(spark, sf_dir).collect()}
+    assert facade == native
+
+
+def test_registry_lookup(spark, text_inputs):
+    register_job("wc_test", wc_map, wc_reduce)
+    spec = MapReduceSpec(input_paths=[text_inputs], n_output_files=4, user_id="wc_test")
+    df = run_mapreduce(spark, spec)
+    assert df.count() > 0
+
+
+def test_output_contract(spark, text_inputs, tmp_path):
+    """R files max, key,value lines, keys sorted within each file, output
+    dir must not pre-exist (reference Appendix B invariants)."""
+    out = str(tmp_path / "mr_out")
+    spec = MapReduceSpec(input_paths=[text_inputs], n_output_files=8, output_dir=out)
+    run_mapreduce(spark, spec, wc_map, wc_reduce)
+
+    parts = sorted(
+        f for f in os.listdir(out) if f.startswith("part-")
+    )
+    assert 0 < len(parts) <= 8
+    seen = {}
+    for i, p in enumerate(parts):
+        with open(os.path.join(out, p)) as fh:
+            lines = [ln.rstrip("\n") for ln in fh if ln.strip()]
+        keys = [ln.split(",", 1)[0] for ln in lines]
+        assert keys == sorted(keys), f"keys not sorted within {p}"
+        for k in keys:
+            assert hash131(k, 8) == i, f"key {k} in wrong bucket file {p}"
+            seen[k] = seen.get(k, 0) + 1
+    assert all(c == 1 for c in seen.values())
+
+    # output dir now exists -> rerun must refuse (mapreduce_spec.h:88-91)
+    with pytest.raises(FileExistsError):
+        run_mapreduce(spark, MapReduceSpec(input_paths=[text_inputs], output_dir=out),
+                      wc_map, wc_reduce)
+
+
+def test_comma_key_refused(spark, text_inputs):
+    """The reference silently corrupts keys containing ',' (worker.h:92-94);
+    the facade refuses them instead."""
+    spec = MapReduceSpec(input_paths=[text_inputs], n_output_files=2)
+
+    def bad_map(line: str):
+        yield ("a,b", "1")
+
+    with pytest.raises(Exception, match="key may not contain"):
+        run_mapreduce(spark, spec, bad_map, wc_reduce).collect()
+
+
+def test_value_commas_ok(spark, tmp_path):
+    """Values may contain commas (first-comma split on read)."""
+    src = tmp_path / "in.txt"
+    src.write_text("x\n")
+    spec = MapReduceSpec(input_paths=[str(src)], n_output_files=2)
+
+    def m(line):
+        yield ("k", "v1,v2,v3")
+
+    def r(key, values):
+        yield (key, "|".join(values))
+
+    rows = run_mapreduce(spark, spec, m, r).collect()
+    assert rows[0].value == "v1,v2,v3"

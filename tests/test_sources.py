@@ -1,0 +1,56 @@
+"""Readers/writers: the reference's text KV format round-trips."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mapreduce_grpc_spark.catalog import table
+from mapreduce_grpc_spark.functions.hashes import hash131
+from mapreduce_grpc_spark.sources.readers import read_text_kv
+from mapreduce_grpc_spark.sources.writers import write_partitioned_sorted
+
+
+def test_partitioned_sorted_sink_roundtrip(spark, sf_dir, tmp_path):
+    wc = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", """[ ,."']+""")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .count()
+    )
+    out = str(tmp_path / "buckets")
+    write_partitioned_sorted(wc, "word", "count", 8, out)
+
+    # one dir per non-empty bucket, <= 8
+    bucket_dirs = sorted(d for d in os.listdir(out) if d.startswith("bucket="))
+    assert 0 < len(bucket_dirs) <= 8
+
+    # within-bucket key order + correct bucket routing
+    spark_hash = {
+        r.word: r.b
+        for r in wc.select("word", hash131(F.col("word"), 8).alias("b")).collect()
+    }
+    for d in bucket_dirs:
+        b = int(d.split("=")[1])
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.startswith("part-")]
+        assert len(files) == 1  # one file per non-empty bucket
+        with open(os.path.join(out, d, files[0])) as fh:
+            keys = [ln.split(",", 1)[0] for ln in fh if ln.strip()]
+        assert keys == sorted(keys)
+        for k in keys:
+            assert spark_hash[k] == b
+
+    # read back through the first-comma-split reader: counts survive
+    back = read_text_kv(spark, [os.path.join(out, d) for d in bucket_dirs])
+    got = {(r.key, int(r.value)) for r in back.collect()}
+    want = {(r.word, r["count"]) for r in wc.collect()}
+    assert got == want
+
+
+def test_read_text_kv_first_comma_split(spark, tmp_path):
+    p = tmp_path / "kv.txt"
+    p.write_text("alpha,1,2,3\nbeta,x\n")
+    rows = {r.key: r.value for r in read_text_kv(spark, str(p)).collect()}
+    assert rows == {"alpha": "1,2,3", "beta": "x"}
