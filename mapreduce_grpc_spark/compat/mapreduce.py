@@ -131,3 +131,64 @@ def run_mapreduce(
         reduced.map(lambda kv: f"{kv[0]},{kv[1]}").saveAsTextFile(spec.output_dir)
 
     return spark.createDataFrame(reduced, schema="key string, value string")
+
+
+# ---------------------------------------------------------------------------
+# The facade as a registered, oracle-checked query: the reference's shipped
+# word-count workload (test/user_tasks.cc:9-35) run through the full
+# map->shuffle->sort->reduce path over real line-oriented text input.
+# ---------------------------------------------------------------------------
+
+import hashlib
+import re
+
+_DELIMS = re.compile(r"""[ ,."']+""")
+
+
+def _wc_map(line: str) -> Iterable[Pair]:
+    for tok in _DELIMS.split(line):
+        if tok:
+            yield (tok, "1")
+
+
+def _wc_reduce(key: str, values: list[str]) -> Iterable[Pair]:
+    yield (key, str(sum(int(v) for v in values)))
+
+
+register_job("wordcount", _wc_map, _wc_reduce)
+
+
+def mapreduce_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end facade run, driver-checkable.
+
+    Dumps documents.text once per sf as newline text (the reference's
+    input model), then runs the registered word-count job through the RDD
+    facade.  Output keeps the facade's string-pair schema; the oracle
+    casts its count to VARCHAR to match.
+    """
+    marker = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    inp = f"/tmp/mrspark_input_{marker}"
+    if not os.path.exists(inp):
+        from ..catalog import table
+
+        tmp = inp + ".tmp"
+        table(spark, sf_dir, "documents").select("text").coalesce(4).write.mode(
+            "overwrite"
+        ).text(tmp)
+        os.rename(tmp, inp)
+    spec = MapReduceSpec(input_paths=[inp], n_output_files=8, user_id="wordcount")
+    return run_mapreduce(spark, spec)
+
+
+MAPREDUCE_WORDCOUNT_SQL = """
+SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
+FROM (
+  SELECT unnest(list_filter(string_split_regex(text, '[ ,."'']+'), w -> w <> ''))
+           AS word
+  FROM documents
+) t
+GROUP BY word
+"""
+
+QUERIES = {"mapreduce_wordcount": mapreduce_wordcount}
+ORACLES = {"mapreduce_wordcount": MAPREDUCE_WORDCOUNT_SQL}

@@ -213,6 +213,168 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase matched to the user's most recent click
+    at-or-before its timestamp.
+
+    Implemented with the scalable union-and-scan algorithm rather than an
+    inequality join: tag both event streams, sort each user's timeline
+    once (one shuffle on user_id), and carry the last click timestamp
+    forward with ``last(..., ignorenulls)``.  Cost is O(n log n) per user
+    — no candidate-pair blowup, the shape that survives 100 TB.  Ties
+    (click and purchase at the same ts) order clicks first, matching the
+    inclusive `>=` of the DuckDB ASOF LEFT JOIN oracle.
+    """
+    ev = table(spark, sf_dir, "events")
+    pc = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "ts",
+            F.when(F.col("event_type") == "click", 0).otherwise(1),
+            "event_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_click = pc.withColumn(
+        "click_ts",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    return with_click.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_ts",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+JOIN_ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events within 5 minutes after an error.
+
+    Equi-key on user_id carries the shuffle; the time-range predicate is
+    applied inside the join.  At scale, bucketing both sides by
+    (user_id, coarse time bucket) turns this into a co-located join; the
+    5-minute bound keeps per-key candidate lists short.
+    """
+    ev = table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("err_user"),
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    fol = ev.select(
+        F.col("user_id").alias("fol_user"),
+        F.col("ts").alias("fol_ts"),
+    )
+    joined = err.join(
+        fol,
+        (F.col("err_user") == F.col("fol_user"))
+        & (F.col("fol_ts") > F.col("err_ts"))
+        & (F.col("fol_ts") <= F.col("err_ts") + F.expr("INTERVAL 5 MINUTES")),
+    )
+    return joined.groupBy("err_id", "err_user", "err_ts").agg(
+        F.count("*").alias("n_follow"),
+        F.min("fol_ts").alias("first_follow_ts"),
+    ).withColumnRenamed("err_user", "user_id")
+
+
+JOIN_RANGE_SQL = """
+SELECT e.event_id AS err_id, e.user_id, e.ts AS err_ts,
+       count(*) AS n_follow,
+       min(f.ts) AS first_follow_ts
+FROM events e
+JOIN events f
+  ON f.user_id = e.user_id
+ AND f.ts > e.ts
+ AND f.ts <= e.ts + INTERVAL '5 minutes'
+WHERE e.event_type = 'error'
+GROUP BY 1, 2, 3
+"""
+
+
+def group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median + p90).
+
+    ``percentile(col, p)`` is Spark's exact linear-interpolation
+    percentile ≡ DuckDB ``quantile_cont``.  At 100 TB swap for
+    ``approx_percentile`` (t-digest, mergeable sketches) — kept exact
+    here so the oracle hash-matches.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+GROUP_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50_price,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-dimension rollup: orders and revenue per calendar month."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mon"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+ORDERS_BY_MONTH_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mon,
+       count(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over orders (all 4 grouping combinations)."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+CUBE_AGG_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sorts / top-k (absent from reference beyond per-bucket key order, §2.B).
 # ---------------------------------------------------------------------------
@@ -386,6 +548,11 @@ QUERIES = {
     "reduce_side_join": reduce_side_join,
     "join_semi": join_semi,
     "join_anti": join_anti,
+    "join_asof": join_asof,
+    "join_range": join_range,
+    "cube_agg": cube_agg,
+    "group_percentiles": group_percentiles,
+    "orders_by_month": orders_by_month,
     "topk": topk,
     "partitioned_sorted_output": partitioned_sorted_output,
     "set_union": set_union,
@@ -401,6 +568,11 @@ ORACLES = {
     "reduce_side_join": REDUCE_SIDE_JOIN_SQL,
     "join_semi": JOIN_SEMI_SQL,
     "join_anti": JOIN_ANTI_SQL,
+    "join_asof": JOIN_ASOF_SQL,
+    "join_range": JOIN_RANGE_SQL,
+    "cube_agg": CUBE_AGG_SQL,
+    "group_percentiles": GROUP_PERCENTILES_SQL,
+    "orders_by_month": ORDERS_BY_MONTH_SQL,
     "topk": TOPK_SQL,
     "partitioned_sorted_output": PARTITIONED_SORTED_OUTPUT_SQL,
     "set_union": SET_UNION_SQL,

@@ -291,14 +291,55 @@ WHERE rank <= {TOP_K}
 """
 
 
+NEARDUP_COS_THRESHOLD = 0.4
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with blocked candidates.
+
+    Block on the cluster id (``label`` — in production the IVF cell id
+    from the coarse quantizer), compare only within blocks, keep pairs
+    with cosine >= threshold.  The block join is the scale lever: the
+    all-pairs O(n²) never materializes, only O(Σ block²).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        "label",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("label").alias("label_b"),
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("label_b")) & (F.col("va") < F.col("vb"))
+    ).withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+    return pairs.filter(F.col("cos_sim") >= NEARDUP_COS_THRESHOLD).select(
+        "va", "vb", "label", "cos_sim"
+    )
+
+
+DEDUP_EMBEDDING_SQL = f"""
+SELECT a.vec_id AS va, b.vec_id AS vb, a.label,
+       {cosine_sql('a.embedding', 'b.embedding')} AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {NEARDUP_COS_THRESHOLD}
+"""
+
+
 QUERIES = {
     "similarity_topk": similarity_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ivf_topk": ivf_topk,
+    "dedup_embedding": dedup_embedding,
 }
 
 ORACLES = {
     "similarity_topk": SIMILARITY_TOPK_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "ivf_topk": IVF_TOPK_SQL,
+    "dedup_embedding": DEDUP_EMBEDDING_SQL,
 }

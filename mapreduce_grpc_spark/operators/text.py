@@ -244,11 +244,25 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker lists for real per-language tables in production.
     """
     docs = table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    n_tok = F.size(toks)
+    # explode + conditional-sum aggregates instead of one filter() lambda
+    # per language: higher-order functions run interpreted, while this
+    # shape is a single codegen'd aggregate over the exploded tokens.
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("w")
+    )
+    marker_sums = [
+        F.sum(
+            F.when(F.col("w").isin(*markers), 1).otherwise(0)
+        ).alias(f"c_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+        if markers
+    ]
+    agg = tok.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_tok"), *marker_sums
+    )
     scores = {
         lang: (
-            F.size(F.filter(toks, lambda w: w.isin(*markers))).cast("double") / n_tok
+            F.col(f"c_{lang}").cast("double") / F.col("n_tok")
             if markers
             else F.lit(0.0)
         )
@@ -264,7 +278,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             pred = F.when(s > best, F.lit(lang)).otherwise(pred)
             best = F.when(s > best, s).otherwise(best)
-    return docs.select(
+    return agg.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         pred.alias("pred_lang"),
@@ -333,6 +347,45 @@ FROM documents
 DOC_FINGERPRINT_SQL = _doc_fingerprint_sql()
 
 
+def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (doc, word) tf-idf over the corpus.
+
+    tf and df are two aggregations over one exploded token pass; the
+    corpus size N enters as a broadcast scalar subquery (no driver-side
+    count).  idf = ln(N/df) rounded to 8 decimals before the multiply so
+    last-ulp libm differences between engines cannot flip the hash.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 8)
+    return (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            idf.alias("idf"),
+            (F.col("tf") * idf).alias("tfidf"),
+        )
+    )
+
+
+TFIDF_SQL = f"""
+WITH tok AS ({_UNNEST_WORDS}),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+total AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.word, tf.tf,
+       round(ln(CAST(n_docs AS DOUBLE) / df.df), 8) AS idf,
+       tf.tf * round(ln(CAST(n_docs AS DOUBLE) / df.df), 8) AS tfidf
+FROM tf JOIN df ON tf.word = df.word CROSS JOIN total
+"""
+
+
 QUERIES = {
     "wordcount": wordcount,
     "grep_filter": grep_filter,
@@ -342,9 +395,11 @@ QUERIES = {
     "text_quality": text_quality,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "tfidf": tfidf,
 }
 
 ORACLES = {
+    "tfidf": TFIDF_SQL,
     "wordcount": WORDCOUNT_SQL,
     "grep_filter": GREP_FILTER_SQL,
     "inverted_index": INVERTED_INDEX_SQL,

@@ -46,5 +46,9 @@ def _load() -> None:
 
     _register(streaming_events)
 
+    from .compat import mapreduce as compat_mapreduce
+
+    _register(compat_mapreduce)
+
 
 _load()

@@ -1,0 +1,49 @@
+"""Plan-shape regression tests: the properties that matter at 100 TB.
+
+Each assertion pins a physical-plan property an operator's scalability
+depends on.  If a refactor breaks pushdown/pruning/broadcast/partial-agg,
+these fail before the slowdown ships.
+"""
+
+from __future__ import annotations
+
+from mapreduce_grpc_spark.operators.relational import (
+    per_key_agg,
+    reduce_side_join,
+)
+from mapreduce_grpc_spark.operators.text import grep_filter, wordcount
+from mapreduce_grpc_spark.plans import (
+    has_broadcast_join,
+    has_partial_aggregation,
+    pushed_filters,
+    read_schema_columns,
+)
+
+
+def test_grep_filter_pushdown_and_pruning(spark, sf_dir):
+    df = grep_filter(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "lang" in pushed, f"lang predicate not pushed: {pushed}"
+    # the scan must not read every column — doc_id/lang/source/n_chars/text
+    # are needed (text only for the Contains filter)
+    (cols,) = read_schema_columns(df)
+    assert set(cols) <= {"doc_id", "lang", "source", "n_chars", "text"}
+
+
+def test_per_key_agg_scan_shape(spark, sf_dir):
+    df = per_key_agg(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, f"shipdate predicate not pushed: {pushed}"
+    (cols,) = read_schema_columns(df)
+    # 7 needed columns, not all 11
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+    assert has_partial_aggregation(df)
+
+
+def test_reduce_side_join_broadcasts_dims(spark, sf_dir):
+    df = reduce_side_join(spark, sf_dir)
+    assert has_broadcast_join(df), "nation/region should broadcast, not shuffle"
+
+
+def test_wordcount_partial_aggregation(spark, sf_dir):
+    assert has_partial_aggregation(wordcount(spark, sf_dir))
