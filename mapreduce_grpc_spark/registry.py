@@ -43,8 +43,10 @@ def _load() -> None:
             continue
         _register(mod)
     from .streaming import events as streaming_events
+    from .streaming import sessionize as streaming_sessionize
 
     _register(streaming_events)
+    _register(streaming_sessionize)
 
     from .compat import mapreduce as compat_mapreduce
 

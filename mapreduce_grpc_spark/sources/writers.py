@@ -51,3 +51,29 @@ def write_parquet(df: DataFrame, path: str, mode: str = "errorifexists",
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    key: str,
+    n_buckets: int,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed+sorted table for shuffle-free recurring joins.
+
+    Both sides of a recurring equi-join written with the same bucket count
+    and key join with ZERO exchanges (asserted in tests/test_bucketing.py)
+    — at 100 TB this converts the nightly fact⋈fact join from the dominant
+    shuffle into a co-located merge.  This is the durable version of the
+    reference's hash-bucket layout (same idea as its R intermediate
+    buckets, /root/reference/src/mr_tasks.h:45-76, but schema-aware and
+    sorted for merge joins).
+    """
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(name)
+    )

@@ -1,0 +1,98 @@
+"""Property-based invariants (hypothesis).
+
+Spark jobs are slow per-invocation, so each property generates a whole
+batch of values and runs ONE job per example, with few examples.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mapreduce_grpc_spark.compat.mapreduce import MapReduceSpec, hash131, run_mapreduce
+from mapreduce_grpc_spark.functions.hashes import hash131 as hash131_col
+from mapreduce_grpc_spark.functions.hashes import hash131_sql
+
+ascii_word = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126, exclude_characters=",'\\\""),
+    min_size=1,
+    max_size=12,
+)
+
+SLOW = settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@SLOW
+@given(st.lists(ascii_word, min_size=1, max_size=30, unique=True), st.integers(2, 16))
+def test_hash131_python_spark_duckdb_agree(spark, words, r):
+    """The facade's Python hash, the Spark expression, and the DuckDB SQL
+    fragment all compute the same bucket for arbitrary ASCII keys."""
+    py = {w: hash131(w, r) for w in words}
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    sp = {row.w: row.b for row in df.select("w", hash131_col("w", r).alias("b")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(w VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(w,) for w in words])
+    dk = dict(con.execute(f"SELECT w, {hash131_sql('w', r)} FROM t").fetchall())
+    assert sp == py
+    assert dk == py
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(ascii_word, st.text(alphabet="abc,x", min_size=0, max_size=8)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_facade_matches_python_reference(spark, tmp_path_factory, pairs):
+    """run_mapreduce(identity map over key<TAB>value lines, concat reduce)
+    equals a plain-Python MapReduce over the same pairs."""
+    tmp = tmp_path_factory.mktemp("prop")
+    src = tmp / "in.txt"
+    src.write_text("".join(f"{k}\t{v}\n" for k, v in pairs))
+
+    def m(line):
+        k, _, v = line.partition("\t")
+        yield (k, v)
+
+    def r(key, values):
+        yield (key, "|".join(sorted(values)))
+
+    expect: dict[str, list[str]] = {}
+    for k, v in pairs:
+        expect.setdefault(k, []).append(v)
+    expected = {(k, "|".join(sorted(vs))) for k, vs in expect.items()}
+
+    spec = MapReduceSpec(input_paths=[str(src)], n_output_files=4)
+    got = {(row.key, row.value) for row in run_mapreduce(spark, spec, m, r).collect()}
+    assert got == expected
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(ascii_word, st.text(alphabet="abc,123", min_size=0, max_size=10)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_kv_codec_roundtrip(spark, tmp_path_factory, pairs):
+    """write key,value lines -> read_text_kv gives back exactly the pairs
+    (first-comma split: keys comma-free, values may contain commas)."""
+    from mapreduce_grpc_spark.sources.readers import read_text_kv
+
+    tmp = tmp_path_factory.mktemp("kv")
+    src = tmp / "kv.txt"
+    src.write_text("".join(f"{k},{v}\n" for k, v in pairs))
+    got = sorted(
+        (row.key, row.value) for row in read_text_kv(spark, str(src)).collect()
+    )
+    assert got == sorted(pairs)
