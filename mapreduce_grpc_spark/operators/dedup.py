@@ -43,19 +43,8 @@ N_BANDS = N_HASHES // BAND_ROWS
 # ---------------------------------------------------------------------------
 
 
-def shingles(tok: Column, n: int = SHINGLE_N) -> Column:
-    """Distinct word n-gram strings from a token-array column."""
-    base = F.slice(tok, 1, F.greatest(F.size(tok) - (n - 1), F.lit(0)))
-    gram = F.transform(
-        base,
-        lambda x, i: F.concat_ws(
-            " ", x, *[F.element_at(tok, i + j + 1) for j in range(1, n)]
-        ),
-    )
-    return F.array_distinct(gram)
-
-
 def shingles_sql(w: str = "w", n: int = SHINGLE_N) -> str:
+    """DuckDB n-gram shingling (the oracle's side of _hashed_exploded)."""
     parts = ", ' ', ".join(f"{w}[i + {j}]" for j in range(1, n))
     return (
         f"list_distinct(list_transform({w}[1:greatest(len({w}) - {n - 1}, 0)], "
@@ -67,11 +56,6 @@ _DOC_SHINGLES_SQL = f"""
 SELECT doc_id, {shingles_sql('w')} AS sh
 FROM (SELECT doc_id, {tokens_sql('text')} AS w FROM documents) toks
 """
-
-
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", shingles(tokens("text")).alias("sh"))
 
 
 # ---------------------------------------------------------------------------
@@ -106,11 +90,6 @@ GROUP BY text
 # ---------------------------------------------------------------------------
 
 
-def _hashed_shingles(sh: Column) -> Column:
-    """Shingle strings -> 60-bit hashes mod p.  Computed ONCE per doc and
-    reused by all signature columns — md5 is the expensive part, and
-    duplicating it per hash function costs N_HASHES x the work."""
-    return F.transform(sh, lambda s: md5_long(s) % F.lit(MOD_P))
 
 
 def _hashed_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -198,18 +198,23 @@ WHERE EXISTS (SELECT 1 FROM orders
 
 
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI: customers with no orders at all."""
+    """LEFT ANTI: customers with no urgent orders (non-empty at every sf;
+    'no orders at all' is empty in the fixtures and would make the check
+    vacuous)."""
     customer = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
+    urgent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_acctbal")
 
 
 JOIN_ANTI_SQL = """
 SELECT c_custkey, c_name, c_acctbal
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 """
 
 

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.vectors import cosine, cosine_sql, dot, dot_sql
+from ..functions.vectors import cosine, cosine_sql, dot, dot_sql, norm_sq
 
 N_QUERIES = 10     # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -303,19 +303,27 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs O(n²) never materializes, only O(Σ block²).
     """
     emb = table(spark, sf_dir, "embeddings")
-    a = emb.select(
+    # norms precomputed once per vector (N folds), not once per pair
+    # (N² folds) — the pair stage then does a single dot fold
+    with_norm = emb.withColumn("nsq", norm_sq(F.col("embedding")))
+    a = with_norm.select(
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
+        F.col("nsq").alias("nsq_a"),
         "label",
     )
-    b = emb.select(
+    b = with_norm.select(
         F.col("vec_id").alias("vb"),
         F.col("embedding").alias("eb"),
+        F.col("nsq").alias("nsq_b"),
         F.col("label").alias("label_b"),
     )
     pairs = a.join(
         b, (F.col("label") == F.col("label_b")) & (F.col("va") < F.col("vb"))
-    ).withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+    ).withColumn(
+        "cos_sim",
+        dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("nsq_a") * F.col("nsq_b")),
+    )
     return pairs.filter(F.col("cos_sim") >= NEARDUP_COS_THRESHOLD).select(
         "va", "vb", "label", "cos_sim"
     )

@@ -125,7 +125,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_STATS_SQL = f"""
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(n_tokens) AS sum_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
        min(n_chars) AS min_chars,
        max(n_chars) AS max_chars,
        CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
@@ -143,15 +143,18 @@ def ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bigrams are built array-side with ``transform`` over token indices —
     no self-join, no Python.  Deterministic top via count desc, bigram asc.
     """
+    from pyspark.sql import Window
+
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(tokens("text").alias("w"))
-    bigrams = toks.select(
-        F.explode(
-            F.transform(
-                F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
-                lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("w"), i + 2)),
-            )
-        ).alias("bigram")
+    # posexplode + window lead keeps bigram construction in native
+    # operators (the array-transform version runs interpreted — see
+    # operators/dedup.py for the measured gap)
+    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        tok.withColumn("w2", F.lead("w", 1).over(win))
+        .filter(F.col("w2").isNotNull())
+        .select(F.concat_ws(" ", "w", "w2").alias("bigram"))
     )
     return (
         bigrams.groupBy("bigram")

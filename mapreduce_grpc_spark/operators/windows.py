@@ -161,7 +161,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_JSON_SQL = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
        max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events
 GROUP BY event_type

@@ -40,11 +40,47 @@ def duck_rows(sql: str, sf_dir: str):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    types = [str(t).upper() for t in rel.types]
+    rows = rel.fetchall()
     con.close()
-    return cols, rows
+    return cols, rows, types
+
+
+_DUCK_FAMILY = {
+    "BIGINT": "i64",
+    "INTEGER": "i32",
+    "SMALLINT": "i16",
+    "HUGEINT": "i128",
+    "DOUBLE": "f64",
+    "FLOAT": "f32",
+    "VARCHAR": "str",
+    "BOOLEAN": "bool",
+    "TIMESTAMP": "ts",
+    "TIMESTAMP_NS": "ts",
+    "DATE": "date",
+}
+
+_SPARK_FAMILY = {
+    "bigint": "i64",
+    "int": "i32",
+    "smallint": "i16",
+    "double": "f64",
+    "float": "f32",
+    "string": "str",
+    "boolean": "bool",
+    "timestamp": "ts",
+    "timestamp_ntz": "ts",
+    "date": "date",
+}
+
+
+def type_family(type_name: str) -> str:
+    t = type_name.strip()
+    if t.upper().startswith("DECIMAL") or t.lower().startswith("decimal"):
+        return "dec"
+    return _DUCK_FAMILY.get(t.upper()) or _SPARK_FAMILY.get(t.lower()) or t.lower()
 
 
 def spark_rows(df):
@@ -60,10 +96,17 @@ def canonical(cols, rows):
 
 def assert_oracle_match(df, sql: str, sf_dir: str, name: str = "?"):
     s_cols, s_rows = spark_rows(df)
-    d_cols, d_rows = duck_rows(sql, sf_dir)
+    d_cols, d_rows, d_types = duck_rows(sql, sf_dir)
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
     )
+    s_types = dict(df.dtypes)
+    for col, dt in zip(d_cols, d_types):
+        sf, dfam = type_family(s_types[col]), type_family(dt)
+        assert sf == dfam, (
+            f"{name}: type mismatch on {col!r}: spark={s_types[col]} ({sf}) "
+            f"duck={dt} ({dfam})"
+        )
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}"
     )

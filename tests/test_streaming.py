@@ -1,6 +1,15 @@
-"""Structured Streaming: streaming answers must equal batch answers."""
+"""Structured Streaming: streaming answers must equal batch answers, and
+watermarks must actually drop late data."""
 
 from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
+from datetime import datetime
+
+from pyspark.sql import functions as F
 
 from mapreduce_grpc_spark.operators.windows import tumbling_window
 from mapreduce_grpc_spark.streaming.events import run_streaming_tumbling
@@ -15,3 +24,81 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir):
         for r in tumbling_window(spark, sf_dir).collect()
     }
     assert stream_rows == batch_rows
+
+
+def _drop_file(spark, rows, dest, mtime):
+    """Write rows as one parquet file with a controlled mtime."""
+    staging = dest + ".stage"
+    df = spark.createDataFrame(rows, "ts timestamp, k string")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    (part,) = glob.glob(os.path.join(staging, "part-*.parquet"))
+    shutil.move(part, dest)
+    shutil.rmtree(staging)
+    os.utime(dest, (mtime, mtime))
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """2-hour watermark, 1-hour tumbling append windows, three micro-batches:
+    an event older than the established watermark must be discarded.
+
+    batch 1: 10:00, 10:30, 13:00  -> max event time 13:00
+    batch 2: 13:30               -> watermark 11:00 now in force
+    batch 3: 09:30 (LATE, dropped), 14:00
+    Emitted (closed) windows: [10:00) with 2 events and [13:00) with 1
+    (closed once the final watermark passes 14:00-2h=12:00... it doesn't,
+    so only [10:00) is guaranteed) — and crucially NO [09:00) window.  If
+    the late event were accepted, a (09:00, 1) row would appear.  (The
+    watermark visible to batch N is the one computed after batch N-2;
+    batch 3 therefore filters against 11:00 > 09:30.)
+    """
+    src = str(tmp_path / "stream_in")
+    os.makedirs(src)
+    d = lambda s: datetime.fromisoformat(f"2024-03-01T{s}:00")
+    _drop_file(
+        spark,
+        [(d("10:00"), "a"), (d("10:30"), "a"), (d("13:00"), "a")],
+        os.path.join(src, "batch1.parquet"),
+        1_000_000,
+    )
+    _drop_file(
+        spark,
+        [(d("13:30"), "a")],
+        os.path.join(src, "batch2.parquet"),
+        2_000_000,
+    )
+    _drop_file(
+        spark,
+        [(d("09:30"), "late"), (d("14:00"), "a")],
+        os.path.join(src, "batch3.parquet"),
+        3_000_000,
+    )
+
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    got = {(r.ws, r.n) for r in spark.table(name).collect()}
+    assert dropped == 1, f"late event not dropped (metrics: {dropped})"
+    assert (d("09:00"), 1) not in got, got
+    assert (d("10:00"), 2) in got, got
