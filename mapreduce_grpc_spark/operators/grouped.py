@@ -1,0 +1,122 @@
+"""Grouped-map custom operators (``applyInPandas``).
+
+Completes the Python-operator surface alongside ``mapInPandas``
+(operators/multimodal.py) and ``applyInPandasWithState``
+(streaming/sessionize.py): one whole group per pandas DataFrame, Arrow
+transfer both ways, output schema declared up front.  This is the shape
+for per-group logic Spark's built-ins can't express (custom models,
+iterative per-key algorithms); the example here — per-user z-score
+outlier detection — deliberately *is* SQL-expressible so the whole Python
+path stays oracle-checked.
+
+Determinism: group moments are computed with exact Decimal accumulation
+(quantize each value to 6dp, exact sums of x and x²) and converted to
+double only at the end, mirroring the engine's DECIMAL aggregation rule,
+so Python, JVM, and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table
+
+Z_THRESHOLD = 2.0
+
+OUT_SCHEMA = (
+    "user_id long, event_id long, value double, mean_v double, std_v double, "
+    "z double"
+)
+
+_Q6 = Decimal("0.000001")
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Two-pass moments: quantized mean, then an EXACT decimal sum of
+    # squared deviations.  The one-pass E[x²]-mean² form differs from the
+    # oracle in the last ulp (DuckDB fuses the multiply-subtract); the
+    # two-pass form has no fused op to diverge on.
+    import math
+
+    vals = [Decimal(v).quantize(_Q6, rounding=ROUND_HALF_UP) for v in pdf["value"]]
+    n = len(vals)
+    s1 = sum(vals)
+    mean = float(s1) / n
+    mean6 = Decimal(mean).quantize(_Q6, rounding=ROUND_HALF_UP)
+    var_num = sum((v - mean6) * (v - mean6) for v in vals)
+    var = float(var_num) / n
+    std = math.sqrt(var) if var > 0 else 0.0
+    out = pdf[["user_id", "event_id", "value"]].copy()
+    # emitted moments and z are rounded to 8dp: DuckDB's wide-DECIMAL ->
+    # DOUBLE cast is not correctly rounded (1-ulp drift observed at scale
+    # 12), so raw doubles cannot be hash-compared; rounding absorbs the
+    # ulp on both sides.  The outlier filter uses the ROUNDED z so both
+    # engines select identical row sets.
+    out["mean_v"] = round(mean, 8)
+    out["std_v"] = round(std, 8)
+    if std > 0:
+        out["z"] = ((out["value"] - mean) / std).round(8)
+    else:
+        out["z"] = 0.0
+    return out[abs(out["z"]) > Z_THRESHOLD]
+
+
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is >2 sigma from the user's mean (applyInPandas)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandas(_zscore_group, OUT_SCHEMA)
+
+
+# Oracle replicates the same arithmetic: 6dp-quantized values, exact sums,
+# double conversion at the end.  The deviation is narrowed to DECIMAL(15,6)
+# before squaring: a (19,6)x(19,6) product would need precision 39 > 38 and
+# DuckDB silently falls back to DOUBLE there (observed as 1-ulp std drift);
+# (15,6)x(15,6) -> (31,12) stays exact.  No '--' comments in oracle SQL —
+# the registry collapses whitespace to one line.
+ZSCORE_OUTLIERS_SQL = f"""
+WITH q AS (
+  SELECT user_id, event_id, value,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+),
+mo AS (
+  SELECT user_id,
+         count(*) AS n,
+         CAST(sum(v) AS DOUBLE) / count(*) AS mean_v,
+         CAST(CAST(sum(v) AS DOUBLE) / count(*) AS DECIMAL(18,6)) AS mean6
+  FROM q GROUP BY user_id
+),
+vr AS (
+  SELECT q.user_id,
+         CAST(sum(CAST(q.v - mo.mean6 AS DECIMAL(15,6))
+                  * CAST(q.v - mo.mean6 AS DECIMAL(15,6))) AS DOUBLE) / mo.n
+           AS var_v
+  FROM q JOIN mo ON q.user_id = mo.user_id
+  GROUP BY q.user_id, mo.n
+),
+stats AS (
+  SELECT mo.user_id, mo.mean_v,
+         CASE WHEN vr.var_v > 0 THEN sqrt(vr.var_v) ELSE 0.0 END AS std_v
+  FROM mo JOIN vr ON mo.user_id = vr.user_id
+)
+SELECT q.user_id, q.event_id, q.value,
+       round(stats.mean_v, 8) AS mean_v,
+       round(stats.std_v, 8) AS std_v,
+       CASE WHEN stats.std_v > 0
+            THEN round((q.value - stats.mean_v) / stats.std_v, 8)
+            ELSE 0.0 END AS z
+FROM q JOIN stats ON q.user_id = stats.user_id
+WHERE abs(CASE WHEN stats.std_v > 0
+               THEN round((q.value - stats.mean_v) / stats.std_v, 8)
+               ELSE 0.0 END)
+      > {Z_THRESHOLD}
+"""
+
+
+QUERIES = {"zscore_outliers": zscore_outliers}
+ORACLES = {"zscore_outliers": ZSCORE_OUTLIERS_SQL}

@@ -28,6 +28,10 @@ def _register(module) -> None:
             raise ValueError(f"duplicate query name {name!r}")
         QUERIES[name] = fn
     for name, sql in module.ORACLES.items():
+        if "--" in sql:
+            # whitespace collapsing below would merge everything after a
+            # line comment into it, truncating the query
+            raise ValueError(f"oracle {name!r} contains a '--' SQL comment")
         ORACLES[name] = " ".join(sql.split())
 
 
@@ -36,7 +40,8 @@ def _load() -> None:
 
     for mod in (text,):
         _register(mod)
-    for extra in ("relational", "dedup", "similarity", "windows", "multimodal"):
+    for extra in ("relational", "dedup", "similarity", "windows", "multimodal",
+                  "grouped"):
         try:
             mod = __import__(f"mapreduce_grpc_spark.operators.{extra}", fromlist=[extra])
         except ImportError:

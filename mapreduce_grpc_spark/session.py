@@ -46,6 +46,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # wide aggregates (e.g. the 60-vote SimHash) fall out of
+        # WholeStageCodegen at the default 100-field cap — measured ~30%
+        .config("spark.sql.codegen.maxFields", "300")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -63,8 +66,12 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # events.parquet stores TIMESTAMP(NANOS) which vanilla Spark refuses to
     # read; read as long and let catalog.table() rebuild a micros timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-    except Exception:
-        pass  # non-mutable on some builds; cosmetic only
+    for k, v in (
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.codegen.maxFields", "300"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-mutable on some builds; perf-only
     return spark
