@@ -311,6 +311,53 @@ GROUP BY 1, 2, 3
 """
 
 
+def nl_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-loop (non-equi) join: supplier x nation on a predicate with
+    no equality conjunct — Catalyst can only pick BroadcastNestedLoopJoin.
+    Kept deliberately tiny-side (both dims broadcastable); at scale a
+    non-equi join must always have a broadcastable side or be rewritten
+    into a banded equi-join (see join_range)."""
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    pairs = supplier.crossJoin(F.broadcast(nation)).filter(
+        F.col("s_nationkey") != F.col("n_nationkey")
+    )
+    return pairs.groupBy("s_suppkey", "s_name").agg(
+        F.count("*").alias("n_other_nations")
+    )
+
+
+NL_JOIN_SQL = """
+SELECT s_suppkey, s_name, count(*) AS n_other_nations
+FROM supplier JOIN nation ON s_nationkey <> n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: orders priced above the global average.
+
+    The scalar aggregate enters as a broadcast single-row cross join (the
+    same shape Catalyst produces for an uncorrelated scalar subquery);
+    the average is DECIMAL-exact for oracle parity.
+    """
+    orders = table(spark, sf_dir, "orders")
+    avg_row = orders.agg(davg("o_totalprice").alias("avg_price"))
+    return (
+        orders.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "avg_price")
+    )
+
+
+ABOVE_AVG_ORDERS_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       (SELECT {davg_sql('o_totalprice')} FROM orders) AS avg_price
+FROM orders
+WHERE o_totalprice > (SELECT {davg_sql('o_totalprice')} FROM orders)
+"""
+
+
 def group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (median + p90).
 
@@ -556,6 +603,8 @@ QUERIES = {
     "join_asof": join_asof,
     "join_range": join_range,
     "cube_agg": cube_agg,
+    "nl_join": nl_join,
+    "above_avg_orders": above_avg_orders,
     "group_percentiles": group_percentiles,
     "orders_by_month": orders_by_month,
     "topk": topk,
@@ -576,6 +625,8 @@ ORACLES = {
     "join_asof": JOIN_ASOF_SQL,
     "join_range": JOIN_RANGE_SQL,
     "cube_agg": CUBE_AGG_SQL,
+    "nl_join": NL_JOIN_SQL,
+    "above_avg_orders": ABOVE_AVG_ORDERS_SQL,
     "group_percentiles": GROUP_PERCENTILES_SQL,
     "orders_by_month": ORDERS_BY_MONTH_SQL,
     "topk": TOPK_SQL,

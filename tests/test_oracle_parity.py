@@ -29,6 +29,14 @@ def test_all_queries_run(spark, sf_dir):
         assert df.count() >= 0, name
 
 
+def test_decode_media_stub_raises(spark):
+    """Real codecs are an explicit NotImplementedError seam."""
+    from mapreduce_grpc_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_media(b"bytes", "image", codec="pil")
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
