@@ -11,9 +11,16 @@ query inventory); this module is a thin adapter.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# make the adapter importable regardless of the driver's CWD
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from mapreduce_grpc_spark import registry
 from mapreduce_grpc_spark.session import tune_session

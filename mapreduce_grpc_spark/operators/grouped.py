@@ -36,20 +36,28 @@ OUT_SCHEMA = (
 _Q6 = Decimal("0.000001")
 
 
+def _q6_int(v: float) -> int:
+    """value -> integer micros with decimal HALF_UP semantics (exact)."""
+    return int(Decimal(v).quantize(_Q6, rounding=ROUND_HALF_UP).scaleb(6))
+
+
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    # Two-pass moments: quantized mean, then an EXACT decimal sum of
-    # squared deviations.  The one-pass E[x²]-mean² form differs from the
-    # oracle in the last ulp (DuckDB fuses the multiply-subtract); the
-    # two-pass form has no fused op to diverge on.
+    # Two-pass moments: quantized mean, then an EXACT sum of squared
+    # deviations.  The one-pass E[x²]-mean² form differs from the oracle
+    # in the last ulp (DuckDB fuses the multiply-subtract); the two-pass
+    # form has no fused op to diverge on.  Arithmetic runs on integer
+    # micros (exact, Python bigints for the sums — no int64 overflow);
+    # Decimal appears only at the per-row quantization boundary and the
+    # final exactly-rounded int->double conversions.
     import math
 
-    vals = [Decimal(v).quantize(_Q6, rounding=ROUND_HALF_UP) for v in pdf["value"]]
+    vals = [_q6_int(v) for v in pdf["value"]]
     n = len(vals)
-    s1 = sum(vals)
-    mean = float(s1) / n
-    mean6 = Decimal(mean).quantize(_Q6, rounding=ROUND_HALF_UP)
-    var_num = sum((v - mean6) * (v - mean6) for v in vals)
-    var = float(var_num) / n
+    s1 = sum(vals)  # exact integer micros
+    mean = float(Decimal(s1).scaleb(-6)) / n
+    mean6 = _q6_int(mean)
+    var_num = sum((v - mean6) * (v - mean6) for v in vals)  # exact micros^2
+    var = float(Decimal(var_num).scaleb(-12)) / n
     std = math.sqrt(var) if var > 0 else 0.0
     out = pdf[["user_id", "event_id", "value"]].copy()
     # emitted moments and z are rounded to 8dp: DuckDB's wide-DECIMAL ->
