@@ -389,6 +389,58 @@ FROM tf JOIN df ON tf.word = df.word CROSS JOIN total
 """
 
 
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline in one DataFrame program:
+    quality gate -> exact dedup -> per-language corpus stats.
+
+    The composition story: each stage is one of this engine's operators
+    (text_quality's signals, dedup_exact's keep-min rule, text_stats'
+    aggregation), fused by Catalyst into a single plan — the scan happens
+    once, the quality predicates run before the dedup shuffle, and only
+    surviving rows reach the final aggregation.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    gated = docs.withColumn("n_tokens", n_tok).filter(
+        (F.col("n_tokens") >= 20) & (F.col("n_chars") >= 100)
+    )
+    # exact dedup: survivor = min doc_id per text
+    from pyspark.sql import Window
+
+    survivors = gated.withColumn(
+        "keep",
+        F.row_number().over(Window.partitionBy("text").orderBy("doc_id")),
+    ).filter(F.col("keep") == 1)
+    return survivors.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+PIPELINE_CLEAN_CORPUS_SQL = f"""
+WITH gated AS (
+  SELECT doc_id, text, lang, n_chars,
+         {token_count_sql('text')} AS n_tokens
+  FROM documents
+  WHERE {token_count_sql('text')} >= 20 AND n_chars >= 100
+),
+survivors AS (
+  SELECT * FROM (
+    SELECT gated.*,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS keep
+    FROM gated
+  ) t WHERE keep = 1
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+FROM survivors
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "wordcount": wordcount,
     "grep_filter": grep_filter,
@@ -399,10 +451,12 @@ QUERIES = {
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
     "tfidf": tfidf,
+    "pipeline_clean_corpus": pipeline_clean_corpus,
 }
 
 ORACLES = {
     "tfidf": TFIDF_SQL,
+    "pipeline_clean_corpus": PIPELINE_CLEAN_CORPUS_SQL,
     "wordcount": WORDCOUNT_SQL,
     "grep_filter": GREP_FILTER_SQL,
     "inverted_index": INVERTED_INDEX_SQL,
