@@ -358,6 +358,40 @@ WHERE o_totalprice > (SELECT {davg_sql('o_totalprice')} FROM orders)
 """
 
 
+ORDER_STATUSES = ("F", "O", "P")
+
+
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority, one column per order status.
+
+    Status values are pinned (the unspecified-values form would scan once
+    just to discover them); compiles to a single aggregation with
+    conditional counts — the same plan the oracle's FILTER aggregates
+    produce.
+    """
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(ORDER_STATUSES))
+        .count()
+        .na.fill(0, list(ORDER_STATUSES))
+        .select(
+            "o_orderpriority",
+            *[F.col(s).alias(f"n_{s}") for s in ORDER_STATUSES],
+        )
+    )
+
+
+PIVOT_AGG_SQL = """
+SELECT o_orderpriority,
+       coalesce(count(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS n_F,
+       coalesce(count(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS n_O,
+       coalesce(count(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS n_P
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 def group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (median + p90).
 
@@ -605,6 +639,7 @@ QUERIES = {
     "cube_agg": cube_agg,
     "nl_join": nl_join,
     "above_avg_orders": above_avg_orders,
+    "pivot_agg": pivot_agg,
     "group_percentiles": group_percentiles,
     "orders_by_month": orders_by_month,
     "topk": topk,
@@ -627,6 +662,7 @@ ORACLES = {
     "cube_agg": CUBE_AGG_SQL,
     "nl_join": NL_JOIN_SQL,
     "above_avg_orders": ABOVE_AVG_ORDERS_SQL,
+    "pivot_agg": PIVOT_AGG_SQL,
     "group_percentiles": GROUP_PERCENTILES_SQL,
     "orders_by_month": ORDERS_BY_MONTH_SQL,
     "topk": TOPK_SQL,
