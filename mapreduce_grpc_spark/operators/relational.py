@@ -626,6 +626,58 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded window frames: 3-row moving average, first value, quartile.
+
+    Completes the frames axis of the window-function family (the analytic
+    query uses only the unbounded running frame): ROWS BETWEEN 2 PRECEDING
+    AND CURRENT ROW with DECIMAL accumulation, first_value over the
+    partition, and ntile(4) buckets.
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w3).cast("double")
+            / F.count(F.lit(1)).over(w3)
+        ).alias("moving_avg3"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+WINDOW_FRAMES_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+            OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         AS moving_avg3,
+       first_value(o_totalprice)
+         OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics) of the two customer segments."""
+    return _seg_keys(spark, sf_dir, "1-URGENT").union(
+        _seg_keys(spark, sf_dir, "2-HIGH")
+    )
+
+
+SET_UNION_ALL_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+"""
+
+
 QUERIES = {
     "per_key_agg": per_key_agg,
     "distinct_count": distinct_count,
@@ -645,9 +697,11 @@ QUERIES = {
     "topk": topk,
     "partitioned_sorted_output": partitioned_sorted_output,
     "set_union": set_union,
+    "set_union_all": set_union_all,
     "set_intersect": set_intersect,
     "set_except": set_except,
     "window_analytic": window_analytic,
+    "window_frames": window_frames,
 }
 
 ORACLES = {
@@ -668,7 +722,9 @@ ORACLES = {
     "topk": TOPK_SQL,
     "partitioned_sorted_output": PARTITIONED_SORTED_OUTPUT_SQL,
     "set_union": SET_UNION_SQL,
+    "set_union_all": SET_UNION_ALL_SQL,
     "set_intersect": SET_INTERSECT_SQL,
     "set_except": SET_EXCEPT_SQL,
     "window_analytic": WINDOW_ANALYTIC_SQL,
+    "window_frames": WINDOW_FRAMES_SQL,
 }
