@@ -41,7 +41,7 @@ def _load() -> None:
     for mod in (text,):
         _register(mod)
     for extra in ("relational", "dedup", "similarity", "windows", "multimodal",
-                  "grouped"):
+                  "grouped", "udfs"):
         try:
             mod = __import__(f"mapreduce_grpc_spark.operators.{extra}", fromlist=[extra])
         except ImportError:

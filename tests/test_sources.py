@@ -49,6 +49,38 @@ def test_partitioned_sorted_sink_roundtrip(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    """CSV and JSON connectors: write orders, read back, same content."""
+    from mapreduce_grpc_spark.sources.readers import read_csv, read_json
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    want = {tuple(r) for r in orders.collect()}
+
+    csv_path = str(tmp_path / "orders_csv")
+    orders.write.option("header", "true").csv(csv_path)
+    got_csv = {
+        tuple(r)
+        for r in read_csv(
+            spark, csv_path, "o_orderkey long, o_orderstatus string, o_totalprice double"
+        ).collect()
+    }
+    assert got_csv == want
+
+    json_path = str(tmp_path / "orders_json")
+    orders.write.json(json_path)
+    got_json = {
+        tuple(r)
+        for r in read_json(
+            spark, json_path, "o_orderkey long, o_orderstatus string, o_totalprice double"
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect()
+    }
+    assert got_json == want
+
+
 def test_read_text_kv_first_comma_split(spark, tmp_path):
     p = tmp_path / "kv.txt"
     p.write_text("alpha,1,2,3\nbeta,x\n")
