@@ -36,9 +36,10 @@ def main() -> None:
     # plans, not first-touch JIT/IO
     _force(registry.QUERIES["wordcount"](spark, SF_DIR))
 
+    all_queries = {**registry.QUERIES, **registry.AUX_QUERIES}
     times: dict[str, float] = {}
-    for name in sorted(registry.QUERIES):
-        fn = registry.QUERIES[name]
+    for name in sorted(all_queries):
+        fn = all_queries[name]
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         _force(df)

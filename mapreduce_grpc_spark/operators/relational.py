@@ -100,8 +100,9 @@ GROUP BY o_orderpriority
 def distinct_count_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — the 100 TB-scale variant of
     distinct_count.  Sketches merge associatively, so shuffle volume is
-    O(groups), independent of key cardinality.  No oracle (DuckDB's HLL
-    differs); driver records the rows-only check.
+    O(groups), independent of key cardinality.  Not in the driver
+    contract (DuckDB's HLL differs — no hashable oracle); bounded vs the
+    exact count in tests/test_properties.py, timed in bench.py.
     """
     orders = table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
@@ -418,6 +419,26 @@ GROUP BY l_returnflag
 """
 
 
+def group_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate percentiles — the 100 TB path.
+
+    ``approx_percentile`` (KLL/quantile sketch, accuracy 10000 ≈ 0.01%
+    rank error) aggregates partial sketches map-side and merges them in
+    one reduce: shuffle volume is O(groups x sketch), independent of
+    group row count — exact ``percentile`` instead sorts every group's
+    values and falls over on a skewed group.  Not in the driver contract
+    (sketch internals differ per engine, no hashable oracle);
+    tests/test_properties.py bounds it against the exact query and
+    bench.py times it.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50_price"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("p90_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-dimension rollup: orders and revenue per calendar month."""
     orders = table(spark, sf_dir, "orders")
@@ -545,45 +566,49 @@ def _seg_keys(spark, sf_dir, priority):
     )
 
 
-def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (distinct) of two customer segments."""
-    return _seg_keys(spark, sf_dir, "1-URGENT").union(
-        _seg_keys(spark, sf_dir, "2-HIGH")
-    ).distinct()
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four SQL set operations over two customer segments, tagged.
+
+    One query exercising UNION (distinct), UNION ALL, INTERSECT and EXCEPT
+    — each branch labeled by an ``op`` column so a single order-insensitive
+    hash checks every verb.  Catalyst plans distinct-based set ops as
+    hash aggregates (map-side partial dedup before the shuffle) and the
+    bag union as a zero-shuffle concatenation of scans.
+    """
+    urgent = _seg_keys(spark, sf_dir, "1-URGENT")
+    high = _seg_keys(spark, sf_dir, "2-HIGH")
+    branches = [
+        urgent.union(high).distinct().withColumn("op", F.lit("union")),
+        urgent.union(high).withColumn("op", F.lit("union_all")),
+        urgent.intersect(high).withColumn("op", F.lit("intersect")),
+        urgent.subtract(high).withColumn("op", F.lit("except")),
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
-SET_UNION_SQL = """
-SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-UNION
-SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
-"""
-
-
-def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT of the same two segments."""
-    return _seg_keys(spark, sf_dir, "1-URGENT").intersect(
-        _seg_keys(spark, sf_dir, "2-HIGH")
-    )
-
-
-SET_INTERSECT_SQL = """
-SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-INTERSECT
-SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
-"""
-
-
-def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct) — urgent-only customers."""
-    return _seg_keys(spark, sf_dir, "1-URGENT").subtract(
-        _seg_keys(spark, sf_dir, "2-HIGH")
-    )
-
-
-SET_EXCEPT_SQL = """
-SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-EXCEPT
-SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+SET_OPS_SQL = """
+SELECT o_custkey, 'union' AS op FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+UNION ALL
+SELECT o_custkey, 'union_all' AS op FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+UNION ALL
+SELECT o_custkey, 'intersect' AS op FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+UNION ALL
+SELECT o_custkey, 'except' AS op FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
 """
 
 
@@ -593,15 +618,19 @@ SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
 
 
 def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking + running totals + lag per customer order history.
+    """The full window-function family over customer order history:
+    ranking (row_number, ntile), analytic (lag, first_value), and both
+    frame kinds (unbounded running sum + bounded 3-row moving average).
 
-    One shuffle on o_custkey serves all three window functions (same
-    partitioning+ordering spec).  Running sum uses an explicit ROWS frame
-    and DECIMAL accumulation for cross-engine determinism.
+    One shuffle on o_custkey serves every function — all six share the
+    same partitioning+ordering spec, so Catalyst plans a single Window
+    node after a single sort.  Sums accumulate in DECIMAL for
+    cross-engine determinism.
     """
     orders = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w3 = w.rowsBetween(-2, Window.currentRow)
     return orders.select(
         "o_orderkey",
         "o_custkey",
@@ -610,6 +639,12 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("order_seq"),
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(wsum).cast("double").alias("running_spend"),
         F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w3).cast("double")
+            / F.count(F.lit(1)).over(w3)
+        ).alias("moving_avg3"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.ntile(4).over(w).alias("quartile"),
     )
 
 
@@ -620,38 +655,7 @@ SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS running_spend,
-       lag(o_totalprice, 1) OVER w AS prev_price
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-"""
-
-
-def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded window frames: 3-row moving average, first value, quartile.
-
-    Completes the frames axis of the window-function family (the analytic
-    query uses only the unbounded running frame): ROWS BETWEEN 2 PRECEDING
-    AND CURRENT ROW with DECIMAL accumulation, first_value over the
-    partition, and ntile(4) buckets.
-    """
-    orders = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    w3 = w.rowsBetween(-2, Window.currentRow)
-    return orders.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_totalprice",
-        (
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w3).cast("double")
-            / F.count(F.lit(1)).over(w3)
-        ).alias("moving_avg3"),
-        F.first("o_totalprice").over(w).alias("first_price"),
-        F.ntile(4).over(w).alias("quartile"),
-    )
-
-
-WINDOW_FRAMES_SQL = """
-SELECT o_orderkey, o_custkey, o_totalprice,
+       lag(o_totalprice, 1) OVER w AS prev_price,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
             OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
          / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -664,24 +668,9 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
-def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL (bag semantics) of the two customer segments."""
-    return _seg_keys(spark, sf_dir, "1-URGENT").union(
-        _seg_keys(spark, sf_dir, "2-HIGH")
-    )
-
-
-SET_UNION_ALL_SQL = """
-SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-UNION ALL
-SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
-"""
-
-
 QUERIES = {
     "per_key_agg": per_key_agg,
     "distinct_count": distinct_count,
-    "distinct_count_approx": distinct_count_approx,
     "rollup_agg": rollup_agg,
     "reduce_side_join": reduce_side_join,
     "join_semi": join_semi,
@@ -696,12 +685,8 @@ QUERIES = {
     "orders_by_month": orders_by_month,
     "topk": topk,
     "partitioned_sorted_output": partitioned_sorted_output,
-    "set_union": set_union,
-    "set_union_all": set_union_all,
-    "set_intersect": set_intersect,
-    "set_except": set_except,
+    "set_ops": set_ops,
     "window_analytic": window_analytic,
-    "window_frames": window_frames,
 }
 
 ORACLES = {
@@ -721,10 +706,15 @@ ORACLES = {
     "orders_by_month": ORDERS_BY_MONTH_SQL,
     "topk": TOPK_SQL,
     "partitioned_sorted_output": PARTITIONED_SORTED_OUTPUT_SQL,
-    "set_union": SET_UNION_SQL,
-    "set_union_all": SET_UNION_ALL_SQL,
-    "set_intersect": SET_INTERSECT_SQL,
-    "set_except": SET_EXCEPT_SQL,
+    "set_ops": SET_OPS_SQL,
     "window_analytic": WINDOW_ANALYTIC_SQL,
-    "window_frames": WINDOW_FRAMES_SQL,
+}
+
+# Implemented-and-benchmarked but deliberately outside the driver contract:
+# sketch-based results have no hashable DuckDB oracle (registering them
+# would record a permanent no-oracle err row).  Correctness is bounded in
+# tests/test_properties.py against the exact twins instead.
+AUX_QUERIES = {
+    "distinct_count_approx": distinct_count_approx,
+    "group_percentiles_approx": group_percentiles_approx,
 }
