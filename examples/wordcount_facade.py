@@ -9,6 +9,13 @@ per-bucket comma-pair output files, output dir must not pre-exist), Spark
 execution underneath.
 
 Run:  python examples/wordcount_facade.py <input.txt> [...] <output_dir>
+      python examples/wordcount_facade.py --config <config.ini>
+
+The --config form takes the reference's own ini format unchanged
+(n_workers / worker_ipaddr_ports / input_files / output_dir /
+n_output_files / map_kilobytes / user_id — /root/reference/test/config.ini);
+cluster fields are consistency-checked and then superseded by the
+SparkSession.
 """
 
 from __future__ import annotations
@@ -39,18 +46,24 @@ register_job("wordcount", wc_map, wc_reduce)
 
 
 def main() -> None:
-    if len(sys.argv) < 3:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--config":
+        spec = MapReduceSpec.from_ini(sys.argv[2])
+        # the job id in the reference config names a C++ factory entry;
+        # here the registered Python job is "wordcount"
+        spec.user_id = "wordcount"
+    elif len(sys.argv) >= 3:
+        *inputs, output_dir = sys.argv[1:]
+        spec = MapReduceSpec(
+            input_paths=inputs,
+            output_dir=output_dir,
+            n_output_files=8,
+            user_id="wordcount",
+        )
+    else:
         raise SystemExit(__doc__)
-    *inputs, output_dir = sys.argv[1:]
     spark = get_spark(app_name="wordcount-facade")
-    spec = MapReduceSpec(
-        input_paths=inputs,
-        output_dir=output_dir,
-        n_output_files=8,
-        user_id="wordcount",
-    )
     result = run_mapreduce(spark, spec)
-    print(f"{result.count()} distinct words -> {output_dir}")
+    print(f"{result.count()} distinct words -> {spec.output_dir}")
 
 
 if __name__ == "__main__":

@@ -52,21 +52,73 @@ def hash131(key: str, n_buckets: int) -> int:
 
 @dataclass
 class MapReduceSpec:
-    """The job spec — the surviving fields of the reference's ini config
+    """The job spec — the fields of the reference's ini config
     (/root/reference/src/mapreduce_spec.h:13-21).  Cluster fields
-    (n_workers, worker addresses) are owned by the SparkSession."""
+    (n_workers, worker addresses) are parsed for config compatibility and
+    consistency-checked, but execution capacity is owned by the
+    SparkSession; ``map_kilobytes`` maps to
+    ``spark.sql.files.maxPartitionBytes`` (set by session.get_spark)."""
 
     input_paths: list[str]
     output_dir: str | None = None
     n_output_files: int = 8
     user_id: str = "default"
+    map_kilobytes: int = 500
+    n_workers: int | None = None
+    workers: list[str] = field(default_factory=list)
     extra: dict = field(default_factory=dict)
 
-    def validate(self) -> None:
+    @classmethod
+    def from_ini(cls, path: str) -> "MapReduceSpec":
+        """Parse the reference's ``key=value`` config format
+        (/root/reference/src/mapreduce_spec.h:34-67, test/config.ini).
+
+        Same line semantics as the reference parser: split each line at
+        the first '=', comma-split the list-valued keys, ignore unknown
+        keys.  Validation (reference validate_mr_spec,
+        mapreduce_spec.h:75-93) runs immediately, including the
+        input-files-exist check the programmatic path skips (staged
+        inputs may be URIs; ini inputs are local files by construction).
+        """
+        fields: dict[str, str] = {}
+        with open(path) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if "=" not in line:
+                    continue
+                key, _, value = line.partition("=")
+                fields[key] = value
+        spec = cls(
+            input_paths=[p for p in fields.get("input_files", "").split(",") if p],
+            output_dir=fields.get("output_dir") or None,
+            n_output_files=int(fields.get("n_output_files", 0) or 0),
+            user_id=fields.get("user_id", "default"),
+            map_kilobytes=int(fields.get("map_kilobytes", 0) or 0),
+            n_workers=int(fields["n_workers"]) if "n_workers" in fields else None,
+            workers=[w for w in fields.get("worker_ipaddr_ports", "").split(",") if w],
+        )
+        spec.validate(check_inputs_exist=True)
+        return spec
+
+    def validate(self, check_inputs_exist: bool = False) -> None:
+        """Reference validate_mr_spec semantics (mapreduce_spec.h:75-93)."""
         if self.n_output_files <= 0:
             raise ValueError("n_output_files must be positive")
         if not self.input_paths:
             raise ValueError("at least one input path required")
+        if self.map_kilobytes <= 0:
+            raise ValueError("map_kilobytes must be positive")
+        if self.n_workers is not None and (
+            self.n_workers <= 0 or self.n_workers != len(self.workers)
+        ):
+            raise ValueError(
+                f"n_workers={self.n_workers} inconsistent with "
+                f"{len(self.workers)} worker_ipaddr_ports"
+            )
+        if check_inputs_exist:
+            for p in self.input_paths:
+                if not os.path.exists(p):
+                    raise FileNotFoundError(f"input file does not exist: {p}")
         if self.output_dir and os.path.exists(self.output_dir):
             # mapreduce_spec.h:88-91: output dir must not pre-exist
             raise FileExistsError(f"output_dir exists: {self.output_dir}")
@@ -161,22 +213,24 @@ register_job("wordcount", _wc_map, _wc_reduce)
 def mapreduce_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end facade run, driver-checkable.
 
-    Dumps documents.text once per sf as newline text (the reference's
-    input model), then runs the registered word-count job through the RDD
-    facade.  Output keeps the facade's string-pair schema; the oracle
-    casts its count to VARCHAR to match.
+    Stages documents.text as newline text (the reference's input model,
+    /root/reference/src/worker.h:74-77) under the session's warehouse dir
+    — shared storage that executors can read on a real cluster, unlike a
+    driver-local /tmp path — then runs the registered word-count job
+    through the RDD facade.  The stage is rewritten on every call (a few
+    MB at bench scale), so regenerated fixtures can never be shadowed by
+    a stale dump.  Output keeps the facade's string-pair schema; the
+    oracle casts its count to VARCHAR to match.
     """
-    marker = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    inp = f"/tmp/mrspark_input_{marker}"
-    if not os.path.exists(inp):
-        from ..catalog import table
+    from ..catalog import table
 
-        tmp = inp + ".tmp"
-        table(spark, sf_dir, "documents").select("text").coalesce(4).write.mode(
-            "overwrite"
-        ).text(tmp)
-        os.rename(tmp, inp)
-    spec = MapReduceSpec(input_paths=[inp], n_output_files=8, user_id="wordcount")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    marker = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = f"{warehouse.rstrip('/')}/mrspark_stage/documents_text_{marker}"
+    table(spark, sf_dir, "documents").select("text").coalesce(4).write.mode(
+        "overwrite"
+    ).text(stage)
+    spec = MapReduceSpec(input_paths=[stage], n_output_files=8, user_id="wordcount")
     return run_mapreduce(spark, spec)
 
 

@@ -18,6 +18,8 @@ Scale notes (100 TB target, local[32] test rig):
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -74,4 +76,35 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-mutable on some builds; perf-only
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the engine importable on executor Python workers.
+
+    Cloudpickled closures (the RDD facade's mapper, UDTFs, pandas UDFs,
+    streaming state functions) deserialize by module reference on the
+    worker; workers inherit the driver JVM's environment, not the driver
+    Python's sys.path, so unless the driver happens to run from the repo
+    root the import fails.  Shipping the package once per SparkContext via
+    addPyFile removes the working-directory dependency — the same
+    mechanism used to deploy the engine to a real cluster.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_mrspark_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"mapreduce_grpc_spark-{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._mrspark_pkg_shipped = True

@@ -108,3 +108,89 @@ def test_value_commas_ok(spark, tmp_path):
 
     rows = run_mapreduce(spark, spec, m, r).collect()
     assert rows[0].value == "v1,v2,v3"
+
+
+# ---------------------------------------------------------------------------
+# from_ini: the reference's config format (mapreduce_spec.h:34-67)
+# ---------------------------------------------------------------------------
+
+
+def _write_ini(tmp_path, **overrides):
+    """A config mirroring /root/reference/test/config.ini, with real files."""
+    inputs = overrides.pop("input_files", None)
+    if inputs is None:
+        paths = []
+        for i in (1, 2):
+            p = tmp_path / f"testdata_{i}.txt"
+            p.write_text("the quick fox\n")
+            paths.append(str(p))
+        inputs = ",".join(paths)
+    fields = {
+        "n_workers": "2",
+        "worker_ipaddr_ports": "localhost:5001,localhost:5002",
+        "input_files": inputs,
+        "output_dir": str(tmp_path / "output"),
+        "n_output_files": "8",
+        "map_kilobytes": "500",
+        "user_id": "cs6210",
+    }
+    fields.update(overrides)
+    cfg = tmp_path / "config.ini"
+    cfg.write_text("".join(f"{k}={v}\n" for k, v in fields.items() if v is not None))
+    return str(cfg)
+
+
+def test_from_ini_parses_reference_format(tmp_path):
+    spec = MapReduceSpec.from_ini(_write_ini(tmp_path))
+    assert len(spec.input_paths) == 2
+    assert spec.n_output_files == 8
+    assert spec.map_kilobytes == 500
+    assert spec.user_id == "cs6210"
+    assert spec.n_workers == 2 and len(spec.workers) == 2
+    assert spec.output_dir.endswith("/output")
+
+
+def test_from_ini_value_may_contain_equals(tmp_path):
+    # reference splits at the FIRST '=' (mapreduce_spec.h:39-41)
+    cfg = _write_ini(tmp_path, user_id="a=b")
+    spec = MapReduceSpec.from_ini(cfg)
+    assert spec.user_id == "a=b"
+
+
+def test_from_ini_unknown_keys_ignored(tmp_path):
+    spec = MapReduceSpec.from_ini(_write_ini(tmp_path, bogus_key="1"))
+    assert "bogus_key" not in spec.extra
+
+
+def test_from_ini_rejects_missing_input(tmp_path):
+    cfg = _write_ini(tmp_path, input_files=str(tmp_path / "nope.txt"))
+    with pytest.raises(FileNotFoundError):
+        MapReduceSpec.from_ini(cfg)
+
+
+def test_from_ini_rejects_worker_mismatch(tmp_path):
+    cfg = _write_ini(tmp_path, n_workers="3")
+    with pytest.raises(ValueError, match="n_workers"):
+        MapReduceSpec.from_ini(cfg)
+
+
+def test_from_ini_rejects_nonpositive_r(tmp_path):
+    cfg = _write_ini(tmp_path, n_output_files="0")
+    with pytest.raises(ValueError, match="n_output_files"):
+        MapReduceSpec.from_ini(cfg)
+
+
+def test_from_ini_rejects_existing_output_dir(tmp_path):
+    out = tmp_path / "output"
+    out.mkdir()
+    with pytest.raises(FileExistsError):
+        MapReduceSpec.from_ini(_write_ini(tmp_path))
+
+
+def test_from_ini_runs_end_to_end(spark, tmp_path):
+    """A reference-style config drives the facade end-to-end."""
+    cfg = _write_ini(tmp_path, user_id="wordcount", n_output_files="2")
+    spec = MapReduceSpec.from_ini(cfg)
+    result = {(r.key, r.value) for r in run_mapreduce(spark, spec).collect()}
+    assert result == {("the", "2"), ("quick", "2"), ("fox", "2")}
+    assert os.path.isdir(spec.output_dir)
