@@ -397,7 +397,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one identical band, so the band equi-join finds all such pairs
     without an all-pairs scan.
     """
-    sim = dedup_simhash(spark, sf_dir)
+    # persisted: both sides of the self-join reference this relation, and
+    # without the persist the 60-vote aggregate runs twice (measured 6.6 s
+    # of the pair query's 10.7 s at sf0.1).  One fingerprint row per doc —
+    # tiny relative to the corpus at any scale.
+    sim = dedup_simhash(spark, sf_dir).persist()
     bands = sim.select(
         "doc_id",
         "simhash",

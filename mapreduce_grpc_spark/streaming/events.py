@@ -22,11 +22,36 @@ from __future__ import annotations
 
 import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum
+
+
+@contextmanager
+def _stateful_shuffle_partitions(spark: SparkSession, cap: int = 32):
+    """Pin shuffle partitions for a streaming query's lifetime.
+
+    The state-store partition count is fixed from
+    ``spark.sql.shuffle.partitions`` when the first micro-batch plans; an
+    externally-created session's default (200) means 200 state tasks per
+    batch — for pandas-stateful operators that is 200 Python-worker
+    Arrow round-trips.  Sized to the session's core count (capped) and
+    restored after the stream finishes (planning happens async after
+    ``start()``, so restore must wait for ``awaitTermination``).
+
+    On a real cluster this is a deliberate knob: state partitions should
+    track total cores, not the relational shuffle default.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    target = max(1, min(int(spark.sparkContext.defaultParallelism), cap))
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,15 +103,16 @@ def run_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the batch oracle SQL.
     """
     name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    q = (
-        tumbling_agg(_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stateful_shuffle_partitions(spark):
+        q = (
+            tumbling_agg(_events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 

@@ -20,17 +20,17 @@ like the JVM path does.
 
 from __future__ import annotations
 
-import os
 import uuid
 from collections.abc import Iterator
 from decimal import ROUND_HALF_UP, Decimal
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .events import _events_stream
+from .events import _events_stream, _stateful_shuffle_partitions
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
 
@@ -53,10 +53,18 @@ def _sessionize_group(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    frames = [p[["ts", "value"]] for p in pdfs]
-    events = pd.concat(frames).sort_values("ts")
-    ts_us = (events["ts"].astype("int64") // 1000).to_list()
-    values = events["value"].to_list()
+    frames = list(pdfs)
+    events = frames[0] if len(frames) == 1 else pd.concat(frames)
+    ts_ns = events["ts"].to_numpy(dtype="int64", copy=False)
+    values = events["value"].to_numpy(copy=False)
+    # shuffle order within a group is arrival order (usually already
+    # time-sorted from a sorted source); sort only when actually needed —
+    # the O(n) monotonic check is ~free, the per-group sort is not
+    if len(ts_ns) > 1 and not (ts_ns[:-1] <= ts_ns[1:]).all():
+        order = np.argsort(ts_ns, kind="stable")
+        ts_ns = ts_ns[order]
+        values = values[order]
+    ts_us = ts_ns // 1000
 
     sessions: list[tuple[int, int, Decimal]] = []  # (start_us, n, sum)
     if state.exists:
@@ -79,36 +87,48 @@ def _sessionize_group(
     if cur:
         state.update((cur[0], cur[1], cur[2], str(cur[3])))
 
+    n = len(out_rows)
     yield pd.DataFrame(
         {
-            "user_id": [user_id] * len(out_rows),
-            "session_start": [pd.Timestamp(s[0] * 1000) for s in out_rows],
-            "n_events": [s[1] for s in out_rows],
-            "sum_value": [float(s[2]) for s in out_rows],
+            "user_id": np.full(n, user_id, dtype="int64"),
+            "session_start": (
+                np.fromiter((s[0] for s in out_rows), dtype="int64", count=n) * 1000
+            ).view("datetime64[ns]"),
+            "n_events": np.fromiter((s[1] for s in out_rows), dtype="int64", count=n),
+            "sum_value": np.fromiter(
+                (float(s[2]) for s in out_rows), dtype="float64", count=n
+            ),
         }
     )
 
 
 def run_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the stateful sessionizer over the events stream to completion."""
+    """Run the stateful sessionizer over the events stream to completion.
+
+    The stateful stage's partition count is pinned while the stream runs:
+    each state partition is an Arrow round-trip to a Python worker, so a
+    200-partition default costs ~200 worker invocations per micro-batch
+    for a handful of users each (measured 22.6 s -> ~5 s at sf0.1).
+    """
     stream = _events_stream(spark, sf_dir)
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.groupBy("user_id")
-        .applyInPandasWithState(
-            _sessionize_group,
-            outputStructType=OUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+    with _stateful_shuffle_partitions(spark):
+        q = (
+            stream.groupBy("user_id")
+            .applyInPandasWithState(
+                _sessionize_group,
+                outputStructType=OUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.table(name)
 
 
