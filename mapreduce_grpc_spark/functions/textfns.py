@@ -17,8 +17,12 @@ from pyspark.sql import functions as F
 
 # Spark regex for the reference delimiter class " ,.\"'" (one-or-more).
 TOKEN_DELIM_RE = """[ ,."']+"""
-# Same class escaped for embedding in a single-quoted DuckDB SQL literal.
-TOKEN_DELIM_RE_SQL = '[ ,."'']+'
+# Same class escaped for embedding in a single-quoted DuckDB SQL literal
+# (doubled apostrophe).  NB: this must be ONE Python literal — writing
+# '[ ,."'']+' is adjacent-literal concatenation that silently drops the
+# apostrophe from the class, so Spark and the oracle tokenize any text
+# containing ' differently (latent with the apostrophe-free fixtures).
+TOKEN_DELIM_RE_SQL = "[ ,.\"'']+"
 
 
 def tokens(col: Column | str) -> Column:

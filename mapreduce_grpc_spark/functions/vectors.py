@@ -6,10 +6,14 @@ list), with every element cast to double before multiplying — so dot
 products and cosines are bit-identical across Spark and the DuckDB oracle,
 and similarity rankings cannot diverge.
 
-JVM-side only: ``zip_with``/``aggregate``/``transform`` are codegen'd
-higher-order functions; for very wide vectors a pandas_udf over Arrow
-batches can be swapped in, but at dim=64 the built-ins win (no
-serialization boundary).
+JVM-side but NOT codegen'd: ``zip_with``/``aggregate``/``transform``
+lambdas run interpreted per-element with no common-subexpression
+elimination (measured 20x on shingling — see operators/dedup.py).  They
+are kept here because the sequential fold is what gives oracle
+bit-parity; the measured alternative (Arrow pandas_udf numpy dot with
+8 dp rounding on both engines) is recorded in PLANS.md — at dim=64
+fixture scale the fold wins on total time (no serialization boundary),
+at 100 TB the verification stage should switch to the pandas_udf path.
 """
 
 from __future__ import annotations

@@ -99,10 +99,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(extract, FEATURES_SCHEMA)
 
 
+# Byte semantics: the Spark path operates on the UTF-8 payload, so the
+# oracle must too — octet_length(encode(text)) counts bytes (length(text)
+# counts characters and diverges on non-ASCII), and DuckDB's md5(VARCHAR)
+# already hashes the string's UTF-8 bytes (verified equal to Python
+# hashlib.md5(text.encode())).
 MULTIMODAL_FEATURES_SQL = """
 SELECT doc_id,
        ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
-       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS checksum,
        CAST(CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 1024 AS INTEGER) AS width,
        CAST(CAST(concat('0x', substr(md5(text), 5, 4)) AS INTEGER) % 1024 AS INTEGER) AS height
@@ -139,6 +144,13 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(frames, FRAMES_SCHEMA)
 
 
+# ASCII-ONLY ORACLE: the Spark path chunks the payload into 256-BYTE
+# frames; this DuckDB build has no BLOB substring/md5, so the oracle
+# chunks 256 CHARACTERS via substr(text, ...).  The two agree iff the
+# text is ASCII (true for the driver fixtures — asserted by
+# tests/test_oracle_parity.py::test_frame_sample_ascii_assumption).  With
+# non-ASCII corpora the frame boundaries and per-frame md5 genuinely
+# differ; byte-exactness there needs a blob-capable oracle engine.
 FRAME_SAMPLE_SQL = f"""
 SELECT doc_id,
        CAST(i AS INTEGER) AS frame_no,

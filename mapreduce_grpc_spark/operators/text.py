@@ -260,9 +260,13 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lang, markers in LANG_MARKERS.items()
         if markers
     ]
-    agg = tok.groupBy("doc_id", "lang").agg(
-        F.count("*").alias("n_tok"), *marker_sums
-    )
+    # left-join the aggregated scores back onto documents: a doc whose text
+    # tokenizes to zero tokens has no exploded rows, and a bare groupBy
+    # would drop it while the oracle (per-doc expression) keeps it with
+    # NULL scores.  NULL propagation then matches DuckDB exactly
+    # (x/NULL -> NULL, NULL > x -> unknown -> first lang wins the fold).
+    agg = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"), *marker_sums)
+    agg = docs.select("doc_id", "lang").join(agg, "doc_id", "left")
     scores = {
         lang: (
             F.col(f"c_{lang}").cast("double") / F.col("n_tok")

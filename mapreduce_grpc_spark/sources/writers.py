@@ -35,12 +35,18 @@ def write_partitioned_sorted(
     one file per non-empty bucket); ``sortWithinPartitions`` delivers the
     within-bucket key order.  All engine-side — no driver collection.
     """
+    # sort on the KEY column, not the concatenated line: for keys with
+    # characters below ',' (e.g. '!'), line order and key order diverge
+    # ('a!x,1' < 'a,1' as lines though 'a' < 'a!x' as keys) — the line is
+    # only built after the sort
     out = (
         df.withColumn("bucket", hash131(F.col(key_col), n_buckets))
-        .withColumn("line", F.concat_ws(",", F.col(key_col), F.col(value_col)))
-        .select("bucket", "line")
         .repartition(n_buckets, F.col("bucket"))
-        .sortWithinPartitions("bucket", "line")
+        .sortWithinPartitions("bucket", key_col, value_col)
+        .select(
+            "bucket",
+            F.concat_ws(",", F.col(key_col), F.col(value_col)).alias("line"),
+        )
     )
     out.write.mode(mode).partitionBy("bucket").text(path)
 

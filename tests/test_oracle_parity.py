@@ -36,6 +36,87 @@ def test_every_contract_query_has_oracle():
     assert len(registry.QUERIES) <= registry.MAX_CONTRACT_QUERIES
 
 
+def test_lang_id_keeps_zero_token_docs(spark, sf_dir, tmp_path):
+    """A doc whose text tokenizes to zero tokens must appear in both
+    engines (with NULL scores), not silently vanish from the Spark side."""
+    import os
+
+    import duckdb
+
+    from mapreduce_grpc_spark.catalog import TABLES
+
+    fake_sf = tmp_path / "sf"
+    fake_sf.mkdir()
+    for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        if t != "documents" and os.path.exists(src):
+            os.symlink(src, fake_sf / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{sf_dir}/documents.parquet' USING SAMPLE 20 ROWS (reservoir, 7)
+          UNION ALL
+          SELECT 999901, '', 'en', 'synthetic', 0
+          UNION ALL
+          SELECT 999902, ',,. "'' ', 'de', 'synthetic', 8
+        ) TO '{fake_sf}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+
+    df = registry.QUERIES["lang_id"](spark, str(fake_sf))
+    rows = {r.doc_id for r in df.collect()}
+    assert {999901, 999902} <= rows
+    assert_oracle_match(df, registry.ORACLES["lang_id"], str(fake_sf), "lang_id")
+
+
+def test_frame_sample_ascii_assumption(sf_dir):
+    """frame_sample's oracle chunks by characters (no BLOB substring in
+    this DuckDB); the Spark path chunks by bytes.  Valid only while the
+    fixture text is pure ASCII — assert that precondition so a non-ASCII
+    fixture regeneration fails loudly here instead of as a hash mismatch."""
+    import duckdb
+
+    (n,) = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet' "
+        "WHERE octet_length(encode(text)) <> length(text)"
+    ).fetchone()
+    assert n == 0, f"{n} non-ASCII documents break the frame_sample oracle"
+
+
+def test_multimodal_features_non_ascii_parity(spark, sf_dir, tmp_path):
+    """multimodal_features must hash-match on non-ASCII payloads (byte
+    lengths + utf-8 md5 in both engines)."""
+    import os
+
+    import duckdb
+
+    from mapreduce_grpc_spark.catalog import TABLES
+
+    fake_sf = tmp_path / "sf"
+    fake_sf.mkdir()
+    for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        if t != "documents" and os.path.exists(src):
+            os.symlink(src, fake_sf / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{sf_dir}/documents.parquet' USING SAMPLE 10 ROWS (reservoir, 7)
+          UNION ALL
+          SELECT 999901, 'héllo wörld — ünïcode ☃', 'de', 'synthetic', 23
+        ) TO '{fake_sf}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    df = registry.QUERIES["multimodal_features"](spark, str(fake_sf))
+    assert_oracle_match(
+        df, registry.ORACLES["multimodal_features"], str(fake_sf), "multimodal_features"
+    )
+
+
 def test_distinct_count_approx_bound(spark, sf_dir):
     """HLL++ estimate within 2% relative error of the exact count per group
     (rsd=0.01 configured; 2% is a generous cross-check)."""

@@ -86,3 +86,24 @@ def test_read_text_kv_first_comma_split(spark, tmp_path):
     p.write_text("alpha,1,2,3\nbeta,x\n")
     rows = {r.key: r.value for r in read_text_kv(spark, str(p)).collect()}
     assert rows == {"alpha": "1,2,3", "beta": "x"}
+
+
+def test_partitioned_sorted_sink_low_ascii_keys(spark, tmp_path):
+    """Keys containing characters that sort below ',' (e.g. '!', '$' —
+    producible by the reference tokenizer) must still come out in KEY
+    order, not concatenated-line order: 'a!x,1' < 'a,1' as lines even
+    though 'a' < 'a!x' as keys."""
+    rows = [("a", "1"), ("a!x", "1"), ("a$", "2"), ("ab", "3"), ("!", "9")]
+    df = spark.createDataFrame(rows, "key string, value string")
+    out = str(tmp_path / "buckets")
+    write_partitioned_sorted(df, "key", "value", 2, out)
+
+    for d in os.listdir(out):
+        if not d.startswith("bucket="):
+            continue
+        for f in os.listdir(os.path.join(out, d)):
+            if not f.startswith("part-"):
+                continue
+            with open(os.path.join(out, d, f)) as fh:
+                keys = [ln.split(",", 1)[0] for ln in fh if ln.strip()]
+            assert keys == sorted(keys), (d, keys)
