@@ -96,3 +96,26 @@ def test_kv_codec_roundtrip(spark, tmp_path_factory, pairs):
         (row.key, row.value) for row in read_text_kv(spark, str(src)).collect()
     )
     assert got == sorted(pairs)
+
+def test_cosine_arrow_matches_fold_at_8dp(spark, sf_dir):
+    """The Arrow/numpy cosine (the 100 TB verification path) must agree
+    with the contract's sequential fold to 8 dp on real fixture pairs —
+    same values after rounding, so any pair-set threshold decision is
+    identical between the two implementations."""
+    from mapreduce_grpc_spark.functions.vectors import cosine, cosine_arrow
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+                   "label")
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+                   F.col("label").alias("lb"))
+    pairs = a.join(b, (F.col("label") == F.col("lb")) & (F.col("va") < F.col("vb")))
+    both = pairs.select(
+        F.round(cosine(F.col("ea"), F.col("eb")), 8).alias("c_fold"),
+        cosine_arrow(F.col("ea"), F.col("eb")).alias("c_arrow"),
+    )
+    bad = both.filter(
+        F.abs(F.col("c_fold") - F.col("c_arrow")) > 1e-8
+    ).count()
+    n = both.count()
+    assert n > 0 and bad == 0, f"{bad}/{n} pairs diverge beyond 1e-8"
