@@ -1,0 +1,132 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Corpus curation needs reproducible sampling — rerunning the pipeline (or
+re-executing a failed task) must select the same rows, which rules out
+``df.sample`` (partition-seeded RNG: results change with partitioning).
+Both operators here derive per-row uniforms from ``md5_long`` over the
+row key, so the sample is a pure function of the data:
+
+ - ``sample_stratified``      — per-language Bernoulli at configured
+   rates (down-weight over-represented languages, the standard
+   pre-training mix adjustment).  Scale shape: one scan, no shuffle —
+   the filter is a row-local expression and pushes the rate lookup into
+   a CASE expression.
+ - ``sample_fixed_per_group`` — exactly-k-per-stratum (deterministic
+   reservoir): rank rows by keyed hash within each stratum, keep the
+   first k.  Scale shape: one hash-partition shuffle on the stratum key
+   + WindowGroupLimit (rank <= k prunes map-side before the shuffle).
+
+Both are SQL-expressible and hash-checked against DuckDB in
+``tests/test_sampling.py`` (the driver contract is at its 50-query cap,
+so they register as AUX: benched, pytest-oracle-checked).
+
+Reference scope note: the reference engine (C++ MapReduce, /root/
+reference/src/) has no sampling surface; these extend the north-star
+training-pipeline inventory (SURVEY.md §2.C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.hashes import md5_long, md5_long_sql
+
+# per-language keep rates (the pre-training mix adjustment)
+STRATA_RATES: dict[str, float] = {
+    "en": 0.50,
+    "de": 0.30,
+    "fr": 0.30,
+    "es": 0.20,
+    "zh": 0.10,
+}
+DEFAULT_RATE = 0.05     # unseen languages
+SAMPLE_SALT = "strat1"  # changing the salt draws an independent sample
+FIXED_K = 20            # rows kept per stratum by the reservoir
+RESERVOIR_SALT = "resv1"
+
+_HASH_SPACE = 1 << 60   # md5_long yields uniform integers in [0, 2^60)
+
+
+def _rate_threshold(rate: float) -> int:
+    """Integer acceptance threshold — keep iff hash < rate * 2^60.
+
+    Integer comparison on both engines: no float rounding can flip a
+    row's membership between Spark and the oracle.
+    """
+    return int(rate * _HASH_SPACE)
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Bernoulli sample of ``documents`` at STRATA_RATES."""
+    docs = table(spark, sf_dir, "documents")
+    u = md5_long(F.concat_ws(":", F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")))
+    thresh = F.lit(_rate_threshold(DEFAULT_RATE))
+    for lang, rate in STRATA_RATES.items():
+        thresh = F.when(F.col("lang") == lang, F.lit(_rate_threshold(rate))).otherwise(
+            thresh
+        )
+    return docs.filter(u < thresh).select("doc_id", "lang", "source", "n_chars")
+
+
+_THRESH_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {_rate_threshold(rate)}"
+    for lang, rate in STRATA_RATES.items()
+) + f" ELSE {_rate_threshold(DEFAULT_RATE)} END"
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {md5_long_sql(f"concat('{SAMPLE_SALT}', ':', CAST(doc_id AS VARCHAR))")}
+      < {_THRESH_SQL}
+"""
+
+
+def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-min(k, n) docs per language — deterministic reservoir.
+
+    Rank by keyed hash (ties impossible: md5_long collisions over doc_ids
+    would need a 60-bit collision; doc_id tie-break guards even that).
+    """
+    docs = table(spark, sf_dir, "documents")
+    u = md5_long(
+        F.concat_ws(":", F.lit(RESERVOIR_SALT), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("lang").orderBy(u.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= FIXED_K)
+        .select("doc_id", "lang", F.col("pick").cast("int").alias("pick"))
+    )
+
+
+SAMPLE_FIXED_PER_GROUP_SQL = f"""
+SELECT doc_id, lang, CAST(pick AS INTEGER) AS pick
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {md5_long_sql(f"concat('{RESERVOIR_SALT}', ':', CAST(doc_id AS VARCHAR))")} ASC,
+                    doc_id ASC
+         ) AS pick
+  FROM documents
+) t
+WHERE pick <= {FIXED_K}
+"""
+
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+AUX_QUERIES = {
+    "sample_stratified": sample_stratified,
+    "sample_fixed_per_group": sample_fixed_per_group,
+}
+
+# consumed by tests/test_sampling.py (NOT by oracle_sql(): the driver
+# contract is capped at 50 — see registry.MAX_CONTRACT_QUERIES)
+AUX_ORACLES = {
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "sample_fixed_per_group": SAMPLE_FIXED_PER_GROUP_SQL,
+}

@@ -20,9 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
-# benchmarked but outside the driver contract (no hashable oracle —
-# sketch-based results; bounded vs exact twins in tests instead)
+# benchmarked but outside the driver contract — either sketch-based (no
+# hashable oracle; bounded vs exact twins in tests) or added after the
+# contract hit its 50-query cap (pytest-oracle-checked via AUX_ORACLES)
 AUX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+AUX_ORACLES: dict[str, str] = {}
 
 # The grading driver records correctness rows for at most the first 50
 # entries of ``queries()`` (observed in CORRECTNESS_r01: exactly the first
@@ -52,6 +54,10 @@ def _register(module) -> None:
         if name in AUX_QUERIES or name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
         AUX_QUERIES[name] = fn
+    for name, sql in getattr(module, "AUX_ORACLES", {}).items():
+        if "--" in sql:
+            raise ValueError(f"oracle {name!r} contains a '--' SQL comment")
+        AUX_ORACLES[name] = " ".join(sql.split())
 
 
 def _load() -> None:
@@ -66,11 +72,13 @@ def _load() -> None:
         grouped,
         multimodal,
         relational,
+        sampling,
         similarity,
         text,
         udfs,
         windows,
     )
+    from .streaming import dedup as streaming_dedup
     from .streaming import events as streaming_events
     from .streaming import sessionize as streaming_sessionize
 
@@ -86,6 +94,8 @@ def _load() -> None:
         windows,
         multimodal,
         grouped,
+        sampling,
+        streaming_dedup,
     ):
         _register(mod)
     if len(QUERIES) > MAX_CONTRACT_QUERIES:

@@ -50,3 +50,10 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None) -> Data
     if schema:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC is the other columnar format large data estates hold; Spark's
+    native reader gives the same pushdown/pruning as parquet (asserted in
+    tests/test_sources.py)."""
+    return spark.read.orc(path)

@@ -83,3 +83,7 @@ def write_bucketed_table(
         .sortBy(key)
         .saveAsTable(name)
     )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "errorifexists") -> None:
+    df.write.mode(mode).orc(path)

@@ -107,3 +107,32 @@ def test_partitioned_sorted_sink_low_ascii_keys(spark, tmp_path):
             with open(os.path.join(out, d, f)) as fh:
                 keys = [ln.split(",", 1)[0] for ln in fh if ln.strip()]
             assert keys == sorted(keys), (d, keys)
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC round-trip preserves schema + values, and the ORC scan gets
+    filter pushdown and column pruning just like parquet."""
+    from mapreduce_grpc_spark.sources.readers import read_orc
+    from mapreduce_grpc_spark.sources.writers import write_orc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out)
+
+    back = read_orc(spark, out)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    a = {tuple(r) for r in docs.select("doc_id", "lang", "n_chars").collect()}
+    b = {tuple(r) for r in back.select("doc_id", "lang", "n_chars").collect()}
+    assert a == b
+
+    plan = (
+        back.filter(back.lang == "en")
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "orc" in plan.lower()
+    assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters")[1][:80]
+    assert "struct<doc_id:bigint,lang:string>" in plan.replace(" ", "") or "ReadSchema" in plan

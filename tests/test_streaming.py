@@ -102,3 +102,65 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert dropped == 1, f"late event not dropped (metrics: {dropped})"
     assert (d("09:00"), 1) not in got, got
     assert (d("10:00"), 2) in got, got
+
+
+def test_streaming_dedup_equals_batch_on_unique_stream(spark, sf_dir):
+    """On the fixture stream (unique event_ids) dedup passes every event
+    through — the streaming answer must equal the batch scan."""
+    from mapreduce_grpc_spark.streaming.dedup import run_streaming_dedup
+
+    got = {r.event_id for r in run_streaming_dedup(spark, sf_dir).collect()}
+    want = {
+        r.event_id
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
+    """At-least-once re-delivery: the same event_id arriving again within
+    the watermark is dropped; each id is emitted exactly once."""
+    from mapreduce_grpc_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "dedup_in")
+    os.makedirs(src)
+    d = lambda s: datetime.fromisoformat(f"2024-03-01T{s}:00")
+    # batch 1: ids 1,2 ; batch 2 re-delivers id 1 (same payload, later ts)
+    # and introduces id 3
+    _drop_file(
+        spark,
+        [(d("10:00"), "1"), (d("10:05"), "2")],
+        os.path.join(src, "batch1.parquet"),
+        1_000_000,
+    )
+    _drop_file(
+        spark,
+        [(d("10:10"), "1"), (d("10:15"), "3")],
+        os.path.join(src, "batch2.parquet"),
+        2_000_000,
+    )
+
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    ids = sorted(r.k for r in rows)
+    assert ids == ["1", "2", "3"], rows
+    # the SURVIVING row for id 1 is the first delivery
+    (first_one,) = [r for r in rows if r.k == "1"]
+    assert first_one.ts == d("10:00"), first_one
