@@ -68,6 +68,7 @@ def _load() -> None:
     # verified surface (these are all required modules).
     from .compat import mapreduce as compat_mapreduce
     from .operators import (
+        curation,
         dedup,
         grouped,
         multimodal,
@@ -95,6 +96,7 @@ def _load() -> None:
         multimodal,
         grouped,
         sampling,
+        curation,
         streaming_dedup,
     ):
         _register(mod)

@@ -98,3 +98,81 @@ def test_aux_oracle_sql_is_duckdb_valid(sf_dir):
     for name, sql in registry.AUX_ORACLES.items():
         con.execute(sql).fetchall()
     con.close()
+
+
+@pytest.mark.parametrize("name", ["redact_pii", "pack_sequences"])
+def test_curation_oracle_parity(spark, sf_dir, name):
+    df = registry.AUX_QUERIES[name](spark, sf_dir)
+    assert_oracle_match(df, registry.AUX_ORACLES[name], sf_dir, name)
+
+
+def test_redact_pii_scrubs_synthetic_pii(spark, sf_dir, tmp_path):
+    """Planted emails/phones are replaced and counted; clean text passes
+    through untouched."""
+    import os
+
+    import duckdb as _duck
+
+    from mapreduce_grpc_spark.catalog import TABLES
+    from mapreduce_grpc_spark.operators.curation import redact_pii
+
+    fake_sf = tmp_path / "sf"
+    fake_sf.mkdir()
+    for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        if t != "documents" and os.path.exists(src):
+            os.symlink(src, fake_sf / f"{t}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT 1 AS doc_id, 'reach me at jane.doe+spam@example.co.uk today' AS text,
+                 'en' AS lang, 's' AS source, 44 AS n_chars
+          UNION ALL SELECT 2, 'call +1-555-123-4567 or 555 123 4567 now', 'en', 's', 40
+          UNION ALL SELECT 3, 'no pii here, just words', 'en', 's', 23
+        ) TO '{fake_sf}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    rows = {r.doc_id: r for r in redact_pii(spark, str(fake_sf)).collect()}
+    assert rows[1].clean_text == "reach me at <EMAIL> today"
+    assert (rows[1].n_emails, rows[1].n_phones) == (1, 0)
+    assert rows[2].clean_text == "call <PHONE> or <PHONE> now"
+    assert (rows[2].n_emails, rows[2].n_phones) == (0, 2)
+    assert rows[3].clean_text == "no pii here, just words"
+    assert (rows[3].n_emails, rows[3].n_phones) == (0, 0)
+    assert_oracle_match(
+        redact_pii(spark, str(fake_sf)),
+        registry.AUX_ORACLES["redact_pii"],
+        str(fake_sf),
+        "redact_pii_synthetic",
+    )
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Per source shard: bins are dense from 0, monotone over doc order,
+    and a bin's token total overflows the budget by at most its last doc."""
+    from mapreduce_grpc_spark.operators.curation import (
+        SEQ_TOKEN_BUDGET,
+        pack_sequences,
+    )
+
+    all_rows = pack_sequences(spark, sf_dir).collect()
+    assert all_rows
+    shards: dict[str, list] = {}
+    for r in all_rows:
+        shards.setdefault(r.source, []).append(r)
+    for source, rows in shards.items():
+        rows.sort(key=lambda r: r.doc_id)
+        seq_ids = [r.seq_id for r in rows]
+        assert seq_ids == sorted(seq_ids), source      # monotone in shard
+        assert set(seq_ids) == set(range(max(seq_ids) + 1)), source  # dense
+        totals: dict[int, int] = {}
+        last_tok: dict[int, int] = {}
+        for r in rows:
+            totals[r.seq_id] = totals.get(r.seq_id, 0) + r.n_tok
+            last_tok[r.seq_id] = r.n_tok
+        for sid, tot in totals.items():
+            assert tot < SEQ_TOKEN_BUDGET + last_tok[sid], (
+                f"{source} bin {sid} exceeds budget by more than its last doc"
+            )
