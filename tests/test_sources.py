@@ -136,3 +136,43 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     assert "orc" in plan.lower()
     assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters")[1][:80]
     assert "struct<doc_id:bigint,lang:string>" in plan.replace(" ", "") or "ReadSchema" in plan
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """200 tiny files -> a handful of target-sized ones, same rows."""
+    from mapreduce_grpc_spark.sources.maintenance import compact, data_file_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frag = str(tmp_path / "fragmented")
+    docs.repartition(200).write.parquet(frag)
+    assert data_file_count(frag) == 200
+    before = {tuple(r) for r in spark.read.parquet(frag).collect()}
+
+    # ~64 KB target at fixture scale -> a few files, not 1, not 200
+    n = compact(spark, frag, target_bytes=64 * 1024)
+    assert n == data_file_count(frag)
+    assert 1 <= n < 50
+    after = {tuple(r) for r in spark.read.parquet(frag).collect()}
+    assert before == after
+
+
+def test_compact_rebalance_shuffles_evenly(spark, sf_dir, tmp_path):
+    """rebalance=True produces even file sizes from skewed inputs."""
+    import os
+
+    from mapreduce_grpc_spark.sources.maintenance import compact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    skew = str(tmp_path / "skewed")
+    # one fat file + many near-empty ones
+    docs.repartition(40, (docs.doc_id % 40 == 0).cast("int")).write.parquet(skew)
+    before = {tuple(r) for r in spark.read.parquet(skew).collect()}
+    compact(spark, skew, target_bytes=48 * 1024, rebalance=True)
+    sizes = [
+        os.path.getsize(os.path.join(skew, f))
+        for f in os.listdir(skew)
+        if f.endswith(".parquet")
+    ]
+    assert len(sizes) >= 2
+    assert max(sizes) < 6 * min(sizes), sizes
+    assert {tuple(r) for r in spark.read.parquet(skew).collect()} == before
