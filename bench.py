@@ -38,12 +38,23 @@ def main() -> None:
 
     all_queries = {**registry.QUERIES, **registry.AUX_QUERIES}
     times: dict[str, float] = {}
-    for name in sorted(all_queries):
-        fn = all_queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        _force(df)
-        times[name] = round(time.perf_counter() - t0, 3)
+    # two passes, report the per-query minimum: single-machine runs have
+    # multi-second GC/JIT/IO noise spikes (observed 2-3x on individual
+    # queries between back-to-back suite runs) that would otherwise be
+    # recorded as regressions; min-of-2 measures the plan, not the noise
+    for _pass in range(2):
+        # drop InMemoryRelations left by queries that persist(): the
+        # CacheManager dedupes by plan, so without this the second pass
+        # would time cache hits instead of the plans
+        spark.catalog.clearCache()
+        for name in sorted(all_queries):
+            fn = all_queries[name]
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            _force(df)
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in times or dt < times[name]:
+                times[name] = dt
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

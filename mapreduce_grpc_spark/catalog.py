@@ -33,17 +33,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a long that we
-    rebuild into a micros timestamp (the fixtures carry no sub-microsecond
-    values; DuckDB's view of the same file is micros as well).
+    ``events.ts`` is normalized to TIMESTAMP whatever the writer did:
+    parquet TIMESTAMP(NANOS) (the driver fixtures — surfaced as a long
+    via ``spark.sql.legacy.parquet.nanosAsLong`` and rebuilt as micros;
+    no sub-microsecond values exist, and DuckDB's view of the same file
+    is micros too) and TIMESTAMP_NTZ (writers that omit the UTC flag,
+    e.g. DuckDB COPY — an NTZ instant is reinterpreted as UTC, matching
+    how DuckDB itself reads it; the engine pins the UTC session TZ in
+    ``tune_session``).  Event-time operators (watermarks, as-of joins)
+    require the TIMESTAMP type, so without this normalization those
+    queries fail on NTZ inputs.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

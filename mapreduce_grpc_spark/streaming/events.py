@@ -66,8 +66,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # NTZ instants reinterpreted as UTC (session TZ is pinned UTC) —
+        # watermarks/event-time ops require the TIMESTAMP type
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -1,0 +1,68 @@
+"""Degenerate-input robustness: every registered query must run (not
+crash) on empty tables, and event-time operators must accept the common
+timestamp physical types, not just the fixtures'.
+
+The empty fixture is written by DuckDB, which also makes its ``ts``
+column TIMESTAMP_NTZ — so this sweep doubles as the regression test for
+normalizing NTZ event times (watermarks and as-of joins hard-require the
+TIMESTAMP type; see catalog.table / streaming.events._events_stream).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from mapreduce_grpc_spark import registry
+from mapreduce_grpc_spark.catalog import TABLES
+
+
+@pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory, sf_dir):
+    """Schema-identical, zero-row copies of every fixture table.
+
+    DuckDB's COPY writes ts as TIMESTAMP_NTZ (no UTC flag) — a physical
+    type the real fixtures don't use, deliberately kept to pin the
+    engine's type normalization.
+    """
+    d = tmp_path_factory.mktemp("sf_empty")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM '{sf_dir}/{t}.parquet' LIMIT 0) "
+            f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name", sorted({**registry.QUERIES, **registry.AUX_QUERIES})
+)
+def test_query_survives_empty_input(spark, empty_sf, name):
+    fn = registry.QUERIES.get(name) or registry.AUX_QUERIES[name]
+    assert fn(spark, empty_sf).count() == 0
+
+
+def test_events_ntz_timestamps_joinable(spark, sf_dir, tmp_path):
+    """A non-empty NTZ-written events table produces the same as-of join
+    answer as the native fixture (NTZ instants reinterpreted as UTC)."""
+    import os
+
+    con = duckdb.connect()
+    ntz_sf = tmp_path / "sf"
+    ntz_sf.mkdir()
+    for t in TABLES:
+        if t == "events":
+            con.execute(
+                f"COPY (SELECT * FROM '{sf_dir}/events.parquet') "
+                f"TO '{ntz_sf}/events.parquet' (FORMAT PARQUET)"
+            )
+        else:
+            os.symlink(f"{sf_dir}/{t}.parquet", ntz_sf / f"{t}.parquet")
+    con.close()
+
+    fn = registry.QUERIES["join_asof"]
+    native = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    ntz = {tuple(r) for r in fn(spark, str(ntz_sf)).collect()}
+    assert native == ntz and len(native) > 0
