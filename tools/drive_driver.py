@@ -1,0 +1,55 @@
+"""Simulate the driver: import __spark_entry__, plain SparkSession (driver-style,
+NOT the engine's tuned factory, deliberately non-UTC TZ to probe), run the contract."""
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+import duckdb, datetime, decimal, math
+
+spark = (SparkSession.builder.master("local[8]")
+         .appName("driver-sim")
+         .config("spark.sql.session.timeZone", "America/New_York")  # probe: driver may not use UTC
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+
+import __spark_entry__ as e
+
+# 1. smoke: entry()
+df = e.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema={df.schema.simpleString()}, sample={rows[:2]}")
+assert len(rows) > 0
+
+# 2. queries vs oracles at sf0.01
+SF = "/root/testdata/sf0.01"
+qs, os_ = e.queries(), e.oracle_sql()
+def norm(v):
+    if v is None: return "<null>"
+    if isinstance(v, decimal.Decimal): return repr(float(v))
+    if isinstance(v, float): return "<nan>" if math.isnan(v) else repr(v)
+    if isinstance(v, (datetime.datetime, datetime.date)): return v.isoformat()
+    if isinstance(v, (list, tuple)): return "[" + ",".join(norm(x) for x in v) + "]"
+    return repr(v)
+fails = 0
+for name, fn in sorted(qs.items()):
+    t0 = time.time()
+    sdf = fn(spark, SF)
+    scols = sdf.columns; srows = [tuple(r) for r in sdf.collect()]
+    if name not in os_:
+        print(f"{name}: rows-only, {len(srows)} rows, {time.time()-t0:.1f}s")
+        continue
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    cur = con.execute(os_[name]); dcols = [d[0] for d in cur.description]; drows = cur.fetchall()
+    so = sorted(range(len(scols)), key=lambda i: scols[i]); do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    scan = sorted(tuple(norm(r[i]) for i in so) for r in srows)
+    dcan = sorted(tuple(norm(r[i]) for i in do) for r in drows)
+    ok = sorted(scols)==sorted(dcols) and scan==dcan
+    status = "MATCH" if ok else "MISMATCH"
+    if not ok:
+        fails += 1
+        print(f"{name}: {status} cols {sorted(scols)} vs {sorted(dcols)}; first diff: ", [ (a,b) for a,b in zip(scan,dcan) if a!=b ][:2], f"nrows {len(scan)} vs {len(dcan)}")
+    else:
+        print(f"{name}: {status} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+print("FAILS:", fails)
+sys.exit(1 if fails else 0)
