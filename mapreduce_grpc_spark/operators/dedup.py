@@ -455,6 +455,92 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
 """
 
 
+# rounds = graph diameter reached; duplicate clusters are near-cliques
+# (diameter 2-3).  For adversarial diameters add periodic checkpointing
+# to truncate the per-round lineage growth.
+MAX_CC_ROUNDS = 25
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the MinHash+LSH pairs.
+
+    Pairwise dedup output is not yet a drop decision — documents chain
+    (A~B, B~C) into clusters, and the pipeline keeps one canonical doc
+    per cluster.  Min-label propagation over the pair graph, Pregel-style
+    on DataFrames: each round a node takes the min of its own label and
+    its neighbors' (one join + one aggregation per round), until a round
+    changes nothing.  Rounds needed = graph diameter — for duplicate
+    clusters (near-cliques) 2-3 in practice; each round is a bulk join,
+    so the pattern scales as O(diameter) shuffles, the standard
+    large-graph CC shape.  Driver involvement is one converged-count per
+    round (an aggregate scalar, not data).
+
+    Deterministic: the fixpoint is component = min(doc_id in component),
+    independent of join order.  Output: one row per document that has at
+    least one near-dup, its cluster id, and whether it is the cluster's
+    canonical (minimum-id) member.
+    """
+    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").persist()
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "component", F.col("doc_id")
+    ).persist()
+
+    for _round in range(MAX_CC_ROUNDS):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    out = labels.withColumn(
+        "is_canonical", (F.col("doc_id") == F.col("component"))
+    )
+    edges.unpersist()
+    return out
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE
+near AS (SELECT doc_a, doc_b FROM ({DEDUP_NEAR_SQL}) q),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM near
+  UNION ALL
+  SELECT doc_b, doc_a FROM near
+),
+reach(src, dst) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, min(dst) AS component,
+       (src = min(dst)) AS is_canonical
+FROM reach GROUP BY src
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
@@ -462,6 +548,14 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+}
+
+AUX_QUERIES = {
+    "dedup_components": dedup_components,
+}
+
+AUX_ORACLES = {
+    "dedup_components": DEDUP_COMPONENTS_SQL,
 }
 
 ORACLES = {

@@ -176,3 +176,27 @@ def test_pack_sequences_invariants(spark, sf_dir):
             assert tot < SEQ_TOKEN_BUDGET + last_tok[sid], (
                 f"{source} bin {sid} exceeds budget by more than its last doc"
             )
+
+
+def test_dedup_components_oracle_parity(spark, sf_dir):
+    df = registry.AUX_QUERIES["dedup_components"](spark, sf_dir)
+    assert_oracle_match(
+        df, registry.AUX_ORACLES["dedup_components"], sf_dir, "dedup_components"
+    )
+
+
+def test_dedup_components_cluster_invariants(spark, sf_dir):
+    """Every near-dup pair lands in one cluster; the canonical member is
+    the cluster's minimum doc_id; exactly one canonical per cluster."""
+    from mapreduce_grpc_spark.operators.dedup import dedup_components, dedup_near
+
+    comp = {r.doc_id: r.component for r in dedup_components(spark, sf_dir).collect()}
+    pairs = [(r.doc_a, r.doc_b) for r in dedup_near(spark, sf_dir).collect()]
+    assert pairs, "fixture should contain planted near-dup pairs"
+    for a, b in pairs:
+        assert comp[a] == comp[b], (a, b)
+    clusters: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        clusters.setdefault(c, []).append(d)
+    for c, members in clusters.items():
+        assert c == min(members), (c, members)
