@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.hashes import md5_long, md5_long_sql
 from ..functions.textfns import tokens, tokens_sql
 
 # Java-regex ∩ RE2 subset (char classes, bounded quantifiers only)
@@ -106,15 +107,117 @@ FROM (
 """
 
 
+MIN_TOKENS = 10  # quality gate: drop degenerate documents
+
+
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE composed plan: quality gate →
+    near-dup cluster canonical-only → stratified language mix → sequence
+    packing.
+
+    This is the end-to-end shape a pre-training corpus actually runs;
+    composing it as one DataFrame lets Catalyst pipeline the row-local
+    stages (gate, hash filter) into the scan and schedule only the two
+    unavoidable shuffles (the dedup pair graph; the per-shard packing
+    sort).  The anti-join against non-canonical cluster members is
+    broadcast-sized at any scale (near-dup losers are a tiny fraction of
+    the corpus).
+    """
+    from .dedup import dedup_components
+    from .sampling import (
+        DEFAULT_RATE,
+        SAMPLE_SALT,
+        STRATA_RATES,
+        _rate_threshold,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", "source",
+        F.size(tokens("text")).cast("bigint").alias("n_tok"),
+    )
+    quality = base.filter(F.col("n_tok") >= MIN_TOKENS)
+
+    losers = (
+        dedup_components(spark, sf_dir)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    survivors = quality.join(losers, "doc_id", "left_anti")
+
+    u = md5_long(F.concat_ws(":", F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")))
+    thresh = F.lit(_rate_threshold(DEFAULT_RATE))
+    for lang, rate in STRATA_RATES.items():
+        thresh = F.when(F.col("lang") == lang, F.lit(_rate_threshold(rate))).otherwise(
+            thresh
+        )
+    sampled = survivors.filter(u < thresh)
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return sampled.select(
+        "doc_id", "lang", "source", "n_tok",
+        F.floor(before / SEQ_TOKEN_BUDGET).cast("bigint").alias("seq_id"),
+    )
+
+
+def _pipeline_curate_sql() -> str:
+    from .dedup import DEDUP_NEAR_SQL
+    from .sampling import _THRESH_SQL, SAMPLE_SALT
+
+    return f"""
+WITH RECURSIVE
+near AS (SELECT doc_a, doc_b FROM ({DEDUP_NEAR_SQL}) q),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM near
+  UNION ALL
+  SELECT doc_b, doc_a FROM near
+),
+reach(src, dst) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+losers AS (
+  SELECT src AS doc_id FROM reach GROUP BY src HAVING src <> min(dst)
+),
+base AS (
+  SELECT doc_id, lang, source,
+         CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tok
+  FROM documents
+),
+sampled AS (
+  SELECT * FROM base
+  WHERE n_tok >= {MIN_TOKENS}
+    AND doc_id NOT IN (SELECT doc_id FROM losers)
+    AND {md5_long_sql(f"concat('{SAMPLE_SALT}', ':', CAST(doc_id AS VARCHAR))")}
+        < {_THRESH_SQL}
+)
+SELECT doc_id, lang, source, n_tok,
+       CAST(floor(
+         (COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)
+          * 1.0) / {SEQ_TOKEN_BUDGET}) AS BIGINT) AS seq_id
+FROM sampled
+"""
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
 AUX_QUERIES = {
     "redact_pii": redact_pii,
     "pack_sequences": pack_sequences,
+    "pipeline_curate": pipeline_curate,
 }
 
 AUX_ORACLES = {
     "redact_pii": REDACT_PII_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
+    "pipeline_curate": _pipeline_curate_sql(),
 }

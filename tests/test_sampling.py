@@ -200,3 +200,33 @@ def test_dedup_components_cluster_invariants(spark, sf_dir):
         clusters.setdefault(c, []).append(d)
     for c, members in clusters.items():
         assert c == min(members), (c, members)
+
+
+def test_pipeline_curate_oracle_parity(spark, sf_dir):
+    """The composed curation pipeline (quality gate -> canonical-only
+    dedup -> stratified mix -> packing) hash-matches its composed SQL."""
+    df = registry.AUX_QUERIES["pipeline_curate"](spark, sf_dir)
+    assert_oracle_match(
+        df, registry.AUX_ORACLES["pipeline_curate"], sf_dir, "pipeline_curate"
+    )
+
+
+def test_pipeline_curate_stage_semantics(spark, sf_dir):
+    """Each stage's effect is visible: no short docs, no non-canonical
+    cluster members, only sampled doc_ids, packing invariants hold."""
+    from mapreduce_grpc_spark.operators.curation import MIN_TOKENS, pipeline_curate
+    from mapreduce_grpc_spark.operators.dedup import dedup_components
+    from mapreduce_grpc_spark.operators.sampling import sample_stratified
+
+    rows = pipeline_curate(spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_tok >= MIN_TOKENS for r in rows)
+    losers = {
+        r.doc_id
+        for r in dedup_components(spark, sf_dir).collect()
+        if not r.is_canonical
+    }
+    kept = {r.doc_id for r in rows}
+    assert not (kept & losers)
+    sampled = {r.doc_id for r in sample_stratified(spark, sf_dir).collect()}
+    assert kept <= sampled
