@@ -488,6 +488,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component", F.col("doc_id")
     ).persist()
 
+    # labels only ever decrease, so the label sum strictly decreases on
+    # any change — an unchanged sum IS convergence.  One DECIMAL aggregate
+    # per round (exact at any id range/corpus size) instead of a
+    # join-the-old-labels-and-count job.
+    _DEC = "decimal(38,0)"
+    prev_sum = labels.agg(F.sum(F.col("component").cast(_DEC))).collect()[0][0]
     for _round in range(MAX_CC_ROUNDS):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -504,16 +510,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum(F.col("component").cast(_DEC))).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
     out = labels.withColumn(
         "is_canonical", (F.col("doc_id") == F.col("component"))
