@@ -107,6 +107,68 @@ FROM (
 """
 
 
+CHUNK_SIZE = 64   # tokens per chunk (the model context-window unit)
+CHUNK_STRIDE = 48  # overlap = CHUNK_SIZE - CHUNK_STRIDE tokens
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks.
+
+    Long documents exceed the model context window; training prep slides
+    a CHUNK_SIZE window by CHUNK_STRIDE (16-token overlap preserves
+    cross-boundary context).  Row-local: tokenize once, ``explode`` a
+    chunk-index sequence, ``slice`` the token array — no shuffle at all;
+    chunk rows land in the same scan partition as their document.
+    Zero-token documents produce no chunks (both engines agree).
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", tokens("text").alias("w")
+    ).withColumn("n_tok", F.size("w").cast("bigint"))
+    n_last = F.greatest(
+        F.lit(0),
+        F.ceil((F.col("n_tok") - CHUNK_SIZE) / F.lit(float(CHUNK_STRIDE))).cast(
+            "bigint"
+        ),
+    )
+    chunks = toks.filter(F.col("n_tok") > 0).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_last)).alias("chunk_no"),
+        F.col("w"),
+    )
+    piece = F.slice(
+        F.col("w"), (F.col("chunk_no") * CHUNK_STRIDE + 1).cast("int"), CHUNK_SIZE
+    )
+    return chunks.select(
+        "doc_id",
+        "source",
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        F.size(piece).cast("bigint").alias("chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+SELECT doc_id, source,
+       CAST(i AS INTEGER) AS chunk_no,
+       CAST(len(w[(i*{CHUNK_STRIDE}+1):(i*{CHUNK_STRIDE}+{CHUNK_SIZE})]) AS BIGINT)
+         AS chunk_tokens,
+       array_to_string(w[(i*{CHUNK_STRIDE}+1):(i*{CHUNK_STRIDE}+{CHUNK_SIZE})], ' ')
+         AS chunk_text
+FROM (
+  SELECT doc_id, source, {tokens_sql('text')} AS w FROM documents
+) t,
+LATERAL (
+  SELECT unnest(generate_series(
+    0, greatest(0, CAST(ceil((len(w) - {CHUNK_SIZE}) / {CHUNK_STRIDE}.0) AS BIGINT))
+  )) AS i
+) u
+WHERE len(w) > 0
+"""
+
+
 MIN_TOKENS = 10  # quality gate: drop degenerate documents
 
 
@@ -213,11 +275,13 @@ ORACLES: dict = {}
 AUX_QUERIES = {
     "redact_pii": redact_pii,
     "pack_sequences": pack_sequences,
+    "chunk_documents": chunk_documents,
     "pipeline_curate": pipeline_curate,
 }
 
 AUX_ORACLES = {
     "redact_pii": REDACT_PII_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
+    "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "pipeline_curate": _pipeline_curate_sql(),
 }

@@ -100,10 +100,39 @@ def test_aux_oracle_sql_is_duckdb_valid(sf_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", ["redact_pii", "pack_sequences"])
+@pytest.mark.parametrize("name", ["redact_pii", "pack_sequences", "chunk_documents"])
 def test_curation_oracle_parity(spark, sf_dir, name):
     df = registry.AUX_QUERIES[name](spark, sf_dir)
     assert_oracle_match(df, registry.AUX_ORACLES[name], sf_dir, name)
+
+
+def test_chunk_documents_overlap_invariants(spark, sf_dir):
+    """Chunks tile each doc with the configured stride: full-size until
+    the tail, consecutive chunks overlap by SIZE-STRIDE tokens, and the
+    union of chunks covers every token exactly."""
+    from mapreduce_grpc_spark.operators.curation import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        chunk_documents,
+    )
+
+    rows = chunk_documents(spark, sf_dir).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    saw_multi = False
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_no)
+        assert [c.chunk_no for c in chunks] == list(range(len(chunks)))
+        for c in chunks[:-1]:
+            assert c.chunk_tokens == CHUNK_SIZE, (doc_id, c.chunk_no)
+        if len(chunks) > 1:
+            saw_multi = True
+            a = chunks[0].chunk_text.split(" ")
+            b = chunks[1].chunk_text.split(" ")
+            assert a[CHUNK_STRIDE:] == b[: CHUNK_SIZE - CHUNK_STRIDE], doc_id
+    assert saw_multi, "fixture should contain multi-chunk docs"
 
 
 def test_redact_pii_scrubs_synthetic_pii(spark, sf_dir, tmp_path):
