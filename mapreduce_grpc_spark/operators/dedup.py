@@ -285,28 +285,61 @@ WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
 """
 
 
+# skew guard: a shingle held by more than this many documents is dropped
+# from CANDIDATE GENERATION (never from the exact verify) — a df-64
+# shingle still admits <= 64²/2 pairs, so one viral phrase can no longer
+# produce O(corpus²) candidates.  Standard inverted-index/MinHash
+# practice; the pigeonhole cost is recall only for pairs whose EVERY
+# shared shingle is that common (at >= 0.8 Jaccard such docs are
+# boilerplate the quality gate owns).  Fixture max df is 3-4, so fixture
+# results are identical with or without the cap.
+MAX_POSTING_DF = 64
+
+
+def _ngram_candidates(ex: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from the posting-capped inverted index.
+
+    The HOT side of the cap is what gets joined: shingles over the cap
+    are by construction few (each one's postings alone would exceed the
+    corpus duplicate rate), so the exclusion is a broadcast anti-join —
+    the 99.9% rare postings never shuffle for the df check.
+    """
+    hot = (
+        ex.groupBy("x")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_POSTING_DF)
+        .select("x")
+    )
+    rare = ex.join(F.broadcast(hot), "x", "left_anti")
+    a = rare.select(F.col("doc_id").alias("doc_a"), F.col("x").alias("s"))
+    b = rare.select(F.col("doc_id").alias("doc_b"), F.col("x").alias("s"))
+    return (
+        a.join(b, ["s"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity join via rare-shingle inverted index.
 
-    Candidate generation here is the inverted index itself (docs sharing at
-    least one 5-gram); with a 5-word shingle the collision rate for
-    non-duplicates is ~0, so the pair explosion LSH avoids never happens on
-    this data shape.  Complements dedup_near: same verification metric,
-    different (exact) candidate generator.
+    Candidate generation is the posting-capped inverted index (docs
+    sharing at least one shingle rarer than MAX_POSTING_DF); the Jaccard
+    verify then runs on the FULL shingle sets of candidates only, so
+    reported similarities are exact.  Complements dedup_near: same
+    verification metric, different (exact-index) candidate generator.
     """
     # join on the 60-bit shingle hash, not the 5-word string: the shuffle
     # key shrinks ~10x and the exploded index is computed once (persisted)
     # instead of once per join side.
     ex = _hashed_exploded(spark, sf_dir).persist()
-    a = ex.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("x").alias("s")
-    )
-    b = ex.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("x").alias("s")
-    )
+    cand = _ngram_candidates(ex)
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "x")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "x")
     inter = (
-        a.join(b, ["s"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "x"])
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("inter"))
     )
@@ -322,10 +355,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
 WITH ex AS ({_EX_SQL}),
+rare AS (
+  SELECT ex.doc_id, ex.x
+  FROM ex JOIN (
+    SELECT x FROM ex GROUP BY x HAVING count(*) <= {MAX_POSTING_DF}
+  ) r ON ex.x = r.x
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.x = b.x AND a.doc_id < b.doc_id
+),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-         count(*) AS inter
-  FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id
+  SELECT cand.doc_a, cand.doc_b, a.n AS na, b.n AS nb, count(*) AS inter
+  FROM cand
+  JOIN ex a ON cand.doc_a = a.doc_id
+  JOIN ex b ON cand.doc_b = b.doc_id AND b.x = a.x
   GROUP BY 1, 2, 3, 4
 )
 SELECT doc_a, doc_b,

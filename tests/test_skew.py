@@ -48,3 +48,73 @@ def test_salted_join_equals_plain(spark, sf_dir):
         .collect()
     }
     assert salted == plain
+
+
+def test_ngram_posting_cap_bounds_viral_phrase(spark, tmp_path):
+    """A phrase shared by half the corpus must NOT explode candidate
+    generation: the hot shingle is dropped from the index (df > cap),
+    while true duplicate pairs — which also share rare shingles — are
+    still found with exact Jaccard, and both engines agree."""
+    import os
+
+    import duckdb
+
+    from mapreduce_grpc_spark import registry
+    from mapreduce_grpc_spark.catalog import TABLES
+    from mapreduce_grpc_spark.operators.dedup import (
+        MAX_POSTING_DF,
+        _hashed_exploded,
+        _ngram_candidates,
+        dedup_ngram_jaccard,
+    )
+    from tests.oracle import assert_oracle_match
+
+    n_docs, viral = 400, "the cat sat on a mat"  # one shared 5+-gram source
+    rows = []
+    for i in range(n_docs):
+        # unique filler gives every doc its own rare shingles
+        filler = " ".join(f"w{i}x{j}" for j in range(8))
+        text = f"{viral} {filler}" if i % 2 == 0 else filler
+        rows.append((i, text))
+    # one planted true duplicate pair, both containing the viral phrase
+    rows.append((9001, f"{viral} alpha beta gamma delta epsilon zeta"))
+    rows.append((9002, f"{viral} alpha beta gamma delta epsilon zeta"))
+
+    fake_sf = tmp_path / "sf"
+    fake_sf.mkdir()
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        if t != "documents" and os.path.exists(src):
+            os.symlink(src, fake_sf / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    con.execute(
+        f"""COPY (SELECT doc_id, text, 'en' AS lang, 'viral' AS source,
+                        length(text) AS n_chars FROM d)
+            TO '{fake_sf}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+
+    ex = _hashed_exploded(spark, str(fake_sf))
+    n_cand = _ngram_candidates(ex).count()
+    # uncapped, the 201 viral-phrase docs alone would give 201*200/2 >
+    # 20000 candidate pairs; the cap keeps it to the planted pair's scale
+    assert n_cand < 1000, n_cand
+
+    result = dedup_ngram_jaccard(spark, str(fake_sf))
+    pairs = {(r.doc_a, r.doc_b) for r in result.collect()}
+    assert (9001, 9002) in pairs
+    assert_oracle_match(
+        result,
+        registry.ORACLES["dedup_ngram_jaccard"],
+        str(fake_sf),
+        "dedup_ngram_jaccard_viral",
+    )
+    # sanity on the premise: the viral shingles really exceed the cap
+    from pyspark.sql import functions as F
+    max_df = (
+        ex.groupBy("x").agg(F.count("*").alias("df")).agg(F.max("df")).collect()[0][0]
+    )
+    assert max_df > MAX_POSTING_DF
