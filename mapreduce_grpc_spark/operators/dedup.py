@@ -183,8 +183,24 @@ MINHASH_SIGNATURES_SQL = (
 )
 
 
+# skew guard for the LSH bucket join, same discipline as MAX_POSTING_DF:
+# a band bucket larger than this is dropped from candidate generation
+# (bounding any bucket's contribution to <= 64²/2 pairs).  A bucket only
+# grows that hot when hundreds of documents share a signature band —
+# i.e. exact or boilerplate duplicates, which the dedup_exact pre-pass
+# and the quality gate own; LSH's job is the NEAR-duplicate tail.
+# Fixture bucket sizes are single digits, so fixture results are
+# unchanged.
+MAX_BAND_BUCKET = 64
+
+
 def _band_pairs(sig: DataFrame) -> DataFrame:
-    """LSH band self-join -> distinct candidate pairs (da < db)."""
+    """LSH band self-join -> distinct candidate pairs (da < db).
+
+    Hot buckets (> MAX_BAND_BUCKET docs) are excluded via a broadcast
+    anti-join — by construction there are few such band keys, so the
+    overwhelmingly-rare majority never shuffles for the size check.
+    """
     band_cols = [
         F.concat_ws(
             ":",
@@ -196,6 +212,13 @@ def _band_pairs(sig: DataFrame) -> DataFrame:
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
     )
+    hot = (
+        banded.groupBy("band_key")
+        .agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") > MAX_BAND_BUCKET)
+        .select("band_key")
+    )
+    banded = banded.join(F.broadcast(hot), "band_key", "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -218,8 +241,16 @@ def _band_pairs_sql() -> str:
     )
     return f"""
 WITH sig AS ({MINHASH_SIGNATURES_SQL}),
-banded AS (
+banded0 AS (
   SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sig
+),
+hotband AS (
+  SELECT band_key FROM banded0 GROUP BY band_key
+  HAVING count(*) > {MAX_BAND_BUCKET}
+),
+banded AS (
+  SELECT doc_id, band_key FROM banded0
+  WHERE band_key NOT IN (SELECT band_key FROM hotband)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b

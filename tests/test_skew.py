@@ -118,3 +118,62 @@ def test_ngram_posting_cap_bounds_viral_phrase(spark, tmp_path):
         ex.groupBy("x").agg(F.count("*").alias("df")).agg(F.max("df")).collect()[0][0]
     )
     assert max_df > MAX_POSTING_DF
+
+
+def test_band_bucket_cap_bounds_identical_docs(spark, tmp_path):
+    """300 byte-identical documents all but share every signature band —
+    uncapped, one bucket alone would emit 300*299/2 ≈ 45k candidate
+    pairs.  The bucket cap keeps the LSH stage bounded (exact duplicates
+    are dedup_exact's job); a planted NEAR-duplicate pair with distinct
+    signatures is still found, and the oracle agrees."""
+    import os
+
+    import duckdb
+
+    from mapreduce_grpc_spark import registry
+    from mapreduce_grpc_spark.catalog import TABLES
+    from mapreduce_grpc_spark.operators.dedup import (
+        _band_pairs,
+        _hashed_exploded,
+        _minhash_aggs,
+        dedup_near,
+    )
+    from tests.oracle import assert_oracle_match
+
+    same = "lorem ipsum dolor sit amet " * 8
+    # 30 shared tokens + 1 differing tail: 27 vs 27 shingles, 26 shared
+    # -> Jaccard 26/28 ≈ 0.93, above the 0.8 near-dup threshold
+    common = " ".join(f"tok{j}" for j in range(30))
+    near_a = f"{common} kappa"
+    near_b = f"{common} lambda"
+    rows = [(i, same) for i in range(300)]
+    rows += [(9001, near_a), (9002, near_b)]
+
+    fake_sf = tmp_path / "sf"
+    fake_sf.mkdir()
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        if t != "documents" and os.path.exists(src):
+            os.symlink(src, fake_sf / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    con.execute(
+        f"""COPY (SELECT doc_id, text, 'en' AS lang, 'dup' AS source,
+                        length(text) AS n_chars FROM d)
+            TO '{fake_sf}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+
+    ex = _hashed_exploded(spark, str(fake_sf))
+    sig = ex.groupBy("doc_id", "n").agg(*_minhash_aggs())
+    n_cand = _band_pairs(sig).count()
+    assert n_cand < 1000, n_cand  # uncapped would be >= 45k
+
+    result = dedup_near(spark, str(fake_sf))
+    pairs = {(r.doc_a, r.doc_b) for r in result.collect()}
+    assert (9001, 9002) in pairs
+    assert_oracle_match(
+        result, registry.ORACLES["dedup_near"], str(fake_sf), "dedup_near_identical"
+    )
