@@ -535,6 +535,15 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
 # to truncate the per-round lineage growth.
 MAX_CC_ROUNDS = 25
 
+# pair graphs at or below this size are solved with driver union-find
+# instead of iterated joins: near-dup pairs are a vanishing fraction of
+# any real corpus (they are the thing being removed), so even at 100 TB
+# the pair list is usually million-scale — one collect beats 2-3 rounds
+# of join+aggregate jobs.  Above the threshold the distributed
+# label-propagation loop below takes over; both produce the identical
+# min-label fixpoint.
+DRIVER_CC_MAX_PAIRS = 1 << 20
+
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the MinHash+LSH pairs.
@@ -555,7 +564,34 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one near-dup, its cluster id, and whether it is the cluster's
     canonical (minimum-id) member.
     """
-    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b").persist()
+    if pairs.count() <= DRIVER_CC_MAX_PAIRS:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs.collect():
+            a, b = r.doc_a, r.doc_b
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so the fixpoint label is the min doc_id
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        pairs.unpersist()
+        rows = [(d, find(d)) for d in parent]
+        out = spark.createDataFrame(rows, "doc_id long, component long")
+        return out.withColumn(
+            "is_canonical", F.col("doc_id") == F.col("component")
+        )
+
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst").persist()

@@ -259,3 +259,22 @@ def test_pipeline_curate_stage_semantics(spark, sf_dir):
     assert not (kept & losers)
     sampled = {r.doc_id for r in sample_stratified(spark, sf_dir).collect()}
     assert kept <= sampled
+
+
+def test_dedup_components_distributed_path_matches_driver_path(
+    spark, sf_dir, monkeypatch
+):
+    """The label-propagation loop (taken above DRIVER_CC_MAX_PAIRS) must
+    produce the identical fixpoint as the driver union-find."""
+    from mapreduce_grpc_spark.operators import dedup as dd
+
+    small = {
+        (r.doc_id, r.component, r.is_canonical)
+        for r in dd.dedup_components(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(dd, "DRIVER_CC_MAX_PAIRS", 0)
+    dist = {
+        (r.doc_id, r.component, r.is_canonical)
+        for r in dd.dedup_components(spark, sf_dir).collect()
+    }
+    assert small == dist and len(small) > 0
