@@ -41,13 +41,17 @@ def main() -> None:
     # two passes, report the per-query minimum: single-machine runs have
     # multi-second GC/JIT/IO noise spikes (observed 2-3x on individual
     # queries between back-to-back suite runs) that would otherwise be
-    # recorded as regressions; min-of-2 measures the plan, not the noise
+    # recorded as regressions; min-of-2 measures the plan, not the noise.
+    # The second pass only re-times queries over 1 s — sub-second timings
+    # are already stable, and skipping them keeps suite wall time flat.
     for _pass in range(2):
         # drop InMemoryRelations left by queries that persist(): the
         # CacheManager dedupes by plan, so without this the second pass
         # would time cache hits instead of the plans
         spark.catalog.clearCache()
         for name in sorted(all_queries):
+            if _pass > 0 and times.get(name, 9.9) <= 1.0:
+                continue
             fn = all_queries[name]
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
