@@ -119,3 +119,44 @@ def test_cosine_arrow_matches_fold_at_8dp(spark, sf_dir):
     ).count()
     n = both.count()
     assert n > 0 and bad == 0, f"{bad}/{n} pairs diverge beyond 1e-8"
+
+
+# full printable-ASCII text INCLUDING the delimiter class and quote
+# characters — the alphabet that exposed the r1 adjacent-literal bug in
+# TOKEN_DELIM_RE_SQL (the oracle-side class had silently lost its
+# apostrophe; no fixture contains one)
+_raw_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0,
+    max_size=60,
+)
+
+
+@SLOW
+@given(st.lists(_raw_text, min_size=1, max_size=20))
+def test_tokenizer_spark_duckdb_agree(spark, texts):
+    """Spark's tokens() and the DuckDB tokens_sql() fragment must split
+    ARBITRARY printable text identically — delimiters, quotes,
+    apostrophes, empty strings, runs of separators."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_grpc_spark.functions.textfns import tokens, tokens_sql
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    sp = {
+        r.i: list(r.w)
+        for r in df.select("i", tokens("t").alias("w")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    dk = {
+        i: list(w)
+        for i, w in con.execute(
+            f"SELECT i, {tokens_sql('t')} FROM t"
+        ).fetchall()
+    }
+    con.close()
+    assert sp == dk
