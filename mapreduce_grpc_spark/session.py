@@ -68,6 +68,17 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # events.parquet stores TIMESTAMP(NANOS) which vanilla Spark refuses to
     # read; read as long and let catalog.table() rebuild a micros timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # size shuffles to the session's actual cores instead of the 200-task
+    # default an external session carries — purely a scheduling choice
+    # (every registered query is order-insensitive), and on a cluster the
+    # 2x-cores rule matches the scale notes above
+    try:
+        cores = int(spark.sparkContext.defaultParallelism)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(max(8, min(2 * cores, 64)))
+        )
+    except Exception:
+        pass
     for k, v in (
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.codegen.maxFields", "300"),
