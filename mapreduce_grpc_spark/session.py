@@ -71,12 +71,16 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # size shuffles to the session's actual cores instead of the 200-task
     # default an external session carries — purely a scheduling choice
     # (every registered query is order-insensitive), and on a cluster the
-    # 2x-cores rule matches the scale notes above
+    # 2x-cores rule matches the scale notes above.  Only ever LOWER the
+    # current value: a session someone already tuned (e.g. get_spark's
+    # cores-sized setting) must not be second-guessed upward — measured
+    # +20% suite cost from doubling task counts at fixture scale.
     try:
         cores = int(spark.sparkContext.defaultParallelism)
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(max(8, min(2 * cores, 64)))
-        )
+        current = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        target = max(8, min(2 * cores, 64))
+        if target < current:
+            spark.conf.set("spark.sql.shuffle.partitions", str(target))
     except Exception:
         pass
     for k, v in (
