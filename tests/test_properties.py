@@ -160,3 +160,37 @@ def test_tokenizer_spark_duckdb_agree(spark, texts):
     }
     con.close()
     assert sp == dk
+
+
+@SLOW
+@given(st.lists(_raw_text, min_size=1, max_size=15))
+def test_md5_long_and_rolling_hash_agree(spark, texts):
+    """The two shared hashes beneath MinHash/SimHash/fingerprint oracles
+    must agree across engines on arbitrary printable text."""
+    from mapreduce_grpc_spark.functions.hashes import (
+        md5_long,
+        md5_long_sql,
+        rolling_hash,
+        rolling_hash_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    sp = {
+        r.i: (r.m, r.rh)
+        for r in df.select(
+            "i", md5_long("t").alias("m"), rolling_hash("t").alias("rh")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    dk = {
+        i: (m, rh)
+        for i, m, rh in con.execute(
+            f"SELECT i, {md5_long_sql('t')}, {rolling_hash_sql('t')} FROM t"
+        ).fetchall()
+    }
+    con.close()
+    assert sp == dk
