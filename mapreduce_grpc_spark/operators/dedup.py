@@ -28,6 +28,7 @@ from ..functions.hashes import (
     md5_long_sql,
 )
 from ..functions.textfns import tokens, tokens_sql
+from ..sources.staging import staged_parquet, staging_enabled
 
 # MinHash configuration (shared by Spark plan and generated oracle SQL).
 SHINGLE_N = 5          # word 5-grams: rare enough that only true near-dups collide
@@ -146,6 +147,26 @@ FROM (
 """
 
 
+def shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, n, x) distinct-shingle-hash relation, STAGED.
+
+    Three independent consumers join this relation (the MinHash signature
+    aggregate, both sides of the exact-Jaccard verify, and the n-gram
+    inverted index), so it is computed once per corpus and published as a
+    parquet intermediate (sources/staging.py) — ids + 60-bit hashes, tiny
+    relative to the corpus.  At 100 TB this is "write the shingle-hash
+    table, then join it"; with SPARK_GRAFT_STAGING=off it degrades to the
+    in-plan computation.
+    """
+    return staged_parquet(
+        spark,
+        sf_dir,
+        "shingle_hashes",
+        build=lambda: _hashed_exploded(spark, sf_dir),
+        params=f"v1-n{SHINGLE_N}-p{MOD_P}",
+    )
+
+
 def _minhash_aggs() -> list[Column]:
     """min((a*x + b) % p) per hash function — one aggregate each."""
     return [
@@ -160,9 +181,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan -> explode distinct shingle hashes -> groupBy(doc) with
     N_HASHES min() aggregates.  The only shuffle is the tiny signature
     aggregation (partial mins computed map-side); the text itself never
-    shuffles.
+    shuffles.  Reads the staged shingle_hashes table when staging is on.
     """
-    ex = _hashed_exploded(spark, sf_dir)
+    ex = (
+        shingle_hashes(spark, sf_dir)
+        if staging_enabled()
+        else _hashed_exploded(spark, sf_dir)
+    )
     return (
         ex.groupBy("doc_id", "n")
         .agg(*_minhash_aggs())
@@ -258,32 +283,18 @@ FROM banded a JOIN banded b
 """
 
 
-def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs, exactly verified.
+def _jaccard_verified(ex: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact Jaccard on candidate pairs only, via the exploded relation.
 
-    Pipeline: shingle -> minhash signature -> band keys -> self-join on
-    band key (candidate generation, the only shuffle) -> exact Jaccard on
-    candidates -> keep pairs >= threshold.  This is the scale path: the
-    O(n²) comparison never happens; candidates are only docs agreeing on a
-    full band.  Jaccard is computed on distinct-shingle sets (int division
-    in double — deterministic).
+    |A∩B| is a count over the shingle-hash join; Jaccard is int division
+    in double — deterministic.  Shared by dedup_near (LSH candidates) and
+    dedup_ngram_jaccard (inverted-index candidates): same verify metric,
+    different candidate generators.
     """
-    # one exploded hash relation, computed once and persisted: it is tiny
-    # relative to the corpus (ids + 60-bit hashes), and three downstream
-    # branches (signature agg, verify-left, verify-right) reuse it — at
-    # 100 TB this is "write the shingle-hash table, then join it".
-    ex = _hashed_exploded(spark, sf_dir).persist()
-    sig = ex.groupBy("doc_id", "n").agg(*_minhash_aggs())
-    pairs = _band_pairs(sig)
-    # exact Jaccard on candidates only: |A∩B| via the exploded relation
-    a = ex.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "x"
-    )
-    b = ex.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "x"
-    )
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "x")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "x")
     inter = (
-        pairs.join(a, "doc_a")
+        cand.join(a, "doc_a")
         .join(b, ["doc_b", "x"])
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("inter"))
@@ -297,6 +308,55 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# everything that changes the verified pair set keys the staged table
+_PAIRS_PARAMS = (
+    f"v1-n{SHINGLE_N}-h{N_HASHES}-r{BAND_ROWS}-j{JACCARD_THRESHOLD}"
+    f"-cap{MAX_BAND_BUCKET}-seed42"
+)
+
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified near-dup pair graph (doc_a, doc_b, jaccard), STAGED.
+
+    The single most expensive shared intermediate in the engine: consumed
+    by dedup_near, dedup_components, and pipeline_curate, so the
+    shingle→MinHash→LSH→verify pipeline runs exactly once per corpus and
+    every consumer joins the published parquet — the reference's analogue
+    is its once-materialized intermediate bucket files
+    (/root/reference/src/mr_tasks.h:45-76).
+    """
+
+    def build() -> DataFrame:
+        ex = shingle_hashes(spark, sf_dir)
+        sig = ex.groupBy("doc_id", "n").agg(*_minhash_aggs())
+        return _jaccard_verified(ex, _band_pairs(sig))
+
+    return staged_parquet(
+        spark, sf_dir, "near_dup_pairs", build, params=_PAIRS_PARAMS
+    )
+
+
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, exactly verified.
+
+    Pipeline: shingle -> minhash signature -> band keys -> self-join on
+    band key (candidate generation, the only shuffle) -> exact Jaccard on
+    candidates -> keep pairs >= threshold.  This is the scale path: the
+    O(n²) comparison never happens; candidates are only docs agreeing on a
+    full band.
+
+    With staging on (default) this returns the published pair-graph table
+    (near_dup_pairs); with SPARK_GRAFT_STAGING=off it computes in-session,
+    persisting the exploded hash relation across its three consumers for
+    the duration of the query (cache lifetime: the session).
+    """
+    if staging_enabled():
+        return near_dup_pairs(spark, sf_dir)
+    ex = _hashed_exploded(spark, sf_dir).persist()
+    sig = ex.groupBy("doc_id", "n").agg(*_minhash_aggs())
+    return _jaccard_verified(ex, _band_pairs(sig))
 
 
 DEDUP_NEAR_SQL = f"""
@@ -362,26 +422,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification metric, different (exact-index) candidate generator.
     """
     # join on the 60-bit shingle hash, not the 5-word string: the shuffle
-    # key shrinks ~10x and the exploded index is computed once (persisted)
-    # instead of once per join side.
-    ex = _hashed_exploded(spark, sf_dir).persist()
-    cand = _ngram_candidates(ex)
-    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "x")
-    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "x")
-    inter = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "x"])
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.withColumn(
-            "jaccard",
-            F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    # key shrinks ~10x.  The exploded index comes from the staged
+    # shingle_hashes table (computed once per corpus); with staging off it
+    # is computed in-session and persisted across the join sides.
+    if staging_enabled():
+        ex = shingle_hashes(spark, sf_dir)
+    else:
+        ex = _hashed_exploded(spark, sf_dir).persist()
+    return _jaccard_verified(ex, _ngram_candidates(ex))
 
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
@@ -419,13 +467,8 @@ SIMHASH_BAND_BITS = 15
 SIMHASH_HAMMING_MAX = 3
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 60-bit SimHash fingerprint.
-
-    Token-frequency-weighted bit voting: bit b of the fingerprint is set
-    iff sum over tokens of cnt * (+1 if bit b of md5(token) else -1) > 0.
-    One explode + one groupBy(doc) with 60 conditional sums — all codegen.
-    """
+def _simhash_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash fingerprint computation (see dedup_simhash)."""
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(tokens("text")).alias("token")
@@ -444,6 +487,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sim = term if sim is None else sim + term
     return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc fingerprint table, STAGED: one row per document, shared
+    by dedup_simhash and both sides of dedup_simhash_pairs' band join."""
+    return staged_parquet(
+        spark,
+        sf_dir,
+        "simhash",
+        build=lambda: _simhash_plan(spark, sf_dir),
+        params=f"v1-b{SIMHASH_BITS}",
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 60-bit SimHash fingerprint.
+
+    Token-frequency-weighted bit voting: bit b of the fingerprint is set
+    iff sum over tokens of cnt * (+1 if bit b of md5(token) else -1) > 0.
+    One explode + one groupBy(doc) with 60 conditional sums — all codegen.
+    Returns the staged fingerprint table when staging is on.
+    """
+    if staging_enabled():
+        return simhash_table(spark, sf_dir)
+    return _simhash_plan(spark, sf_dir)
 
 
 _SIMHASH_VOTES_SQL = ", ".join(
@@ -472,11 +540,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one identical band, so the band equi-join finds all such pairs
     without an all-pairs scan.
     """
-    # persisted: both sides of the self-join reference this relation, and
-    # without the persist the 60-vote aggregate runs twice (measured 6.6 s
-    # of the pair query's 10.7 s at sf0.1).  One fingerprint row per doc —
-    # tiny relative to the corpus at any scale.
-    sim = dedup_simhash(spark, sf_dir).persist()
+    # Both sides of the self-join reference the fingerprint relation; the
+    # staged table makes that a cheap parquet re-read (one fingerprint row
+    # per doc — tiny at any scale).  With staging off, persist instead:
+    # without it the 60-vote aggregate runs twice (measured 6.6 s of the
+    # pair query's 10.7 s at sf0.1); cache lifetime is the session.
+    if staging_enabled():
+        sim = simhash_table(spark, sf_dir)
+    else:
+        sim = _simhash_plan(spark, sf_dir).persist()
     bands = sim.select(
         "doc_id",
         "simhash",
@@ -531,9 +603,16 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
 
 
 # rounds = graph diameter reached; duplicate clusters are near-cliques
-# (diameter 2-3).  For adversarial diameters add periodic checkpointing
-# to truncate the per-round lineage growth.
+# (diameter 2-3); the cap only exists to bound adversarial graphs, and
+# hitting it without convergence RAISES (a partial labeling is wrong).
 MAX_CC_ROUNDS = 25
+
+# truncate lineage every k propagation rounds: persist alone avoids
+# recompute but each round still stacks join+agg operators on the logical
+# plan, and a high-diameter graph (a chain of near-dups) would accrete an
+# O(diameter)-deep lineage — localCheckpoint materializes the labels and
+# cuts the plan back to a leaf.
+CC_CHECKPOINT_EVERY = 5
 
 # pair graphs at or below this size are solved with driver union-find
 # instead of iterated joins: near-dup pairs are a vanishing fraction of
@@ -564,7 +643,23 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one near-dup, its cluster id, and whether it is the cluster's
     canonical (minimum-id) member.
     """
-    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b").persist()
+    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    return components_from_pairs(spark, pairs)
+
+
+def components_from_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Connected components over an arbitrary (doc_a, doc_b) edge list.
+
+    Adaptive: driver union-find at or below DRIVER_CC_MAX_PAIRS edges
+    (bounded collect), distributed min-label propagation above it; both
+    reach the identical min-label fixpoint (pinned by
+    tests/test_sampling.py::test_dedup_components_distributed_path...).
+    The distributed loop localCheckpoints labels every CC_CHECKPOINT_EVERY
+    rounds (lineage stays O(k) deep regardless of graph diameter) and
+    RAISES if MAX_CC_ROUNDS pass without the label sum converging — a
+    partial labeling must never be returned as if it were components.
+    """
+    pairs = pairs.persist()
     if pairs.count() <= DRIVER_CC_MAX_PAIRS:
         parent: dict[int, int] = {}
 
@@ -605,33 +700,46 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join-the-old-labels-and-count job.
     _DEC = "decimal(38,0)"
     prev_sum = labels.agg(F.sum(F.col("component").cast(_DEC))).collect()[0][0]
-    for _round in range(MAX_CC_ROUNDS):
+    converged = False
+    for round_no in range(MAX_CC_ROUNDS):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
-            )
-            .persist()
+        new_labels = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.src, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
         )
+        if (round_no + 1) % CC_CHECKPOINT_EVERY == 0:
+            # eager: materializes AND truncates lineage in one step
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
         new_sum = new_labels.agg(F.sum(F.col("component").cast(_DEC))).collect()[0][0]
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge in {MAX_CC_ROUNDS} rounds "
+            "(graph diameter exceeds the cap); raise MAX_CC_ROUNDS"
+        )
 
     out = labels.withColumn(
         "is_canonical", (F.col("doc_id") == F.col("component"))
     )
+    # edges/pairs caches are no longer referenced by the returned plan
+    # (labels is materialized via checkpoint/persist)
     edges.unpersist()
+    pairs.unpersist()
     return out
 
 

@@ -1,0 +1,163 @@
+"""Staged intermediates: compute an expensive relation once, publish it as
+parquet, and let every consumer join the published table instead of
+recomputing the pipeline.
+
+This is the 100 TB shape for shared expensive intermediates — the near-dup
+pair graph, the shingle-hash inverted index, the SimHash fingerprint table
+are each consumed by several queries (dedup_near, dedup_components,
+pipeline_curate, ...), and recomputing shingle→MinHash→LSH→verify from the
+raw corpus inside each consumer multiplies the dominant cost of the whole
+pipeline.  The reference does the same thing one level down: its map phase
+materializes intermediate bucket files exactly once and every reduce task
+consumes them (/root/reference/src/mr_tasks.h:45-76); here the staged unit
+is a columnar *table* other DataFrame plans join.
+
+Publish discipline (same as sources/maintenance.compact and Spark's output
+committer): write to a sibling ``*.tmp-<uuid>`` directory, then a single
+atomic ``os.rename`` into place — readers either see the complete table or
+none; a crash mid-write leaves only an unadvertised tmp dir that the next
+publish garbage-collects.  Staleness is impossible by construction: the
+directory name embeds a fingerprint of the input files (size + mtime) and
+of the operator constants, so regenerated fixtures or retuned constants
+key a different path and the old one is swept.
+
+Assumes a single writer per (name, fingerprint) at a time (the driver and
+the test suite are single-process); a concurrent loser of the rename race
+discards its own work and reads the winner's table.
+
+Set ``SPARK_GRAFT_STAGING=off`` to bypass (every call builds the plan
+fresh, nothing is written) — used by tests that exercise the underlying
+computation, and the right setting for one-shot corpora where no second
+consumer exists.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+# bump when the staged-layout semantics change (invalidates all entries)
+STAGING_VERSION = 1
+
+_SCHEMA_FILE = "_mrspark_schema.json"
+
+
+def staging_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_STAGING", "on").lower() not in (
+        "off",
+        "0",
+        "false",
+    )
+
+
+def _strip_file_uri(p: str) -> str:
+    if p.startswith("file://"):
+        return p[len("file:") :]
+    if p.startswith("file:"):
+        return p[len("file:") :]
+    return p
+
+
+def staging_root(spark: SparkSession) -> str:
+    """Shared-storage staging dir: under the session warehouse (executors
+    on a real cluster can read it), overridable via SPARK_GRAFT_STAGING_DIR."""
+    env = os.environ.get("SPARK_GRAFT_STAGING_DIR")
+    if env:
+        return env
+    warehouse = _strip_file_uri(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    )
+    return os.path.join(warehouse.rstrip("/"), "mrspark_staged")
+
+
+def _input_fingerprint(sf_dir: str, inputs: tuple[str, ...], params: str) -> str:
+    """Hash of (input file stats, operator constants): same bytes + same
+    constants => same staged result; anything else => a fresh path."""
+    sig: list = [STAGING_VERSION, os.path.realpath(sf_dir), params]
+    for t in sorted(inputs):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            for root, _dirs, files in sorted(os.walk(p)):
+                for f in sorted(files):
+                    full = os.path.join(root, f)
+                    st = os.stat(full)
+                    sig.append(
+                        (os.path.relpath(full, p), st.st_size, st.st_mtime_ns)
+                    )
+        elif os.path.exists(p):
+            st = os.stat(p)
+            sig.append((t, st.st_size, st.st_mtime_ns))
+        else:
+            sig.append((t, "missing"))
+    return hashlib.md5(json.dumps(sig, sort_keys=False).encode()).hexdigest()[:16]
+
+
+def _published(path: str) -> bool:
+    # rename is atomic, so a visible dir is complete iff the committer's
+    # _SUCCESS marker made it into the staged write
+    return os.path.isdir(path) and os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _sweep_stale(root: str, prefix: str, keep: str) -> None:
+    """Best-effort GC of superseded fingerprints (and crashed tmp dirs)."""
+    try:
+        for entry in os.listdir(root):
+            full = os.path.join(root, entry)
+            if entry.startswith(prefix) and full != keep:
+                shutil.rmtree(full, ignore_errors=True)
+    except OSError:
+        pass
+
+
+def staged_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build: Callable[[], DataFrame],
+    inputs: tuple[str, ...] = ("documents",),
+    params: str = "",
+) -> DataFrame:
+    """Return ``name`` for ``sf_dir``, building + publishing it on first use.
+
+    ``build()`` returns the DataFrame plan to materialize; it runs only on
+    a staging miss.  The read-back carries the exact written schema (stored
+    alongside the parquet) so even an empty staged table round-trips.
+    """
+    if not staging_enabled():
+        return build()
+
+    root = staging_root(spark)
+    sf_mark = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
+    prefix = f"{name}-{sf_mark}-"
+    fp = _input_fingerprint(sf_dir, inputs, params)
+    path = os.path.join(root, f"{prefix}{fp}")
+
+    if not _published(path):
+        os.makedirs(root, exist_ok=True)
+        df = build()
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, _SCHEMA_FILE), "w") as f:
+            json.dump(df.schema.jsonValue(), f)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # lost a publish race: the winner's table is equivalent
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not _published(path):
+                raise
+        _sweep_stale(root, prefix, keep=path)
+
+    schema_file = os.path.join(path, _SCHEMA_FILE)
+    if os.path.exists(schema_file):
+        with open(schema_file) as f:
+            schema = StructType.fromJson(json.load(f))
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.parquet(path)
