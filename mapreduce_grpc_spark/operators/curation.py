@@ -34,6 +34,18 @@ PHONE_RE = r"\+?[0-9][0-9 ()-]{7,}[0-9]"
 
 SEQ_TOKEN_BUDGET = 512
 
+# Sub-shard count for the packing window.  Partitioning by ``source``
+# alone funnels a dominant source through ONE window task (a real corpus
+# is mostly one crawl — at 100 TB that is billions of rows sorted and
+# scanned on a single core).  ``pmod(doc_id, N_PACK_SHARDS)`` splits each
+# source into N independent shards; bins become (source, pack_shard,
+# seq_id) with seq_id SHARD-LOCAL, which the packing semantics accept
+# (bins are dense within a shard, overflow still bounded by one document
+# per bin).  On a real cluster size this ~(source rows / shard) to fit an
+# executor; doc_id modulo is used (not a hash) so the DuckDB oracle
+# computes the identical shard.
+N_PACK_SHARDS = 8
+
 
 def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scrub emails then phones; report per-doc redaction counts."""
@@ -62,46 +74,63 @@ FROM documents
 """
 
 
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign each doc to a training-sequence bin by running token count.
+def _pack_shard() -> F.Column:
+    return F.pmod(F.col("doc_id"), F.lit(N_PACK_SHARDS)).cast("int")
 
-    Packing runs independently WITHIN each source shard (bins are
-    ``(source, seq_id)``): one hash-partition shuffle on ``source``, then
-    a per-shard sort — embarrassingly parallel, no global order, the
-    shape that survives 100 TB (a single global ORDER BY window would
-    funnel the corpus through one task).  Within a shard, deterministic
-    doc_id order; ``seq_id = floor(tokens_before / budget)`` where
-    tokens_before excludes the current doc — so a bin always accepts the
-    document that crosses the budget boundary (bounded overflow) and
-    every bin is dense.
-    """
-    docs = table(spark, sf_dir, "documents")
-    with_n = docs.select(
-        "doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tok")
-    )
-    w = (
-        Window.partitionBy("source")
+
+_PACK_SHARD_SQL = f"CAST(((doc_id % {N_PACK_SHARDS}) + {N_PACK_SHARDS}) % {N_PACK_SHARDS} AS INTEGER)"
+
+
+def _pack_window() -> Window:
+    return (
+        Window.partitionBy("source", "pack_shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each doc to a training-sequence bin by running token count.
+
+    Packing runs independently WITHIN each (source, pack_shard) shard:
+    one hash-partition shuffle on the shard key, then a per-shard sort —
+    embarrassingly parallel, no global order, the shape that survives
+    100 TB (a single global ORDER BY window — or a per-source window when
+    one source dominates the corpus — would funnel the data through one
+    task; see N_PACK_SHARDS).  Within a shard, deterministic doc_id
+    order; ``seq_id = floor(tokens_before / budget)`` where tokens_before
+    excludes the current doc — so a bin always accepts the document that
+    crosses the budget boundary (bounded overflow) and every bin is
+    dense within its shard.
+    """
+    docs = table(spark, sf_dir, "documents")
+    with_n = docs.select(
+        "doc_id",
+        "source",
+        _pack_shard().alias("pack_shard"),
+        F.size(tokens("text")).cast("bigint").alias("n_tok"),
+    )
+    before = F.coalesce(F.sum("n_tok").over(_pack_window()), F.lit(0))
     return with_n.select(
         "doc_id",
         "source",
+        "pack_shard",
         "n_tok",
         F.floor(before / SEQ_TOKEN_BUDGET).cast("bigint").alias("seq_id"),
     )
 
 
 PACK_SEQUENCES_SQL = f"""
-SELECT doc_id, source, n_tok,
+SELECT doc_id, source, pack_shard, n_tok,
        CAST(floor(
-         (COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         (COALESCE(sum(n_tok) OVER (PARTITION BY source, pack_shard
+                           ORDER BY doc_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                    0)
           * 1.0) / {SEQ_TOKEN_BUDGET}) AS BIGINT) AS seq_id
 FROM (
-  SELECT doc_id, source, CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tok
+  SELECT doc_id, source, {_PACK_SHARD_SQL} AS pack_shard,
+         CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tok
   FROM documents
 ) t
 """
@@ -213,16 +242,13 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         thresh = F.when(F.col("lang") == lang, F.lit(_rate_threshold(rate))).otherwise(
             thresh
         )
-    sampled = survivors.filter(u < thresh)
-
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    sampled = survivors.filter(u < thresh).withColumn(
+        "pack_shard", _pack_shard()
     )
-    before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+
+    before = F.coalesce(F.sum("n_tok").over(_pack_window()), F.lit(0))
     return sampled.select(
-        "doc_id", "lang", "source", "n_tok",
+        "doc_id", "lang", "source", "pack_shard", "n_tok",
         F.floor(before / SEQ_TOKEN_BUDGET).cast("bigint").alias("seq_id"),
     )
 
@@ -259,9 +285,10 @@ sampled AS (
     AND {md5_long_sql(f"concat('{SAMPLE_SALT}', ':', CAST(doc_id AS VARCHAR))")}
         < {_THRESH_SQL}
 )
-SELECT doc_id, lang, source, n_tok,
+SELECT doc_id, lang, source, {_PACK_SHARD_SQL} AS pack_shard, n_tok,
        CAST(floor(
-         (COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         (COALESCE(sum(n_tok) OVER (PARTITION BY source, {_PACK_SHARD_SQL}
+                           ORDER BY doc_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                    0)
           * 1.0) / {SEQ_TOKEN_BUDGET}) AS BIGINT) AS seq_id

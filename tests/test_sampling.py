@@ -179,23 +179,26 @@ def test_redact_pii_scrubs_synthetic_pii(spark, sf_dir, tmp_path):
 
 
 def test_pack_sequences_invariants(spark, sf_dir):
-    """Per source shard: bins are dense from 0, monotone over doc order,
-    and a bin's token total overflows the budget by at most its last doc."""
+    """Per (source, pack_shard) shard: bins are dense from 0, monotone over
+    doc order, a bin's token total overflows the budget by at most its last
+    doc, and the shard column really is doc_id mod N_PACK_SHARDS."""
     from mapreduce_grpc_spark.operators.curation import (
+        N_PACK_SHARDS,
         SEQ_TOKEN_BUDGET,
         pack_sequences,
     )
 
     all_rows = pack_sequences(spark, sf_dir).collect()
     assert all_rows
-    shards: dict[str, list] = {}
+    shards: dict[tuple, list] = {}
     for r in all_rows:
-        shards.setdefault(r.source, []).append(r)
-    for source, rows in shards.items():
+        assert r.pack_shard == r.doc_id % N_PACK_SHARDS
+        shards.setdefault((r.source, r.pack_shard), []).append(r)
+    for key, rows in shards.items():
         rows.sort(key=lambda r: r.doc_id)
         seq_ids = [r.seq_id for r in rows]
-        assert seq_ids == sorted(seq_ids), source      # monotone in shard
-        assert set(seq_ids) == set(range(max(seq_ids) + 1)), source  # dense
+        assert seq_ids == sorted(seq_ids), key      # monotone in shard
+        assert set(seq_ids) == set(range(max(seq_ids) + 1)), key  # dense
         totals: dict[int, int] = {}
         last_tok: dict[int, int] = {}
         for r in rows:
@@ -203,8 +206,58 @@ def test_pack_sequences_invariants(spark, sf_dir):
             last_tok[r.seq_id] = r.n_tok
         for sid, tot in totals.items():
             assert tot < SEQ_TOKEN_BUDGET + last_tok[sid], (
-                f"{source} bin {sid} exceeds budget by more than its last doc"
+                f"{key} bin {sid} exceeds budget by more than its last doc"
             )
+
+
+def test_pack_sequences_skewed_source_fans_out(spark, tmp_path):
+    """One source holding ~90% of the corpus must NOT funnel through a
+    single window task: the sub-sharded window key spreads the hot source
+    over multiple partitions (the 100 TB failure mode this guards is one
+    core sorting a whole crawl)."""
+    import os
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from mapreduce_grpc_spark.catalog import TABLES
+    from mapreduce_grpc_spark.operators.curation import pack_sequences
+
+    sf_src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    fake_sf = tmp_path / "sf"
+    fake_sf.mkdir()
+    for t in TABLES:
+        src = f"{sf_src}/{t}.parquet"
+        if t != "documents" and os.path.exists(src):
+            os.symlink(src, fake_sf / f"{t}.parquet")
+    rows = [
+        (i, f"tok{i} " * 20, "en", "common-crawl" if i % 10 else "tiny", 80)
+        for i in range(2000)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY d TO '{fake_sf}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+
+    # AQE would coalesce these tiny partitions back together and hide the
+    # fan-out this asserts; the property under test is the PLAN's key
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        packed = pack_sequences(spark, str(fake_sf))
+        # keep seq_id in the projection: dropping every window output would
+        # let column pruning eliminate the window (and its exchange) entirely
+        hot = packed.select(
+            "source", "seq_id", F.spark_partition_id().alias("pid")
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    n_parts = len({r.pid for r in hot if r.source == "common-crawl"})
+    assert n_parts > 1, "hot source funneled through a single window task"
 
 
 def test_dedup_components_oracle_parity(spark, sf_dir):
