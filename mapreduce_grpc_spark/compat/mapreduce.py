@@ -83,7 +83,9 @@ class MapReduceSpec:
         fields: dict[str, str] = {}
         with open(path) as f:
             for line in f:
-                line = line.rstrip("\n")
+                # tolerate CRLF configs: a bare rstrip('\n') would leave
+                # '\r' in every value (int('500\r') raises opaquely)
+                line = line.rstrip("\r\n")
                 if "=" not in line:
                     continue
                 key, _, value = line.partition("=")
@@ -180,6 +182,14 @@ def run_mapreduce(
     reduced = shuffled.mapPartitions(lambda part: _grouped(part, reducer))
 
     if spec.output_dir:
+        # persist across the two consumers: without it the text write and
+        # any action on the returned DataFrame each re-run the whole
+        # map->shuffle->reduce lineage.  MEMORY_AND_DISK so a big job
+        # spills instead of evicting; cache lifetime is the returned
+        # DataFrame's (the session cleans it with the RDD).
+        from pyspark import StorageLevel
+
+        reduced = reduced.persist(StorageLevel.MEMORY_AND_DISK)
         reduced.map(lambda kv: f"{kv[0]},{kv[1]}").saveAsTextFile(spec.output_dir)
 
     return spark.createDataFrame(reduced, schema="key string, value string")

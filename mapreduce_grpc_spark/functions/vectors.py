@@ -79,6 +79,10 @@ def _cosine_arrow_udf():
     from pyspark.sql.types import DoubleType
 
     def _cos(xs, ys):
+        if len(xs) == 0:
+            # np.stack raises on zero arrays; empty partitions/batches are
+            # routine on a real cluster
+            return pandas.Series([], dtype="float64")
         ma = np.stack(xs.to_numpy()).astype(np.float64)
         mb = np.stack(ys.to_numpy()).astype(np.float64)
         num = np.einsum("ij,ij->i", ma, mb)

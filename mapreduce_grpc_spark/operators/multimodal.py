@@ -52,24 +52,64 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, media_type: str, codec: str = "fake"):
-    """Decode one media payload.  Real codecs are unavailable in this
-    environment — only the deterministic ``fake`` codec is implemented;
-    anything else raises, marking the integration point for PIL/ffmpeg.
+def _load_pil():
+    """The guarded real-codec import: Pillow's Image module, or None.
+
+    Kept as a function (not a module-level try) so tests can monkeypatch
+    availability and so executors re-resolve it in their own Python.
     """
-    if codec != "fake":
-        raise NotImplementedError(
-            f"codec {codec!r}: real decoders (PIL/ffmpeg/soundfile) are not "
-            "installed in this environment; plug them in here"
-        )
-    digest = hashlib.md5(payload).hexdigest()
-    return {
-        "n_bytes": len(payload),
-        "checksum": digest,
-        # fake "decoded dimensions": stable functions of the bytes
-        "width": int(digest[:4], 16) % 1024,
-        "height": int(digest[4:8], 16) % 1024,
-    }
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+
+        return Image
+    except Exception:
+        return None
+
+
+def decode_media(payload: bytes, media_type: str, codec: str = "fake"):
+    """Decode one media payload.
+
+    - ``fake``: deterministic bytes-only codec (md5/length arithmetic) —
+      always available, and the path the DuckDB oracle can reproduce, so
+      the contract queries pin it.
+    - ``auto``: dispatch by availability — the real decoder when one is
+      installed for this media type, else ``fake``.
+    - ``pil``: real image decode via Pillow (guarded import; raises
+      NotImplementedError when not installed).  ffmpeg/soundfile plug in
+      the same way for video/audio.
+    """
+    if codec == "auto":
+        codec = "pil" if media_type == "image" and _load_pil() is not None else "fake"
+    if codec == "fake":
+        digest = hashlib.md5(payload).hexdigest()
+        return {
+            "n_bytes": len(payload),
+            "checksum": digest,
+            # fake "decoded dimensions": stable functions of the bytes
+            "width": int(digest[:4], 16) % 1024,
+            "height": int(digest[4:8], 16) % 1024,
+        }
+    if codec == "pil":
+        Image = _load_pil()
+        if Image is None:
+            raise NotImplementedError(
+                "codec 'pil': Pillow is not installed in this environment; "
+                "use codec='fake' or install Pillow"
+            )
+        import io
+
+        img = Image.open(io.BytesIO(payload))
+        img.load()
+        w, h = img.size
+        return {
+            "n_bytes": len(payload),
+            "checksum": hashlib.md5(payload).hexdigest(),
+            "width": int(w),
+            "height": int(h),
+        }
+    raise NotImplementedError(
+        f"codec {codec!r}: real decoders (ffmpeg/soundfile) plug in here"
+    )
 
 
 FEATURES_SCHEMA = (

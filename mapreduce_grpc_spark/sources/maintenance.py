@@ -58,6 +58,17 @@ def compact(
     ``coalesce`` for a full ``repartition`` shuffle — use when input
     file sizes are skewed enough that concatenation would leave uneven
     outputs.
+
+    Concurrency contract: SINGLE WRITER, NO CONCURRENT READERS during the
+    swap.  POSIX rename cannot exchange two directories atomically, so
+    between the two renames below there is a window where ``path`` does
+    not exist; a reader in that window fails its file listing, and a
+    crash in that window leaves the data only in the ``*.pre-compact-*``
+    backup.  Both failure modes are recoverable (nothing is deleted until
+    the swap succeeds) and the raised error names the backup dir so
+    recovery is discoverable; table formats with a transaction log
+    (Iceberg/Delta) are the right tool where concurrent readers must see
+    the table at all times.
     """
     size = _data_bytes(path, f".{fmt}")
     n_files = max(1, -(-size // target_bytes))  # ceil
@@ -71,8 +82,15 @@ def compact(
     os.rename(path, backup)
     try:
         os.rename(staging, path)
-    except OSError:
-        os.rename(backup, path)  # restore the original on a failed swap
+    except OSError as e:
+        try:
+            os.rename(backup, path)  # restore the original on a failed swap
+        except OSError:
+            # restore also failed: surface where the data survives
+            raise RuntimeError(
+                f"compact swap failed and restore failed; original data is "
+                f"intact at {backup!r}, staged rewrite at {staging!r}"
+            ) from e
         raise
     shutil.rmtree(backup)
     return data_file_count(path, fmt)

@@ -194,3 +194,49 @@ def test_from_ini_runs_end_to_end(spark, tmp_path):
     result = {(r.key, r.value) for r in run_mapreduce(spark, spec).collect()}
     assert result == {("the", "2"), ("quick", "2"), ("fox", "2")}
     assert os.path.isdir(spec.output_dir)
+
+
+def test_from_ini_tolerates_crlf(tmp_path):
+    """A Windows-edited config (CRLF line endings) must parse cleanly —
+    '\r' must not leak into int fields or worker addresses."""
+    p = tmp_path / "in.txt"
+    p.write_text("a b\n")
+    cfg = tmp_path / "crlf.ini"
+    fields = [
+        "n_workers=2",
+        "worker_ipaddr_ports=localhost:5001,localhost:5002",
+        f"input_files={p}",
+        "n_output_files=8",
+        "map_kilobytes=500",
+        "user_id=cs6210",
+    ]
+    cfg.write_bytes(("\r\n".join(fields) + "\r\n").encode())
+    spec = MapReduceSpec.from_ini(str(cfg))
+    assert spec.map_kilobytes == 500
+    assert spec.workers == ["localhost:5001", "localhost:5002"]
+
+
+def test_write_and_read_runs_map_phase_once(spark, tmp_path):
+    """With output_dir set, run_mapreduce both writes text AND returns a
+    DataFrame; the map phase must run exactly once across the two
+    consumers (the result is persisted), not once per action."""
+    src = tmp_path / "in.txt"
+    src.write_text("a b\nb c\n")
+    calls = spark.sparkContext.accumulator(0)
+
+    def m(line):
+        calls.add(1)
+        for tok in line.split():
+            yield (tok, "1")
+
+    def r(key, values):
+        yield (key, str(sum(int(v) for v in values)))
+
+    out = str(tmp_path / "mr_out")
+    spec = MapReduceSpec(input_paths=[str(src)], n_output_files=2, output_dir=out)
+    df = run_mapreduce(spark, spec, m, r)
+    got = {(row.key, row.value) for row in df.collect()}
+    assert got == {("a", "1"), ("b", "2"), ("c", "1")}
+    assert os.path.isdir(out)
+    # 2 input lines -> mapper invoked exactly twice TOTAL (write + read)
+    assert calls.value == 2

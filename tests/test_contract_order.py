@@ -1,0 +1,36 @@
+"""Pin the driver contract: the grading driver hash-checks only the FIRST
+50 entries of ``queries()`` in insertion order, so an accidental reorder
+(or rename) would silently swap which queries get hard verification.
+This list is the release-to-release contract — change it deliberately."""
+
+from __future__ import annotations
+
+CONTRACT_ORDER = [
+    "wordcount", "grep_filter", "inverted_index", "text_stats", "ngrams",
+    "text_quality", "lang_id", "doc_fingerprint", "tfidf",
+    "pipeline_clean_corpus", "udtf_wordcount", "pandas_token_count",
+    "streaming_tumbling", "streaming_sessionize", "mapreduce_wordcount",
+    "per_key_agg", "distinct_count", "rollup_agg", "reduce_side_join",
+    "join_semi", "join_anti", "join_asof", "join_range", "cube_agg",
+    "nl_join", "above_avg_orders", "pivot_agg", "group_percentiles",
+    "orders_by_month", "topk", "partitioned_sorted_output", "set_ops",
+    "window_analytic", "dedup_exact", "minhash_signatures", "dedup_near",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
+    "similarity_topk", "ann_lsh_topk", "ivf_topk", "dedup_embedding",
+    "tumbling_window", "sliding_window", "session_window", "events_json",
+    "multimodal_features", "frame_sample", "zscore_outliers",
+]
+
+
+def test_contract_query_order_is_pinned():
+    import __spark_entry__ as e
+
+    assert list(e.queries()) == CONTRACT_ORDER
+
+
+def test_every_contract_query_has_an_oracle():
+    import __spark_entry__ as e
+
+    oracles = e.oracle_sql()
+    assert set(oracles) == set(CONTRACT_ORDER)
+    assert all(oracles[name].strip() for name in CONTRACT_ORDER)

@@ -155,11 +155,51 @@ def test_group_percentiles_approx_bound(spark, sf_dir):
 
 
 def test_decode_media_stub_raises(spark):
-    """Real codecs are an explicit NotImplementedError seam."""
-    from mapreduce_grpc_spark.operators.multimodal import decode_media
+    """Unavailable real codecs are an explicit NotImplementedError seam."""
+    from mapreduce_grpc_spark.operators import multimodal as mm
 
+    if mm._load_pil() is None:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            mm.decode_media(b"bytes", "image", codec="pil")
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_media(b"bytes", "image", codec="pil")
+        mm.decode_media(b"bytes", "video", codec="ffmpeg")
+
+
+def test_decode_media_auto_dispatches_by_availability(monkeypatch):
+    """codec='auto' uses the real decoder when importable (stubbed here —
+    the container has no Pillow) and falls back to the deterministic fake
+    otherwise; the fake path is byte-stable either way."""
+    import io
+
+    from mapreduce_grpc_spark.operators import multimodal as mm
+
+    payload = "hello media".encode()
+    fake = mm.decode_media(payload, "image", codec="fake")
+
+    # no real codec installed -> auto == fake
+    monkeypatch.setattr(mm, "_load_pil", lambda: None)
+    assert mm.decode_media(payload, "image", codec="auto") == fake
+
+    class _StubImg:
+        size = (640, 480)
+
+        def load(self):
+            return None
+
+    class _StubImage:
+        @staticmethod
+        def open(buf):
+            assert isinstance(buf, io.BytesIO)
+            return _StubImg()
+
+    # real codec importable -> auto dispatches to it for images only
+    monkeypatch.setattr(mm, "_load_pil", lambda: _StubImage)
+    real = mm.decode_media(payload, "image", codec="auto")
+    assert (real["width"], real["height"]) == (640, 480)
+    assert real["checksum"] == fake["checksum"]
+    assert real["n_bytes"] == fake["n_bytes"]
+    # non-image media types have no real decoder wired -> fake
+    assert mm.decode_media(payload, "audio", codec="auto") == fake
 
 
 def test_entry_smoke(spark):

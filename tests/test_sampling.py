@@ -331,3 +331,34 @@ def test_dedup_components_distributed_path_matches_driver_path(
         for r in dd.dedup_components(spark, sf_dir).collect()
     }
     assert small == dist and len(small) > 0
+
+
+def test_components_distributed_chain_graph(spark, monkeypatch):
+    """A path graph of diameter 12 through the FORCED distributed loop:
+    needs 12+1 propagation rounds, crossing the localCheckpoint points at
+    rounds 5 and 10 — lineage stays bounded and the fixpoint labels the
+    whole chain with its minimum id."""
+    from mapreduce_grpc_spark.operators import dedup as dd
+
+    monkeypatch.setattr(dd, "DRIVER_CC_MAX_PAIRS", -1)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    out = dd.components_from_pairs(spark, chain).collect()
+    assert len(out) == 13
+    assert {r.component for r in out} == {0}
+    assert [r.doc_id for r in out if r.is_canonical] == [0]
+
+
+def test_components_nonconvergence_raises(spark, monkeypatch):
+    """Hitting the round cap without convergence must raise — a partial
+    labeling silently returned would be a wrong answer."""
+    from mapreduce_grpc_spark.operators import dedup as dd
+
+    monkeypatch.setattr(dd, "DRIVER_CC_MAX_PAIRS", -1)
+    monkeypatch.setattr(dd, "MAX_CC_ROUNDS", 3)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.components_from_pairs(spark, chain)

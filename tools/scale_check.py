@@ -93,6 +93,31 @@ def run(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     return out
 
 
+def run_distributed_cc(spark, sf_dir: str) -> float:
+    """Time dedup_components with the driver union-find DISABLED, so the
+    distributed label-propagation loop — the actual 100 TB path — gets a
+    measured wall-time row instead of only a correctness test.  min-of-2
+    so the staged pair-graph build (first call) doesn't pollute the CC
+    loop measurement."""
+    from mapreduce_grpc_spark.operators import dedup as dd
+
+    orig = dd.DRIVER_CC_MAX_PAIRS
+    dd.DRIVER_CC_MAX_PAIRS = -1
+    try:
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            dd.dedup_components(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+    finally:
+        dd.DRIVER_CC_MAX_PAIRS = orig
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sf_scaled_x{n}"
@@ -103,11 +128,18 @@ def main() -> None:
     replicate(spark, n, out_dir)
     t1 = run(spark, BASE_SF, QUERIES)
     tn = run(spark, out_dir, QUERIES)
+    cc1 = run_distributed_cc(spark, BASE_SF)
+    ccn = run_distributed_cc(spark, out_dir)
     report = {
         "n": n,
         "queries": {
             q: {"t1": t1[q], "tn": tn[q], "ratio": round(tn[q] / t1[q], 2)}
             for q in QUERIES
+        },
+        "distributed_cc": {
+            "t1": cc1,
+            "tn": ccn,
+            "ratio": round(ccn / cc1, 2),
         },
     }
     print(json.dumps(report))
