@@ -296,6 +296,217 @@ FROM sampled
 """
 
 
+# ---------------------------------------------------------------------------
+# Eval-set decontamination
+# ---------------------------------------------------------------------------
+
+# the fixture has no separate eval table, so the eval set is a fixed,
+# oracle-expressible 5% slice of documents (doc_id % 100 < 5) — in
+# production this is a join against the real benchmark/eval corpus
+EVAL_MOD = 100
+EVAL_SLOTS = 5
+CONTAM_THRESHOLD = 0.5  # flag when half a doc's shingles appear in one eval doc
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram eval-set contamination check over the training corpus.
+
+    Pre-training pipelines must drop training documents that overlap the
+    evaluation benchmarks (the GPT-3/Llama n-gram decontamination step).
+    For each training doc this reports the eval doc with the highest
+    shingle-overlap fraction ``|shingles(train) ∩ shingles(eval)| /
+    |shingles(train)|`` and flags it at CONTAM_THRESHOLD.
+
+    Scale shape: joins the STAGED shingle-hash relation against its
+    (tiny) eval-side slice on the 60-bit shingle hash — the corpus text
+    never reshuffles, and hot eval shingles (df > MAX_POSTING_DF, i.e.
+    boilerplate) are excluded via a broadcast anti-join with the same
+    skew discipline as the dedup candidate generators.  Only docs sharing
+    at least one rare shingle with the eval set appear in the output.
+    """
+    from .dedup import MAX_POSTING_DF, _hashed_exploded, shingle_hashes
+    from ..sources.staging import staging_enabled
+
+    ex = (
+        shingle_hashes(spark, sf_dir)
+        if staging_enabled()
+        else _hashed_exploded(spark, sf_dir).persist()
+    )
+    eval_ex = ex.filter((F.col("doc_id") % EVAL_MOD) < EVAL_SLOTS).select(
+        F.col("doc_id").alias("eval_id"), "x"
+    )
+    hot = (
+        eval_ex.groupBy("x")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_POSTING_DF)
+        .select("x")
+    )
+    eval_rare = eval_ex.join(F.broadcast(hot), "x", "left_anti")
+    train = ex.filter((F.col("doc_id") % EVAL_MOD) >= EVAL_SLOTS)
+    ov = (
+        train.join(eval_rare, "x")
+        .groupBy("doc_id", "eval_id", "n")
+        .agg(F.count("*").alias("inter"))
+    )
+    ranked = ov.select(
+        "doc_id",
+        "eval_id",
+        (F.col("inter").cast("double") / F.col("n")).alias("overlap"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("overlap").desc(), F.col("eval_id").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        "eval_id",
+        "overlap",
+        (F.col("overlap") >= CONTAM_THRESHOLD).alias("is_contaminated"),
+    )
+
+
+def _decontaminate_sql() -> str:
+    from .dedup import _EX_SQL, MAX_POSTING_DF
+
+    return f"""
+WITH ex AS ({_EX_SQL}),
+evalx AS (
+  SELECT doc_id AS eval_id, x FROM ex WHERE doc_id % {EVAL_MOD} < {EVAL_SLOTS}
+),
+hot AS (
+  SELECT x FROM evalx GROUP BY x HAVING count(*) > {MAX_POSTING_DF}
+),
+eval_rare AS (
+  SELECT eval_id, x FROM evalx WHERE x NOT IN (SELECT x FROM hot)
+),
+train AS (
+  SELECT doc_id, n, x FROM ex WHERE doc_id % {EVAL_MOD} >= {EVAL_SLOTS}
+),
+ov AS (
+  SELECT t.doc_id, e.eval_id, t.n, count(*) AS inter
+  FROM train t JOIN eval_rare e ON t.x = e.x
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT doc_id, eval_id, CAST(inter AS DOUBLE) / n AS overlap,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY CAST(inter AS DOUBLE) / n DESC, eval_id ASC
+         ) AS rn
+  FROM ov
+)
+SELECT doc_id, eval_id, overlap,
+       overlap >= {CONTAM_THRESHOLD} AS is_contaminated
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Source-mix weights
+# ---------------------------------------------------------------------------
+
+
+def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token shares and the resampling weight that would make
+    the training mix uniform across sources.
+
+    Data-mixture rebalancing is a standard pre-training stage: the
+    sampler multiplies each source's natural share by ``weight`` to hit
+    the target mix (uniform here; any target vector substitutes the same
+    way).  One partial+final aggregation over the corpus; the share
+    window runs over the aggregated per-source rows — a handful at any
+    corpus size, so the unpartitioned window is scale-safe.
+    """
+    docs = table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text")).cast("bigint")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+    target = F.lit(1.0) / F.count("*").over(w)
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        (target / share).alias("weight"),
+    )
+
+
+MIX_WEIGHTS_SQL = f"""
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share,
+       (1.0 / count(*) OVER ())
+         / (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()) AS weight
+FROM (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(CAST(len({tokens_sql('text')}) AS BIGINT)) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+) agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training order
+# ---------------------------------------------------------------------------
+
+N_ORDER_SHARDS = 8
+ORDER_SALT = "order1"
+
+
+def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the corpus for training.
+
+    Trainers need the corpus in a reproducible pseudo-random order that
+    no ingestion accident (source grouping, time locality) can bias.
+    Each doc gets ``shard = md5(salt:doc_id) mod N`` and a dense position
+    within its shard ordered by a second hash — the reader streams shard
+    files round-robin.  Scale shape: one hash-partition shuffle into N
+    shards and a per-shard sort; no global ORDER BY ever happens (same
+    sub-shard discipline as pack_sequences), and the order is a pure
+    function of (salt, doc_id) — rerun-stable, partitioning-invariant.
+    """
+    docs = table(spark, sf_dir, "documents")
+    u = md5_long(
+        F.concat_ws(":", F.lit(ORDER_SALT), F.col("doc_id").cast("string"))
+    )
+    based = docs.select(
+        "doc_id",
+        "source",
+        F.pmod(u, F.lit(N_ORDER_SHARDS)).cast("int").alias("shard"),
+        u.alias("u"),
+    )
+    w = Window.partitionBy("shard").orderBy("u", "doc_id")
+    return based.select(
+        "doc_id",
+        "source",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+_ORDER_U_SQL = md5_long_sql(
+    f"concat('{ORDER_SALT}', ':', CAST(doc_id AS VARCHAR))"
+)
+
+TRAINING_ORDER_SQL = f"""
+SELECT doc_id, source,
+       CAST((({_ORDER_U_SQL}) % {N_ORDER_SHARDS} + {N_ORDER_SHARDS})
+            % {N_ORDER_SHARDS} AS INTEGER) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY (({_ORDER_U_SQL}) % {N_ORDER_SHARDS} + {N_ORDER_SHARDS})
+                      % {N_ORDER_SHARDS}
+         ORDER BY {_ORDER_U_SQL}, doc_id
+       ) AS BIGINT) AS pos
+FROM documents
+"""
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
@@ -304,6 +515,9 @@ AUX_QUERIES = {
     "pack_sequences": pack_sequences,
     "chunk_documents": chunk_documents,
     "pipeline_curate": pipeline_curate,
+    "decontaminate": decontaminate,
+    "mix_weights": mix_weights,
+    "training_order": training_order,
 }
 
 AUX_ORACLES = {
@@ -311,4 +525,7 @@ AUX_ORACLES = {
     "pack_sequences": PACK_SEQUENCES_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "pipeline_curate": _pipeline_curate_sql(),
+    "decontaminate": _decontaminate_sql(),
+    "mix_weights": MIX_WEIGHTS_SQL,
+    "training_order": TRAINING_ORDER_SQL,
 }

@@ -126,5 +126,63 @@ WHERE abs(CASE WHEN stats.std_v > 0
 """
 
 
+def zscore_outliers_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same z-score semantics fully JVM-side — the 100 TB path.
+
+    ``zscore_outliers`` deliberately keeps the ``applyInPandas`` grouped-map
+    surface in the contract; this twin computes bit-identical results with
+    built-in expressions only (no Python worker, no Arrow boundary): two
+    window passes over one hash partitioning on user_id — pass 1 the
+    DECIMAL-exact mean, pass 2 the exact sum of squared 6dp deviations —
+    mirroring the oracle's arithmetic term for term (cast double ->
+    DECIMAL(18,6) is HALF_UP in both engines; (15,6)x(15,6) -> (31,12)
+    products stay exact).  Measured 7.5x faster than the grouped-map form
+    at sf0.1 (0.78 s vs 5.9 s min-of-3, noop sink; see PLANS.md);
+    production pipelines should use this shape
+    whenever the per-group logic is expressible, reserving applyInPandas
+    for logic that is not.
+    """
+    from pyspark.sql import Window
+
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    w = Window.partitionBy("user_id")
+    v = F.col("value").cast("decimal(18,6)")
+    stage1 = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        v.alias("v"),
+        (F.sum(v).over(w).cast("double") / F.count("*").over(w)).alias("mean_v"),
+        F.count("*").over(w).alias("n"),
+    ).withColumn("mean6", F.col("mean_v").cast("decimal(18,6)"))
+    dev = (F.col("v") - F.col("mean6")).cast("decimal(15,6)")
+    stage2 = stage1.withColumn(
+        "var_v", F.sum(dev * dev).over(w).cast("double") / F.col("n")
+    )
+    std = F.when(F.col("var_v") > 0, F.sqrt(F.col("var_v"))).otherwise(F.lit(0.0))
+    z = F.when(
+        F.col("std_v") > 0,
+        F.round((F.col("value") - F.col("mean_v")) / F.col("std_v"), 8),
+    ).otherwise(F.lit(0.0))
+    return (
+        stage2.withColumn("std_v", std)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > Z_THRESHOLD)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.round("mean_v", 8).alias("mean_v"),
+            F.round("std_v", 8).alias("std_v"),
+            "z",
+        )
+    )
+
+
 QUERIES = {"zscore_outliers": zscore_outliers}
 ORACLES = {"zscore_outliers": ZSCORE_OUTLIERS_SQL}
+
+AUX_QUERIES = {"zscore_outliers_native": zscore_outliers_native}
+AUX_ORACLES = {"zscore_outliers_native": ZSCORE_OUTLIERS_SQL}

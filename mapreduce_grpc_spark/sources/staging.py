@@ -129,6 +129,11 @@ def staged_parquet(
     ``build()`` returns the DataFrame plan to materialize; it runs only on
     a staging miss.  The read-back carries the exact written schema (stored
     alongside the parquet) so even an empty staged table round-trips.
+
+    Degrades, never fails: if the staging root is unwritable (read-only
+    driver cwd, full disk), the query silently falls back to the un-staged
+    in-session plan — staging is an optimization, and a consumer must get
+    the same rows either way.
     """
     if not staging_enabled():
         return build()
@@ -140,19 +145,21 @@ def staged_parquet(
     path = os.path.join(root, f"{prefix}{fp}")
 
     if not _published(path):
-        os.makedirs(root, exist_ok=True)
-        df = build()
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, _SCHEMA_FILE), "w") as f:
-            json.dump(df.schema.jsonValue(), f)
         try:
+            os.makedirs(root, exist_ok=True)
+            df = build()
+            df.write.mode("overwrite").parquet(tmp)
+            with open(os.path.join(tmp, _SCHEMA_FILE), "w") as f:
+                json.dump(df.schema.jsonValue(), f)
             os.rename(tmp, path)
-        except OSError:
-            # lost a publish race: the winner's table is equivalent
+        except Exception:
             shutil.rmtree(tmp, ignore_errors=True)
             if not _published(path):
-                raise
+                # publish impossible (unwritable root, write error) — the
+                # optimization is off the table, the answer is not
+                return build()
+            # lost a publish race: the winner's table is equivalent
         _sweep_stale(root, prefix, keep=path)
 
     schema_file = os.path.join(path, _SCHEMA_FILE)

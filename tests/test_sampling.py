@@ -362,3 +362,119 @@ def test_components_nonconvergence_raises(spark, monkeypatch):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dd.components_from_pairs(spark, chain)
+
+
+def test_zscore_native_matches_grouped_map_and_oracle(spark, sf_dir):
+    """The JVM-native z-score twin is bit-identical to the applyInPandas
+    contract query and to the shared oracle."""
+    from mapreduce_grpc_spark.operators.grouped import (
+        zscore_outliers,
+        zscore_outliers_native,
+    )
+
+    a = {tuple(r) for r in zscore_outliers(spark, sf_dir).collect()}
+    b = {tuple(r) for r in zscore_outliers_native(spark, sf_dir).collect()}
+    assert a == b and a
+    assert_oracle_match(
+        zscore_outliers_native(spark, sf_dir),
+        registry.AUX_ORACLES["zscore_outliers_native"],
+        sf_dir,
+        "zscore_outliers_native",
+    )
+
+
+@pytest.mark.parametrize("name", ["decontaminate", "mix_weights", "training_order"])
+def test_new_curation_oracle_parity(spark, sf_dir, name):
+    df = registry.AUX_QUERIES[name](spark, sf_dir)
+    assert_oracle_match(df, registry.AUX_ORACLES[name], sf_dir, name)
+
+
+def test_decontaminate_flags_planted_copy(spark, tmp_path):
+    """A training doc that copies an eval doc verbatim must be flagged at
+    overlap 1.0; unrelated docs with no shared rare shingles are absent."""
+    import os
+
+    import duckdb
+
+    from mapreduce_grpc_spark.catalog import TABLES
+    from mapreduce_grpc_spark.operators.curation import decontaminate
+
+    sf_src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    fake_sf = tmp_path / "sf"
+    fake_sf.mkdir()
+    for t in TABLES:
+        src = f"{sf_src}/{t}.parquet"
+        if t != "documents" and os.path.exists(src):
+            os.symlink(src, fake_sf / f"{t}.parquet")
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (3, eval_text),                      # eval set (3 % 100 < 5)
+        (250, eval_text),                    # train: verbatim copy -> 1.0
+        (251, " ".join(f"only{i}" for i in range(12))),  # train: clean
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    con.execute(
+        f"""COPY (SELECT doc_id, text, 'en' AS lang, 's' AS source,
+                        length(text) AS n_chars FROM d)
+            TO '{fake_sf}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    got = {r.doc_id: r for r in decontaminate(spark, str(fake_sf)).collect()}
+    assert 250 in got
+    assert got[250].eval_id == 3
+    assert got[250].overlap == 1.0
+    assert got[250].is_contaminated
+    assert 251 not in got
+    assert_oracle_match(
+        decontaminate(spark, str(fake_sf)),
+        registry.AUX_ORACLES["decontaminate"],
+        str(fake_sf),
+        "decontaminate_planted",
+    )
+
+
+def test_mix_weights_invariants(spark, sf_dir):
+    """Shares sum to 1; weight * share is the uniform target for every
+    source (so resampling by weight equalizes the mix)."""
+    from mapreduce_grpc_spark.operators.curation import mix_weights
+
+    rows = mix_weights(spark, sf_dir).collect()
+    assert len(rows) > 1
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-9
+    target = 1.0 / len(rows)
+    for r in rows:
+        assert abs(r.weight * r.token_share - target) < 1e-9
+
+
+def test_training_order_is_a_stable_permutation(spark, sf_dir):
+    """Every doc appears exactly once; positions are dense per shard;
+    the order is identical across reruns and input repartitioning."""
+    import tempfile
+
+    from mapreduce_grpc_spark.operators.curation import (
+        N_ORDER_SHARDS,
+        training_order,
+    )
+
+    rows = training_order(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(rows) == docs.count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < N_ORDER_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert len(by_shard) > 1
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+    base = {(r.doc_id, r.shard, r.pos) for r in rows}
+    with tempfile.TemporaryDirectory() as td:
+        docs.repartition(13).write.parquet(f"{td}/documents.parquet")
+        rep = {
+            (r.doc_id, r.shard, r.pos)
+            for r in training_order(spark, td).collect()
+        }
+    assert base == rep

@@ -142,3 +142,22 @@ def test_pair_graph_staged_once_across_consumers(spark, fake_sf, monkeypatch):
     }
     for r in comp.collect():
         assert r.doc_id in docs_in_pairs
+
+
+def test_staging_falls_back_when_root_unwritable(spark, fake_sf, monkeypatch, tmp_path):
+    """An unwritable staging root (read-only driver cwd, full disk) must
+    degrade to the in-session plan, never fail the query.  chmod can't
+    simulate this for a root process, so the root is a path UNDER A FILE
+    — mkdir fails with ENOTDIR, the same failure class."""
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("")
+    monkeypatch.setenv("SPARK_GRAFT_STAGING_DIR", str(blocker / "staged"))
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(4).select(F.col("id").alias("v"))
+
+    out = staged_parquet(spark, fake_sf, "t_ro", build, params="p")
+    assert sorted(r.v for r in out.collect()) == [0, 1, 2, 3]
+    assert calls["n"] >= 1
