@@ -107,19 +107,37 @@ def _bucket_sql(emb: str) -> str:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via sign-random-projection buckets.
+    """Approximate top-5 via MULTI-PROBE sign-random-projection buckets.
 
-    Candidates = vectors in the query's bucket (equi-join on the bucket
-    id — this is the scale path: the join key prunes ~255/256 of pairs).
-    Queries whose bucket holds < k neighbors return fewer rows: honest
-    ANN recall, deterministic either way.
+    Candidates = vectors in any bucket within Hamming distance 1 of the
+    query's bucket (the query side explodes to N_PLANES+1 probe keys —
+    standard multi-probe LSH, Lv et al. 2007): a true neighbor differs
+    from the query in at most a few low-margin sign bits, so probing the
+    1-bit-flip buckets recovers most of the recall single-bucket SRP
+    loses, while the equi-join still prunes ~(255-8)/256 of all pairs.
+    Probing multiplies only the (tiny, broadcast) query side; each
+    candidate still matches exactly one probe key (a vector has one
+    bucket), so no pair dedup is needed.  Queries whose probed buckets
+    hold < k neighbors return fewer rows: honest ANN recall, measured in
+    tools/ann_recall.py, deterministic either way.
     """
     emb = table(spark, sf_dir, "embeddings")
     bucketed = emb.withColumn("bucket", _bucket_col(F.col("embedding")))
-    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"),
+    q = (
+        bucketed.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                        for i in range(N_PLANES)
+                    ],
+                )
+            ).alias("q_bucket"),
+        )
     )
     cand = bucketed.join(
         F.broadcast(q),
@@ -135,22 +153,30 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROBE_LIST_SQL = "[bucket, " + ", ".join(
+    f"xor(bucket, {1 << i})" for i in range(N_PLANES)
+) + "]"
+
 ANN_LSH_TOPK_SQL = f"""
 WITH bucketed AS (
   SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
   FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS q_id, embedding AS q_emb,
+         unnest({_PROBE_LIST_SQL}) AS q_bucket
+  FROM bucketed WHERE vec_id < {N_QUERIES}
 )
 SELECT q_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
 FROM (
-  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
-         {cosine_sql('q.embedding', 'e.embedding')} AS cos_sim,
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         {cosine_sql('q.q_emb', 'e.embedding')} AS cos_sim,
          row_number() OVER (
-           PARTITION BY q.vec_id
-           ORDER BY {cosine_sql('q.embedding', 'e.embedding')} DESC, e.vec_id ASC
+           PARTITION BY q.q_id
+           ORDER BY {cosine_sql('q.q_emb', 'e.embedding')} DESC, e.vec_id ASC
          ) AS rank
-  FROM bucketed q JOIN bucketed e
-    ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
-  WHERE q.vec_id < {N_QUERIES}
+  FROM probes q JOIN bucketed e
+    ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id
 ) t
 WHERE rank <= {TOP_K}
 """

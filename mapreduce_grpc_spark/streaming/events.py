@@ -121,6 +121,42 @@ def run_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def run_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: events stream ⋈ customer dimension.
+
+    The canonical streaming-ETL shape — a fact stream joined to a slowly-
+    changing dimension read as a static table, then aggregated.  The
+    static side is explicitly broadcast: each micro-batch probes the
+    hashed dimension locally, no stream-side shuffle for the join (at
+    scale the dimension refreshes by re-reading the table between
+    triggers; for dimension tables beyond broadcast size, pre-bucket both
+    sides).  AvailableNow + complete mode makes the streaming answer
+    batch-equivalent, so the same DuckDB join oracle hash-checks it.
+    """
+    from ..catalog import table
+
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    with _stateful_shuffle_partitions(spark):
+        cust = table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        enriched = _events_stream(spark, sf_dir).join(F.broadcast(cust), "user_id")
+        agg = enriched.groupBy("segment", "event_type").agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 QUERIES = {
     "streaming_tumbling": run_streaming_tumbling,
 }
@@ -138,6 +174,23 @@ FROM events
 GROUP BY 1, 2
 """
 
+STREAMING_ENRICH_SQL = f"""
+SELECT c.c_mktsegment AS segment,
+       e.event_type,
+       count(*) AS n_events,
+       {dsum_sql('e.value')} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
 ORACLES = {
     "streaming_tumbling": STREAMING_TUMBLING_SQL,
+}
+
+AUX_QUERIES = {
+    "streaming_enrich": run_streaming_enrich,
+}
+
+AUX_ORACLES = {
+    "streaming_enrich": STREAMING_ENRICH_SQL,
 }

@@ -161,3 +161,24 @@ def test_staging_falls_back_when_root_unwritable(spark, fake_sf, monkeypatch, tm
     out = staged_parquet(spark, fake_sf, "t_ro", build, params="p")
     assert sorted(r.v for r in out.collect()) == [0, 1, 2, 3]
     assert calls["n"] >= 1
+
+
+def test_staged_and_unstaged_paths_agree(spark, fake_sf, monkeypatch):
+    """The staged read-back and the in-session fallback plan must produce
+    identical rows for every staged operator family."""
+    from mapreduce_grpc_spark.operators import dedup as dd
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    staged = {
+        "near": rows(dd.dedup_near(spark, fake_sf)),
+        "sim_pairs": rows(dd.dedup_simhash_pairs(spark, fake_sf)),
+        "sig": rows(dd.minhash_signatures(spark, fake_sf)),
+        "ngram": rows(dd.dedup_ngram_jaccard(spark, fake_sf)),
+    }
+    monkeypatch.setenv("SPARK_GRAFT_STAGING", "off")
+    assert rows(dd.dedup_near(spark, fake_sf)) == staged["near"]
+    assert rows(dd.dedup_simhash_pairs(spark, fake_sf)) == staged["sim_pairs"]
+    assert rows(dd.minhash_signatures(spark, fake_sf)) == staged["sig"]
+    assert rows(dd.dedup_ngram_jaccard(spark, fake_sf)) == staged["ngram"]

@@ -164,3 +164,15 @@ def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
     # the SURVIVING row for id 1 is the first delivery
     (first_one,) = [r for r in rows if r.k == "1"]
     assert first_one.ts == d("10:00"), first_one
+
+
+def test_streaming_enrich_equals_batch_join(spark, sf_dir):
+    """The stream-static enrichment join's complete-mode output equals
+    the batch join, hash-checked against the DuckDB oracle."""
+    from mapreduce_grpc_spark import registry
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["streaming_enrich"](spark, sf_dir)
+    assert_oracle_match(
+        df, registry.AUX_ORACLES["streaming_enrich"], sf_dir, "streaming_enrich"
+    )
