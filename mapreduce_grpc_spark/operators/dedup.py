@@ -219,13 +219,8 @@ MINHASH_SIGNATURES_SQL = (
 MAX_BAND_BUCKET = 64
 
 
-def _band_pairs(sig: DataFrame) -> DataFrame:
-    """LSH band self-join -> distinct candidate pairs (da < db).
-
-    Hot buckets (> MAX_BAND_BUCKET docs) are excluded via a broadcast
-    anti-join — by construction there are few such band keys, so the
-    overwhelmingly-rare majority never shuffles for the size check.
-    """
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_key): one exploded row per LSH band per document."""
     band_cols = [
         F.concat_ws(
             ":",
@@ -234,16 +229,27 @@ def _band_pairs(sig: DataFrame) -> DataFrame:
         ).alias(f"band{i}")
         for i in range(N_BANDS)
     ]
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
     )
+
+
+def _drop_hot_bands(banded: DataFrame) -> DataFrame:
+    """Exclude band buckets over MAX_BAND_BUCKET via a broadcast anti-join
+    — by construction there are few such band keys, so the
+    overwhelmingly-rare majority never shuffles for the size check."""
     hot = (
         banded.groupBy("band_key")
         .agg(F.count("*").alias("sz"))
         .filter(F.col("sz") > MAX_BAND_BUCKET)
         .select("band_key")
     )
-    banded = banded.join(F.broadcast(hot), "band_key", "left_anti")
+    return banded.join(F.broadcast(hot), "band_key", "left_anti")
+
+
+def _band_pairs(sig: DataFrame) -> DataFrame:
+    """LSH band self-join -> distinct candidate pairs (da < db)."""
+    banded = _drop_hot_bands(_band_keys(sig))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -257,13 +263,18 @@ def _band_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-def _band_pairs_sql() -> str:
-    band_exprs = ", ".join(
-        "concat('{i}', ':', mh{x}, ':', mh{y})".format(
-            i=i, x=i * BAND_ROWS, y=i * BAND_ROWS + 1
-        )
-        for i in range(N_BANDS)
+# band-key construction, oracle side (assumes BAND_ROWS == 2 like the
+# Spark side's concat of the two row hashes)
+_BAND_EXPRS_SQL = ", ".join(
+    "concat('{i}', ':', mh{x}, ':', mh{y})".format(
+        i=i, x=i * BAND_ROWS, y=i * BAND_ROWS + 1
     )
+    for i in range(N_BANDS)
+)
+
+
+def _band_pairs_sql() -> str:
+    band_exprs = _BAND_EXPRS_SQL
     return f"""
 WITH sig AS ({MINHASH_SIGNATURES_SQL}),
 banded0 AS (
@@ -283,13 +294,12 @@ FROM banded a JOIN banded b
 """
 
 
-def _jaccard_verified(ex: DataFrame, cand: DataFrame) -> DataFrame:
+def _jaccard_scored(ex: DataFrame, cand: DataFrame) -> DataFrame:
     """Exact Jaccard on candidate pairs only, via the exploded relation.
 
     |A∩B| is a count over the shingle-hash join; Jaccard is int division
-    in double — deterministic.  Shared by dedup_near (LSH candidates) and
-    dedup_ngram_jaccard (inverted-index candidates): same verify metric,
-    different candidate generators.
+    in double — deterministic.  Candidate pairs sharing zero shingles drop
+    out (inner join), which both engines agree on.
     """
     a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "x")
     b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "x")
@@ -299,14 +309,20 @@ def _jaccard_verified(ex: DataFrame, cand: DataFrame) -> DataFrame:
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("inter"))
     )
-    return (
-        inter.withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
+    return inter.withColumn(
+        "jaccard",
+        F.col("inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("inter")),
+    ).select("doc_a", "doc_b", "jaccard")
+
+
+def _jaccard_verified(ex: DataFrame, cand: DataFrame) -> DataFrame:
+    """Jaccard-scored candidates thresholded to verified near-dup pairs.
+    Shared by dedup_near (LSH candidates) and dedup_ngram_jaccard
+    (inverted-index candidates): same verify metric, different candidate
+    generators."""
+    return _jaccard_scored(ex, cand).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
 
@@ -455,6 +471,119 @@ SELECT doc_a, doc_b,
        CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
 FROM inter
 WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) dedup
+# ---------------------------------------------------------------------------
+
+# The fixture has no separate ingest table, so the "incoming batch" is a
+# fixed, oracle-expressible 10% slice of documents (doc_id % 10 == 7) —
+# in production the batch side is the day's new files and the corpus side
+# is the already-published index.
+INC_MOD = 10
+INC_SLOT = 7
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an incoming batch AGAINST the existing corpus, incrementally.
+
+    The 100 TB operating mode for dedup is not "re-run the all-corpus
+    pipeline nightly" — it is "index once, then check each ingest batch
+    against the published index".  This operator is that check: LSH band
+    keys of the batch join the CORPUS side's band keys (a batch×corpus
+    join, never corpus×corpus), candidates are exact-Jaccard-verified, and
+    each batch document reports its best corpus match and a drop decision.
+    The corpus side comes from the staged shingle-hash index
+    (sources/staging.py) — the corpus text is never re-read, and the work
+    per ingest scales with |batch|, not |corpus|.
+
+    Hot corpus band buckets (> MAX_BAND_BUCKET docs) are dropped with the
+    same broadcast anti-join discipline as dedup_near; batch docs sharing
+    no band (or no shingle) with the corpus simply do not appear.
+    Output: (batch_id, match_id, jaccard, is_duplicate), one row per batch
+    doc with at least one verified candidate — ties broken by min
+    match_id, so the result is deterministic.
+    """
+    if staging_enabled():
+        ex = shingle_hashes(spark, sf_dir)
+    else:
+        ex = _hashed_exploded(spark, sf_dir).persist()
+    sig = ex.groupBy("doc_id", "n").agg(*_minhash_aggs())
+    bands = _band_keys(sig)
+    is_batch = (F.col("doc_id") % INC_MOD) == INC_SLOT
+    batch_bands = bands.filter(is_batch)
+    corpus_bands = _drop_hot_bands(bands.filter(~is_batch))
+    cand = (
+        batch_bands.alias("a")
+        .join(corpus_bands.alias("b"), "band_key")
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    scored = _jaccard_scored(ex, cand)
+    rn = F.row_number().over(
+        Window.partitionBy("doc_a").orderBy(
+            F.col("jaccard").desc(), F.col("doc_b").asc()
+        )
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_a").alias("batch_id"),
+            F.col("doc_b").alias("match_id"),
+            "jaccard",
+            (F.col("jaccard") >= JACCARD_THRESHOLD).alias("is_duplicate"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH sig AS ({MINHASH_SIGNATURES_SQL}),
+banded0 AS (
+  SELECT doc_id, unnest([{_BAND_EXPRS_SQL}]) AS band_key FROM sig
+),
+batchb AS (
+  SELECT doc_id, band_key FROM banded0 WHERE doc_id % {INC_MOD} = {INC_SLOT}
+),
+corpb0 AS (
+  SELECT doc_id, band_key FROM banded0 WHERE doc_id % {INC_MOD} <> {INC_SLOT}
+),
+hotband AS (
+  SELECT band_key FROM corpb0 GROUP BY band_key
+  HAVING count(*) > {MAX_BAND_BUCKET}
+),
+corpb AS (
+  SELECT doc_id, band_key FROM corpb0
+  WHERE band_key NOT IN (SELECT band_key FROM hotband)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM batchb a JOIN corpb b ON a.band_key = b.band_key
+),
+ex AS ({_EX_SQL}),
+inter AS (
+  SELECT cand.doc_a, cand.doc_b, a.n AS na, b.n AS nb, count(*) AS inter
+  FROM cand
+  JOIN ex a ON cand.doc_a = a.doc_id
+  JOIN ex b ON cand.doc_b = b.doc_id AND b.x = a.x
+  GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard,
+         row_number() OVER (
+           PARTITION BY doc_a
+           ORDER BY CAST(inter AS DOUBLE) / (na + nb - inter) DESC, doc_b ASC
+         ) AS rn
+  FROM inter
+)
+SELECT doc_a AS batch_id, doc_b AS match_id, jaccard,
+       jaccard >= {JACCARD_THRESHOLD} AS is_duplicate
+FROM scored WHERE rn = 1
 """
 
 
@@ -773,10 +902,12 @@ QUERIES = {
 
 AUX_QUERIES = {
     "dedup_components": dedup_components,
+    "dedup_incremental": dedup_incremental,
 }
 
 AUX_ORACLES = {
     "dedup_components": DEDUP_COMPONENTS_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
 }
 
 ORACLES = {

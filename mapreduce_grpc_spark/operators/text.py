@@ -445,6 +445,121 @@ GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("join", "scan", "filter")  # fixed query over the fixture vocab
+BM25_TOPK = 20
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked top-k documents for a fixed keyword query.
+
+    Retrieval scoring over the corpus (the quality/relevance ranking stage
+    of a data pipeline): Okapi BM25 with the +1 idf variant (always
+    positive), k1=1.2, b=0.75.  Shapes for scale: term frequencies only for
+    the query terms (the filter pushes into the exploded scan, so the tf
+    shuffle carries query-term rows only), document length and corpus
+    stats join back broadcast-sized, top-k is TakeOrderedAndProject —
+    no global sort.
+
+    Cross-engine determinism: idf and each per-term score are rounded to
+    8 decimals, and the per-document total adds the (at most three) term
+    scores in fixed query order via conditional aggregates — no
+    accumulation-order ambiguity; final tie-break by doc_id.
+    """
+    docs = table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(tokens("text")).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    tf = (
+        tok.filter(F.col("word").isin(*BM25_QUERY))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    joined = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    rel_dl = F.col("dl").cast("double") / avgdl
+    idf = F.round(
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        8,
+    )
+    score_t = F.round(
+        (idf * (F.col("tf") * (BM25_K1 + 1.0)))
+        / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * rel_dl)),
+        8,
+    )
+    per_term = joined.select("doc_id", "word", score_t.alias("s"))
+    parts = [
+        F.sum(F.when(F.col("word") == w, F.col("s"))).alias(f"s{i}")
+        for i, w in enumerate(BM25_QUERY)
+    ]
+    total = None
+    for i in range(len(BM25_QUERY)):
+        term = F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+        total = term if total is None else total + term
+    return (
+        per_term.groupBy("doc_id")
+        .agg(*parts)
+        .select("doc_id", F.round(total, 8).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{w}'" for w in BM25_QUERY)
+_BM25_SUM_SQL = " + ".join(
+    f"COALESCE(sum(CASE WHEN word = '{w}' THEN s END), 0.0)" for w in BM25_QUERY
+)
+
+BM25_TOPK_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+),
+tok AS ({_UNNEST_WORDS}),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM tok
+  WHERE word IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, word
+),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+per_term AS (
+  SELECT tf.doc_id, tf.word,
+         round(
+           (round(ln((n_docs - df + CAST(0.5 AS DOUBLE))
+                     / (df + CAST(0.5 AS DOUBLE))
+                     + CAST(1.0 AS DOUBLE)), 8)
+            * (tf * CAST({BM25_K1 + 1.0} AS DOUBLE)))
+           / (tf + CAST({BM25_K1} AS DOUBLE)
+              * (CAST({1.0 - BM25_B} AS DOUBLE)
+                 + CAST({BM25_B} AS DOUBLE)
+                   * (CAST(dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / n_docs)))),
+           8) AS s
+  FROM tf
+  JOIN dfreq ON tf.word = dfreq.word
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+)
+SELECT doc_id, round({_BM25_SUM_SQL}, 8) AS score
+FROM per_term GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+
 QUERIES = {
     "wordcount": wordcount,
     "grep_filter": grep_filter,
@@ -456,6 +571,14 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "tfidf": tfidf,
     "pipeline_clean_corpus": pipeline_clean_corpus,
+}
+
+AUX_QUERIES = {
+    "bm25_topk": bm25_topk,
+}
+
+AUX_ORACLES = {
+    "bm25_topk": BM25_TOPK_SQL,
 }
 
 ORACLES = {

@@ -95,6 +95,82 @@ FROM documents
 """
 
 
+def _grouped_agg_udfs():
+    """Grouped-aggregate pandas UDFs (Series -> scalar), built lazily for
+    the same session-dependency reason as _token_count_vec.
+
+    All three aggregate int64 inputs to int64 outputs — pandas integer
+    sums are exact, so the UDAF surface is demonstrated with bit-exact
+    cross-engine semantics (no float accumulation order to diverge).
+    """
+
+    @pandas_udf("long")
+    def sum_agg(v: pd.Series) -> int:
+        return int(v.sum())
+
+    @pandas_udf("long")
+    def sumsq_agg(v: pd.Series) -> int:
+        return int((v * v).sum())
+
+    @pandas_udf("long")
+    def count_agg(v: pd.Series) -> int:
+        return int(v.count())
+
+    return sum_agg, sumsq_agg, count_agg
+
+
+def pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count moments via grouped-agg pandas UDFs — the
+    reference's ``reduce`` UDAF shape (/root/reference/external/include/
+    mr_task_factory.h:37-38) on the Arrow-vectorized path.
+
+    Completes the Python-surface matrix (UDTF, scalar pandas_udf,
+    mapInPandas, grouped-map, stateful, and now grouped-agg): each group's
+    int64 Series crosses to pandas as one Arrow batch, three UDAFs reduce
+    it, the mean is a single division outside the UDF.  The token counts
+    themselves are computed JVM-side before the shuffle — the UDF boundary
+    carries one long per doc, not the text.
+    """
+    from ..functions.textfns import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    sum_agg, sumsq_agg, count_agg = _grouped_agg_udfs()
+    agg = per_doc.groupBy("lang").agg(
+        count_agg("n_tok").alias("n_docs"),
+        sum_agg("n_tok").alias("sum_tok"),
+        sumsq_agg("n_tok").alias("sumsq_tok"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "sum_tok",
+        "sumsq_tok",
+        F.round(F.col("sum_tok").cast("double") / F.col("n_docs"), 8).alias(
+            "mean_tok"
+        ),
+    )
+
+
+def _pandas_grouped_agg_sql() -> str:
+    from ..functions.textfns import tokens_sql
+
+    return f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       CAST(sum(n_tok * n_tok) AS BIGINT) AS sumsq_tok,
+       round(CAST(sum(n_tok) AS DOUBLE) / count(*), 8) AS mean_tok
+FROM (
+  SELECT lang, CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tok
+  FROM documents
+) t
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "udtf_wordcount": udtf_wordcount,
     "pandas_token_count": pandas_token_count,
@@ -103,4 +179,12 @@ QUERIES = {
 ORACLES = {
     "udtf_wordcount": WORDCOUNT_SQL,
     "pandas_token_count": PANDAS_TOKEN_COUNT_SQL,
+}
+
+AUX_QUERIES = {
+    "pandas_grouped_agg": pandas_grouped_agg,
+}
+
+AUX_ORACLES = {
+    "pandas_grouped_agg": _pandas_grouped_agg_sql(),
 }

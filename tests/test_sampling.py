@@ -435,6 +435,116 @@ def test_decontaminate_flags_planted_copy(spark, tmp_path):
     )
 
 
+@pytest.mark.parametrize("name", ["pandas_grouped_agg", "bm25_topk"])
+def test_round3_aux_oracle_parity(spark, sf_dir, name):
+    df = registry.AUX_QUERIES[name](spark, sf_dir)
+    assert_oracle_match(df, registry.AUX_ORACLES[name], sf_dir, name)
+
+
+def test_bm25_ranking_invariants(spark, sf_dir):
+    """Top-k is capped, scores strictly positive and non-increasing, and
+    every ranked doc actually contains at least one query term."""
+    from mapreduce_grpc_spark.operators.text import BM25_QUERY, BM25_TOPK, bm25_topk
+
+    rows = bm25_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= BM25_TOPK
+    scores = [r.score for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    docs = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("doc_id", "text")
+        .collect()
+        if any(w in r.text.split() for w in BM25_QUERY)
+    }
+    assert all(r.doc_id in docs for r in rows)
+
+
+def test_pandas_grouped_agg_matches_jvm_aggregation(spark, sf_dir):
+    """The grouped-agg pandas UDAF path must agree exactly with the
+    equivalent JVM-side built-in aggregation (int64 semantics, no float
+    accumulation)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_grpc_spark.catalog import table
+    from mapreduce_grpc_spark.functions.textfns import tokens
+    from mapreduce_grpc_spark.operators.udfs import pandas_grouped_agg
+
+    got = {
+        r.lang: (r.n_docs, r.sum_tok, r.sumsq_tok)
+        for r in pandas_grouped_agg(spark, sf_dir).collect()
+    }
+    jvm = (
+        table(spark, sf_dir, "documents")
+        .select("lang", F.size(tokens("text")).cast("long").alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("sum_tok"),
+            F.sum(F.col("n_tok") * F.col("n_tok")).alias("sumsq_tok"),
+        )
+        .collect()
+    )
+    assert got == {r.lang: (r.n_docs, r.sum_tok, r.sumsq_tok) for r in jvm}
+
+
+def test_dedup_incremental_oracle_parity(spark, sf_dir):
+    df = registry.AUX_QUERIES["dedup_incremental"](spark, sf_dir)
+    assert_oracle_match(
+        df, registry.AUX_ORACLES["dedup_incremental"], sf_dir, "dedup_incremental"
+    )
+
+
+def test_dedup_incremental_flags_planted_batch_dup(spark, tmp_path):
+    """A batch-slot doc copying a corpus doc verbatim must match it at
+    jaccard 1.0 / is_duplicate; a unique batch doc is absent; corpus docs
+    never appear as batch_id."""
+    import os
+
+    import duckdb
+
+    from mapreduce_grpc_spark.catalog import TABLES
+    from mapreduce_grpc_spark.operators.dedup import INC_MOD, INC_SLOT, dedup_incremental
+
+    sf_src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    fake_sf = tmp_path / "sf"
+    fake_sf.mkdir()
+    for t in TABLES:
+        src = f"{sf_src}/{t}.parquet"
+        if t != "documents" and os.path.exists(src):
+            os.symlink(src, fake_sf / f"{t}.parquet")
+    corpus_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batch_dup = 10 + INC_SLOT       # 17 % 10 == 7 -> batch slice
+    batch_clean = 20 + INC_SLOT
+    rows = [
+        (20, corpus_text),                                   # corpus
+        (batch_dup, corpus_text),                            # batch: copy
+        (batch_clean, " ".join(f"only{i}" for i in range(12))),  # batch: clean
+    ]
+    assert batch_dup % INC_MOD == INC_SLOT and 20 % INC_MOD != INC_SLOT
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    con.execute(
+        f"""COPY (SELECT doc_id, text, 'en' AS lang, 's' AS source,
+                        length(text) AS n_chars FROM d)
+            TO '{fake_sf}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    got = {r.batch_id: r for r in dedup_incremental(spark, str(fake_sf)).collect()}
+    assert set(got) == {batch_dup}
+    assert got[batch_dup].match_id == 20
+    assert got[batch_dup].jaccard == 1.0
+    assert got[batch_dup].is_duplicate
+    assert_oracle_match(
+        dedup_incremental(spark, str(fake_sf)),
+        registry.AUX_ORACLES["dedup_incremental"],
+        str(fake_sf),
+        "dedup_incremental_planted",
+    )
+
+
 def test_mix_weights_invariants(spark, sf_dir):
     """Shares sum to 1; weight * share is the uniform target for every
     source (so resampling by weight equalizes the mix)."""
