@@ -55,6 +55,8 @@ QUERIES = [
     "sample_stratified",
     "pack_sequences",
     "similarity_topk",
+    "dedup_incremental",
+    "bm25_topk",
 ]
 
 
