@@ -668,6 +668,56 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+# ---------------------------------------------------------------------------
+# Numeric histogram
+# ---------------------------------------------------------------------------
+
+HIST_WIDTH = 5000.0   # fixed-width bins over l_extendedprice (900..105000)
+HIST_MAX_BUCKET = 20  # values past the last edge clamp into the top bucket
+
+
+def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of l_extendedprice per return flag.
+
+    The profiling/EDA primitive: one scan, bucket id computed row-local as
+    ``least(max, floor(price / width))``, then a low-cardinality group-by
+    (flags x 21 buckets) that partial aggregation collapses map-side —
+    shuffle volume is O(groups), independent of row count, the same shape
+    at 100 TB.  Fixed edges (not data-dependent min/max) keep it one pass;
+    price doubles here are 2-decimal values, exactly representable, so the
+    bucket floor is cross-engine deterministic.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.lit(HIST_MAX_BUCKET),
+        F.floor(F.col("l_extendedprice") / HIST_WIDTH),
+    ).cast("int")
+    return (
+        li.select("l_returnflag", bucket.alias("bucket"), "l_extendedprice")
+        .groupBy("l_returnflag", "bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+NUMERIC_HISTOGRAM_SQL = f"""
+SELECT l_returnflag,
+       CAST(least({HIST_MAX_BUCKET},
+                  floor(l_extendedprice / CAST({HIST_WIDTH} AS DOUBLE)))
+            AS INTEGER) AS bucket,
+       count(*) AS n_rows,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price,
+       {dsum_sql('l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "per_key_agg": per_key_agg,
     "distinct_count": distinct_count,
@@ -717,4 +767,9 @@ ORACLES = {
 AUX_QUERIES = {
     "distinct_count_approx": distinct_count_approx,
     "group_percentiles_approx": group_percentiles_approx,
+    "numeric_histogram": numeric_histogram,
+}
+
+AUX_ORACLES = {
+    "numeric_histogram": NUMERIC_HISTOGRAM_SQL,
 }

@@ -168,6 +168,107 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Gap-fill / resample (time-series densification)
+# ---------------------------------------------------------------------------
+
+RESAMPLE_STEP = "1 hour"
+
+
+def resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample with gap-fill and forward-fill.
+
+    The time-series densification primitive (TimescaleDB
+    ``time_bucket_gapfill`` + ``locf``): each user gets one row per hour
+    between their first and last event, hours with no events carry the
+    last observed ``value`` forward.  Three scale-shaped steps, all
+    partitioned by user: (1) per-(user, hour) aggregation — the only
+    data-sized shuffle, with map-side partial agg; (2) an hourly spine
+    from each user's [min, max] hour via ``sequence`` + ``explode`` —
+    spine size is users x hours, independent of event count; (3) a spine
+    left-join + ``last(ignorenulls)`` running window, both co-partitioned
+    by user, so the fill never moves data across users.  The last event
+    of an hour is picked by row_number over (ts, event_id) — fully
+    deterministic under ts collisions.
+    """
+    ev = table(spark, sf_dir, "events")
+    hours = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "h").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    cnt = F.count("*").over(Window.partitionBy("user_id", "h"))
+    hourly = (
+        hours.select(
+            "user_id", "h", "value", rn.alias("rn"), cnt.alias("n_events")
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "h", F.col("value").alias("last_value"), "n_events")
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.expr(f"sequence(h0, h1, interval {RESAMPLE_STEP})")
+        ).alias("h"),
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left")
+    ff = F.last("last_value", ignorenulls=True).over(
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").alias("hour"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+        ff.alias("value_ff"),
+    )
+
+
+RESAMPLE_EVENTS_SQL = """
+WITH ranked AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id, date_trunc('hour', ts))
+           AS n_events
+  FROM events
+),
+hourly AS (
+  SELECT user_id, h, value AS last_value, n_events FROM ranked WHERE rn = 1
+),
+bounds AS (
+  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+  FROM bounds
+),
+joined AS (
+  SELECT s.user_id, s.h, hh.n_events, hh.last_value
+  FROM spine s
+  LEFT JOIN hourly hh ON s.user_id = hh.user_id AND s.h = hh.h
+)
+SELECT user_id, h AS hour,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       last_value(last_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_ff
+FROM joined
+"""
+
+
 QUERIES = {
     "tumbling_window": tumbling_window,
     "sliding_window": sliding_window,
@@ -180,4 +281,12 @@ ORACLES = {
     "sliding_window": SLIDING_WINDOW_SQL,
     "session_window": SESSION_WINDOW_SQL,
     "events_json": EVENTS_JSON_SQL,
+}
+
+AUX_QUERIES = {
+    "resample_events": resample_events,
+}
+
+AUX_ORACLES = {
+    "resample_events": RESAMPLE_EVENTS_SQL,
 }

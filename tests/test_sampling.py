@@ -435,10 +435,52 @@ def test_decontaminate_flags_planted_copy(spark, tmp_path):
     )
 
 
-@pytest.mark.parametrize("name", ["pandas_grouped_agg", "bm25_topk"])
+@pytest.mark.parametrize(
+    "name",
+    ["pandas_grouped_agg", "bm25_topk", "resample_events", "numeric_histogram"],
+)
 def test_round3_aux_oracle_parity(spark, sf_dir, name):
     df = registry.AUX_QUERIES[name](spark, sf_dir)
     assert_oracle_match(df, registry.AUX_ORACLES[name], sf_dir, name)
+
+
+def test_resample_gapfill_invariants(spark, sf_dir):
+    """Per user the hourly spine is dense between first and last event,
+    event counts reconcile with the raw table, and forward-fill leaves no
+    null values (the first spine hour always has an event)."""
+    from mapreduce_grpc_spark.operators.windows import resample_events
+
+    rows = resample_events(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert sum(r.n_events for r in rows) == ev.count()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        assert r.value_ff is not None
+        by_user.setdefault(r.user_id, []).append(r.hour)
+    for user, hours in by_user.items():
+        hours.sort()
+        span = int((hours[-1] - hours[0]).total_seconds()) // 3600 + 1
+        assert len(hours) == len(set(hours)) == span, user
+
+
+def test_numeric_histogram_invariants(spark, sf_dir):
+    """Bucket ids are clamped to [0, max]; per-bucket min/max sit inside
+    the bucket's edges (top bucket absorbs the tail); counts reconcile."""
+    from mapreduce_grpc_spark.operators.relational import (
+        HIST_MAX_BUCKET,
+        HIST_WIDTH,
+        numeric_histogram,
+    )
+
+    rows = numeric_histogram(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert sum(r.n_rows for r in rows) == li.count()
+    for r in rows:
+        assert 0 <= r.bucket <= HIST_MAX_BUCKET
+        assert r.min_price >= r.bucket * HIST_WIDTH
+        if r.bucket < HIST_MAX_BUCKET:
+            assert r.max_price < (r.bucket + 1) * HIST_WIDTH
+        assert r.min_price <= r.max_price
 
 
 def test_bm25_ranking_invariants(spark, sf_dir):
