@@ -718,6 +718,69 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Table statistics (ANALYZE-style column profiling)
+# ---------------------------------------------------------------------------
+
+STATS_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of lineitem's measure columns: row count,
+    non-null count, exact NDV, min, max — the stats a cost-based
+    optimizer or a data-quality gate collects (ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR COLUMNS).
+
+    One scan: a single aggregate computes all 4 columns' stats (the
+    multi-distinct plan is Catalyst's Expand — each input row replicated
+    once per distinct aggregate, still one pass over storage), then
+    ``stack`` unpivots the 1-row result into one row per column.  At
+    100 TB swap the exact NDVs for ``approx_count_distinct`` (HLL,
+    mergeable, no Expand); exact is kept here so the oracle hash-matches.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in STATS_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in STATS_COLS
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(STATS_COLS)}, {stack_args}) AS "
+        "(column_name, n_nonnull, n_distinct, min_val, max_val)",
+    ).select(
+        "column_name", "n_rows", "n_nonnull", "n_distinct", "min_val", "max_val"
+    )
+
+
+def _table_stats_sql() -> str:
+    aggs = ["count(*) AS n_rows"]
+    arms = []
+    for c in STATS_COLS:
+        aggs += [
+            f"count({c}) AS nn_{c}",
+            f"count(DISTINCT {c}) AS nd_{c}",
+            f"min({c}) AS mn_{c}",
+            f"max({c}) AS mx_{c}",
+        ]
+        arms.append(
+            f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS n_nonnull, "
+            f"nd_{c} AS n_distinct, mn_{c} AS min_val, mx_{c} AS max_val "
+            "FROM agg"
+        )
+    return (
+        "WITH agg AS (SELECT " + ", ".join(aggs) + " FROM lineitem) "
+        + " UNION ALL ".join(arms)
+    )
+
+
 QUERIES = {
     "per_key_agg": per_key_agg,
     "distinct_count": distinct_count,
@@ -768,8 +831,10 @@ AUX_QUERIES = {
     "distinct_count_approx": distinct_count_approx,
     "group_percentiles_approx": group_percentiles_approx,
     "numeric_histogram": numeric_histogram,
+    "table_stats": table_stats,
 }
 
 AUX_ORACLES = {
     "numeric_histogram": NUMERIC_HISTOGRAM_SQL,
+    "table_stats": _table_stats_sql(),
 }

@@ -437,7 +437,13 @@ def test_decontaminate_flags_planted_copy(spark, tmp_path):
 
 @pytest.mark.parametrize(
     "name",
-    ["pandas_grouped_agg", "bm25_topk", "resample_events", "numeric_histogram"],
+    [
+        "pandas_grouped_agg",
+        "bm25_topk",
+        "resample_events",
+        "numeric_histogram",
+        "table_stats",
+    ],
 )
 def test_round3_aux_oracle_parity(spark, sf_dir, name):
     df = registry.AUX_QUERIES[name](spark, sf_dir)
