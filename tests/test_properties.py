@@ -194,3 +194,58 @@ def test_md5_long_and_rolling_hash_agree(spark, texts):
     }
     con.close()
     assert sp == dk
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                       # user_id
+            st.integers(0, 72 * 3600 - 1),           # offset seconds in 3 days
+            st.booleans(),                           # snap to the exact hour?
+            st.integers(0, 99_999),                  # value cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_resample_gapfill_spark_duckdb_agree(spark, tmp_path_factory, evs):
+    """Gap-fill/forward-fill over arbitrary event sets — including events
+    exactly on hour boundaries — matches the DuckDB oracle (date_trunc,
+    generate_series spine, IGNORE NULLS locf all agree cross-engine)."""
+    import os
+
+    from mapreduce_grpc_spark import registry
+    from mapreduce_grpc_spark.catalog import TABLES
+    from mapreduce_grpc_spark.operators.windows import resample_events
+    from tests.oracle import assert_oracle_match
+
+    d = tmp_path_factory.mktemp("resample_fuzz")
+    sf_src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    for t in TABLES:
+        src = f"{sf_src}/{t}.parquet"
+        if t != "events" and os.path.exists(src):
+            os.symlink(src, d / f"{t}.parquet")
+    rows = []
+    for eid, (user, off, snap, cents) in enumerate(evs):
+        if snap:
+            off = (off // 3600) * 3600
+        rows.append((eid, off, user, cents / 100.0))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (event_id BIGINT, off BIGINT, user_id BIGINT, value DOUBLE)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?, ?)", rows)
+    con.execute(
+        f"""COPY (SELECT event_id,
+                         TIMESTAMP '2024-01-01' + to_seconds(off) AS ts,
+                         user_id, 'click' AS event_type, value,
+                         '{{}}' AS props
+                  FROM e)
+            TO '{d}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    assert_oracle_match(
+        resample_events(spark, str(d)),
+        registry.AUX_ORACLES["resample_events"],
+        str(d),
+        "resample_fuzz",
+    )
