@@ -175,26 +175,50 @@ def _minhash_aggs() -> list[Column]:
     ]
 
 
+def minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, n, mh0..mh{N-1}) signature relation, STAGED.
+
+    One row per document — tiny at any corpus size — consumed by the
+    minhash_signatures query, the pair-graph build, and every
+    dedup_incremental ingest call, so the signature aggregation runs once
+    per corpus instead of once per consumer.  Builds from the staged
+    shingle-hash relation (one more small aggregate, not a corpus re-read).
+    """
+
+    def build() -> DataFrame:
+        return (
+            shingle_hashes(spark, sf_dir)
+            .groupBy("doc_id", "n")
+            .agg(*_minhash_aggs())
+        )
+
+    return staged_parquet(
+        spark,
+        sf_dir,
+        "minhash_sig",
+        build,
+        params=f"v1-n{SHINGLE_N}-p{MOD_P}-h{N_HASHES}-seed42",
+    )
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature (the LSH building block), as columns.
 
     One scan -> explode distinct shingle hashes -> groupBy(doc) with
     N_HASHES min() aggregates.  The only shuffle is the tiny signature
     aggregation (partial mins computed map-side); the text itself never
-    shuffles.  Reads the staged shingle_hashes table when staging is on.
+    shuffles.  Reads the staged signature table when staging is on.
     """
-    ex = (
-        shingle_hashes(spark, sf_dir)
+    sig = (
+        minhash_sig_table(spark, sf_dir)
         if staging_enabled()
         else _hashed_exploded(spark, sf_dir)
-    )
-    return (
-        ex.groupBy("doc_id", "n")
+        .groupBy("doc_id", "n")
         .agg(*_minhash_aggs())
-        .select(
-            "doc_id", F.col("n").cast("int").alias("n_shingles"),
-            *[F.col(f"mh{i}") for i in range(N_HASHES)],
-        )
+    )
+    return sig.select(
+        "doc_id", F.col("n").cast("int").alias("n_shingles"),
+        *[F.col(f"mh{i}") for i in range(N_HASHES)],
     )
 
 
@@ -346,7 +370,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         ex = shingle_hashes(spark, sf_dir)
-        sig = ex.groupBy("doc_id", "n").agg(*_minhash_aggs())
+        sig = minhash_sig_table(spark, sf_dir)
         return _jaccard_verified(ex, _band_pairs(sig))
 
     return staged_parquet(
@@ -508,9 +532,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     if staging_enabled():
         ex = shingle_hashes(spark, sf_dir)
+        sig = minhash_sig_table(spark, sf_dir)
     else:
         ex = _hashed_exploded(spark, sf_dir).persist()
-    sig = ex.groupBy("doc_id", "n").agg(*_minhash_aggs())
+        sig = ex.groupBy("doc_id", "n").agg(*_minhash_aggs())
     bands = _band_keys(sig)
     is_batch = (F.col("doc_id") % INC_MOD) == INC_SLOT
     batch_bands = bands.filter(is_batch)
