@@ -781,6 +781,102 @@ def _table_stats_sql() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix
+# ---------------------------------------------------------------------------
+
+_CORR_DEC = "decimal(38,6)"
+_CORR_DEC_SQL = "DECIMAL(38,6)"
+
+
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation for every pair of lineitem measure columns.
+
+    The statistical-aggregate family done the cross-engine-deterministic
+    way: built-in ``corr``/``covar`` accumulate floats in partition order
+    (answers drift between engines and between runs), so instead ONE pass
+    collects exact DECIMAL moments (Σx, Σx², Σxy — order-independent by
+    construction) and the correlation is assembled from them in a fixed
+    double-arithmetic expression, rounded to 8 decimals.  Map-side partial
+    aggregation makes the shuffle O(1) rows; ``stack`` unpivots the
+    single moment row into one row per column pair.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n")]
+    for c in STATS_COLS:
+        aggs.append(F.sum(F.col(c).cast(_CORR_DEC)).alias(f"s_{c}"))
+    for i, x in enumerate(STATS_COLS):
+        for y in STATS_COLS[i:]:
+            aggs.append(
+                F.sum((F.col(x) * F.col(y)).cast(_CORR_DEC)).alias(f"p_{x}_{y}")
+            )
+    one = li.agg(*aggs)
+
+    def corr_expr(x: str, y: str) -> F.Column:
+        n = F.col("n").cast("double")
+        sx = F.col(f"s_{x}").cast("double")
+        sy = F.col(f"s_{y}").cast("double")
+        sxx = F.col(f"p_{x}_{x}").cast("double")
+        syy = F.col(f"p_{y}_{y}").cast("double")
+        sxy = F.col(f"p_{x}_{y}").cast("double")
+        return F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            8,
+        )
+
+    pairs = [
+        (x, y)
+        for i, x in enumerate(STATS_COLS)
+        for y in STATS_COLS[i + 1 :]
+    ]
+    sel = one.select(
+        "n",
+        *[corr_expr(x, y).alias(f"c_{x}_{y}") for x, y in pairs],
+    )
+    stack_args = ", ".join(f"'{x}', '{y}', c_{x}_{y}" for x, y in pairs)
+    return sel.selectExpr(
+        "n",
+        f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, corr)",
+    ).select("col_x", "col_y", F.col("n").alias("n_rows"), "corr")
+
+
+def _corr_matrix_sql() -> str:
+    aggs = ["count(*) AS n"]
+    for c in STATS_COLS:
+        aggs.append(f"sum(CAST({c} AS {_CORR_DEC_SQL})) AS s_{c}")
+    for i, x in enumerate(STATS_COLS):
+        for y in STATS_COLS[i:]:
+            aggs.append(
+                f"sum(CAST({x} * {y} AS {_CORR_DEC_SQL})) AS p_{x}_{y}"
+            )
+
+    def arm(x: str, y: str) -> str:
+        n = "CAST(n AS DOUBLE)"
+        sx, sy = f"CAST(s_{x} AS DOUBLE)", f"CAST(s_{y} AS DOUBLE)"
+        sxx, syy = (
+            f"CAST(p_{x}_{x} AS DOUBLE)",
+            f"CAST(p_{y}_{y} AS DOUBLE)",
+        )
+        sxy = f"CAST(p_{x}_{y} AS DOUBLE)"
+        return (
+            f"SELECT '{x}' AS col_x, '{y}' AS col_y, n AS n_rows, "
+            f"round(({n} * {sxy} - {sx} * {sy}) / "
+            f"sqrt(({n} * {sxx} - {sx} * {sx}) * ({n} * {syy} - {sy} * {sy})), 8) "
+            "AS corr FROM agg"
+        )
+
+    arms = [
+        arm(x, y)
+        for i, x in enumerate(STATS_COLS)
+        for y in STATS_COLS[i + 1 :]
+    ]
+    return (
+        "WITH agg AS (SELECT " + ", ".join(aggs) + " FROM lineitem) "
+        + " UNION ALL ".join(arms)
+    )
+
+
 QUERIES = {
     "per_key_agg": per_key_agg,
     "distinct_count": distinct_count,
@@ -832,9 +928,11 @@ AUX_QUERIES = {
     "group_percentiles_approx": group_percentiles_approx,
     "numeric_histogram": numeric_histogram,
     "table_stats": table_stats,
+    "corr_matrix": corr_matrix,
 }
 
 AUX_ORACLES = {
     "numeric_histogram": NUMERIC_HISTOGRAM_SQL,
     "table_stats": _table_stats_sql(),
+    "corr_matrix": _corr_matrix_sql(),
 }

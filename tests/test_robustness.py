@@ -48,6 +48,11 @@ def test_query_survives_empty_input(spark, empty_sf, name):
         assert {(r.n_rows, r.n_nonnull, r.n_distinct) for r in rows} == {(0, 0, 0)}
         assert all(r.min_val is None and r.max_val is None for r in rows)
         return
+    if name == "corr_matrix":
+        # same shape: one row per pair, zero count, undefined (null) corr
+        rows = fn(spark, empty_sf).collect()
+        assert {(r.n_rows, r.corr) for r in rows} == {(0, None)}
+        return
     assert fn(spark, empty_sf).count() == 0
 
 

@@ -443,6 +443,7 @@ def test_decontaminate_flags_planted_copy(spark, tmp_path):
         "resample_events",
         "numeric_histogram",
         "table_stats",
+        "corr_matrix",
     ],
 )
 def test_round3_aux_oracle_parity(spark, sf_dir, name):
@@ -507,6 +508,21 @@ def test_bm25_ranking_invariants(spark, sf_dir):
         if any(w in r.text.split() for w in BM25_QUERY)
     }
     assert all(r.doc_id in docs for r in rows)
+
+
+def test_corr_matrix_tracks_builtin_corr(spark, sf_dir):
+    """The DECIMAL-moment correlation must agree with Spark's built-in
+    (float-accumulating) corr to well past the rounding precision."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_grpc_spark.operators.relational import corr_matrix
+
+    rows = corr_matrix(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    for r in rows:
+        builtin = li.agg(F.corr(r.col_x, r.col_y)).collect()[0][0]
+        assert abs(r.corr - builtin) < 1e-6, (r.col_x, r.col_y)
+        assert -1.0 <= r.corr <= 1.0
 
 
 def test_pandas_grouped_agg_matches_jvm_aggregation(spark, sf_dir):
