@@ -364,11 +364,65 @@ WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {NEARDUP_COS_THRESHOLD}
 """
 
 
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding column: count, DECIMAL-exact
+    mean, min, max.
+
+    The normalization-stats primitive an ML pipeline computes before
+    whitening / scaling a vector column (and the sanity check that no
+    dimension is dead or exploding).  ``posexplode`` flattens rows to
+    (dim, value) in the scan stage; the per-dim aggregation shuffles
+    O(dim x partitions) partial rows — independent of corpus size.  Float
+    values widen to double losslessly; the mean routes through DECIMAL so
+    accumulation order cannot drift between engines.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).select("dim", F.col("val").cast("double").alias("v"))
+    flat = flat.withColumn("dim", F.col("dim").cast("bigint"))
+    return flat.groupBy("dim").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(38,8)")).cast("double")
+            / F.count("*"),
+            8,
+        ).alias("mean_val"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+    )
+
+
+EMBEDDING_STATS_SQL = """
+SELECT dim, count(*) AS n_vecs,
+       round(CAST(sum(CAST(v AS DECIMAL(38,8))) AS DOUBLE) / count(*), 8)
+         AS mean_val,
+       min(v) AS min_val,
+       max(v) AS max_val
+FROM (
+  SELECT u.dim, u.v
+  FROM embeddings,
+       unnest(list_transform(embedding,
+                             (x, i) -> {'dim': i - 1, 'v': CAST(x AS DOUBLE)}))
+         AS t(u)
+) flat
+GROUP BY dim
+"""
+
+
 QUERIES = {
     "similarity_topk": similarity_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ivf_topk": ivf_topk,
     "dedup_embedding": dedup_embedding,
+}
+
+AUX_QUERIES = {
+    "embedding_stats": embedding_stats,
+}
+
+AUX_ORACLES = {
+    "embedding_stats": EMBEDDING_STATS_SQL,
 }
 
 ORACLES = {

@@ -444,6 +444,7 @@ def test_decontaminate_flags_planted_copy(spark, tmp_path):
         "numeric_histogram",
         "table_stats",
         "corr_matrix",
+        "embedding_stats",
     ],
 )
 def test_round3_aux_oracle_parity(spark, sf_dir, name):
