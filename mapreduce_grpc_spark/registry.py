@@ -68,6 +68,7 @@ def _load() -> None:
     # verified surface (these are all required modules).
     from .compat import mapreduce as compat_mapreduce
     from .operators import (
+        behavior,
         curation,
         dedup,
         grouped,
@@ -98,6 +99,7 @@ def _load() -> None:
         sampling,
         curation,
         streaming_dedup,
+        behavior,
     ):
         _register(mod)
     if len(QUERIES) > MAX_CONTRACT_QUERIES:
