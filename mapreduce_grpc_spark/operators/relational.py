@@ -919,6 +919,73 @@ ORACLES = {
     "window_analytic": WINDOW_ANALYTIC_SQL,
 }
 
+# ---------------------------------------------------------------------------
+# CDC merge / upsert (MERGE INTO latest-wins semantics)
+# ---------------------------------------------------------------------------
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC batch (updates + inserts) onto ``orders``, latest-wins.
+
+    The batch is derived deterministically from the fixture so the oracle
+    can rebuild it: keys ``o_orderkey % 100 < 10`` become updates (status
+    'U', price bumped), keys ``% 100 >= 95`` become inserts under fresh
+    keys.  The merge itself is the 100 TB MERGE INTO shape: the base table
+    is **anti-joined against a broadcast of the batch's keys** (row-local,
+    no shuffle of the base — the batch is small relative to the table by
+    assumption, as in any CDC apply) and the batch is unioned on top.
+    The naive alternative — union + row_number() over key — shuffles the
+    entire base on the primary key; this plan touches base rows only in
+    the scan and never re-partitions them.  Delta/Iceberg engines add file
+    pruning on top; the join shape is the same.
+    """
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        base.filter(F.col("o_orderkey") % 100 < 10)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.5))
+    )
+    inserts = base.filter(F.col("o_orderkey") % 100 >= 95).select(
+        (F.col("o_orderkey") + F.lit(1000000000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    batch = updates.unionByName(inserts)
+    kept = base.join(
+        F.broadcast(batch.select("o_orderkey")), "o_orderkey", "left_anti"
+    )
+    return kept.withColumn("src", F.lit("base")).unionByName(
+        batch.withColumn("src", F.lit("batch"))
+    )
+
+
+MERGE_UPSERT_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+),
+updates AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 1.5 AS o_totalprice
+  FROM base WHERE o_orderkey % 100 < 10
+),
+inserts AS (
+  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+         'N' AS o_orderstatus, o_totalprice
+  FROM base WHERE o_orderkey % 100 >= 95
+),
+batch AS (
+  SELECT * FROM updates UNION ALL SELECT * FROM inserts
+)
+SELECT b.*, 'base' AS src FROM base b
+WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+UNION ALL
+SELECT *, 'batch' AS src FROM batch
+"""
+
+
 # Implemented-and-benchmarked but deliberately outside the driver contract:
 # sketch-based results have no hashable DuckDB oracle (registering them
 # would record a permanent no-oracle err row).  Correctness is bounded in
@@ -929,10 +996,12 @@ AUX_QUERIES = {
     "numeric_histogram": numeric_histogram,
     "table_stats": table_stats,
     "corr_matrix": corr_matrix,
+    "merge_upsert": merge_upsert,
 }
 
 AUX_ORACLES = {
     "numeric_histogram": NUMERIC_HISTOGRAM_SQL,
     "table_stats": _table_stats_sql(),
     "corr_matrix": _corr_matrix_sql(),
+    "merge_upsert": MERGE_UPSERT_SQL,
 }
