@@ -1,0 +1,278 @@
+"""Corpus-quality scoring beyond row-local signals: n-gram repetition
+statistics (Gopher-style) and unigram-LM log-probability scoring.
+
+These are the two classic pre-training quality gates the row-local
+``text_quality`` signals can't express: repetition needs within-document
+n-gram frequency (Rae et al. 2021, "Scaling Language Models" §A.1.1's
+repetition filters), and LM scoring needs a corpus-level token
+distribution (the CCNet / fastText-era "perplexity under a reference LM"
+gate, here with the corpus itself as the unigram reference).  The
+reference engine has no analysis operators at all (SURVEY.md §2.B — its
+only verbs are map/emit/reduce, /root/reference/external/include/
+mr_task_factory.h:20-38), but both shapes are classic MapReduce: per-doc
+gram counting is a doc-keyed reduce, the LM is a token-keyed reduce
+joined back to the corpus.
+
+Cross-engine determinism:
+
+- Repetition fractions are exact ``BIGINT / BIGINT`` divisions done once
+  per row in double — bit-identical across engines.
+- Log-probabilities are quantized to integer micro-nats
+  (``round(ln(cnt / total) * 1e8)`` as BIGINT) *before* any aggregation,
+  so per-doc sums are exact integer arithmetic — order-independent,
+  hash-stable — and only the final per-row division returns to double.
+  (Same playbook as tfidf's ``round(ln(x), 8)``, operators/text.py:362,
+  hardened one step further because these values are summed.)
+
+Scale (100 TB corpus):
+
+- Every aggregation is keyed by ``doc_id`` or by token — partial
+  aggregation collapses within-partition duplicates map-side before
+  either shuffle; no window functions, no driver state.
+- N-grams are built row-locally with array ``transform`` in the scan
+  stage (no posexplode+window shuffle-and-sort pass; for *per-doc* stats
+  the exploded rows of a doc are already co-located, so partial agg does
+  the heavy lifting).
+- The unigram vocabulary relation is Zipf-compact after its group-by; the
+  doc-term ⋈ vocab join is keyed by token on two already-token-partitioned
+  sides (exchange reuse), and the corpus-total scalar is a broadcast.
+- Overflow headroom: micro-nat magnitudes are < 4e9; a per-doc sum
+  ``c * lp_u`` stays inside int64 for documents up to ~1e8 tokens — far
+  beyond any real document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.textfns import tokens, tokens_sql
+
+# Gopher-style keep thresholds (token-position-based adaptation)
+MAX_TOP2GRAM_FRAC = 0.20
+MAX_DUP5GRAM_FRAC = 0.30
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram repetition signals + a keep flag.
+
+    - ``top2gram_frac``: the fraction of bigram positions occupied by the
+      document's single most frequent bigram (modal-bigram share).
+    - ``dup5gram_frac``: the fraction of 5-gram positions whose 5-gram
+      occurs more than once within the document.
+
+    Both are the token-position form of Gopher's repetition filters
+    (character-coverage in the paper; position-share here keeps the
+    statistic an exact integer ratio).  ``keep`` applies the standard
+    thresholds.  Documents too short to have a bigram (or 5-gram) score
+    0.0 on that signal — too-short is not repetitive.
+    """
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", tokens("text").alias("tk")
+    ).withColumn("n_tokens", F.size("tk").cast("long"))
+
+    # row-local gram construction: slice to the last valid start index,
+    # index the token array 0-based inside transform
+    g2 = F.expr(
+        "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), "
+        "(x, i) -> concat(x, ' ', tk[i + 1]))"
+    )
+    g5 = F.expr(
+        "transform(slice(tk, 1, greatest(size(tk) - 4, 0)), "
+        "(x, i) -> concat_ws(' ', x, tk[i+1], tk[i+2], tk[i+3], tk[i+4]))"
+    )
+
+    top2 = (
+        base.select("doc_id", F.explode(g2).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top2_cnt"))
+    )
+    dup5 = (
+        base.select("doc_id", F.explode(g5).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
+            .alias("dup5_cnt")
+        )
+    )
+
+    joined = (
+        base.select("doc_id", "n_tokens")
+        .join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("top2_cnt", F.lit(0)).cast("long").alias("top2_cnt"),
+            F.coalesce("dup5_cnt", F.lit(0)).cast("long").alias("dup5_cnt"),
+        )
+    )
+    top2_frac = F.when(
+        F.col("n_tokens") >= 2,
+        F.col("top2_cnt").cast("double") / (F.col("n_tokens") - 1),
+    ).otherwise(F.lit(0.0))
+    dup5_frac = F.when(
+        F.col("n_tokens") >= 5,
+        F.col("dup5_cnt").cast("double") / (F.col("n_tokens") - 4),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "top2_cnt",
+        "dup5_cnt",
+        top2_frac.alias("top2gram_frac"),
+        dup5_frac.alias("dup5gram_frac"),
+        (
+            (top2_frac <= F.lit(MAX_TOP2GRAM_FRAC))
+            & (dup5_frac <= F.lit(MAX_DUP5GRAM_FRAC))
+        ).alias("keep"),
+    )
+
+
+REPETITION_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {tokens_sql('text')} AS w FROM documents
+),
+nt AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM base
+),
+c2 AS (
+  SELECT doc_id, max(cnt) AS top2_cnt FROM (
+    SELECT doc_id, gram, count(*) AS cnt FROM (
+      SELECT doc_id,
+             unnest(list_transform(w[1:greatest(len(w) - 1, 0)],
+                    (x, i) -> concat(x, ' ', w[i + 1]))) AS gram
+      FROM base
+    ) g GROUP BY doc_id, gram
+  ) c GROUP BY doc_id
+),
+c5 AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup5_cnt
+  FROM (
+    SELECT doc_id, gram, count(*) AS cnt FROM (
+      SELECT doc_id,
+             unnest(list_transform(w[1:greatest(len(w) - 4, 0)],
+                    (x, i) -> concat_ws(' ', x, w[i+1], w[i+2], w[i+3],
+                                        w[i+4]))) AS gram
+      FROM base
+    ) g GROUP BY doc_id, gram
+  ) c GROUP BY doc_id
+),
+j AS (
+  SELECT nt.doc_id, nt.n_tokens,
+         CAST(coalesce(c2.top2_cnt, 0) AS BIGINT) AS top2_cnt,
+         CAST(coalesce(c5.dup5_cnt, 0) AS BIGINT) AS dup5_cnt
+  FROM nt LEFT JOIN c2 USING (doc_id) LEFT JOIN c5 USING (doc_id)
+)
+SELECT doc_id, n_tokens, top2_cnt, dup5_cnt,
+       CASE WHEN n_tokens >= 2
+            THEN CAST(top2_cnt AS DOUBLE) / (n_tokens - 1) ELSE 0.0 END
+         AS top2gram_frac,
+       CASE WHEN n_tokens >= 5
+            THEN CAST(dup5_cnt AS DOUBLE) / (n_tokens - 4) ELSE 0.0 END
+         AS dup5gram_frac,
+       (CASE WHEN n_tokens >= 2
+             THEN CAST(top2_cnt AS DOUBLE) / (n_tokens - 1) ELSE 0.0 END)
+         <= {MAX_TOP2GRAM_FRAC}
+       AND
+       (CASE WHEN n_tokens >= 5
+             THEN CAST(dup5_cnt AS DOUBLE) / (n_tokens - 4) ELSE 0.0 END)
+         <= {MAX_DUP5GRAM_FRAC}
+         AS keep
+FROM j
+"""
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean (and min) log-probability under the corpus's own
+    unigram LM — the cheap stand-in for reference-LM perplexity gating.
+
+    Pipeline: doc-term counts (token-keyed partial agg) -> corpus vocab
+    counts (second agg over the same key, exchange-reused) -> quantize
+    ``ln(cnt / total)`` to integer micro-nats -> join back by token ->
+    exact integer per-doc sums -> one double division per row.
+    """
+    docs = table(spark, sf_dir, "documents")
+    doc_w = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = doc_w.groupBy("w").agg(F.sum("c").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "w",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("total")) * F.lit(1e8), 0
+        )
+        .cast("long")
+        .alias("lp_u"),
+    )
+    per_doc = (
+        doc_w.join(lp, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lp_u")).alias("sum_lp_u"),
+            F.min("lp_u").alias("min_lp_u"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (
+            F.col("sum_lp_u").cast("double")
+            / F.lit(1e8)
+            / F.col("n_tokens")
+        ).alias("avg_logprob"),
+        (F.col("min_lp_u").cast("double") / F.lit(1e8)).alias("min_logprob"),
+    )
+
+
+UNIGRAM_LOGPROB_SQL = f"""
+WITH doc_w AS (
+  SELECT doc_id, w, count(*) AS c FROM (
+    SELECT doc_id, unnest({tokens_sql('text')}) AS w FROM documents
+  ) t GROUP BY doc_id, w
+),
+vocab AS (
+  SELECT w, CAST(sum(c) AS BIGINT) AS cnt FROM doc_w GROUP BY w
+),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab
+),
+lp AS (
+  SELECT w,
+         CAST(round(ln(CAST(cnt AS DOUBLE) / total) * 1e8, 0) AS BIGINT)
+           AS lp_u
+  FROM vocab, tot
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(c * lp_u) AS DOUBLE) / 1e8 / CAST(sum(c) AS BIGINT)
+         AS avg_logprob,
+       CAST(min(lp_u) AS DOUBLE) / 1e8 AS min_logprob
+FROM doc_w JOIN lp USING (w)
+GROUP BY doc_id
+"""
+
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+AUX_QUERIES = {
+    "repetition_stats": repetition_stats,
+    "unigram_logprob": unigram_logprob,
+}
+
+AUX_ORACLES = {
+    "repetition_stats": REPETITION_STATS_SQL,
+    "unigram_logprob": UNIGRAM_LOGPROB_SQL,
+}

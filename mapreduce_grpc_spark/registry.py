@@ -73,6 +73,7 @@ def _load() -> None:
         dedup,
         grouped,
         multimodal,
+        quality,
         relational,
         sampling,
         similarity,
@@ -100,6 +101,7 @@ def _load() -> None:
         curation,
         streaming_dedup,
         behavior,
+        quality,
     ):
         _register(mod)
     if len(QUERIES) > MAX_CONTRACT_QUERIES:

@@ -1,0 +1,141 @@
+"""Quality operators (repetition stats / unigram log-prob): oracle parity,
+structural invariants, and planted-document checks.
+
+AUX queries (the driver contract is at its 50-query cap), so the DuckDB
+hash check the driver would run lives here.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb as _duck
+import pytest
+
+from mapreduce_grpc_spark import registry
+from mapreduce_grpc_spark.catalog import TABLES
+from mapreduce_grpc_spark.operators.quality import (
+    MAX_DUP5GRAM_FRAC,
+    MAX_TOP2GRAM_FRAC,
+    repetition_stats,
+    unigram_logprob,
+)
+from tests.oracle import assert_oracle_match
+
+QUALITY = ["repetition_stats", "unigram_logprob"]
+
+
+@pytest.mark.parametrize("name", QUALITY)
+def test_quality_oracle_parity(spark, sf_dir, name):
+    df = registry.AUX_QUERIES[name](spark, sf_dir)
+    assert_oracle_match(df, registry.AUX_ORACLES[name], sf_dir, name)
+
+
+def test_repetition_fractions_bounded(spark, sf_dir):
+    """Position-share fractions live in [0, 1]; the keep flag is exactly
+    the thresholded conjunction; every fixture doc is scored."""
+    from mapreduce_grpc_spark.catalog import table
+
+    rows = repetition_stats(spark, sf_dir).collect()
+    assert len(rows) == table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert 0.0 <= r.top2gram_frac <= 1.0, r
+        assert 0.0 <= r.dup5gram_frac <= 1.0, r
+        assert r.keep == (
+            r.top2gram_frac <= MAX_TOP2GRAM_FRAC
+            and r.dup5gram_frac <= MAX_DUP5GRAM_FRAC
+        ), r
+
+
+def _fake_docs_dir(tmp_path, sf_dir, rows_sql):
+    fake_sf = tmp_path / "sf_fake"
+    fake_sf.mkdir()
+    for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        if t != "documents" and os.path.exists(src):
+            os.symlink(src, fake_sf / f"{t}.parquet")
+    con = _duck.connect()
+    con.execute(f"COPY ({rows_sql}) TO '{fake_sf}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(fake_sf)
+
+
+def test_repetition_planted_docs(spark, tmp_path, sf_dir):
+    """Hand-checkable documents: a pathological repeater, a clean doc, and
+    a too-short doc."""
+    fake_sf = _fake_docs_dir(
+        tmp_path,
+        sf_dir,
+        """
+        SELECT 1 AS doc_id, 'spam ham spam ham spam ham spam ham' AS text,
+               'en' AS lang, 's' AS source, 35 AS n_chars
+        UNION ALL SELECT 2, 'one two three four five six seven eight', 'en', 's', 39
+        UNION ALL SELECT 3, 'tiny', 'en', 's', 4
+        """,
+    )
+    rows = {r.doc_id: r for r in repetition_stats(spark, fake_sf).collect()}
+    # doc 1: 8 tokens, 7 bigrams = 4x "spam ham" + 3x "ham spam"
+    assert rows[1].n_tokens == 8
+    assert rows[1].top2_cnt == 4
+    assert rows[1].top2gram_frac == pytest.approx(4 / 7)
+    # all 4 5-gram positions hold a 5-gram that repeats? 5-grams:
+    # (spam ham spam ham spam) x2, (ham spam ham spam ham) x2 -> all dup
+    assert rows[1].dup5gram_frac == 1.0
+    assert not rows[1].keep
+    # doc 2: all tokens distinct -> modal bigram count 1, no dup 5-grams
+    assert rows[2].top2_cnt == 1
+    assert rows[2].dup5gram_frac == 0.0
+    assert rows[2].keep
+    # doc 3: one token -> no bigrams, defined as non-repetitive
+    assert rows[3].top2_cnt == 0
+    assert rows[3].top2gram_frac == 0.0
+    assert rows[3].keep
+    assert_oracle_match(
+        repetition_stats(spark, fake_sf),
+        registry.AUX_ORACLES["repetition_stats"],
+        fake_sf,
+        "repetition_stats_synthetic",
+    )
+
+
+def test_unigram_logprob_invariants(spark, sf_dir):
+    """avg/min log-probs are <= 0, min <= avg, and a doc of rarer tokens
+    scores lower than one of common tokens (sanity on the fixture)."""
+    rows = unigram_logprob(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.avg_logprob <= 1e-12, r
+        assert r.min_logprob <= r.avg_logprob + 1e-12, r
+        assert r.n_tokens > 0
+
+
+def test_unigram_logprob_planted(spark, tmp_path, sf_dir):
+    """Three-doc corpus with a hand-computable unigram distribution."""
+    fake_sf = _fake_docs_dir(
+        tmp_path,
+        sf_dir,
+        """
+        SELECT 1 AS doc_id, 'a a a b' AS text, 'en' AS lang, 's' AS source,
+               7 AS n_chars
+        UNION ALL SELECT 2, 'a a a a', 'en', 's', 7
+        UNION ALL SELECT 3, 'b c', 'en', 's', 3
+        """,
+    )
+    # corpus: a=7, b=2, c=1, total=10
+    lp = {w: math.log(c / 10) for w, c in {"a": 7, "b": 2, "c": 1}.items()}
+    q = lambda x: round(x * 1e8) / 1e8  # micro-nat quantization
+    rows = {r.doc_id: r for r in unigram_logprob(spark, fake_sf).collect()}
+    assert rows[1].avg_logprob == pytest.approx(
+        (3 * q(lp["a"]) + q(lp["b"])) / 4, abs=1e-9
+    )
+    assert rows[2].avg_logprob == pytest.approx(q(lp["a"]), abs=1e-9)
+    assert rows[3].min_logprob == pytest.approx(q(lp["c"]), abs=1e-9)
+    # doc of common tokens scores higher than the rare-token doc
+    assert rows[2].avg_logprob > rows[3].avg_logprob
+    assert_oracle_match(
+        unigram_logprob(spark, fake_sf),
+        registry.AUX_ORACLES["unigram_logprob"],
+        fake_sf,
+        "unigram_logprob_synthetic",
+    )
