@@ -55,6 +55,26 @@ def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / sqrt({norm_sq_sql(a)} * {norm_sq_sql(b)}))"
 
 
+def sq_l2(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance (same bit-parity rationale as
+    :func:`dot`: fixed left-to-right association in both engines)."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def sq_l2_sql(a: str, b: str) -> str:
+    d = f"(CAST(x AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform({a}, "
+        f"(x, i) -> {d} * {d})), (s, v) -> s + v)"
+    )
+
+
 def cosine_arrow(a: Column, b: Column) -> Column:
     """Arrow-batched numpy cosine, rounded to 8 dp — the 100 TB path.
 

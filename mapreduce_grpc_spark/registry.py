@@ -69,6 +69,7 @@ def _load() -> None:
     from .compat import mapreduce as compat_mapreduce
     from .operators import (
         behavior,
+        clustering,
         curation,
         dedup,
         grouped,
@@ -102,6 +103,7 @@ def _load() -> None:
         streaming_dedup,
         behavior,
         quality,
+        clustering,
     ):
         _register(mod)
     if len(QUERIES) > MAX_CONTRACT_QUERIES:

@@ -1,0 +1,104 @@
+"""K-means operator: oracle parity, Lloyd-improvement invariant, and a
+planted well-separated-clusters check.
+
+AUX query (the driver contract is at its 50-query cap), so the DuckDB
+hash check the driver would run lives here.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb as _duck
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_grpc_spark import registry
+from mapreduce_grpc_spark.catalog import TABLES, table
+from mapreduce_grpc_spark.operators.clustering import (
+    K,
+    _assign,
+    _update,
+    kmeans_clusters,
+)
+from tests.oracle import assert_oracle_match
+
+
+def test_kmeans_oracle_parity(spark, sf_dir):
+    df = kmeans_clusters(spark, sf_dir)
+    assert_oracle_match(
+        df, registry.AUX_ORACLES["kmeans_clusters"], sf_dir, "kmeans_clusters"
+    )
+
+
+def test_kmeans_partition_and_bounds(spark, sf_dir):
+    """Every vector gets exactly one cluster in [0, K); distances >= 0."""
+    emb = table(spark, sf_dir, "embeddings")
+    df = kmeans_clusters(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == emb.count()
+    assert len({r.vec_id for r in rows}) == len(rows)
+    for r in rows:
+        assert 0 <= r.cluster < K
+        assert r.dist_sq >= 0.0
+
+
+def test_kmeans_lloyd_monotone_improvement(spark, sf_dir):
+    """The mean squared distance after the centroid update (pass 2) is <=
+    after the init assignment (pass 1) — Lloyd's objective never worsens."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    expl = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent0 = emb.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("k"), F.col("embedding").alias("carr")
+    )
+    a1 = _assign(emb, cent0)
+    a2 = _assign(emb, _update(expl, a1))
+    sse1 = a1.agg(F.sum("dist_sq")).collect()[0][0]
+    sse2 = a2.agg(F.sum("dist_sq")).collect()[0][0]
+    assert sse2 <= sse1 + 1e-9
+
+
+def test_kmeans_planted_separated_clusters(spark, tmp_path, sf_dir):
+    """Vectors drawn from K tight, far-apart blobs must be grouped with
+    their blob-mates regardless of which blob each init centroid hit."""
+    fake_sf = tmp_path / "sf_fake"
+    fake_sf.mkdir()
+    for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        if t != "embeddings" and os.path.exists(src):
+            os.symlink(src, fake_sf / f"{t}.parquet")
+    # K blobs at 100*b along axis b; members offset by 0.1 * (i+1).
+    # vec_ids 0..K-1 are one member of each blob (deterministic init =
+    # one centroid per blob), then 3 more members per blob.
+    rows = []
+    for b in range(K):
+        for i in range(4):
+            vec = [0.0] * 8
+            vec[b] = 100.0 + 0.1 * i
+            rows.append((b if i == 0 else K + b * 3 + (i - 1), b, vec))
+    con = _duck.connect()
+    con.execute("CREATE TABLE e (vec_id BIGINT, label INTEGER, embedding FLOAT[])")
+    con.executemany(
+        "INSERT INTO e VALUES (?, ?, ?)", [(v, b, vec) for v, b, vec in rows]
+    )
+    con.execute(
+        "COPY (SELECT vec_id, embedding, label FROM e ORDER BY vec_id) TO "
+        f"'{fake_sf}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    got = {r.vec_id: r.cluster for r in kmeans_clusters(spark, str(fake_sf)).collect()}
+    blob = {v: b for v, b, _ in rows}
+    # all members of a blob share a cluster, and distinct blobs differ
+    by_blob = {}
+    for v, c in got.items():
+        by_blob.setdefault(blob[v], set()).add(c)
+    assert all(len(cs) == 1 for cs in by_blob.values()), by_blob
+    assert len({next(iter(cs)) for cs in by_blob.values()}) == K
+    assert_oracle_match(
+        kmeans_clusters(spark, str(fake_sf)),
+        registry.AUX_ORACLES["kmeans_clusters"],
+        str(fake_sf),
+        "kmeans_clusters_synthetic",
+    )
