@@ -84,6 +84,7 @@ def _load() -> None:
     )
     from .streaming import dedup as streaming_dedup
     from .streaming import events as streaming_events
+    from .streaming import joins as streaming_joins
     from .streaming import sessionize as streaming_sessionize
 
     for mod in (
@@ -104,6 +105,7 @@ def _load() -> None:
         behavior,
         quality,
         clustering,
+        streaming_joins,
     ):
         _register(mod)
     if len(QUERIES) > MAX_CONTRACT_QUERIES:

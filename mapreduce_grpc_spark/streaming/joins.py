@@ -1,0 +1,112 @@
+"""Stream-stream interval join: view events ⋈ purchase events within 1 h.
+
+The last Structured Streaming surface in the engine's matrix (stateless
+transforms, windowed aggs, stateful sessionize, bounded-state dedup,
+stream-static enrich — and now the double-ended stateful join).  The
+reference engine cannot express this at all: its barrier model
+(/root/reference/src/master.h:297-299) requires both inputs finished
+before any reduce; a stream-stream join is precisely the workload where
+neither input ever finishes.
+
+Semantics: an attribution join — each ``view`` pairs with every
+``purchase`` by the same user strictly after it and within
+``ATTRIBUTION_WINDOW``.  Both sides carry watermarks, so the state store
+evicts views once no purchase can still arrive inside the window
+(Spark derives the view-side retention from the join's time bound plus
+the purchase watermark) — bounded state on unbounded streams.
+
+At 100 TB-a-day scale the join key is (user_id, time-bucket): Spark
+hash-partitions both streams by the equality keys, so the state store
+shards by user across executors; the range predicate prunes within a
+shard.  Skewed users are the same salting problem as the batch joins
+(functions/skew.py).  ``AvailableNow`` + append mode here makes the
+streaming answer equal to the batch interval join, which is exactly what
+the DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .events import _events_stream, _stateful_shuffle_partitions
+
+ATTRIBUTION_WINDOW = "1 hour"
+WATERMARK_DELAY = "2 hours"
+
+
+def run_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the view->purchase attribution join to completion."""
+    name = f"stream_ijoin_{uuid.uuid4().hex[:8]}"
+    with _stateful_shuffle_partitions(spark):
+        views = (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "view")
+            .select(
+                "user_id",
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", WATERMARK_DELAY)
+        )
+        purchases = (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+                "value",
+            )
+            .withWatermark("purchase_ts", WATERMARK_DELAY)
+        )
+        joined = views.join(
+            purchases,
+            [
+                views.user_id == purchases.user_id,
+                purchases.purchase_ts > views.view_ts,
+                purchases.purchase_ts
+                <= views.view_ts + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}"),
+            ],
+        ).select(
+            views.user_id,
+            "view_id",
+            "purchase_id",
+            # integer milliseconds: exact cross-engine (no fractional-second
+            # rounding divergence between epoch casts)
+            (
+                F.unix_millis("purchase_ts") - F.unix_millis("view_ts")
+            ).alias("lag_ms"),
+            "value",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+STREAMING_INTERVAL_JOIN_SQL = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       epoch_ms(p.ts) - epoch_ms(v.ts) AS lag_ms,
+       p.value
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+AUX_QUERIES = {"streaming_interval_join": run_streaming_interval_join}
+AUX_ORACLES = {"streaming_interval_join": STREAMING_INTERVAL_JOIN_SQL}

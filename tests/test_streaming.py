@@ -176,3 +176,33 @@ def test_streaming_enrich_equals_batch_join(spark, sf_dir):
     assert_oracle_match(
         df, registry.AUX_ORACLES["streaming_enrich"], sf_dir, "streaming_enrich"
     )
+
+
+def test_streaming_interval_join_equals_batch(spark, sf_dir):
+    """The stream-stream attribution join's append-mode output equals the
+    batch interval join, hash-checked against the DuckDB oracle."""
+    from mapreduce_grpc_spark import registry
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["streaming_interval_join"](spark, sf_dir)
+    assert_oracle_match(
+        df,
+        registry.AUX_ORACLES["streaming_interval_join"],
+        sf_dir,
+        "streaming_interval_join",
+    )
+
+
+def test_streaming_interval_join_causal_and_bounded(spark, sf_dir):
+    """Every emitted pair is strictly causal and within the attribution
+    window; pairs are unique per (view, purchase)."""
+    from mapreduce_grpc_spark import registry
+
+    rows = registry.AUX_QUERIES["streaming_interval_join"](spark, sf_dir).collect()
+    assert rows, "fixture has view->purchase pairs"
+    seen = set()
+    for r in rows:
+        assert 0 < r.lag_ms <= 3_600_000, r
+        key = (r.view_id, r.purchase_id)
+        assert key not in seen
+        seen.add(key)
