@@ -94,3 +94,143 @@ def compact(
         raise
     shutil.rmtree(backup)
     return data_file_count(path, fmt)
+
+
+# ---------------------------------------------------------------------------
+# MERGE upsert + incremental rollup refresh (partition-overwrite mutations)
+# ---------------------------------------------------------------------------
+
+from contextlib import contextmanager  # noqa: E402
+
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+@contextmanager
+def _dynamic_partition_overwrite(spark: SparkSession):
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str,
+) -> int:
+    """MERGE semantics onto a partitioned parquet table: rows in ``updates``
+    replace target rows with the same key, new keys are inserted.
+
+    Plain parquet has no row-level transaction log, so the scalable merge
+    is rewrite-only-affected-partitions: list the partitions the batch
+    touches (one bounded ``collect`` of distinct partition values — the
+    batch's partition count, not its rows), anti-join those partitions'
+    rows against the update keys, union the updates, and publish with
+    DYNAMIC partition overwrite so untouched partitions are never
+    rewritten or even read.  This is the parquet-native shape of
+    Delta/Iceberg ``MERGE INTO`` with partition-level granularity; at
+    100 TB the cost scales with the touched partitions, not the table.
+
+    Requires the updates to carry ``partition_col``.  An updated row may
+    move partitions only if its new partition is also in the batch (true
+    by construction: the row's new partition value is in ``updates``); its
+    OLD partition copy is removed only when that partition is touched too,
+    so key-stable partition columns (dates derived from immutable event
+    time) are the intended use.  Returns the number of partitions
+    rewritten.
+    """
+    tgt = spark.read.parquet(path)
+    parts = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    affected = tgt.filter(F.col(partition_col).isin(parts))
+    remaining = affected.join(
+        updates.select(*keys).distinct(), keys, "left_anti"
+    )
+    out = remaining.unionByName(updates.select(*tgt.columns))
+    with _dynamic_partition_overwrite(spark):
+        (
+            out.write.partitionBy(partition_col)
+            .mode("overwrite")
+            .parquet(path)
+        )
+    return len(parts)
+
+
+# hourly rollup schema: the mergeable-state columns are exact (BIGINT
+# count, DECIMAL sum) so incremental refresh composes associatively —
+# storing a double sum would make refresh order observable in the low
+# bits.  One fixed storage type everywhere (Spark's SUM widens decimals,
+# so every write re-pins it or refreshed partitions would disagree with
+# untouched ones and break parquet schema merge).
+ROLLUP_DEC = "decimal(28,6)"
+ROLLUP_STORE = "decimal(38,6)"
+
+
+def rollup_build(events: DataFrame) -> DataFrame:
+    """Hourly (window_start, event_type) rollup with mergeable state."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(ROLLUP_DEC))
+            .cast(ROLLUP_STORE)
+            .alias("sum_value_dec"),
+        )
+        .withColumn("d", F.to_date("window_start"))
+    )
+
+
+def rollup_init(spark: SparkSession, events: DataFrame, path: str) -> None:
+    """Materialize the rollup, partitioned by day for pruned refresh."""
+    rollup_build(events).write.partitionBy("d").mode(
+        "errorifexists"
+    ).parquet(path)
+
+
+def rollup_refresh(
+    spark: SparkSession, path: str, new_events: DataFrame
+) -> int:
+    """Incrementally fold a new event batch into the stored rollup.
+
+    The continuous-aggregate refresh: aggregate ONLY the batch, read back
+    ONLY the stored days the batch touches (partition-pruned scan), merge
+    the mergeable states (counts add, DECIMAL sums add — exact and
+    associative, so any refresh order yields the identical table), and
+    dynamic-overwrite those day partitions.  Work scales with the batch
+    and its touched days, never with rollup history.  Returns the number
+    of day partitions rewritten.
+    """
+    batch = rollup_build(new_events)
+    days = [r[0] for r in batch.select("d").distinct().collect()]
+    existing = spark.read.parquet(path).filter(F.col("d").isin(days))
+    merged = (
+        existing.unionByName(batch)
+        .groupBy("window_start", "event_type", "d")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_dec").cast(ROLLUP_STORE).alias("sum_value_dec"),
+        )
+    )
+    with _dynamic_partition_overwrite(spark):
+        merged.write.partitionBy("d").mode("overwrite").parquet(path)
+    return len(days)
+
+
+def rollup_read(spark: SparkSession, path: str) -> DataFrame:
+    """Reader view over the stored rollup: exact state -> double."""
+    return spark.read.parquet(path).select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+    )

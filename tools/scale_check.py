@@ -57,6 +57,10 @@ QUERIES = [
     "similarity_topk",
     "dedup_incremental",
     "bm25_topk",
+    "repetition_stats",
+    "unigram_logprob",
+    "kmeans_clusters",
+    "streaming_interval_join",
 ]
 
 
