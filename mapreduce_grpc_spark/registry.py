@@ -72,6 +72,7 @@ def _load() -> None:
         clustering,
         curation,
         dedup,
+        graph,
         grouped,
         multimodal,
         quality,
@@ -106,6 +107,7 @@ def _load() -> None:
         quality,
         clustering,
         streaming_joins,
+        graph,
     ):
         _register(mod)
     if len(QUERIES) > MAX_CONTRACT_QUERIES:
