@@ -47,3 +47,40 @@ def test_reduce_side_join_broadcasts_dims(spark, sf_dir):
 
 def test_wordcount_partial_aggregation(spark, sf_dir):
     assert has_partial_aggregation(wordcount(spark, sf_dir))
+
+
+def test_repetition_stats_no_window_sort(spark, sf_dir):
+    """Per-doc gram stats must not plan a Window (posexplode+lead would
+    shuffle-and-sort the whole exploded corpus); grams are built
+    row-locally and aggregated with partial agg."""
+    from mapreduce_grpc_spark.operators.quality import repetition_stats
+    from mapreduce_grpc_spark.plans import formatted_plan
+
+    df = repetition_stats(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, "repetition_stats planned a Window"
+    assert has_partial_aggregation(df)
+
+
+def test_unigram_logprob_broadcasts_total(spark, sf_dir):
+    """The corpus-total scalar joins as a broadcast, and the token scan
+    prunes to the text/doc_id columns."""
+    from mapreduce_grpc_spark.operators.quality import unigram_logprob
+
+    df = unigram_logprob(spark, sf_dir)
+    assert has_broadcast_join(df)
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "text"}
+
+
+def test_kmeans_broadcasts_centroids(spark, sf_dir):
+    """Both Lloyd assignment passes broadcast the K-row centroid side —
+    vectors are never shuffled for assignment."""
+    from mapreduce_grpc_spark.operators.clustering import kmeans_clusters
+    from mapreduce_grpc_spark.plans import formatted_plan
+
+    df = kmeans_clusters(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastExchange"
+    ) >= 2, "centroid sides should broadcast in both passes"
