@@ -573,12 +573,100 @@ QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
 }
 
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters with pre-shuffle candidate pruning
+# ---------------------------------------------------------------------------
+
+HH_FRAC = 0.02  # a "heavy hitter" holds >= 2% of all corpus tokens
+
+
+def _hh_candidates(batches):
+    """Per-PARTITION candidate pass (mapInPandas, Arrow batches).
+
+    Accumulates token counts across the partition's batches and emits the
+    words whose local frequency is >= HH_FRAC of the partition's tokens.
+    Weighted pigeonhole: if a word's GLOBAL frequency is >= f then at
+    least one partition sees local_count >= f * local_tokens (otherwise
+    summing the strict inequalities contradicts the global bound) — so
+    the union of local candidates is a SUPERSET of the true heavy
+    hitters, computed with zero cross-partition communication.  The
+    Python tokenizer mirrors the JVM delimiter class exactly; the final
+    answer never depends on this pass being tight, only on it being a
+    superset (phase 2 recounts exactly, JVM-side).
+    """
+    import collections
+    import re
+
+    import pandas as pd
+
+    splitter = re.compile("[ ,.\"\']+")
+    counts: collections.Counter = collections.Counter()
+    total = 0
+    for pdf in batches:
+        for text in pdf["text"]:
+            toks = [t for t in splitter.split(text or "") if t]
+            counts.update(toks)
+            total += len(toks)
+    cand = [w for w, c in counts.items() if c >= HH_FRAC * total]
+    yield pd.DataFrame({"word": pd.Series(cand, dtype="object")})
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Words holding >= HH_FRAC of all corpus tokens — EXACT, but with
+    the shuffle bounded by the candidate set instead of the vocabulary.
+
+    Plain wordcount shuffles one row per distinct word per partition; at
+    web-corpus vocabulary sizes (10^8+) that shuffle dwarfs the handful
+    of true heavy hitters.  Phase 1 prunes to local candidates inside
+    each partition (Arrow ``mapInPandas``, no per-row Python) — the one
+    aggregation shape Catalyst cannot express, since partial aggregation
+    offers no pre-exchange HAVING.  Phase 2 broadcast-semi-joins the
+    candidates into the token scan and recounts exactly, so the result
+    is identical to the naive plan and carries a plain SQL oracle.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens("text")).alias("word"))
+    cand = (
+        docs.select("text")
+        .mapInPandas(_hh_candidates, "word string")
+        .distinct()
+    )
+    totals = words.agg(F.count("*").alias("total"))
+    return (
+        words.join(F.broadcast(cand), "word")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("cnt") >= F.lit(HH_FRAC) * F.col("total"))
+        .select(
+            "word",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total")).alias("frac"),
+        )
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH w AS ({_UNNEST_WORDS}),
+tot AS (SELECT count(*) AS total FROM w)
+SELECT word, count(*) AS cnt,
+       CAST(count(*) AS DOUBLE) / total AS frac
+FROM w, tot
+GROUP BY word, total
+HAVING count(*) >= {HH_FRAC} * total
+"""
+
+
 AUX_QUERIES = {
     "bm25_topk": bm25_topk,
+    "heavy_hitters": heavy_hitters,
 }
 
 AUX_ORACLES = {
     "bm25_topk": BM25_TOPK_SQL,
+    "heavy_hitters": HEAVY_HITTERS_SQL,
 }
 
 ORACLES = {

@@ -139,3 +139,53 @@ def test_unigram_logprob_planted(spark, tmp_path, sf_dir):
         fake_sf,
         "unigram_logprob_synthetic",
     )
+
+
+# -- cross-engine fuzz: arbitrary printable text through both quality ops --
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_raw_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0,
+    max_size=80,
+)
+
+_SLOW = settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_SLOW
+@given(st.lists(_raw_text, min_size=1, max_size=15))
+def test_quality_ops_fuzz_cross_engine(spark, tmp_path_factory, sf_dir, texts):
+    """repetition_stats and unigram_logprob agree with their oracles on
+    ARBITRARY printable text — delimiters, quotes, apostrophes, empty
+    strings, repeated tokens (the alphabet that exposed the r1
+    tokenizer-class divergence)."""
+    d = tmp_path_factory.mktemp("quality_fuzz")
+    for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        if t != "documents" and os.path.exists(src):
+            os.symlink(src, d / f"{t}.parquet")
+    con = _duck.connect()
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?, 'en', 's', ?)",
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+    )
+    con.execute(f"COPY docs TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+    for name in QUALITY:
+        assert_oracle_match(
+            registry.AUX_QUERIES[name](spark, str(d)),
+            registry.AUX_ORACLES[name],
+            str(d),
+            f"{name}_fuzz",
+        )
