@@ -986,6 +986,68 @@ SELECT *, 'batch' AS src FROM batch
 """
 
 
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history for the customer segment.
+
+    The warehouse twin of ``merge_upsert``: instead of overwriting a
+    matched row, an update CLOSES the old version (valid_to = batch date)
+    and opens a new current one — the table keeps every version with its
+    validity interval.  The batch is derived deterministically from the
+    fixture (keys ``c_custkey % 100 < 10`` move to segment 'PROMOTED')
+    so the oracle can rebuild it.
+
+    Plan shape: the changed-key set rides a broadcast semi/anti join into
+    the dimension scan — three row-local branches (unchanged-current /
+    closed-old / new-current) unioned, no shuffle of the dimension at
+    all.  The sentinel high date stands in for NULL valid_to so the
+    hash-comparator sees a concrete value.
+    """
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    changed = cust.filter(F.col("c_custkey") % 100 < 10)
+    unchanged = cust.join(
+        F.broadcast(changed.select("c_custkey")), "c_custkey", "left_anti"
+    )
+    d0 = F.to_date(F.lit("2024-01-01"))
+    d1 = F.to_date(F.lit("2024-06-01"))
+    hi = F.to_date(F.lit("9999-12-31"))
+    cur_unchanged = unchanged.select(
+        "c_custkey", "segment", d0.alias("valid_from"), hi.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed_old = changed.select(
+        "c_custkey", "segment", d0.alias("valid_from"), d1.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    new_cur = changed.select(
+        "c_custkey",
+        F.lit("PROMOTED").alias("segment"),
+        d1.alias("valid_from"),
+        hi.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return cur_unchanged.unionByName(closed_old).unionByName(new_cur)
+
+
+SCD2_HISTORY_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment AS segment FROM customer
+),
+changed AS (SELECT * FROM cust WHERE c_custkey % 100 < 10)
+SELECT c_custkey, segment,
+       DATE '2024-01-01' AS valid_from, DATE '9999-12-31' AS valid_to,
+       true AS is_current
+FROM cust WHERE c_custkey % 100 >= 10
+UNION ALL
+SELECT c_custkey, segment, DATE '2024-01-01', DATE '2024-06-01', false
+FROM changed
+UNION ALL
+SELECT c_custkey, 'PROMOTED', DATE '2024-06-01', DATE '9999-12-31', true
+FROM changed
+"""
+
+
 # Implemented-and-benchmarked but deliberately outside the driver contract:
 # sketch-based results have no hashable DuckDB oracle (registering them
 # would record a permanent no-oracle err row).  Correctness is bounded in
@@ -997,6 +1059,7 @@ AUX_QUERIES = {
     "table_stats": table_stats,
     "corr_matrix": corr_matrix,
     "merge_upsert": merge_upsert,
+    "scd2_history": scd2_history,
 }
 
 AUX_ORACLES = {
@@ -1004,4 +1067,5 @@ AUX_ORACLES = {
     "table_stats": _table_stats_sql(),
     "corr_matrix": _corr_matrix_sql(),
     "merge_upsert": MERGE_UPSERT_SQL,
+    "scd2_history": SCD2_HISTORY_SQL,
 }

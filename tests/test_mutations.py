@@ -145,3 +145,40 @@ def test_rollup_refresh_rewrites_only_touched_days(spark, tmp_path):
     assert rows[("2024-01-02T09:00:00", "click")] == (1, 1.0)
     assert rows[("2024-01-02T11:00:00", "view")] == (1, 4.0)
     assert rows[("2024-01-01T10:00:00", "view")] == (2, 4.0)
+
+
+def test_scd2_history_oracle_parity(spark, sf_dir):
+    from mapreduce_grpc_spark import registry
+    from mapreduce_grpc_spark.operators.relational import scd2_history
+    from tests.oracle import assert_oracle_match
+
+    assert_oracle_match(
+        scd2_history(spark, sf_dir),
+        registry.AUX_ORACLES["scd2_history"],
+        sf_dir,
+        "scd2_history",
+    )
+
+
+def test_scd2_history_invariants(spark, sf_dir):
+    """Exactly one current version per key; closed versions end where
+    their successor begins; unchanged keys have a single version."""
+    from mapreduce_grpc_spark.operators.relational import scd2_history
+
+    rows = scd2_history(spark, sf_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.c_custkey, []).append(r)
+    assert by_key
+    saw_multi = False
+    for k, versions in by_key.items():
+        current = [v for v in versions if v.is_current]
+        assert len(current) == 1, (k, versions)
+        if len(versions) == 2:
+            saw_multi = True
+            closed = next(v for v in versions if not v.is_current)
+            assert closed.valid_to == current[0].valid_from, (k, versions)
+            assert current[0].segment == "PROMOTED"
+        else:
+            assert len(versions) == 1, (k, versions)
+    assert saw_multi, "fixture must contain changed keys"
