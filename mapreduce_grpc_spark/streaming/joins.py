@@ -37,6 +37,34 @@ ATTRIBUTION_WINDOW = "1 hour"
 WATERMARK_DELAY = "2 hours"
 
 
+def attribution_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """The watermarked interval-join plan over two prepared streams.
+
+    ``views``: (user_id, view_id, view_ts) with a watermark on view_ts;
+    ``purchases``: (user_id, purchase_id, purchase_ts, value) with a
+    watermark on purchase_ts.  Factored out so tests can drive the same
+    plan from a controlled multi-batch file source."""
+    return views.join(
+        purchases,
+        [
+            views.user_id == purchases.user_id,
+            purchases.purchase_ts > views.view_ts,
+            purchases.purchase_ts
+            <= views.view_ts + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}"),
+        ],
+    ).select(
+        views.user_id,
+        "view_id",
+        "purchase_id",
+        # integer milliseconds: exact cross-engine (no fractional-second
+        # rounding divergence between epoch casts)
+        (F.unix_millis("purchase_ts") - F.unix_millis("view_ts")).alias(
+            "lag_ms"
+        ),
+        "value",
+    )
+
+
 def run_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Execute the view->purchase attribution join to completion."""
     name = f"stream_ijoin_{uuid.uuid4().hex[:8]}"
@@ -69,25 +97,7 @@ def run_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withWatermark("purchase_ts", WATERMARK_DELAY)
         )
-        joined = views.join(
-            purchases,
-            [
-                views.user_id == purchases.user_id,
-                purchases.purchase_ts > views.view_ts,
-                purchases.purchase_ts
-                <= views.view_ts + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}"),
-            ],
-        ).select(
-            views.user_id,
-            "view_id",
-            "purchase_id",
-            # integer milliseconds: exact cross-engine (no fractional-second
-            # rounding divergence between epoch casts)
-            (
-                F.unix_millis("purchase_ts") - F.unix_millis("view_ts")
-            ).alias("lag_ms"),
-            "value",
-        )
+        joined = attribution_join(views, purchases)
         q = (
             joined.writeStream.format("memory")
             .queryName(name)

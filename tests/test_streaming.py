@@ -206,3 +206,108 @@ def test_streaming_interval_join_causal_and_bounded(spark, sf_dir):
         key = (r.view_id, r.purchase_id)
         assert key not in seen
         seen.add(key)
+
+
+def test_streaming_interval_join_drops_late_purchase(spark, tmp_path):
+    """Bounded two-sided state: a purchase arriving below the established
+    watermark must NOT produce a pair, even though its matching view was
+    seen — the late row is dropped / the view state evicted.  An on-time
+    purchase in the same batch still matches.
+
+    batch 1: views u1@09:00, u2@11:00 + drivers view u9@13:00 AND
+             purchase u8@13:00 (the global watermark is the MIN of the
+             two sides' watermarks, so BOTH streams need advancing
+             events; u8/u9 are single-sided so they never pair)
+    batch 2: drivers u9@13:30, u8@13:30    -> watermark 11:00 in force
+    batch 3: purchase u1@09:30 (LATE, below watermark -> no pair),
+             purchase u2@11:30 (on time -> pairs with u2@11:00)
+    """
+    from mapreduce_grpc_spark.streaming.joins import attribution_join
+
+    src = str(tmp_path / "ij_stream")
+    os.makedirs(src)
+    d = lambda s: datetime.fromisoformat(f"2024-03-01T{s}:00")
+
+    def drop(rows, name, mtime):
+        staging = os.path.join(src, name + ".stage")
+        df = spark.createDataFrame(
+            rows, "ts timestamp, user_id long, event_id long, "
+            "event_type string, value double"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        (part,) = glob.glob(os.path.join(staging, "part-*.parquet"))
+        shutil.move(part, os.path.join(src, name))
+        shutil.rmtree(staging)
+        os.utime(os.path.join(src, name), (mtime, mtime))
+
+    drop(
+        [
+            (d("09:00"), 1, 100, "view", 0.0),
+            (d("11:00"), 2, 200, "view", 0.0),
+            (d("13:00"), 9, 900, "view", 0.0),
+            (d("13:00"), 8, 800, "purchase", 0.0),
+        ],
+        "b1.parquet",
+        1_000_000,
+    )
+    drop(
+        [
+            (d("13:30"), 9, 901, "view", 0.0),
+            (d("13:30"), 8, 801, "purchase", 0.0),
+        ],
+        "b2.parquet",
+        2_000_000,
+    )
+    drop(
+        [
+            (d("09:30"), 1, 101, "purchase", 5.0),
+            (d("11:30"), 2, 201, "purchase", 7.0),
+        ],
+        "b3.parquet",
+        3_000_000,
+    )
+
+    schema = "ts timestamp, user_id long, event_id long, event_type string, value double"
+
+    def source():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    views = (
+        source()
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        source()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    name = f"ij_late_{uuid.uuid4().hex[:8]}"
+    q = (
+        attribution_join(views, purchases)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    pairs = {(r.view_id, r.purchase_id) for r in rows}
+    assert (200, 201) in pairs, rows  # on-time pair emitted
+    assert (100, 101) not in pairs, rows  # late pair suppressed
