@@ -74,8 +74,14 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return out[abs(out["z"]) > Z_THRESHOLD]
 
 
-def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events whose value is >2 sigma from the user's mean (applyInPandas)."""
+def zscore_outliers_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is >2 sigma from the user's mean (applyInPandas).
+
+    Kept as the grouped-map *demonstration* twin (AUX, pytest-hash-checked):
+    the driver-verified contract entry is the bit-identical JVM-native
+    ``zscore_outliers`` below — at sf0.1 the Python grouped-map boundary
+    costs ~6.7x the native plan (5.5 s vs 0.82 s, BENCH_r04), and the
+    contract should hold the plan you'd run at 100x scale."""
     ev = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
     return ev.groupBy("user_id").applyInPandas(_zscore_group, OUT_SCHEMA)
 
@@ -126,21 +132,22 @@ WHERE abs(CASE WHEN stats.std_v > 0
 """
 
 
-def zscore_outliers_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same z-score semantics fully JVM-side — the 100 TB path.
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-score semantics fully JVM-side — the 100 TB path (contract).
 
-    ``zscore_outliers`` deliberately keeps the ``applyInPandas`` grouped-map
-    surface in the contract; this twin computes bit-identical results with
-    built-in expressions only (no Python worker, no Arrow boundary): two
-    window passes over one hash partitioning on user_id — pass 1 the
-    DECIMAL-exact mean, pass 2 the exact sum of squared 6dp deviations —
-    mirroring the oracle's arithmetic term for term (cast double ->
-    DECIMAL(18,6) is HALF_UP in both engines; (15,6)x(15,6) -> (31,12)
-    products stay exact).  Measured 7.5x faster than the grouped-map form
-    at sf0.1 (0.78 s vs 5.9 s min-of-3, noop sink; see PLANS.md);
-    production pipelines should use this shape
-    whenever the per-group logic is expressible, reserving applyInPandas
-    for logic that is not.
+    This is the driver-verified contract entry (swapped in round 5 per the
+    r4 verdict); the ``applyInPandas`` grouped-map twin above stays AUX as
+    ``zscore_outliers_grouped`` with a path-equality test proving they are
+    bit-identical.  Built-in expressions only (no Python worker, no Arrow
+    boundary): two window passes over one hash partitioning on user_id —
+    pass 1 the DECIMAL-exact mean, pass 2 the exact sum of squared 6dp
+    deviations — mirroring the oracle's arithmetic term for term (cast
+    double -> DECIMAL(18,6) is HALF_UP in both engines; (15,6)x(15,6) ->
+    (31,12) products stay exact).  Measured 7.5x faster than the
+    grouped-map form at sf0.1 (0.78 s vs 5.9 s min-of-3, noop sink; see
+    PLANS.md); production pipelines should use this shape whenever the
+    per-group logic is expressible, reserving applyInPandas for logic
+    that is not.
     """
     from pyspark.sql import Window
 
@@ -184,5 +191,5 @@ def zscore_outliers_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {"zscore_outliers": zscore_outliers}
 ORACLES = {"zscore_outliers": ZSCORE_OUTLIERS_SQL}
 
-AUX_QUERIES = {"zscore_outliers_native": zscore_outliers_native}
-AUX_ORACLES = {"zscore_outliers_native": ZSCORE_OUTLIERS_SQL}
+AUX_QUERIES = {"zscore_outliers_grouped": zscore_outliers_grouped}
+AUX_ORACLES = {"zscore_outliers_grouped": ZSCORE_OUTLIERS_SQL}

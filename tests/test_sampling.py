@@ -365,21 +365,23 @@ def test_components_nonconvergence_raises(spark, monkeypatch):
 
 
 def test_zscore_native_matches_grouped_map_and_oracle(spark, sf_dir):
-    """The JVM-native z-score twin is bit-identical to the applyInPandas
-    contract query and to the shared oracle."""
+    """The applyInPandas grouped-map twin (AUX since round 5) is
+    bit-identical to the JVM-native contract query and to the shared
+    oracle — this path equality is what licenses holding the native plan
+    in the driver contract."""
     from mapreduce_grpc_spark.operators.grouped import (
         zscore_outliers,
-        zscore_outliers_native,
+        zscore_outliers_grouped,
     )
 
-    a = {tuple(r) for r in zscore_outliers(spark, sf_dir).collect()}
-    b = {tuple(r) for r in zscore_outliers_native(spark, sf_dir).collect()}
+    a = {tuple(r) for r in zscore_outliers_grouped(spark, sf_dir).collect()}
+    b = {tuple(r) for r in zscore_outliers(spark, sf_dir).collect()}
     assert a == b and a
     assert_oracle_match(
-        zscore_outliers_native(spark, sf_dir),
-        registry.AUX_ORACLES["zscore_outliers_native"],
+        zscore_outliers_grouped(spark, sf_dir),
+        registry.AUX_ORACLES["zscore_outliers_grouped"],
         sf_dir,
-        "zscore_outliers_native",
+        "zscore_outliers_grouped",
     )
 
 
