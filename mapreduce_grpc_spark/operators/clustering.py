@@ -14,8 +14,10 @@ Determinism / oracle parity:
 - Iterations are UNROLLED (a fixed ``N_ITERS`` assignment passes with a
   centroid update between consecutive passes), so the whole algorithm is
   one static DataFrame plan and one static SQL string — no driver loop,
-  no Date/RNG.  Init centroids are the embeddings of the ``K`` smallest
-  ``vec_id``s (deterministic; k-means++ would need an RNG).
+  no Date/RNG.  Init centroids are the embeddings of the ``K``
+  smallest-by-rank ``vec_id``s (deterministic; robust to ids not
+  starting at 0 or having gaps).  ``kmeans_pp`` below adds the
+  production seeded-k-means++ / convergence-loop variant.
 - Distance is the sequential-fold squared L2 (``functions/vectors.sq_l2``)
   — fixed left-to-right association, bit-identical across engines.
 - Updated centroids are per-dimension DECIMAL-sum means (the
@@ -98,8 +100,15 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     expl = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "v")
     ).withColumn("v", F.col("v").cast("double"))
-    cent_arr = emb.filter(F.col("vec_id") < K).select(
-        F.col("vec_id").alias("k"), F.col("embedding").alias("carr")
+    # Seed from the K smallest vec_ids BY RANK, not by value: `vec_id < K`
+    # silently under-seeds when ids don't start at 0 or have gaps below K.
+    # orderBy().limit(K) compiles to TakeOrderedAndProject (no full sort);
+    # the row_number window then runs over only K rows.
+    seeds = emb.orderBy("vec_id").limit(K)
+    wseed = Window.orderBy("vec_id")
+    cent_arr = seeds.select(
+        (F.row_number().over(wseed) - 1).cast("long").alias("k"),
+        F.col("embedding").alias("carr"),
     )
     a = _assign(emb, cent_arr)
     for _ in range(N_ITERS - 1):
@@ -112,7 +121,9 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_CLUSTERS_SQL = f"""
 WITH emb AS (SELECT vec_id, embedding FROM embeddings),
 cent0 AS (
-  SELECT vec_id AS k, embedding AS carr FROM emb WHERE vec_id < {K}
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS k,
+         embedding AS carr
+  FROM emb ORDER BY vec_id LIMIT {K}
 ),
 a1 AS (
   SELECT vec_id, k, dist_sq FROM (

@@ -601,7 +601,12 @@ def _hh_candidates(batches):
 
     import pandas as pd
 
-    splitter = re.compile("[ ,.\"\']+")
+    from ..functions.textfns import TOKEN_DELIM_RE
+
+    # Single source of truth with the JVM/SQL tokenizer: if the delimiter
+    # class ever changes, both tokenizers move together and the superset
+    # guarantee (hence exactness) is preserved by construction.
+    splitter = re.compile(TOKEN_DELIM_RE)
     counts: collections.Counter = collections.Counter()
     total = 0
     for pdf in batches:

@@ -137,29 +137,85 @@ def merge_upsert(
     Delta/Iceberg ``MERGE INTO`` with partition-level granularity; at
     100 TB the cost scales with the touched partitions, not the table.
 
-    Requires the updates to carry ``partition_col``.  An updated row may
-    move partitions only if its new partition is also in the batch (true
-    by construction: the row's new partition value is in ``updates``); its
-    OLD partition copy is removed only when that partition is touched too,
-    so key-stable partition columns (dates derived from immutable event
-    time) are the intended use.  Returns the number of partitions
-    rewritten.
+    Requires the updates to carry ``partition_col``.  Partition-moving
+    updates are handled by construction: the touched-partition set is the
+    union of the batch's partitions AND every target partition currently
+    holding an updated key (located with a key+partition column-pruned
+    semi-join scan of the target), so a key's old copy is anti-joined out
+    even when its partition value changed.  A batch with two rows for the
+    same key is rejected (MERGE's multiple-matches error) rather than
+    silently inserting both.  The extra key-locating scan reads only
+    ``keys + partition_col`` (column-pruned); for key-stable partition
+    columns it discovers nothing new, and the file-level variant
+    (``sources/cow.py``) prunes it further with min-max envelopes.
+
+    Non-atomicity note: the merged frame is MATERIALIZED (eager
+    ``localCheckpoint``) before the dynamic overwrite, so the job never
+    scans the same files it is deleting and a mid-write crash cannot
+    corrupt the inputs of its own plan; but a crash between partition
+    commits still leaves a partially refreshed table (no recovery
+    marker).  The snapshot layer (``sources/snapshots.py``) is the
+    committed fix for readers needing a consistent view.  Returns the
+    number of partitions rewritten.
     """
     tgt = spark.read.parquet(path)
-    parts = [
-        r[0] for r in updates.select(partition_col).distinct().collect()
-    ]
-    affected = tgt.filter(F.col(partition_col).isin(parts))
-    remaining = affected.join(
-        updates.select(*keys).distinct(), keys, "left_anti"
+    dup = (
+        updates.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
     )
+    if dup:
+        raise ValueError(
+            f"merge_upsert: update batch has multiple rows for key "
+            f"{tuple(dup[0][k] for k in keys)!r}; MERGE requires at most "
+            "one source row per target key — dedup the batch first"
+        )
+    upd_keys = updates.select(*keys).distinct()
+    batch_parts = {
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    }
+    # partitions where an updated key ALREADY lives (column-pruned scan of
+    # keys + partition_col only; broadcast the batch's key set — a merge
+    # batch is small relative to the table by assumption)
+    old_parts = {
+        r[0]
+        for r in tgt.select(*keys, partition_col)
+        .join(F.broadcast(upd_keys), keys, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    }
+    # batch values keep their input type while values read back from the
+    # target come type-inferred (e.g. str vs DateType for a date-shaped
+    # partition dir) — dedup on the string form, keep native values for
+    # the isin literals (Spark coerces them against the column type)
+    parts_by_norm: dict[str, object] = {}
+    for v in list(batch_parts) + list(old_parts):
+        parts_by_norm.setdefault(str(v), v)
+    parts = list(parts_by_norm.values())
+    affected = tgt.filter(F.col(partition_col).isin(parts))
+    remaining = affected.join(F.broadcast(upd_keys), keys, "left_anti")
     out = remaining.unionByName(updates.select(*tgt.columns))
+    out = out.localCheckpoint(eager=True)
     with _dynamic_partition_overwrite(spark):
         (
             out.write.partitionBy(partition_col)
             .mode("overwrite")
             .parquet(path)
         )
+    # dynamic overwrite replaces only partitions PRESENT in the output; a
+    # partition fully emptied by the merge (every row's key migrated away)
+    # writes zero rows and would silently survive — drop it explicitly.
+    out_parts = {
+        str(r[0]) for r in out.select(partition_col).distinct().collect()
+    }
+    for norm in parts_by_norm:
+        if norm not in out_parts:
+            pdir = os.path.join(path, f"{partition_col}={norm}")
+            if os.path.isdir(pdir):
+                shutil.rmtree(pdir)
     return len(parts)
 
 
@@ -209,6 +265,14 @@ def rollup_refresh(
     dynamic-overwrite those day partitions.  Work scales with the batch
     and its touched days, never with rollup history.  Returns the number
     of day partitions rewritten.
+
+    The merged frame is MATERIALIZED (eager ``localCheckpoint``) before
+    the overwrite: without it the job would lazily re-scan the very
+    partitions it is deleting, which happens to work because the scan
+    stage finishes before commit but is fragile under stage retry /
+    speculation.  A crash between partition commits still leaves a
+    partially refreshed rollup; ``sources/snapshots.py`` gives readers a
+    consistent committed view.
     """
     batch = rollup_build(new_events)
     days = [r[0] for r in batch.select("d").distinct().collect()]
@@ -221,6 +285,7 @@ def rollup_refresh(
             F.sum("sum_value_dec").cast(ROLLUP_STORE).alias("sum_value_dec"),
         )
     )
+    merged = merged.localCheckpoint(eager=True)
     with _dynamic_partition_overwrite(spark):
         merged.write.partitionBy("d").mode("overwrite").parquet(path)
     return len(days)

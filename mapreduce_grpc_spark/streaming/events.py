@@ -54,22 +54,34 @@ def _stateful_shuffle_partitions(spark: SparkSession, cap: int = 32):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (ns timestamps rebuilt to µs)."""
+def _events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over the events parquet (ns timestamps rebuilt to µs).
+
+    ``max_files_per_trigger`` pins the file source's batching: callers
+    whose correctness oracle assumes single-micro-batch processing (the
+    interval join's batch self-join oracle) pass a high value so a
+    many-file directory-shaped table cannot split across triggers."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     if os.path.isdir(path):
         # directory-shaped table (the production layout): stream it as-is
-        stream = spark.readStream.schema(schema).parquet(path)
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(path)
     else:
         # flat-file fixture: the streaming file source wants a directory,
         # so stream the sf dir with a glob pinned to the events file
-        stream = (
+        reader = (
             spark.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
         )
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(sf_dir)
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -75,9 +75,17 @@ def run_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale.  8 balances that overhead against parallelism headroom; on a
     # real cluster size this knob to state volume / executor memory, not
     # core count.
+    # The AUX oracle below is a plain batch self-join: it equals the
+    # streaming answer only when each source processes all files in ONE
+    # micro-batch (multi-batch runs may legitimately watermark-suppress
+    # pairs the batch oracle includes — proven deliberately in the
+    # multi-batch eviction test).  Pin maxFilesPerTrigger high so a
+    # many-file directory-shaped events table cannot split across
+    # triggers and flake oracle parity.
+    single_batch = 1_000_000
     with _stateful_shuffle_partitions(spark, cap=8):
         views = (
-            _events_stream(spark, sf_dir)
+            _events_stream(spark, sf_dir, max_files_per_trigger=single_batch)
             .filter(F.col("event_type") == "view")
             .select(
                 "user_id",
@@ -87,7 +95,7 @@ def run_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withWatermark("view_ts", WATERMARK_DELAY)
         )
         purchases = (
-            _events_stream(spark, sf_dir)
+            _events_stream(spark, sf_dir, max_files_per_trigger=single_batch)
             .filter(F.col("event_type") == "purchase")
             .select(
                 "user_id",

@@ -85,6 +85,50 @@ def test_merge_upsert_is_idempotent(spark, tmp_path):
     assert once == twice
 
 
+def test_merge_upsert_partition_moving_update_leaves_no_duplicate(
+    spark, tmp_path
+):
+    """A key whose partition value CHANGES in the update batch must not
+    survive as a stale copy in its old partition (the r4 key-migration
+    staleness edge, closed by the key-locating semi-join scan)."""
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p2"), (3, "c", "p3")],
+        "k bigint, v string, d string",
+    ).write.partitionBy("d").parquet(path)
+
+    # key 1 migrates p1 -> p2; p1 is otherwise untouched by the batch
+    updates = spark.createDataFrame(
+        [(1, "A", "p2")], "k bigint, v string, d string"
+    )
+    merge_upsert(spark, path, updates, keys=["k"], partition_col="d")
+    got = {(r.k, r.v, str(r.d)) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "A", "p2"), (2, "b", "p2"), (3, "c", "p3")}
+    # exactly one row per key — the old p1 copy is gone
+    ks = sorted(r.k for r in spark.read.parquet(path).collect())
+    assert ks == sorted(set(ks))
+
+
+def test_merge_upsert_rejects_duplicate_key_batches(spark, tmp_path):
+    """MERGE's multiple-source-matches error: two update rows for one key
+    must raise, not silently insert both."""
+    import pytest
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a", "p1")], "k bigint, v string, d string"
+    ).write.partitionBy("d").parquet(path)
+    dup_updates = spark.createDataFrame(
+        [(1, "x", "p1"), (1, "y", "p1")], "k bigint, v string, d string"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_upsert(spark, path, dup_updates, keys=["k"], partition_col="d")
+    # target unchanged
+    assert [(r.k, r.v) for r in spark.read.parquet(path).collect()] == [
+        (1, "a")
+    ]
+
+
 def _rollup_canon(df):
     return sorted(
         (r.window_start, r.event_type, r.n_events, r.sum_value)
