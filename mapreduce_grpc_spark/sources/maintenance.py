@@ -299,3 +299,92 @@ def rollup_read(spark: SparkSession, path: str) -> DataFrame:
         "n_events",
         F.col("sum_value_dec").cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-committed rollup: the same continuous aggregate on the
+# manifest layer (sources/snapshots.py), so refreshes are ISOLATED — a
+# reader racing a refresh resolves one committed version, never a torn
+# multi-partition state, and old versions stay time-travel readable.
+# ---------------------------------------------------------------------------
+
+
+def rollup_init_snap(
+    spark: SparkSession, events: DataFrame, path: str
+) -> int:
+    """Materialize the rollup as a snapshot table, range-clustered on day
+    so per-file ``d`` envelopes stay tight and refresh pruning works."""
+    from .snapshots import snap_init
+
+    r = rollup_build(events).repartitionByRange(8, "d")
+    return snap_init(spark, r, path, stats_cols=["d"])
+
+
+def rollup_refresh_snap(
+    spark: SparkSession, path: str, new_events: DataFrame
+) -> int:
+    """Fold a new event batch into the snapshot rollup with file-level
+    copy-on-write: only files whose day envelope intersects the batch's
+    touched-day SET are read and rewritten (their untouched-day rows are
+    carried through unchanged); every other file is carried by
+    reference and stays byte-identical.  The commit is one atomic
+    pointer swap, which closes the torn-reader race the
+    dynamic-partition-overwrite refresh has.  Returns the number of
+    touched days."""
+    from .snapshots import _commit, _write_data_files, read_manifest
+
+    batch = rollup_build(new_events)
+    days_native = [r[0] for r in batch.select("d").distinct().collect()]
+    days_norm = sorted(str(d) for d in days_native)
+
+    m = read_manifest(path)
+
+    def _touches(entry: dict) -> bool:
+        env = entry.get("stats", {}).get("d")
+        if not env or env["min"] is None or env["max"] is None:
+            return True  # no stats -> must assume the file is touched
+        return any(env["min"] <= d <= env["max"] for d in days_norm)
+
+    overlapping = [f for f in m["files"] if _touches(f)]
+    carried = [f for f in m["files"] if not _touches(f)]
+
+    if overlapping:
+        old = spark.read.parquet(
+            *[os.path.join(path, f["name"]) for f in overlapping]
+        )
+        pass_through = old.filter(~F.col("d").isin(days_native))
+        to_merge = old.filter(F.col("d").isin(days_native))
+        merged_days = (
+            to_merge.unionByName(batch)
+            .groupBy("window_start", "event_type", "d")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value_dec")
+                .cast(ROLLUP_STORE)
+                .alias("sum_value_dec"),
+            )
+        )
+        out = pass_through.unionByName(merged_days)
+    else:
+        out = batch.select(
+            "window_start", "event_type", "d", "n_events", "sum_value_dec"
+        )
+    new_entries = _write_data_files(
+        spark, out.repartitionByRange(4, "d"), path, m["stats_cols"]
+    )
+    _commit(path, carried + new_entries, m["stats_cols"])
+    return len(days_norm)
+
+
+def rollup_read_snap(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Reader view over the snapshot rollup at a committed version."""
+    from .snapshots import snap_read
+
+    return snap_read(spark, path, version).select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+    )

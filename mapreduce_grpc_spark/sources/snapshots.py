@@ -1,0 +1,298 @@
+"""Versioned snapshot tables + file-level copy-on-write MERGE.
+
+The two mutation gaps left by ``sources/maintenance.py``'s
+partition-overwrite writers, closed with machinery the engine already
+uses elsewhere (fingerprint-keyed atomic publishes, ``sources/
+staging.py``; per-file min-max envelopes, ``sources/layout.py``):
+
+1. **Isolation.**  ``merge_upsert``/``rollup_refresh`` mutate partition
+   directories in place, so a reader racing a refresh can see partition
+   A from the old version and partition B from the new.  Here every
+   mutation is a NEW immutable manifest — a JSON list of data files plus
+   per-file key envelopes — and readers resolve the table through an
+   atomically-swapped ``CURRENT`` pointer (``os.replace``), so a reader
+   that has resolved a version keeps a consistent file list no matter
+   how many commits land after it.  Old versions stay readable (time
+   travel) until ``expire_snapshots``.
+
+2. **Merge granularity.**  The partition-level MERGE rewrites whole
+   partitions — a hot day-partition of a 100 TB table is terabytes, so
+   merge cost is partition size, not update size.  ``merge_upsert_cow``
+   rewrites only the FILES whose key envelope overlaps the update
+   batch: envelopes come from parquet FOOTERS at commit time (pyarrow
+   row-group stats — no data scan) and live in the manifest, so
+   locating affected files is a driver-side interval check against the
+   manifest, exactly Delta/Iceberg's data-skipping design.  Untouched
+   files are carried into the new manifest BY REFERENCE — never read,
+   never rewritten (the mtime test asserts byte-identical files).  The
+   reference's analogue is reduce consuming only its own bucket's files
+   (/root/reference/src/worker.h:81-119): work bounded by the relevant
+   slice, not the table.
+
+At 100 TB: the manifest is O(files) driver state — the same scaling
+contract as Delta's JSON log segments (checkpointable if it ever grows
+past memory); commits are one ``os.replace``; merge cost is
+O(overlapping files + batch), and clustering the table on the merge key
+(``zorder_write``/sorted writes) is what keeps the overlap small.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_DIR = "_manifests"
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _MANIFEST_DIR, f"v{version}.json")
+
+
+def _current_path(path: str) -> str:
+    return os.path.join(path, _MANIFEST_DIR, "CURRENT")
+
+
+def _json_val(v):
+    """Normalize a stats/pruning value for JSON + cross-type compare:
+    numbers stay numbers, everything else (dates, strings) becomes its
+    string form — ISO date strings compare correctly as strings."""
+    if v is None or isinstance(v, (int, float)):
+        return v
+    return str(v)
+
+
+def _file_stats(file_path: str, stats_cols: list[str]) -> dict:
+    """Per-file min-max envelopes from the parquet FOOTER (row-group
+    statistics) — no data pages are read.  This is the scale-critical
+    property: commit cost is O(files), not O(rows)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(file_path)
+    schema_names = pf.schema_arrow.names
+    mins: dict = {}
+    maxs: dict = {}
+    rows = pf.metadata.num_rows
+    for rg in range(pf.metadata.num_row_groups):
+        g = pf.metadata.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in stats_cols:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = _json_val(st.min), _json_val(st.max)
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    envelopes = {
+        c: {"min": mins[c], "max": maxs[c]} for c in mins if c in maxs
+    }
+    _ = schema_names  # documented: stats_cols must name physical columns
+    return {"rows": rows, "stats": envelopes}
+
+
+def _write_data_files(
+    spark: SparkSession, df: DataFrame, path: str, stats_cols: list[str]
+) -> list[dict]:
+    """Write ``df``'s rows as new immutable data files inside ``path``
+    and return their manifest entries.  Files are written via a staging
+    dir then renamed to unique names, so a crashed writer leaves only
+    unreferenced orphans (removed by ``expire_snapshots``), never a
+    half-visible table state."""
+    staging = os.path.join(path, f"_stage-{uuid.uuid4().hex[:12]}")
+    df.write.mode("errorifexists").parquet(staging)
+    entries = []
+    prefix = uuid.uuid4().hex[:12]
+    for f in sorted(os.listdir(staging)):
+        if not (f.startswith("part-") and f.endswith(".parquet")):
+            continue
+        final = f"data-{prefix}-{f}"
+        os.rename(os.path.join(staging, f), os.path.join(path, final))
+        entry = {"name": final}
+        entry.update(_file_stats(os.path.join(path, final), stats_cols))
+        entries.append(entry)
+    shutil.rmtree(staging)
+    return entries
+
+
+def _commit(path: str, files: list[dict], stats_cols: list[str]) -> int:
+    """Write manifest v(N+1) and atomically swap CURRENT to it."""
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    version = current_version(path) + 1
+    manifest = {
+        "version": version,
+        "stats_cols": stats_cols,
+        "files": files,
+    }
+    # 'x' mode: two racing writers cannot both claim version N — one
+    # fails loudly (optimistic concurrency, the Delta protocol's rule)
+    with open(_manifest_path(path, version), "x") as fh:
+        json.dump(manifest, fh)
+    tmp = os.path.join(mdir, f"CURRENT.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, _current_path(path))  # atomic on POSIX
+    return version
+
+
+def current_version(path: str) -> int:
+    cur = _current_path(path)
+    if not os.path.exists(cur):
+        return 0
+    with open(cur) as fh:
+        return int(fh.read().strip())
+
+
+def read_manifest(path: str, version: int | None = None) -> dict:
+    v = current_version(path) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"no committed snapshot at {path!r}")
+    with open(_manifest_path(path, v)) as fh:
+        return json.load(fh)
+
+
+def snap_init(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    stats_cols: list[str],
+) -> int:
+    """Create a snapshot table at ``path`` from ``df`` (version 1).
+
+    ``stats_cols`` are the columns whose per-file envelopes the manifest
+    tracks — the merge keys and any pruning columns."""
+    os.makedirs(path, exist_ok=True)
+    if current_version(path) != 0:
+        raise FileExistsError(f"snapshot table already exists at {path!r}")
+    files = _write_data_files(spark, df, path, stats_cols)
+    return _commit(path, files, stats_cols)
+
+
+def snap_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table at a committed version (default: CURRENT).
+
+    The returned plan holds the resolved version's exact file list, so
+    it stays consistent even if commits land while it executes."""
+    m = read_manifest(path, version)
+    files = [os.path.join(path, f["name"]) for f in m["files"]]
+    if not files:
+        raise FileNotFoundError(f"snapshot v{m['version']} has no files")
+    return spark.read.parquet(*files)
+
+
+def _overlaps(entry: dict, lows: dict, highs: dict) -> bool:
+    """Conservative file-level predicate: the file MAY hold an updated
+    key iff for every key column its envelope intersects the batch's
+    [min, max].  Missing stats -> must assume overlap."""
+    for c, lo in lows.items():
+        env = entry.get("stats", {}).get(c)
+        if env is None or env["min"] is None or env["max"] is None:
+            continue
+        if env["max"] < lo or env["min"] > highs[c]:
+            return False
+    return True
+
+
+def merge_upsert_cow(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+) -> dict:
+    """File-level copy-on-write MERGE into a snapshot table.
+
+    Rows in ``updates`` replace target rows with the same key; new keys
+    are inserted.  Only files whose key envelope overlaps the batch are
+    read and rewritten; all other files are carried by reference.  A
+    batch with duplicate keys is rejected (MERGE's multiple-matches
+    rule).  Partition/clustering migration cannot leave stale copies by
+    construction: pruning is on KEY ranges, so every file that could
+    hold an old copy of an updated key is rewritten.  Returns
+    ``{"version", "rewritten", "carried", "added"}``.
+    """
+    m = read_manifest(path)
+    stats_cols = m["stats_cols"]
+    missing = [k for k in keys if k not in stats_cols]
+    if missing:
+        raise ValueError(
+            f"merge keys {missing} not tracked in manifest stats_cols "
+            f"{stats_cols}; re-init the table tracking them"
+        )
+    dup = (
+        updates.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_upsert_cow: update batch has multiple rows for key "
+            f"{tuple(dup[0][k] for k in keys)!r}; dedup the batch first"
+        )
+    bounds = updates.agg(
+        *[F.min(k).alias(f"lo_{k}") for k in keys],
+        *[F.max(k).alias(f"hi_{k}") for k in keys],
+    ).collect()[0]
+    lows = {k: _json_val(bounds[f"lo_{k}"]) for k in keys}
+    highs = {k: _json_val(bounds[f"hi_{k}"]) for k in keys}
+
+    overlapping = [f for f in m["files"] if _overlaps(f, lows, highs)]
+    carried = [f for f in m["files"] if not _overlaps(f, lows, highs)]
+
+    if overlapping:
+        old = spark.read.parquet(
+            *[os.path.join(path, f["name"]) for f in overlapping]
+        )
+        remaining = old.join(
+            F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
+        )
+        out = remaining.unionByName(updates.select(*old.columns))
+    else:
+        tgt_cols = snap_read(spark, path).columns
+        out = updates.select(*tgt_cols)
+    new_entries = _write_data_files(spark, out, path, stats_cols)
+    version = _commit(path, carried + new_entries, stats_cols)
+    return {
+        "version": version,
+        "rewritten": len(overlapping),
+        "carried": len(carried),
+        "added": len(new_entries),
+    }
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
+    """Delete data files referenced only by expired versions (and the
+    expired manifests).  Keeps the most recent ``keep_last`` versions;
+    also removes orphaned ``data-*`` files from crashed writers.
+    Returns the deleted file names."""
+    cur = current_version(path)
+    if cur == 0:
+        return []
+    keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
+    live: set[str] = set()
+    for v in keep_versions:
+        live.update(f["name"] for f in read_manifest(path, v)["files"])
+    deleted = []
+    for f in os.listdir(path):
+        if f.startswith("data-") and f.endswith(".parquet") and f not in live:
+            os.remove(os.path.join(path, f))
+            deleted.append(f)
+    for f in os.listdir(os.path.join(path, _MANIFEST_DIR)):
+        if f.startswith("v") and f.endswith(".json"):
+            v = int(f[1:-5])
+            if v not in keep_versions:
+                os.remove(os.path.join(path, _MANIFEST_DIR, f))
+                deleted.append(f)
+    return deleted

@@ -191,6 +191,94 @@ def test_rollup_refresh_rewrites_only_touched_days(spark, tmp_path):
     assert rows[("2024-01-01T10:00:00", "view")] == (2, 4.0)
 
 
+def test_rollup_snap_incremental_equals_full_recompute(
+    spark, sf_dir, tmp_path
+):
+    """Snapshot-committed rollup: init(first half) + refresh(second half)
+    == full recompute, with version isolation on top."""
+    from mapreduce_grpc_spark.sources.maintenance import (
+        rollup_init_snap,
+        rollup_read_snap,
+        rollup_refresh_snap,
+    )
+    from mapreduce_grpc_spark.sources.snapshots import current_version
+
+    path = str(tmp_path / "rollup_snap")
+    ev = table(spark, sf_dir, "events")
+    split = ev.agg(
+        F.expr("percentile(cast(ts as double), 0.5)")
+    ).collect()[0][0]
+    first = ev.filter(F.col("ts").cast("double") <= split)
+    second = ev.filter(F.col("ts").cast("double") > split)
+
+    rollup_init_snap(spark, first, path)
+    v1 = rollup_read_snap(spark, path)  # resolved BEFORE the refresh
+    v1_rows = _rollup_canon(v1)
+    assert rollup_refresh_snap(spark, path, second) >= 1
+    assert current_version(path) == 2
+
+    full = rollup_build(ev).select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+    )
+    assert _rollup_canon(rollup_read_snap(spark, path)) == _rollup_canon(full)
+    # the racing reader and explicit time travel both see v1 intact
+    assert _rollup_canon(v1) == v1_rows
+    assert _rollup_canon(rollup_read_snap(spark, path, version=1)) == v1_rows
+
+
+def test_rollup_snap_refresh_carries_untouched_files(spark, tmp_path):
+    """A refresh touching one day must carry files of other days BY
+    REFERENCE — byte-identical, never read or rewritten."""
+    from mapreduce_grpc_spark.sources.maintenance import (
+        rollup_init_snap,
+        rollup_read_snap,
+        rollup_refresh_snap,
+    )
+    from mapreduce_grpc_spark.sources.snapshots import read_manifest
+
+    path = str(tmp_path / "rollup_snap")
+    events = spark.createDataFrame(
+        [
+            ("2024-01-01 10:05:00", "view", 1.5),
+            ("2024-02-01 10:20:00", "view", 2.5),
+            ("2024-03-01 09:00:00", "click", 1.0),
+        ],
+        "ts_s string, event_type string, value double",
+    ).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    rollup_init_snap(spark, events, path)
+    m1 = read_manifest(path)
+    mtimes = {
+        f["name"]: os.path.getmtime(os.path.join(path, f["name"]))
+        for f in m1["files"]
+    }
+
+    batch = spark.createDataFrame(
+        [("2024-03-01 11:00:00", "view", 4.0)],
+        "ts_s string, event_type string, value double",
+    ).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    assert rollup_refresh_snap(spark, path, batch) == 1
+
+    m2 = read_manifest(path)
+    carried = set(f["name"] for f in m2["files"]) & set(mtimes)
+    assert carried, "refresh must carry at least one untouched-day file"
+    for name in carried:
+        assert os.path.getmtime(os.path.join(path, name)) == mtimes[name]
+    rows = {
+        (r.window_start.isoformat(), r.event_type): (r.n_events, r.sum_value)
+        for r in rollup_read_snap(spark, path).collect()
+    }
+    assert rows[("2024-03-01T09:00:00", "click")] == (1, 1.0)
+    assert rows[("2024-03-01T11:00:00", "view")] == (1, 4.0)
+    assert rows[("2024-01-01T10:00:00", "view")] == (1, 1.5)
+
+
 def test_scd2_history_oracle_parity(spark, sf_dir):
     from mapreduce_grpc_spark import registry
     from mapreduce_grpc_spark.operators.relational import scd2_history

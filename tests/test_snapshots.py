@@ -1,0 +1,155 @@
+"""Snapshot tables + file-level copy-on-write MERGE: version isolation,
+time travel, footer-stats file pruning, and the untouched-files-are-
+byte-identical guarantee the partition-level writer cannot give."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mapreduce_grpc_spark.sources.snapshots import (
+    current_version,
+    expire_snapshots,
+    merge_upsert_cow,
+    read_manifest,
+    snap_init,
+    snap_read,
+)
+
+
+def _mk_table(spark, path, n=1000, n_files=4):
+    """A snapshot table clustered on k (disjoint per-file key ranges) —
+    the layout that makes envelope pruning effective."""
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        )
+        .repartitionByRange(n_files, "k")
+        .sortWithinPartitions("k")
+    )
+    snap_init(spark, df, path, stats_cols=["k"])
+    return df
+
+
+def _rows(df):
+    return sorted((r.k, r.v) for r in df.collect())
+
+
+def test_init_read_roundtrip_and_manifest_stats(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    df = _mk_table(spark, path)
+    assert current_version(path) == 1
+    assert _rows(snap_read(spark, path)) == _rows(df)
+    m = read_manifest(path)
+    assert len(m["files"]) == 4
+    # footer envelopes present and disjoint-ish (clustered layout)
+    envs = sorted(
+        (f["stats"]["k"]["min"], f["stats"]["k"]["max"]) for f in m["files"]
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(envs, envs[1:]):
+        assert lo1 <= hi1 < lo2
+    assert sum(f["rows"] for f in m["files"]) == 1000
+
+
+def test_cow_merge_rewrites_only_overlapping_files(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path)
+    before_m = read_manifest(path)
+    mtimes = {
+        f["name"]: os.path.getmtime(os.path.join(path, f["name"]))
+        for f in before_m["files"]
+    }
+
+    # keys 10..19 live in the first file's range only
+    updates = spark.createDataFrame(
+        [(k, f"UPD{k}") for k in range(10, 20)], "k bigint, v string"
+    )
+    res = merge_upsert_cow(spark, path, updates, keys=["k"])
+    assert res["version"] == 2
+    assert res["rewritten"] == 1 and res["carried"] == 3
+
+    # carried files are the SAME files — not rewritten, mtime unchanged
+    after_m = read_manifest(path)
+    carried_names = set(f["name"] for f in after_m["files"]) & set(mtimes)
+    assert len(carried_names) == 3
+    for name in carried_names:
+        assert os.path.getmtime(os.path.join(path, name)) == mtimes[name]
+
+    got = dict(_rows(snap_read(spark, path)))
+    assert len(got) == 1000
+    for k in range(10, 20):
+        assert got[k] == f"UPD{k}"
+    assert got[0] == "v0" and got[999] == "v999"
+
+
+def test_cow_merge_inserts_new_keys_and_keeps_single_copy(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=100, n_files=2)
+    updates = spark.createDataFrame(
+        [(50, "UPD50"), (5000, "NEW")], "k bigint, v string"
+    )
+    merge_upsert_cow(spark, path, updates, keys=["k"])
+    got = _rows(snap_read(spark, path))
+    ks = [k for k, _ in got]
+    assert len(ks) == len(set(ks)) == 101  # no duplicate key anywhere
+    assert dict(got)[50] == "UPD50" and dict(got)[5000] == "NEW"
+
+
+def test_cow_merge_rejects_duplicate_key_batch(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=10, n_files=1)
+    dup = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "k bigint, v string"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_upsert_cow(spark, path, dup, keys=["k"])
+    assert current_version(path) == 1  # nothing committed
+
+
+def test_time_travel_and_reader_isolation(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    df = _mk_table(spark, path)
+    v1_rows = _rows(df)
+
+    # a reader resolves v1 BEFORE the writer commits v2
+    reader_plan = snap_read(spark, path)
+
+    updates = spark.createDataFrame([(0, "UPD0")], "k bigint, v string")
+    merge_upsert_cow(spark, path, updates, keys=["k"])
+    assert current_version(path) == 2
+
+    # the racing reader still sees a consistent v1 (no torn state)
+    assert _rows(reader_plan) == v1_rows
+    # explicit time travel
+    assert _rows(snap_read(spark, path, version=1)) == v1_rows
+    assert dict(_rows(snap_read(spark, path)))[0] == "UPD0"
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path)
+    updates = spark.createDataFrame([(0, "UPD0")], "k bigint, v string")
+    merge_upsert_cow(spark, path, updates, keys=["k"])
+
+    # plant an orphan (crashed writer residue)
+    orphan = os.path.join(path, "data-orphan-part-0.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"junk")
+
+    v1_files = {f["name"] for f in read_manifest(path, 1)["files"]}
+    v2_files = {f["name"] for f in read_manifest(path, 2)["files"]}
+    deleted = set(expire_snapshots(path, keep_last=1))
+    # v1-only files and the orphan are gone; v2's files survive
+    assert (v1_files - v2_files) <= deleted
+    assert "data-orphan-part-0.parquet" in deleted
+    for name in v2_files:
+        assert os.path.exists(os.path.join(path, name))
+    # current still reads after GC; v1 manifest is gone
+    assert len(_rows(snap_read(spark, path))) == 1000
+    with pytest.raises(FileNotFoundError):
+        read_manifest(path, 1)
