@@ -164,8 +164,155 @@ SELECT vec_id, CAST(k AS INTEGER) AS cluster, dist_sq FROM a2
 """
 
 
+# ---------------------------------------------------------------------------
+# Production k-means: seeded k-means++ init + convergence-driven Lloyd loop
+# ---------------------------------------------------------------------------
+
+MAX_KMEANS_ROUNDS = 25
+_INERTIA_DEC = "decimal(38,6)"
+
+
+def _uniform_hash(seed: int) -> F.Column:
+    """Deterministic per-row uniform in (0, 1] from a seeded Murmur3 of
+    vec_id — the engine's no-RNG-object determinism rule (same shape as
+    the sampling operators)."""
+    h = F.expr(f"pmod(hash(vec_id, {seed}), 2147483648)")
+    return (h.cast("double") + F.lit(1.0)) / F.lit(2147483648.0)
+
+
+def _min_dist_sq(emb: DataFrame, cent_rows: list[tuple]) -> DataFrame:
+    """Row-local min squared L2 to the chosen centroids (broadcast)."""
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        cent_rows, "k long, carr array<double>"
+    )
+    scored = emb.crossJoin(F.broadcast(cent_df)).select(
+        "vec_id", sq_l2(F.col("embedding"), F.col("carr")).alias("d2")
+    )
+    return scored.groupBy("vec_id").agg(F.min("d2").alias("d2"))
+
+
+def kmeans_pp_fit(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = K,
+    seed: int = 42,
+    max_rounds: int = MAX_KMEANS_ROUNDS,
+) -> tuple[DataFrame, int]:
+    """Seeded k-means++ init + Lloyd iterations to a measured fixpoint.
+
+    Init is deterministic k-means++ without an RNG object: centroid 1 is
+    the argmax of a seeded per-row uniform hash; each next centroid is
+    the argmax of ``ln(u)/D²`` (the Efraimidis–Spirakis weighted-pick
+    key, equivalent to sampling proportional to D² with u as the
+    randomness source) — so far-away points win overwhelmingly, exactly
+    k-means++'s D² bias, yet reruns pick identical seeds.  Each pick is
+    one scan + TakeOrdered(1).
+
+    The loop holds centroids ON THE DRIVER (K x dim scalars — the MLlib
+    k-means shape): every round broadcasts them as literals, runs one
+    row-local assignment pass and one (K x dim)-row partial-sum shuffle,
+    then collects the new centroids; lineage never deepens, so no
+    checkpointing is needed (unlike ``components_from_pairs``, whose
+    per-node labels cannot live on the driver).  Convergence is measured
+    like the CC loop: per-round inertia quantized to 6dp and summed in
+    DECIMAL (order-independent, exact) — Lloyd never increases inertia,
+    so an unchanged sum is a fixpoint.  Raises if ``max_rounds`` passes
+    without convergence rather than returning a silently-unconverged
+    model.  Returns ``(assignment, rounds_run)``.
+
+    At 100 TB: per round = one data pass (no vector shuffle) + a K x dim
+    aggregate; init adds k-1 passes.  All driver state is O(K x dim).
+    """
+    emb = emb.select("vec_id", "embedding").persist()
+    try:
+        # --- k-means++ init ---
+        u = _uniform_hash(seed)
+        first = (
+            emb.select("vec_id", "embedding", u.alias("u"))
+            .orderBy(F.desc("u"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        cent_rows = [(0, list(first.embedding))]
+        for j in range(1, k):
+            d2 = _min_dist_sq(emb, cent_rows)
+            pick = (
+                emb.join(d2, "vec_id")
+                .filter(F.col("d2") > 0)
+                .select(
+                    "vec_id",
+                    "embedding",
+                    (F.log(u) / F.col("d2")).alias("key"),
+                )
+                .orderBy(F.desc("key"), F.asc("vec_id"))
+                .limit(1)
+                .collect()
+            )
+            if not pick:  # fewer distinct points than k
+                break
+            cent_rows.append((j, list(pick[0].embedding)))
+
+        # --- Lloyd loop to fixpoint ---
+        prev_inertia = None
+        rounds = 0
+        assign = None
+        for rounds in range(1, max_rounds + 1):
+            cent_df = spark.createDataFrame(
+                cent_rows, "k long, carr array<double>"
+            )
+            assign = _assign(emb, cent_df)
+            inertia = (
+                assign.agg(
+                    F.sum(F.round(F.col("dist_sq"), 6).cast(_INERTIA_DEC))
+                ).collect()[0][0]
+            )
+            if prev_inertia is not None and inertia == prev_inertia:
+                break
+            prev_inertia = inertia
+            # centroid update: (K x dim) partial-sum shuffle, then the
+            # bounded K x dim collect back to the driver
+            expl = emb.select(
+                "vec_id", F.posexplode("embedding").alias("pos", "v")
+            ).withColumn("v", F.col("v").cast("double"))
+            new_cent = _update(expl, assign).collect()
+            cent_rows = [
+                (r.k, [float(x) for x in r.carr]) for r in new_cent
+            ]
+        else:
+            raise RuntimeError(
+                f"k-means did not converge in {max_rounds} rounds; raise "
+                "max_rounds"
+            )
+        return (
+            assign.select(
+                "vec_id", F.col("k").cast("int").alias("cluster"), "dist_sq"
+            ),
+            rounds,
+        )
+    finally:
+        emb.unpersist()
+
+
+def kmeans_pp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged seeded-k-means++ clustering of the embeddings table.
+
+    Iterative with a data-dependent round count — genuinely
+    non-SQL-expressible, so no DuckDB oracle (the unrolled
+    ``kmeans_clusters`` twin above carries the cross-engine hash);
+    correctness is pinned by invariants instead (planted blobs, inertia
+    monotonicity, strictly-better-than-naive-init — tests/
+    test_clustering.py)."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign, _rounds = kmeans_pp_fit(spark, emb)
+    return assign
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-AUX_QUERIES = {"kmeans_clusters": kmeans_clusters}
+AUX_QUERIES = {
+    "kmeans_clusters": kmeans_clusters,
+    "kmeans_pp": kmeans_pp,
+}
 AUX_ORACLES = {"kmeans_clusters": KMEANS_CLUSTERS_SQL}

