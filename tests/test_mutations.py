@@ -279,6 +279,41 @@ def test_rollup_snap_refresh_carries_untouched_files(spark, tmp_path):
     assert rows[("2024-01-01T10:00:00", "view")] == (1, 1.5)
 
 
+def test_streaming_rollup_equals_batch_rollup(spark, sf_dir, tmp_path):
+    """The continuous-aggregate loop end-to-end: a MULTI-micro-batch
+    streamed run over a many-file events table folds into exactly the
+    table the one-shot batch rollup builds — counts and DECIMAL sums
+    bit-equal, because the mergeable state is associative.  Per-batch
+    touched-day counts stay bounded by that batch's days (the refresh
+    never rescans history)."""
+    from mapreduce_grpc_spark.streaming.rollup import run_streaming_rollup
+
+    ev = table(spark, sf_dir, "events")
+    # a directory-shaped events table split into several files ->
+    # maxFilesPerTrigger=1 gives one micro-batch per file
+    src = tmp_path / "src"
+    src.mkdir()
+    ev.repartition(4).write.parquet(str(src / "events.parquet"))
+
+    rollup_path = str(tmp_path / "rollup")
+    final, touched = run_streaming_rollup(
+        spark, str(src), rollup_path, str(tmp_path / "ck")
+    )
+    assert len(touched) >= 3, f"expected multi-batch run, got {touched}"
+
+    src_days = ev.select(ev.ts.cast("date")).distinct().count()
+    for _bid, n_days in touched:
+        assert 1 <= n_days <= src_days
+
+    full = rollup_build(ev).select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+    )
+    assert _rollup_canon(final) == _rollup_canon(full)
+
+
 def test_scd2_history_oracle_parity(spark, sf_dir):
     from mapreduce_grpc_spark import registry
     from mapreduce_grpc_spark.operators.relational import scd2_history
