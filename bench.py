@@ -38,23 +38,22 @@ def main() -> None:
 
     all_queries = {**registry.QUERIES, **registry.AUX_QUERIES}
     samples: dict[str, list[float]] = {}
-    # three passes, report the per-query minimum: single-machine runs have
-    # multi-second GC/JIT/IO noise spikes (observed 2-3x on individual
-    # queries between back-to-back suite runs — r2's per_key_agg "1.6x
-    # regression" was exactly this: 2.17 s recorded vs 1.3 s across 6
-    # clean reruns) that would otherwise be recorded as regressions;
-    # min-of-n measures the plan, not the noise.  Later passes only
-    # re-time queries over 1 s — sub-second timings are already stable,
-    # and skipping them keeps suite wall time flat.  The spread is
-    # reported alongside so noise and regression are distinguishable.
+    # three passes over EVERY query, report the per-query minimum on the
+    # contract line and min/median/max in BENCH_DETAIL: single-machine
+    # runs have multi-second GC/JIT/IO noise spikes (observed 2-3x on
+    # individual queries between back-to-back suite runs — r2's
+    # per_key_agg "1.6x regression" was exactly this) that would
+    # otherwise be recorded as regressions; min-of-n measures the plan,
+    # not the noise.  Earlier rounds skipped re-passes for sub-second
+    # queries, which left BENCH_r03 without spreads for 49 of 84 queries
+    # and made the round-over-round diff ambiguous — the r4 verdict asked
+    # for n>=3 everywhere so medians can be compared for the whole suite.
     for _pass in range(3):
         # drop InMemoryRelations left by queries that persist(): the
         # CacheManager dedupes by plan, so without this the second pass
         # would time cache hits instead of the plans
         spark.catalog.clearCache()
         for name in sorted(all_queries):
-            if _pass > 0 and min(samples.get(name, [9.9])) <= 1.0:
-                continue
             fn = all_queries[name]
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
@@ -80,9 +79,13 @@ def main() -> None:
     detail = {
         "samples": samples,
         "spread": {
-            name: {"n": len(ts), "min": min(ts), "max": max(ts)}
+            name: {
+                "n": len(ts),
+                "min": min(ts),
+                "median": sorted(ts)[len(ts) // 2],
+                "max": max(ts),
+            }
             for name, ts in samples.items()
-            if len(ts) > 1
         },
         "sf": out["sf"],
     }

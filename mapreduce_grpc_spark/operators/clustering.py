@@ -169,6 +169,12 @@ SELECT vec_id, CAST(k AS INTEGER) AS cluster, dist_sq FROM a2
 # ---------------------------------------------------------------------------
 
 MAX_KMEANS_ROUNDS = 25
+# stop when the round's relative inertia improvement drops below this
+# (MLlib's `tol` design and its default magnitude; exact-equality
+# fixpoints need unbounded rounds on weakly-clustered data — traced at
+# sf0.01: improvement decays to ~6e-5/round by round 11 and keeps
+# crawling — while the model stops changing meaningfully much earlier)
+KMEANS_TOL = 1e-4
 _INERTIA_DEC = "decimal(38,6)"
 
 
@@ -216,10 +222,12 @@ def kmeans_pp_fit(
     checkpointing is needed (unlike ``components_from_pairs``, whose
     per-node labels cannot live on the driver).  Convergence is measured
     like the CC loop: per-round inertia quantized to 6dp and summed in
-    DECIMAL (order-independent, exact) — Lloyd never increases inertia,
-    so an unchanged sum is a fixpoint.  Raises if ``max_rounds`` passes
-    without convergence rather than returning a silently-unconverged
-    model.  Returns ``(assignment, rounds_run)``.
+    DECIMAL (order-independent, exact); the loop stops at an exact
+    fixpoint OR when the relative improvement falls below
+    ``KMEANS_TOL`` (deterministic — Decimal arithmetic, no float
+    comparison drift).  Raises if ``max_rounds`` passes without either
+    rather than returning a silently-unconverged model.  Returns
+    ``(assignment, rounds_run)``.
 
     At 100 TB: per round = one data pass (no vector shuffle) + a K x dim
     aggregate; init adds k-1 passes.  All driver state is O(K x dim).
@@ -267,7 +275,14 @@ def kmeans_pp_fit(
                     F.sum(F.round(F.col("dist_sq"), 6).cast(_INERTIA_DEC))
                 ).collect()[0][0]
             )
-            if prev_inertia is not None and inertia == prev_inertia:
+            if prev_inertia is not None and (
+                inertia == prev_inertia
+                or (
+                    prev_inertia > 0
+                    and (prev_inertia - inertia) / prev_inertia
+                    < type(prev_inertia)(str(KMEANS_TOL))
+                )
+            ):
                 break
             prev_inertia = inertia
             # centroid update: (K x dim) partial-sum shuffle, then the
@@ -311,8 +326,12 @@ def kmeans_pp(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-AUX_QUERIES = {
-    "kmeans_clusters": kmeans_clusters,
-    "kmeans_pp": kmeans_pp,
-}
+# kmeans_pp is deliberately NOT a benched AUX query: its convergence
+# loop runs ~20 rounds x 3 jobs on the fixture (41 s at sf0.1, pure
+# fixed job overhead at that scale — the per-round cost model is what
+# matters at 100 TB), which would drown the suite signal.  It is an
+# exported operator API like scd2_apply/merge_upsert_cow, pinned by the
+# invariant tests in tests/test_clustering.py; the unrolled
+# kmeans_clusters twin carries the cross-engine hash and the bench row.
+AUX_QUERIES = {"kmeans_clusters": kmeans_clusters}
 AUX_ORACLES = {"kmeans_clusters": KMEANS_CLUSTERS_SQL}

@@ -65,8 +65,13 @@ def attribution_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
     )
 
 
-def run_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Execute the view->purchase attribution join to completion."""
+def run_streaming_interval_join(
+    spark: SparkSession, sf_dir: str, state_partitions: int = 8
+) -> DataFrame:
+    """Execute the view->purchase attribution join to completion.
+
+    ``state_partitions`` exists so tools/scale_check.py can sweep the
+    state-store sizing rule below with measured rows."""
     name = f"stream_ijoin_{uuid.uuid4().hex[:8]}"
     # the two-sided join state store pays a per-partition commit cost on
     # BOTH sides each micro-batch — far higher than aggregation state.
@@ -83,7 +88,7 @@ def run_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # many-file directory-shaped events table cannot split across
     # triggers and flake oracle parity.
     single_batch = 1_000_000
-    with _stateful_shuffle_partitions(spark, cap=8):
+    with _stateful_shuffle_partitions(spark, cap=state_partitions):
         views = (
             _events_stream(spark, sf_dir, max_files_per_trigger=single_batch)
             .filter(F.col("event_type") == "view")

@@ -130,6 +130,31 @@ def run_distributed_cc(spark, sf_dir: str) -> float:
         dd.DRIVER_CC_MAX_PAIRS = orig
 
 
+def run_interval_join_sweep(
+    spark, sf_dir: str, partition_counts=(4, 8, 16)
+) -> dict[int, float]:
+    """Sweep the stream-stream join's state-store partition count — the
+    knob streaming/joins.py documents a sizing rule for — so the rule
+    carries measured datapoints at each scale instead of a one-off."""
+    from mapreduce_grpc_spark.streaming.joins import (
+        run_streaming_interval_join,
+    )
+
+    out = {}
+    for p in partition_counts:
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            run_streaming_interval_join(
+                spark, sf_dir, state_partitions=p
+            ).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[p] = round(best, 3)
+    return out
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sf_scaled_x{n}"
@@ -142,6 +167,8 @@ def main() -> None:
     tn = run(spark, out_dir, QUERIES)
     cc1 = run_distributed_cc(spark, BASE_SF)
     ccn = run_distributed_cc(spark, out_dir)
+    sweep1 = run_interval_join_sweep(spark, BASE_SF)
+    sweepn = run_interval_join_sweep(spark, out_dir)
     report = {
         "n": n,
         "queries": {
@@ -152,6 +179,14 @@ def main() -> None:
             "t1": cc1,
             "tn": ccn,
             "ratio": round(ccn / cc1, 2),
+        },
+        "interval_join_state_partitions": {
+            str(p): {
+                "t1": sweep1[p],
+                "tn": sweepn[p],
+                "ratio": round(sweepn[p] / sweep1[p], 2),
+            }
+            for p in sweep1
         },
     }
     print(json.dumps(report))
