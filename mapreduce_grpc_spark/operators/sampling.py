@@ -116,12 +116,64 @@ WHERE pick <= {FIXED_K}
 """
 
 
+WEIGHTED_N = 100        # corpus subsample size (documents fixture: 500
+                        # docs at sf<=0.01 — N must subsample, not engulf)
+WEIGHTED_SALT = "wsamp1"
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement of ``WEIGHTED_N``
+    docs (weight = ``n_chars``: longer documents sampled more — the
+    quality/length-weighted corpus subsampling step of a training mix).
+
+    Deterministic Efraimidis–Spirakis: rank by ``ln(u)/w`` descending
+    (the exponential-race key, equivalent to drawing without replacement
+    with probability proportional to ``w``) where ``u`` is the
+    ``md5_long`` per-row uniform — a pure function of the data, like
+    every sampler here.  The key is rounded to 8 dp so the two engines'
+    ``ln`` (which may differ in the last ulp) cannot reorder the
+    boundary; ties break on doc_id.
+
+    Scale shape: one scan, row-local key, global top-N via
+    TakeOrderedAndProject — no shuffle of the corpus, O(N) driver
+    result.  (The same key with a PARTITION BY source window is the
+    per-source variant.)
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = md5_long(
+        F.concat_ws(":", F.lit(WEIGHTED_SALT), F.col("doc_id").cast("string"))
+    )
+    # (u+1)/2^60 in (0,1]: int->double is IEEE-nearest in both engines,
+    # and the 2^60 scale is a power of two (exact)
+    uu = (u.cast("double") + F.lit(1.0)) / F.lit(float(_HASH_SPACE))
+    key = F.round(F.log(uu) / F.col("n_chars"), 8)
+    return (
+        docs.select("doc_id", "lang", "n_chars", key.alias("skey"))
+        .orderBy(F.desc("skey"), F.asc("doc_id"))
+        .limit(WEIGHTED_N)
+    )
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+SELECT doc_id, lang, n_chars, skey FROM (
+  SELECT doc_id, lang, n_chars,
+         round(ln((CAST({md5_long_sql(
+             f"concat('{WEIGHTED_SALT}', ':', CAST(doc_id AS VARCHAR))"
+         )} AS DOUBLE) + 1.0) / {float(_HASH_SPACE)}) / n_chars, 8) AS skey
+  FROM documents WHERE n_chars > 0
+) t
+ORDER BY skey DESC, doc_id ASC
+LIMIT {WEIGHTED_N}
+"""
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
 AUX_QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_fixed_per_group": sample_fixed_per_group,
+    "sample_weighted": sample_weighted,
 }
 
 # consumed by tests/test_sampling.py (NOT by oracle_sql(): the driver
@@ -129,4 +181,5 @@ AUX_QUERIES = {
 AUX_ORACLES = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_fixed_per_group": SAMPLE_FIXED_PER_GROUP_SQL,
+    "sample_weighted": SAMPLE_WEIGHTED_SQL,
 }

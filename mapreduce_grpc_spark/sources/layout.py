@@ -84,16 +84,17 @@ def _morton2(a: F.Column, b: F.Column) -> F.Column:
     return reduce(lambda x, y: x.bitwiseOR(y), terms)
 
 
-def zorder_write(
-    spark: SparkSession,
+def zorder_frame(
     df: DataFrame,
     cols: tuple[str, str],
-    path: str,
     n_files: int,
     equidepth: bool = False,
-) -> None:
-    """Write ``df`` as ``n_files`` parquet files clustered on the Z-order
-    curve of two numeric columns.
+) -> DataFrame:
+    """``df`` re-clustered along the Z-order curve of two numeric
+    columns into ``n_files`` range partitions — the transform behind
+    ``zorder_write``, exposed so manifest-committed writers
+    (``sources/snapshots.optimize_snapshot``) can cluster without the
+    directory-write step.
 
     ``equidepth=True`` derives bucket boundaries from ``approxQuantile``
     (equal row mass per bucket) instead of the min-max affine scale —
@@ -121,14 +122,27 @@ def zorder_write(
             _bucket(ca, stats.a_lo, stats.a_hi),
             _bucket(cb, stats.b_lo, stats.b_hi),
         )
-    (
+    return (
         df.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
-        .write.mode("errorifexists")
-        .parquet(path)
     )
+
+
+def zorder_write(
+    spark: SparkSession,
+    df: DataFrame,
+    cols: tuple[str, str],
+    path: str,
+    n_files: int,
+    equidepth: bool = False,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered on the Z-order
+    curve of two numeric columns (see :func:`zorder_frame`)."""
+    zorder_frame(df, cols, n_files, equidepth).write.mode(
+        "errorifexists"
+    ).parquet(path)
 
 
 def bounding_stats(

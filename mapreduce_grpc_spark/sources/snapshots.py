@@ -272,6 +272,74 @@ def merge_upsert_cow(
     }
 
 
+def optimize_snapshot(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    zorder: tuple[str, str] | None = None,
+    equidepth: bool = False,
+) -> dict:
+    """OPTIMIZE for snapshot tables: compaction (and optionally Z-order
+    re-clustering) as one copy-on-write manifest commit.
+
+    Without ``zorder``: bin-packs only the files smaller than
+    ``target_bytes`` into ~target-sized rewrites and carries full-sized
+    files by reference — the Delta ``OPTIMIZE`` shape, fixing the
+    small-file accretion of streaming/merge writers without touching
+    healthy files.  With ``zorder``: rewrites the WHOLE table through
+    ``layout.zorder_frame`` (clustered layout is a global property), so
+    subsequent ``merge_upsert_cow`` batches overlap fewer files — the
+    clustering is precisely what keeps CoW merge cost small.  Readers
+    racing the optimize keep their resolved version (same isolation as
+    every commit); old files survive until ``expire_snapshots``.
+
+    Returns ``{"version", "rewritten", "carried", "added"}``
+    (version is unchanged and no commit happens if nothing qualifies).
+    """
+    from .layout import zorder_frame
+
+    m = read_manifest(path)
+    stats_cols = m["stats_cols"]
+    if zorder is not None:
+        to_rewrite = list(m["files"])
+        carried: list[dict] = []
+    else:
+        sizes = {
+            f["name"]: os.path.getsize(os.path.join(path, f["name"]))
+            for f in m["files"]
+        }
+        to_rewrite = [f for f in m["files"] if sizes[f["name"]] < target_bytes]
+        carried = [f for f in m["files"] if sizes[f["name"]] >= target_bytes]
+        if len(to_rewrite) < 2:
+            return {
+                "version": m["version"],
+                "rewritten": 0,
+                "carried": len(m["files"]),
+                "added": 0,
+            }
+    df = spark.read.parquet(
+        *[os.path.join(path, f["name"]) for f in to_rewrite]
+    )
+    if zorder is not None:
+        total = sum(
+            os.path.getsize(os.path.join(path, f["name"]))
+            for f in to_rewrite
+        )
+        n_files = max(1, -(-total // target_bytes))  # ceil
+        out = zorder_frame(df, zorder, n_files, equidepth)
+    else:
+        total = sum(sizes[f["name"]] for f in to_rewrite)
+        out = df.coalesce(max(1, -(-total // target_bytes)))
+    new_entries = _write_data_files(spark, out, path, stats_cols)
+    version = _commit(path, carried + new_entries, stats_cols)
+    return {
+        "version": version,
+        "rewritten": len(to_rewrite),
+        "carried": len(carried),
+        "added": len(new_entries),
+    }
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     """Delete data files referenced only by expired versions (and the
     expired manifests).  Keeps the most recent ``keep_last`` versions;

@@ -21,10 +21,43 @@ from mapreduce_grpc_spark.operators.sampling import (
 from tests.oracle import assert_oracle_match
 
 
-@pytest.mark.parametrize("name", ["sample_stratified", "sample_fixed_per_group"])
+@pytest.mark.parametrize(
+    "name",
+    ["sample_stratified", "sample_fixed_per_group", "sample_weighted"],
+)
 def test_sampling_oracle_parity(spark, sf_dir, name):
     df = registry.AUX_QUERIES[name](spark, sf_dir)
     assert_oracle_match(df, registry.AUX_ORACLES[name], sf_dir, name)
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark, sf_dir):
+    """P(selection) ∝ n_chars: the sampled set's mean n_chars must
+    exceed the corpus mean, and the top length-quartile must be
+    overrepresented relative to its corpus share.  Exactly WEIGHTED_N
+    rows, no duplicates."""
+    from mapreduce_grpc_spark.catalog import table
+    from mapreduce_grpc_spark.operators.sampling import (
+        WEIGHTED_N,
+        sample_weighted,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    rows = sample_weighted(spark, sf_dir).collect()
+    assert len(rows) == min(WEIGHTED_N, docs.count())
+    assert len({r.doc_id for r in rows}) == len(rows)
+
+    corpus = [r.n_chars for r in docs.select("n_chars").collect()]
+    corpus_mean = sum(corpus) / len(corpus)
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+    q3 = sorted(corpus)[3 * len(corpus) // 4]
+    top_share_corpus = sum(1 for c in corpus if c >= q3) / len(corpus)
+    top_share_sample = sum(1 for r in rows if r.n_chars >= q3) / len(rows)
+    assert top_share_sample > top_share_corpus, (
+        top_share_sample,
+        top_share_corpus,
+    )
 
 
 def test_stratified_rates_within_tolerance(spark, sf_dir):

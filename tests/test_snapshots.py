@@ -14,6 +14,7 @@ from mapreduce_grpc_spark.sources.snapshots import (
     current_version,
     expire_snapshots,
     merge_upsert_cow,
+    optimize_snapshot,
     read_manifest,
     snap_init,
     snap_read,
@@ -128,6 +129,80 @@ def test_time_travel_and_reader_isolation(spark, tmp_path):
     # explicit time travel
     assert _rows(snap_read(spark, path, version=1)) == v1_rows
     assert dict(_rows(snap_read(spark, path)))[0] == "UPD0"
+
+
+def test_optimize_compacts_small_files_and_carries_big(spark, tmp_path):
+    """OPTIMIZE bin-packs only sub-target files; a healthy file is
+    carried by reference (byte-identical); rows survive exactly; the
+    pre-optimize version stays time-travel readable."""
+    path = str(tmp_path / "snap")
+    # 8 tiny files
+    df = (
+        spark.range(400)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        )
+        .repartition(8)
+    )
+    snap_init(spark, df, path, stats_cols=["k"])
+    m1 = read_manifest(path)
+    assert len(m1["files"]) == 8
+    big = max(
+        os.path.getsize(os.path.join(path, f["name"])) for f in m1["files"]
+    )
+
+    # threshold chosen so every file is "small" -> all 8 bin-packed
+    res = optimize_snapshot(spark, path, target_bytes=big * 8)
+    assert res["rewritten"] == 8 and res["version"] == 2
+    m2 = read_manifest(path)
+    assert len(m2["files"]) < 8
+    assert _rows(snap_read(spark, path)) == _rows(df)
+    assert _rows(snap_read(spark, path, version=1)) == _rows(df)
+
+    # a now-healthy file is carried on the next pass: nothing qualifies
+    res2 = optimize_snapshot(spark, path, target_bytes=1)  # all are "big"
+    assert res2["rewritten"] == 0 and res2["version"] == 2  # no new commit
+
+
+def test_optimize_zorder_tightens_envelopes_for_cow_merge(spark, tmp_path):
+    """Z-order OPTIMIZE rewrites the table clustered on the merge key, so
+    a subsequent CoW merge overlaps strictly fewer files than before."""
+    path = str(tmp_path / "snap")
+    # layout hostile to key pruning: round-robin partitioning spreads
+    # every key range across every file
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).cast("double").alias("x"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    snap_init(spark, df.repartition(8), path, stats_cols=["k"])
+
+    updates = spark.createDataFrame(
+        [(k, 0.0, f"U{k}") for k in range(100, 120)],
+        "k bigint, x double, v string",
+    )
+    pre = merge_upsert_cow(spark, path, updates, keys=["k"])
+    assert pre["carried"] == 0, "round-robin layout should overlap all files"
+
+    # cluster on (k, x); small target so several files result
+    fsize = sum(
+        os.path.getsize(os.path.join(path, f["name"]))
+        for f in read_manifest(path)["files"]
+    )
+    optimize_snapshot(
+        spark, path, target_bytes=max(1, fsize // 8), zorder=("k", "x")
+    )
+    updates2 = spark.createDataFrame(
+        [(k, 0.0, f"W{k}") for k in range(200, 220)],
+        "k bigint, x double, v string",
+    )
+    post = merge_upsert_cow(spark, path, updates2, keys=["k"])
+    assert post["carried"] > 0, "clustered layout must let CoW carry files"
+    # data still exact after the whole dance
+    got = dict((r.k, r.v) for r in snap_read(spark, path).collect())
+    assert len(got) == 2000
+    assert got[110] == "U110" and got[210] == "W210" and got[0] == "v0"
 
 
 def test_expire_snapshots_gc(spark, tmp_path):
