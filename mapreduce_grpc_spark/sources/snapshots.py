@@ -272,6 +272,87 @@ def merge_upsert_cow(
     }
 
 
+def apply_cdc_cow(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    keys: list[str],
+    op_col: str = "_op",
+) -> dict:
+    """Apply one CDC batch (rows tagged I/U/D in ``op_col``) to a
+    snapshot table with file-level copy-on-write.
+
+    The change-data-capture ingest shape (Debezium/DMS feeds): upserts
+    (I and U are the same idempotent operation against a keyed table)
+    replace matching rows, D removes them.  One commit per batch — a
+    reader sees the whole batch or none of it.  File pruning, envelope
+    maintenance, and the duplicate-key rejection are shared with
+    ``merge_upsert_cow``; a key may appear with at most ONE op per
+    batch (conflicting I+D for a key is the upstream's bug to resolve,
+    not ours to guess).  Returns the merge stats plus ``deleted``/
+    ``upserted`` row counts.
+    """
+    ops = [
+        r[0]
+        for r in batch.select(F.upper(F.col(op_col)).alias("o"))
+        .distinct()
+        .collect()
+    ]
+    bad = set(ops) - {"I", "U", "D"}
+    if bad:
+        raise ValueError(f"apply_cdc_cow: unknown op codes {sorted(bad)}")
+    dup = (
+        batch.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"apply_cdc_cow: batch has multiple ops for key "
+            f"{tuple(dup[0][k] for k in keys)!r}; collapse the batch to "
+            "its final per-key state first"
+        )
+    upserts = batch.filter(F.upper(F.col(op_col)).isin("I", "U")).drop(
+        op_col
+    )
+    n_upserts = upserts.count()
+    deletes = batch.filter(F.upper(F.col(op_col)) == "D").select(*keys)
+    n_deletes = deletes.count()
+
+    m = read_manifest(path)
+    stats_cols = m["stats_cols"]
+    all_keys = batch.select(*keys).distinct()
+    bounds = all_keys.agg(
+        *[F.min(k).alias(f"lo_{k}") for k in keys],
+        *[F.max(k).alias(f"hi_{k}") for k in keys],
+    ).collect()[0]
+    lows = {k: _json_val(bounds[f"lo_{k}"]) for k in keys}
+    highs = {k: _json_val(bounds[f"hi_{k}"]) for k in keys}
+    overlapping = [f for f in m["files"] if _overlaps(f, lows, highs)]
+    carried = [f for f in m["files"] if not _overlaps(f, lows, highs)]
+
+    if overlapping:
+        old = spark.read.parquet(
+            *[os.path.join(path, f["name"]) for f in overlapping]
+        )
+        remaining = old.join(F.broadcast(all_keys), keys, "left_anti")
+        out = remaining.unionByName(upserts.select(*old.columns))
+    else:
+        out = upserts.select(*snap_read(spark, path).columns)
+    new_entries = _write_data_files(spark, out, path, stats_cols)
+    version = _commit(path, carried + new_entries, stats_cols)
+    return {
+        "version": version,
+        "rewritten": len(overlapping),
+        "carried": len(carried),
+        "added": len(new_entries),
+        "upserted": n_upserts,
+        "deleted": n_deletes,
+    }
+
+
 def optimize_snapshot(
     spark: SparkSession,
     path: str,

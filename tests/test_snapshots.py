@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from mapreduce_grpc_spark.sources.snapshots import (
+    apply_cdc_cow,
     current_version,
     expire_snapshots,
     merge_upsert_cow,
@@ -203,6 +204,113 @@ def test_optimize_zorder_tightens_envelopes_for_cow_merge(spark, tmp_path):
     got = dict((r.k, r.v) for r in snap_read(spark, path).collect())
     assert len(got) == 2000
     assert got[110] == "U110" and got[210] == "W210" and got[0] == "v0"
+
+
+def test_apply_cdc_cow_upserts_and_deletes(spark, tmp_path):
+    """One CDC batch: U replaces, I inserts, D removes — atomically, in
+    one version; pruning still carries non-overlapping files."""
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path)  # keys 0..999 clustered into 4 files
+
+    # narrow batch (keys 10..20): envelope pruning must carry the three
+    # files whose ranges don't overlap
+    batch = spark.createDataFrame(
+        [(10, "UPD10", "U"), (20, None, "D")],
+        "k bigint, v string, _op string",
+    )
+    res = apply_cdc_cow(spark, path, batch, keys=["k"])
+    assert res["version"] == 2
+    assert res["upserted"] == 1 and res["deleted"] == 1
+    assert res["carried"] == 3, "far-away files must be carried"
+
+    got = dict(_rows(snap_read(spark, path)))
+    assert got[10] == "UPD10"
+    assert 20 not in got
+    assert len(got) == 999
+
+    # second batch: insert outside the key range (widens envelope, fine)
+    res2 = apply_cdc_cow(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(5000, "NEW", "I")], "k bigint, v string, _op string"
+        ),
+        keys=["k"],
+    )
+    assert res2["version"] == 3 and res2["upserted"] == 1
+    got = dict(_rows(snap_read(spark, path)))
+    assert got[5000] == "NEW" and len(got) == 1000
+    # batch atomicity: v1 still shows the pre-batch world
+    v1 = dict(_rows(snap_read(spark, path, version=1)))
+    assert v1[10] == "v10" and 20 in v1 and 5000 not in v1
+
+
+def test_apply_cdc_cow_rejects_conflicting_ops(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=10, n_files=1)
+    bad = spark.createDataFrame(
+        [(1, "x", "I"), (1, None, "D")], "k bigint, v string, _op string"
+    )
+    with pytest.raises(ValueError, match="multiple ops"):
+        apply_cdc_cow(spark, path, bad, keys=["k"])
+    unknown = spark.createDataFrame(
+        [(1, "x", "Z")], "k bigint, v string, _op string"
+    )
+    with pytest.raises(ValueError, match="unknown op"):
+        apply_cdc_cow(spark, path, unknown, keys=["k"])
+    assert current_version(path) == 1
+
+
+def test_streaming_cdc_replays_to_final_state(spark, tmp_path):
+    """A 3-file CDC feed streamed one file per micro-batch: per-key
+    collapse inside each batch (delete->reinsert nets to insert), one
+    snapshot version per batch, final state equals the hand-applied
+    fold, and every intermediate version is auditable."""
+    from mapreduce_grpc_spark.streaming.cdc import run_streaming_cdc
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=100, n_files=2)
+
+    cdc = tmp_path / "cdc"
+    # batches touch DISJOINT key sets: the file source's micro-batch
+    # order is a listing order, not append order, so the expected final
+    # state must be order-independent (within-batch ordering is what
+    # collapse_cdc_batch owns, via seq)
+    batches = [
+        # update 1, delete 2
+        [(1, "U1a", "U", 1), (2, None, "D", 2)],
+        # key 3 deleted then re-inserted (nets to insert); key 4
+        # updated twice (last seq wins)
+        [
+            (3, None, "D", 10),
+            (3, "R3", "I", 11),
+            (4, "U4a", "U", 12),
+            (4, "U4b", "U", 13),
+        ],
+        # insert a fresh key
+        [(200, "N200", "I", 20)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "k bigint, v string, _op string, seq bigint"
+        ).coalesce(1).write.parquet(str(cdc), mode="append")
+
+    log = run_streaming_cdc(
+        spark, str(cdc), path, keys=["k"], checkpoint_dir=str(tmp_path / "ck")
+    )
+    assert len(log) >= 1  # at least one non-empty batch applied
+    assert sum(e["upserted"] for e in log) == 4  # U1a, R3, U4b, N200
+    assert sum(e["deleted"] for e in log) == 1  # key 2 (key 3 netted out)
+
+    got = dict(_rows(snap_read(spark, path)))
+    assert got[1] == "U1a"
+    assert 2 not in got
+    assert got[3] == "R3"
+    assert got[4] == "U4b"
+    assert got[200] == "N200"
+    assert len(got) == 100  # 100 - delete(2) + insert(200)
+    # audit: version count advanced once per applied batch
+    assert current_version(path) == 1 + len(log)
 
 
 def test_expire_snapshots_gc(spark, tmp_path):
