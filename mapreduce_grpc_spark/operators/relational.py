@@ -1105,6 +1105,84 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) join: each order resolves the customer
+    dimension VERSION valid at its order date — the standard
+    fact-to-SCD2 lookup, and the consumption side of ``scd2_apply``.
+
+    The dimension is built deterministically with the same API the
+    history demo uses (keys ``c_custkey % 100 < 10`` promoted effective
+    1998-01-01, mid fixture date range) so the oracle can rebuild it.
+
+    Plan shape: the dimension (≤ 2 versions per key) BROADCASTS; the
+    join is hash-equality on custkey with the validity-interval range as
+    a row-local post-join filter — facts are never shuffled, cost is one
+    fact scan at any fact volume.  Exactly one version matches per fact
+    row (intervals partition the timeline), asserted by the
+    row-count-equals-orders test.
+    """
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    d0 = F.to_date(F.lit("1995-01-01"))
+    hi = F.to_date(F.lit(SCD2_HI_DATE))
+    dim = cust.select(
+        "c_custkey",
+        "segment",
+        d0.alias("valid_from"),
+        hi.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    batch = cust.filter(F.col("c_custkey") % 100 < 10).select(
+        "c_custkey", F.lit("PROMOTED").alias("segment")
+    )
+    dim2 = scd2_apply(
+        dim, batch, keys=["c_custkey"], attrs=["segment"],
+        effective_date="1998-01-01",
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    j = orders.join(
+        F.broadcast(dim2),
+        (orders.o_custkey == dim2.c_custkey)
+        & (orders.o_orderdate >= dim2.valid_from.cast("timestamp"))
+        & (orders.o_orderdate < dim2.valid_to.cast("timestamp")),
+    )
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("segment").alias("seg_at_order"),
+        (F.col("segment") == "PROMOTED").alias("promoted"),
+    )
+
+
+JOIN_TEMPORAL_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment AS segment FROM customer
+),
+changed AS (SELECT c_custkey FROM cust WHERE c_custkey % 100 < 10),
+dim AS (
+  SELECT c_custkey, segment,
+         DATE '1995-01-01' AS valid_from, DATE '9999-12-31' AS valid_to
+  FROM cust WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+  UNION ALL
+  SELECT c_custkey, segment, DATE '1995-01-01', DATE '1998-01-01'
+  FROM cust WHERE c_custkey % 100 < 10
+  UNION ALL
+  SELECT c_custkey, 'PROMOTED', DATE '1998-01-01', DATE '9999-12-31'
+  FROM cust WHERE c_custkey % 100 < 10
+)
+SELECT o.o_orderkey, o.o_custkey,
+       d.segment AS seg_at_order,
+       d.segment = 'PROMOTED' AS promoted
+FROM orders o JOIN dim d
+  ON o.o_custkey = d.c_custkey
+ AND o.o_orderdate >= CAST(d.valid_from AS TIMESTAMP)
+ AND o.o_orderdate < CAST(d.valid_to AS TIMESTAMP)
+"""
+
+
 SCD2_HISTORY_SQL = """
 WITH cust AS (
   SELECT c_custkey, c_mktsegment AS segment FROM customer
@@ -1135,6 +1213,7 @@ AUX_QUERIES = {
     "corr_matrix": corr_matrix,
     "merge_upsert": merge_upsert,
     "scd2_history": scd2_history,
+    "join_temporal": join_temporal,
 }
 
 AUX_ORACLES = {
@@ -1143,4 +1222,5 @@ AUX_ORACLES = {
     "corr_matrix": _corr_matrix_sql(),
     "merge_upsert": MERGE_UPSERT_SQL,
     "scd2_history": SCD2_HISTORY_SQL,
+    "join_temporal": JOIN_TEMPORAL_SQL,
 }

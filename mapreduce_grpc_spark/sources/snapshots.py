@@ -421,6 +421,45 @@ def optimize_snapshot(
     }
 
 
+def verify_snapshot(path: str, version: int | None = None) -> dict:
+    """fsck for a snapshot version: every manifest entry must exist on
+    disk with a readable footer whose row count matches the manifest.
+
+    Footer-only (no data pages) — O(files) driver work, the same cost
+    class as commit.  Returns ``{"version", "files", "rows", "missing",
+    "mismatched"}``; a non-empty ``missing``/``mismatched`` means the
+    table dir was mutated outside the commit protocol (or a GC raced a
+    pinned reader past its ``keep_last``)."""
+    import pyarrow.parquet as pq
+
+    m = read_manifest(path, version)
+    missing: list[str] = []
+    mismatched: list[dict] = []
+    total_rows = 0
+    for f in m["files"]:
+        full = os.path.join(path, f["name"])
+        if not os.path.exists(full):
+            missing.append(f["name"])
+            continue
+        try:
+            actual = pq.ParquetFile(full).metadata.num_rows
+        except Exception as e:  # corrupt footer
+            mismatched.append({"file": f["name"], "error": str(e)})
+            continue
+        if actual != f["rows"]:
+            mismatched.append(
+                {"file": f["name"], "manifest": f["rows"], "actual": actual}
+            )
+        total_rows += actual
+    return {
+        "version": m["version"],
+        "files": len(m["files"]),
+        "rows": total_rows,
+        "missing": missing,
+        "mismatched": mismatched,
+    }
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
     """Delete data files referenced only by expired versions (and the
     expired manifests).  Keeps the most recent ``keep_last`` versions;

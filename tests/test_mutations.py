@@ -393,6 +393,29 @@ def test_scd2_apply_noop_and_insert(spark):
     assert _scd2_canon(again) == _scd2_canon(out)
 
 
+def test_join_temporal_oracle_parity_and_coverage(spark, sf_dir):
+    """AS-OF dimension lookup: DuckDB hash parity, plus the partition-of-
+    time invariant — every order matches EXACTLY one dimension version
+    (no drops, no fan-out)."""
+    from mapreduce_grpc_spark import registry
+    from mapreduce_grpc_spark.operators.relational import join_temporal
+    from tests.oracle import assert_oracle_match
+
+    df = join_temporal(spark, sf_dir)
+    assert_oracle_match(
+        df, registry.AUX_ORACLES["join_temporal"], sf_dir, "join_temporal"
+    )
+    n_orders = table(spark, sf_dir, "orders").count()
+    rows = df.collect()
+    assert len(rows) == n_orders
+    assert len({r.o_orderkey for r in rows}) == n_orders
+    # the promotion is visible: promoted keys' post-1998 orders say so
+    assert any(r.promoted for r in rows)
+    assert any(not r.promoted and r.o_custkey % 100 < 10 for r in rows), (
+        "pre-promotion orders of changed keys must see the OLD segment"
+    )
+
+
 def test_scd2_history_invariants(spark, sf_dir):
     """Exactly one current version per key; closed versions end where
     their successor begins; unchanged keys have a single version."""

@@ -313,6 +313,23 @@ def test_streaming_cdc_replays_to_final_state(spark, tmp_path):
     assert current_version(path) == 1 + len(log)
 
 
+def test_verify_snapshot_fsck(spark, tmp_path):
+    """Healthy table verifies clean; an out-of-band file deletion is
+    reported as missing (the failure GC-past-a-pinned-reader causes)."""
+    from mapreduce_grpc_spark.sources.snapshots import verify_snapshot
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path)
+    rep = verify_snapshot(path)
+    assert rep["files"] == 4 and rep["rows"] == 1000
+    assert rep["missing"] == [] and rep["mismatched"] == []
+
+    victim = read_manifest(path)["files"][0]["name"]
+    os.remove(os.path.join(path, victim))
+    rep2 = verify_snapshot(path)
+    assert rep2["missing"] == [victim]
+
+
 def test_expire_snapshots_gc(spark, tmp_path):
     path = str(tmp_path / "snap")
     _mk_table(spark, path)
