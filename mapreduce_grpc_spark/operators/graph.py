@@ -127,8 +127,72 @@ SELECT doc_id, CAST(deg AS BIGINT) AS degree, pr FROM pr{N_ROUNDS}
 )
 
 
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the near-dup pair graph —
+    the local-clustering signal that separates "A≈B and B≈C by chance"
+    from a genuinely mutually-duplicate group (triangle-dense regions
+    are transitive duplicate clusters; sparse stars are often false
+    positives of the banding).
+
+    Classic ordered enumeration: the staged pair table is already
+    canonical ``doc_a < doc_b``, so each triangle (a<b<c) is found
+    EXACTLY once by joining (a,b)⋈(b,c) and closing with (a,c) — the
+    ordering is what keeps the join from counting each triangle 6 ways
+    (and at scale, from exploding hub nodes: a node's edges only join
+    toward higher ids).  Two equi-joins over the staged graph, then one
+    explode + count; no all-pairs work anywhere.
+    """
+    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    return (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+GRAPH_TRIANGLES_SQL = f"""
+WITH near AS (SELECT doc_a, doc_b FROM ({DEDUP_NEAR_SQL}) q),
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM near e1
+  JOIN near e2 ON e1.doc_b = e2.doc_a
+  JOIN near e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+member AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, count(*) AS n_triangles FROM member GROUP BY doc_id
+"""
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-AUX_QUERIES = {"pagerank_neardup": pagerank_neardup}
-AUX_ORACLES = {"pagerank_neardup": PAGERANK_NEARDUP_SQL}
+AUX_QUERIES = {
+    "pagerank_neardup": pagerank_neardup,
+    "graph_triangles": graph_triangles,
+}
+AUX_ORACLES = {
+    "pagerank_neardup": PAGERANK_NEARDUP_SQL,
+    "graph_triangles": GRAPH_TRIANGLES_SQL,
+}

@@ -55,3 +55,33 @@ def test_pagerank_star_graph_centrality(spark, sf_dir, monkeypatch):
         assert rows[0].pr > rows[leaf].pr
     leaf_scores = {rows[leaf].pr for leaf in range(1, 6)}
     assert len(leaf_scores) == 1, "symmetric leaves must score identically"
+
+
+def test_graph_triangles_oracle_parity(spark, sf_dir):
+    from mapreduce_grpc_spark.operators.graph import graph_triangles
+
+    df = graph_triangles(spark, sf_dir)
+    assert_oracle_match(
+        df, registry.AUX_ORACLES["graph_triangles"], sf_dir, "graph_triangles"
+    )
+    assert df.count() >= 3, "fixture graph carries at least one triangle"
+
+
+def test_graph_triangles_planted_clique(spark, sf_dir, monkeypatch):
+    """A 4-clique yields C(4,3)=4 triangles, each node in C(3,2)=3 of
+    them; an attached dangling edge adds none.  Counted exactly once per
+    triangle (the a<b<c ordered enumeration)."""
+    from mapreduce_grpc_spark.operators import graph as G
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = clique + [(3, 9)]  # dangling edge off the clique
+
+    def fake_pairs(spark_, sf_dir_):
+        return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+    monkeypatch.setattr(G, "dedup_near", fake_pairs)
+    rows = {r.doc_id: r.n_triangles for r in G.graph_triangles(
+        spark, sf_dir
+    ).collect()}
+    assert rows == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert sum(rows.values()) == 4 * 3  # 4 triangles x 3 members

@@ -84,3 +84,29 @@ def test_kmeans_broadcasts_centroids(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") + plan.count(
         "BroadcastExchange"
     ) >= 2, "centroid sides should broadcast in both passes"
+
+
+def test_join_temporal_broadcasts_dimension(spark, sf_dir):
+    """The AS-OF lookup must broadcast the (small) dimension so facts
+    are never shuffled — the property that makes it one fact scan at
+    any fact volume."""
+    from mapreduce_grpc_spark.operators.relational import join_temporal
+
+    df = join_temporal(spark, sf_dir)
+    assert has_broadcast_join(df)
+    # the fact scan reads only the three needed order columns
+    schemas = read_schema_columns(df)
+    for cols in schemas:
+        if "o_orderkey" in cols:
+            assert set(cols) <= {"o_orderkey", "o_custkey", "o_orderdate"}
+
+
+def test_sample_weighted_is_take_ordered(spark, sf_dir):
+    """Global top-N by sampling key must compile to
+    TakeOrderedAndProject (per-partition top-N + O(N) driver merge),
+    never a full sort exchange."""
+    from mapreduce_grpc_spark.operators.sampling import sample_weighted
+    from mapreduce_grpc_spark.plans import formatted_plan
+
+    plan = formatted_plan(sample_weighted(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
