@@ -925,14 +925,70 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
 }
 
+EDIT_PREFIX = 256  # chars compared (the DP is O(len²) — bounded on purpose)
+EDIT_MAX = 64      # keep pairs within this distance
+
+
+def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-level edit distance over the near-dup candidates
+    — the char-granular member of the near-dup family (token Jaccard,
+    SimHash bits, embedding cosine, and now Levenshtein), used to
+    separate true re-typings/OCR variants from docs that merely share
+    vocabulary.
+
+    Never all-pairs: candidates are the staged banded pair graph (the
+    same materialize-once table every dedup consumer joins), and the
+    O(len²) DP runs on a bounded ``EDIT_PREFIX``-char prefix — both
+    engines' ``levenshtein`` is the classic integer DP, so the result
+    hash-matches exactly.  Plan shape: the pair relation broadcasts
+    into two hash joins against the prefix projection of the documents
+    scan; per-pair cost is constant, total cost O(pairs).
+    """
+    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    pref = table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, EDIT_PREFIX).alias("pref")
+    )
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("pref").alias("pa")
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), F.col("pref").alias("pb")
+    )
+    return (
+        a.join(F.broadcast(pairs), "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= EDIT_MAX)
+    )
+
+
+DEDUP_EDITDISTANCE_SQL = f"""
+WITH near AS (SELECT doc_a, doc_b FROM ({DEDUP_NEAR_SQL}) q),
+pref AS (SELECT doc_id, substr(text, 1, {EDIT_PREFIX}) AS pref
+         FROM documents)
+SELECT n.doc_a, n.doc_b,
+       CAST(levenshtein(a.pref, b.pref) AS BIGINT) AS edit_dist
+FROM near n
+JOIN pref a ON n.doc_a = a.doc_id
+JOIN pref b ON n.doc_b = b.doc_id
+WHERE levenshtein(a.pref, b.pref) <= {EDIT_MAX}
+"""
+
+
 AUX_QUERIES = {
     "dedup_components": dedup_components,
     "dedup_incremental": dedup_incremental,
+    "dedup_editdistance": dedup_editdistance,
 }
 
 AUX_ORACLES = {
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "dedup_editdistance": DEDUP_EDITDISTANCE_SQL,
 }
 
 ORACLES = {

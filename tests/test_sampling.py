@@ -688,3 +688,51 @@ def test_training_order_is_a_stable_permutation(spark, sf_dir):
             for r in training_order(spark, td).collect()
         }
     assert base == rep
+
+
+def test_dedup_editdistance_oracle_parity_and_planted(spark, sf_dir, tmp_path):
+    """Char-level verify over the banded candidates: DuckDB hash parity
+    on the fixture, plus planted semantics — identical docs at distance
+    0, a k-char perturbation at distance exactly k."""
+    import os as _os
+
+    from mapreduce_grpc_spark.catalog import TABLES
+    from mapreduce_grpc_spark.operators.dedup import dedup_editdistance
+
+    assert_oracle_match(
+        dedup_editdistance(spark, sf_dir),
+        registry.AUX_ORACLES["dedup_editdistance"],
+        sf_dir,
+        "dedup_editdistance",
+    )
+
+    # planted corpus: doc 1 == doc 2; doc 3 = doc 1 with 3 chars changed
+    fake_sf = tmp_path / "sf_fake"
+    fake_sf.mkdir()
+    for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        if t != "documents" and _os.path.exists(src):
+            _os.symlink(src, fake_sf / f"{t}.parquet")
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the field towards the river bank every single morning"
+    )
+    mut = "THE" + base[3:50] + "XY" + base[52:]
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "web", len(base), base),
+            (2, "en", "web", len(base), base),
+            (3, "en", "web", len(mut), mut),
+        ],
+        "doc_id bigint, lang string, source string, n_chars bigint, "
+        "text string",
+    )
+    docs.coalesce(1).write.parquet(str(fake_sf / "documents.parquet"))
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in dedup_editdistance(spark, str(fake_sf)).collect()
+    }
+    assert got.get((1, 2)) == 0, got
+    for pair in [(1, 3), (2, 3)]:
+        if pair in got:  # present iff banding proposed the pair
+            assert got[pair] == 5  # 'the'->'THE' (3) + 2 inserted chars
