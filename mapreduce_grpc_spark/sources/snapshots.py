@@ -262,6 +262,10 @@ def merge_upsert_cow(
     else:
         tgt_cols = snap_read(spark, path).columns
         out = updates.select(*tgt_cols)
+    # keep file count ≈ rewritten count: without this the union inherits
+    # the shuffle partitioning and a 1-file rewrite fans out into dozens
+    # of small files, compounding per merge (observed 21 for 1)
+    out = out.coalesce(max(1, len(overlapping)))
     new_entries = _write_data_files(spark, out, path, stats_cols)
     version = _commit(path, carried + new_entries, stats_cols)
     return {
@@ -341,6 +345,7 @@ def apply_cdc_cow(
         out = remaining.unionByName(upserts.select(*old.columns))
     else:
         out = upserts.select(*snap_read(spark, path).columns)
+    out = out.coalesce(max(1, len(overlapping)))  # see merge_upsert_cow
     new_entries = _write_data_files(spark, out, path, stats_cols)
     version = _commit(path, carried + new_entries, stats_cols)
     return {
