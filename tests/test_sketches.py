@@ -87,3 +87,53 @@ def test_cms_merge_equals_global_build(spark, sf_dir):
         spark, whole, probes
     )
     assert cms_total(spark, merged) == cms_total(spark, whole)
+
+
+def test_cms_as_streaming_state(spark, sf_dir, tmp_path):
+    """The sketch is valid STREAMING state: build one CMS per micro-batch
+    in foreachBatch, fold with merge_cms, and the streamed result
+    estimates identically to the one-shot batch sketch — exact
+    equivalence, not approximation, because counter addition commutes
+    across any batch split."""
+    docs = table(spark, sf_dir, "documents")
+    src = tmp_path / "docs_stream"
+    docs.repartition(4).write.parquet(str(src))
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sketches: list[bytes] = []
+
+    def _sketch_batch(batch_df, _bid):
+        if batch_df.isEmpty():
+            return
+        words = batch_df.select(F.explode(tokens("text")).alias("word"))
+        sketches.append(build_cms(words, "word"))
+
+    q = (
+        stream.writeStream.foreachBatch(_sketch_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(sketches) >= 2, "expected a multi-micro-batch run"
+
+    streamed = merge_cms(spark, sketches)
+    whole = build_cms(_word_stream(spark, sf_dir), "word")
+    probes = [
+        r.word
+        for r in _word_stream(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(25)
+        .collect()
+    ]
+    assert cms_estimates(spark, streamed, probes) == cms_estimates(
+        spark, whole, probes
+    )
+    assert cms_total(spark, streamed) == cms_total(spark, whole)
