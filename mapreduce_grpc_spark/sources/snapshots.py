@@ -229,6 +229,13 @@ def merge_upsert_cow(
             f"merge keys {missing} not tracked in manifest stats_cols "
             f"{stats_cols}; re-init the table tracking them"
         )
+    tgt_cols = snap_read(spark, path).columns
+    if set(updates.columns) != set(tgt_cols):
+        raise ValueError(
+            f"merge_upsert_cow: batch columns {sorted(updates.columns)} != "
+            f"table columns {sorted(tgt_cols)}; silent projection would "
+            "mask typos and drop data"
+        )
     dup = (
         updates.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"))
@@ -296,6 +303,12 @@ def apply_cdc_cow(
     not ours to guess).  Returns the merge stats plus ``deleted``/
     ``upserted`` row counts.
     """
+    tgt_cols = snap_read(spark, path).columns
+    if set(batch.columns) - {op_col} != set(tgt_cols):
+        raise ValueError(
+            f"apply_cdc_cow: batch columns {sorted(batch.columns)} (minus "
+            f"{op_col!r}) != table columns {sorted(tgt_cols)}"
+        )
     ops = [
         r[0]
         for r in batch.select(F.upper(F.col(op_col)).alias("o"))

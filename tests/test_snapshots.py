@@ -330,6 +330,57 @@ def test_verify_snapshot_fsck(spark, tmp_path):
     assert rep2["missing"] == [victim]
 
 
+def test_two_racing_writers_one_wins(spark, tmp_path):
+    """Optimistic concurrency: two writers both resolving v1 cannot both
+    claim v2 — the loser raises (FileExistsError from the 'x'-mode
+    manifest claim) and its data files become expirable orphans, never a
+    corrupted CURRENT."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        _commit,
+        _write_data_files,
+    )
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=100, n_files=1)
+
+    # writer A prepares + commits v2
+    dfa = spark.createDataFrame([(1000, "A")], "k bigint, v string")
+    files_a = _write_data_files(spark, dfa, path, ["k"])
+    assert _commit(path, files_a, ["k"]) == 2
+
+    # writer B prepared against v1 concurrently; its claim of v2 loses
+    dfb = spark.createDataFrame([(2000, "B")], "k bigint, v string")
+    files_b = _write_data_files(spark, dfb, path, ["k"])
+    import unittest.mock as mock
+
+    with mock.patch(
+        "mapreduce_grpc_spark.sources.snapshots.current_version",
+        return_value=1,
+    ):
+        with pytest.raises(FileExistsError):
+            _commit(path, files_b, ["k"])
+    # table is healthy at A's version; B's files are orphans that GC
+    assert current_version(path) == 2
+    got = dict(_rows(snap_read(spark, path)))
+    assert got.get(1000) == "A" and 2000 not in got
+    deleted = expire_snapshots(path, keep_last=1)
+    assert {f["name"] for f in files_b} <= set(deleted)
+
+
+def test_cow_merge_rejects_schema_mismatch(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=10, n_files=1)
+    extra = spark.createDataFrame(
+        [(1, "x", 9.9)], "k bigint, v string, bogus double"
+    )
+    with pytest.raises(ValueError, match="batch columns"):
+        merge_upsert_cow(spark, path, extra, keys=["k"])
+    missing = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError, match="batch columns"):
+        merge_upsert_cow(spark, path, missing, keys=["k"])
+    assert current_version(path) == 1
+
+
 def test_expire_snapshots_gc(spark, tmp_path):
     path = str(tmp_path / "snap")
     _mk_table(spark, path)
