@@ -167,6 +167,58 @@ LIMIT {WEIGHTED_N}
 """
 
 
+PER_SOURCE_K = 50  # docs kept per source by the weighted reservoir
+
+
+def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly min(K, |source|) docs PER SOURCE, weight-proportional
+    within each — the per-stratum form of ``sample_weighted`` (a
+    training mix usually balances sources first, then samples by
+    quality inside each).  Same ``ln(u)/w`` key, but ranked within a
+    ``PARTITION BY source`` window: one hash-partition shuffle on
+    source, WindowGroupLimit prunes to K per partition map-side."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = md5_long(
+        F.concat_ws(":", F.lit(WEIGHTED_SALT), F.col("doc_id").cast("string"))
+    )
+    uu = (u.cast("double") + F.lit(1.0)) / F.lit(float(_HASH_SPACE))
+    key = F.round(F.log(uu) / F.col("n_chars"), 8)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("skey"), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("skey"))
+        .withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= PER_SOURCE_K)
+        .select(
+            "doc_id", "source", "n_chars",
+            F.col("pick").cast("int").alias("pick"),
+        )
+    )
+
+
+_WSEED_SQL = md5_long_sql(
+    f"concat('{WEIGHTED_SALT}', ':', CAST(doc_id AS VARCHAR))"
+)
+_WSKEY_SQL = (
+    f"round(ln((CAST({_WSEED_SQL} AS DOUBLE) + 1.0)"
+    f" / {float(_HASH_SPACE)}) / n_chars, 8)"
+)
+
+SAMPLE_WEIGHTED_PER_SOURCE_SQL = f"""
+SELECT doc_id, source, n_chars, CAST(pick AS INTEGER) AS pick
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_WSKEY_SQL} DESC, doc_id ASC
+         ) AS pick
+  FROM documents WHERE n_chars > 0
+) t
+WHERE pick <= {PER_SOURCE_K}
+"""
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
@@ -174,6 +226,7 @@ AUX_QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_fixed_per_group": sample_fixed_per_group,
     "sample_weighted": sample_weighted,
+    "sample_weighted_per_source": sample_weighted_per_source,
 }
 
 # consumed by tests/test_sampling.py (NOT by oracle_sql(): the driver
@@ -182,4 +235,5 @@ AUX_ORACLES = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_fixed_per_group": SAMPLE_FIXED_PER_GROUP_SQL,
     "sample_weighted": SAMPLE_WEIGHTED_SQL,
+    "sample_weighted_per_source": SAMPLE_WEIGHTED_PER_SOURCE_SQL,
 }

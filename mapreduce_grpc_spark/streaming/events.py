@@ -173,6 +173,68 @@ def run_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def run_streaming_temporal_enrich(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-side AS-OF dimension lookup: each event resolves the
+    dimension VERSION valid at its own event time — the streaming twin
+    of the batch ``join_temporal`` and the correct way to enrich a
+    stream against a slowly-changing dimension (joining only the
+    CURRENT version silently rewrites history for late/replayed
+    events).
+
+    The two-version dimension is built with the reusable ``scd2_apply``
+    (keys ``c_custkey % 100 < 10`` promoted effective 2024-01-15, mid
+    events range) and BROADCASTS; the validity-interval predicate is a
+    row-local filter after the hash probe, so the stream never
+    shuffles for the join.  AvailableNow + complete mode makes the
+    answer batch-equivalent for the DuckDB oracle."""
+    from ..catalog import table as _table
+    from ..operators.relational import SCD2_HI_DATE, scd2_apply
+
+    name = f"stream_temporal_{uuid.uuid4().hex[:8]}"
+    with _stateful_shuffle_partitions(spark):
+        cust = _table(spark, sf_dir, "customer").select(
+            "c_custkey", F.col("c_mktsegment").alias("segment")
+        )
+        dim = cust.select(
+            "c_custkey",
+            "segment",
+            F.to_date(F.lit("2024-01-01")).alias("valid_from"),
+            F.to_date(F.lit(SCD2_HI_DATE)).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        batch = cust.filter(F.col("c_custkey") % 100 < 10).select(
+            "c_custkey", F.lit("PROMOTED").alias("segment")
+        )
+        dim2 = scd2_apply(
+            dim, batch, keys=["c_custkey"], attrs=["segment"],
+            effective_date="2024-01-15",
+        )
+        ev = _events_stream(spark, sf_dir)
+        joined = ev.join(
+            F.broadcast(dim2),
+            (ev.user_id == dim2.c_custkey)
+            & (ev.ts >= dim2.valid_from.cast("timestamp"))
+            & (ev.ts < dim2.valid_to.cast("timestamp")),
+        )
+        agg = joined.groupBy(
+            F.col("segment").alias("seg_at_event"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 QUERIES = {
     "streaming_tumbling": run_streaming_tumbling,
 }
@@ -203,10 +265,38 @@ ORACLES = {
     "streaming_tumbling": STREAMING_TUMBLING_SQL,
 }
 
+STREAMING_TEMPORAL_ENRICH_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment AS segment FROM customer
+),
+dim AS (
+  SELECT c_custkey, segment,
+         DATE '2024-01-01' AS valid_from, DATE '9999-12-31' AS valid_to
+  FROM cust WHERE c_custkey % 100 >= 10
+  UNION ALL
+  SELECT c_custkey, segment, DATE '2024-01-01', DATE '2024-01-15'
+  FROM cust WHERE c_custkey % 100 < 10
+  UNION ALL
+  SELECT c_custkey, 'PROMOTED', DATE '2024-01-15', DATE '9999-12-31'
+  FROM cust WHERE c_custkey % 100 < 10
+)
+SELECT d.segment AS seg_at_event,
+       e.event_type,
+       count(*) AS n_events,
+       {dsum_sql('e.value')} AS sum_value
+FROM events e JOIN dim d
+  ON e.user_id = d.c_custkey
+ AND e.ts >= CAST(d.valid_from AS TIMESTAMP)
+ AND e.ts < CAST(d.valid_to AS TIMESTAMP)
+GROUP BY 1, 2
+"""
+
 AUX_QUERIES = {
     "streaming_enrich": run_streaming_enrich,
+    "streaming_temporal_enrich": run_streaming_temporal_enrich,
 }
 
 AUX_ORACLES = {
     "streaming_enrich": STREAMING_ENRICH_SQL,
+    "streaming_temporal_enrich": STREAMING_TEMPORAL_ENRICH_SQL,
 }

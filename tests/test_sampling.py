@@ -23,7 +23,12 @@ from tests.oracle import assert_oracle_match
 
 @pytest.mark.parametrize(
     "name",
-    ["sample_stratified", "sample_fixed_per_group", "sample_weighted"],
+    [
+        "sample_stratified",
+        "sample_fixed_per_group",
+        "sample_weighted",
+        "sample_weighted_per_source",
+    ],
 )
 def test_sampling_oracle_parity(spark, sf_dir, name):
     df = registry.AUX_QUERIES[name](spark, sf_dir)
@@ -736,3 +741,28 @@ def test_dedup_editdistance_oracle_parity_and_planted(spark, sf_dir, tmp_path):
     for pair in [(1, 3), (2, 3)]:
         if pair in got:  # present iff banding proposed the pair
             assert got[pair] == 5  # 'the'->'THE' (3) + 2 inserted chars
+
+
+def test_weighted_per_source_exact_k_and_consistency(spark, sf_dir):
+    """Exactly min(K, |source|) per source with dense pick ranks; the
+    per-source pick order is consistent with the global weighted key
+    (same u, same weight => same relative order)."""
+    from mapreduce_grpc_spark.catalog import table
+    from mapreduce_grpc_spark.operators.sampling import (
+        PER_SOURCE_K,
+        sample_weighted_per_source,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    totals = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    out = sample_weighted_per_source(spark, sf_dir).collect()
+    by_src: dict[str, list[int]] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.pick)
+    assert set(by_src) == set(totals)
+    for src, picks in by_src.items():
+        expect = min(PER_SOURCE_K, totals[src])
+        assert sorted(picks) == list(range(1, expect + 1)), src

@@ -311,3 +311,20 @@ def test_streaming_interval_join_drops_late_purchase(spark, tmp_path):
     pairs = {(r.view_id, r.purchase_id) for r in rows}
     assert (200, 201) in pairs, rows  # on-time pair emitted
     assert (100, 101) not in pairs, rows  # late pair suppressed
+
+
+def test_streaming_temporal_enrich_oracle_parity(spark, sf_dir):
+    """Stream-side AS-OF dimension lookup equals the batch temporal
+    join oracle (AvailableNow + complete mode = batch semantics)."""
+    from mapreduce_grpc_spark import registry
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["streaming_temporal_enrich"](spark, sf_dir)
+    assert_oracle_match(
+        df,
+        registry.AUX_ORACLES["streaming_temporal_enrich"],
+        sf_dir,
+        "streaming_temporal_enrich",
+    )
+    # the promotion is visible in the streamed aggregate
+    assert any(r.seg_at_event == "PROMOTED" for r in df.collect())
