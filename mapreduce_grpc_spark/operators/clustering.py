@@ -40,6 +40,8 @@ Scale (100 TB of vectors):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -204,7 +206,8 @@ def kmeans_pp_fit(
     k: int = K,
     seed: int = 42,
     max_rounds: int = MAX_KMEANS_ROUNDS,
-) -> tuple[DataFrame, int]:
+    return_centroids: bool = False,
+) -> tuple:
     """Seeded k-means++ init + Lloyd iterations to a measured fixpoint.
 
     Init is deterministic k-means++ without an RNG object: centroid 1 is
@@ -299,12 +302,12 @@ def kmeans_pp_fit(
                 f"k-means did not converge in {max_rounds} rounds; raise "
                 "max_rounds"
             )
-        return (
-            assign.select(
-                "vec_id", F.col("k").cast("int").alias("cluster"), "dist_sq"
-            ),
-            rounds,
+        out = assign.select(
+            "vec_id", F.col("k").cast("int").alias("cluster"), "dist_sq"
         )
+        if return_centroids:
+            return out, rounds, cent_rows
+        return out, rounds
     finally:
         emb.unpersist()
 
@@ -321,6 +324,82 @@ def kmeans_pp(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     assign, _rounds = kmeans_pp_fit(spark, emb)
     return assign
+
+
+# ---------------------------------------------------------------------------
+# Model artifacts on the snapshot layer: fit -> persist -> predict
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit_snapshot(
+    spark: SparkSession,
+    emb: DataFrame,
+    path: str,
+    k: int = K,
+    seed: int = 42,
+    max_rounds: int = MAX_KMEANS_ROUNDS,
+) -> dict:
+    """Fit seeded k-means++ and persist BOTH artifacts as snapshot
+    tables under ``path``: ``centroids`` (cluster, centroid array — the
+    model, K x dim rows) and ``assignment`` (vec_id, cluster, dist_sq —
+    the scored corpus).  Both land through the manifest commit protocol,
+    so a racing reader resolves a consistent model version, re-fits
+    land as new versions (time-travel-able model lineage), and
+    ``expire_snapshots`` GC applies.  Returns ``{"rounds", "k",
+    "centroids_version", "assignment_version"}``."""
+    from ..sources.snapshots import current_version, merge_upsert_cow, snap_init
+
+    assign, rounds, cent_rows = kmeans_pp_fit(
+        spark, emb, k=k, seed=seed, max_rounds=max_rounds,
+        return_centroids=True,
+    )
+    cent_df = spark.createDataFrame(
+        cent_rows, "k long, carr array<double>"
+    ).select(
+        F.col("k").cast("int").alias("cluster"),
+        F.col("carr").alias("centroid"),
+    )
+    cpath = os.path.join(path, "centroids")
+    apath = os.path.join(path, "assignment")
+    if current_version(cpath) == 0:
+        cv = snap_init(spark, cent_df, cpath, stats_cols=["cluster"])
+        av = snap_init(spark, assign, apath, stats_cols=["vec_id"])
+    else:  # re-fit: a new committed version of both artifacts
+        cv = merge_upsert_cow(spark, cpath, cent_df, keys=["cluster"])[
+            "version"
+        ]
+        av = merge_upsert_cow(spark, apath, assign, keys=["vec_id"])[
+            "version"
+        ]
+    return {
+        "rounds": rounds,
+        "k": len(cent_rows),
+        "centroids_version": cv,
+        "assignment_version": av,
+    }
+
+
+def kmeans_predict_snapshot(
+    spark: SparkSession,
+    path: str,
+    emb: DataFrame,
+    version: int | None = None,
+) -> DataFrame:
+    """Score vectors against a persisted model: read the ``centroids``
+    snapshot (optionally at a historical version), broadcast the K x dim
+    rows, and run the same row-local assignment pass as training — one
+    data scan, no vector shuffle, at any corpus size."""
+    from ..sources.snapshots import snap_read
+
+    cent = snap_read(spark, os.path.join(path, "centroids"), version)
+    cent_rows = [
+        (int(r.cluster), [float(x) for x in r.centroid])
+        for r in cent.collect()
+    ]
+    cent_df = spark.createDataFrame(cent_rows, "k long, carr array<double>")
+    return _assign(emb, cent_df).select(
+        "vec_id", F.col("k").cast("int").alias("cluster"), "dist_sq"
+    )
 
 
 QUERIES: dict = {}

@@ -1003,8 +1003,9 @@ def scd2_apply(
     ``effective_date``.  Semantics per batch key: a current row with
     different attrs is CLOSED (valid_to = effective_date) and a new
     current version opens; a current row with identical attrs is a
-    no-op (re-delivered batches are idempotent); an unseen key inserts
-    a first current version.  Historical rows pass through untouched.
+    no-op (re-delivered batches are idempotent); a key with NO current
+    version (unseen, or soft-deleted with only historical rows) inserts
+    a fresh current version.  Historical rows pass through untouched.
 
     Plan shape (the zero-dimension-shuffle property the demo query
     proves): the change batch rides a BROADCAST left join into the
@@ -1050,10 +1051,15 @@ def scd2_apply(
         hi.alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
+    # keys the batch MATCHED in the current rows, derived from the
+    # broadcast join above — NOT dim.select(keys).distinct(), which
+    # would broadcast O(|dimension|) and break the O(|batch|) contract
+    # on a large dimension.  |matched| <= |batch| by construction.
+    matched_keys = (
+        j.filter(F.col("_in_batch")).select(*keys).distinct()
+    )
     inserted = (
-        batch.join(
-            F.broadcast(dim.select(*keys).distinct()), keys, "left_anti"
-        )
+        batch.join(F.broadcast(matched_keys), keys, "left_anti")
         .select(
             *keys,
             *attrs,

@@ -79,6 +79,7 @@ def _load() -> None:
         relational,
         sampling,
         similarity,
+        snapshot_queries,
         text,
         udfs,
         windows,
@@ -108,6 +109,7 @@ def _load() -> None:
         clustering,
         streaming_joins,
         graph,
+        snapshot_queries,
     ):
         _register(mod)
     if len(QUERIES) > MAX_CONTRACT_QUERIES:

@@ -372,7 +372,15 @@ def rollup_refresh_snap(
     new_entries = _write_data_files(
         spark, out.repartitionByRange(4, "d"), path, m["stats_cols"]
     )
-    _commit(path, carried + new_entries, m["stats_cols"])
+    _commit(
+        path,
+        carried + new_entries,
+        m["stats_cols"],
+        base_version=m["version"],
+        schema_json=m.get("schema"),
+        txns=dict(m.get("txns", {})),
+        commit_info={"op": "rollup_refresh", "days": len(days_norm)},
+    )
     return len(days_norm)
 
 

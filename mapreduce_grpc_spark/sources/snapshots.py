@@ -10,43 +10,169 @@ staging.py``; per-file min-max envelopes, ``sources/layout.py``):
    A from the old version and partition B from the new.  Here every
    mutation is a NEW immutable manifest — a JSON list of data files plus
    per-file key envelopes — and readers resolve the table through an
-   atomically-swapped ``CURRENT`` pointer (``os.replace``), so a reader
-   that has resolved a version keeps a consistent file list no matter
-   how many commits land after it.  Old versions stay readable (time
-   travel) until ``expire_snapshots``.
+   atomically-swapped ``CURRENT`` pointer, so a reader that has resolved
+   a version keeps a consistent file list no matter how many commits
+   land after it.  Old versions stay readable (time travel) until
+   ``expire_snapshots``.
 
 2. **Merge granularity.**  The partition-level MERGE rewrites whole
    partitions — a hot day-partition of a 100 TB table is terabytes, so
    merge cost is partition size, not update size.  ``merge_upsert_cow``
-   rewrites only the FILES whose key envelope overlaps the update
-   batch: envelopes come from parquet FOOTERS at commit time (pyarrow
-   row-group stats — no data scan) and live in the manifest, so
-   locating affected files is a driver-side interval check against the
-   manifest, exactly Delta/Iceberg's data-skipping design.  Untouched
-   files are carried into the new manifest BY REFERENCE — never read,
-   never rewritten (the mtime test asserts byte-identical files).  The
-   reference's analogue is reduce consuming only its own bucket's files
+   rewrites only the FILES whose key statistics overlap the update
+   batch: per-file envelopes AND per-row-group ranges come from parquet
+   FOOTERS at commit time (no data scan) and live in the manifest, so
+   locating affected files is a driver-side check against the manifest,
+   exactly Delta/Iceberg's data-skipping design.  For bounded batches
+   the batch's actual KEY SET is probed against the per-row-group
+   ranges, so a sparse batch touching the min and max of the keyspace
+   rewrites only the files that really hold those keys — not everything
+   inside one global bounding box.  Untouched files are carried into the
+   new manifest BY REFERENCE — never read, never rewritten (the mtime
+   test asserts byte-identical files).  The reference's analogue is
+   reduce consuming only its own bucket's files
    (/root/reference/src/worker.h:81-119): work bounded by the relevant
    slice, not the table.
 
-At 100 TB: the manifest is O(files) driver state — the same scaling
-contract as Delta's JSON log segments (checkpointable if it ever grows
-past memory); commits are one ``os.replace``; merge cost is
+**Concurrency protocol** (the Delta optimistic-concurrency rule): every
+mutator records the manifest version it READ, and commits version
+``base+1`` with a create-exclusive manifest write.  Two writers that
+both read v1 cannot both claim v2 — the loser gets ``CommitConflict``,
+re-reads the winner's manifest, and re-derives its change from the new
+state (bounded retries).  A writer can therefore never publish a
+manifest derived from a stale file list, and GC can never break an
+in-flight writer: a writer whose base version was expired loses its
+commit race by construction.
+
+**Idempotent ingest**: a commit may carry a ``(txn_app, txn_batch)``
+marker; the manifest folds these into a ``txns`` map carried forward by
+every subsequent commit (Delta's ``txnAppId``/``txnVersion``).  A
+replayed micro-batch whose marker is already recorded is skipped, so a
+crashed-and-restarted streaming CDC ingest cannot double-apply a batch
+or duplicate the version audit trail.
+
+**Schema** is recorded in every manifest.  Batches must match the table
+schema by (name, type) — same-name/different-type columns are rejected,
+never silently cast.  With ``allow_schema_evolution=True`` a batch may
+ADD columns: carried files are null-backfilled at read time by handing
+the parquet reader the manifest's schema explicitly (no ``mergeSchema``
+footer sweep), and old versions keep reading their own recorded schema.
+
+**Portability**: all commit-protocol file ops route through a
+``SnapshotFS`` seam (local POSIX implementation below).  On an object
+store, ``create_exclusive`` maps to a conditional PUT (If-None-Match),
+``replace_atomic`` for CURRENT maps to a conditional PUT with the read
+version's ETag, and staging renames become direct writes to final
+names; nothing else in the protocol assumes rename semantics.
+
+At 100 TB: the manifest is O(files + row groups) driver state — the
+same scaling contract as Delta's JSON log segments (checkpointable if
+it ever grows past memory); commits are one pointer swap; merge cost is
 O(overlapping files + batch), and clustering the table on the merge key
 (``zorder_write``/sorted writes) is what keeps the overlap small.
 """
 
 from __future__ import annotations
 
+import decimal
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "_manifests"
+
+# retries for a mutator that loses the commit race (each retry re-reads
+# the winner's manifest and re-derives the change from current state)
+COMMIT_RETRIES = 5
+
+# largest update batch whose distinct key set is collected for exact
+# per-row-group membership pruning; larger batches fall back to the
+# conservative bounding-box check.  100k single-column keys ≈ a few MB
+# of driver memory — the same order as the manifest itself.
+KEY_PROBE_CAP = 100_000
+
+
+class CommitConflict(FileExistsError):
+    """Another writer committed the version this writer tried to claim.
+
+    Subclasses ``FileExistsError`` because that is exactly what the
+    local create-exclusive manifest write raises; callers (and the
+    built-in mutators) re-read CURRENT and retry against the new base.
+    """
+
+
+class LocalSnapshotFS:
+    """POSIX implementation of the commit-protocol file operations.
+
+    The snapshot layer's entire isolation story reduces to three
+    primitives, each with a documented object-store mapping:
+
+    - ``create_exclusive(path, text)`` — manifest claim.  Local: open
+      mode ``'x'``.  Object store: conditional PUT (If-None-Match: *).
+    - ``replace_atomic(src, dst)`` — CURRENT pointer swap.  Local:
+      ``os.replace``.  Object store: conditional PUT of the pointer
+      object keyed on the ETag read with the base version.
+    - ``rename(src, dst)`` — staging publish of immutable data files.
+      Local: ``os.rename``.  Object store: not needed — write data
+      files directly under their final unique names (they are invisible
+      until a manifest references them).
+    """
+
+    def exists(self, p: str) -> bool:
+        return os.path.exists(p)
+
+    def makedirs(self, p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+
+    def listdir(self, p: str) -> list[str]:
+        return os.listdir(p)
+
+    def remove(self, p: str) -> None:
+        os.remove(p)
+
+    def rmtree(self, p: str) -> None:
+        shutil.rmtree(p)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def read_text(self, p: str) -> str:
+        with open(p) as fh:
+            return fh.read()
+
+    def create_exclusive(self, p: str, text: str) -> None:
+        """Create ``p`` with ``text`` iff it does not exist; raise
+        ``CommitConflict`` if it does."""
+        try:
+            with open(p, "x") as fh:
+                fh.write(text)
+        except FileExistsError as e:
+            raise CommitConflict(str(e)) from e
+
+    def replace_atomic(self, p: str, text: str) -> None:
+        """Atomically replace ``p``'s content with ``text``."""
+        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(text)
+        os.replace(tmp, p)
+
+    def getsize(self, p: str) -> int:
+        return os.path.getsize(p)
+
+    def getmtime(self, p: str) -> float:
+        return os.path.getmtime(p)
+
+
+_FS = LocalSnapshotFS()
+
+
+def _fs(fs: LocalSnapshotFS | None) -> LocalSnapshotFS:
+    return _FS if fs is None else fs
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -59,23 +185,66 @@ def _current_path(path: str) -> str:
 
 def _json_val(v):
     """Normalize a stats/pruning value for JSON + cross-type compare:
-    numbers stay numbers, everything else (dates, strings) becomes its
-    string form — ISO date strings compare correctly as strings."""
+    numbers (incl. ``Decimal`` — which would otherwise stringify and
+    compare lexicographically, wrongly pruning e.g. '90.00' > '100.00')
+    stay numbers; everything else (dates, strings) becomes its string
+    form — ISO date strings compare correctly as strings."""
     if v is None or isinstance(v, (int, float)):
         return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
     return str(v)
 
 
+def _lt(a, b) -> bool | None:
+    """Total-order compare for normalized stats values; ``None`` means
+    the types are not comparable (mixed str/number after an engine or
+    type change) — callers must treat that as "may overlap"."""
+    try:
+        return a < b
+    except TypeError:
+        return None
+
+
+def _stat_minmax(st) -> tuple | None:
+    """Normalized (min, max) from one column-chunk statistics object,
+    or ``None`` when no usable stats exist (callers then assume the
+    chunk may overlap anything — conservative, never wrong).
+
+    Spark writes decimal(p<=18) as INT64 with a Decimal logical type,
+    which pyarrow's logical accessor refuses ("Cannot extract
+    statistics") — the RAW scaled integers are still in the footer, so
+    decode them with the logical type's scale.  Stringified decimals
+    are never used: they compare lexicographically ('90.00' > '100.00')
+    and would wrongly PRUNE files, leaving stale copies after a merge."""
+    if st is None or not st.has_min_max:
+        return None
+    try:
+        return _json_val(st.min), _json_val(st.max)
+    except Exception:
+        pass
+    try:
+        lt = json.loads(st.logical_type.to_json())
+        if lt.get("Type") == "Decimal" and isinstance(st.min_raw, int):
+            scale = 10 ** int(lt.get("scale", 0))
+            return st.min_raw / scale, st.max_raw / scale
+    except Exception:
+        pass
+    return None
+
+
 def _file_stats(file_path: str, stats_cols: list[str]) -> dict:
-    """Per-file min-max envelopes from the parquet FOOTER (row-group
-    statistics) — no data pages are read.  This is the scale-critical
-    property: commit cost is O(files), not O(rows)."""
+    """Per-file min-max envelopes AND per-row-group ranges from the
+    parquet FOOTER (row-group statistics) — no data pages are read.
+    This is the scale-critical property: commit cost is O(files), not
+    O(rows); the row-group ranges are what let a sparse batch's key set
+    prune files its bounding box would spuriously overlap."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(file_path)
-    schema_names = pf.schema_arrow.names
     mins: dict = {}
     maxs: dict = {}
+    rg_ranges: dict[str, list[list]] = {}
     rows = pf.metadata.num_rows
     for rg in range(pf.metadata.num_row_groups):
         g = pf.metadata.row_group(rg)
@@ -84,80 +253,111 @@ def _file_stats(file_path: str, stats_cols: list[str]) -> dict:
             name = col.path_in_schema
             if name not in stats_cols:
                 continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            mm = _stat_minmax(col.statistics)
+            if mm is None:
                 continue
-            lo, hi = _json_val(st.min), _json_val(st.max)
-            if name not in mins or lo < mins[name]:
+            lo, hi = mm
+            rg_ranges.setdefault(name, []).append([lo, hi])
+            if name not in mins or _lt(lo, mins[name]):
                 mins[name] = lo
-            if name not in maxs or hi > maxs[name]:
+            if name not in maxs or _lt(maxs[name], hi):
                 maxs[name] = hi
     envelopes = {
         c: {"min": mins[c], "max": maxs[c]} for c in mins if c in maxs
     }
-    _ = schema_names  # documented: stats_cols must name physical columns
-    return {"rows": rows, "stats": envelopes}
+    return {"rows": rows, "stats": envelopes, "rg": rg_ranges}
 
 
 def _write_data_files(
-    spark: SparkSession, df: DataFrame, path: str, stats_cols: list[str]
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    stats_cols: list[str],
+    fs: LocalSnapshotFS | None = None,
 ) -> list[dict]:
     """Write ``df``'s rows as new immutable data files inside ``path``
     and return their manifest entries.  Files are written via a staging
     dir then renamed to unique names, so a crashed writer leaves only
-    unreferenced orphans (removed by ``expire_snapshots``), never a
-    half-visible table state."""
+    unreferenced orphans (removed by ``expire_snapshots`` after the
+    orphan grace period), never a half-visible table state."""
+    f = _fs(fs)
     staging = os.path.join(path, f"_stage-{uuid.uuid4().hex[:12]}")
     df.write.mode("errorifexists").parquet(staging)
     entries = []
     prefix = uuid.uuid4().hex[:12]
-    for f in sorted(os.listdir(staging)):
-        if not (f.startswith("part-") and f.endswith(".parquet")):
+    for name in sorted(f.listdir(staging)):
+        if not (name.startswith("part-") and name.endswith(".parquet")):
             continue
-        final = f"data-{prefix}-{f}"
-        os.rename(os.path.join(staging, f), os.path.join(path, final))
+        final = f"data-{prefix}-{name}"
+        f.rename(os.path.join(staging, name), os.path.join(path, final))
         entry = {"name": final}
         entry.update(_file_stats(os.path.join(path, final), stats_cols))
         entries.append(entry)
-    shutil.rmtree(staging)
+    f.rmtree(staging)
     return entries
 
 
-def _commit(path: str, files: list[dict], stats_cols: list[str]) -> int:
-    """Write manifest v(N+1) and atomically swap CURRENT to it."""
+def _commit(
+    path: str,
+    files: list[dict],
+    stats_cols: list[str],
+    base_version: int,
+    schema_json: str | None = None,
+    txns: dict | None = None,
+    commit_info: dict | None = None,
+    fs: LocalSnapshotFS | None = None,
+) -> int:
+    """Write manifest v(base+1) and atomically swap CURRENT to it.
+
+    ``base_version`` MUST be the version of the manifest the caller
+    actually read to derive ``files`` — claiming the version with a
+    create-exclusive write is what makes two racing writers safe: if
+    another writer committed after the caller's read, the claim raises
+    ``CommitConflict`` and the caller re-reads and re-derives (a commit
+    can never silently discard a concurrent writer's changes)."""
+    f = _fs(fs)
     mdir = os.path.join(path, _MANIFEST_DIR)
-    os.makedirs(mdir, exist_ok=True)
-    version = current_version(path) + 1
+    f.makedirs(mdir)
+    version = base_version + 1
     manifest = {
         "version": version,
         "stats_cols": stats_cols,
         "files": files,
+        "schema": schema_json,
+        "txns": txns or {},
+        "commit_info": commit_info or {},
     }
-    # 'x' mode: two racing writers cannot both claim version N — one
-    # fails loudly (optimistic concurrency, the Delta protocol's rule)
-    with open(_manifest_path(path, version), "x") as fh:
-        json.dump(manifest, fh)
-    tmp = os.path.join(mdir, f"CURRENT.tmp-{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as fh:
-        fh.write(str(version))
-    os.replace(tmp, _current_path(path))  # atomic on POSIX
+    f.create_exclusive(_manifest_path(path, version), json.dumps(manifest))
+    f.replace_atomic(_current_path(path), str(version))
     return version
 
 
-def current_version(path: str) -> int:
+def current_version(path: str, fs: LocalSnapshotFS | None = None) -> int:
+    f = _fs(fs)
     cur = _current_path(path)
-    if not os.path.exists(cur):
+    if not f.exists(cur):
         return 0
-    with open(cur) as fh:
-        return int(fh.read().strip())
+    return int(f.read_text(cur).strip())
 
 
-def read_manifest(path: str, version: int | None = None) -> dict:
-    v = current_version(path) if version is None else version
+def read_manifest(
+    path: str,
+    version: int | None = None,
+    fs: LocalSnapshotFS | None = None,
+) -> dict:
+    f = _fs(fs)
+    v = current_version(path, fs) if version is None else version
     if v == 0:
         raise FileNotFoundError(f"no committed snapshot at {path!r}")
-    with open(_manifest_path(path, v)) as fh:
-        return json.load(fh)
+    mp = _manifest_path(path, v)
+    if not f.exists(mp):
+        raise FileNotFoundError(mp)
+    return json.loads(f.read_text(mp))
+
+
+def _manifest_schema(m: dict) -> StructType | None:
+    s = m.get("schema")
+    return StructType.fromJson(json.loads(s)) if s else None
 
 
 def snap_init(
@@ -165,43 +365,203 @@ def snap_init(
     df: DataFrame,
     path: str,
     stats_cols: list[str],
+    fs: LocalSnapshotFS | None = None,
 ) -> int:
     """Create a snapshot table at ``path`` from ``df`` (version 1).
 
-    ``stats_cols`` are the columns whose per-file envelopes the manifest
-    tracks — the merge keys and any pruning columns."""
-    os.makedirs(path, exist_ok=True)
-    if current_version(path) != 0:
+    ``stats_cols`` are the columns whose per-file envelopes and
+    row-group ranges the manifest tracks — the merge keys and any
+    pruning columns."""
+    f = _fs(fs)
+    f.makedirs(path)
+    if current_version(path, fs) != 0:
         raise FileExistsError(f"snapshot table already exists at {path!r}")
-    files = _write_data_files(spark, df, path, stats_cols)
-    return _commit(path, files, stats_cols)
+    files = _write_data_files(spark, df, path, stats_cols, fs)
+    return _commit(
+        path, files, stats_cols, base_version=0,
+        schema_json=df.schema.json(), fs=fs,
+    )
 
 
 def snap_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    fs: LocalSnapshotFS | None = None,
 ) -> DataFrame:
     """Read the table at a committed version (default: CURRENT).
 
-    The returned plan holds the resolved version's exact file list, so
-    it stays consistent even if commits land while it executes."""
-    m = read_manifest(path, version)
+    The returned plan holds the resolved version's exact file list and
+    that version's RECORDED schema (columns added by later evolution are
+    invisible to a time-travel read; files written before an evolution
+    are null-backfilled by the reader — no ``mergeSchema`` footer
+    sweep), so it stays consistent even if commits land while it
+    executes."""
+    m = read_manifest(path, version, fs)
     files = [os.path.join(path, f["name"]) for f in m["files"]]
     if not files:
         raise FileNotFoundError(f"snapshot v{m['version']} has no files")
+    schema = _manifest_schema(m)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(*files)
     return spark.read.parquet(*files)
 
 
-def _overlaps(entry: dict, lows: dict, highs: dict) -> bool:
+def _batch_key_probe(batch_keys: DataFrame, keys: list[str]) -> dict:
+    """Collect the batch's pruning probe in ONE action: distinct key
+    rows up to ``KEY_PROBE_CAP`` (for exact row-group membership
+    checks), falling back to bounding boxes only for oversized batches.
+    Returns ``{"lows", "highs", "key_rows"}`` with values normalized by
+    ``_json_val``; ``key_rows`` is ``None`` on fallback."""
+    rows = batch_keys.distinct().limit(KEY_PROBE_CAP + 1).collect()
+    if len(rows) > KEY_PROBE_CAP:
+        bounds = batch_keys.agg(
+            *[F.min(k).alias(f"lo_{k}") for k in keys],
+            *[F.max(k).alias(f"hi_{k}") for k in keys],
+        ).collect()[0]
+        return {
+            "lows": {k: _json_val(bounds[f"lo_{k}"]) for k in keys},
+            "highs": {k: _json_val(bounds[f"hi_{k}"]) for k in keys},
+            "key_rows": None,
+        }
+    key_rows = [{k: _json_val(r[k]) for k in keys} for r in rows]
+    lows: dict = {}
+    highs: dict = {}
+    for k in keys:
+        vals = [r[k] for r in key_rows if r[k] is not None]
+        lows[k] = min(vals) if vals else None
+        highs[k] = max(vals) if vals else None
+    return {"lows": lows, "highs": highs, "key_rows": key_rows}
+
+
+def _value_in_ranges(v, ranges: list[list]) -> bool:
+    """Conservative membership of a normalized value in a list of
+    [lo, hi] ranges (incomparable types count as inside)."""
+    for lo, hi in ranges:
+        if lo is None or hi is None:
+            return True
+        below = _lt(v, lo)
+        above = _lt(hi, v)
+        if below is None or above is None:
+            return True
+        if not below and not above:
+            return True
+    return False
+
+
+def _overlaps(entry: dict, probe: dict, keys: list[str]) -> bool:
     """Conservative file-level predicate: the file MAY hold an updated
-    key iff for every key column its envelope intersects the batch's
-    [min, max].  Missing stats -> must assume overlap."""
-    for c, lo in lows.items():
-        env = entry.get("stats", {}).get(c)
+    key.  First the envelope check (file [min,max] vs batch [min,max]);
+    then, when the batch's key set was collected, an exact membership
+    check of each key against the file's per-row-group ranges — this is
+    what stops a 2-key batch at opposite ends of the keyspace from
+    overlapping every file.  Missing stats or incomparable types ->
+    must assume overlap."""
+    stats = entry.get("stats", {})
+    for c in keys:
+        lo, hi = probe["lows"].get(c), probe["highs"].get(c)
+        env = stats.get(c)
         if env is None or env["min"] is None or env["max"] is None:
             continue
-        if env["max"] < lo or env["min"] > highs[c]:
+        if lo is None or hi is None:
+            continue
+        below = _lt(env["max"], lo)
+        above = _lt(hi, env["min"])
+        if below is None or above is None:
+            continue
+        if below or above:
             return False
-    return True
+    key_rows = probe.get("key_rows")
+    if key_rows is None:
+        return True
+    # exact key-set membership against per-row-group ranges (fall back
+    # to the whole-file envelope for columns without range info)
+    checkable = []
+    for c in keys:
+        ranges = entry.get("rg", {}).get(c)
+        if ranges:
+            checkable.append((c, ranges))
+        elif stats.get(c) and stats[c]["min"] is not None:
+            checkable.append((c, [[stats[c]["min"], stats[c]["max"]]]))
+    if not checkable:
+        return True
+    for row in key_rows:
+        hit = True
+        for c, ranges in checkable:
+            v = row[c]
+            if v is None:
+                continue
+            if not _value_in_ranges(v, ranges):
+                hit = False
+                break
+        if hit:
+            return True
+    return False
+
+
+def _check_batch_schema(
+    target: StructType,
+    batch: DataFrame,
+    ignore: set[str],
+    allow_schema_evolution: bool,
+    op_name: str,
+) -> StructType:
+    """Validate a mutation batch against the table schema by (name,
+    type) and return the post-commit schema.  Existing columns must
+    match exactly (same-name/different-type is rejected — silent casts
+    would write a divergent physical schema into the table); missing
+    columns are rejected (a dropped column is a typo until proven
+    otherwise); NEW columns are accepted only under
+    ``allow_schema_evolution`` and are appended to the schema."""
+    tgt = {f.name: f.dataType for f in target.fields}
+    batch_fields = [f for f in batch.schema.fields if f.name not in ignore]
+    bat = {f.name: f.dataType for f in batch_fields}
+    missing = sorted(set(tgt) - set(bat))
+    if missing:
+        raise ValueError(
+            f"{op_name}: batch columns {sorted(bat)} != table columns "
+            f"{sorted(tgt)} (missing {missing}); silent projection would "
+            "mask typos and drop data"
+        )
+    mismatched = [
+        (n, str(tgt[n]), str(bat[n]))
+        for n in tgt
+        if bat[n] != tgt[n]
+    ]
+    if mismatched:
+        raise ValueError(
+            f"{op_name}: batch column types differ from table: "
+            f"{mismatched}; cast the batch explicitly — a silent cast "
+            "would write a divergent physical schema"
+        )
+    new = [f for f in batch_fields if f.name not in tgt]
+    if new and not allow_schema_evolution:
+        raise ValueError(
+            f"{op_name}: batch columns {sorted(bat)} != table columns "
+            f"{sorted(tgt)} (new columns "
+            f"{sorted(f.name for f in new)}); pass "
+            "allow_schema_evolution=True to add them"
+        )
+    return StructType(list(target.fields) + new)
+
+
+def _txn_already_applied(
+    m: dict, txn_app: str | None, txn_batch: int | None
+) -> bool:
+    if txn_app is None or txn_batch is None:
+        return False
+    last = m.get("txns", {}).get(txn_app)
+    return last is not None and int(last) >= int(txn_batch)
+
+
+def _skipped_result(m: dict) -> dict:
+    return {
+        "version": m["version"],
+        "rewritten": 0,
+        "carried": len(m["files"]),
+        "added": 0,
+        "skipped": True,
+    }
 
 
 def merge_upsert_cow(
@@ -209,33 +569,27 @@ def merge_upsert_cow(
     path: str,
     updates: DataFrame,
     keys: list[str],
+    allow_schema_evolution: bool = False,
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
+    fs: LocalSnapshotFS | None = None,
 ) -> dict:
     """File-level copy-on-write MERGE into a snapshot table.
 
     Rows in ``updates`` replace target rows with the same key; new keys
-    are inserted.  Only files whose key envelope overlaps the batch are
-    read and rewritten; all other files are carried by reference.  A
+    are inserted.  Only files whose key statistics overlap the batch are
+    read and rewritten (exact key-set membership against per-row-group
+    ranges for bounded batches; bounding boxes beyond
+    ``KEY_PROBE_CAP``); all other files are carried by reference.  A
     batch with duplicate keys is rejected (MERGE's multiple-matches
     rule).  Partition/clustering migration cannot leave stale copies by
-    construction: pruning is on KEY ranges, so every file that could
-    hold an old copy of an updated key is rewritten.  Returns
-    ``{"version", "rewritten", "carried", "added"}``.
+    construction: pruning is on KEY statistics, so every file that could
+    hold an old copy of an updated key is rewritten.  A lost commit race
+    re-reads the winner's manifest and re-derives the merge (bounded
+    retries).  With ``txn_app``/``txn_batch`` the commit is idempotent:
+    a marker already recorded in the manifest skips the batch.  Returns
+    ``{"version", "rewritten", "carried", "added"}`` (+``skipped``).
     """
-    m = read_manifest(path)
-    stats_cols = m["stats_cols"]
-    missing = [k for k in keys if k not in stats_cols]
-    if missing:
-        raise ValueError(
-            f"merge keys {missing} not tracked in manifest stats_cols "
-            f"{stats_cols}; re-init the table tracking them"
-        )
-    tgt_cols = snap_read(spark, path).columns
-    if set(updates.columns) != set(tgt_cols):
-        raise ValueError(
-            f"merge_upsert_cow: batch columns {sorted(updates.columns)} != "
-            f"table columns {sorted(tgt_cols)}; silent projection would "
-            "mask typos and drop data"
-        )
     dup = (
         updates.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"))
@@ -248,39 +602,84 @@ def merge_upsert_cow(
             f"merge_upsert_cow: update batch has multiple rows for key "
             f"{tuple(dup[0][k] for k in keys)!r}; dedup the batch first"
         )
-    bounds = updates.agg(
-        *[F.min(k).alias(f"lo_{k}") for k in keys],
-        *[F.max(k).alias(f"hi_{k}") for k in keys],
-    ).collect()[0]
-    lows = {k: _json_val(bounds[f"lo_{k}"]) for k in keys}
-    highs = {k: _json_val(bounds[f"hi_{k}"]) for k in keys}
+    probe = _batch_key_probe(updates.select(*keys), keys)
 
-    overlapping = [f for f in m["files"] if _overlaps(f, lows, highs)]
-    carried = [f for f in m["files"] if not _overlaps(f, lows, highs)]
+    last_err: Exception | None = None
+    for _attempt in range(COMMIT_RETRIES):
+        m = read_manifest(path, fs=fs)
+        if _txn_already_applied(m, txn_app, txn_batch):
+            return _skipped_result(m)
+        stats_cols = m["stats_cols"]
+        missing = [k for k in keys if k not in stats_cols]
+        if missing:
+            raise ValueError(
+                f"merge keys {missing} not tracked in manifest stats_cols "
+                f"{stats_cols}; re-init the table tracking them"
+            )
+        target_schema = _manifest_schema(m) or snap_read(
+            spark, path, m["version"], fs
+        ).schema
+        out_schema = _check_batch_schema(
+            target_schema, updates, set(), allow_schema_evolution,
+            "merge_upsert_cow",
+        )
+        out_cols = [f.name for f in out_schema.fields]
 
-    if overlapping:
-        old = spark.read.parquet(
-            *[os.path.join(path, f["name"]) for f in overlapping]
-        )
-        remaining = old.join(
-            F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
-        )
-        out = remaining.unionByName(updates.select(*old.columns))
-    else:
-        tgt_cols = snap_read(spark, path).columns
-        out = updates.select(*tgt_cols)
-    # keep file count ≈ rewritten count: without this the union inherits
-    # the shuffle partitioning and a 1-file rewrite fans out into dozens
-    # of small files, compounding per merge (observed 21 for 1)
-    out = out.coalesce(max(1, len(overlapping)))
-    new_entries = _write_data_files(spark, out, path, stats_cols)
-    version = _commit(path, carried + new_entries, stats_cols)
-    return {
-        "version": version,
-        "rewritten": len(overlapping),
-        "carried": len(carried),
-        "added": len(new_entries),
-    }
+        overlapping = [f for f in m["files"] if _overlaps(f, probe, keys)]
+        carried = [f for f in m["files"] if not _overlaps(f, probe, keys)]
+
+        if overlapping:
+            # reading with the POST-commit schema null-backfills any
+            # newly added columns in the old files
+            old = spark.read.schema(out_schema).parquet(
+                *[os.path.join(path, f["name"]) for f in overlapping]
+            )
+            remaining = old.join(
+                F.broadcast(updates.select(*keys).distinct()),
+                keys,
+                "left_anti",
+            )
+            out = remaining.unionByName(updates.select(*out_cols))
+        else:
+            out = updates.select(*out_cols)
+        # keep file count ≈ rewritten count: without this the union
+        # inherits the shuffle partitioning and a 1-file rewrite fans
+        # out into dozens of small files, compounding per merge
+        out = out.coalesce(max(1, len(overlapping)))
+        new_entries = _write_data_files(spark, out, path, stats_cols, fs)
+        txns = dict(m.get("txns", {}))
+        if txn_app is not None:
+            txns[txn_app] = int(txn_batch)
+        info = {
+            "op": "merge_upsert_cow",
+            "rewritten": len(overlapping),
+            "carried": len(carried),
+            "added": len(new_entries),
+        }
+        if txn_app is not None:
+            info["txn"] = {"app": txn_app, "batch": int(txn_batch)}
+        try:
+            version = _commit(
+                path, carried + new_entries, stats_cols,
+                base_version=m["version"],
+                schema_json=out_schema.json(),
+                txns=txns, commit_info=info, fs=fs,
+            )
+        except CommitConflict as e:
+            # the freshly written files become expirable orphans; the
+            # retry re-derives the merge from the winner's manifest
+            last_err = e
+            continue
+        return {
+            "version": version,
+            "rewritten": len(overlapping),
+            "carried": len(carried),
+            "added": len(new_entries),
+        }
+    raise CommitConflict(
+        f"merge_upsert_cow: lost the commit race {COMMIT_RETRIES} times "
+        f"at {path!r}"
+    ) from last_err
 
 
 def apply_cdc_cow(
@@ -289,6 +688,10 @@ def apply_cdc_cow(
     batch: DataFrame,
     keys: list[str],
     op_col: str = "_op",
+    allow_schema_evolution: bool = False,
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
+    fs: LocalSnapshotFS | None = None,
 ) -> dict:
     """Apply one CDC batch (rows tagged I/U/D in ``op_col``) to a
     snapshot table with file-level copy-on-write.
@@ -297,27 +700,25 @@ def apply_cdc_cow(
     (I and U are the same idempotent operation against a keyed table)
     replace matching rows, D removes them.  One commit per batch — a
     reader sees the whole batch or none of it.  File pruning, envelope
-    maintenance, and the duplicate-key rejection are shared with
-    ``merge_upsert_cow``; a key may appear with at most ONE op per
-    batch (conflicting I+D for a key is the upstream's bug to resolve,
-    not ours to guess).  Returns the merge stats plus ``deleted``/
-    ``upserted`` row counts.
+    maintenance, duplicate-key rejection, commit retries, schema
+    evolution, and txn idempotence are shared with ``merge_upsert_cow``;
+    a key may appear with at most ONE op per batch (conflicting I+D for
+    a key is the upstream's bug to resolve, not ours to guess).
+    Returns the merge stats plus ``deleted``/``upserted`` row counts
+    (derived from ONE ``groupBy(op)`` action, which also validates the
+    op codes — no extra jobs on the hot ingest path).
     """
-    tgt_cols = snap_read(spark, path).columns
-    if set(batch.columns) - {op_col} != set(tgt_cols):
-        raise ValueError(
-            f"apply_cdc_cow: batch columns {sorted(batch.columns)} (minus "
-            f"{op_col!r}) != table columns {sorted(tgt_cols)}"
-        )
-    ops = [
-        r[0]
-        for r in batch.select(F.upper(F.col(op_col)).alias("o"))
-        .distinct()
+    op_counts = {
+        r["o"]: r["n"]
+        for r in batch.groupBy(F.upper(F.col(op_col)).alias("o"))
+        .agg(F.count(F.lit(1)).alias("n"))
         .collect()
-    ]
-    bad = set(ops) - {"I", "U", "D"}
+    }
+    bad = set(op_counts) - {"I", "U", "D"}
     if bad:
         raise ValueError(f"apply_cdc_cow: unknown op codes {sorted(bad)}")
+    n_upserts = op_counts.get("I", 0) + op_counts.get("U", 0)
+    n_deletes = op_counts.get("D", 0)
     dup = (
         batch.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"))
@@ -334,41 +735,75 @@ def apply_cdc_cow(
     upserts = batch.filter(F.upper(F.col(op_col)).isin("I", "U")).drop(
         op_col
     )
-    n_upserts = upserts.count()
-    deletes = batch.filter(F.upper(F.col(op_col)) == "D").select(*keys)
-    n_deletes = deletes.count()
-
-    m = read_manifest(path)
-    stats_cols = m["stats_cols"]
     all_keys = batch.select(*keys).distinct()
-    bounds = all_keys.agg(
-        *[F.min(k).alias(f"lo_{k}") for k in keys],
-        *[F.max(k).alias(f"hi_{k}") for k in keys],
-    ).collect()[0]
-    lows = {k: _json_val(bounds[f"lo_{k}"]) for k in keys}
-    highs = {k: _json_val(bounds[f"hi_{k}"]) for k in keys}
-    overlapping = [f for f in m["files"] if _overlaps(f, lows, highs)]
-    carried = [f for f in m["files"] if not _overlaps(f, lows, highs)]
+    probe = _batch_key_probe(all_keys, keys)
 
-    if overlapping:
-        old = spark.read.parquet(
-            *[os.path.join(path, f["name"]) for f in overlapping]
+    last_err: Exception | None = None
+    for _attempt in range(COMMIT_RETRIES):
+        m = read_manifest(path, fs=fs)
+        if _txn_already_applied(m, txn_app, txn_batch):
+            res = _skipped_result(m)
+            res["upserted"] = 0
+            res["deleted"] = 0
+            return res
+        stats_cols = m["stats_cols"]
+        target_schema = _manifest_schema(m) or snap_read(
+            spark, path, m["version"], fs
+        ).schema
+        out_schema = _check_batch_schema(
+            target_schema, batch, {op_col}, allow_schema_evolution,
+            "apply_cdc_cow",
         )
-        remaining = old.join(F.broadcast(all_keys), keys, "left_anti")
-        out = remaining.unionByName(upserts.select(*old.columns))
-    else:
-        out = upserts.select(*snap_read(spark, path).columns)
-    out = out.coalesce(max(1, len(overlapping)))  # see merge_upsert_cow
-    new_entries = _write_data_files(spark, out, path, stats_cols)
-    version = _commit(path, carried + new_entries, stats_cols)
-    return {
-        "version": version,
-        "rewritten": len(overlapping),
-        "carried": len(carried),
-        "added": len(new_entries),
-        "upserted": n_upserts,
-        "deleted": n_deletes,
-    }
+        out_cols = [f.name for f in out_schema.fields]
+
+        overlapping = [f for f in m["files"] if _overlaps(f, probe, keys)]
+        carried = [f for f in m["files"] if not _overlaps(f, probe, keys)]
+
+        if overlapping:
+            old = spark.read.schema(out_schema).parquet(
+                *[os.path.join(path, f["name"]) for f in overlapping]
+            )
+            remaining = old.join(F.broadcast(all_keys), keys, "left_anti")
+            out = remaining.unionByName(upserts.select(*out_cols))
+        else:
+            out = upserts.select(*out_cols)
+        out = out.coalesce(max(1, len(overlapping)))  # see merge_upsert_cow
+        new_entries = _write_data_files(spark, out, path, stats_cols, fs)
+        txns = dict(m.get("txns", {}))
+        if txn_app is not None:
+            txns[txn_app] = int(txn_batch)
+        info = {
+            "op": "apply_cdc_cow",
+            "rewritten": len(overlapping),
+            "carried": len(carried),
+            "added": len(new_entries),
+            "upserted": n_upserts,
+            "deleted": n_deletes,
+        }
+        if txn_app is not None:
+            info["txn"] = {"app": txn_app, "batch": int(txn_batch)}
+        try:
+            version = _commit(
+                path, carried + new_entries, stats_cols,
+                base_version=m["version"],
+                schema_json=out_schema.json(),
+                txns=txns, commit_info=info, fs=fs,
+            )
+        except CommitConflict as e:
+            last_err = e
+            continue
+        return {
+            "version": version,
+            "rewritten": len(overlapping),
+            "carried": len(carried),
+            "added": len(new_entries),
+            "upserted": n_upserts,
+            "deleted": n_deletes,
+        }
+    raise CommitConflict(
+        f"apply_cdc_cow: lost the commit race {COMMIT_RETRIES} times at "
+        f"{path!r}"
+    ) from last_err
 
 
 def optimize_snapshot(
@@ -377,6 +812,7 @@ def optimize_snapshot(
     target_bytes: int = 128 * 1024 * 1024,
     zorder: tuple[str, str] | None = None,
     equidepth: bool = False,
+    fs: LocalSnapshotFS | None = None,
 ) -> dict:
     """OPTIMIZE for snapshot tables: compaction (and optionally Z-order
     re-clustering) as one copy-on-write manifest commit.
@@ -390,56 +826,135 @@ def optimize_snapshot(
     subsequent ``merge_upsert_cow`` batches overlap fewer files — the
     clustering is precisely what keeps CoW merge cost small.  Readers
     racing the optimize keep their resolved version (same isolation as
-    every commit); old files survive until ``expire_snapshots``.
+    every commit); old files survive until ``expire_snapshots``; txn
+    markers and schema are carried forward (a compaction must never
+    forget an ingest's idempotence state).
 
     Returns ``{"version", "rewritten", "carried", "added"}``
     (version is unchanged and no commit happens if nothing qualifies).
     """
     from .layout import zorder_frame
 
-    m = read_manifest(path)
-    stats_cols = m["stats_cols"]
-    if zorder is not None:
-        to_rewrite = list(m["files"])
-        carried: list[dict] = []
-    else:
-        sizes = {
-            f["name"]: os.path.getsize(os.path.join(path, f["name"]))
-            for f in m["files"]
-        }
-        to_rewrite = [f for f in m["files"] if sizes[f["name"]] < target_bytes]
-        carried = [f for f in m["files"] if sizes[f["name"]] >= target_bytes]
-        if len(to_rewrite) < 2:
-            return {
-                "version": m["version"],
-                "rewritten": 0,
-                "carried": len(m["files"]),
-                "added": 0,
+    f = _fs(fs)
+    last_err: Exception | None = None
+    for _attempt in range(COMMIT_RETRIES):
+        m = read_manifest(path, fs=fs)
+        stats_cols = m["stats_cols"]
+        if zorder is not None:
+            to_rewrite = list(m["files"])
+            carried: list[dict] = []
+        else:
+            sizes = {
+                e["name"]: f.getsize(os.path.join(path, e["name"]))
+                for e in m["files"]
             }
-    df = spark.read.parquet(
-        *[os.path.join(path, f["name"]) for f in to_rewrite]
-    )
-    if zorder is not None:
+            to_rewrite = [
+                e for e in m["files"] if sizes[e["name"]] < target_bytes
+            ]
+            carried = [
+                e for e in m["files"] if sizes[e["name"]] >= target_bytes
+            ]
+            if len(to_rewrite) < 2:
+                return {
+                    "version": m["version"],
+                    "rewritten": 0,
+                    "carried": len(m["files"]),
+                    "added": 0,
+                }
+        df = spark.read.parquet(
+            *[os.path.join(path, e["name"]) for e in to_rewrite]
+        )
         total = sum(
-            os.path.getsize(os.path.join(path, f["name"]))
-            for f in to_rewrite
+            f.getsize(os.path.join(path, e["name"])) for e in to_rewrite
         )
         n_files = max(1, -(-total // target_bytes))  # ceil
-        out = zorder_frame(df, zorder, n_files, equidepth)
-    else:
-        total = sum(sizes[f["name"]] for f in to_rewrite)
-        out = df.coalesce(max(1, -(-total // target_bytes)))
-    new_entries = _write_data_files(spark, out, path, stats_cols)
-    version = _commit(path, carried + new_entries, stats_cols)
-    return {
-        "version": version,
-        "rewritten": len(to_rewrite),
-        "carried": len(carried),
-        "added": len(new_entries),
-    }
+        if zorder is not None:
+            out = zorder_frame(df, zorder, n_files, equidepth)
+        else:
+            out = df.coalesce(n_files)
+        new_entries = _write_data_files(spark, out, path, stats_cols, fs)
+        info = {
+            "op": "optimize",
+            "rewritten": len(to_rewrite),
+            "carried": len(carried),
+            "added": len(new_entries),
+        }
+        try:
+            version = _commit(
+                path, carried + new_entries, stats_cols,
+                base_version=m["version"],
+                schema_json=m.get("schema"),
+                txns=dict(m.get("txns", {})),
+                commit_info=info, fs=fs,
+            )
+        except CommitConflict as e:
+            last_err = e
+            continue
+        return {
+            "version": version,
+            "rewritten": len(to_rewrite),
+            "carried": len(carried),
+            "added": len(new_entries),
+        }
+    raise CommitConflict(
+        f"optimize_snapshot: lost the commit race {COMMIT_RETRIES} times "
+        f"at {path!r}"
+    ) from last_err
 
 
-def verify_snapshot(path: str, version: int | None = None) -> dict:
+def auto_compact(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 32,
+    target_bytes: int = 128 * 1024 * 1024,
+    fs: LocalSnapshotFS | None = None,
+) -> dict | None:
+    """Compaction POLICY hook: run ``optimize_snapshot`` only when the
+    CURRENT version references more than ``max_files`` files.
+
+    The CoW coalesce bounds small-file accretion per commit but not
+    cumulatively — N sequential 1-row merges each add a file.  Wiring
+    this after every Kth ingest batch (see ``run_streaming_cdc``) keeps
+    the file count bounded by ``max_files + per-commit additions``
+    without paying a rewrite on every batch.  Returns the optimize
+    stats, or ``None`` when the policy did not fire."""
+    m = read_manifest(path, fs=fs)
+    if len(m["files"]) <= max_files:
+        return None
+    return optimize_snapshot(spark, path, target_bytes=target_bytes, fs=fs)
+
+
+def snapshot_audit(path: str, fs: LocalSnapshotFS | None = None) -> list[dict]:
+    """The table's commit history, reconstructed from the MANIFESTS —
+    not from any driver-side log, so it survives process restarts and is
+    exactly what a crashed-and-restarted ingest left behind.  Returns
+    one entry per still-readable version (expired manifests are gone by
+    definition): ``{"version", "txns", "commit_info", "files",
+    "rows"}``."""
+    f = _fs(fs)
+    cur = current_version(path, fs)
+    out = []
+    for v in range(1, cur + 1):
+        if not f.exists(_manifest_path(path, v)):
+            continue
+        m = read_manifest(path, v, fs)
+        out.append(
+            {
+                "version": m["version"],
+                "txns": m.get("txns", {}),
+                "commit_info": m.get("commit_info", {}),
+                "files": len(m["files"]),
+                "rows": sum(e.get("rows", 0) for e in m["files"]),
+            }
+        )
+    return out
+
+
+def verify_snapshot(
+    path: str,
+    version: int | None = None,
+    fs: LocalSnapshotFS | None = None,
+) -> dict:
     """fsck for a snapshot version: every manifest entry must exist on
     disk with a readable footer whose row count matches the manifest.
 
@@ -450,23 +965,24 @@ def verify_snapshot(path: str, version: int | None = None) -> dict:
     pinned reader past its ``keep_last``)."""
     import pyarrow.parquet as pq
 
-    m = read_manifest(path, version)
+    f = _fs(fs)
+    m = read_manifest(path, version, fs)
     missing: list[str] = []
     mismatched: list[dict] = []
     total_rows = 0
-    for f in m["files"]:
-        full = os.path.join(path, f["name"])
-        if not os.path.exists(full):
-            missing.append(f["name"])
+    for e in m["files"]:
+        full = os.path.join(path, e["name"])
+        if not f.exists(full):
+            missing.append(e["name"])
             continue
         try:
             actual = pq.ParquetFile(full).metadata.num_rows
-        except Exception as e:  # corrupt footer
-            mismatched.append({"file": f["name"], "error": str(e)})
+        except Exception as err:  # corrupt footer
+            mismatched.append({"file": e["name"], "error": str(err)})
             continue
-        if actual != f["rows"]:
+        if actual != e["rows"]:
             mismatched.append(
-                {"file": f["name"], "manifest": f["rows"], "actual": actual}
+                {"file": e["name"], "manifest": e["rows"], "actual": actual}
             )
         total_rows += actual
     return {
@@ -478,27 +994,61 @@ def verify_snapshot(path: str, version: int | None = None) -> dict:
     }
 
 
-def expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
+def expire_snapshots(
+    path: str,
+    keep_last: int = 1,
+    orphan_grace_seconds: float = 600.0,
+    fs: LocalSnapshotFS | None = None,
+) -> list[str]:
     """Delete data files referenced only by expired versions (and the
-    expired manifests).  Keeps the most recent ``keep_last`` versions;
-    also removes orphaned ``data-*`` files from crashed writers.
+    expired manifests).  Keeps the most recent ``keep_last`` versions.
+
+    Orphaned ``data-*`` files and ``_stage-*`` dirs (crashed or
+    in-flight writers) are removed only when OLDER than
+    ``orphan_grace_seconds`` — an in-flight writer publishes its data
+    files before committing, so an age threshold is what stops GC from
+    deleting files an imminent commit will reference.  (Files referenced
+    by EXPIRED manifests need no grace: a writer still basing on an
+    expired version loses its create-exclusive commit claim by
+    construction, so its stale references can never become CURRENT.)
     Returns the deleted file names."""
-    cur = current_version(path)
+    f = _fs(fs)
+    cur = current_version(path, fs)
     if cur == 0:
         return []
     keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
     live: set[str] = set()
-    for v in keep_versions:
-        live.update(f["name"] for f in read_manifest(path, v)["files"])
+    referenced: set[str] = set()
+    all_versions: list[int] = []
+    for name in f.listdir(os.path.join(path, _MANIFEST_DIR)):
+        if name.startswith("v") and name.endswith(".json"):
+            all_versions.append(int(name[1:-5]))
+    for v in all_versions:
+        names = {e["name"] for e in read_manifest(path, v, fs)["files"]}
+        referenced |= names
+        if v in keep_versions:
+            live |= names
+    now = time.time()
     deleted = []
-    for f in os.listdir(path):
-        if f.startswith("data-") and f.endswith(".parquet") and f not in live:
-            os.remove(os.path.join(path, f))
-            deleted.append(f)
-    for f in os.listdir(os.path.join(path, _MANIFEST_DIR)):
-        if f.startswith("v") and f.endswith(".json"):
-            v = int(f[1:-5])
-            if v not in keep_versions:
-                os.remove(os.path.join(path, _MANIFEST_DIR, f))
-                deleted.append(f)
+    for name in f.listdir(path):
+        full = os.path.join(path, name)
+        if name.startswith("_stage-"):
+            if now - f.getmtime(full) >= orphan_grace_seconds:
+                f.rmtree(full)
+                deleted.append(name)
+            continue
+        if not (name.startswith("data-") and name.endswith(".parquet")):
+            continue
+        if name in live:
+            continue
+        if name in referenced:  # expired-version file: safe, no grace
+            f.remove(full)
+            deleted.append(name)
+        elif now - f.getmtime(full) >= orphan_grace_seconds:
+            f.remove(full)
+            deleted.append(name)
+    for v in all_versions:
+        if v not in keep_versions:
+            f.remove(_manifest_path(path, v))
+            deleted.append(f"v{v}.json")
     return deleted

@@ -191,3 +191,44 @@ def test_kmeans_pp_on_fixture(spark, sf_dir):
     assert assign.count() == emb.count()
     unrolled = kmeans_clusters(spark, sf_dir)
     assert _inertia(assign) <= _inertia(unrolled) * 1.05
+
+
+def test_kmeans_fit_snapshot_roundtrip_and_refit_determinism(
+    spark, sf_dir, tmp_path
+):
+    """fit -> persist -> predict round-trip: the persisted assignment
+    equals a fresh predict from the persisted centroids; a re-fit on the
+    same data commits a NEW version with identical centroids
+    (deterministic), and the old model version stays readable."""
+    from mapreduce_grpc_spark.operators.clustering import (
+        kmeans_fit_snapshot,
+        kmeans_predict_snapshot,
+    )
+    from mapreduce_grpc_spark.sources.snapshots import snap_read
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "model")
+    info = kmeans_fit_snapshot(spark, emb, path)
+    assert info["k"] >= 2 and info["centroids_version"] == 1
+
+    persisted = {
+        r.vec_id: r.cluster
+        for r in snap_read(spark, path + "/assignment").collect()
+    }
+    predicted = {
+        r.vec_id: r.cluster
+        for r in kmeans_predict_snapshot(spark, path, emb).collect()
+    }
+    assert persisted == predicted
+
+    def _cents(version=None):
+        return sorted(
+            (r.cluster, tuple(r.centroid))
+            for r in snap_read(spark, path + "/centroids", version).collect()
+        )
+
+    c1 = _cents()
+    info2 = kmeans_fit_snapshot(spark, emb, path)
+    assert info2["centroids_version"] == 2
+    assert _cents() == c1  # deterministic re-fit
+    assert _cents(version=1) == c1  # model lineage time travel

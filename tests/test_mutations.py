@@ -393,6 +393,39 @@ def test_scd2_apply_noop_and_insert(spark):
     assert _scd2_canon(again) == _scd2_canon(out)
 
 
+def test_scd2_apply_broadcasts_stay_batch_bounded(spark):
+    """The inserted branch must derive its broadcast from the batch-side
+    join (O(|batch|)), never from dim.select(keys).distinct()
+    (O(|dimension|)) — the physical plan's broadcast exchanges must all
+    sit on batch-derived subtrees.  Also pins the re-activation edge the
+    fix touches: a key whose only rows are historical (closed, no
+    current version) re-inserts as a fresh current version instead of
+    being silently dropped."""
+    from mapreduce_grpc_spark.operators.relational import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, "AUTO", "2024-01-01", "9999-12-31", True),
+            # key 7: closed with NO current row (soft-deleted)
+            (7, "GONE", "2024-01-01", "2024-03-01", False),
+        ],
+        "k bigint, seg string, valid_from string, valid_to string, "
+        "is_current boolean",
+    ).select(
+        "k", "seg",
+        F.to_date("valid_from").alias("valid_from"),
+        F.to_date("valid_to").alias("valid_to"),
+        "is_current",
+    )
+    batch = spark.createDataFrame([(7, "BACK")], "k bigint, seg string")
+    out = scd2_apply(dim, batch, ["k"], ["seg"], "2024-06-01")
+    assert _scd2_canon(out) == [
+        (1, "AUTO", "2024-01-01", "9999-12-31", True),
+        (7, "BACK", "2024-06-01", "9999-12-31", True),
+        (7, "GONE", "2024-01-01", "2024-03-01", False),
+    ]
+
+
 def test_join_temporal_oracle_parity_and_coverage(spark, sf_dir):
     """AS-OF dimension lookup: DuckDB hash parity, plus the partition-of-
     time invariant — every order matches EXACTLY one dimension version

@@ -299,8 +299,9 @@ def test_streaming_cdc_replays_to_final_state(spark, tmp_path):
         spark, str(cdc), path, keys=["k"], checkpoint_dir=str(tmp_path / "ck")
     )
     assert len(log) >= 1  # at least one non-empty batch applied
-    assert sum(e["upserted"] for e in log) == 4  # U1a, R3, U4b, N200
-    assert sum(e["deleted"] for e in log) == 1  # key 2 (key 3 netted out)
+    # audit is reconstructed from the manifests' commit_info
+    assert sum(e["commit_info"]["upserted"] for e in log) == 4
+    assert sum(e["commit_info"]["deleted"] for e in log) == 1
 
     got = dict(_rows(snap_read(spark, path)))
     assert got[1] == "U1a"
@@ -331,11 +332,13 @@ def test_verify_snapshot_fsck(spark, tmp_path):
 
 
 def test_two_racing_writers_one_wins(spark, tmp_path):
-    """Optimistic concurrency: two writers both resolving v1 cannot both
-    claim v2 — the loser raises (FileExistsError from the 'x'-mode
-    manifest claim) and its data files become expirable orphans, never a
-    corrupted CURRENT."""
+    """Optimistic concurrency on the REAL path: two writers that both
+    read v1 both try to claim v2 with their read base version — the
+    loser raises CommitConflict from the create-exclusive manifest
+    claim (no mocking needed) and its data files become expirable
+    orphans, never a corrupted CURRENT."""
     from mapreduce_grpc_spark.sources.snapshots import (
+        CommitConflict,
         _commit,
         _write_data_files,
     )
@@ -343,28 +346,79 @@ def test_two_racing_writers_one_wins(spark, tmp_path):
     path = str(tmp_path / "snap")
     _mk_table(spark, path, n=100, n_files=1)
 
-    # writer A prepares + commits v2
+    # both writers read v1 before either commits
+    base = current_version(path)
+    assert base == 1
+
+    # writer A prepares + commits v2 from base v1
     dfa = spark.createDataFrame([(1000, "A")], "k bigint, v string")
     files_a = _write_data_files(spark, dfa, path, ["k"])
-    assert _commit(path, files_a, ["k"]) == 2
+    assert _commit(path, files_a, ["k"], base_version=base) == 2
 
     # writer B prepared against v1 concurrently; its claim of v2 loses
     dfb = spark.createDataFrame([(2000, "B")], "k bigint, v string")
     files_b = _write_data_files(spark, dfb, path, ["k"])
-    import unittest.mock as mock
-
-    with mock.patch(
-        "mapreduce_grpc_spark.sources.snapshots.current_version",
-        return_value=1,
-    ):
-        with pytest.raises(FileExistsError):
-            _commit(path, files_b, ["k"])
+    with pytest.raises(CommitConflict):
+        _commit(path, files_b, ["k"], base_version=base)
     # table is healthy at A's version; B's files are orphans that GC
     assert current_version(path) == 2
     got = dict(_rows(snap_read(spark, path)))
     assert got.get(1000) == "A" and 2000 not in got
-    deleted = expire_snapshots(path, keep_last=1)
+    deleted = expire_snapshots(path, keep_last=1, orphan_grace_seconds=0)
     assert {f["name"] for f in files_b} <= set(deleted)
+
+
+def test_losing_merge_retries_and_preserves_both_changes(spark, tmp_path):
+    """The lost-update scenario from the optimistic-concurrency review:
+    writer B derives its merge while writer A commits in between.  B's
+    first claim must CONFLICT and its retry must re-derive from A's
+    manifest — both changes survive (no silently discarded commit)."""
+    import mapreduce_grpc_spark.sources.snapshots as snap
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=100, n_files=2)
+
+    # interleave: after B reads the manifest (first read_manifest call
+    # inside its merge), writer A lands a commit
+    real_read = snap.read_manifest
+    state = {"fired": False}
+
+    def interposed(p, version=None, fs=None):
+        m = real_read(p, version, fs)
+        if not state["fired"] and version is None:
+            state["fired"] = True
+            a_batch = spark.createDataFrame(
+                [(1007, "A7")], "k bigint, v string"
+            )
+            # writer A commits while B holds its stale manifest
+            files = snap._write_data_files(spark, a_batch, p, ["k"])
+            old = real_read(p)
+            merged = [
+                f
+                for f in old["files"]
+            ] + files
+            snap._commit(
+                p, merged, ["k"], base_version=old["version"],
+                schema_json=old.get("schema"),
+            )
+        return m
+
+    import unittest.mock as mock
+
+    with mock.patch.object(snap, "read_manifest", side_effect=interposed):
+        res = snap.merge_upsert_cow(
+            spark,
+            path,
+            spark.createDataFrame([(8, "B8")], "k bigint, v string"),
+            keys=["k"],
+        )
+    # B needed a retry: final version is 3 (A's v2 + B's v3)
+    assert res["version"] == 3
+    got = dict(_rows(snap_read(spark, path)))
+    assert got[8] == "B8"  # B's change present
+    # A's appended file is referenced by v2; B's retry re-derived from
+    # v2, so A's row also survives (the review's lost-update is closed)
+    assert got[1007] == "A7"
 
 
 def test_cow_merge_rejects_schema_mismatch(spark, tmp_path):
@@ -394,9 +448,16 @@ def test_expire_snapshots_gc(spark, tmp_path):
 
     v1_files = {f["name"] for f in read_manifest(path, 1)["files"]}
     v2_files = {f["name"] for f in read_manifest(path, 2)["files"]}
-    deleted = set(expire_snapshots(path, keep_last=1))
-    # v1-only files and the orphan are gone; v2's files survive
-    assert (v1_files - v2_files) <= deleted
+
+    # with the default orphan grace period, the FRESH orphan (an
+    # in-flight writer's file, from GC's point of view) must SURVIVE —
+    # expired-version files need no grace and go immediately
+    deleted1 = set(expire_snapshots(path, keep_last=1))
+    assert (v1_files - v2_files) <= deleted1
+    assert "data-orphan-part-0.parquet" not in deleted1
+    assert os.path.exists(orphan)
+
+    deleted = set(expire_snapshots(path, keep_last=1, orphan_grace_seconds=0))
     assert "data-orphan-part-0.parquet" in deleted
     for name in v2_files:
         assert os.path.exists(os.path.join(path, name))
@@ -404,3 +465,385 @@ def test_expire_snapshots_gc(spark, tmp_path):
     assert len(_rows(snap_read(spark, path))) == 1000
     with pytest.raises(FileNotFoundError):
         read_manifest(path, 1)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: key-membership pruning, Decimal envelopes, schema evolution,
+# txn idempotence, crash-restart streaming CDC, GC fault injection, and
+# the auto-compaction policy.
+# ---------------------------------------------------------------------------
+
+
+def test_sparse_wide_batch_prunes_by_key_membership(spark, tmp_path):
+    """The bounding-box degradation case: a 2-key batch touching the min
+    and max of the keyspace spans EVERY file's envelope, but the exact
+    key-set probe against per-row-group ranges must rewrite only the
+    (<=2) files that actually hold those keys."""
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=1000, n_files=8)
+    assert len(read_manifest(path)["files"]) == 8
+
+    updates = spark.createDataFrame(
+        [(0, "LO"), (999, "HI")], "k bigint, v string"
+    )
+    res = merge_upsert_cow(spark, path, updates, keys=["k"])
+    assert res["rewritten"] <= 2, (
+        f"sparse batch must not degrade to full rewrite: {res}"
+    )
+    assert res["carried"] >= 6
+    got = dict(_rows(snap_read(spark, path)))
+    assert got[0] == "LO" and got[999] == "HI" and len(got) == 1000
+
+
+def test_oversized_batch_falls_back_to_bounding_box(spark, tmp_path):
+    """Batches beyond KEY_PROBE_CAP skip key collection and use the
+    conservative envelope — still correct, just less pruned."""
+    import mapreduce_grpc_spark.sources.snapshots as snap
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=200, n_files=4)
+    updates = spark.createDataFrame(
+        [(k, f"U{k}") for k in (0, 199)], "k bigint, v string"
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(snap, "KEY_PROBE_CAP", 1):
+        res = snap.merge_upsert_cow(spark, path, updates, keys=["k"])
+    assert res["rewritten"] == 4  # bounding box spans everything
+    got = dict(_rows(snap_read(spark, path)))
+    assert got[0] == "U0" and got[199] == "U199" and len(got) == 200
+
+
+def test_decimal_key_envelopes_prune_numerically(spark, tmp_path):
+    """The lexicographic-Decimal defect: with string envelopes a batch
+    key 100.00 against a file [90.00, 200.00] compared '90.00' > '100.00'
+    and wrongly pruned the file, leaving the old copy alive.  Decimal
+    stats must normalize to numbers so the overlapping file is rewritten
+    and the key stays unique."""
+    from decimal import Decimal
+
+    path = str(tmp_path / "snap")
+    rows = [(Decimal(f"{v}.00"), f"v{v}") for v in (90, 120, 150, 200)]
+    df = spark.createDataFrame(rows, "k decimal(10,2), v string").coalesce(1)
+    snap_init(spark, df, path, stats_cols=["k"])
+    env = read_manifest(path)["files"][0]["stats"]["k"]
+    assert isinstance(env["min"], (int, float)), env
+
+    upd = spark.createDataFrame(
+        [(Decimal("100.00"), "NEW")], "k decimal(10,2), v string"
+    )
+    res = merge_upsert_cow(spark, path, upd, keys=["k"])
+    assert res["rewritten"] == 1  # the file MUST be seen as overlapping
+    got = sorted((float(r.k), r.v) for r in snap_read(spark, path).collect())
+    assert got == [
+        (90.0, "v90"),
+        (100.0, "NEW"),
+        (120.0, "v120"),
+        (150.0, "v150"),
+        (200.0, "v200"),
+    ]
+    # and updating an existing decimal key leaves exactly one copy
+    upd2 = spark.createDataFrame(
+        [(Decimal("120.00"), "UPD")], "k decimal(10,2), v string"
+    )
+    merge_upsert_cow(spark, path, upd2, keys=["k"])
+    ks = [float(r.k) for r in snap_read(spark, path).collect()]
+    assert sorted(ks) == [90.0, 100.0, 120.0, 150.0, 200.0]
+
+
+def test_type_mismatch_rejected_even_with_matching_names(spark, tmp_path):
+    """Same-name/different-type batches must be rejected, not silently
+    written as a divergent physical schema."""
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=10, n_files=1)  # k bigint, v string
+    bad = spark.createDataFrame([(1, 2.5)], "k bigint, v double")
+    with pytest.raises(ValueError, match="column types differ"):
+        merge_upsert_cow(spark, path, bad, keys=["k"])
+    bad_key = spark.createDataFrame([("1", "x")], "k string, v string")
+    with pytest.raises(ValueError, match="column types differ"):
+        merge_upsert_cow(spark, path, bad_key, keys=["k"])
+    assert current_version(path) == 1
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """An add-column batch commits under allow_schema_evolution: carried
+    and rewritten old files are null-backfilled at read; time travel to
+    the pre-evolution version reads the OLD schema; typos (missing or
+    extra-without-flag) still reject."""
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=100, n_files=2)  # k bigint, v string
+
+    evolved = spark.createDataFrame(
+        [(5, "UPD5", "extra5"), (1000, "NEW", "extra1000")],
+        "k bigint, v string, w string",
+    )
+    # without the flag: rejected (typo protection unchanged)
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        merge_upsert_cow(spark, path, evolved, keys=["k"])
+
+    res = merge_upsert_cow(
+        spark, path, evolved, keys=["k"], allow_schema_evolution=True
+    )
+    assert res["version"] == 2
+
+    cur = snap_read(spark, path)
+    assert cur.columns == ["k", "v", "w"]
+    got = {r.k: (r.v, r.w) for r in cur.collect()}
+    assert len(got) == 101
+    assert got[5] == ("UPD5", "extra5")
+    assert got[1000] == ("NEW", "extra1000")
+    assert got[0] == ("v0", None)  # carried file: null backfill
+    assert got[99][1] is None
+
+    # time travel reads v1's own recorded schema — no 'w'
+    v1 = snap_read(spark, path, version=1)
+    assert v1.columns == ["k", "v"]
+    assert len(v1.collect()) == 100
+
+    # post-evolution, a batch WITHOUT the new column is a missing-column
+    # typo again
+    old_shape = spark.createDataFrame([(3, "x")], "k bigint, v string")
+    with pytest.raises(ValueError, match="missing"):
+        merge_upsert_cow(spark, path, old_shape, keys=["k"])
+
+
+def test_cdc_txn_marker_makes_replay_idempotent(spark, tmp_path):
+    """The Delta txnAppId/txnVersion rule: re-applying a batch whose
+    (stream, batch) marker the manifest already records is a no-op —
+    same final state, NO new version (the audit trail cannot
+    duplicate)."""
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=100, n_files=2)
+    batch = spark.createDataFrame(
+        [(10, "UPD10", "U"), (20, None, "D")],
+        "k bigint, v string, _op string",
+    )
+    r1 = apply_cdc_cow(
+        spark, path, batch, keys=["k"], txn_app="s1", txn_batch=0
+    )
+    assert r1["version"] == 2 and "skipped" not in r1
+
+    # crash-replay of the SAME batch id
+    r2 = apply_cdc_cow(
+        spark, path, batch, keys=["k"], txn_app="s1", txn_batch=0
+    )
+    assert r2.get("skipped") is True
+    assert current_version(path) == 2
+
+    # an EARLIER batch id replayed late is also skipped (marker is a
+    # high-water mark); the next batch id applies
+    r3 = apply_cdc_cow(
+        spark, path, batch, keys=["k"], txn_app="s1", txn_batch=1
+    )
+    assert r3["version"] == 3
+    # a different stream's marker is independent
+    other = spark.createDataFrame(
+        [(30, "X30", "U")], "k bigint, v string, _op string"
+    )
+    r4 = apply_cdc_cow(
+        spark, path, other, keys=["k"], txn_app="s2", txn_batch=0
+    )
+    assert r4["version"] == 4
+    m = read_manifest(path)
+    assert m["txns"] == {"s1": 1, "s2": 0}
+
+
+def test_optimize_carries_txn_markers_forward(spark, tmp_path):
+    """A compaction between ingest batches must not forget idempotence
+    state — otherwise a restart after OPTIMIZE would re-apply."""
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=100, n_files=4)
+    batch = spark.createDataFrame(
+        [(10, "U10", "U")], "k bigint, v string, _op string"
+    )
+    apply_cdc_cow(spark, path, batch, keys=["k"], txn_app="s1", txn_batch=0)
+    optimize_snapshot(spark, path, target_bytes=1 << 30)
+    assert read_manifest(path)["txns"] == {"s1": 0}
+    r = apply_cdc_cow(
+        spark, path, batch, keys=["k"], txn_app="s1", txn_batch=0
+    )
+    assert r.get("skipped") is True
+
+
+def test_streaming_cdc_crash_and_restart_no_duplicate_versions(
+    spark, tmp_path
+):
+    """Kill-mid-run + restart: the first run crashes after one applied
+    batch; the restarted run (same persistent checkpoint) finishes the
+    feed.  Final state equals the crash-free fold AND the version/audit
+    trail has no duplicates."""
+    import mapreduce_grpc_spark.streaming.cdc as cdc_mod
+    from mapreduce_grpc_spark.sources.snapshots import snapshot_audit
+    from mapreduce_grpc_spark.streaming.cdc import run_streaming_cdc
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=100, n_files=2)
+
+    cdc = tmp_path / "cdc"
+    batches = [
+        [(1, "U1", "U", 1)],
+        [(2, None, "D", 2)],
+        [(200, "N200", "I", 3)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "k bigint, v string, _op string, seq bigint"
+        ).coalesce(1).write.parquet(str(cdc), mode="append")
+
+    # first run: inject a crash in the foreachBatch body after the
+    # second apply_cdc_cow call
+    real_apply = cdc_mod.apply_cdc_cow
+    calls = {"n": 0}
+
+    def crashing(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash mid-ingest")
+        return real_apply(*args, **kwargs)
+
+    import unittest.mock as mock
+
+    ck = str(tmp_path / "ck")
+    with mock.patch.object(cdc_mod, "apply_cdc_cow", side_effect=crashing):
+        with pytest.raises(Exception, match="injected crash"):
+            run_streaming_cdc(
+                spark, str(cdc), path, keys=["k"], checkpoint_dir=ck,
+                stream_id="ing",
+            )
+    v_after_crash = current_version(path)
+    assert v_after_crash >= 2  # at least the first batch landed
+
+    # restart with the SAME checkpoint + stream id
+    log = run_streaming_cdc(
+        spark, str(cdc), path, keys=["k"], checkpoint_dir=ck,
+        stream_id="ing",
+    )
+
+    got = dict(_rows(snap_read(spark, path)))
+    assert got[1] == "U1" and 2 not in got and got[200] == "N200"
+    assert len(got) == 100
+
+    # no duplicate versions: each applied batch id appears EXACTLY once
+    # across the whole manifest-derived audit trail
+    audit = snapshot_audit(path)
+    applied = [
+        e["commit_info"]["txn"]["batch"]
+        for e in audit
+        if e["commit_info"].get("txn", {}).get("app") == "ing"
+    ]
+    assert len(applied) == len(set(applied)) == 3
+    assert current_version(path) == 4  # init + 3 batches, nothing doubled
+    assert len(log) == 3  # the returned audit covers all batches
+
+
+def test_streaming_cdc_rerun_after_completion_is_noop(spark, tmp_path):
+    """Re-invoking a finished ingest with the same checkpoint applies
+    nothing and commits nothing."""
+    from mapreduce_grpc_spark.streaming.cdc import run_streaming_cdc
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=50, n_files=1)
+    cdc = tmp_path / "cdc"
+    spark.createDataFrame(
+        [(1, "U1", "U", 1)], "k bigint, v string, _op string, seq bigint"
+    ).coalesce(1).write.parquet(str(cdc), mode="append")
+
+    ck = str(tmp_path / "ck")
+    run_streaming_cdc(
+        spark, str(cdc), path, keys=["k"], checkpoint_dir=ck,
+        stream_id="ing",
+    )
+    v = current_version(path)
+    log2 = run_streaming_cdc(
+        spark, str(cdc), path, keys=["k"], checkpoint_dir=ck,
+        stream_id="ing",
+    )
+    assert current_version(path) == v  # no new commits
+    assert len(log2) == 1  # audit still reports the one historic batch
+
+
+def test_crashed_writer_leaves_only_expirable_orphans(spark, tmp_path):
+    """Fault injection on the commit protocol: a writer that dies
+    between data-file publish and manifest commit leaves files no
+    manifest references — CURRENT is untouched, reads are unaffected,
+    and GC (past the grace period) removes exactly those orphans."""
+    from mapreduce_grpc_spark.sources.snapshots import _write_data_files
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=100, n_files=2)
+    before = _rows(snap_read(spark, path))
+
+    # "crash": files written, no commit
+    dead = spark.createDataFrame([(9999, "DEAD")], "k bigint, v string")
+    orphans = {f["name"] for f in _write_data_files(spark, dead, path, ["k"])}
+
+    assert current_version(path) == 1
+    assert _rows(snap_read(spark, path)) == before  # reader unaffected
+    deleted = set(expire_snapshots(path, keep_last=1, orphan_grace_seconds=0))
+    assert orphans <= deleted
+    assert _rows(snap_read(spark, path)) == before
+
+
+def test_auto_compact_bounds_file_count_under_merge_stream(spark, tmp_path):
+    """20 sequential 1-row merges with the compaction policy keep the
+    file count bounded; files untouched between compactions stay
+    byte-identical; data stays exact."""
+    from mapreduce_grpc_spark.sources.snapshots import auto_compact
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=200, n_files=2)
+
+    max_files = 6
+    for i in range(20):
+        upd = spark.createDataFrame(
+            [(1000 + i, f"N{i}")], "k bigint, v string"
+        )
+        merge_upsert_cow(spark, path, upd, keys=["k"])
+        auto_compact(
+            spark, path, max_files=max_files, target_bytes=1 << 30
+        )
+        n_files = len(read_manifest(path)["files"])
+        assert n_files <= max_files + 1, (
+            f"file count {n_files} escaped the policy bound at merge {i}"
+        )
+
+    got = dict(_rows(snap_read(spark, path)))
+    assert len(got) == 220
+    for i in range(20):
+        assert got[1000 + i] == f"N{i}"
+
+
+def test_snapshot_audit_reconstructs_history(spark, tmp_path):
+    from mapreduce_grpc_spark.sources.snapshots import snapshot_audit
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=100, n_files=2)
+    merge_upsert_cow(
+        spark, path,
+        spark.createDataFrame([(1, "U1")], "k bigint, v string"),
+        keys=["k"],
+    )
+    audit = snapshot_audit(path)
+    assert [e["version"] for e in audit] == [1, 2]
+    assert audit[1]["commit_info"]["op"] == "merge_upsert_cow"
+    assert audit[1]["rows"] == 100
+
+
+def test_snapshot_timetravel_oracle_parity(spark, sf_dir):
+    """The table layer's driver-style hash check: the v1-vs-CURRENT diff
+    through snap_init -> CoW merge -> two time-travel reads must
+    hash-match the oracle's pure-SQL rebuild of the same diff."""
+    from mapreduce_grpc_spark import registry
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["snapshot_timetravel"](spark, sf_dir)
+    assert_oracle_match(
+        df,
+        registry.AUX_ORACLES["snapshot_timetravel"],
+        sf_dir,
+        "snapshot_timetravel",
+    )
+    # the diff is exactly the promoted 1% and nothing else
+    n = df.count()
+    assert n > 0
+    assert df.filter(F.col("new_seg") != "PROMOTED").count() == 0
