@@ -8,6 +8,9 @@
     optimize  -> compaction + Z-order re-cluster as one CoW commit
     travel    -> read any committed version; a reader that resolved
                  before a commit keeps its consistent view
+    txn       -> (stream, batch) markers make ingest replay idempotent
+    evolve    -> add-column batches with null backfill of old files
+    audit     -> commit history reconstructed from the manifests
     fsck      -> footer-only audit of the current manifest
     expire    -> GC files referenced only by expired versions
 
@@ -38,6 +41,7 @@ from mapreduce_grpc_spark.sources.snapshots import (
     optimize_snapshot,
     snap_init,
     snap_read,
+    snapshot_audit,
     verify_snapshot,
 )
 
@@ -98,9 +102,33 @@ def main() -> None:
         f"{cur.filter(F.col('k') == 601).count() == 0})"
     )
 
+    # -- idempotent ingest: txn markers skip a replayed batch ----------
+    replay = spark.createDataFrame(
+        [(700, 0.0, "R700", "U")], "k bigint, x double, v string, _op string"
+    )
+    r1 = apply_cdc_cow(
+        spark, path, replay, keys=["k"], txn_app="feed", txn_batch=0
+    )
+    r2 = apply_cdc_cow(  # crash-replay of the same batch id: skipped
+        spark, path, replay, keys=["k"], txn_app="feed", txn_batch=0
+    )
+    print(f"txn: first={r1['version']} replay_skipped={r2.get('skipped')}")
+
+    # -- schema evolution: the feed starts sending a new column --------
+    evolved = spark.createDataFrame(
+        [(800, 0.0, "E800", "eu")], "k bigint, x double, v string, region string"
+    )
+    print("evolve:", merge_upsert_cow(
+        spark, path, evolved, keys=["k"], allow_schema_evolution=True
+    ), "cols:", snap_read(spark, path).columns)
+
+    # -- audit: commit history reconstructed from the manifests --------
+    for e in snapshot_audit(path):
+        print(f"  audit v{e['version']}: {e['commit_info']}")
+
     # -- fsck + GC ------------------------------------------------------
     print("fsck: ", verify_snapshot(path))
-    deleted = expire_snapshots(path, keep_last=1)
+    deleted = expire_snapshots(path, keep_last=1, orphan_grace_seconds=0)
     print(f"expire: {len(deleted)} files/manifests GC'd; "
           f"current still reads {snap_read(spark, path).count()} rows")
     spark.stop()

@@ -979,16 +979,127 @@ WHERE levenshtein(a.pref, b.pref) <= {EDIT_MAX}
 """
 
 
+SEG_WORDS = 20  # tumbling segment width (the "line" of line-level dedup)
+
+
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication profile: segment-level exact dedup
+    (the CCNet/RefinedWeb "line-level dedup" shape, adapted to the
+    fixture's unstructured text via tumbling ``SEG_WORDS``-word
+    segments).  Doc-level near-dup misses boilerplate — headers,
+    license blocks, navigation — repeated across otherwise-distinct
+    documents; this measures, per document, how many of its segments
+    appear verbatim in at least one OTHER document.
+
+    Plan shape at 100 TB: one scan explodes docs into segments
+    row-locally (no shuffle — same as ``chunk_documents``); the shared-
+    segment set is one hash aggregation keyed by segment text (in
+    production, by a 128-bit segment hash — same plan, narrower key);
+    the per-doc profile is a segment-keyed shuffle join back plus one
+    doc-keyed aggregation.  No all-pairs anything: cost is O(total
+    segments), the same class as wordcount.
+
+    Returns ``(doc_id, n_segs, n_dup_segs, dup_frac)`` for every
+    non-empty document.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("w")).withColumn(
+        "n_tok", F.size("w").cast("bigint")
+    )
+    n_seg = F.ceil(F.col("n_tok") / F.lit(float(SEG_WORDS))).cast("bigint")
+    segs = (
+        toks.filter(F.col("n_tok") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), n_seg - 1)
+            ).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.slice(
+                    F.col("w"),
+                    (F.col("i") * SEG_WORDS + 1).cast("int"),
+                    SEG_WORDS,
+                ),
+                " ",
+            ).alias("segment"),
+        )
+    )
+    shared = (
+        segs.groupBy("segment")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("segment")
+    )
+    tot = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    dup = (
+        segs.join(shared, "segment")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        tot.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup_segs"),
+            F.round(
+                F.coalesce(F.col("n_dup"), F.lit(0))
+                / F.col("n_segs").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+DEDUP_SEGMENTS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql('text')} AS w FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         array_to_string(
+           w[(i*{SEG_WORDS}+1):(i*{SEG_WORDS}+{SEG_WORDS})], ' '
+         ) AS segment
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(
+      0, CAST(ceil(len(w) / {SEG_WORDS}.0) AS BIGINT) - 1
+    )) AS i
+  ) u
+  WHERE len(w) > 0
+),
+shared AS (
+  SELECT segment FROM segs GROUP BY segment
+  HAVING count(DISTINCT doc_id) > 1
+),
+tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id),
+dup AS (
+  SELECT s.doc_id, count(*) AS n_dup
+  FROM segs s JOIN shared USING (segment) GROUP BY s.doc_id
+)
+SELECT tot.doc_id,
+       CAST(tot.n_segs AS BIGINT) AS n_segs,
+       CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup_segs,
+       round(coalesce(dup.n_dup, 0) / tot.n_segs, 6) AS dup_frac
+FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id
+"""
+
+
 AUX_QUERIES = {
     "dedup_components": dedup_components,
     "dedup_incremental": dedup_incremental,
     "dedup_editdistance": dedup_editdistance,
+    "dedup_segments": dedup_segments,
 }
 
 AUX_ORACLES = {
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_editdistance": DEDUP_EDITDISTANCE_SQL,
+    "dedup_segments": DEDUP_SEGMENTS_SQL,
 }
 
 ORACLES = {

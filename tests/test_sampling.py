@@ -766,3 +766,22 @@ def test_weighted_per_source_exact_k_and_consistency(spark, sf_dir):
     for src, picks in by_src.items():
         expect = min(PER_SOURCE_K, totals[src])
         assert sorted(picks) == list(range(1, expect + 1)), src
+
+
+def test_dedup_segments_oracle_parity_and_signal(spark, sf_dir):
+    """Segment-level (line-level) dedup profile: DuckDB hash parity,
+    plus the fixture's planted duplicates must actually surface as
+    shared segments (non-degenerate signal) while fully-unique docs
+    report zero."""
+    df = registry.AUX_QUERIES["dedup_segments"](spark, sf_dir)
+    assert_oracle_match(
+        df, registry.AUX_ORACLES["dedup_segments"], sf_dir, "dedup_segments"
+    )
+    rows = df.collect()
+    assert sum(r.n_dup_segs for r in rows) > 0, (
+        "planted near-dups must share verbatim segments"
+    )
+    assert any(r.n_dup_segs == 0 for r in rows)
+    for r in rows:
+        assert 0 <= r.n_dup_segs <= r.n_segs
+        assert abs(r.dup_frac - round(r.n_dup_segs / r.n_segs, 6)) < 1e-9

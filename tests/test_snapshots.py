@@ -847,3 +847,63 @@ def test_snapshot_timetravel_oracle_parity(spark, sf_dir):
     n = df.count()
     assert n > 0
     assert df.filter(F.col("new_seg") != "PROMOTED").count() == 0
+
+
+def test_threaded_concurrent_merges_all_land(spark, tmp_path):
+    """Four REAL concurrent writers (threads sharing the session) merge
+    disjoint key sets with no external coordination: the optimistic
+    retry loop must land all four commits (in some order), lose no
+    change, and keep the table exactly correct."""
+    import threading
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=400, n_files=4)
+
+    errs = []
+
+    def writer(i):
+        try:
+            upd = spark.createDataFrame(
+                [(10_000 + i * 100 + j, f"W{i}-{j}") for j in range(5)],
+                "k bigint, v string",
+            )
+            merge_upsert_cow(spark, path, upd, keys=["k"])
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append((i, repr(e)))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert current_version(path) == 5  # init + 4 serialized commits
+    got = dict(_rows(snap_read(spark, path)))
+    assert len(got) == 420
+    for i in range(4):
+        for j in range(5):
+            assert got[10_000 + i * 100 + j] == f"W{i}-{j}"
+
+
+def test_cdc_schema_evolution_add_column(spark, tmp_path):
+    """A CDC feed that starts sending a new column mid-stream: the
+    evolved batch commits under the flag, old rows null-backfill, and
+    deletes keep working against the evolved schema."""
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=50, n_files=1)
+    batch = spark.createDataFrame(
+        [(1, "U1", "eu", "U"), (2, None, None, "D"), (100, "N", "us", "I")],
+        "k bigint, v string, region string, _op string",
+    )
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        apply_cdc_cow(spark, path, batch, keys=["k"])
+    res = apply_cdc_cow(
+        spark, path, batch, keys=["k"], allow_schema_evolution=True
+    )
+    assert res["upserted"] == 2 and res["deleted"] == 1
+    got = {r.k: (r.v, r.region) for r in snap_read(spark, path).collect()}
+    assert len(got) == 50  # 50 - 1 delete + 1 insert
+    assert got[1] == ("U1", "eu")
+    assert got[100] == ("N", "us")
+    assert 2 not in got
+    assert got[0] == ("v0", None)  # pre-evolution row: null backfill
