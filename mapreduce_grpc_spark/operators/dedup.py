@@ -1088,11 +1088,118 @@ FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id
 """
 
 
+def clean_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM companion to ``dedup_segments``: rebuild each
+    document with its cross-document duplicated segments REMOVED — the
+    actual CCNet/RefinedWeb line-level cleaning step (strip boilerplate
+    repeated verbatim across pages, keep the unique prose).
+
+    Same O(total segments) plan as the profile, plus one ordered
+    per-doc reassembly: kept segments aggregate as (index, text)
+    structs, ``array_sort`` restores document order row-locally, and
+    ``array_join`` re-concatenates — no per-row Python, no all-pairs.
+    A fully-boilerplate document survives as an empty string (its
+    emptiness is then ``text_quality``'s signal to drop it — policy
+    belongs to the gate, not the cleaner).
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("w")).withColumn(
+        "n_tok", F.size("w").cast("bigint")
+    )
+    n_seg = F.ceil(F.col("n_tok") / F.lit(float(SEG_WORDS))).cast("bigint")
+    segs = (
+        toks.filter(F.col("n_tok") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), n_seg - 1)
+            ).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.array_join(
+                F.slice(
+                    F.col("w"),
+                    (F.col("i") * SEG_WORDS + 1).cast("int"),
+                    SEG_WORDS,
+                ),
+                " ",
+            ).alias("segment"),
+        )
+    )
+    shared = (
+        segs.groupBy("segment")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("segment")
+    )
+    kept = segs.join(shared, "segment", "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "segment"))),
+                lambda s: s["segment"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    tot = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    return tot.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        (F.col("n_segs") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+CLEAN_SEGMENTS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql('text')} AS w FROM documents
+),
+segs AS (
+  SELECT doc_id, i,
+         array_to_string(
+           w[(i*{SEG_WORDS}+1):(i*{SEG_WORDS}+{SEG_WORDS})], ' '
+         ) AS segment
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(
+      0, CAST(ceil(len(w) / {SEG_WORDS}.0) AS BIGINT) - 1
+    )) AS i
+  ) u
+  WHERE len(w) > 0
+),
+shared AS (
+  SELECT segment FROM segs GROUP BY segment
+  HAVING count(DISTINCT doc_id) > 1
+),
+kept AS (
+  SELECT s.doc_id, s.i, s.segment
+  FROM segs s LEFT JOIN shared sh ON s.segment = sh.segment
+  WHERE sh.segment IS NULL
+),
+ka AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(segment, ' ' ORDER BY i) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id)
+SELECT tot.doc_id,
+       CAST(tot.n_segs - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(ka.clean_text, '') AS clean_text
+FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id
+"""
+
+
 AUX_QUERIES = {
     "dedup_components": dedup_components,
     "dedup_incremental": dedup_incremental,
     "dedup_editdistance": dedup_editdistance,
     "dedup_segments": dedup_segments,
+    "clean_segments": clean_segments,
 }
 
 AUX_ORACLES = {
@@ -1100,6 +1207,7 @@ AUX_ORACLES = {
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_editdistance": DEDUP_EDITDISTANCE_SQL,
     "dedup_segments": DEDUP_SEGMENTS_SQL,
+    "clean_segments": CLEAN_SEGMENTS_SQL,
 }
 
 ORACLES = {

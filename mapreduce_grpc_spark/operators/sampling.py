@@ -219,6 +219,60 @@ WHERE pick <= {PER_SOURCE_K}
 """
 
 
+CLUSTER_K_PER = 10       # vectors kept per semantic cluster
+CLUSTER_SALT = "cbal1"
+
+
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-min(k, |cluster|) vectors per SEMANTIC cluster — the
+    cluster-balanced subsample a pre-training mix uses to keep rare
+    topics represented (uniform sampling over-draws the dominant
+    cluster; per-cluster reservoirs flatten the topic distribution).
+
+    Composition of two existing pieces: ``kmeans_clusters`` provides the
+    assignment (broadcast-centroid scoring — no vector shuffle), then
+    the deterministic keyed-hash reservoir from
+    ``sample_fixed_per_group`` runs per cluster id.  Scale shape: one
+    hash-partition shuffle on the cluster id + WindowGroupLimit map-side
+    pruning — identical to the per-language reservoir, with the stratum
+    computed by the model instead of read from a column.
+    """
+    from .clustering import kmeans_clusters
+
+    assign = kmeans_clusters(spark, sf_dir).select("vec_id", "cluster")
+    u = md5_long(
+        F.concat_ws(
+            ":", F.lit(CLUSTER_SALT), F.col("vec_id").cast("string")
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(u.asc(), F.col("vec_id").asc())
+    return (
+        assign.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= CLUSTER_K_PER)
+        .select("cluster", "vec_id", F.col("pick").cast("int").alias("pick"))
+    )
+
+
+def _sample_cluster_balanced_sql() -> str:
+    from .clustering import KMEANS_CLUSTERS_SQL
+
+    key = md5_long_sql(
+        f"concat('{CLUSTER_SALT}', ':', CAST(vec_id AS VARCHAR))"
+    )
+    return f"""
+WITH assign AS ({KMEANS_CLUSTERS_SQL})
+SELECT cluster, vec_id, CAST(pick AS INTEGER) AS pick
+FROM (
+  SELECT cluster, vec_id,
+         row_number() OVER (
+           PARTITION BY cluster ORDER BY {key} ASC, vec_id ASC
+         ) AS pick
+  FROM assign
+) t
+WHERE pick <= {CLUSTER_K_PER}
+"""
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
@@ -227,6 +281,7 @@ AUX_QUERIES = {
     "sample_fixed_per_group": sample_fixed_per_group,
     "sample_weighted": sample_weighted,
     "sample_weighted_per_source": sample_weighted_per_source,
+    "sample_cluster_balanced": sample_cluster_balanced,
 }
 
 # consumed by tests/test_sampling.py (NOT by oracle_sql(): the driver
@@ -236,4 +291,5 @@ AUX_ORACLES = {
     "sample_fixed_per_group": SAMPLE_FIXED_PER_GROUP_SQL,
     "sample_weighted": SAMPLE_WEIGHTED_SQL,
     "sample_weighted_per_source": SAMPLE_WEIGHTED_PER_SOURCE_SQL,
+    "sample_cluster_balanced": _sample_cluster_balanced_sql(),
 }

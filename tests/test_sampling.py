@@ -785,3 +785,67 @@ def test_dedup_segments_oracle_parity_and_signal(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_dup_segs <= r.n_segs
         assert abs(r.dup_frac - round(r.n_dup_segs / r.n_segs, 6)) < 1e-9
+
+
+def test_clean_segments_oracle_parity_and_reconstruction(spark, sf_dir):
+    """Line-level cleaning transform: DuckDB hash parity, plus the
+    reconstruction invariants — a doc with nothing removed rebuilds its
+    exact tokenized text; removed counts agree with the profile query."""
+    from mapreduce_grpc_spark.operators.dedup import dedup_segments
+
+    df = registry.AUX_QUERIES["clean_segments"](spark, sf_dir)
+    assert_oracle_match(
+        df, registry.AUX_ORACLES["clean_segments"], sf_dir, "clean_segments"
+    )
+    cleaned = {r.doc_id: (r.n_removed, r.clean_text) for r in df.collect()}
+    profile = {
+        r.doc_id: r.n_dup_segs
+        for r in dedup_segments(spark, sf_dir).collect()
+    }
+    assert set(cleaned) == set(profile)
+    assert all(cleaned[d][0] == profile[d] for d in cleaned)
+    assert sum(n for n, _ in cleaned.values()) > 0  # something was removed
+
+    # untouched docs reconstruct their exact (tokenized) text
+    from mapreduce_grpc_spark.catalog import table as _table
+    from mapreduce_grpc_spark.functions.textfns import tokens as _tokens
+
+    orig = {
+        r.doc_id: r.toks
+        for r in _table(spark, sf_dir, "documents")
+        .select("doc_id", F.array_join(_tokens("text"), " ").alias("toks"))
+        .collect()
+    }
+    untouched = [d for d, (n, _) in cleaned.items() if n == 0]
+    assert untouched
+    for d in untouched[:50]:
+        assert cleaned[d][1] == orig[d], d
+
+
+def test_sample_cluster_balanced_oracle_parity_and_quota(spark, sf_dir):
+    """Cluster-balanced reservoir: DuckDB hash parity + exactly
+    min(k, |cluster|) per cluster and picks are 1..n contiguous."""
+    from collections import Counter
+
+    from mapreduce_grpc_spark.operators.clustering import kmeans_clusters
+    from mapreduce_grpc_spark.operators.sampling import CLUSTER_K_PER
+
+    df = registry.AUX_QUERIES["sample_cluster_balanced"](spark, sf_dir)
+    assert_oracle_match(
+        df,
+        registry.AUX_ORACLES["sample_cluster_balanced"],
+        sf_dir,
+        "sample_cluster_balanced",
+    )
+    rows = df.collect()
+    sizes = Counter(
+        r.cluster for r in kmeans_clusters(spark, sf_dir).collect()
+    )
+    got = Counter(r.cluster for r in rows)
+    for c, n in sizes.items():
+        assert got[c] == min(CLUSTER_K_PER, n), (c, n, got[c])
+    picks = {}
+    for r in rows:
+        picks.setdefault(r.cluster, []).append(r.pick)
+    for c, ps in picks.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), c

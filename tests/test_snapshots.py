@@ -907,3 +907,57 @@ def test_cdc_schema_evolution_add_column(spark, tmp_path):
     assert got[100] == ("N", "us")
     assert 2 not in got
     assert got[0] == ("v0", None)  # pre-evolution row: null backfill
+
+
+def test_cdc_randomized_fold_matches_model(spark, tmp_path):
+    """Model-based check of the whole mutation surface: 12 seeded-random
+    I/U/D batches (with occasional interleaved OPTIMIZE) fold into the
+    snapshot table; after EVERY commit the table equals a plain Python
+    dict applying the same ops, every historical version stays readable
+    and equal to its recorded model state, and fsck stays clean."""
+    import random
+
+    rng = random.Random(6)
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=120, n_files=3)
+
+    model = {k: f"v{k}" for k in range(120)}
+    history = {1: dict(model)}
+
+    for step in range(12):
+        # random batch over a keyspace slightly wider than the table
+        n_ops = rng.randint(1, 8)
+        keys = rng.sample(range(160), n_ops)
+        rows, ops = [], {}
+        for k in keys:
+            if k in model and rng.random() < 0.4:
+                rows.append((k, None, "D"))
+                ops[k] = ("D", None)
+            else:
+                v = f"s{step}k{k}"
+                rows.append((k, v, rng.choice(["I", "U"])))
+                ops[k] = ("U", v)
+        batch = spark.createDataFrame(rows, "k bigint, v string, _op string")
+        res = apply_cdc_cow(spark, path, batch, keys=["k"])
+        for k, (op, v) in ops.items():
+            if op == "D":
+                model.pop(k, None)
+            else:
+                model[k] = v
+        history[res["version"]] = dict(model)
+
+        got = dict(_rows(snap_read(spark, path)))
+        assert got == model, f"divergence after step {step}"
+
+        if step % 5 == 4:  # interleave a compaction commit
+            optimize_snapshot(spark, path, target_bytes=1 << 30)
+            got = dict(_rows(snap_read(spark, path)))
+            assert got == model, f"optimize changed data at step {step}"
+
+    # every still-present version time-travels to its recorded state
+    from mapreduce_grpc_spark.sources.snapshots import verify_snapshot
+
+    for v, state in history.items():
+        assert dict(_rows(snap_read(spark, path, version=v))) == state, v
+    rep = verify_snapshot(path)
+    assert rep["missing"] == [] and rep["mismatched"] == []
