@@ -991,23 +991,57 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents; this measures, per document, how many of its segments
     appear verbatim in at least one OTHER document.
 
-    Plan shape at 100 TB: one scan explodes docs into segments
-    row-locally (no shuffle — same as ``chunk_documents``); the shared-
-    segment set is one hash aggregation keyed by segment text (in
-    production, by a 128-bit segment hash — same plan, narrower key);
-    the per-doc profile is a segment-keyed shuffle join back plus one
-    doc-keyed aggregation.  No all-pairs anything: cost is O(total
-    segments), the same class as wordcount.
+    Plan shape at 100 TB: segments are exploded row-locally in the scan
+    stage (no shuffle — same as ``chunk_documents``) and pre-aggregated
+    to (doc, segment, multiplicity) with map-side partial aggregation;
+    the per-segment doc count derives from that relation (its rows are
+    already distinct on (doc, segment), so ``count`` ≡
+    ``countDistinct(doc_id)``) and the per-doc profile joins it back on
+    segment — two column-pruned passes total, every shuffle carrying
+    aggregated rows, never raw instances twice.  In production the join
+    key is a 128-bit segment hash (same plan, narrower key) and a viral
+    boilerplate segment is AQE skew-join territory — partial aggs bound
+    everything else.  No all-pairs anything: cost is O(total segments),
+    the same class as wordcount.
 
     Returns ``(doc_id, n_segs, n_dup_segs, dup_frac)`` for every
     non-empty document.
     """
+    segs = _doc_segments(spark, sf_dir).drop("i")
+    per = segs.groupBy("doc_id", "segment").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    nd = per.groupBy("segment").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        per.join(nd, "segment")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_segs"),
+            F.sum(
+                F.when(F.col("nd") > 1, F.col("m")).otherwise(F.lit(0))
+            ).alias("n_dup_segs"),
+        )
+        .select(
+            "doc_id",
+            "n_segs",
+            "n_dup_segs",
+            F.round(
+                F.col("n_dup_segs") / F.col("n_segs").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def _doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, i, segment): tumbling ``SEG_WORDS``-word segments of
+    every non-empty document — computed row-locally in the scan stage
+    (tokenize once, explode an index sequence, slice)."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("w")).withColumn(
         "n_tok", F.size("w").cast("bigint")
     )
     n_seg = F.ceil(F.col("n_tok") / F.lit(float(SEG_WORDS))).cast("bigint")
-    segs = (
+    return (
         toks.filter(F.col("n_tok") > 0)
         .select(
             "doc_id",
@@ -1018,6 +1052,7 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
+            "i",
             F.array_join(
                 F.slice(
                     F.col("w"),
@@ -1026,31 +1061,6 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 " ",
             ).alias("segment"),
-        )
-    )
-    shared = (
-        segs.groupBy("segment")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("segment")
-    )
-    tot = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
-    dup = (
-        segs.join(shared, "segment")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup"))
-    )
-    return (
-        tot.join(dup, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_segs",
-            F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup_segs"),
-            F.round(
-                F.coalesce(F.col("n_dup"), F.lit(0))
-                / F.col("n_segs").cast("double"),
-                6,
-            ).alias("dup_frac"),
         )
     )
 
@@ -1094,65 +1104,50 @@ def clean_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual CCNet/RefinedWeb line-level cleaning step (strip boilerplate
     repeated verbatim across pages, keep the unique prose).
 
-    Same O(total segments) plan as the profile, plus one ordered
-    per-doc reassembly: kept segments aggregate as (index, text)
-    structs, ``array_sort`` restores document order row-locally, and
-    ``array_join`` re-concatenates — no per-row Python, no all-pairs.
+    Plan shape: the shared-segment counts derive from the same
+    pre-aggregated (doc, segment) relation as the profile query; the
+    instance-level segments join those counts on segment (INNER — every
+    instance keeps its verdict as a row-local ``nd`` column, so no
+    anti-join and no separate totals branch), and ONE per-doc
+    aggregation computes the removed count and reassembles the kept
+    text: kept segments collect as (index, text) structs
+    (``collect_list`` skips the nulls ``when`` leaves for shared
+    instances), ``array_sort`` restores document order row-locally,
+    ``array_join`` re-concatenates.  No per-row Python, no all-pairs.
     A fully-boilerplate document survives as an empty string (its
     emptiness is then ``text_quality``'s signal to drop it — policy
     belongs to the gate, not the cleaner).
     """
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens("text").alias("w")).withColumn(
-        "n_tok", F.size("w").cast("bigint")
+    segs = _doc_segments(spark, sf_dir)
+    nd = (
+        segs.groupBy("doc_id", "segment")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("nd"))
     )
-    n_seg = F.ceil(F.col("n_tok") / F.lit(float(SEG_WORDS))).cast("bigint")
-    segs = (
-        toks.filter(F.col("n_tok") > 0)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(0).cast("bigint"), n_seg - 1)
-            ).alias("i"),
-            "w",
-        )
-        .select(
-            "doc_id",
-            "i",
+    return (
+        segs.join(nd, "segment")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("nd") > 1, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_removed"),
             F.array_join(
-                F.slice(
-                    F.col("w"),
-                    (F.col("i") * SEG_WORDS + 1).cast("int"),
-                    SEG_WORDS,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("nd") == 1,
+                                F.struct("i", "segment"),
+                            )
+                        )
+                    ),
+                    lambda s: s["segment"],
                 ),
                 " ",
-            ).alias("segment"),
+            ).alias("clean_text"),
         )
-    )
-    shared = (
-        segs.groupBy("segment")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("segment")
-    )
-    kept = segs.join(shared, "segment", "left_anti")
-    kept_agg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "segment"))),
-                lambda s: s["segment"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
-    tot = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
-    return tot.join(kept_agg, "doc_id", "left").select(
-        "doc_id",
-        (F.col("n_segs") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
-            "n_removed"
-        ),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        .select("doc_id", "n_removed", "clean_text")
     )
 
 

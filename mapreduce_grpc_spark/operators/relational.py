@@ -132,6 +132,95 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (completing the grouping-sets family next
+    to ROLLUP and CUBE): per-(status, priority) detail, per-priority
+    subtotal, and the grand total — but NOT per-status, which is what
+    distinguishes explicit sets from ROLLUP's prefix hierarchy.
+
+    ``grouping_id`` disambiguates genuine NULL group keys from
+    subtotal rows — the reason warehouses use it instead of testing the
+    key for NULL.  Catalyst plans one Expand (3 replicas of each input
+    row, one per set) + one partial-agg shuffle: O(sets x groups)
+    shuffle volume, not O(sets x rows).
+    """
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [
+                ["o_orderstatus", "o_orderpriority"],
+                ["o_orderpriority"],
+                [],
+            ],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders",
+            "total_price",
+        )
+    )
+
+
+GROUPING_SETS_AGG_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+            AS INTEGER) AS gid,
+       count(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderpriority), ())
+"""
+
+
+def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-statistics half of the window family (complementing
+    ``window_analytic``'s frames): dense_rank, percent_rank, cume_dist,
+    and lead — customer spend ranked within order priority.
+
+    Ordering includes the unique o_orderkey tie-break, so every rank
+    statistic is deterministic; percent_rank/cume_dist divide the same
+    integers in both engines (identical IEEE doubles).  One shuffle on
+    the partition key serves all four functions (shared window spec).
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.dense_rank().over(w).cast("long").alias("drank"),
+            F.round(F.percent_rank().over(w), 8).alias("prank"),
+            F.round(F.cume_dist().over(w), 8).alias("cdist"),
+            F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        )
+        .filter(F.col("drank") <= 100)
+    )
+
+
+WINDOW_RANKS_SQL = """
+SELECT * FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         CAST(dense_rank() OVER w AS BIGINT) AS drank,
+         round(percent_rank() OVER w, 8) AS prank,
+         round(cume_dist() OVER w, 8) AS cdist,
+         lead(o_totalprice, 1) OVER w AS next_price
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC)
+) t WHERE drank <= 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # Joins — "reduce-side join" and friends (absent from reference, §2.B).
 # ---------------------------------------------------------------------------
@@ -1220,6 +1309,8 @@ AUX_QUERIES = {
     "merge_upsert": merge_upsert,
     "scd2_history": scd2_history,
     "join_temporal": join_temporal,
+    "grouping_sets_agg": grouping_sets_agg,
+    "window_ranks": window_ranks,
 }
 
 AUX_ORACLES = {
@@ -1229,4 +1320,6 @@ AUX_ORACLES = {
     "merge_upsert": MERGE_UPSERT_SQL,
     "scd2_history": SCD2_HISTORY_SQL,
     "join_temporal": JOIN_TEMPORAL_SQL,
+    "grouping_sets_agg": GROUPING_SETS_AGG_SQL,
+    "window_ranks": WINDOW_RANKS_SQL,
 }

@@ -471,3 +471,42 @@ def test_scd2_history_invariants(spark, sf_dir):
         else:
             assert len(versions) == 1, (k, versions)
     assert saw_multi, "fixture must contain changed keys"
+
+
+def test_grouping_sets_agg_oracle_parity_and_shape(spark, sf_dir):
+    """Arbitrary GROUPING SETS: hash parity + the set-selection shape —
+    per-priority subtotals exist (gid=2), per-status do NOT (gid=1
+    absent, the ROLLUP-vs-sets difference), one grand total (gid=3)."""
+    from mapreduce_grpc_spark import registry
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["grouping_sets_agg"](spark, sf_dir)
+    assert_oracle_match(
+        df,
+        registry.AUX_ORACLES["grouping_sets_agg"],
+        sf_dir,
+        "grouping_sets_agg",
+    )
+    gids = [r.gid for r in df.collect()]
+    assert 0 in gids and 2 in gids
+    assert gids.count(3) == 1
+    assert 1 not in gids
+
+
+def test_window_ranks_oracle_parity(spark, sf_dir):
+    from mapreduce_grpc_spark import registry
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["window_ranks"](spark, sf_dir)
+    assert_oracle_match(
+        df, registry.AUX_ORACLES["window_ranks"], sf_dir, "window_ranks"
+    )
+    rows = df.collect()
+    assert rows
+    # rank statistics well-formed per partition
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r.o_orderpriority, []).append(r)
+    for p, rs in by_p.items():
+        assert all(0.0 <= r.prank <= 1.0 and 0.0 < r.cdist <= 1.0 for r in rs)
+        assert min(r.drank for r in rs) == 1
