@@ -62,6 +62,11 @@ QUERIES = [
     "kmeans_clusters",
     "streaming_interval_join",
     "pagerank_neardup",
+    "dedup_segments",
+    "clean_segments",
+    "sample_cluster_balanced",
+    "grouping_sets_agg",
+    "window_ranks",
 ]
 
 
