@@ -84,6 +84,7 @@ def _load() -> None:
         udfs,
         windows,
     )
+    from .streaming import anomaly as streaming_anomaly
     from .streaming import dedup as streaming_dedup
     from .streaming import events as streaming_events
     from .streaming import joins as streaming_joins
@@ -110,6 +111,7 @@ def _load() -> None:
         streaming_joins,
         graph,
         snapshot_queries,
+        streaming_anomaly,
     ):
         _register(mod)
     if len(QUERIES) > MAX_CONTRACT_QUERIES:

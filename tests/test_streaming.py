@@ -328,3 +328,62 @@ def test_streaming_temporal_enrich_oracle_parity(spark, sf_dir):
     )
     # the promotion is visible in the streamed aggregate
     assert any(r.seg_at_event == "PROMOTED" for r in df.collect())
+
+
+def test_streaming_anomaly_oracle_parity(spark, sf_dir):
+    """transformWithState per-user running z-score: the streamed result
+    hash-matches the batch window-function oracle."""
+    from mapreduce_grpc_spark import registry
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["streaming_anomaly"](spark, sf_dir)
+    assert_oracle_match(
+        df,
+        registry.AUX_ORACLES["streaming_anomaly"],
+        sf_dir,
+        "streaming_anomaly",
+    )
+    rows = df.collect()
+    assert rows, "fixture must produce anomalies (12 expected at sf0.001)"
+    assert all(abs(r.z) > 3.0 and r.prior_n >= 20 for r in rows)
+
+
+def test_streaming_anomaly_batch_split_invariant(spark, sf_dir, tmp_path):
+    """Prior-only scoring is prefix-decomposable: a time-ordered feed
+    split across micro-batches yields the IDENTICAL anomaly set as the
+    single-batch run — the property that makes the operator restartable
+    state-wise."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_grpc_spark.catalog import table as _table
+    from mapreduce_grpc_spark.streaming.anomaly import run_streaming_anomaly
+
+    # re-shard events into 3 time-ordered files so maxFilesPerTrigger=1
+    # forces 3 micro-batches whose union is time-ordered per user
+    ev = _table(spark, sf_dir, "events").orderBy("ts", "event_id")
+    n = ev.count()
+    shard_dir = tmp_path / "evshards"
+    rows = ev.collect()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        spark.createDataFrame(rows[cuts[i]:cuts[i + 1]], ev.schema).coalesce(
+            1
+        ).write.parquet(str(shard_dir / "events.parquet"), mode="append")
+
+    fake_sf = tmp_path / "sf"
+    os.makedirs(fake_sf)
+    os.symlink(shard_dir / "events.parquet", fake_sf / "events.parquet")
+
+    single = {
+        (r.user_id, r.event_id, r.z)
+        for r in run_streaming_anomaly(spark, str(fake_sf)).collect()
+    }
+    multi = {
+        (r.user_id, r.event_id, r.z)
+        for r in run_streaming_anomaly(
+            spark, str(fake_sf), max_files_per_trigger=1
+        ).collect()
+    }
+    assert single == multi and single
