@@ -249,3 +249,72 @@ def test_resample_gapfill_spark_duckdb_agree(spark, tmp_path_factory, evs):
         str(d),
         "resample_fuzz",
     )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            alphabet=" abX.,\"'\t",  # delimiter-class chars + letters
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_segment_dedup_spark_duckdb_agree(spark, tmp_path_factory, texts):
+    """Segment profile + cleaning transform over adversarial documents —
+    empty docs, pure-delimiter docs, runs of delimiters, docs shorter
+    than one segment, and forced cross-doc duplicates — hash-match the
+    DuckDB oracles (tokenizer, slicing, grouping, and ordered
+    reassembly all agree cross-engine)."""
+    import os
+
+    from mapreduce_grpc_spark import registry
+    from mapreduce_grpc_spark.catalog import TABLES
+    from mapreduce_grpc_spark.operators.dedup import (
+        clean_segments,
+        dedup_segments,
+    )
+    from tests.oracle import assert_oracle_match
+
+    d = tmp_path_factory.mktemp("segfuzz")
+    sf_src = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    for t in TABLES:
+        src = f"{sf_src}/{t}.parquet"
+        if t != "documents" and os.path.exists(src):
+            os.symlink(src, d / f"{t}.parquet")
+    # duplicate every other doc so shared segments actually occur
+    docs = list(texts) + [t for i, t in enumerate(texts) if i % 2 == 0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?, 'en', 'fuzz', ?)",
+        [(i, t, len(t)) for i, t in enumerate(docs)],
+    )
+    con.execute(
+        f"COPY docs TO '{d}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    assert_oracle_match(
+        dedup_segments(spark, str(d)),
+        registry.AUX_ORACLES["dedup_segments"],
+        str(d),
+        "dedup_segments_fuzz",
+    )
+    assert_oracle_match(
+        clean_segments(spark, str(d)),
+        registry.AUX_ORACLES["clean_segments"],
+        str(d),
+        "clean_segments_fuzz",
+    )
