@@ -961,3 +961,47 @@ def test_cdc_randomized_fold_matches_model(spark, tmp_path):
         assert dict(_rows(snap_read(spark, path, version=v))) == state, v
     rep = verify_snapshot(path)
     assert rep["missing"] == [] and rep["mismatched"] == []
+
+
+def test_streaming_cdc_with_auto_compaction(spark, tmp_path):
+    """The ingest-with-policy composition: a many-batch CDC feed with
+    auto_compact_files keeps the table's file count bounded while final
+    state stays exact and txn markers survive the compaction commits."""
+    from mapreduce_grpc_spark.streaming.cdc import run_streaming_cdc
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=100, n_files=2)
+    cdc = tmp_path / "cdc"
+    for i in range(6):
+        spark.createDataFrame(
+            [(200 + i, f"N{i}", "I", i)],
+            "k bigint, v string, _op string, seq bigint",
+        ).coalesce(1).write.parquet(str(cdc), mode="append")
+
+    log = run_streaming_cdc(
+        spark, str(cdc), path, keys=["k"],
+        checkpoint_dir=str(tmp_path / "ck"), stream_id="ing",
+        auto_compact_files=4,
+    )
+    assert len(log) == 6
+    m = read_manifest(path)
+    assert len(m["files"]) <= 5  # policy bound (4) + current commit's add
+    assert m["txns"]["ing"] == 5  # marker survived interleaved OPTIMIZEs
+    got = dict(_rows(snap_read(spark, path)))
+    assert len(got) == 106
+    for i in range(6):
+        assert got[200 + i] == f"N{i}"
+
+
+def test_time_travel_to_expired_version_fails_cleanly(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=20, n_files=1)
+    merge_upsert_cow(
+        spark, path,
+        spark.createDataFrame([(0, "U")], "k bigint, v string"),
+        keys=["k"],
+    )
+    expire_snapshots(path, keep_last=1, orphan_grace_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        snap_read(spark, path, version=1)
+    assert len(_rows(snap_read(spark, path))) == 20  # CURRENT unaffected
