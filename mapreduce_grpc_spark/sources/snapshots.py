@@ -414,6 +414,8 @@ def _batch_key_probe(batch_keys: DataFrame, keys: list[str]) -> dict:
     Returns ``{"lows", "highs", "key_rows"}`` with values normalized by
     ``_json_val``; ``key_rows`` is ``None`` on fallback."""
     rows = batch_keys.distinct().limit(KEY_PROBE_CAP + 1).collect()
+    if not rows:
+        return {"lows": {}, "highs": {}, "key_rows": [], "empty": True}
     if len(rows) > KEY_PROBE_CAP:
         bounds = batch_keys.agg(
             *[F.min(k).alias(f"lo_{k}") for k in keys],
@@ -603,6 +605,11 @@ def merge_upsert_cow(
             f"{tuple(dup[0][k] for k in keys)!r}; dedup the batch first"
         )
     probe = _batch_key_probe(updates.select(*keys), keys)
+    if probe.get("empty"):
+        # empty batch: a commit would only add an empty file per call —
+        # an at-least-once upstream retrying empties must not grow the
+        # version chain
+        return _skipped_result(read_manifest(path, fs=fs))
 
     last_err: Exception | None = None
     for _attempt in range(COMMIT_RETRIES):
@@ -737,6 +744,11 @@ def apply_cdc_cow(
     )
     all_keys = batch.select(*keys).distinct()
     probe = _batch_key_probe(all_keys, keys)
+    if probe.get("empty"):
+        res = _skipped_result(read_manifest(path, fs=fs))
+        res["upserted"] = 0
+        res["deleted"] = 0
+        return res
 
     last_err: Exception | None = None
     for _attempt in range(COMMIT_RETRIES):

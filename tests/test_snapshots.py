@@ -1005,3 +1005,18 @@ def test_time_travel_to_expired_version_fails_cleanly(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         snap_read(spark, path, version=1)
     assert len(_rows(snap_read(spark, path))) == 20  # CURRENT unaffected
+
+
+def test_empty_batch_is_a_noop_not_a_version(spark, tmp_path):
+    """An at-least-once upstream retrying an empty batch must not grow
+    the version chain or add empty files."""
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=20, n_files=1)
+    empty = spark.createDataFrame([], "k bigint, v string")
+    res = merge_upsert_cow(spark, path, empty, keys=["k"])
+    assert res.get("skipped") is True and current_version(path) == 1
+
+    empty_cdc = spark.createDataFrame([], "k bigint, v string, _op string")
+    res2 = apply_cdc_cow(spark, path, empty_cdc, keys=["k"])
+    assert res2.get("skipped") is True and current_version(path) == 1
+    assert len(read_manifest(path)["files"]) == 1
