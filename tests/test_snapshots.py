@@ -1020,3 +1020,62 @@ def test_empty_batch_is_a_noop_not_a_version(spark, tmp_path):
     res2 = apply_cdc_cow(spark, path, empty_cdc, keys=["k"])
     assert res2.get("skipped") is True and current_version(path) == 1
     assert len(read_manifest(path)["files"]) == 1
+
+
+def test_cow_merge_composite_string_and_date_keys(spark, tmp_path):
+    """The key-type matrix beyond bigint: a composite (string, date)
+    merge key — string envelopes compare lexicographically, dates
+    normalize to ISO strings on both the footer and probe sides, and
+    multi-column pruning stays conservative-correct (no duplicate or
+    lost keys after updates touching one region)."""
+    import datetime
+
+    path = str(tmp_path / "snap")
+    rows = [
+        (region, datetime.date(2024, 1, d), f"v-{region}-{d}")
+        for region in ("ap", "eu", "us")
+        for d in range(1, 11)
+    ]
+    df = (
+        spark.createDataFrame(rows, "region string, d date, v string")
+        .repartitionByRange(3, "region")
+        .sortWithinPartitions("region", "d")
+    )
+    snap_init(spark, df, path, stats_cols=["region", "d"])
+    m = read_manifest(path)
+    assert len(m["files"]) == 3
+    env = {
+        f["stats"]["region"]["min"]: f["stats"]["d"] for f in m["files"]
+    }
+    assert set(env) == {"ap", "eu", "us"}
+    assert env["eu"]["min"] == "2024-01-01"  # ISO-string date envelope
+
+    updates = spark.createDataFrame(
+        [
+            ("eu", datetime.date(2024, 1, 5), "UPD"),
+            ("eu", datetime.date(2024, 2, 1), "NEW"),
+        ],
+        "region string, d date, v string",
+    )
+    res = merge_upsert_cow(spark, path, updates, keys=["region", "d"])
+    assert res["rewritten"] == 1 and res["carried"] == 2, res
+
+    got = {(r.region, str(r.d)): r.v for r in snap_read(spark, path).collect()}
+    assert len(got) == 31  # 30 + 1 insert, no dup of the updated key
+    assert got[("eu", "2024-01-05")] == "UPD"
+    assert got[("eu", "2024-02-01")] == "NEW"
+    assert got[("ap", "2024-01-05")] == "v-ap-5"
+
+    # delete via CDC on the composite key
+    res2 = apply_cdc_cow(
+        spark,
+        path,
+        spark.createDataFrame(
+            [("us", datetime.date(2024, 1, 1), None, "D")],
+            "region string, d date, v string, _op string",
+        ),
+        keys=["region", "d"],
+    )
+    assert res2["deleted"] == 1
+    got2 = {(r.region, str(r.d)) for r in snap_read(spark, path).collect()}
+    assert ("us", "2024-01-01") not in got2 and len(got2) == 30
