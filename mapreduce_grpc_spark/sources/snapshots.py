@@ -936,6 +936,167 @@ def auto_compact(
     return optimize_snapshot(spark, path, target_bytes=target_bytes, fs=fs)
 
 
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    from_version: int,
+    to_version: int | None = None,
+    fs: LocalSnapshotFS | None = None,
+) -> DataFrame:
+    """Row-level CHANGE DATA FEED between committed versions (the Delta
+    CDF / Iceberg changelog surface), derived purely from the manifests
+    — no change files are ever written.
+
+    For each commit step the only files that can hold changed rows are
+    the step's REMOVED and ADDED files (carried files are byte-identical
+    by the CoW contract), so the diff reads exactly the rewritten slice
+    of the table, never the whole of it: a full-outer join of the
+    removed rows against the added rows on ``keys`` classifies each key
+    as ``insert`` (new side only), ``delete`` (old side only), or — when
+    any non-key column differs null-safely — an ``update_preimage`` /
+    ``update_postimage`` pair; carried-through rows inside rewritten
+    files compare equal and are dropped.  Rows carry ``_change_type``
+    and ``_commit_version``; each side of a step reads with ITS
+    version's recorded schema, so schema evolution surfaces as updates
+    with null preimage columns.  Changes are emitted per commit, so a
+    key touched in several commits appears once per commit — replaying
+    the feed onto the ``from_version`` state reproduces ``to_version``
+    exactly (the fold test), which is what makes downstream incremental
+    materialized-view maintenance possible without rescanning the table.
+
+    ``from_version`` is EXCLUSIVE (the state you already have);
+    ``to_version`` inclusive, default CURRENT.  Cost at 100 TB:
+    O(rewritten files across the range + join of their rows) — for a
+    clustered table that is the update slice, not the table.
+    """
+    to_v = current_version(path, fs) if to_version is None else to_version
+    if from_version >= to_v:
+        raise ValueError(
+            f"table_changes: empty range ({from_version}, {to_v}]"
+        )
+    out_schema = _manifest_schema(read_manifest(path, to_v, fs))
+    out_cols = (
+        [f.name for f in out_schema.fields]
+        if out_schema is not None
+        else snap_read(spark, path, to_v, fs).columns
+    )
+    attrs = [c for c in out_cols if c not in keys]
+
+    steps = []
+    prev_m = read_manifest(path, from_version, fs)
+    for v in range(from_version + 1, to_v + 1):
+        cur_m = read_manifest(path, v, fs)
+        prev_names = {e["name"] for e in prev_m["files"]}
+        cur_names = {e["name"] for e in cur_m["files"]}
+        removed = sorted(prev_names - cur_names)
+        added = sorted(cur_names - prev_names)
+
+        def _read(names: list[str], m: dict) -> DataFrame | None:
+            if not names:
+                return None
+            files = [os.path.join(path, n) for n in names]
+            schema = _manifest_schema(m)
+            df = (
+                spark.read.schema(schema).parquet(*files)
+                if schema is not None
+                else spark.read.parquet(*files)
+            )
+            # align to the output schema (null-backfill evolved columns)
+            have = set(df.columns)
+            return df.select(
+                *[
+                    F.col(c) if c in have else F.lit(None).alias(c)
+                    for c in out_cols
+                ]
+            )
+
+        old = _read(removed, prev_m)
+        new = _read(added, cur_m)
+        prev_m = cur_m
+        if old is None and new is None:
+            continue
+
+        def _tag(df: DataFrame, kind: str) -> DataFrame:
+            return df.select(
+                *out_cols,
+                F.lit(kind).alias("_change_type"),
+                F.lit(v).alias("_commit_version"),
+            )
+
+        if old is None:
+            steps.append(_tag(new, "insert"))
+            continue
+        if new is None:
+            steps.append(_tag(old, "delete"))
+            continue
+
+        o = old.select(
+            *[F.col(k) for k in keys],
+            *[F.col(a).alias(f"_old_{a}") for a in attrs],
+            F.lit(True).alias("_in_old"),
+        )
+        n = new.select(
+            *[F.col(k) for k in keys],
+            *[F.col(a).alias(f"_new_{a}") for a in attrs],
+            F.lit(True).alias("_in_new"),
+        )
+        j = o.join(n, keys, "full_outer")
+        ins = j.filter(F.col("_in_old").isNull()).select(
+            *keys,
+            *[F.col(f"_new_{a}").alias(a) for a in attrs],
+            F.lit("insert").alias("_change_type"),
+            F.lit(v).alias("_commit_version"),
+        )
+        dele = j.filter(F.col("_in_new").isNull()).select(
+            *keys,
+            *[F.col(f"_old_{a}").alias(a) for a in attrs],
+            F.lit("delete").alias("_change_type"),
+            F.lit(v).alias("_commit_version"),
+        )
+        both = j.filter(
+            F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull()
+        )
+        if attrs:
+            from functools import reduce as _reduce
+
+            differ = _reduce(
+                lambda x, y: x | y,
+                [
+                    ~F.col(f"_old_{a}").eqNullSafe(F.col(f"_new_{a}"))
+                    for a in attrs
+                ],
+            )
+            changed = both.filter(differ)
+        else:
+            changed = both.limit(0)
+        pre = changed.select(
+            *keys,
+            *[F.col(f"_old_{a}").alias(a) for a in attrs],
+            F.lit("update_preimage").alias("_change_type"),
+            F.lit(v).alias("_commit_version"),
+        )
+        post = changed.select(
+            *keys,
+            *[F.col(f"_new_{a}").alias(a) for a in attrs],
+            F.lit("update_postimage").alias("_change_type"),
+            F.lit(v).alias("_commit_version"),
+        )
+        steps.append(ins.unionByName(dele).unionByName(pre).unionByName(post))
+
+    if not steps:
+        empty = snap_read(spark, path, to_v, fs).limit(0)
+        return empty.select(
+            *out_cols,
+            F.lit("insert").alias("_change_type"),
+            F.lit(0).alias("_commit_version"),
+        ).limit(0)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 def snapshot_audit(path: str, fs: LocalSnapshotFS | None = None) -> list[dict]:
     """The table's commit history, reconstructed from the MANIFESTS —
     not from any driver-side log, so it survives process restarts and is
