@@ -365,13 +365,15 @@ def snap_init(
     df: DataFrame,
     path: str,
     stats_cols: list[str],
+    txns: dict | None = None,
     fs: LocalSnapshotFS | None = None,
 ) -> int:
     """Create a snapshot table at ``path`` from ``df`` (version 1).
 
     ``stats_cols`` are the columns whose per-file envelopes and
     row-group ranges the manifest tracks — the merge keys and any
-    pruning columns."""
+    pruning columns.  ``txns`` seeds the idempotence-marker map (e.g. a
+    materialized view recording the source version it was built from)."""
     f = _fs(fs)
     f.makedirs(path)
     if current_version(path, fs) != 0:
@@ -379,7 +381,7 @@ def snap_init(
     files = _write_data_files(spark, df, path, stats_cols, fs)
     return _commit(
         path, files, stats_cols, base_version=0,
-        schema_json=df.schema.json(), fs=fs,
+        schema_json=df.schema.json(), txns=txns, fs=fs,
     )
 
 

@@ -1211,3 +1211,124 @@ def test_table_changes_across_schema_evolution(spark, tmp_path):
     assert by["update_postimage"].w == "x3"
     # untouched keys in the rewritten file (w: null -> null) don't appear
     assert all(r.k == 3 for r in feed)
+
+
+def _mv_canon(df):
+    return sorted(
+        (tuple(r[d] for d in df.columns if d not in ("cnt", "sum_val")),
+         r.cnt, float(r.sum_val))
+        for r in df.collect()
+    )
+
+
+def test_mv_incremental_equals_recompute_over_random_workload(
+    spark, tmp_path
+):
+    """Incremental MV maintenance from the change feed: after every
+    refresh the MV equals a full GROUP BY recompute of the source —
+    across random I/U/D batches including group births and deaths —
+    and a re-run refresh at the same source version is a skip."""
+    import random
+
+    from mapreduce_grpc_spark.sources.matview import (
+        mv_init,
+        mv_read,
+        mv_refresh,
+    )
+
+    rng = random.Random(21)
+    src = str(tmp_path / "src")
+    mvp = str(tmp_path / "mv")
+    df = (
+        spark.range(60)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") % 13).cast("double").alias("val"),
+        )
+        .repartitionByRange(2, "k")
+    )
+    snap_init(spark, df, src, stats_cols=["k"])
+    mv_init(spark, src, mvp, dims=["g"], agg_col="val")
+
+    def recompute():
+        return (
+            snap_read(spark, src)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("val").cast("decimal(38,6)"))
+                .cast("decimal(38,6)")
+                .alias("sum_val"),
+            )
+        )
+
+    assert _mv_canon(mv_read(spark, mvp)) == _mv_canon(recompute())
+
+    model_keys = set(range(60))
+    for step in range(5):
+        rows = []
+        for k in rng.sample(range(90), rng.randint(2, 8)):
+            if k in model_keys and rng.random() < 0.4:
+                rows.append((k, None, None, "D"))
+                model_keys.discard(k)
+            else:
+                # group 7+step is BORN mid-workload; deletes can kill
+                # groups too
+                rows.append(
+                    (k, rng.choice([k % 7, 7 + step]),
+                     float(rng.randint(0, 50)), "U")
+                )
+                model_keys.add(k)
+        dedup = {}
+        for r in rows:
+            dedup[r[0]] = r  # one op per key (apply_cdc_cow contract)
+        batch = spark.createDataFrame(
+            list(dedup.values()), "k bigint, g bigint, val double, _op string"
+        )
+        apply_cdc_cow(spark, src, batch, keys=["k"])
+        res = mv_refresh(
+            spark, src, mvp, keys=["k"], dims=["g"], agg_col="val"
+        )
+        assert not res["skipped"]
+        assert _mv_canon(mv_read(spark, mvp)) == _mv_canon(recompute()), (
+            f"MV diverged at step {step}"
+        )
+
+    # idempotent re-refresh: no source change -> skip, no new MV version
+    v = current_version(mvp)
+    res = mv_refresh(spark, src, mvp, keys=["k"], dims=["g"], agg_col="val")
+    assert res["skipped"] and current_version(mvp) == v
+
+    # a group whose last member was deleted must be GONE, not cnt=0
+    assert all(r.cnt > 0 for r in mv_read(spark, mvp).collect())
+
+
+def test_mv_refresh_prunes_mv_files(spark, tmp_path):
+    """A refresh touching one group rewrites only the MV file holding
+    that group (the CoW pruning applies to the MV like any table)."""
+    from mapreduce_grpc_spark.sources.matview import mv_init, mv_refresh
+
+    src = str(tmp_path / "src")
+    mvp = str(tmp_path / "mv")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 40).alias("g"),
+        F.lit(1.0).alias("val"),
+    )
+    snap_init(spark, df.repartitionByRange(2, "k"), src, stats_cols=["k"])
+    mv_init(spark, src, mvp, dims=["g"], agg_col="val")
+    n_files = len(read_manifest(mvp)["files"])
+    assert n_files >= 3  # range-clustered on g into several files
+
+    apply_cdc_cow(
+        spark, src,
+        spark.createDataFrame(
+            [(0, 0, 9.0, "U")], "k bigint, g bigint, val double, _op string"
+        ),
+        keys=["k"],
+    )
+    mv_refresh(spark, src, mvp, keys=["k"], dims=["g"], agg_col="val")
+    m = read_manifest(mvp)
+    assert m["commit_info"]["rewritten"] == 1
+    assert m["commit_info"]["carried"] == n_files - 1
