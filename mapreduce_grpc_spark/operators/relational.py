@@ -1296,6 +1296,37 @@ FROM changed
 """
 
 
+def salted_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-supplier revenue: two-phase salted aggregation.
+
+    ``functions/skew.py``'s ``salted_sum`` spreads each key over 16
+    (key, salt) partial groups before the final 16-rows-per-key merge —
+    the deterministic plan for a hot aggregation key (AQE splits skewed
+    JOINS at runtime but never aggregations; the reference's hash131
+    partitioner sends every occurrence of a hot key to one reducer,
+    /root/reference/src/worker.h:83).  Semantics are exact: partials
+    accumulate in DECIMAL(18,6) so the two-phase result is
+    bit-identical to a plain GROUP BY — which is precisely what the
+    DuckDB oracle computes.  At 100 TB the extra cost is one bounded
+    16-rows-per-key shuffle; the win is no straggler reducer."""
+    from ..functions.skew import salted_sum
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    return salted_sum(li, "l_suppkey", "l_extendedprice").select(
+        "l_suppkey", F.col("total").alias("revenue")
+    )
+
+
+SALTED_GROUP_SUM_SQL = """
+SELECT l_suppkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY l_suppkey
+"""
+
+
 # Implemented-and-benchmarked but deliberately outside the driver contract:
 # sketch-based results have no hashable DuckDB oracle (registering them
 # would record a permanent no-oracle err row).  Correctness is bounded in
@@ -1311,9 +1342,11 @@ AUX_QUERIES = {
     "join_temporal": join_temporal,
     "grouping_sets_agg": grouping_sets_agg,
     "window_ranks": window_ranks,
+    "salted_group_sum": salted_group_sum,
 }
 
 AUX_ORACLES = {
+    "salted_group_sum": SALTED_GROUP_SUM_SQL,
     "numeric_histogram": NUMERIC_HISTOGRAM_SQL,
     "table_stats": _table_stats_sql(),
     "corr_matrix": _corr_matrix_sql(),

@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..sources.snapshots import merge_upsert_cow, snap_init, snap_read
+from ..sources.matview import mv_init, mv_read, mv_refresh
+from ..sources.snapshots import apply_cdc_cow, merge_upsert_cow, snap_init, snap_read
 
 
 def snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,6 +82,93 @@ def snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def matview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view maintained from the change data
+    feed, hash-checked end-to-end against a pure-SQL recompute.
+
+    Pipeline: ``orders`` → snapshot table → ``mv_init`` materializes
+    ``GROUP BY o_orderpriority -> (cnt, sum(o_totalprice))`` as its own
+    snapshot table → one deterministic CDC batch mutates the source
+    (keys %10==0 repriced +1000 and repriced to RUSH, %10==1 deleted,
+    %10==2 cloned as SYNTH inserts under shifted keys) → ``mv_refresh``
+    folds ONLY that commit's change feed (preimages subtract,
+    postimages add) into the MV as one CoW commit.  The oracle
+    recomputes the aggregate from scratch over the mutated relation —
+    if the CDF misses a preimage, double-counts a postimage, or the
+    DECIMAL delta drifts from the full recompute by one micro-unit,
+    the hash mismatches.  Refresh work is O(changed rows + touched
+    groups), independent of source and MV size — the cost model that
+    makes a 100 TB MV maintainable."""
+    tmp = tempfile.mkdtemp(prefix="snap-mv-")
+    src_path = os.path.join(tmp, "src")
+    mv_path = os.path.join(tmp, "mv")
+    try:
+        ords = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        snap_init(
+            spark,
+            ords.repartitionByRange(4, "o_orderkey"),
+            src_path,
+            stats_cols=["o_orderkey"],
+        )
+        mv_init(
+            spark, src_path, mv_path,
+            dims=["o_orderpriority"], agg_col="o_totalprice",
+        )
+
+        k = F.col("o_orderkey")
+        upd = ords.filter(k % 10 == 0).select(
+            k.alias("o_orderkey"),
+            F.lit("RUSH").alias("o_orderpriority"),
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            F.lit("U").alias("_op"),
+        )
+        dele = ords.filter(k % 10 == 1).withColumn("_op", F.lit("D"))
+        ins = ords.filter(k % 10 == 2).select(
+            (k + F.lit(10_000_000)).alias("o_orderkey"),
+            F.lit("SYNTH").alias("o_orderpriority"),
+            F.lit(42.0).alias("o_totalprice"),
+            F.lit("I").alias("_op"),
+        )
+        batch = upd.unionByName(dele).unionByName(ins)
+        apply_cdc_cow(spark, src_path, batch, keys=["o_orderkey"])
+        mv_refresh(
+            spark, src_path, mv_path,
+            keys=["o_orderkey"],
+            dims=["o_orderpriority"], agg_col="o_totalprice",
+        )
+
+        mv = mv_read(spark, mv_path)
+        rows = mv.collect()
+        return spark.createDataFrame(rows, mv.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+MATVIEW_ORDERS_SQL = """
+WITH mut AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'RUSH'
+              ELSE o_orderpriority END AS o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE o_orderkey % 10 <> 1
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'SYNTH', 42.0
+  FROM orders
+  WHERE o_orderkey % 10 = 2
+)
+SELECT o_orderpriority,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6))
+         AS sum_val
+FROM mut
+GROUP BY o_orderpriority
+"""
+
+
 SNAPSHOT_TIMETRAVEL_SQL = """
 SELECT c_custkey,
        c_acctbal AS old_bal,
@@ -94,5 +182,11 @@ WHERE c_custkey % 100 < 10
 
 QUERIES: dict = {}
 ORACLES: dict = {}
-AUX_QUERIES = {"snapshot_timetravel": snapshot_timetravel}
-AUX_ORACLES = {"snapshot_timetravel": SNAPSHOT_TIMETRAVEL_SQL}
+AUX_QUERIES = {
+    "snapshot_timetravel": snapshot_timetravel,
+    "matview_orders": matview_orders,
+}
+AUX_ORACLES = {
+    "snapshot_timetravel": SNAPSHOT_TIMETRAVEL_SQL,
+    "matview_orders": MATVIEW_ORDERS_SQL,
+}

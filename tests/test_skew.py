@@ -177,3 +177,19 @@ def test_band_bucket_cap_bounds_identical_docs(spark, tmp_path):
     assert_oracle_match(
         result, registry.ORACLES["dedup_near"], str(fake_sf), "dedup_near_identical"
     )
+
+
+def test_salted_group_sum_oracle_parity(spark, sf_dir):
+    """The benched salted-aggregation query hash-matches a plain
+    GROUP BY in DuckDB — two-phase salting must be invisible in the
+    values, not just set-equal on a sample."""
+    from mapreduce_grpc_spark import registry
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["salted_group_sum"](spark, sf_dir)
+    assert_oracle_match(
+        df,
+        registry.AUX_ORACLES["salted_group_sum"],
+        sf_dir,
+        "salted_group_sum",
+    )

@@ -849,6 +849,25 @@ def test_snapshot_timetravel_oracle_parity(spark, sf_dir):
     assert df.filter(F.col("new_seg") != "PROMOTED").count() == 0
 
 
+def test_matview_orders_oracle_parity(spark, sf_dir):
+    """The incremental-MV composition's driver-style hash check:
+    snapshot source -> mv_init -> CDC batch (U/D/I across groups) ->
+    change-feed mv_refresh must hash-match a from-scratch SQL recompute
+    of the aggregate over the mutated relation."""
+    from mapreduce_grpc_spark import registry
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["matview_orders"](spark, sf_dir)
+    assert_oracle_match(
+        df,
+        registry.AUX_ORACLES["matview_orders"],
+        sf_dir,
+        "matview_orders",
+    )
+    # the inserted SYNTH group must exist (group creation via refresh)
+    assert df.filter(F.col("o_orderpriority") == "SYNTH").count() == 1
+
+
 def test_threaded_concurrent_merges_all_land(spark, tmp_path):
     """Four REAL concurrent writers (threads sharing the session) merge
     disjoint key sets with no external coordination: the optimistic
