@@ -269,6 +269,49 @@ FROM joined
 """
 
 
+def rolling_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour rolling features per user: event count
+    and DECIMAL-exact value sum over a time-RANGE window.
+
+    The row-anchored rolling-feature shape (fraud velocity checks,
+    rate limits, session intensity) that tumbling/sliding BINS cannot
+    express: every event gets ITS OWN trailing window ending at its own
+    timestamp.  One shuffle by user_id, one per-user time sort, then a
+    linear two-pointer frame scan inside WindowExec — no self-join, no
+    bin explosion; scale is O(events log events/user) regardless of
+    window length.  The frame is anchored on epoch MICROSECONDS as an
+    exact integer (``unix_micros``) on both engines — the fixture's
+    timestamps are microsecond-grained, and a seconds-truncated or
+    float-cast ordering would disagree with the oracle's interval
+    arithmetic at frame boundaries."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("trailing_cnt"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_sum"),
+    )
+
+
+ROLLING_ACTIVITY_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS trailing_cnt,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+         AS trailing_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "tumbling_window": tumbling_window,
     "sliding_window": sliding_window,
@@ -285,8 +328,10 @@ ORACLES = {
 
 AUX_QUERIES = {
     "resample_events": resample_events,
+    "rolling_activity": rolling_activity,
 }
 
 AUX_ORACLES = {
     "resample_events": RESAMPLE_EVENTS_SQL,
+    "rolling_activity": ROLLING_ACTIVITY_SQL,
 }

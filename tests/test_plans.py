@@ -110,3 +110,19 @@ def test_sample_weighted_is_take_ordered(spark, sf_dir):
 
     plan = formatted_plan(sample_weighted(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_rolling_activity_single_shuffle_no_join(spark, sf_dir):
+    """The rolling time-RANGE window must be one hash shuffle on
+    user_id feeding WindowExec — never a time-range self-join (which
+    would be O(events x window) at 100 TB) — and the scan must prune
+    down to the four needed columns."""
+    from mapreduce_grpc_spark.operators.windows import rolling_activity
+
+    df = rolling_activity(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "Join" not in plan, "rolling window must not plan a self-join"
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    (cols,) = read_schema_columns(df)
+    assert set(cols) <= {"event_id", "user_id", "ts", "value"}

@@ -481,6 +481,7 @@ def test_decontaminate_flags_planted_copy(spark, tmp_path):
         "pandas_grouped_agg",
         "bm25_topk",
         "resample_events",
+        "rolling_activity",
         "numeric_histogram",
         "table_stats",
         "corr_matrix",
