@@ -1351,3 +1351,72 @@ def test_mv_refresh_prunes_mv_files(spark, tmp_path):
     m = read_manifest(mvp)
     assert m["commit_info"]["rewritten"] == 1
     assert m["commit_info"]["carried"] == n_files - 1
+
+
+def test_streaming_cdc_feeds_mv_multi_commit_refresh(spark, tmp_path):
+    """The ingest and MV flagships composed: a streamed CDC feed lands
+    one snapshot commit per micro-batch, then ONE mv_refresh folds the
+    whole multi-commit change-feed span (high-water mark -> CURRENT) —
+    including a key updated in one commit and deleted in a later one,
+    whose intermediate postimage must cancel out — and equals a full
+    recompute.  A second refresh at the same source version is a skip."""
+    from mapreduce_grpc_spark.sources.matview import (
+        mv_init,
+        mv_read,
+        mv_refresh,
+    )
+    from mapreduce_grpc_spark.streaming.cdc import run_streaming_cdc
+
+    src = str(tmp_path / "src")
+    mvp = str(tmp_path / "mv")
+    base = spark.range(80).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") % 11).cast("double").alias("val"),
+    )
+    snap_init(spark, base.repartitionByRange(2, "k"), src, stats_cols=["k"])
+    mv_init(spark, src, mvp, dims=["g"], agg_col="val")
+    mv_base_src_version = current_version(src)
+
+    cdc = tmp_path / "cdc"
+    batches = [
+        # key 0 moves to a group BORN mid-span; key 1 dies
+        [(0, 9, 100.0, "U", 1), (1, None, None, "D", 2)],
+        # key 2 updated here ... (its postimage must not survive the span)
+        [(2, 9, 50.0, "U", 10), (3, 3, 7.0, "U", 11)],
+        # ... and deleted here; plus a fresh insert
+        [(500, 9, 1.0, "I", 20), (2, None, None, "D", 21)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "k bigint, g bigint, val double, _op string, seq bigint"
+        ).coalesce(1).write.parquet(str(cdc), mode="append")
+
+    run_streaming_cdc(
+        spark, str(cdc), src, keys=["k"],
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    assert current_version(src) == mv_base_src_version + 3
+
+    res = mv_refresh(spark, src, mvp, keys=["k"], dims=["g"], agg_col="val")
+    assert not res["skipped"]
+    assert res["to"] - res["from"] == 3  # one refresh, three commits folded
+
+    recompute = (
+        snap_read(spark, src)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("val").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .alias("sum_val"),
+        )
+    )
+    assert _mv_canon(mv_read(spark, mvp)) == _mv_canon(recompute)
+    # key 2's mid-span postimage (g=9, +50.0) must have netted out: the
+    # born group's sum is exactly key 0's move + the insert
+    g9 = {r.g: (r.cnt, float(r.sum_val)) for r in mv_read(spark, mvp).collect()}
+    assert g9[9] == (2, 101.0)
+
+    res2 = mv_refresh(spark, src, mvp, keys=["k"], dims=["g"], agg_col="val")
+    assert res2["skipped"]
