@@ -24,6 +24,12 @@ are DELETED from the MV (a group must not linger with cnt=0), and sums
 accumulate in DECIMAL(38,6) so increments commute exactly — no float
 drift between an incremental and a recomputed MV (the equality the
 tests pin on random workloads).
+
+NULL dimension values are unsupported (coalesce them upstream before
+aggregating): the dims act as the MV table's merge keys, and SQL
+equi-joins never match NULLs, so a NULL group could not be maintained
+incrementally.  The table layer rejects such a refresh loudly
+(``apply_cdc_cow``'s NULL-key check) instead of corrupting the MV.
 """
 
 from __future__ import annotations

@@ -568,6 +568,25 @@ def _skipped_result(m: dict) -> dict:
     }
 
 
+def _bad_key_rows(batch: DataFrame, keys: list[str]) -> list:
+    """One action catching BOTH illegal key shapes: duplicate keys
+    (MERGE's multiple-matches rule) and NULL keys (equi/anti joins never
+    match SQL NULL, so a NULL-keyed mutation would silently duplicate
+    rows rather than replace them — the same reason Delta/Iceberg MERGE
+    predicates on NULL keys match nothing).  Returns up to one
+    offending key tuple's row."""
+    null_pred = F.lit(False)
+    for k in keys:
+        null_pred = null_pred | F.isnull(F.col(k))
+    return (
+        batch.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) | null_pred)
+        .limit(1)
+        .collect()
+    )
+
+
 def merge_upsert_cow(
     spark: SparkSession,
     path: str,
@@ -594,17 +613,19 @@ def merge_upsert_cow(
     a marker already recorded in the manifest skips the batch.  Returns
     ``{"version", "rewritten", "carried", "added"}`` (+``skipped``).
     """
-    dup = (
-        updates.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
+    bad = _bad_key_rows(updates, keys)
+    if bad:
+        row = bad[0]
+        if any(row[k] is None for k in keys):
+            raise ValueError(
+                f"merge_upsert_cow: NULL merge key in batch row "
+                f"{tuple(row[k] for k in keys)!r} — SQL equi/anti joins "
+                "never match NULLs, so a NULL-keyed merge would silently "
+                "duplicate instead of replacing; coalesce keys upstream"
+            )
         raise ValueError(
             f"merge_upsert_cow: update batch has multiple rows for key "
-            f"{tuple(dup[0][k] for k in keys)!r}; dedup the batch first"
+            f"{tuple(row[k] for k in keys)!r}; dedup the batch first"
         )
     probe = _batch_key_probe(updates.select(*keys), keys)
     if probe.get("empty"):
@@ -728,17 +749,20 @@ def apply_cdc_cow(
         raise ValueError(f"apply_cdc_cow: unknown op codes {sorted(bad)}")
     n_upserts = op_counts.get("I", 0) + op_counts.get("U", 0)
     n_deletes = op_counts.get("D", 0)
-    dup = (
-        batch.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
+    bad = _bad_key_rows(batch, keys)
+    if bad:
+        row = bad[0]
+        if any(row[k] is None for k in keys):
+            raise ValueError(
+                f"apply_cdc_cow: NULL key in batch row "
+                f"{tuple(row[k] for k in keys)!r} — NULL-keyed changes "
+                "can never match their target row; coalesce keys "
+                "upstream (for MV dims: coalesce NULL dimension values "
+                "before aggregating)"
+            )
         raise ValueError(
             f"apply_cdc_cow: batch has multiple ops for key "
-            f"{tuple(dup[0][k] for k in keys)!r}; collapse the batch to "
+            f"{tuple(row[k] for k in keys)!r}; collapse the batch to "
             "its final per-key state first"
         )
     upserts = batch.filter(F.upper(F.col(op_col)).isin("I", "U")).drop(

@@ -1420,3 +1420,48 @@ def test_streaming_cdc_feeds_mv_multi_commit_refresh(spark, tmp_path):
 
     res2 = mv_refresh(spark, src, mvp, keys=["k"], dims=["g"], agg_col="val")
     assert res2["skipped"]
+
+
+def test_null_merge_keys_rejected_loudly(spark, tmp_path):
+    """A NULL merge key can never equi/anti-match its target row, so a
+    NULL-keyed mutation would silently DUPLICATE instead of replace —
+    both mutators must reject it before committing anything."""
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=20, n_files=1)
+
+    null_merge = spark.createDataFrame(
+        [(None, "oops")], "k bigint, v string"
+    )
+    with pytest.raises(ValueError, match="NULL merge key"):
+        merge_upsert_cow(spark, path, null_merge, keys=["k"])
+
+    null_cdc = spark.createDataFrame(
+        [(None, "oops", "U")], "k bigint, v string, _op string"
+    )
+    with pytest.raises(ValueError, match="NULL key"):
+        apply_cdc_cow(spark, path, null_cdc, keys=["k"])
+    assert current_version(path) == 1  # nothing committed
+
+
+def test_mv_refresh_rejects_null_dim_loudly(spark, tmp_path):
+    """A source batch introducing a NULL dimension value must fail the
+    MV refresh with the table layer's NULL-key error — never silently
+    split or duplicate the NULL group (equi-joins cannot maintain it)."""
+    from mapreduce_grpc_spark.sources.matview import mv_init, mv_refresh
+
+    src = str(tmp_path / "src")
+    mvp = str(tmp_path / "mv")
+    base = spark.range(20).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("g"),
+        F.lit(1.0).alias("val"),
+    )
+    snap_init(spark, base.repartitionByRange(2, "k"), src, stats_cols=["k"])
+    mv_init(spark, src, mvp, dims=["g"], agg_col="val")
+
+    null_dim = spark.createDataFrame(
+        [(5, None, 2.0, "U")], "k bigint, g bigint, val double, _op string"
+    )
+    apply_cdc_cow(spark, src, null_dim, keys=["k"])  # source keys fine
+    with pytest.raises(ValueError, match="NULL key"):
+        mv_refresh(spark, src, mvp, keys=["k"], dims=["g"], agg_col="val")
