@@ -158,18 +158,22 @@ def merge_upsert(
     committed fix for readers needing a consistent view.  Returns the
     number of partitions rewritten.
     """
+    from .snapshots import _bad_key_rows
+
     tgt = spark.read.parquet(path)
-    dup = (
-        updates.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
+    bad = _bad_key_rows(updates, keys)
+    if bad:
+        row = bad[0]
+        if any(row[k] is None for k in keys):
+            raise ValueError(
+                f"merge_upsert: NULL merge key in batch row "
+                f"{tuple(row[k] for k in keys)!r} — the anti-join can "
+                "never match a NULL key, so the old row would survive "
+                "alongside the new one; coalesce keys upstream"
+            )
         raise ValueError(
             f"merge_upsert: update batch has multiple rows for key "
-            f"{tuple(dup[0][k] for k in keys)!r}; MERGE requires at most "
+            f"{tuple(row[k] for k in keys)!r}; MERGE requires at most "
             "one source row per target key — dedup the batch first"
         )
     upd_keys = updates.select(*keys).distinct()

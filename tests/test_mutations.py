@@ -510,3 +510,21 @@ def test_window_ranks_oracle_parity(spark, sf_dir):
     for p, rs in by_p.items():
         assert all(0.0 <= r.prank <= 1.0 and 0.0 < r.cdist <= 1.0 for r in rs)
         assert min(r.drank for r in rs) == 1
+
+
+def test_partition_merge_rejects_null_key(spark, sf_dir, tmp_path):
+    """The partition-level merge shares the NULL-key hazard with the CoW
+    path (anti-joins never match NULL) and must reject it the same way."""
+    import pytest as _pytest
+
+    from mapreduce_grpc_spark.sources.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1")], "k bigint, v string, p string"
+    ).write.partitionBy("p").parquet(path)
+    bad = spark.createDataFrame(
+        [(None, "oops", "p1")], "k bigint, v string, p string"
+    )
+    with _pytest.raises(ValueError, match="NULL merge key"):
+        merge_upsert(spark, path, bad, keys=["k"], partition_col="p")
