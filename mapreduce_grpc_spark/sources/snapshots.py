@@ -409,6 +409,138 @@ def snap_read(
     return spark.read.parquet(*files)
 
 
+_PRED_OPS = {"=", "<", "<=", ">", ">=", "in", "between"}
+
+
+def _entry_may_match(entry: dict, pred: tuple) -> bool:
+    """Conservative per-file predicate check against the manifest's
+    envelope (and, for ``=``/``in``, the per-row-group ranges — a point
+    probe inside the file's bounding box can still miss every row
+    group).  Missing stats, untracked columns, or incomparable types
+    mean "may match" — pruning is an optimization, never a filter."""
+    col, op = pred[0], pred[1]
+    stats = entry.get("stats", {})
+    env = stats.get(col)
+    if env is None or env["min"] is None or env["max"] is None:
+        return True
+    lo, hi = env["min"], env["max"]
+    if op in ("=", "in"):
+        vals = pred[2] if op == "in" else [pred[2]]
+        ranges = entry.get("rg", {}).get(col) or [[lo, hi]]
+        return any(
+            _value_in_ranges(_json_val(v), ranges)
+            for v in vals
+            if v is not None
+        )
+    if op == "between":
+        plo, phi = _json_val(pred[2]), _json_val(pred[3])
+        below = _lt(hi, plo)
+        above = _lt(phi, lo)
+        return not (below is True or above is True)
+    v = _json_val(pred[2])
+    if op == "<":  # file may hold a row < v iff its min < v
+        return _lt(lo, v) is not False
+    if op == "<=":
+        return _lt(v, lo) is not True
+    if op == ">":
+        return _lt(v, hi) is not False
+    if op == ">=":
+        return _lt(hi, v) is not True
+    raise ValueError(f"unknown predicate op {op!r}")
+
+
+def _check_predicates(predicates: list[tuple]) -> None:
+    for p in predicates:
+        if not isinstance(p, tuple) or len(p) < 2 or p[1] not in _PRED_OPS:
+            raise ValueError(
+                f"bad predicate {p!r}; expected (col, op, value...) with "
+                f"op in {sorted(_PRED_OPS)}"
+            )
+        want = 4 if p[1] == "between" else 3
+        if len(p) != want:
+            raise ValueError(f"predicate {p!r} needs {want - 2} value(s)")
+
+
+def prune_manifest(
+    m: dict, predicates: list[tuple]
+) -> tuple[list[dict], list[dict]]:
+    """Split a manifest's file entries into (kept, skipped) under a
+    conjunction of simple predicates — the reader-side half of data
+    skipping (the merge path's ``_overlaps`` is the writer-side half).
+    A file is skipped only when its footer statistics PROVE no row can
+    satisfy some predicate."""
+    _check_predicates(predicates)
+    kept, skipped = [], []
+    for e in m["files"]:
+        if all(_entry_may_match(e, p) for p in predicates):
+            kept.append(e)
+        else:
+            skipped.append(e)
+    return kept, skipped
+
+
+def _predicates_to_column(predicates: list[tuple]):
+    """The exact row-level filter for a predicate list (pruning is
+    advisory; this is what guarantees correctness)."""
+    cond = F.lit(True)
+    for p in predicates:
+        col, op = F.col(p[0]), p[1]
+        if op == "=":
+            c = col == F.lit(p[2])
+        elif op == "in":
+            c = col.isin(list(p[2]))
+        elif op == "between":
+            c = (col >= F.lit(p[2])) & (col <= F.lit(p[3]))
+        elif op == "<":
+            c = col < F.lit(p[2])
+        elif op == "<=":
+            c = col <= F.lit(p[2])
+        elif op == ">":
+            c = col > F.lit(p[2])
+        else:
+            c = col >= F.lit(p[2])
+        cond = cond & c
+    return cond
+
+
+def snap_scan(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+    version: int | None = None,
+    fs: LocalSnapshotFS | None = None,
+) -> DataFrame:
+    """Predicate-pruned read of a snapshot table: files whose manifest
+    statistics cannot satisfy the conjunction of ``predicates`` are
+    never handed to Spark at all (zero footer reads, zero scheduler
+    tasks), and the surviving files still get the exact row filter —
+    manifest-level data skipping layered UNDER Spark's own row-group
+    pushdown, exactly Delta/Iceberg's scan planning.  Predicates are
+    tuples ``(col, op, value)`` with op in ``= < <= > >= in between``
+    (``between`` takes two values, ``in`` a list), AND-ed together.
+
+    At 100 TB this is the difference between a point lookup scheduling
+    O(table) tasks and O(matching files): on a key-clustered table
+    (``zorder_write`` / ``optimize_snapshot(zorder=...)``) a point
+    predicate touches one file.  Returns an empty DataFrame with the
+    table schema when every file is pruned."""
+    m = read_manifest(path, version, fs)
+    kept, _ = prune_manifest(m, predicates)
+    schema = _manifest_schema(m)
+    cond = _predicates_to_column(predicates)
+    if not kept:
+        if schema is None:
+            return snap_read(spark, path, version, fs).filter(cond).limit(0)
+        return spark.createDataFrame([], schema)
+    files = [os.path.join(path, e["name"]) for e in kept]
+    df = (
+        spark.read.schema(schema).parquet(*files)
+        if schema is not None
+        else spark.read.parquet(*files)
+    )
+    return df.filter(cond)
+
+
 def _batch_key_probe(batch_keys: DataFrame, keys: list[str]) -> dict:
     """Collect the batch's pruning probe in ONE action: distinct key
     rows up to ``KEY_PROBE_CAP`` (for exact row-group membership

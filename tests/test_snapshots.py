@@ -1465,3 +1465,57 @@ def test_mv_refresh_rejects_null_dim_loudly(spark, tmp_path):
     apply_cdc_cow(spark, src, null_dim, keys=["k"])  # source keys fine
     with pytest.raises(ValueError, match="NULL key"):
         mv_refresh(spark, src, mvp, keys=["k"], dims=["g"], agg_col="val")
+
+
+def test_snap_scan_prunes_files_and_matches_full_filter(spark, tmp_path):
+    from mapreduce_grpc_spark.sources.snapshots import (
+        prune_manifest,
+        snap_scan,
+    )
+
+    path = str(tmp_path / "scan")
+    _mk_table(spark, path, n=1000, n_files=4)
+    m = read_manifest(path)
+
+    # point predicate on the clustered key touches exactly one file
+    kept, skipped = prune_manifest(m, [("k", "=", 17)])
+    assert len(kept) == 1 and len(skipped) == 3
+    got = snap_scan(spark, path, [("k", "=", 17)]).collect()
+    assert [(r.k, r.v) for r in got] == [(17, "v17")]
+
+    # range predicate keeps only overlapping files, result == full filter
+    preds = [("k", ">=", 400), ("k", "<", 600)]
+    kept, _ = prune_manifest(m, preds)
+    assert 1 <= len(kept) <= 2
+    expect = _rows(snap_read(spark, path).filter((F.col("k") >= 400) & (F.col("k") < 600)))
+    assert _rows(snap_scan(spark, path, preds)) == expect
+
+    # IN-list probes row-group ranges; between; untracked column => no pruning but exact filter
+    assert _rows(snap_scan(spark, path, [("k", "in", [3, 997])])) == [
+        (3, "v3"),
+        (997, "v997"),
+    ]
+    assert _rows(snap_scan(spark, path, [("k", "between", 10, 12)])) == [
+        (10, "v10"),
+        (11, "v11"),
+        (12, "v12"),
+    ]
+    assert _rows(snap_scan(spark, path, [("v", "=", "v42")])) == [(42, "v42")]
+
+    # predicate proven empty by stats -> zero files, empty frame, right schema
+    kept, skipped = prune_manifest(m, [("k", ">", 10_000)])
+    assert not kept and len(skipped) == 4
+    empty = snap_scan(spark, path, [("k", ">", 10_000)])
+    assert empty.count() == 0
+    assert empty.columns == ["k", "v"]
+
+
+def test_snap_scan_rejects_malformed_predicates(spark, tmp_path):
+    from mapreduce_grpc_spark.sources.snapshots import snap_scan
+
+    path = str(tmp_path / "scanbad")
+    _mk_table(spark, path, n=100, n_files=2)
+    with pytest.raises(ValueError, match="predicate"):
+        snap_scan(spark, path, [("k", "~", 1)])
+    with pytest.raises(ValueError, match="value"):
+        snap_scan(spark, path, [("k", "between", 1)])
