@@ -26,7 +26,15 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..sources.matview import mv_init, mv_read, mv_refresh
-from ..sources.snapshots import apply_cdc_cow, merge_upsert_cow, snap_init, snap_read
+from ..sources.snapshots import (
+    apply_cdc_cow,
+    delete_keys_mor,
+    delete_where_mor,
+    merge_upsert_cow,
+    snap_init,
+    snap_read,
+    snap_scan,
+)
 
 
 def snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,6 +154,57 @@ def matview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def snapshot_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes + predicate-pruned scan, hash-checked
+    end-to-end: init a snapshot table from ``customer``, mask rows two
+    ways without rewriting any data file — a predicate delete on an
+    UNTRACKED column (``c_acctbal < 0``: no stats to prune by, still
+    exact) stacked with a key-set delete (``c_custkey % 7 = 0``) — then
+    read back through ``snap_scan`` with a key-range predicate that
+    prunes files via manifest envelopes AND applies both deletion
+    vectors.  If position capture, sidecar accumulation across the two
+    delete commits, file pruning, or the read-side anti-join drops or
+    resurrects one row, the hash mismatches.
+
+    The result is O(range ∩ survivors); the table dir is removed after
+    materializing — the deliverable is the query result, not the
+    table."""
+    tmp = tempfile.mkdtemp(prefix="snap-dv-")
+    path = os.path.join(tmp, "t")
+    try:
+        cust = table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+        snap_init(
+            spark,
+            cust.repartitionByRange(4, "c_custkey"),
+            path,
+            stats_cols=["c_custkey"],
+        )
+        delete_where_mor(spark, path, [("c_acctbal", "<", 0.0)])
+        dead_keys = cust.filter(F.col("c_custkey") % 7 == 0).select(
+            "c_custkey"
+        )
+        delete_keys_mor(spark, path, dead_keys, keys=["c_custkey"])
+
+        out = snap_scan(
+            spark, path, [("c_custkey", "between", 1, 750)]
+        ).select("c_custkey", "c_acctbal", "c_mktsegment")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SNAPSHOT_DELETE_SCAN_SQL = """
+SELECT c_custkey, c_acctbal, c_mktsegment
+FROM customer
+WHERE c_custkey BETWEEN 1 AND 750
+  AND c_acctbal >= 0
+  AND c_custkey % 7 <> 0
+"""
+
+
 MATVIEW_ORDERS_SQL = """
 WITH mut AS (
   SELECT o_orderkey,
@@ -185,8 +244,10 @@ ORACLES: dict = {}
 AUX_QUERIES = {
     "snapshot_timetravel": snapshot_timetravel,
     "matview_orders": matview_orders,
+    "snapshot_delete_scan": snapshot_delete_scan,
 }
 AUX_ORACLES = {
     "snapshot_timetravel": SNAPSHOT_TIMETRAVEL_SQL,
     "matview_orders": MATVIEW_ORDERS_SQL,
+    "snapshot_delete_scan": SNAPSHOT_DELETE_SCAN_SQL,
 }

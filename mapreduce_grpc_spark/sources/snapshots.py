@@ -50,6 +50,23 @@ replayed micro-batch whose marker is already recorded is skipped, so a
 crashed-and-restarted streaming CDC ingest cannot double-apply a batch
 or duplicate the version audit trail.
 
+**Merge-on-read deletes (deletion vectors)**: copy-on-write turns a
+1-row delete in a 1 GB file into a 1 GB rewrite, so
+``delete_where_mor``/``delete_keys_mor`` instead record the matched
+rows' PHYSICAL POSITIONS (the parquet reader's ``_metadata.row_index``
+— stable because data files are immutable) in a ``dv-*.parquet``
+sidecar of ``(file_name, pos)`` and point the affected manifest entries
+at it.  Write cost is O(matched positions); readers anti-join only the
+DV'd files against their (broadcast) position sets; clean files keep
+the plain pruned scan.  Positions only accumulate — a re-delete of a
+dead row is a no-op, a file whose every row dies leaves the manifest —
+and the debt is paid at compaction: any rewrite of a DV'd file
+(``merge_upsert_cow``, ``apply_cdc_cow``, ``optimize_snapshot``) reads
+through the vector and drops it; ``auto_compact`` fires on a masked-row
+fraction threshold.  ``table_changes`` treats a DV change as a logical
+rewrite of the file (same diff machinery), so MoR deletes surface in
+the change feed as ordinary ``delete`` rows.
+
 **Schema** is recorded in every manifest.  Batches must match the table
 schema by (name, type) — same-name/different-type columns are rejected,
 never silently cast.  With ``allow_schema_evolution=True`` a batch may
@@ -385,6 +402,73 @@ def snap_init(
     )
 
 
+# deletion-vector side above which the positional anti-join is left to
+# the planner instead of being broadcast-hinted (a table overdue for
+# compaction can accrue more deleted positions than a driver should hold)
+DV_BROADCAST_MAX_ROWS = 10_000_000
+
+
+def _read_entries(
+    spark: SparkSession,
+    path: str,
+    entries: list[dict],
+    schema: StructType | None,
+) -> DataFrame:
+    """Read a set of manifest entries, applying their deletion vectors.
+
+    Files without a DV get the plain pruned parquet scan.  Files WITH a
+    DV are read with the parquet reader's per-file ``_metadata``
+    (file_name, row_index) columns and anti-joined against their
+    sidecars' ``(file_name, pos)`` sets — a broadcast hash anti-join
+    (no scan shuffle) while the total deleted-position count stays
+    under ``DV_BROADCAST_MAX_ROWS``.  Loading a sidecar can surface
+    position sets it holds for OTHER files in the read; that is safe by
+    construction: positions only accumulate, so any sidecar's set for a
+    file is a subset of the newest one the file's entry points to, and
+    the anti-join of the union is the same rows."""
+    if not entries:
+        raise FileNotFoundError("snapshot version has no files")
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    clean = [e for e in entries if not e.get("dv")]
+    dved = [e for e in entries if e.get("dv")]
+    parts: list[DataFrame] = []
+    if clean:
+        parts.append(
+            reader.parquet(*[os.path.join(path, e["name"]) for e in clean])
+        )
+    if dved:
+        df = reader.parquet(
+            *[os.path.join(path, e["name"]) for e in dved]
+        ).withColumns(
+            {
+                "_sg_file": F.col("_metadata.file_name"),
+                "_sg_pos": F.col("_metadata.row_index"),
+            }
+        )
+        names = [e["name"] for e in dved]
+        sidecars = sorted({e["dv"]["file"] for e in dved})
+        dv = (
+            spark.read.parquet(*[os.path.join(path, s) for s in sidecars])
+            .filter(F.col("file_name").isin(names))
+            .select(
+                F.col("file_name").alias("_sg_file"),
+                F.col("pos").alias("_sg_pos"),
+            )
+        )
+        total_dv = sum(e["dv"]["rows"] for e in dved)
+        if total_dv <= DV_BROADCAST_MAX_ROWS:
+            dv = F.broadcast(dv)
+        parts.append(
+            df.join(dv, ["_sg_file", "_sg_pos"], "left_anti").drop(
+                "_sg_file", "_sg_pos"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def snap_read(
     spark: SparkSession,
     path: str,
@@ -398,15 +482,17 @@ def snap_read(
     invisible to a time-travel read; files written before an evolution
     are null-backfilled by the reader — no ``mergeSchema`` footer
     sweep), so it stays consistent even if commits land while it
-    executes."""
+    executes.  Rows masked by a file's deletion vector (merge-on-read
+    deletes, ``delete_where_mor``/``delete_keys_mor``) are filtered at
+    read time."""
     m = read_manifest(path, version, fs)
-    files = [os.path.join(path, f["name"]) for f in m["files"]]
-    if not files:
-        raise FileNotFoundError(f"snapshot v{m['version']} has no files")
     schema = _manifest_schema(m)
-    if schema is not None:
-        return spark.read.schema(schema).parquet(*files)
-    return spark.read.parquet(*files)
+    if not m["files"]:
+        # legitimate after a delete that killed every row
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise FileNotFoundError(f"snapshot v{m['version']} has no files")
+    return _read_entries(spark, path, m["files"], schema)
 
 
 _PRED_OPS = {"=", "<", "<=", ">", ">=", "in", "between"}
@@ -532,13 +618,271 @@ def snap_scan(
         if schema is None:
             return snap_read(spark, path, version, fs).filter(cond).limit(0)
         return spark.createDataFrame([], schema)
-    files = [os.path.join(path, e["name"]) for e in kept]
-    df = (
-        spark.read.schema(schema).parquet(*files)
-        if schema is not None
-        else spark.read.parquet(*files)
+    return _read_entries(spark, path, kept, schema).filter(cond)
+
+
+def _read_entries_pos(
+    spark: SparkSession,
+    path: str,
+    entries: list[dict],
+    schema: StructType | None,
+) -> DataFrame:
+    """One scan over ``entries`` carrying each row's physical position
+    (``_sg_file``, ``_sg_pos`` from the parquet reader's ``_metadata``),
+    with existing deletion vectors already applied.  The position
+    columns must be bound on the scan relation itself (``_metadata`` is
+    a scan-level hidden column — it does not survive a union), which is
+    why this is a separate single-scan path from ``_read_entries``."""
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    df = reader.parquet(
+        *[os.path.join(path, e["name"]) for e in entries]
+    ).withColumns(
+        {
+            "_sg_file": F.col("_metadata.file_name"),
+            "_sg_pos": F.col("_metadata.row_index"),
+        }
     )
-    return df.filter(cond)
+    dved = [e for e in entries if e.get("dv")]
+    if dved:
+        sidecars = sorted({e["dv"]["file"] for e in dved})
+        dv = (
+            spark.read.parquet(*[os.path.join(path, s) for s in sidecars])
+            .filter(F.col("file_name").isin([e["name"] for e in dved]))
+            .select(
+                F.col("file_name").alias("_sg_file"),
+                F.col("pos").alias("_sg_pos"),
+            )
+        )
+        df = df.join(F.broadcast(dv), ["_sg_file", "_sg_pos"], "left_anti")
+    return df
+
+
+def _write_dv_sidecar(
+    spark: SparkSession,
+    positions: DataFrame,
+    path: str,
+    fs: LocalSnapshotFS | None = None,
+) -> tuple[str, dict[str, int]]:
+    """Write a ``(file_name, pos)`` deletion-vector sidecar as ONE
+    parquet file under ``path`` and return its name plus the per-file
+    position counts read back from it (one tiny scan of the sidecar —
+    the counts become the manifest entries' ``dv.rows``, so they must
+    describe what was actually written, not what was planned)."""
+    f = _fs(fs)
+    staging = os.path.join(path, f"_stage-{uuid.uuid4().hex[:12]}")
+    positions.coalesce(1).write.mode("errorifexists").parquet(staging)
+    name = None
+    for n in sorted(f.listdir(staging)):
+        if n.startswith("part-") and n.endswith(".parquet"):
+            name = f"dv-{uuid.uuid4().hex[:12]}.parquet"
+            f.rename(os.path.join(staging, n), os.path.join(path, name))
+            break
+    f.rmtree(staging)
+    if name is None:  # zero-row frame wrote no part file
+        return "", {}
+    counts = {
+        r["file_name"]: r["n"]
+        for r in spark.read.parquet(os.path.join(path, name))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        f.remove(os.path.join(path, name))
+        return "", {}
+    return name, counts
+
+
+def _delete_mor(
+    spark: SparkSession,
+    path: str,
+    candidate_fn,
+    match_fn,
+    op_name: str,
+    txn_app: str | None,
+    txn_batch: int | None,
+    fs: LocalSnapshotFS | None,
+) -> dict:
+    """Shared merge-on-read DELETE core: find matching row POSITIONS in
+    the candidate files, record them in a deletion-vector sidecar, and
+    commit a manifest whose affected entries point at the sidecar — no
+    data file is rewritten.  ``candidate_fn(manifest) -> entries`` picks
+    the files that can hold matches (manifest-stats pruning);
+    ``match_fn(df) -> df`` filters a DataFrame to the rows to delete."""
+    last_err: Exception | None = None
+    for _attempt in range(COMMIT_RETRIES):
+        m = read_manifest(path, fs=fs)
+        if _txn_already_applied(m, txn_app, txn_batch):
+            return _skipped_result(m)
+        schema = _manifest_schema(m)
+        candidates = candidate_fn(m)
+        if not candidates:
+            return _skipped_result(m)
+        # positions of NEWLY deleted rows: live rows (existing DVs
+        # applied) in candidate files that match the delete condition
+        cand_live = _read_entries_pos(spark, path, candidates, schema)
+        new_pos = match_fn(cand_live).select(
+            F.col("_sg_file").alias("file_name"),
+            F.col("_sg_pos").alias("pos"),
+        )
+        # carry forward the already-recorded positions of candidate
+        # files so each affected entry points at ONE complete sidecar
+        old_dved = [e for e in candidates if e.get("dv")]
+        if old_dved:
+            old_sidecars = sorted({e["dv"]["file"] for e in old_dved})
+            old_pos = (
+                spark.read.parquet(
+                    *[os.path.join(path, s) for s in old_sidecars]
+                )
+                .filter(
+                    F.col("file_name").isin([e["name"] for e in old_dved])
+                )
+                .select("file_name", "pos")
+            )
+            all_pos = new_pos.unionByName(old_pos).distinct()
+        else:
+            all_pos = new_pos
+        sidecar, totals = _write_dv_sidecar(spark, all_pos, path, fs)
+        old_rows = {
+            e["name"]: e["dv"]["rows"] for e in candidates if e.get("dv")
+        }
+        if not totals or totals == old_rows:
+            # nothing newly deleted: drop the redundant sidecar, no commit
+            if sidecar:
+                _fs(fs).remove(os.path.join(path, sidecar))
+            return _skipped_result(m)
+
+        files: list[dict] = []
+        fully_deleted = 0
+        for e in m["files"]:
+            t = totals.get(e["name"])
+            if t is None:
+                files.append(e)
+            elif t >= e["rows"]:
+                fully_deleted += 1  # every row dead: drop the entry
+            else:
+                e2 = {k: v for k, v in e.items() if k != "dv"}
+                e2["dv"] = {"file": sidecar, "rows": t}
+                files.append(e2)
+        n_new = sum(totals.values()) - sum(old_rows.values())
+        txns = dict(m.get("txns", {}))
+        if txn_app is not None:
+            txns[txn_app] = int(txn_batch)
+        info = {
+            "op": op_name,
+            "deleted": n_new,
+            "dv_files": len(totals),
+            "dropped_files": fully_deleted,
+        }
+        if txn_app is not None:
+            info["txn"] = {"app": txn_app, "batch": int(txn_batch)}
+        try:
+            version = _commit(
+                path, files, m["stats_cols"],
+                base_version=m["version"],
+                schema_json=m.get("schema"),
+                txns=txns, commit_info=info, fs=fs,
+            )
+        except CommitConflict as e:
+            last_err = e
+            continue
+        return {
+            "version": version,
+            "deleted": n_new,
+            "dv_files": len(totals) - fully_deleted,
+            "dropped_files": fully_deleted,
+            "rewritten": 0,
+            "carried": len(files),
+        }
+    raise CommitConflict(
+        f"{op_name}: lost the commit race {COMMIT_RETRIES} times at "
+        f"{path!r}"
+    ) from last_err
+
+
+def delete_where_mor(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
+    fs: LocalSnapshotFS | None = None,
+) -> dict:
+    """Merge-on-read DELETE WHERE: rows matching the predicate
+    conjunction (same grammar as ``snap_scan``) are masked by deletion
+    vectors instead of rewriting their files.
+
+    Copy-on-write turns a 1-row delete in a 1 GB file into a 1 GB
+    rewrite; here the write cost is O(matched positions) — a sidecar
+    parquet of ``(file_name, pos)`` — and the read cost is a broadcast
+    positional anti-join on only the DV'd files.  The debt is paid at
+    compaction: ``optimize_snapshot``/``auto_compact`` treat DV'd files
+    as rewrite candidates and fold the vectors away.  Positions come
+    from the parquet reader's ``_metadata.row_index``, which is the
+    row's ordinal within its immutable file — stable by the layer's
+    files-are-never-modified contract.  Pruning via ``prune_manifest``
+    bounds the scan to files whose stats can match; commits carry the
+    usual base-version claim, retry loop, and optional txn marker.
+    Returns ``{"version", "deleted", "dv_files", "dropped_files", ...}``
+    (``dropped_files`` counts files whose every row died — their
+    entries leave the manifest entirely)."""
+    _check_predicates(predicates)
+    cond = _predicates_to_column(predicates)
+    return _delete_mor(
+        spark, path,
+        candidate_fn=lambda m: prune_manifest(m, predicates)[0],
+        match_fn=lambda df: df.filter(cond),
+        op_name="delete_where_mor",
+        txn_app=txn_app, txn_batch=txn_batch, fs=fs,
+    )
+
+
+def delete_keys_mor(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    keys: list[str],
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
+    fs: LocalSnapshotFS | None = None,
+) -> dict:
+    """Merge-on-read DELETE by key set (the CDC-delete shape): every
+    table row whose key appears in ``keys_df`` is masked by a deletion
+    vector; no data file is rewritten.  File candidates come from the
+    same key-membership pruning as the CoW merge (exact row-group probe
+    for bounded batches); matching is a broadcast LEFT SEMI join on the
+    keys.  NULL keys are rejected loudly — a NULL key can never match
+    its target row (same rule as the CoW mutators)."""
+    kdf = keys_df.select(*keys).distinct()
+    null_pred = F.lit(False)
+    for k in keys:
+        null_pred = null_pred | F.isnull(F.col(k))
+    if kdf.filter(null_pred).limit(1).collect():
+        raise ValueError(
+            "delete_keys_mor: NULL key in delete batch — SQL joins never "
+            "match NULLs, so the delete would silently miss its target; "
+            "coalesce keys upstream"
+        )
+    probe = _batch_key_probe(kdf, keys)
+    if probe.get("empty"):
+        return _skipped_result(read_manifest(path, fs=fs))
+
+    def _cands(m: dict) -> list[dict]:
+        missing = [k for k in keys if k not in m["stats_cols"]]
+        if missing:
+            raise ValueError(
+                f"delete keys {missing} not tracked in manifest stats_cols "
+                f"{m['stats_cols']}; re-init the table tracking them"
+            )
+        return [e for e in m["files"] if _overlaps(e, probe, keys)]
+
+    return _delete_mor(
+        spark, path,
+        candidate_fn=_cands,
+        match_fn=lambda df: df.join(F.broadcast(kdf), keys, "left_semi"),
+        op_name="delete_keys_mor",
+        txn_app=txn_app, txn_batch=txn_batch, fs=fs,
+    )
 
 
 def _batch_key_probe(batch_keys: DataFrame, keys: list[str]) -> dict:
@@ -792,10 +1136,9 @@ def merge_upsert_cow(
 
         if overlapping:
             # reading with the POST-commit schema null-backfills any
-            # newly added columns in the old files
-            old = spark.read.schema(out_schema).parquet(
-                *[os.path.join(path, f["name"]) for f in overlapping]
-            )
+            # newly added columns in the old files; _read_entries
+            # applies deletion vectors, so a rewrite folds them away
+            old = _read_entries(spark, path, overlapping, out_schema)
             remaining = old.join(
                 F.broadcast(updates.select(*keys).distinct()),
                 keys,
@@ -930,9 +1273,7 @@ def apply_cdc_cow(
         carried = [f for f in m["files"] if not _overlaps(f, probe, keys)]
 
         if overlapping:
-            old = spark.read.schema(out_schema).parquet(
-                *[os.path.join(path, f["name"]) for f in overlapping]
-            )
+            old = _read_entries(spark, path, overlapping, out_schema)
             remaining = old.join(F.broadcast(all_keys), keys, "left_anti")
             out = remaining.unionByName(upserts.select(*out_cols))
         else:
@@ -1018,22 +1359,24 @@ def optimize_snapshot(
                 e["name"]: f.getsize(os.path.join(path, e["name"]))
                 for e in m["files"]
             }
+            # a file qualifies when undersized OR carrying a deletion
+            # vector — compaction is where merge-on-read debt is paid
             to_rewrite = [
-                e for e in m["files"] if sizes[e["name"]] < target_bytes
+                e
+                for e in m["files"]
+                if sizes[e["name"]] < target_bytes or e.get("dv")
             ]
-            carried = [
-                e for e in m["files"] if sizes[e["name"]] >= target_bytes
-            ]
-            if len(to_rewrite) < 2:
+            carried = [e for e in m["files"] if e not in to_rewrite]
+            if len(to_rewrite) < 2 and not any(
+                e.get("dv") for e in to_rewrite
+            ):
                 return {
                     "version": m["version"],
                     "rewritten": 0,
                     "carried": len(m["files"]),
                     "added": 0,
                 }
-        df = spark.read.parquet(
-            *[os.path.join(path, e["name"]) for e in to_rewrite]
-        )
+        df = _read_entries(spark, path, to_rewrite, _manifest_schema(m))
         total = sum(
             f.getsize(os.path.join(path, e["name"])) for e in to_rewrite
         )
@@ -1077,10 +1420,14 @@ def auto_compact(
     path: str,
     max_files: int = 32,
     target_bytes: int = 128 * 1024 * 1024,
+    max_dv_fraction: float = 0.3,
     fs: LocalSnapshotFS | None = None,
 ) -> dict | None:
-    """Compaction POLICY hook: run ``optimize_snapshot`` only when the
-    CURRENT version references more than ``max_files`` files.
+    """Compaction POLICY hook: run ``optimize_snapshot`` when the
+    CURRENT version references more than ``max_files`` files OR when
+    deletion vectors mask more than ``max_dv_fraction`` of the table's
+    physical rows (merge-on-read debt: every masked row is still read
+    and anti-joined on every scan until a rewrite folds it away).
 
     The CoW coalesce bounds small-file accretion per commit but not
     cumulatively — N sequential 1-row merges each add a file.  Wiring
@@ -1089,7 +1436,10 @@ def auto_compact(
     without paying a rewrite on every batch.  Returns the optimize
     stats, or ``None`` when the policy did not fire."""
     m = read_manifest(path, fs=fs)
-    if len(m["files"]) <= max_files:
+    rows = sum(e.get("rows", 0) for e in m["files"])
+    dv_rows = sum(e["dv"]["rows"] for e in m["files"] if e.get("dv"))
+    dv_debt = rows > 0 and dv_rows / rows > max_dv_fraction
+    if len(m["files"]) <= max_files and not dv_debt:
         return None
     return optimize_snapshot(spark, path, target_bytes=target_bytes, fs=fs)
 
@@ -1141,25 +1491,26 @@ def table_changes(
     )
     attrs = [c for c in out_cols if c not in keys]
 
+    def _sig(e: dict) -> tuple:
+        # a file's LOGICAL content is (name, deletion vector): a commit
+        # that only grew a file's DV changed its rows without renaming
+        # it, and must surface in the diff exactly like a rewrite
+        d = e.get("dv") or {}
+        return (e["name"], d.get("file"), d.get("rows"))
+
     steps = []
     prev_m = read_manifest(path, from_version, fs)
     for v in range(from_version + 1, to_v + 1):
         cur_m = read_manifest(path, v, fs)
-        prev_names = {e["name"] for e in prev_m["files"]}
-        cur_names = {e["name"] for e in cur_m["files"]}
-        removed = sorted(prev_names - cur_names)
-        added = sorted(cur_names - prev_names)
+        prev_sigs = {_sig(e) for e in prev_m["files"]}
+        cur_sigs = {_sig(e) for e in cur_m["files"]}
+        removed = [e for e in prev_m["files"] if _sig(e) not in cur_sigs]
+        added = [e for e in cur_m["files"] if _sig(e) not in prev_sigs]
 
-        def _read(names: list[str], m: dict) -> DataFrame | None:
-            if not names:
+        def _read(entries: list[dict], m: dict) -> DataFrame | None:
+            if not entries:
                 return None
-            files = [os.path.join(path, n) for n in names]
-            schema = _manifest_schema(m)
-            df = (
-                spark.read.schema(schema).parquet(*files)
-                if schema is not None
-                else spark.read.parquet(*files)
-            )
+            df = _read_entries(spark, path, entries, _manifest_schema(m))
             # align to the output schema (null-backfill evolved columns)
             have = set(df.columns)
             return df.select(
@@ -1269,13 +1620,19 @@ def snapshot_audit(path: str, fs: LocalSnapshotFS | None = None) -> list[dict]:
         if not f.exists(_manifest_path(path, v)):
             continue
         m = read_manifest(path, v, fs)
+        rows = sum(e.get("rows", 0) for e in m["files"])
+        dv_rows = sum(
+            e["dv"]["rows"] for e in m["files"] if e.get("dv")
+        )
         out.append(
             {
                 "version": m["version"],
                 "txns": m.get("txns", {}),
                 "commit_info": m.get("commit_info", {}),
                 "files": len(m["files"]),
-                "rows": sum(e.get("rows", 0) for e in m["files"]),
+                "rows": rows,
+                "dv_rows": dv_rows,
+                "live_rows": rows - dv_rows,
             }
         )
     return out
@@ -1301,6 +1658,7 @@ def verify_snapshot(
     missing: list[str] = []
     mismatched: list[dict] = []
     total_rows = 0
+    dv_rows = 0
     for e in m["files"]:
         full = os.path.join(path, e["name"])
         if not f.exists(full):
@@ -1316,10 +1674,25 @@ def verify_snapshot(
                 {"file": e["name"], "manifest": e["rows"], "actual": actual}
             )
         total_rows += actual
+        dv = e.get("dv")
+        if dv:
+            if not f.exists(os.path.join(path, dv["file"])):
+                missing.append(dv["file"])
+                continue
+            if dv["rows"] > e["rows"]:
+                mismatched.append(
+                    {
+                        "file": e["name"],
+                        "error": f"dv masks {dv['rows']} of {e['rows']} rows",
+                    }
+                )
+            dv_rows += dv["rows"]
     return {
         "version": m["version"],
         "files": len(m["files"]),
         "rows": total_rows,
+        "dv_rows": dv_rows,
+        "live_rows": total_rows - dv_rows,
         "missing": missing,
         "mismatched": mismatched,
     }
@@ -1355,7 +1728,9 @@ def expire_snapshots(
         if name.startswith("v") and name.endswith(".json"):
             all_versions.append(int(name[1:-5]))
     for v in all_versions:
-        names = {e["name"] for e in read_manifest(path, v, fs)["files"]}
+        entries = read_manifest(path, v, fs)["files"]
+        names = {e["name"] for e in entries}
+        names |= {e["dv"]["file"] for e in entries if e.get("dv")}
         referenced |= names
         if v in keep_versions:
             live |= names
@@ -1368,7 +1743,9 @@ def expire_snapshots(
                 f.rmtree(full)
                 deleted.append(name)
             continue
-        if not (name.startswith("data-") and name.endswith(".parquet")):
+        if not (
+            name.startswith(("data-", "dv-")) and name.endswith(".parquet")
+        ):
             continue
         if name in live:
             continue

@@ -1519,3 +1519,253 @@ def test_snap_scan_rejects_malformed_predicates(spark, tmp_path):
         snap_scan(spark, path, [("k", "~", 1)])
     with pytest.raises(ValueError, match="value"):
         snap_scan(spark, path, [("k", "between", 1)])
+
+
+# ---------------------------------------------------------------- MoR deletes
+
+
+def _mor_imports():
+    from mapreduce_grpc_spark.sources.snapshots import (
+        auto_compact,
+        delete_keys_mor,
+        delete_where_mor,
+        snap_scan,
+        snapshot_audit,
+        table_changes,
+        verify_snapshot,
+    )
+
+    return (
+        auto_compact,
+        delete_keys_mor,
+        delete_where_mor,
+        snap_scan,
+        snapshot_audit,
+        table_changes,
+        verify_snapshot,
+    )
+
+
+def _data_mtimes(path):
+    return {
+        n: os.path.getmtime(os.path.join(path, n))
+        for n in os.listdir(path)
+        if n.startswith("data-") and n.endswith(".parquet")
+    }
+
+
+def test_mor_delete_masks_rows_without_rewriting_files(spark, tmp_path):
+    _, _, delete_where_mor, _, _, _, _ = _mor_imports()
+    path = str(tmp_path / "mor")
+    _mk_table(spark, path, n=1000, n_files=4)
+    before = _data_mtimes(path)
+
+    r = delete_where_mor(spark, path, [("k", "between", 100, 149)])
+    assert r["deleted"] == 50
+    assert r["rewritten"] == 0
+    assert current_version(path) == 2
+    assert snap_read(spark, path).count() == 950
+    # time travel still sees the deleted rows
+    assert snap_read(spark, path, version=1).count() == 1000
+    # no data file was touched — the whole point of merge-on-read
+    assert _data_mtimes(path) == before
+    # exactly one file carries a DV; its manifest accounting is exact
+    m = read_manifest(path)
+    dvs = [e for e in m["files"] if e.get("dv")]
+    assert len(dvs) == 1 and dvs[0]["dv"]["rows"] == 50
+
+
+def test_mor_deletes_accumulate_and_redelete_is_noop(spark, tmp_path):
+    _, delete_keys_mor, delete_where_mor, _, _, _, _ = _mor_imports()
+    path = str(tmp_path / "mor2")
+    _mk_table(spark, path, n=1000, n_files=4)
+    delete_where_mor(spark, path, [("k", "between", 100, 149)])
+
+    # 120 is already dead: only 150 and 500 are new deletions
+    r = delete_where_mor(spark, path, [("k", "in", [120, 150, 500])])
+    assert r["deleted"] == 2
+    assert snap_read(spark, path).count() == 948
+
+    # deleting only-dead rows commits nothing at all
+    v = current_version(path)
+    r2 = delete_where_mor(spark, path, [("k", "between", 110, 130)])
+    assert r2.get("skipped") and current_version(path) == v
+
+    # key-shaped delete stacks on top of the predicate deletes
+    kdf = spark.createDataFrame([(999,), (150,)], "k: long")
+    r3 = delete_keys_mor(spark, path, kdf, ["k"])
+    assert r3["deleted"] == 1  # 150 already dead
+    assert snap_read(spark, path).count() == 947
+
+
+def test_mor_delete_keys_guards(spark, tmp_path):
+    _, delete_keys_mor, _, _, _, _, _ = _mor_imports()
+    path = str(tmp_path / "morg")
+    _mk_table(spark, path, n=100, n_files=2)
+    null_keys = spark.createDataFrame([(None,), (3,)], "k: long")
+    with pytest.raises(ValueError, match="NULL key"):
+        delete_keys_mor(spark, path, null_keys, ["k"])
+    vdf = spark.createDataFrame([("v3",)], "v: string")
+    with pytest.raises(ValueError, match="not tracked"):
+        delete_keys_mor(spark, path, vdf, ["v"])
+    # empty key set: version chain untouched
+    v = current_version(path)
+    empty = spark.createDataFrame([], "k: long")
+    assert delete_keys_mor(spark, path, empty, ["k"]).get("skipped")
+    assert current_version(path) == v
+
+
+def test_snap_scan_and_mutators_respect_deletion_vectors(spark, tmp_path):
+    _, _, delete_where_mor, snap_scan, _, _, _ = _mor_imports()
+    path = str(tmp_path / "morscan")
+    _mk_table(spark, path, n=1000, n_files=4)
+    delete_where_mor(spark, path, [("k", "between", 100, 149)])
+
+    assert snap_scan(spark, path, [("k", "=", 120)]).count() == 0
+    assert snap_scan(spark, path, [("k", "=", 99)]).count() == 1
+
+    # CoW merge over a DV'd file folds the vector and cannot resurrect
+    up = spark.createDataFrame([(130, "UPD"), (2000, "NEW")], "k: long, v: string")
+    r = merge_upsert_cow(spark, path, up, ["k"])
+    assert r["rewritten"] == 1
+    cur = snap_read(spark, path)
+    assert cur.count() == 952  # 950 + revived 130 + inserted 2000
+    assert cur.filter(F.col("k") == 120).count() == 0
+    assert cur.filter(F.col("k") == 130).first().v == "UPD"
+    m = read_manifest(path)
+    # the rewritten file dropped its DV reference
+    assert sum(1 for e in m["files"] if e.get("dv")) == 0
+
+
+def test_mor_full_file_and_full_table_deletion(spark, tmp_path):
+    _, _, delete_where_mor, _, _, _, _ = _mor_imports()
+    path = str(tmp_path / "morfull")
+    _mk_table(spark, path, n=1000, n_files=4)
+    # kill an entire file's key range: its entry leaves the manifest
+    r = delete_where_mor(spark, path, [("k", "<", 250)])
+    assert r["dropped_files"] == 1 and r["deleted"] == 250
+    m = read_manifest(path)
+    assert len(m["files"]) == 3
+    assert snap_read(spark, path).count() == 750
+    # kill everything: the table stays readable as an empty frame
+    r2 = delete_where_mor(spark, path, [("k", ">=", 0)])
+    assert r2["dropped_files"] == 3
+    empty = snap_read(spark, path)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+
+def test_optimize_and_auto_compact_fold_dv_debt(spark, tmp_path):
+    auto_compact, _, delete_where_mor, _, _, _, _ = _mor_imports()
+    path = str(tmp_path / "morop")
+    _mk_table(spark, path, n=1000, n_files=4)
+    # mask partial spans of two files (a fully-dead file would just be
+    # dropped from the manifest — no debt left behind)
+    delete_where_mor(spark, path, [("k", "between", 300, 640)])
+
+    # 341/1000 masked > 0.3 threshold: the policy fires and folds
+    r = auto_compact(spark, path, max_files=32)
+    assert r is not None and r["rewritten"] >= 1
+    m = read_manifest(path)
+    assert not any(e.get("dv") for e in m["files"])
+    assert snap_read(spark, path).count() == 659
+    # debt cleared: policy quiescent again
+    assert auto_compact(spark, path, max_files=32) is None
+
+
+def test_table_changes_surfaces_mor_deletes_and_fold_replays(spark, tmp_path):
+    _, delete_keys_mor, delete_where_mor, _, _, table_changes, _ = (
+        _mor_imports()
+    )
+    path = str(tmp_path / "morcdf")
+    _mk_table(spark, path, n=400, n_files=4)
+
+    delete_where_mor(spark, path, [("k", "between", 10, 19)])        # v2
+    up = spark.createDataFrame([(15, "BACK"), (500, "NEW")], "k: long, v: string")
+    merge_upsert_cow(spark, path, up, ["k"])                          # v3
+    kdf = spark.createDataFrame([(399,)], "k: long")
+    delete_keys_mor(spark, path, kdf, ["k"])                          # v4
+
+    # the DV-only commit surfaces as plain deletes
+    step = table_changes(spark, path, ["k"], 1, 2)
+    got = {(r.k, r._change_type) for r in step.collect()}
+    assert got == {(k, "delete") for k in range(10, 20)}
+
+    # folding the whole feed onto v1 reproduces CURRENT exactly
+    feed = table_changes(spark, path, ["k"], 1).collect()
+    state = {r.k: r.v for r in snap_read(spark, path, version=1).collect()}
+    for v in sorted({r._commit_version for r in feed}):
+        for r in [x for x in feed if x._commit_version == v]:
+            if r._change_type == "delete":
+                state.pop(r.k, None)
+            elif r._change_type in ("insert", "update_postimage"):
+                state[r.k] = r.v
+    want = {r.k: r.v for r in snap_read(spark, path).collect()}
+    assert state == want
+
+
+def test_fsck_audit_and_gc_handle_dv_sidecars(spark, tmp_path):
+    _, _, delete_where_mor, _, snapshot_audit, _, verify_snapshot = (
+        _mor_imports()
+    )
+    path = str(tmp_path / "morfsck")
+    _mk_table(spark, path, n=1000, n_files=4)
+    delete_where_mor(spark, path, [("k", "between", 0, 99)])
+
+    rep = verify_snapshot(path)
+    assert rep["dv_rows"] == 100 and rep["live_rows"] == 900
+    assert not rep["missing"] and not rep["mismatched"]
+    tail = snapshot_audit(path)[-1]
+    assert tail["commit_info"]["op"] == "delete_where_mor"
+    assert tail["live_rows"] == 900
+
+    # a second delete re-points the file to a new sidecar; GC of the old
+    # version must remove the superseded sidecar but keep the live one
+    delete_where_mor(spark, path, [("k", "between", 100, 109)])
+    m = read_manifest(path)
+    live_dv = {e["dv"]["file"] for e in m["files"] if e.get("dv")}
+    deleted = expire_snapshots(path, keep_last=1, orphan_grace_seconds=1e9)
+    assert any(n.startswith("dv-") for n in deleted)
+    assert not (live_dv & set(deleted))
+    assert snap_read(spark, path).count() == 890
+    rep = verify_snapshot(path)
+    assert not rep["missing"] and not rep["mismatched"]
+
+    # fsck flags a manually removed sidecar
+    os.remove(os.path.join(path, next(iter(live_dv))))
+    assert verify_snapshot(path)["missing"]
+
+
+def test_mor_delete_txn_marker_is_idempotent(spark, tmp_path):
+    _, delete_keys_mor, _, _, _, _, _ = _mor_imports()
+    path = str(tmp_path / "mortxn")
+    _mk_table(spark, path, n=100, n_files=2)
+    kdf = spark.createDataFrame([(7,), (8,)], "k: long")
+    r1 = delete_keys_mor(spark, path, kdf, ["k"], txn_app="job", txn_batch=1)
+    assert r1["deleted"] == 2
+    v = current_version(path)
+    # replayed batch: skipped, no new version, no double audit entry
+    r2 = delete_keys_mor(spark, path, kdf, ["k"], txn_app="job", txn_batch=1)
+    assert r2.get("skipped") and current_version(path) == v
+    assert snap_read(spark, path).count() == 98
+
+
+def test_snapshot_delete_scan_oracle_parity(spark, sf_dir):
+    """MoR deletes + pruned scan, driver-style hash check: predicate
+    delete on an untracked column stacked with a key-set delete, read
+    back through snap_scan's file pruning + DV anti-join, must
+    hash-match the survivors computed in pure SQL."""
+    from mapreduce_grpc_spark import registry
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["snapshot_delete_scan"](spark, sf_dir)
+    assert_oracle_match(
+        df,
+        registry.AUX_ORACLES["snapshot_delete_scan"],
+        sf_dir,
+        "snapshot_delete_scan",
+    )
+    n = df.count()
+    assert n > 0
+    # both delete shapes actually bit
+    assert df.filter(F.col("c_custkey") % 7 == 0).count() == 0
+    assert df.filter(F.col("c_acctbal") < 0).count() == 0
