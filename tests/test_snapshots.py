@@ -1769,3 +1769,25 @@ def test_snapshot_delete_scan_oracle_parity(spark, sf_dir):
     # both delete shapes actually bit
     assert df.filter(F.col("c_custkey") % 7 == 0).count() == 0
     assert df.filter(F.col("c_acctbal") < 0).count() == 0
+
+
+def test_dv_read_plan_shape(spark, tmp_path):
+    """Scale-critical plan properties of the DV read path: a clean
+    table's read plan has NO join at all (deletion vectors must cost
+    nothing until one exists), and after a MoR delete the plan contains
+    exactly one broadcast LEFT ANTI join while clean files keep their
+    plain scan branch."""
+    _, _, delete_where_mor, _, _, _, _ = _mor_imports()
+    path = str(tmp_path / "morplan")
+    _mk_table(spark, path, n=1000, n_files=4)
+
+    plan = snap_read(spark, path)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, f"clean read pays a join:\n{plan}"
+
+    delete_where_mor(spark, path, [("k", "between", 100, 149)])
+    plan = snap_read(spark, path)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftAnti") == 1, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    # union of the clean branch and the DV branch: two parquet scans of
+    # the table's data files (plus the sidecar scan on the build side)
+    assert plan.count("Scan parquet") >= 2
