@@ -1196,6 +1196,7 @@ def apply_cdc_cow(
     allow_schema_evolution: bool = False,
     txn_app: str | None = None,
     txn_batch: int | None = None,
+    mor_deletes: bool = False,
     fs: LocalSnapshotFS | None = None,
 ) -> dict:
     """Apply one CDC batch (rows tagged I/U/D in ``op_col``) to a
@@ -1212,6 +1213,14 @@ def apply_cdc_cow(
     Returns the merge stats plus ``deleted``/``upserted`` row counts
     (derived from ONE ``groupBy(op)`` action, which also validates the
     op codes — no extra jobs on the hot ingest path).
+
+    With ``mor_deletes=True``, deletes whose keys fall ONLY in files the
+    upserts don't touch become deletion-vector appends instead of
+    rewrites — still ONE atomic commit carrying both the rewritten
+    files and the new sidecar (the Delta DV-enabled MERGE shape).
+    Files rewritten for upserts apply their deletes during the rewrite
+    as before; a delete-heavy feed stops paying file-size rewrite costs
+    for its deletes and ``auto_compact`` folds the accumulated vectors.
     """
     op_counts = {
         r["o"]: r["n"]
@@ -1250,6 +1259,13 @@ def apply_cdc_cow(
         res["upserted"] = 0
         res["deleted"] = 0
         return res
+    del_keys = (
+        batch.filter(F.upper(F.col(op_col)) == "D").select(*keys).distinct()
+    )
+    use_mor = mor_deletes and n_deletes > 0
+    if use_mor:
+        probe_up = _batch_key_probe(upserts.select(*keys), keys)
+        probe_del = _batch_key_probe(del_keys, keys)
 
     last_err: Exception | None = None
     for _attempt in range(COMMIT_RETRIES):
@@ -1269,17 +1285,107 @@ def apply_cdc_cow(
         )
         out_cols = [f.name for f in out_schema.fields]
 
-        overlapping = [f for f in m["files"] if _overlaps(f, probe, keys)]
-        carried = [f for f in m["files"] if not _overlaps(f, probe, keys)]
-
-        if overlapping:
-            old = _read_entries(spark, path, overlapping, out_schema)
-            remaining = old.join(F.broadcast(all_keys), keys, "left_anti")
-            out = remaining.unionByName(upserts.select(*out_cols))
+        if use_mor:
+            # rewrite only what the UPSERTS touch; deletes landing in
+            # other files become deletion-vector appends below
+            overlapping = (
+                []
+                if probe_up.get("empty")
+                else [
+                    f for f in m["files"] if _overlaps(f, probe_up, keys)
+                ]
+            )
+            over_names = {e["name"] for e in overlapping}
+            rest = [e for e in m["files"] if e["name"] not in over_names]
+            dv_cands = [e for e in rest if _overlaps(e, probe_del, keys)]
+            dv_names = {e["name"] for e in dv_cands}
+            carried = [e for e in rest if e["name"] not in dv_names]
         else:
-            out = upserts.select(*out_cols)
-        out = out.coalesce(max(1, len(overlapping)))  # see merge_upsert_cow
-        new_entries = _write_data_files(spark, out, path, stats_cols, fs)
+            overlapping = [
+                f for f in m["files"] if _overlaps(f, probe, keys)
+            ]
+            carried = [
+                f for f in m["files"] if not _overlaps(f, probe, keys)
+            ]
+            dv_cands = []
+
+        if overlapping or n_upserts:
+            if overlapping:
+                old = _read_entries(spark, path, overlapping, out_schema)
+                remaining = old.join(
+                    F.broadcast(all_keys), keys, "left_anti"
+                )
+                out = remaining.unionByName(upserts.select(*out_cols))
+            else:
+                out = upserts.select(*out_cols)
+            out = out.coalesce(max(1, len(overlapping)))  # see merge_upsert_cow
+            new_entries = _write_data_files(spark, out, path, stats_cols, fs)
+        else:
+            new_entries = []
+
+        sidecar = ""
+        dv_totals: dict[str, int] = {}
+        if dv_cands:
+            live = _read_entries_pos(
+                spark, path, dv_cands, _manifest_schema(m)
+            )
+            new_pos = live.join(
+                F.broadcast(del_keys), keys, "left_semi"
+            ).select(
+                F.col("_sg_file").alias("file_name"),
+                F.col("_sg_pos").alias("pos"),
+            )
+            old_dved = [e for e in dv_cands if e.get("dv")]
+            if old_dved:
+                old_pos = (
+                    spark.read.parquet(
+                        *[
+                            os.path.join(path, s)
+                            for s in sorted(
+                                {e["dv"]["file"] for e in old_dved}
+                            )
+                        ]
+                    )
+                    .filter(
+                        F.col("file_name").isin(
+                            [e["name"] for e in old_dved]
+                        )
+                    )
+                    .select("file_name", "pos")
+                )
+                new_pos = new_pos.unionByName(old_pos).distinct()
+            sidecar, dv_totals = _write_dv_sidecar(spark, new_pos, path, fs)
+            old_rows = {
+                e["name"]: e["dv"]["rows"] for e in dv_cands if e.get("dv")
+            }
+            if not dv_totals or dv_totals == old_rows:
+                # deletes hit no live rows here: nothing to repoint
+                if sidecar:
+                    _fs(fs).remove(os.path.join(path, sidecar))
+                sidecar, dv_totals = "", {}
+
+        files_out = list(carried)
+        dropped = 0
+        for e in dv_cands:
+            t = dv_totals.get(e["name"])
+            if t is None:
+                files_out.append(e)
+            elif t >= e["rows"]:
+                dropped += 1
+            else:
+                e2 = {k: v for k, v in e.items() if k != "dv"}
+                e2["dv"] = {"file": sidecar, "rows": t}
+                files_out.append(e2)
+        files_out += new_entries
+
+        if not new_entries and not dv_totals and txn_app is None:
+            # the batch changed nothing and there is no idempotence
+            # marker to record — don't grow the version chain
+            res = _skipped_result(m)
+            res["upserted"] = n_upserts
+            res["deleted"] = 0
+            return res
+
         txns = dict(m.get("txns", {}))
         if txn_app is not None:
             txns[txn_app] = int(txn_batch)
@@ -1291,11 +1397,14 @@ def apply_cdc_cow(
             "upserted": n_upserts,
             "deleted": n_deletes,
         }
+        if dv_totals:
+            info["dv_files"] = len(dv_totals) - dropped
+            info["dropped_files"] = dropped
         if txn_app is not None:
             info["txn"] = {"app": txn_app, "batch": int(txn_batch)}
         try:
             version = _commit(
-                path, carried + new_entries, stats_cols,
+                path, files_out, stats_cols,
                 base_version=m["version"],
                 schema_json=out_schema.json(),
                 txns=txns, commit_info=info, fs=fs,
@@ -1303,7 +1412,7 @@ def apply_cdc_cow(
         except CommitConflict as e:
             last_err = e
             continue
-        return {
+        res = {
             "version": version,
             "rewritten": len(overlapping),
             "carried": len(carried),
@@ -1311,6 +1420,10 @@ def apply_cdc_cow(
             "upserted": n_upserts,
             "deleted": n_deletes,
         }
+        if dv_totals:
+            res["dv_files"] = len(dv_totals) - dropped
+            res["dropped_files"] = dropped
+        return res
     raise CommitConflict(
         f"apply_cdc_cow: lost the commit race {COMMIT_RETRIES} times at "
         f"{path!r}"

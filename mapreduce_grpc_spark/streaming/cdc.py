@@ -70,6 +70,7 @@ def run_streaming_cdc(
     stream_id: str = "cdc",
     max_files_per_trigger: int = 1,
     auto_compact_files: int | None = None,
+    mor_deletes: bool = False,
 ) -> list[dict]:
     """Stream a directory-shaped CDC feed into the snapshot table.
 
@@ -78,7 +79,10 @@ def run_streaming_cdc(
     ``checkpoint_dir/stream_id`` is persistent, so re-invoking with the
     same arguments resumes exactly where the last (possibly crashed) run
     stopped.  With ``auto_compact_files`` set, the compaction policy
-    runs after each applied batch to bound small-file accretion.
+    runs after each applied batch to bound small-file accretion (and,
+    with ``mor_deletes=True``, to fold accumulated deletion vectors —
+    deletes landing outside the upsert-touched files then cost a
+    sidecar append per batch instead of a file rewrite).
     Returns this stream's commit history reconstructed from the table's
     manifests (the restart-proof ingest audit log)."""
     schema = spark.read.parquet(cdc_dir).schema
@@ -95,6 +99,7 @@ def run_streaming_cdc(
         apply_cdc_cow(
             spark, table_path, final, keys,
             txn_app=stream_id, txn_batch=batch_id,
+            mor_deletes=mor_deletes,
         )
         if auto_compact_files is not None:
             auto_compact(spark, table_path, max_files=auto_compact_files)

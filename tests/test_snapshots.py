@@ -1791,3 +1791,98 @@ def test_dv_read_plan_shape(spark, tmp_path):
     # union of the clean branch and the DV branch: two parquet scans of
     # the table's data files (plus the sidecar scan on the build side)
     assert plan.count("Scan parquet") >= 2
+
+
+def test_apply_cdc_mor_deletes_single_atomic_commit(spark, tmp_path):
+    """mor_deletes=True: deletes landing outside the upsert-touched
+    files become DV appends in the SAME commit as the upsert rewrites —
+    state identical to the CoW mode, but the delete-only files keep
+    their bytes."""
+    cow_path = str(tmp_path / "cdc_cow")
+    mor_path = str(tmp_path / "cdc_mor")
+    _mk_table(spark, cow_path, n=1000, n_files=4)
+    _mk_table(spark, mor_path, n=1000, n_files=4)
+
+    # upserts hit file 1 (k 0..9); deletes hit files 3 and 4 (k 600, 900)
+    batch = spark.createDataFrame(
+        [(k, f"U{k}", "U") for k in range(10)]
+        + [(600, None, "D"), (900, None, "D")],
+        "k bigint, v string, _op string",
+    )
+    r_cow = apply_cdc_cow(spark, cow_path, batch, ["k"])
+    before = _data_mtimes(mor_path)
+    r_mor = apply_cdc_cow(spark, mor_path, batch, ["k"], mor_deletes=True)
+
+    # one version each; identical logical state
+    assert current_version(cow_path) == current_version(mor_path) == 2
+    assert _rows(snap_read(spark, cow_path)) == _rows(snap_read(spark, mor_path))
+    assert snap_read(spark, mor_path).count() == 998
+
+    # MoR rewrote only the upsert-overlapping file; CoW rewrote three
+    assert r_cow["rewritten"] == 3
+    assert r_mor["rewritten"] == 1 and r_mor["dv_files"] == 2
+    after = _data_mtimes(mor_path)
+    # every original file is still byte-identical on disk (the
+    # superseded one survives for time travel until GC) ...
+    assert all(after[n] == before[n] for n in before)
+    # ... and CURRENT still references 3 of the 4 originals: the two
+    # DV'd delete-only files and the untouched one
+    m = read_manifest(mor_path)
+    kept_originals = {e["name"] for e in m["files"]} & set(before)
+    assert len(kept_originals) == 3
+    assert sum(1 for e in m["files"] if e.get("dv")) == 2
+
+
+def test_apply_cdc_mor_pure_delete_batch_writes_no_data_file(spark, tmp_path):
+    path = str(tmp_path / "cdc_mor2")
+    _mk_table(spark, path, n=1000, n_files=4)
+    n_data = len(_data_mtimes(path))
+    batch = spark.createDataFrame(
+        [(5, None, "D"), (700, None, "D")], "k bigint, v string, _op string"
+    )
+    r = apply_cdc_cow(spark, path, batch, ["k"], mor_deletes=True)
+    assert r["rewritten"] == 0 and r["added"] == 0 and r["dv_files"] == 2
+    assert len(_data_mtimes(path)) == n_data  # no new data files at all
+    assert snap_read(spark, path).count() == 998
+
+    # a delete for keys already dead / never present changes nothing
+    v = current_version(path)
+    r2 = apply_cdc_cow(spark, path, batch, ["k"], mor_deletes=True)
+    assert r2.get("skipped") and current_version(path) == v
+
+
+def test_streaming_cdc_mor_matches_cow_fold(spark, tmp_path):
+    """The streamed MoR ingest must land the same final state as the
+    rewrite-mode ingest over the same feed, with deletes costing
+    sidecars instead of rewrites."""
+    from mapreduce_grpc_spark.streaming.cdc import run_streaming_cdc
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    rows = (
+        [(k, f"b1-{k}", "U", 1) for k in range(0, 20)]
+        + [(350, None, "D", 2), (650, None, "D", 3)]
+    )
+    spark.createDataFrame(
+        rows, "k bigint, v string, _op string, seq bigint"
+    ).coalesce(1).write.mode("append").parquet(feed)
+    rows2 = [(700, None, "D", 4), (10, "b2-10", "U", 5)]
+    spark.createDataFrame(
+        rows2, "k bigint, v string, _op string, seq bigint"
+    ).coalesce(1).write.mode("append").parquet(feed)
+
+    tables = {}
+    for mode, mor in (("cow", False), ("mor", True)):
+        path = str(tmp_path / f"t_{mode}")
+        _mk_table(spark, path, n=1000, n_files=4)
+        audit = run_streaming_cdc(
+            spark, feed, path, ["k"],
+            checkpoint_dir=str(tmp_path / f"ck_{mode}"),
+            stream_id=f"s_{mode}", mor_deletes=mor,
+        )
+        assert len(audit) == 2  # one commit per micro-batch file
+        tables[mode] = _rows(snap_read(spark, path))
+    assert tables["cow"] == tables["mor"]
+    # the MoR table's current version carries DV entries for the deletes
+    m = read_manifest(str(tmp_path / "t_mor"))
+    assert any(e.get("dv") for e in m["files"])
