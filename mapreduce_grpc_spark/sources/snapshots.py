@@ -26,7 +26,14 @@ staging.py``; per-file min-max envelopes, ``sources/layout.py``):
    the batch's actual KEY SET is probed against the per-row-group
    ranges, so a sparse batch touching the min and max of the keyspace
    rewrites only the files that really hold those keys — not everything
-   inside one global bounding box.  Untouched files are carried into the
+   inside one global bounding box.  Range checks still degrade on an
+   UNCLUSTERED table (every file's range spans the whole domain), so
+   each new data file also gets per-key-column BLOOM FILTERS (sidecar
+   ``bloom-*.json``, manifest-referenced — the Delta bloom-index /
+   Iceberg parquet-bloom design): point batches and ``=``/``in`` scans
+   prune by membership regardless of layout, with false positives
+   costing only a spurious rewrite and false negatives impossible for
+   tracked values.  Untouched files are carried into the
    new manifest BY REFERENCE — never read, never rewritten (the mtime
    test asserts byte-identical files).  The reference's analogue is
    reduce consuming only its own bucket's files
@@ -285,6 +292,177 @@ def _file_stats(file_path: str, stats_cols: list[str]) -> dict:
     return {"rows": rows, "stats": envelopes, "rg": rg_ranges}
 
 
+# --- per-file key bloom filters -------------------------------------
+#
+# Row-group ranges prune perfectly on a CLUSTERED table, but on an
+# unclustered one every file's range spans roughly the whole key
+# domain, so a point batch overlaps every file and CoW merge degrades
+# to a full rewrite.  A per-(file, key-column) bloom filter answers
+# "does this file contain key v?" with a bounded false-positive rate
+# regardless of layout — the Delta bloom-index / Iceberg parquet-bloom
+# design.  Blooms live in one JSON sidecar per commit (not in the
+# manifest: at 100 TB the manifest must stay O(files) small and most
+# operations never probe), loaded lazily and cached per operation.
+# False positives cost only a spurious rewrite; false negatives are
+# impossible for tracked values, so pruning stays conservative.
+
+BLOOM_FPP = 0.01
+# cap per-(file, column) filter size at 128 KiB of bits: ~1% FPP up to
+# ~110k distinct values per file.  Beyond the cap the effective FPP
+# degrades; past BLOOM_MIN_EFFECTIVE it stops pruning anything, so the
+# filter is dropped rather than stored dead weight.
+BLOOM_MAX_BITS = 1 << 20
+_LN2 = 0.6931471805599453
+
+
+def _bloom_hashes(value_bytes: bytes) -> tuple[int, int]:
+    import hashlib
+
+    d = hashlib.md5(value_bytes).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:16], "little") | 1  # odd: full-period probe
+    return h1, h2
+
+
+def _bloom_key_bytes(v) -> bytes | None:
+    """Canonical byte form of a key value for bloom hashing.  Only
+    int-like and string values are bloom-tracked (the common key
+    types); anything else returns ``None`` and the column simply has
+    no bloom — range pruning still applies.  The same function runs on
+    BOTH sides (pyarrow column values at build, collected Spark rows at
+    probe), which is what makes hits reliable."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return b"i" + str(v).encode()
+    if isinstance(v, str):
+        return b"s" + v.encode()
+    return None
+
+
+def _bloom_build(values) -> dict | None:
+    """Build one bloom filter over an iterable of key values; returns
+    ``{"m", "k", "bits"(base64)}`` or ``None`` when the column's type
+    is untrackable or the capped filter would be useless."""
+    import base64
+    import math
+
+    keys = set()
+    for v in values:
+        b = _bloom_key_bytes(v)
+        if b is None:
+            if v is not None:
+                return None  # untrackable type in this column
+            continue
+        keys.add(b)
+    n = len(keys)
+    if n == 0:
+        return None
+    m = min(int(math.ceil(-n * math.log(BLOOM_FPP) / (_LN2**2))), BLOOM_MAX_BITS)
+    k = max(1, round(m / n * _LN2))
+    if (1 - math.exp(-k * n / m)) ** k > 0.5:
+        return None  # oversized column: filter would prune ~nothing
+    bits = bytearray((m + 7) // 8)
+    for kb in keys:
+        h1, h2 = _bloom_hashes(kb)
+        for i in range(k):
+            bit = (h1 + i * h2) % m
+            bits[bit >> 3] |= 1 << (bit & 7)
+    return {
+        "m": m,
+        "k": k,
+        "bits": base64.b64encode(bytes(bits)).decode("ascii"),
+    }
+
+
+def _bloom_contains(bloom: dict, v) -> bool:
+    """Membership probe; unknown-typed values conservatively hit."""
+    import base64
+
+    kb = _bloom_key_bytes(v)
+    if kb is None:
+        return True
+    bits = bloom.get("_raw")
+    if bits is None:
+        bits = base64.b64decode(bloom["bits"])
+        bloom["_raw"] = bits  # decode once per loaded sidecar
+    m, k = bloom["m"], bloom["k"]
+    h1, h2 = _bloom_hashes(kb)
+    for i in range(k):
+        bit = (h1 + i * h2) % m
+        if not (bits[bit >> 3] >> (bit & 7)) & 1:
+            return False
+    return True
+
+
+def _bloom_loader(path: str, fs: LocalSnapshotFS | None):
+    """Returns ``bloom_of(entry) -> {col: bloom}`` with per-operation
+    sidecar caching (one JSON read per sidecar, not per file probe).
+    Entries without a bloom ref — pre-bloom commits, untrackable
+    columns — resolve to ``{}`` (no bloom pruning, always safe)."""
+    f = _fs(fs)
+    cache: dict[str, dict] = {}
+
+    def bloom_of(entry: dict) -> dict:
+        ref = entry.get("bloom")
+        if not ref:
+            return {}
+        sidecar = ref["file"]
+        if sidecar not in cache:
+            try:
+                cache[sidecar] = json.loads(
+                    f.read_text(os.path.join(path, sidecar))
+                )
+            except FileNotFoundError:
+                cache[sidecar] = {}
+        return cache[sidecar].get(entry["name"], {})
+
+    return bloom_of
+
+
+def _build_bloom_sidecar(
+    path: str,
+    entries: list[dict],
+    stats_cols: list[str],
+    fs: LocalSnapshotFS | None,
+) -> None:
+    """Build per-(file, key-column) blooms for freshly written data
+    files and attach one ``bloom-*.json`` sidecar reference to each
+    entry.  Reads ONLY the stats columns of the new files (pyarrow,
+    column-pruned — the same O(new data) cost class as writing them);
+    never touches carried files."""
+    import pyarrow.parquet as pq
+
+    f = _fs(fs)
+    sidecar: dict[str, dict] = {}
+    for e in entries:
+        cols: dict[str, dict] = {}
+        try:
+            t = pq.read_table(
+                os.path.join(path, e["name"]), columns=list(stats_cols)
+            )
+        except Exception:
+            continue  # e.g. column absent from this file: no blooms
+        for c in stats_cols:
+            bloom = _bloom_build(t.column(c).to_pylist())
+            if bloom is not None:
+                cols[c] = bloom
+        if cols:
+            sidecar[e["name"]] = cols
+    if not sidecar:
+        return
+    name = f"bloom-{uuid.uuid4().hex[:12]}.json"
+    # plain write, not create_exclusive: the name is unique and the
+    # sidecar is invisible until a manifest references it
+    f.replace_atomic(os.path.join(path, name), json.dumps(sidecar))
+    for e in entries:
+        if e["name"] in sidecar:
+            e["bloom"] = {
+                "file": name,
+                "cols": sorted(sidecar[e["name"]]),
+            }
+
+
 def _write_data_files(
     spark: SparkSession,
     df: DataFrame,
@@ -311,6 +489,7 @@ def _write_data_files(
         entry.update(_file_stats(os.path.join(path, final), stats_cols))
         entries.append(entry)
     f.rmtree(staging)
+    _build_bloom_sidecar(path, entries, stats_cols, fs)
     return entries
 
 
@@ -498,12 +677,14 @@ def snap_read(
 _PRED_OPS = {"=", "<", "<=", ">", ">=", "in", "between"}
 
 
-def _entry_may_match(entry: dict, pred: tuple) -> bool:
+def _entry_may_match(entry: dict, pred: tuple, bloom_of=None) -> bool:
     """Conservative per-file predicate check against the manifest's
     envelope (and, for ``=``/``in``, the per-row-group ranges — a point
     probe inside the file's bounding box can still miss every row
-    group).  Missing stats, untracked columns, or incomparable types
-    mean "may match" — pruning is an optimization, never a filter."""
+    group — plus the file's bloom filter when one exists, which is the
+    only check that prunes point lookups on an unclustered table).
+    Missing stats, untracked columns, or incomparable types mean "may
+    match" — pruning is an optimization, never a filter."""
     col, op = pred[0], pred[1]
     stats = entry.get("stats", {})
     env = stats.get(col)
@@ -513,8 +694,10 @@ def _entry_may_match(entry: dict, pred: tuple) -> bool:
     if op in ("=", "in"):
         vals = pred[2] if op == "in" else [pred[2]]
         ranges = entry.get("rg", {}).get(col) or [[lo, hi]]
+        bloom = (bloom_of(entry) if bloom_of is not None else {}).get(col)
         return any(
             _value_in_ranges(_json_val(v), ranges)
+            and (bloom is None or _bloom_contains(bloom, _json_val(v)))
             for v in vals
             if v is not None
         )
@@ -548,17 +731,18 @@ def _check_predicates(predicates: list[tuple]) -> None:
 
 
 def prune_manifest(
-    m: dict, predicates: list[tuple]
+    m: dict, predicates: list[tuple], bloom_of=None
 ) -> tuple[list[dict], list[dict]]:
     """Split a manifest's file entries into (kept, skipped) under a
     conjunction of simple predicates — the reader-side half of data
     skipping (the merge path's ``_overlaps`` is the writer-side half).
-    A file is skipped only when its footer statistics PROVE no row can
-    satisfy some predicate."""
+    A file is skipped only when its footer statistics (or its bloom
+    filter, for ``=``/``in``) PROVE no row can satisfy some
+    predicate."""
     _check_predicates(predicates)
     kept, skipped = [], []
     for e in m["files"]:
-        if all(_entry_may_match(e, p) for p in predicates):
+        if all(_entry_may_match(e, p, bloom_of) for p in predicates):
             kept.append(e)
         else:
             skipped.append(e)
@@ -611,7 +795,7 @@ def snap_scan(
     predicate touches one file.  Returns an empty DataFrame with the
     table schema when every file is pruned."""
     m = read_manifest(path, version, fs)
-    kept, _ = prune_manifest(m, predicates)
+    kept, _ = prune_manifest(m, predicates, _bloom_loader(path, fs))
     schema = _manifest_schema(m)
     cond = _predicates_to_column(predicates)
     if not kept:
@@ -830,7 +1014,9 @@ def delete_where_mor(
     cond = _predicates_to_column(predicates)
     return _delete_mor(
         spark, path,
-        candidate_fn=lambda m: prune_manifest(m, predicates)[0],
+        candidate_fn=lambda m: prune_manifest(
+            m, predicates, _bloom_loader(path, fs)
+        )[0],
         match_fn=lambda df: df.filter(cond),
         op_name="delete_where_mor",
         txn_app=txn_app, txn_batch=txn_batch, fs=fs,
@@ -874,7 +1060,8 @@ def delete_keys_mor(
                 f"delete keys {missing} not tracked in manifest stats_cols "
                 f"{m['stats_cols']}; re-init the table tracking them"
             )
-        return [e for e in m["files"] if _overlaps(e, probe, keys)]
+        bl = _bloom_loader(path, fs)
+        return [e for e in m["files"] if _overlaps(e, probe, keys, bl)]
 
     return _delete_mor(
         spark, path,
@@ -929,14 +1116,19 @@ def _value_in_ranges(v, ranges: list[list]) -> bool:
     return False
 
 
-def _overlaps(entry: dict, probe: dict, keys: list[str]) -> bool:
+def _overlaps(
+    entry: dict, probe: dict, keys: list[str], bloom_of=None
+) -> bool:
     """Conservative file-level predicate: the file MAY hold an updated
     key.  First the envelope check (file [min,max] vs batch [min,max]);
     then, when the batch's key set was collected, an exact membership
     check of each key against the file's per-row-group ranges — this is
     what stops a 2-key batch at opposite ends of the keyspace from
-    overlapping every file.  Missing stats or incomparable types ->
-    must assume overlap."""
+    overlapping every file — and, when the file carries per-column
+    bloom filters, a bloom probe per key (the layout-independent check:
+    on an UNCLUSTERED table the ranges span everything and only the
+    bloom can prune).  Missing stats or incomparable types -> must
+    assume overlap."""
     stats = entry.get("stats", {})
     for c in keys:
         lo, hi = probe["lows"].get(c), probe["highs"].get(c)
@@ -955,23 +1147,30 @@ def _overlaps(entry: dict, probe: dict, keys: list[str]) -> bool:
     if key_rows is None:
         return True
     # exact key-set membership against per-row-group ranges (fall back
-    # to the whole-file envelope for columns without range info)
+    # to the whole-file envelope for columns without range info) and
+    # per-column blooms; a key row hits the file only when EVERY
+    # checkable column admits its value
+    blooms = bloom_of(entry) if bloom_of is not None else {}
     checkable = []
     for c in keys:
         ranges = entry.get("rg", {}).get(c)
-        if ranges:
-            checkable.append((c, ranges))
-        elif stats.get(c) and stats[c]["min"] is not None:
-            checkable.append((c, [[stats[c]["min"], stats[c]["max"]]]))
+        if not ranges and stats.get(c) and stats[c]["min"] is not None:
+            ranges = [[stats[c]["min"], stats[c]["max"]]]
+        bloom = blooms.get(c)
+        if ranges or bloom:
+            checkable.append((c, ranges, bloom))
     if not checkable:
         return True
     for row in key_rows:
         hit = True
-        for c, ranges in checkable:
+        for c, ranges, bloom in checkable:
             v = row[c]
             if v is None:
                 continue
-            if not _value_in_ranges(v, ranges):
+            if ranges and not _value_in_ranges(v, ranges):
+                hit = False
+                break
+            if bloom is not None and not _bloom_contains(bloom, v):
                 hit = False
                 break
         if hit:
@@ -1131,8 +1330,13 @@ def merge_upsert_cow(
         )
         out_cols = [f.name for f in out_schema.fields]
 
-        overlapping = [f for f in m["files"] if _overlaps(f, probe, keys)]
-        carried = [f for f in m["files"] if not _overlaps(f, probe, keys)]
+        bl = _bloom_loader(path, fs)
+        overlapping = [
+            f for f in m["files"] if _overlaps(f, probe, keys, bl)
+        ]
+        carried = [
+            f for f in m["files"] if not _overlaps(f, probe, keys, bl)
+        ]
 
         if overlapping:
             # reading with the POST-commit schema null-backfills any
@@ -1285,6 +1489,7 @@ def apply_cdc_cow(
         )
         out_cols = [f.name for f in out_schema.fields]
 
+        bl = _bloom_loader(path, fs)
         if use_mor:
             # rewrite only what the UPSERTS touch; deletes landing in
             # other files become deletion-vector appends below
@@ -1292,20 +1497,24 @@ def apply_cdc_cow(
                 []
                 if probe_up.get("empty")
                 else [
-                    f for f in m["files"] if _overlaps(f, probe_up, keys)
+                    f
+                    for f in m["files"]
+                    if _overlaps(f, probe_up, keys, bl)
                 ]
             )
             over_names = {e["name"] for e in overlapping}
             rest = [e for e in m["files"] if e["name"] not in over_names]
-            dv_cands = [e for e in rest if _overlaps(e, probe_del, keys)]
+            dv_cands = [
+                e for e in rest if _overlaps(e, probe_del, keys, bl)
+            ]
             dv_names = {e["name"] for e in dv_cands}
             carried = [e for e in rest if e["name"] not in dv_names]
         else:
             overlapping = [
-                f for f in m["files"] if _overlaps(f, probe, keys)
+                f for f in m["files"] if _overlaps(f, probe, keys, bl)
             ]
             carried = [
-                f for f in m["files"] if not _overlaps(f, probe, keys)
+                f for f in m["files"] if not _overlaps(f, probe, keys, bl)
             ]
             dv_cands = []
 
@@ -1787,6 +1996,9 @@ def verify_snapshot(
                 {"file": e["name"], "manifest": e["rows"], "actual": actual}
             )
         total_rows += actual
+        bloom = e.get("bloom")
+        if bloom and not f.exists(os.path.join(path, bloom["file"])):
+            missing.append(bloom["file"])
         dv = e.get("dv")
         if dv:
             if not f.exists(os.path.join(path, dv["file"])):
@@ -1844,6 +2056,7 @@ def expire_snapshots(
         entries = read_manifest(path, v, fs)["files"]
         names = {e["name"] for e in entries}
         names |= {e["dv"]["file"] for e in entries if e.get("dv")}
+        names |= {e["bloom"]["file"] for e in entries if e.get("bloom")}
         referenced |= names
         if v in keep_versions:
             live |= names
@@ -1857,7 +2070,11 @@ def expire_snapshots(
                 deleted.append(name)
             continue
         if not (
-            name.startswith(("data-", "dv-")) and name.endswith(".parquet")
+            (
+                name.startswith(("data-", "dv-"))
+                and name.endswith(".parquet")
+            )
+            or (name.startswith("bloom-") and name.endswith(".json"))
         ):
             continue
         if name in live:
