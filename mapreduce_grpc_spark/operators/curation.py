@@ -507,6 +507,149 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Hashed n-gram importance weighting (DSIR-style data selection)
+# ---------------------------------------------------------------------------
+
+# feature-hash bucket count: the fixed model size that makes the method
+# corpus-size-independent (DSIR uses 10k hashed buckets; 4096 here keeps
+# the broadcast tiny at identical mechanics)
+NB_IMPORTANCE = 4096
+TARGET_LANG = "en"
+
+
+def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document importance weight for TARGETED data selection —
+    the log-likelihood ratio of the document under a target-domain
+    hashed-unigram model vs the raw-corpus model (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling":
+    sample raw data proportionally to ``p_target(x)/p_raw(x)`` over
+    hashed n-gram features).  Target here = the ``lang='en'`` slice;
+    any predicate substitutes.
+
+    Scale shape (the reason DSIR works at corpus scale): features are
+    HASHED into ``NB_IMPORTANCE`` buckets, so both models are fixed-size
+    regardless of vocabulary — one token-explode scan builds per-doc
+    bucket counts (map-side partial agg), ONE second aggregation yields
+    raw and target bucket counts together (no second corpus pass), the
+    ±1-smoothed log-ratio table is a <=4096-row broadcast, and the
+    per-doc score is an exact integer dot product.  Log-ratios are
+    quantized to integer micro-nats BEFORE summation (the
+    ``unigram_logprob`` playbook) so scores hash identically across
+    engines.  Documents with zero tokens have no distribution and are
+    absent (same contract as ``unigram_logprob``).
+
+    Returns ``doc_id, lang, n_tokens, avg_llr`` — positive ``avg_llr``
+    means "looks more like the target than the raw mix"; resampling
+    keeps documents with probability proportional to ``exp(llr)``.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("w")
+    )
+    doc_b = (
+        tok.select(
+            "doc_id",
+            "lang",
+            F.pmod(md5_long(F.col("w")), F.lit(NB_IMPORTANCE)).alias("b"),
+        )
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    buckets = doc_b.groupBy("b").agg(
+        F.sum("c").alias("cnt_r"),
+        F.sum(
+            F.when(F.col("lang") == TARGET_LANG, F.col("c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("cnt_t"),
+    )
+    totals = buckets.agg(
+        F.sum("cnt_r").alias("tot_r"), F.sum("cnt_t").alias("tot_t")
+    )
+    nb = F.lit(float(NB_IMPORTANCE))
+    llr = buckets.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.round(
+                F.log(
+                    (F.col("cnt_t") + F.lit(1)).cast("double")
+                    / (F.col("tot_t").cast("double") + nb)
+                )
+                * F.lit(1e8),
+                0,
+            ).cast("long")
+            - F.round(
+                F.log(
+                    (F.col("cnt_r") + F.lit(1)).cast("double")
+                    / (F.col("tot_r").cast("double") + nb)
+                )
+                * F.lit(1e8),
+                0,
+            ).cast("long")
+        ).alias("llr_u"),
+    )
+    per_doc = (
+        doc_b.join(F.broadcast(llr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("llr_u")).alias("sum_llr_u"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (
+            F.col("sum_llr_u").cast("double")
+            / F.lit(1e8)
+            / F.col("n_tokens")
+        ).alias("avg_llr"),
+    )
+
+
+_BUCKET_SQL = (
+    f"(({md5_long_sql('w')}) % {NB_IMPORTANCE} + {NB_IMPORTANCE})"
+    f" % {NB_IMPORTANCE}"
+)
+
+IMPORTANCE_WEIGHTS_SQL = f"""
+WITH doc_b AS (
+  SELECT doc_id, lang, {_BUCKET_SQL} AS b, count(*) AS c FROM (
+    SELECT doc_id, lang, unnest({tokens_sql('text')}) AS w FROM documents
+  ) t GROUP BY doc_id, lang, ({_BUCKET_SQL})
+),
+buckets AS (
+  SELECT b, CAST(sum(c) AS BIGINT) AS cnt_r,
+         CAST(sum(CASE WHEN lang = '{TARGET_LANG}' THEN c ELSE 0 END)
+              AS BIGINT) AS cnt_t
+  FROM doc_b GROUP BY b
+),
+tot AS (
+  SELECT CAST(sum(cnt_r) AS BIGINT) AS tot_r,
+         CAST(sum(cnt_t) AS BIGINT) AS tot_t
+  FROM buckets
+),
+llr AS (
+  SELECT b,
+         CAST(round(ln(CAST(cnt_t + 1 AS DOUBLE)
+                       / (CAST(tot_t AS DOUBLE) + {NB_IMPORTANCE}.0))
+                    * 1e8, 0) AS BIGINT)
+         - CAST(round(ln(CAST(cnt_r + 1 AS DOUBLE)
+                         / (CAST(tot_r AS DOUBLE) + {NB_IMPORTANCE}.0))
+                      * 1e8, 0) AS BIGINT) AS llr_u
+  FROM buckets, tot
+)
+SELECT doc_id, lang,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(c * llr_u) AS DOUBLE) / 1e8 / CAST(sum(c) AS BIGINT)
+         AS avg_llr
+FROM doc_b JOIN llr USING (b)
+GROUP BY doc_id, lang
+"""
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
@@ -518,6 +661,7 @@ AUX_QUERIES = {
     "decontaminate": decontaminate,
     "mix_weights": mix_weights,
     "training_order": training_order,
+    "importance_weights": importance_weights,
 }
 
 AUX_ORACLES = {
@@ -528,4 +672,5 @@ AUX_ORACLES = {
     "decontaminate": _decontaminate_sql(),
     "mix_weights": MIX_WEIGHTS_SQL,
     "training_order": TRAINING_ORDER_SQL,
+    "importance_weights": IMPORTANCE_WEIGHTS_SQL,
 }

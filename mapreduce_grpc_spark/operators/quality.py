@@ -264,15 +264,136 @@ GROUP BY doc_id
 """
 
 
+# exact duplicated-span coverage (cross-document): span length in
+# tokens, and the coverage threshold above which a document is mostly
+# boilerplate shared with other documents
+SPAN_K = 8
+MAX_SPAN_DUP_FRAC = 0.5
+
+
+def span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document EXACT duplicated-span coverage across the corpus —
+    the fraction of a document's ``SPAN_K``-token windows that also
+    occur verbatim in at least one OTHER document.
+
+    This is the signal behind exact-substring deduplication (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better" — their suffix-array pass removes 50-token spans shared
+    across documents): near-dup methods (MinHash/SimHash) score whole
+    documents, while this catches templated boilerplate — headers,
+    navigation, license blocks — pasted into otherwise-distinct pages.
+    The suffix array is replaced by the shuffle the engine already
+    does well: every k-token window becomes a gram row, grams are
+    counted by DISTINCT document (token-keyed partial agg over a
+    Zipf-compact domain), and windows of grams seen in >= 2 documents
+    are summed back per doc through a gram-keyed join (exchange reuse
+    with the gram agg).  No suffix array, no cross-doc pairs — cost is
+    O(total windows), shuffle keys are grams.
+
+    Returns ``doc_id, n_spans, dup_spans, span_dup_frac, keep`` —
+    documents shorter than ``SPAN_K`` tokens have 0 spans, score 0.0,
+    and keep (too-short is not boilerplate)."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("tk"))
+    grams = F.expr(
+        f"transform(slice(tk, 1, greatest(size(tk) - {SPAN_K - 1}, 0)), "
+        f"(x, i) -> concat_ws(' ', "
+        + ", ".join(["x"] + [f"tk[i+{j}]" for j in range(1, SPAN_K)])
+        + "))"
+    )
+    win = base.select("doc_id", F.explode(grams).alias("gram"))
+    # grams occurring in >= 2 distinct documents; distinct doc count is
+    # a two-level agg (gram,doc) -> gram, both map-side partial
+    shared = (
+        win.groupBy("gram", "doc_id")
+        .agg(F.count("*").alias("c"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup = (
+        win.join(shared, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_spans"))
+    )
+    n_spans = (
+        base.select(
+            "doc_id",
+            F.greatest(F.size("tk") - F.lit(SPAN_K - 1), F.lit(0))
+            .cast("long")
+            .alias("n_spans"),
+        )
+    )
+    frac = F.when(
+        F.col("n_spans") > 0,
+        F.col("dup_spans").cast("double") / F.col("n_spans"),
+    ).otherwise(F.lit(0.0))
+    return (
+        n_spans.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_spans",
+            frac.alias("span_dup_frac"),
+            (frac <= F.lit(MAX_SPAN_DUP_FRAC)).alias("keep"),
+        )
+    )
+
+
+SPAN_DUP_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {tokens_sql('text')} AS w FROM documents
+),
+win AS (
+  SELECT doc_id,
+         unnest(list_transform(w[1:greatest(len(w) - {SPAN_K - 1}, 0)],
+                (x, i) -> concat_ws(' ', x, {", ".join(f"w[i+{j}]" for j in range(1, SPAN_K))})))
+           AS gram
+  FROM base
+),
+shared AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS nd FROM win GROUP BY gram
+  ) s WHERE nd >= 2
+),
+dup AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans
+  FROM win JOIN shared USING (gram) GROUP BY doc_id
+),
+ns AS (
+  SELECT doc_id,
+         CAST(greatest(len(w) - {SPAN_K - 1}, 0) AS BIGINT) AS n_spans
+  FROM base
+)
+SELECT ns.doc_id, ns.n_spans,
+       CAST(coalesce(dup.dup_spans, 0) AS BIGINT) AS dup_spans,
+       CASE WHEN ns.n_spans > 0
+            THEN CAST(coalesce(dup.dup_spans, 0) AS DOUBLE) / ns.n_spans
+            ELSE 0.0 END AS span_dup_frac,
+       (CASE WHEN ns.n_spans > 0
+             THEN CAST(coalesce(dup.dup_spans, 0) AS DOUBLE) / ns.n_spans
+             ELSE 0.0 END) <= {MAX_SPAN_DUP_FRAC} AS keep
+FROM ns LEFT JOIN dup USING (doc_id)
+"""
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
 AUX_QUERIES = {
     "repetition_stats": repetition_stats,
     "unigram_logprob": unigram_logprob,
+    "span_dup_stats": span_dup_stats,
 }
 
 AUX_ORACLES = {
     "repetition_stats": REPETITION_STATS_SQL,
     "unigram_logprob": UNIGRAM_LOGPROB_SQL,
+    "span_dup_stats": SPAN_DUP_STATS_SQL,
 }

@@ -23,7 +23,7 @@ from mapreduce_grpc_spark.operators.quality import (
 )
 from tests.oracle import assert_oracle_match
 
-QUALITY = ["repetition_stats", "unigram_logprob"]
+QUALITY = ["repetition_stats", "unigram_logprob", "span_dup_stats"]
 
 
 @pytest.mark.parametrize("name", QUALITY)
@@ -189,3 +189,39 @@ def test_quality_ops_fuzz_cross_engine(spark, tmp_path_factory, sf_dir, texts):
             str(d),
             f"{name}_fuzz",
         )
+
+
+def test_span_dup_planted_docs(spark, tmp_path, sf_dir):
+    """Two documents sharing a verbatim 10-token boilerplate block score
+    exactly the shared windows; a distinct doc and a too-short doc score
+    0.0 and keep."""
+    from mapreduce_grpc_spark.operators.quality import SPAN_K, span_dup_stats
+
+    boiler = "a b c d e f g h i j"  # 10 tokens -> 3 shared 8-grams
+    fake_sf = _fake_docs_dir(
+        tmp_path,
+        sf_dir,
+        f"""
+        SELECT 1 AS doc_id, '{boiler} unique1 text1 here1' AS text,
+               'en' AS lang, 's' AS source, 10 AS n_chars
+        UNION ALL SELECT 2, 'other2 words2 {boiler} tail2', 'en', 's', 10
+        UNION ALL SELECT 3, 'totally different content with no shared blocks at all ok', 'en', 's', 10
+        UNION ALL SELECT 4, 'short doc', 'en', 's', 9
+        """,
+    )
+    rows = {r.doc_id: r for r in span_dup_stats(spark, fake_sf).collect()}
+    # doc1: 13 tokens -> 6 windows; the 3 windows fully inside the
+    # boilerplate appear in doc2 too
+    assert rows[1].n_spans == 13 - (SPAN_K - 1)
+    assert rows[1].dup_spans == 3
+    # doc2: boilerplate offset by 2 tokens, same 3 shared windows
+    assert rows[2].dup_spans == 3
+    assert rows[3].dup_spans == 0 and rows[3].keep
+    assert rows[4].n_spans == 0 and rows[4].span_dup_frac == 0.0
+    assert rows[4].keep
+    assert_oracle_match(
+        span_dup_stats(spark, fake_sf),
+        registry.AUX_ORACLES["span_dup_stats"],
+        fake_sf,
+        "span_dup_stats_synthetic",
+    )

@@ -423,7 +423,10 @@ def test_zscore_native_matches_grouped_map_and_oracle(spark, sf_dir):
     )
 
 
-@pytest.mark.parametrize("name", ["decontaminate", "mix_weights", "training_order"])
+@pytest.mark.parametrize(
+    "name",
+    ["decontaminate", "mix_weights", "training_order", "importance_weights"],
+)
 def test_new_curation_oracle_parity(spark, sf_dir, name):
     df = registry.AUX_QUERIES[name](spark, sf_dir)
     assert_oracle_match(df, registry.AUX_ORACLES[name], sf_dir, name)
@@ -850,3 +853,21 @@ def test_sample_cluster_balanced_oracle_parity_and_quota(spark, sf_dir):
         picks.setdefault(r.cluster, []).append(r.pick)
     for c, ps in picks.items():
         assert sorted(ps) == list(range(1, len(ps) + 1)), c
+
+
+def test_importance_weights_separates_target_language(spark, sf_dir):
+    """DSIR sanity: English documents (the target slice) must score a
+    higher mean log-likelihood ratio than non-English ones, and every
+    scored doc carries positive token mass."""
+    from mapreduce_grpc_spark.operators.curation import (
+        TARGET_LANG,
+        importance_weights,
+    )
+
+    rows = importance_weights(spark, sf_dir).collect()
+    assert rows
+    tgt = [r.avg_llr for r in rows if r.lang == TARGET_LANG]
+    rest = [r.avg_llr for r in rows if r.lang != TARGET_LANG]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+    assert all(r.n_tokens > 0 for r in rows)
