@@ -69,6 +69,7 @@ def _load() -> None:
     from .compat import mapreduce as compat_mapreduce
     from .operators import (
         behavior,
+        bpe,
         clustering,
         curation,
         dedup,
@@ -112,6 +113,7 @@ def _load() -> None:
         graph,
         snapshot_queries,
         streaming_anomaly,
+        bpe,
     ):
         _register(mod)
     if len(QUERIES) > MAX_CONTRACT_QUERIES:
