@@ -383,6 +383,76 @@ FROM ns LEFT JOIN dup USING (doc_id)
 """
 
 
+# compressibility gate thresholds: ratio below MIN = pathologically
+# repetitive (machine-generated boilerplate compresses away); above
+# MAX = near-incompressible (binary junk / encoded blobs posing as text)
+MIN_COMPRESS_RATIO = 0.20
+MAX_COMPRESS_RATIO = 0.95
+
+
+def compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compressibility — the classic cheap junk
+    detector (used alongside the Gopher-style gates in C4/RefinedWeb-
+    lineage pipelines): highly repetitive spam compresses far below
+    normal prose, while binary-ish noise barely compresses at all.
+
+    The signal is inherently procedural (DEFLATE), so this is the
+    measured Python path done right: ``mapInPandas`` over Arrow record
+    batches — column-pruned input (doc_id + text only), one Python
+    worker round-trip, ``zlib.compress`` on UTF-8 bytes per row inside
+    the batch loop, no per-row UDF dispatch.  Scan-shaped: no shuffle,
+    scales linearly with corpus bytes.  Verified by planted-document
+    ordering and bound invariants (zlib output length has no SQL
+    oracle).
+
+    Returns ``doc_id, n_bytes, z_bytes, compress_ratio, keep`` (empty
+    documents: ratio 0.0, keep — emptiness is gated elsewhere)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("z_bytes", LongType()),
+            StructField("compress_ratio", DoubleType()),
+            StructField("keep", BooleanType()),
+        ]
+    )
+
+    def compute(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["text"].fillna("").map(lambda t: t.encode("utf-8"))
+            n = raw.map(len).astype("int64")
+            z = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
+            ratio = (z / n.where(n > 0, 1)).where(n > 0, 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": n,
+                    "z_bytes": z,
+                    "compress_ratio": ratio,
+                    "keep": (n == 0)
+                    | (
+                        (ratio >= MIN_COMPRESS_RATIO)
+                        & (ratio <= MAX_COMPRESS_RATIO)
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(compute, out_schema)
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
@@ -390,6 +460,7 @@ AUX_QUERIES = {
     "repetition_stats": repetition_stats,
     "unigram_logprob": unigram_logprob,
     "span_dup_stats": span_dup_stats,
+    "compression_stats": compression_stats,
 }
 
 AUX_ORACLES = {

@@ -225,3 +225,56 @@ def test_span_dup_planted_docs(spark, tmp_path, sf_dir):
         fake_sf,
         "span_dup_stats_synthetic",
     )
+
+
+def test_compression_stats_orders_planted_docs(spark, tmp_path, sf_dir):
+    """Repetitive text compresses below diverse prose; random-looking
+    hex junk barely compresses; empty doc is defined as (0, 0.0, keep);
+    z_bytes is exactly len(zlib.compress(utf8, 6))."""
+    import zlib
+
+    from mapreduce_grpc_spark.operators.quality import compression_stats
+
+    rep = "spam " * 200
+    prose = (
+        "The quick brown fox jumps over the lazy dog while seventeen "
+        "violinists rehearse an entirely different melody nearby, and "
+        "the committee debates orthogonal matters of some importance."
+    )
+    import random as _r
+
+    _rng = _r.Random(7)
+    rnd = "".join(_rng.choice("0123456789abcdef") for _ in range(600))
+    fake_sf = _fake_docs_dir(
+        tmp_path,
+        sf_dir,
+        f"""
+        SELECT 1 AS doc_id, '{rep}' AS text, 'en' AS lang, 's' AS source,
+               {len(rep)} AS n_chars
+        UNION ALL SELECT 2, '{prose}', 'en', 's', {len(prose)}
+        UNION ALL SELECT 3, '{rnd}', 'en', 's', 600
+        UNION ALL SELECT 4, '', 'en', 's', 0
+        """,
+    )
+    rows = {r.doc_id: r for r in compression_stats(spark, fake_sf).collect()}
+    assert rows[1].z_bytes == len(zlib.compress(rep.encode(), 6))
+    # repetition compresses far below both prose and hex noise (hex is
+    # only 4 bits/char, so it lands between prose and true randomness —
+    # no strict prose-vs-hex ordering is asserted)
+    assert rows[1].compress_ratio < rows[2].compress_ratio
+    assert rows[1].compress_ratio < rows[3].compress_ratio
+    assert not rows[1].keep          # pathological repetition
+    assert rows[2].keep              # normal prose
+    assert rows[4].n_bytes == 0 and rows[4].compress_ratio == 0.0
+    assert rows[4].keep
+    for r in rows.values():
+        assert 0.0 <= r.compress_ratio <= 1.5
+        assert r.n_bytes >= 0 and r.z_bytes >= 0
+
+
+def test_compression_stats_covers_fixture(spark, sf_dir):
+    from mapreduce_grpc_spark.catalog import table
+    from mapreduce_grpc_spark.operators.quality import compression_stats
+
+    out = compression_stats(spark, sf_dir)
+    assert out.count() == table(spark, sf_dir, "documents").count()
