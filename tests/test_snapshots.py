@@ -2022,3 +2022,168 @@ def test_bloom_sidecars_survive_gc_and_fsck(spark, tmp_path):
     assert victim in verify_snapshot(path)["missing"]
     # reads still work without blooms (pruning is advisory)
     assert snap_read(spark, path).count() == 200
+
+
+# --- cursor-based change-feed consumption (sources/feed.py) ----------
+
+
+def _feed_imports():
+    from mapreduce_grpc_spark.sources.feed import (
+        FeedExpired,
+        consume_changes,
+        feed_position,
+    )
+
+    return FeedExpired, consume_changes, feed_position
+
+
+def _apply_feed(rows, state):
+    """Idempotent downstream: fold change rows into a dict keyed by k —
+    replaying a span reproduces the same state (delete wins over its
+    preimage within a version by ordering change types)."""
+    for r in sorted(rows, key=lambda r: (r["_commit_version"], r["_change_type"])):
+        if r["_change_type"] in ("insert", "update_postimage"):
+            state[r["k"]] = r["v"]
+        elif r["_change_type"] == "delete":
+            state.pop(r["k"], None)
+    return state
+
+
+def test_feed_consumer_bootstrap_then_incremental(spark, tmp_path):
+    _FeedExpired, consume_changes, feed_position = _feed_imports()
+    path = str(tmp_path / "snap")
+    cursor = str(tmp_path / "cursors" / "c1.json")
+    _mk_table(spark, path, n=100, n_files=2)
+
+    # bootstrap: full state as inserts at the current version
+    span = consume_changes(spark, path, ["k"], cursor)
+    assert (span["from"], span["to"]) == (0, 1)
+    rows = span["changes"].collect()
+    assert len(rows) == 100
+    assert all(r["_change_type"] == "insert" for r in rows)
+    state = _apply_feed([r.asDict() for r in rows], {})
+    assert span["ack"]() == 1 and feed_position(cursor) == 1
+
+    # two commits, then one incremental consume covering both
+    merge_upsert_cow(
+        spark,
+        path,
+        spark.createDataFrame([(5, "U5"), (200, "N200")], "k bigint, v string"),
+        ["k"],
+    )
+    apply_cdc_cow(
+        spark,
+        path,
+        spark.createDataFrame([(7, None, "D")], "k bigint, v string, _op string"),
+        ["k"],
+    )
+    span = consume_changes(spark, path, ["k"], cursor)
+    assert (span["from"], span["to"]) == (1, 3)
+    state = _apply_feed([r.asDict() for r in span["changes"].collect()], state)
+    span["ack"]()
+    expect = dict(_rows(snap_read(spark, path)))
+    assert state == expect
+
+    # drained: nothing to consume
+    span = consume_changes(spark, path, ["k"], cursor)
+    assert span["changes"] is None and span["from"] == span["to"] == 3
+
+
+def test_feed_consumer_replay_before_ack_is_safe(spark, tmp_path):
+    """At-least-once: a crash between process and ack redelivers the
+    same span; the idempotent downstream converges to the same state."""
+    _FeedExpired, consume_changes, feed_position = _feed_imports()
+    path = str(tmp_path / "snap")
+    cursor = str(tmp_path / "c.json")
+    _mk_table(spark, path, n=60, n_files=2)
+    consume_changes(spark, path, ["k"], cursor)["ack"]()
+    merge_upsert_cow(
+        spark,
+        path,
+        spark.createDataFrame([(1, "X1")], "k bigint, v string"),
+        ["k"],
+    )
+
+    s1 = consume_changes(spark, path, ["k"], cursor)
+    rows1 = [r.asDict() for r in s1["changes"].collect()]
+    # "crash": no ack -> the span replays identically
+    s2 = consume_changes(spark, path, ["k"], cursor)
+    rows2 = [r.asDict() for r in s2["changes"].collect()]
+    assert (s1["from"], s1["to"]) == (s2["from"], s2["to"])
+    base = dict(_rows(snap_read(spark, path, version=1)))
+    assert _apply_feed(rows1, dict(base)) == _apply_feed(
+        rows2, _apply_feed(rows1, dict(base))
+    )
+    s2["ack"]()
+    assert feed_position(cursor) == s2["to"]
+
+
+def test_feed_consumer_paced_spans_cover_feed(spark, tmp_path):
+    """max_commits=1 drains commit-by-commit; concatenating the spans
+    equals the unpaced feed."""
+    _FeedExpired, consume_changes, feed_position = _feed_imports()
+    path = str(tmp_path / "snap")
+    c_paced = str(tmp_path / "paced.json")
+    c_full = str(tmp_path / "full.json")
+    _mk_table(spark, path, n=40, n_files=2)
+    for i in range(3):
+        merge_upsert_cow(
+            spark,
+            path,
+            spark.createDataFrame([(i, f"U{i}")], "k bigint, v string"),
+            ["k"],
+        )
+    # move both cursors past bootstrap
+    for c in (c_paced, c_full):
+        consume_changes(spark, path, ["k"], c, max_commits=1)["ack"]()
+
+    paced_rows = []
+    spans = []
+    while True:
+        s = consume_changes(spark, path, ["k"], c_paced, max_commits=1)
+        if s["changes"] is None:
+            break
+        spans.append((s["from"], s["to"]))
+        paced_rows += [tuple(sorted(r.asDict().items())) for r in s["changes"].collect()]
+        s["ack"]()
+    assert spans == [(1, 2), (2, 3), (3, 4)]
+    full = consume_changes(spark, path, ["k"], c_full)
+    full_rows = [tuple(sorted(r.asDict().items())) for r in full["changes"].collect()]
+    assert sorted(paced_rows) == sorted(full_rows)
+
+
+def test_feed_consumer_ack_never_regresses(spark, tmp_path):
+    _FeedExpired, consume_changes, feed_position = _feed_imports()
+    path = str(tmp_path / "snap")
+    cursor = str(tmp_path / "c.json")
+    _mk_table(spark, path, n=30, n_files=2)
+    merge_upsert_cow(
+        spark,
+        path,
+        spark.createDataFrame([(1, "A")], "k bigint, v string"),
+        ["k"],
+    )
+    stale = consume_changes(spark, path, ["k"], cursor, max_commits=1)
+    fresh = consume_changes(spark, path, ["k"], cursor)
+    assert fresh["ack"]() == 2
+    # the superseded run's late ack must not move the cursor backwards
+    assert stale["ack"]() == 2
+    assert feed_position(cursor) == 2
+
+
+def test_feed_consumer_expired_span_raises(spark, tmp_path):
+    _FeedExpired, consume_changes, feed_position = _feed_imports()
+    path = str(tmp_path / "snap")
+    cursor = str(tmp_path / "c.json")
+    _mk_table(spark, path, n=30, n_files=2)
+    consume_changes(spark, path, ["k"], cursor)["ack"]()
+    for i in range(3):
+        merge_upsert_cow(
+            spark,
+            path,
+            spark.createDataFrame([(i, f"Z{i}")], "k bigint, v string"),
+            ["k"],
+        )
+    expire_snapshots(path, keep_last=1, orphan_grace_seconds=0)
+    with __import__("pytest").raises(_FeedExpired):
+        consume_changes(spark, path, ["k"], cursor)
