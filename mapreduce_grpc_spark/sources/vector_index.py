@@ -1,0 +1,230 @@
+"""IVF vector index persisted on the snapshot-table layer — the
+"vector database on the lakehouse" composition.
+
+``operators/similarity.py``'s ``ivf_topk`` demonstrates IVF-Flat as a
+query; real pipelines need the index as a MAINTAINED artifact: built
+once, appended to incrementally as new embeddings arrive, searched with
+I/O proportional to the probed cells, and versioned so a re-build or a
+bad batch can be time-traveled away.  Every piece is machinery this
+engine already has, composed:
+
+- **Build** (``ivf_index_init``): coarse quantizer = the deterministic
+  seeded k-means++ of ``operators/clustering.py``; centroids and the
+  posting table (vec_id, cell, embedding) land as snapshot tables.
+  Postings are written ``repartitionByRange(cell)`` — cell-clustered
+  files whose manifest envelopes make cell predicates prunable.
+- **Search** (``ivf_search``): queries score against the broadcast
+  K x dim centroids (row-local, no shuffle), pick ``nprobe`` cells, and
+  the candidate read goes through ``snap_scan(cell IN probes)`` —
+  unprobed cells' FILES are never scheduled (manifest pruning), which
+  at 100 TB is the difference between reading nprobe/K of the corpus
+  and all of it.  Exact cosine re-ranking inside the probed cells.
+- **Insert** (``ivf_index_insert``): new vectors are assigned to their
+  nearest EXISTING centroid (standard IVF append — the quantizer is
+  frozen between re-trains) and merged by ``vec_id`` through the CoW
+  MERGE.  Fresh ids are pure inserts: the per-file vec_id BLOOM
+  filters prove no existing file holds them, so nothing is rewritten
+  (cell-clustered layout makes vec_id ranges useless — this insert
+  path is exactly what the blooms exist for).  Re-inserting an id
+  replaces its old row wherever it lives (key-stats pruning), so the
+  index can never hold two embeddings for one id.
+
+Re-training the quantizer is ``ivf_index_init`` at a new path (or the
+same path after a drop): centroid assignment is a model artifact, and
+mixing two quantizers' cells in one posting table would silently
+degrade recall — better to rebuild and swap than to patch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from .snapshots import (
+    LocalSnapshotFS,
+    merge_upsert_cow,
+    snap_init,
+    snap_read,
+    snap_scan,
+)
+
+N_CELLS = 8
+N_PROBE = 2
+TOP_K = 10
+
+
+def _centroids_path(path: str) -> str:
+    return os.path.join(path, "centroids")
+
+
+def _postings_path(path: str) -> str:
+    return os.path.join(path, "postings")
+
+
+def ivf_index_init(
+    spark: SparkSession,
+    emb: DataFrame,
+    path: str,
+    n_cells: int = N_CELLS,
+    seed: int = 42,
+    fs: LocalSnapshotFS | None = None,
+) -> dict:
+    """Train the coarse quantizer on ``emb`` (``vec_id``,
+    ``embedding``) and persist the index: ``centroids`` (cell,
+    centroid) and cell-clustered ``postings`` (vec_id, cell,
+    embedding) snapshot tables under ``path``."""
+    from ..operators.clustering import kmeans_pp_fit
+
+    assign, _rounds, cent_rows = kmeans_pp_fit(
+        spark, emb, k=n_cells, seed=seed, return_centroids=True
+    )
+    cent_df = spark.createDataFrame(
+        cent_rows, "k long, carr array<double>"
+    ).select(
+        F.col("k").cast("int").alias("cell"), F.col("carr").alias("centroid")
+    )
+    postings = (
+        emb.select("vec_id", "embedding")
+        .join(
+            assign.select("vec_id", F.col("cluster").alias("cell")), "vec_id"
+        )
+        .select("vec_id", "cell", "embedding")
+        .repartitionByRange(max(2, n_cells // 2), "cell")
+        .sortWithinPartitions("cell", "vec_id")
+    )
+    cv = snap_init(
+        spark, cent_df, _centroids_path(path), stats_cols=["cell"], fs=fs
+    )
+    pv = snap_init(
+        spark,
+        postings,
+        _postings_path(path),
+        stats_cols=["cell", "vec_id"],
+        fs=fs,
+    )
+    return {"cells": n_cells, "centroids_version": cv, "postings_version": pv}
+
+
+def _load_centroids(
+    spark: SparkSession,
+    path: str,
+    version: int | None,
+    fs: LocalSnapshotFS | None,
+) -> DataFrame:
+    return snap_read(spark, _centroids_path(path), version, fs)
+
+
+def ivf_index_insert(
+    spark: SparkSession,
+    path: str,
+    new_emb: DataFrame,
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
+    fs: LocalSnapshotFS | None = None,
+) -> dict:
+    """Append/replace vectors: assign each to its nearest existing
+    centroid (broadcast K x dim scoring, no shuffle) and CoW-merge into
+    the postings by ``vec_id``.  Fresh ids rewrite nothing (bloom-
+    proven inserts); re-used ids replace their old posting wherever it
+    lives.  Returns the merge stats."""
+    cent = _load_centroids(spark, path, None, fs).select(
+        F.col("cell").cast("long").alias("k"),
+        F.col("centroid").alias("carr"),
+    )
+    from ..operators.clustering import _assign
+
+    assigned = _assign(new_emb.select("vec_id", "embedding"), cent)
+    batch = (
+        new_emb.select("vec_id", "embedding")
+        .join(
+            assigned.select("vec_id", F.col("k").cast("int").alias("cell")),
+            "vec_id",
+        )
+        .select("vec_id", "cell", "embedding")
+    )
+    return merge_upsert_cow(
+        spark,
+        _postings_path(path),
+        batch,
+        keys=["vec_id"],
+        txn_app=txn_app,
+        txn_batch=txn_batch,
+        fs=fs,
+    )
+
+
+def ivf_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = N_PROBE,
+    top_k: int = TOP_K,
+    version: int | None = None,
+    fs: LocalSnapshotFS | None = None,
+) -> DataFrame:
+    """Top-k cosine search: probe the ``nprobe`` nearest cells per
+    query, read ONLY the probed cells' files (``snap_scan`` manifest
+    pruning on the cell-clustered postings), exact re-rank inside.
+
+    ``queries`` is ``(q_id, q_emb)``; returns ``q_id, neighbor_id,
+    cos_sim, rank`` (the query's own id is not excluded — filter
+    downstream if self-matches are unwanted).  ``version`` time-travels
+    the POSTINGS (the quantizer is read at its matching CURRENT)."""
+    cent = _load_centroids(spark, path, None, fs)
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .select(
+            "q_id",
+            "cell",
+            cosine(F.col("q_emb"), F.col("centroid")).alias("cos_qc"),
+        )
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.desc("cos_qc"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("q_id", "cell")
+    )
+    probe_cells = sorted(
+        {r["cell"] for r in probes.select("cell").distinct().collect()}
+    )
+    if not probe_cells:
+        return (
+            queries.select("q_id")
+            .limit(0)
+            .select(
+                "q_id",
+                F.lit(None).cast("long").alias("neighbor_id"),
+                F.lit(None).cast("double").alias("cos_sim"),
+                F.lit(None).cast("int").alias("rank"),
+            )
+        )
+    cand = snap_scan(
+        spark,
+        _postings_path(path),
+        [("cell", "in", probe_cells)],
+        version=version,
+        fs=fs,
+    )
+    scored = (
+        cand.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(queries), "q_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
