@@ -1639,6 +1639,73 @@ def apply_cdc_cow(
     ) from last_err
 
 
+def snap_append(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    allow_schema_evolution: bool = False,
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
+    fs: LocalSnapshotFS | None = None,
+) -> dict:
+    """APPEND-only commit: add ``batch``'s rows as new files, carry
+    every existing file untouched — the cheap ingest path (Delta's
+    ``mode=append``).  No key semantics, no pruning, no rewrite: cost
+    is O(batch) regardless of table size, and because no file is ever
+    removed, append commits are exactly what ``snapshot_stream`` can
+    replay as a Structured Streaming source.  Schema checks, txn
+    idempotence markers, commit retries, and stats/bloom collection are
+    shared with the mutators.  Returns ``{"version", "added",
+    "carried"}`` (+``skipped``)."""
+    if not batch.take(1):
+        return _skipped_result(read_manifest(path, fs=fs))
+    last_err: Exception | None = None
+    for _attempt in range(COMMIT_RETRIES):
+        m = read_manifest(path, fs=fs)
+        if _txn_already_applied(m, txn_app, txn_batch):
+            return _skipped_result(m)
+        target_schema = _manifest_schema(m) or snap_read(
+            spark, path, m["version"], fs
+        ).schema
+        out_schema = _check_batch_schema(
+            target_schema, batch, set(), allow_schema_evolution,
+            "snap_append",
+        )
+        out_cols = [f.name for f in out_schema.fields]
+        new_entries = _write_data_files(
+            spark, batch.select(*out_cols), path, m["stats_cols"], fs
+        )
+        txns = dict(m.get("txns", {}))
+        if txn_app is not None:
+            txns[txn_app] = int(txn_batch)
+        info = {
+            "op": "append",
+            "added": len(new_entries),
+            "carried": len(m["files"]),
+        }
+        if txn_app is not None:
+            info["txn"] = {"app": txn_app, "batch": int(txn_batch)}
+        try:
+            version = _commit(
+                path, m["files"] + new_entries, m["stats_cols"],
+                base_version=m["version"],
+                schema_json=out_schema.json(),
+                txns=txns, commit_info=info, fs=fs,
+            )
+        except CommitConflict as e:
+            last_err = e
+            continue
+        return {
+            "version": version,
+            "added": len(new_entries),
+            "carried": len(m["files"]),
+        }
+    raise CommitConflict(
+        f"snap_append: lost the commit race {COMMIT_RETRIES} times at "
+        f"{path!r}"
+    ) from last_err
+
+
 def optimize_snapshot(
     spark: SparkSession,
     path: str,

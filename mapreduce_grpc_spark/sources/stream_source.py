@@ -1,0 +1,201 @@
+"""``snapshot_table`` — a Structured Streaming SOURCE over snapshot
+tables (Spark 4 Python Data Source API).
+
+The missing half of the table layer's streaming story: ``streaming/
+cdc.py`` streams INTO a table; this streams OUT of one —
+``spark.readStream.format("snapshot_table").option("path", ...)`` —
+with the real Structured Streaming contract (offset log, replayable
+batches, exactly-once with checkpointing), not a hand-rolled poller.
+
+Design (the Delta streaming-source shape):
+
+- **Offsets are table versions** (``{"version": N}``) — already
+  monotonic, durable, and atomically published by the commit protocol,
+  so the source needs no state of its own; Spark's checkpoint offset
+  log plus the manifests ARE the replay contract.
+- **A micro-batch is the files ADDED in ``(start, end]``**, planned
+  driver-side from the MANIFESTS (pure JSON reads — no Spark job at
+  planning time) as one ``InputPartition`` per data file; executors
+  read their file with pyarrow and yield Arrow RecordBatches (no
+  row-by-row Python, no driver data path).  This is
+  ``DataSourceStreamReader`` (executor-partitioned), not the
+  driver-bound ``SimpleDataSourceStreamReader``.
+- **Append commits replay exactly**: an ``(start, end]`` span is a
+  pure function of immutable manifests and immutable files, so a
+  crash-restarted query re-reads the identical batch.
+- **Change commits** (a commit that REMOVED files: merge, CDC,
+  OPTIMIZE) break appended-rows-only semantics.  Default: raise with
+  the remediation; ``skipChangeCommits=true`` skips those commits'
+  rows exactly like Delta's option of the same name.  (Compaction adds
+  files too — skipping the whole commit, not just removed files, is
+  what keeps skipped semantics consistent.)  Deletion vectors added to
+  a carried file are a removal for this purpose.
+
+Caveats (documented, honest): per-file partitions mean batch
+parallelism = files in the span (append batches usually write a
+handful — fine for ingest-rate streams); wildly wide rows and
+DV-masked reads are not served here (DVs only ever appear via change
+commits, which this source refuses or skips).
+
+Usage::
+
+    from mapreduce_grpc_spark.sources.stream_source import (
+        SnapshotTableStreamSource,
+    )
+
+    spark.dataSource.register(SnapshotTableStreamSource)
+    df = (
+        spark.readStream.format("snapshot_table")
+        .option("path", table_path)
+        .load()
+    )
+
+Options: ``path`` (required); ``startingVersion`` (default 0 — replay
+every append from the beginning; ``N`` starts after version N, i.e.
+first batch is ``(N, CURRENT]``); ``skipChangeCommits``
+(default false).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+
+class ChangeCommitError(RuntimeError):
+    """A commit in the span removed or rewrote files — not replayable
+    as appended rows.  Set skipChangeCommits=true to skip such
+    commits, or consume the change feed (sources/feed.py) instead."""
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file_path: str, schema_json: str):
+        self.file_path = file_path
+        self.schema_json = schema_json
+
+
+def _dv_sig(e: dict) -> tuple:
+    d = e.get("dv") or {}
+    return (e["name"], d.get("file"), d.get("rows"))
+
+
+class _SnapshotStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, starting: int, skip_changes: bool):
+        self._path = path
+        self._starting = starting
+        self._skip_changes = skip_changes
+
+    # -- manifest access (driver-side, plain JSON — no Spark jobs) ----
+
+    def _manifest(self, version: int) -> dict:
+        p = os.path.join(self._path, "_manifests", f"v{version}.json")
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _current(self) -> int:
+        p = os.path.join(self._path, "_manifests", "CURRENT")
+        if not os.path.exists(p):
+            return 0
+        with open(p) as fh:
+            return int(fh.read().strip())
+
+    # -- streaming contract -------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"version": self._starting}
+
+    def latestOffset(self) -> dict:
+        return {"version": max(self._current(), self._starting)}
+
+    def partitions(self, start: dict, end: dict):
+        v0, v1 = int(start["version"]), int(end["version"])
+        parts: list[_FilePartition] = []
+        prev = self._manifest(v0) if v0 > 0 else {"files": []}
+        for v in range(v0 + 1, v1 + 1):
+            cur = self._manifest(v)
+            prev_sigs = {_dv_sig(e) for e in prev["files"]}
+            cur_sigs = {_dv_sig(e) for e in cur["files"]}
+            removed = prev_sigs - cur_sigs
+            added = [e for e in cur["files"] if _dv_sig(e) not in prev_sigs]
+            prev = cur
+            if removed:
+                if self._skip_changes:
+                    continue
+                raise ChangeCommitError(
+                    f"commit v{v} of {self._path!r} removed/rewrote "
+                    f"{len(removed)} file(s) — the span is not append-"
+                    "only. Set skipChangeCommits=true or consume the "
+                    "change feed (sources/feed.py)."
+                )
+            schema = cur.get("schema") or ""
+            parts += [
+                _FilePartition(
+                    os.path.join(self._path, e["name"]), schema
+                )
+                for e in added
+            ]
+        return parts or [_FilePartition("", "")]
+
+    def read(self, partition: _FilePartition):
+        # executor-side: one parquet file -> Arrow RecordBatches
+        if not partition.file_path:
+            return iter(())
+        import pyarrow.parquet as pq
+
+        columns = None
+        if partition.schema_json:
+            columns = [
+                f["name"]
+                for f in json.loads(partition.schema_json)["fields"]
+            ]
+        table = pq.read_table(partition.file_path, columns=columns)
+        return iter(table.to_batches())
+
+    def commit(self, end: dict) -> None:
+        # offsets live in Spark's checkpoint log; manifests are GC'd by
+        # expire_snapshots under the caller's retention policy
+        pass
+
+
+class SnapshotTableStreamSource(DataSource):
+    """``spark.readStream.format("snapshot_table")`` — register with
+    ``spark.dataSource.register(SnapshotTableStreamSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_table"
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("snapshot_table source requires .option('path', ...)")
+        return p
+
+    def schema(self) -> StructType:
+        path = self._path()
+        cur_file = os.path.join(path, "_manifests", "CURRENT")
+        with open(cur_file) as fh:
+            v = int(fh.read().strip())
+        with open(
+            os.path.join(path, "_manifests", f"v{v}.json")
+        ) as fh:
+            m = json.load(fh)
+        if not m.get("schema"):
+            raise ValueError(
+                "snapshot_table source needs a manifest-recorded schema"
+            )
+        return StructType.fromJson(json.loads(m["schema"]))
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        starting = int(self.options.get("startingversion", 0))
+        skip = str(
+            self.options.get("skipchangecommits", "false")
+        ).lower() in ("true", "1")
+        return _SnapshotStreamReader(self._path(), starting, skip)

@@ -1,0 +1,224 @@
+"""snapshot_table Structured Streaming source (Spark 4 Python Data
+Source API): append replay, checkpoint-restart exactly-once, change-
+commit refusal/skip semantics, and snap_append itself."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mapreduce_grpc_spark.sources.snapshots import (
+    merge_upsert_cow,
+    read_manifest,
+    snap_append,
+    snap_init,
+    snap_read,
+)
+from mapreduce_grpc_spark.sources.stream_source import (
+    SnapshotTableStreamSource,
+)
+
+
+def _mk(spark, path, rows):
+    df = spark.createDataFrame(rows, "k bigint, v string")
+    snap_init(spark, df, path, stats_cols=["k"])
+
+
+def _read_stream(spark, path, **opts):
+    spark.dataSource.register(SnapshotTableStreamSource)
+    r = spark.readStream.format("snapshot_table").option("path", path)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def _drain(spark, df, checkpoint):
+    """Run one availableNow pass into an in-memory list via
+    foreachBatch; returns the collected (k, v) tuples."""
+    got: list[tuple] = []
+
+    def sink(batch_df, _bid):
+        got.extend((r.k, r.v) for r in batch_df.collect())
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    return got
+
+
+# --- snap_append primitive -------------------------------------------
+
+
+def test_snap_append_carries_everything_and_adds(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path, [(1, "a"), (2, "b")])
+    m1 = read_manifest(path)
+    res = snap_append(
+        spark,
+        path,
+        spark.createDataFrame([(3, "c")], "k bigint, v string").coalesce(1),
+    )
+    assert res["added"] >= 1 and res["carried"] == len(m1["files"])
+    m2 = read_manifest(path)
+    assert {e["name"] for e in m1["files"]} <= {e["name"] for e in m2["files"]}
+    assert sorted((r.k, r.v) for r in snap_read(spark, path).collect()) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+    # empty append is a version-chain no-op
+    v = res["version"]
+    res2 = snap_append(
+        spark, path, spark.createDataFrame([], "k bigint, v string")
+    )
+    assert res2.get("skipped") and res2["version"] == v
+    # txn idempotence
+    b = spark.createDataFrame([(4, "d")], "k bigint, v string")
+    snap_append(spark, path, b, txn_app="ing", txn_batch=1)
+    r3 = snap_append(spark, path, b, txn_app="ing", txn_batch=1)
+    assert r3.get("skipped")
+    assert snap_read(spark, path).filter("k = 4").count() == 1
+
+
+def test_snap_append_rejects_schema_drift(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path, [(1, "a")])
+    bad = spark.createDataFrame([(2, 7)], "k bigint, v bigint")
+    with pytest.raises(ValueError, match="types differ"):
+        snap_append(spark, path, bad)
+
+
+# --- the streaming source --------------------------------------------
+
+
+def test_stream_replays_appends_exactly(spark, tmp_path):
+    path = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    _mk(spark, path, [(1, "a"), (2, "b")])
+    for i in range(3, 6):
+        snap_append(
+            spark,
+            path,
+            spark.createDataFrame([(i, f"v{i}")], "k bigint, v string"),
+        )
+    got = _drain(spark, _read_stream(spark, path), ck)
+    expect = [(1, "a"), (2, "b")] + [(i, f"v{i}") for i in range(3, 6)]
+    assert sorted(got) == sorted(expect)
+
+
+def test_stream_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    path = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    _mk(spark, path, [(1, "a")])
+    got1 = _drain(spark, _read_stream(spark, path), ck)
+    assert sorted(got1) == [(1, "a")]
+    # new appends AFTER the first drain; restart from the same
+    # checkpoint must deliver ONLY them (no replay of v1)
+    snap_append(
+        spark,
+        path,
+        spark.createDataFrame([(2, "b"), (3, "c")], "k bigint, v string"),
+    )
+    got2 = _drain(spark, _read_stream(spark, path), ck)
+    assert sorted(got2) == [(2, "b"), (3, "c")]
+    # drained: a third run delivers nothing
+    got3 = _drain(spark, _read_stream(spark, path), ck)
+    assert got3 == []
+
+
+def test_stream_starting_version_skips_history(spark, tmp_path):
+    path = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    _mk(spark, path, [(1, "a")])
+    snap_append(
+        spark, path, spark.createDataFrame([(2, "b")], "k bigint, v string")
+    )
+    snap_append(
+        spark, path, spark.createDataFrame([(3, "c")], "k bigint, v string")
+    )
+    got = _drain(
+        spark, _read_stream(spark, path, startingVersion="2"), ck
+    )
+    assert sorted(got) == [(3, "c")]
+
+
+def test_stream_refuses_change_commits_unless_skipped(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path, [(1, "a"), (2, "b")])
+    snap_append(
+        spark, path, spark.createDataFrame([(3, "c")], "k bigint, v string")
+    )
+    # a MERGE rewrites a file -> the span is no longer append-only
+    merge_upsert_cow(
+        spark,
+        path,
+        spark.createDataFrame([(1, "A!")], "k bigint, v string"),
+        keys=["k"],
+    )
+    snap_append(
+        spark, path, spark.createDataFrame([(4, "d")], "k bigint, v string")
+    )
+
+    with pytest.raises(Exception, match="append-only|ChangeCommit"):
+        _drain(
+            spark,
+            _read_stream(spark, path),
+            str(tmp_path / "ck_fail"),
+        )
+
+    # skipChangeCommits: the merge commit's rows are skipped, every
+    # append commit still arrives
+    got = _drain(
+        spark,
+        _read_stream(spark, path, skipChangeCommits="true"),
+        str(tmp_path / "ck_skip"),
+    )
+    assert sorted(got) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_stream_then_aggregate_end_to_end(spark, tmp_path):
+    """The source composes with ordinary streaming transforms: a
+    grouped count over the streamed rows equals the batch answer."""
+    path = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    _mk(spark, path, [(i, f"g{i % 3}") for i in range(30)])
+    snap_append(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(100 + i, f"g{i % 3}") for i in range(12)], "k bigint, v string"
+        ),
+    )
+    stream = _read_stream(spark, path).groupBy("v").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    got: dict = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            got[r.v] = r.n
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = {
+        r.v: r.n
+        for r in snap_read(spark, path)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == batch
