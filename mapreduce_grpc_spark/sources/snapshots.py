@@ -340,12 +340,38 @@ def _bloom_key_bytes(v) -> bytes | None:
     return None
 
 
+# distinct-value count beyond which the capped filter's effective FPP
+# would exceed ~50% anyway: skip building (and never materialize the
+# values into Python) past it
+_BLOOM_MAX_DISTINCT = 750_000
+
+
 def _bloom_build(values) -> dict | None:
-    """Build one bloom filter over an iterable of key values; returns
-    ``{"m", "k", "bits"(base64)}`` or ``None`` when the column's type
-    is untrackable or the capped filter would be useless."""
+    """Build one bloom filter over a key column; returns ``{"m", "k",
+    "bits"(base64)}`` or ``None`` when the column's type is
+    untrackable or the capped filter would be useless.  ``values`` may
+    be a pyarrow (Chunked)Array — deduplication then runs C++-side
+    (``pc.unique``) and an over-cardinality column is rejected BEFORE
+    any per-value Python materialization, so commit-time driver memory
+    is bounded even for 100M-row files."""
     import base64
     import math
+
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if isinstance(values, (pa.Array, pa.ChunkedArray)):
+            uniq = pc.unique(
+                values.combine_chunks()
+                if isinstance(values, pa.ChunkedArray)
+                else values
+            )
+            if len(uniq) > _BLOOM_MAX_DISTINCT:
+                return None
+            values = uniq.to_pylist()
+    except ImportError:
+        pass
 
     keys = set()
     for v in values:
@@ -444,7 +470,7 @@ def _build_bloom_sidecar(
         except Exception:
             continue  # e.g. column absent from this file: no blooms
         for c in stats_cols:
-            bloom = _bloom_build(t.column(c).to_pylist())
+            bloom = _bloom_build(t.column(c))
             if bloom is not None:
                 cols[c] = bloom
         if cols:

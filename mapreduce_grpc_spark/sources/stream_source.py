@@ -96,8 +96,16 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
     def _manifest(self, version: int) -> dict:
         p = os.path.join(self._path, "_manifests", f"v{version}.json")
-        with open(p) as fh:
-            return json.load(fh)
+        try:
+            with open(p) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            raise ChangeCommitError(
+                f"manifest v{version} of {self._path!r} is expired — "
+                "the stream's offset predates the retention window "
+                "(expire_snapshots keep_last). Re-bootstrap with a new "
+                "checkpoint and startingVersion."
+            ) from None
 
     def _current(self) -> int:
         p = os.path.join(self._path, "_manifests", "CURRENT")

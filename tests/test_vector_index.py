@@ -32,14 +32,6 @@ def index(spark, sf_dir, tmp_path_factory):
     return path, emb, info
 
 
-def _queries(emb, n=15):
-    return (
-        emb.orderBy("vec_id")
-        .limit(n)
-        .select(F.col("vec_id").alias("q_id"), F.col("q_emb"))
-    )
-
-
 def test_build_and_search_recall_vs_brute_force(spark, index):
     path, emb, info = index
     assert info["postings_version"] == 1
