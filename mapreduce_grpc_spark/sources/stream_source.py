@@ -157,13 +157,19 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             return iter(())
         import pyarrow.parquet as pq
 
-        columns = None
+        table = pq.read_table(partition.file_path)
         if partition.schema_json:
-            columns = [
-                f["name"]
-                for f in json.loads(partition.schema_json)["fields"]
-            ]
-        table = pq.read_table(partition.file_path, columns=columns)
+            # cast to the DECLARED schema's exact Arrow types: Spark
+            # writes INT96 timestamps by default, which pyarrow reads
+            # as timestamp[ns] — the data source API only accepts [us]
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType
+
+            spark_schema = StructType.fromJson(
+                json.loads(partition.schema_json)
+            )
+            target = to_arrow_schema(spark_schema)
+            table = table.select(target.names).cast(target)
         return iter(table.to_batches())
 
     def commit(self, end: dict) -> None:

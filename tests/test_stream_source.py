@@ -222,3 +222,47 @@ def test_stream_then_aggregate_end_to_end(spark, tmp_path):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_source_timestamp_and_date_columns(spark, tmp_path):
+    """Arrow round-trip of the awkward types: timestamp and date
+    columns stream back exactly as the batch read sees them."""
+    path = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    df = spark.sql(
+        "SELECT id AS k, timestamp'2026-01-02 03:04:05.123456' + "
+        "make_interval(0, 0, 0, 0, 0, 0, id) AS ts, "
+        "date'2026-03-04' + CAST(id AS INT) AS d, "
+        "CAST(id AS DOUBLE) / 7 AS x FROM range(10)"
+    )
+    snap_init(spark, df, path, stats_cols=["k"])
+    snap_append(
+        spark,
+        path,
+        spark.sql(
+            "SELECT id + 100 AS k, timestamp'2027-06-07 08:09:10' AS ts, "
+            "date'2027-01-01' AS d, CAST(1.5 AS DOUBLE) AS x FROM range(2)"
+        ),
+    )
+    got = _drain_rows(
+        spark, _read_stream(spark, path).selectExpr("k", "ts", "d", "x"), ck
+    )
+    batch = snap_read(spark, path).selectExpr("k", "ts", "d", "x").collect()
+    key = lambda r: (r.k, r.ts, r.d, r.x)
+    assert sorted(map(key, got)) == sorted(map(key, batch))
+
+
+def _drain_rows(spark, df, checkpoint):
+    rows = []
+
+    def sink(batch_df, _bid):
+        rows.extend(batch_df.collect())
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return rows
