@@ -318,3 +318,61 @@ def test_segment_dedup_spark_duckdb_agree(spark, tmp_path_factory, texts):
         str(d),
         "clean_segments_fuzz",
     )
+
+
+# --- bloom filter: no false negatives, ever --------------------------
+
+from hypothesis import given as _given, settings as _settings, strategies as _st
+
+
+@_settings(max_examples=200, deadline=None)
+@_given(
+    _st.lists(
+        _st.one_of(
+            _st.integers(min_value=-(2**62), max_value=2**62),
+            _st.text(min_size=0, max_size=40),
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_bloom_never_false_negative_property(vals):
+    """Every value inserted into a bloom must probe True (false
+    POSITIVES are the design trade; a false negative would silently
+    leave stale rows after a CoW merge)."""
+    import pyarrow as pa
+
+    from mapreduce_grpc_spark.sources.snapshots import (
+        _bloom_build,
+        _bloom_contains,
+    )
+
+    # single-type columns (parquet columns are typed); test whichever
+    # type dominates the draw
+    ints = [v for v in vals if isinstance(v, int)]
+    strs = [v for v in vals if isinstance(v, str)]
+    for col in (ints, strs):
+        if not col:
+            continue
+        bloom = _bloom_build(pa.array(col))
+        assert bloom is not None
+        for v in col:
+            assert _bloom_contains(bloom, v), (v, len(col))
+
+
+def test_bloom_build_rejects_untrackable_and_over_cardinality():
+    import pyarrow as pa
+
+    from mapreduce_grpc_spark.sources import snapshots as S
+
+    # decimals/floats/dates are untrackable -> no bloom, never a lie
+    import decimal
+
+    assert S._bloom_build([decimal.Decimal("1.5")]) is None
+    assert S._bloom_build([1.5]) is None
+    # over-cardinality arrow column rejected before materialization
+    import unittest.mock as mock
+
+    with mock.patch.object(S, "_BLOOM_MAX_DISTINCT", 10):
+        assert S._bloom_build(pa.array(list(range(50)))) is None
+        assert S._bloom_build(pa.array(list(range(9)))) is not None
