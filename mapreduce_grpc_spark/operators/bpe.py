@@ -48,12 +48,12 @@ CHECKPOINT_EVERY = 3
 MAX_WORD_TYPES = 50_000
 
 
-def _merge_fold(a: str, b: str):
-    """Row-local greedy left-to-right application of merge (a, b) to a
-    symbol array: fold symbols into an accumulator, replacing a trailing
-    ``a`` when ``b`` arrives.  Overlaps resolve greedily ('aaa' under
-    (a,a) -> ['aa','a']), matching the reference trainer."""
-    ab = a + b
+def _fold_step(a: str, b: str, ab: str):
+    """The one greedy left-to-right merge step, shared by the trainer
+    and ``bpe_apply`` so their segmentation semantics cannot drift:
+    fold symbols into an accumulator, replacing a trailing ``a`` when
+    ``b`` arrives.  Overlaps resolve greedily ('aaa' under (a,a) ->
+    ['aa','a']), matching the reference trainer."""
 
     def step(acc, x):
         hit = (
@@ -68,8 +68,15 @@ def _merge_fold(a: str, b: str):
             ),
         ).otherwise(F.concat(acc, F.array(x)))
 
+    return step
+
+
+def _merge_fold(a: str, b: str):
+    """Apply merge (a, b) to the ``syms`` column row-locally."""
     return F.aggregate(
-        F.col("syms"), F.array().cast("array<string>"), step
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        _fold_step(a, b, a + b),
     )
 
 
@@ -151,30 +158,13 @@ def bpe_apply(df: DataFrame, text_col: str, merges: list[dict]):
     ``array<array<string>>`` column (symbols per token)."""
     tok = tokens(text_col)
 
-    def _step_fn(a: str, b: str, ab: str):
-        def step(acc_arr, x):
-            hit = (
-                (F.size(acc_arr) > 0)
-                & (F.element_at(acc_arr, -1) == F.lit(a))
-                & (x == F.lit(b))
-            )
-            return F.when(
-                hit,
-                F.concat(
-                    F.slice(acc_arr, 1, F.size(acc_arr) - 1),
-                    F.array(F.lit(ab)),
-                ),
-            ).otherwise(F.concat(acc_arr, F.array(x)))
-
-        return step
-
     def seg(word_syms):
         acc = word_syms
         for m in merges:
             acc = F.aggregate(
                 acc,
                 F.array().cast("array<string>"),
-                _step_fn(m["left"], m["right"], m["merged"]),
+                _fold_step(m["left"], m["right"], m["merged"]),
             )
         return acc
 

@@ -8,8 +8,9 @@ downstreams (feature stores, search indexes, external systems) need the
 same incremental contract without that luxury; this module provides the
 standard shape (Delta/Kafka-style offset checkpointing):
 
-- a durable CURSOR file (atomic ``replace_atomic`` writes through the
-  ``SnapshotFS`` seam) records the last ACKNOWLEDGED source version;
+- a durable CURSOR directory records acknowledged source versions as
+  ``ack-v{N}`` marker files created with the FS seam's
+  ``create_exclusive``; the position is the MAX marker.
 - ``consume_changes`` returns the change rows in ``(cursor, CURRENT]``
   plus an ``ack()`` callback; the caller processes, THEN acks.
 
@@ -18,9 +19,14 @@ delivery, upgraded to exactly-once by any idempotent downstream — and
 because changes are delivered per commit with ``_commit_version``, a
 downstream that records the acked version (a snapshot-table sink via
 ``txn_app``/``txn_batch``, or any store with a conditional write) gets
-the full Delta ``txnAppId`` rule.  ``ack`` never moves the cursor
-backwards (a late ack from a superseded consumer run is a no-op), so
-two racing consumers cannot regress each other past work.
+the full Delta ``txnAppId`` rule.  The cursor is monotone BY
+CONSTRUCTION, not by a read-check-write guard: concurrent acks create
+distinct marker files (create-exclusive, no lost update possible) and
+the position is their max, so a late ack from a superseded consumer
+run can never regress a newer run's progress — the same primitive the
+commit protocol itself stands on.  Old markers are pruned
+opportunistically (always keeping a trailing window), which is safe
+for the same reason: removing a non-max marker cannot change the max.
 
 Retention contract: the feed is derived from manifests, so
 ``expire_snapshots(keep_last=K)`` must keep at least the span any
@@ -35,7 +41,6 @@ driver-held history, no rescans of the table.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import SparkSession
@@ -55,11 +60,17 @@ class FeedExpired(RuntimeError):
 
 
 def feed_position(cursor_path: str, fs: LocalSnapshotFS | None = None) -> int:
-    """The last acknowledged source version (0 = never consumed)."""
+    """The last acknowledged source version (0 = never consumed) —
+    the max ``ack-v{N}`` marker in the cursor directory."""
     f = _fs(fs)
     if not f.exists(cursor_path):
         return 0
-    return int(json.loads(f.read_text(cursor_path))["version"])
+    versions = [
+        int(n[5:])
+        for n in f.listdir(cursor_path)
+        if n.startswith("ack-v")
+    ]
+    return max(versions, default=0)
 
 
 def consume_changes(
@@ -112,15 +123,25 @@ def consume_changes(
         )
 
     def ack() -> int:
-        # forward-only: a late ack from a superseded run must not
-        # regress a newer consumer's progress
-        pos = feed_position(cursor_path, fs)
-        if to > pos:
-            f.makedirs(os.path.dirname(cursor_path) or ".")
-            f.replace_atomic(
-                cursor_path, json.dumps({"version": to})
+        # monotone by construction: a distinct create-exclusive marker
+        # per acked version — no read-check-write window, so racing or
+        # superseded consumers can only ADD markers, never regress max
+        f.makedirs(cursor_path)
+        try:
+            f.create_exclusive(
+                os.path.join(cursor_path, f"ack-v{to}"), ""
             )
-            return to
+        except FileExistsError:
+            pass  # this span was already acked — idempotent
+        pos = feed_position(cursor_path, fs)
+        # opportunistic prune: non-max markers can't change the max,
+        # so removing old ones (keeping a trailing window) is safe
+        for n in f.listdir(cursor_path):
+            if n.startswith("ack-v") and int(n[5:]) < pos - 8:
+                try:
+                    f.remove(os.path.join(cursor_path, n))
+                except OSError:
+                    pass
         return pos
 
     return {"changes": changes, "from": last, "to": to, "ack": ack}

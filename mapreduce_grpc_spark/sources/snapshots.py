@@ -374,6 +374,7 @@ def _bloom_build(values) -> dict | None:
         pass
 
     keys = set()
+    tags = set()
     for v in values:
         b = _bloom_key_bytes(v)
         if b is None:
@@ -381,6 +382,7 @@ def _bloom_build(values) -> dict | None:
                 return None  # untrackable type in this column
             continue
         keys.add(b)
+        tags.add(b[:1].decode())
     n = len(keys)
     if n == 0:
         return None
@@ -397,16 +399,25 @@ def _bloom_build(values) -> dict | None:
     return {
         "m": m,
         "k": k,
+        # the stored values' type tag ("i"/"s"): a probe value of a
+        # DIFFERENT type must not trust the filter — Spark's row filter
+        # applies implicit casts (int 5 matches string '5'), so a
+        # typed-hash miss would be a false negative, not a proof
+        "t": "".join(sorted(tags)),
         "bits": base64.b64encode(bytes(bits)).decode("ascii"),
     }
 
 
 def _bloom_contains(bloom: dict, v) -> bool:
-    """Membership probe; unknown-typed values conservatively hit."""
+    """Membership probe; unknown-typed values — and values whose type
+    differs from what the filter indexed (cross-type predicates go
+    through Spark's implicit casts) — conservatively hit."""
     import base64
 
     kb = _bloom_key_bytes(v)
     if kb is None:
+        return True
+    if kb[:1].decode() not in bloom.get("t", "is"):
         return True
     bits = bloom.get("_raw")
     if bits is None:
@@ -454,22 +465,52 @@ def _build_bloom_sidecar(
 ) -> None:
     """Build per-(file, key-column) blooms for freshly written data
     files and attach one ``bloom-*.json`` sidecar reference to each
-    entry.  Reads ONLY the stats columns of the new files (pyarrow,
-    column-pruned — the same O(new data) cost class as writing them);
-    never touches carried files."""
+    entry.  Reads ONLY bloom-trackable stats columns of the new files
+    (pyarrow, column-pruned), gated by metadata first: untrackable
+    column types and files beyond the useful-cardinality cap are
+    skipped without touching a data page, and carried files are never
+    read.  This is driver-side work proportional to the rewritten
+    slice's key columns — the same cost class Delta pays computing its
+    file stats; a deployment writing multi-GB files should move the
+    build into the writer tasks (the sidecar format doesn't care who
+    computes it)."""
     import pyarrow.parquet as pq
 
     f = _fs(fs)
     sidecar: dict[str, dict] = {}
     for e in entries:
         cols: dict[str, dict] = {}
+        full = os.path.join(path, e["name"])
         try:
-            t = pq.read_table(
-                os.path.join(path, e["name"]), columns=list(stats_cols)
-            )
+            pf = pq.ParquetFile(full)
         except Exception:
-            continue  # e.g. column absent from this file: no blooms
-        for c in stats_cols:
+            continue
+        # metadata-only gates BEFORE any data read: a file too big for
+        # a useful capped filter, or a column whose arrow type is not
+        # bloom-trackable, never pulls its pages into the driver
+        if pf.metadata.num_rows > 4 * _BLOOM_MAX_DISTINCT:
+            continue
+        arrow_schema = pf.schema_arrow
+        import pyarrow.types as pt
+
+        trackable = [
+            c
+            for c in stats_cols
+            if c in arrow_schema.names
+            and (
+                pt.is_integer(arrow_schema.field(c).type)
+                or pt.is_string(arrow_schema.field(c).type)
+                or pt.is_large_string(arrow_schema.field(c).type)
+                or pt.is_dictionary(arrow_schema.field(c).type)
+            )
+        ]
+        if not trackable:
+            continue
+        try:
+            t = pf.read(columns=trackable)
+        except Exception:
+            continue
+        for c in trackable:
             bloom = _bloom_build(t.column(c))
             if bloom is not None:
                 cols[c] = bloom

@@ -78,6 +78,9 @@ class ChangeCommitError(RuntimeError):
 class _FilePartition(InputPartition):
     def __init__(self, file_path: str, schema_json: str):
         self.file_path = file_path
+        # the DECLARED source schema (CURRENT at query planning) — each
+        # file is aligned to it at read: columns an old pre-evolution
+        # file lacks are null-backfilled, exactly like snap_read
         self.schema_json = schema_json
 
 
@@ -87,10 +90,17 @@ def _dv_sig(e: dict) -> tuple:
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, starting: int, skip_changes: bool):
+    def __init__(
+        self,
+        path: str,
+        starting: int,
+        skip_changes: bool,
+        schema_json: str,
+    ):
         self._path = path
         self._starting = starting
         self._skip_changes = skip_changes
+        self._schema_json = schema_json
 
     # -- manifest access (driver-side, plain JSON — no Spark jobs) ----
 
@@ -142,10 +152,10 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     "only. Set skipChangeCommits=true or consume the "
                     "change feed (sources/feed.py)."
                 )
-            schema = cur.get("schema") or ""
             parts += [
                 _FilePartition(
-                    os.path.join(self._path, e["name"]), schema
+                    os.path.join(self._path, e["name"]),
+                    self._schema_json,
                 )
                 for e in added
             ]
@@ -159,9 +169,12 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
         table = pq.read_table(partition.file_path)
         if partition.schema_json:
-            # cast to the DECLARED schema's exact Arrow types: Spark
-            # writes INT96 timestamps by default, which pyarrow reads
-            # as timestamp[ns] — the data source API only accepts [us]
+            # align to the DECLARED schema: null-backfill columns this
+            # (pre-evolution) file lacks, drop extras, and cast to the
+            # exact Arrow types — Spark writes INT96 timestamps by
+            # default, which pyarrow reads as timestamp[ns] while the
+            # data source API only accepts [us]
+            import pyarrow as pa
             from pyspark.sql.pandas.types import to_arrow_schema
             from pyspark.sql.types import StructType
 
@@ -169,7 +182,16 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 json.loads(partition.schema_json)
             )
             target = to_arrow_schema(spark_schema)
-            table = table.select(target.names).cast(target)
+            have = set(table.schema.names)
+            arrays = []
+            for field in target:
+                if field.name in have:
+                    arrays.append(
+                        table.column(field.name).cast(field.type)
+                    )
+                else:
+                    arrays.append(pa.nulls(table.num_rows, field.type))
+            table = pa.table(arrays, schema=target)
         return iter(table.to_batches())
 
     def commit(self, end: dict) -> None:
@@ -212,4 +234,6 @@ class SnapshotTableStreamSource(DataSource):
         skip = str(
             self.options.get("skipchangecommits", "false")
         ).lower() in ("true", "1")
-        return _SnapshotStreamReader(self._path(), starting, skip)
+        return _SnapshotStreamReader(
+            self._path(), starting, skip, schema.json()
+        )

@@ -254,6 +254,7 @@ def test_compression_stats_orders_planted_docs(spark, tmp_path, sf_dir):
         UNION ALL SELECT 2, '{prose}', 'en', 's', {len(prose)}
         UNION ALL SELECT 3, '{rnd}', 'en', 's', 600
         UNION ALL SELECT 4, '', 'en', 's', 0
+        UNION ALL SELECT 5, 'Hello world', 'en', 's', 11
         """,
     )
     rows = {r.doc_id: r for r in compression_stats(spark, fake_sf).collect()}
@@ -267,8 +268,11 @@ def test_compression_stats_orders_planted_docs(spark, tmp_path, sf_dir):
     assert rows[2].keep              # normal prose
     assert rows[4].n_bytes == 0 and rows[4].compress_ratio == 0.0
     assert rows[4].keep
+    # short legitimate snippets are exempt from the MAX gate (zlib's
+    # fixed header makes their ratio meaningless)
+    assert rows[5].compress_ratio > 1.0 and rows[5].keep
     for r in rows.values():
-        assert 0.0 <= r.compress_ratio <= 1.5
+        assert 0.0 <= r.compress_ratio <= 2.5
         assert r.n_bytes >= 0 and r.z_bytes >= 0
 
 

@@ -2187,3 +2187,68 @@ def test_feed_consumer_expired_span_raises(spark, tmp_path):
     expire_snapshots(path, keep_last=1, orphan_grace_seconds=0)
     with __import__("pytest").raises(_FeedExpired):
         consume_changes(spark, path, ["k"], cursor)
+
+
+def test_bloom_cross_type_probe_is_conservative(spark, tmp_path):
+    """An int predicate against a STRING key column must not be bloom-
+    pruned: Spark's row filter implicit-casts (5 matches '5'), so the
+    typed bloom treats a cross-type probe as 'may contain'."""
+    from mapreduce_grpc_spark.sources import snapshots as S
+
+    path = str(tmp_path / "snap")
+    df = spark.range(50).select(
+        F.col("id").cast("string").alias("k"), F.col("id").alias("v")
+    ).repartition(2)
+    snap_init(spark, df, path, stats_cols=["k"])
+    m = read_manifest(path)
+    bl = S._bloom_loader(path, None)
+    blooms = [bl(e).get("k") for e in m["files"]]
+    assert all(b is not None for b in blooms)
+    # direct probe: int value against the string-typed filter -> True
+    assert all(S._bloom_contains(b, 5) for b in blooms)
+    # end-to-end: the int predicate still finds the row
+    rows = S.snap_scan(spark, path, [("k", "=", 5)]).collect()
+    assert len(rows) == 1 and rows[0]["v"] == 5
+
+
+def test_feed_ack_markers_are_monotone_under_out_of_order_acks(
+    spark, tmp_path
+):
+    """Marker-file cursor: acks landing in any order leave position at
+    the max; re-acking is idempotent; old markers get pruned."""
+    from mapreduce_grpc_spark.sources.feed import (
+        consume_changes,
+        feed_position,
+    )
+
+    path = str(tmp_path / "snap")
+    cursor = str(tmp_path / "cur")
+    _mk_table(spark, path, n=20, n_files=2)
+    for i in range(12):
+        merge_upsert_cow(
+            spark,
+            path,
+            spark.createDataFrame([(i, f"u{i}")], "k bigint, v string"),
+            ["k"],
+        )
+    spans = []
+    c2 = str(tmp_path / "scratch")
+    # collect several paced spans WITHOUT acking the shared cursor
+    probe = consume_changes(spark, path, ["k"], cursor, max_commits=1)
+    spans.append(probe)
+    probe["ack"]()
+    later = consume_changes(spark, path, ["k"], cursor)  # big span
+    early = consume_changes(spark, path, ["k"], cursor, max_commits=2)
+    assert later["to"] > early["to"]
+    assert later["ack"]() == later["to"]
+    # out-of-order (superseded) ack cannot regress
+    assert early["ack"]() == later["to"]
+    assert feed_position(cursor) == later["to"]
+    # re-ack idempotent
+    assert later["ack"]() == later["to"]
+    import os as _os
+
+    markers = [
+        n for n in _os.listdir(cursor) if n.startswith("ack-v")
+    ]
+    assert all(int(n[5:]) >= later["to"] - 8 for n in markers)

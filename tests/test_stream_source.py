@@ -266,3 +266,23 @@ def _drain_rows(spark, df, checkpoint):
     )
     q.awaitTermination(120)
     return rows
+
+
+def test_stream_null_backfills_pre_evolution_files(spark, tmp_path):
+    """Files appended BEFORE a schema evolution stream back with the
+    declared (current) schema, missing columns null — same contract as
+    snap_read."""
+    path = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    _mk(spark, path, [(1, "a")])
+    snap_append(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(2, "b", 9)], "k bigint, v string, extra bigint"
+        ),
+        allow_schema_evolution=True,
+    )
+    rows = _drain_rows(spark, _read_stream(spark, path), ck)
+    got = sorted((r.k, r.v, r.extra) for r in rows)
+    assert got == [(1, "a", None), (2, "b", 9)]
