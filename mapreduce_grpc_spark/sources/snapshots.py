@@ -2062,6 +2062,23 @@ def table_changes(
     return out
 
 
+def snap_count(
+    path: str,
+    version: int | None = None,
+    fs: LocalSnapshotFS | None = None,
+) -> int:
+    """``COUNT(*)`` from METADATA alone: the manifest's per-file row
+    counts minus deletion-vector masks — zero files opened, zero Spark
+    jobs (the Delta metadata-only count).  Exact by the layer's
+    invariants: manifests record each immutable file's footer row
+    count at commit, and DV position sets are deduplicated, so
+    ``rows - dv_rows`` is the live count at any version."""
+    m = read_manifest(path, version, fs)
+    rows = sum(e.get("rows", 0) for e in m["files"])
+    dv = sum(e["dv"]["rows"] for e in m["files"] if e.get("dv"))
+    return rows - dv
+
+
 def snapshot_audit(path: str, fs: LocalSnapshotFS | None = None) -> list[dict]:
     """The table's commit history, reconstructed from the MANIFESTS —
     not from any driver-side log, so it survives process restarts and is

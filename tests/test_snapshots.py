@@ -2252,3 +2252,31 @@ def test_feed_ack_markers_are_monotone_under_out_of_order_acks(
         n for n in _os.listdir(cursor) if n.startswith("ack-v")
     ]
     assert all(int(n[5:]) >= later["to"] - 8 for n in markers)
+
+
+def test_snap_count_metadata_only_matches_scan(spark, tmp_path):
+    """snap_count == snap_read().count() across init, merge, MoR
+    delete, and time travel — without opening a single data file."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        delete_keys_mor,
+        snap_count,
+    )
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=300, n_files=3)
+    assert snap_count(path) == 300 == snap_read(spark, path).count()
+    merge_upsert_cow(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(5, "U"), (900, "NEW")], "k bigint, v string"
+        ),
+        ["k"],
+    )
+    assert snap_count(path) == 301 == snap_read(spark, path).count()
+    delete_keys_mor(
+        spark, path, spark.createDataFrame([(7,), (8,)], "k bigint"), ["k"]
+    )
+    assert snap_count(path) == 299 == snap_read(spark, path).count()
+    # time travel counts the historical version
+    assert snap_count(path, version=1) == 300
