@@ -96,11 +96,22 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         starting: int,
         skip_changes: bool,
         schema_json: str,
+        max_versions: int | None = None,
     ):
         self._path = path
         self._starting = starting
         self._skip_changes = skip_changes
         self._schema_json = schema_json
+        self._max_versions = max_versions
+        # progress within THIS run, advanced by planning: lets
+        # latestOffset pace STEADY-STATE batches to max_versions each
+        # (maxVersionsPerTrigger).  Best-effort like Delta's
+        # maxFilesPerTrigger — the first batch of a (re)started query
+        # is unpaced, because the engine asks for latestOffset before
+        # the reader can learn the checkpointed position (pacing from
+        # a guess below it would plan a backwards span); every batch
+        # after the first partitions() call is bounded.
+        self._planned: int | None = None
 
     # -- manifest access (driver-side, plain JSON — no Spark jobs) ----
 
@@ -130,10 +141,14 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         return {"version": self._starting}
 
     def latestOffset(self) -> dict:
-        return {"version": max(self._current(), self._starting)}
+        cur = max(self._current(), self._starting)
+        if self._max_versions is not None and self._planned is not None:
+            cur = min(cur, self._planned + self._max_versions)
+        return {"version": cur}
 
     def partitions(self, start: dict, end: dict):
         v0, v1 = int(start["version"]), int(end["version"])
+        self._planned = max(self._planned or 0, v1)
         parts: list[_FilePartition] = []
         prev = self._manifest(v0) if v0 > 0 else {"files": []}
         for v in range(v0 + 1, v1 + 1):
@@ -234,6 +249,11 @@ class SnapshotTableStreamSource(DataSource):
         skip = str(
             self.options.get("skipchangecommits", "false")
         ).lower() in ("true", "1")
+        mv = self.options.get("maxversionspertrigger")
         return _SnapshotStreamReader(
-            self._path(), starting, skip, schema.json()
+            self._path(),
+            starting,
+            skip,
+            schema.json(),
+            max_versions=int(mv) if mv else None,
         )

@@ -286,3 +286,58 @@ def test_stream_null_backfills_pre_evolution_files(spark, tmp_path):
     rows = _drain_rows(spark, _read_stream(spark, path), ck)
     got = sorted((r.k, r.v, r.extra) for r in rows)
     assert got == [(1, "a", None), (2, "b", 9)]
+
+
+def test_stream_max_versions_per_trigger_paces_steady_state(
+    spark, tmp_path
+):
+    """maxVersionsPerTrigger=1: after the (unpaced) first batch, a
+    multi-version backlog appended WHILE the query runs drains one
+    version per micro-batch — the Delta maxFilesPerTrigger best-effort
+    contract — and the union is exact."""
+    import time as _time
+
+    path = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    _mk(spark, path, [(1, "a")])
+    batches: list[list] = []
+
+    def sink(bdf, _bid):
+        batches.append([(r.k, r.v) for r in bdf.collect()])
+
+    q = (
+        _read_stream(spark, path, maxVersionsPerTrigger="1")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline and not batches:
+            _time.sleep(0.2)
+        assert batches, "first batch never arrived"
+        # backlog lands while the query is running
+        for i in range(2, 6):
+            snap_append(
+                spark,
+                path,
+                spark.createDataFrame(
+                    [(i, f"v{i}")], "k bigint, v string"
+                ),
+            )
+        expect = [(1, "a")] + [(i, f"v{i}") for i in range(2, 6)]
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if sum(len(b) for b in batches) >= len(expect):
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert sorted(t for b in batches for t in b) == expect
+    # steady state: every batch after the first holds at most ONE
+    # version's rows (1 row per append here)
+    later = [b for b in batches[1:] if b]
+    assert len(later) >= 4, f"backlog must drain in paced batches: {batches}"
+    assert all(len(b) <= 1 for b in later), batches
