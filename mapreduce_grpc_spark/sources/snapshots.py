@@ -2062,6 +2062,21 @@ def table_changes(
     return out
 
 
+def snap_register(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    version: int | None = None,
+    fs: LocalSnapshotFS | None = None,
+) -> None:
+    """Expose a snapshot version to the SQL surface as a temp view:
+    ``spark.sql("SELECT ... FROM name")`` then runs over that version's
+    exact file list (reader isolation included — the view pins the
+    resolved version, later commits don't leak in).  Re-register to
+    pick up a newer version."""
+    snap_read(spark, path, version, fs).createOrReplaceTempView(name)
+
+
 def snap_count(
     path: str,
     version: int | None = None,

@@ -2280,3 +2280,38 @@ def test_snap_count_metadata_only_matches_scan(spark, tmp_path):
     assert snap_count(path) == 299 == snap_read(spark, path).count()
     # time travel counts the historical version
     assert snap_count(path, version=1) == 300
+
+
+def test_snap_register_sql_surface(spark, tmp_path):
+    """SQL over registered snapshot views: a join across two tables,
+    with the view pinned to its resolved version (reader isolation)."""
+    from mapreduce_grpc_spark.sources.snapshots import snap_register
+
+    t1 = str(tmp_path / "t1")
+    t2 = str(tmp_path / "t2")
+    _mk_table(spark, t1, n=50, n_files=2)
+    snap_init(
+        spark,
+        spark.createDataFrame(
+            [(i, i % 3) for i in range(50)], "k bigint, grp int"
+        ),
+        t2,
+        stats_cols=["k"],
+    )
+    snap_register(spark, t1, "snap_a")
+    snap_register(spark, t2, "snap_b")
+    got = spark.sql(
+        "SELECT b.grp, count(*) AS n FROM snap_a a "
+        "JOIN snap_b b USING (k) GROUP BY b.grp ORDER BY b.grp"
+    ).collect()
+    assert [(r.grp, r.n) for r in got] == [(0, 17), (1, 17), (2, 16)]
+    # a commit AFTER registration does not leak into the pinned view
+    merge_upsert_cow(
+        spark,
+        t1,
+        spark.createDataFrame([(999, "X")], "k bigint, v string"),
+        ["k"],
+    )
+    assert spark.sql("SELECT count(*) AS c FROM snap_a").collect()[0].c == 50
+    snap_register(spark, t1, "snap_a")  # re-register picks it up
+    assert spark.sql("SELECT count(*) AS c FROM snap_a").collect()[0].c == 51
