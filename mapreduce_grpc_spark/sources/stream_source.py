@@ -1,11 +1,13 @@
 """``snapshot_table`` — a Structured Streaming SOURCE over snapshot
 tables (Spark 4 Python Data Source API).
 
-The missing half of the table layer's streaming story: ``streaming/
-cdc.py`` streams INTO a table; this streams OUT of one —
-``spark.readStream.format("snapshot_table").option("path", ...)`` —
-with the real Structured Streaming contract (offset log, replayable
-batches, exactly-once with checkpointing), not a hand-rolled poller.
+Both directions of the table layer's streaming story as ONE format:
+``spark.readStream.format("snapshot_table")`` streams OUT of a table
+(offsets = versions) and ``df.writeStream.format("snapshot_table")``
+streams INTO one (one append commit per micro-batch, txn-marked
+exactly-once) — the real Structured Streaming contract (offset log,
+replayable batches, checkpointing), not a hand-rolled poller, so a
+table-to-table pipeline is a single streaming query end to end.
 
 Design (the Delta streaming-source shape):
 
@@ -64,7 +66,9 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -215,6 +219,135 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         pass
 
 
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, name: str | None):
+        self.name = name
+
+
+class _SnapshotStreamWriter(DataSourceStreamWriter):
+    """Native streaming SINK: each micro-batch lands as ONE append
+    commit on the snapshot table.
+
+    - ``write`` (executors): each task's rows become one immutable
+      ``data-*.parquet`` written DIRECTLY into the table dir via
+      pyarrow (invisible until a manifest references it — the same
+      publish-then-commit shape the batch writers use); the file name
+      is the commit message.
+    - ``commit`` (driver): footer stats + blooms for the new files,
+      then one manifest commit carrying a ``(txnAppId, batchId)``
+      marker — a replayed micro-batch (failure before the streaming
+      checkpoint recorded the batch) finds its marker and SKIPS, so
+      the sink is exactly-once end-to-end, the same rule
+      ``run_streaming_cdc`` applies through foreachBatch.
+    - ``abort`` (driver): deletes the published-but-uncommitted files
+      (they were never visible; GC would also collect them).
+    """
+
+    def __init__(self, path: str, schema: StructType, txn_app: str):
+        self._path = path
+        self._schema_json = schema.json()
+        self._txn_app = txn_app
+
+    def write(self, iterator) -> _FileCommit:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType as _St
+
+        schema = _St.fromJson(json.loads(self._schema_json))
+        target = to_arrow_schema(schema)
+        rows = [r.asDict(recursive=True) for r in iterator]
+        if not rows:
+            return _FileCommit(None)
+        table = pa.Table.from_pylist(rows, schema=target)
+        name = f"data-sink-{_uuid.uuid4().hex[:16]}.parquet"
+        pq.write_table(table, os.path.join(self._path, name))
+        return _FileCommit(name)
+
+    def commit(self, messages, batchId: int) -> None:
+        from .snapshots import (
+            CommitConflict,
+            COMMIT_RETRIES,
+            _build_bloom_sidecar,
+            _commit,
+            _file_stats,
+            _fs,
+            _txn_already_applied,
+            read_manifest,
+        )
+
+        names = [m.name for m in messages if m is not None and m.name]
+        f = _fs(None)
+        for _attempt in range(COMMIT_RETRIES):
+            m = read_manifest(self._path)
+            if _txn_already_applied(m, self._txn_app, batchId):
+                for n in names:  # replayed batch: drop the duplicates
+                    if f.exists(os.path.join(self._path, n)):
+                        f.remove(os.path.join(self._path, n))
+                return
+            if m.get("schema"):
+                tbl = {
+                    (fld["name"], json.dumps(fld["type"], sort_keys=True))
+                    for fld in json.loads(m["schema"])["fields"]
+                }
+                got = {
+                    (fld["name"], json.dumps(fld["type"], sort_keys=True))
+                    for fld in json.loads(self._schema_json)["fields"]
+                }
+                if got != tbl:
+                    raise ValueError(
+                        "snapshot_table sink: stream schema differs from "
+                        f"the table's — stream {sorted(n for n, _ in got)} "
+                        f"vs table {sorted(n for n, _ in tbl)} (or a type "
+                        "mismatch); align the stream projection first"
+                    )
+            entries = []
+            for n in names:
+                e = {"name": n}
+                e.update(
+                    _file_stats(
+                        os.path.join(self._path, n), m["stats_cols"]
+                    )
+                )
+                entries.append(e)
+            _build_bloom_sidecar(self._path, entries, m["stats_cols"], None)
+            txns = dict(m.get("txns", {}))
+            txns[self._txn_app] = int(batchId)
+            try:
+                _commit(
+                    self._path,
+                    m["files"] + entries,
+                    m["stats_cols"],
+                    base_version=m["version"],
+                    schema_json=m.get("schema"),
+                    txns=txns,
+                    commit_info={
+                        "op": "stream_sink",
+                        "added": len(entries),
+                        "txn": {"app": self._txn_app, "batch": int(batchId)},
+                    },
+                )
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"stream sink lost the commit race {COMMIT_RETRIES} times "
+            f"at {self._path!r}"
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        from .snapshots import _fs
+
+        f = _fs(None)
+        for m in messages:
+            if m is not None and m.name:
+                p = os.path.join(self._path, m.name)
+                if f.exists(p):
+                    f.remove(p)
+
+
 class SnapshotTableStreamSource(DataSource):
     """``spark.readStream.format("snapshot_table")`` — register with
     ``spark.dataSource.register(SnapshotTableStreamSource)``."""
@@ -257,3 +390,14 @@ class SnapshotTableStreamSource(DataSource):
             schema.json(),
             max_versions=int(mv) if mv else None,
         )
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "snapshot_table sink is append-only (one append commit "
+                "per micro-batch); complete/update output modes are not "
+                "supported — aggregate downstream or use foreachBatch "
+                "with merge_upsert_cow"
+            )
+        txn_app = self.options.get("txnappid", "snapshot_sink")
+        return _SnapshotStreamWriter(self._path(), schema, txn_app)

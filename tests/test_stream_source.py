@@ -341,3 +341,121 @@ def test_stream_max_versions_per_trigger_paces_steady_state(
     later = [b for b in batches[1:] if b]
     assert len(later) >= 4, f"backlog must drain in paced batches: {batches}"
     assert all(len(b) <= 1 for b in later), batches
+
+
+def test_native_sink_table_to_table_pipeline(spark, tmp_path):
+    """The full native loop: snapshot table --readStream--> transform
+    --writeStream format=snapshot_table--> snapshot table, one append
+    commit per micro-batch with txn markers; re-running the drained
+    query appends nothing."""
+    from mapreduce_grpc_spark.sources.snapshots import snapshot_audit
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    _mk(spark, src, [(i, f"g{i % 2}") for i in range(20)])
+    snap_init(
+        spark,
+        spark.createDataFrame([], "k bigint, v string"),
+        dst,
+        stats_cols=["k"],
+    )
+
+    def run():
+        q = (
+            _read_stream(spark, src)
+            .filter(F.col("k") >= 10)
+            .writeStream.format("snapshot_table")
+            .option("path", dst)
+            .option("txnAppId", "pipe1")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = sorted((r.k, r.v) for r in snap_read(spark, dst).collect())
+    assert got == [(i, f"g{i % 2}") for i in range(10, 20)]
+    audit = snapshot_audit(dst)
+    assert audit[-1]["commit_info"]["op"] == "stream_sink"
+    assert audit[-1]["txns"].get("pipe1") is not None
+
+    v = len(audit)
+    run()  # drained: no new source versions -> no new dst commits
+    assert len(snapshot_audit(dst)) == v
+    # new source data flows through end-to-end
+    snap_append(
+        spark,
+        src,
+        spark.createDataFrame([(99, "gX")], "k bigint, v string"),
+    )
+    run()
+    assert (99, "gX") in {
+        (r.k, r.v) for r in snap_read(spark, dst).collect()
+    }
+
+
+def test_native_sink_replayed_batch_is_skipped(spark, tmp_path):
+    """A micro-batch replay (same txn batchId) must not double-append:
+    the marker skips the commit and the duplicate files are removed."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        read_manifest as _rm,
+        snap_count,
+    )
+    from mapreduce_grpc_spark.sources.stream_source import (
+        _FileCommit,
+        _SnapshotStreamWriter,
+    )
+
+    dst = str(tmp_path / "dst")
+    base = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    snap_init(spark, base, dst, stats_cols=["k"])
+    w = _SnapshotStreamWriter(dst, base.schema, "app1")
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    def fake_file(rows):
+        import uuid
+
+        name = f"data-sink-{uuid.uuid4().hex[:16]}.parquet"
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=to_arrow_schema(base.schema)),
+            os.path.join(dst, name),
+        )
+        return name
+
+    n1 = fake_file([{"k": 2, "v": "b"}])
+    w.commit([_FileCommit(n1)], batchId=7)
+    assert snap_count(dst) == 2
+    v = _rm(dst)["version"]
+    # replay of batch 7 with freshly-written duplicate files
+    n2 = fake_file([{"k": 2, "v": "b"}])
+    w.commit([_FileCommit(n2)], batchId=7)
+    assert snap_count(dst) == 2 and _rm(dst)["version"] == v
+    assert not os.path.exists(os.path.join(dst, n2))
+
+
+def test_native_sink_rejects_schema_drift_and_complete_mode(spark, tmp_path):
+    from mapreduce_grpc_spark.sources.stream_source import (
+        _FileCommit,
+        _SnapshotStreamWriter,
+    )
+
+    dst = str(tmp_path / "dst")
+    snap_init(
+        spark,
+        spark.createDataFrame([(1, "a")], "k bigint, v string"),
+        dst,
+        stats_cols=["k"],
+    )
+    drifted = spark.createDataFrame([(1, 2)], "k bigint, v bigint")
+    w = _SnapshotStreamWriter(dst, drifted.schema, "app1")
+    with pytest.raises(ValueError, match="schema differs"):
+        w.commit([], batchId=0)
+
+    ds = SnapshotTableStreamSource(options={"path": dst})
+    with pytest.raises(ValueError, match="append-only"):
+        ds.streamWriter(drifted.schema, overwrite=True)
