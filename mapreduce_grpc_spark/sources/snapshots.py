@@ -1247,20 +1247,20 @@ def _overlaps(
 
 def _check_batch_schema(
     target: StructType,
-    batch: DataFrame,
+    batch_schema: StructType,
     ignore: set[str],
     allow_schema_evolution: bool,
     op_name: str,
 ) -> StructType:
-    """Validate a mutation batch against the table schema by (name,
-    type) and return the post-commit schema.  Existing columns must
-    match exactly (same-name/different-type is rejected — silent casts
-    would write a divergent physical schema into the table); missing
-    columns are rejected (a dropped column is a typo until proven
-    otherwise); NEW columns are accepted only under
+    """Validate a mutation batch's schema against the table schema by
+    (name, type) and return the post-commit schema.  Existing columns
+    must match exactly (same-name/different-type is rejected — silent
+    casts would write a divergent physical schema into the table);
+    missing columns are rejected (a dropped column is a typo until
+    proven otherwise); NEW columns are accepted only under
     ``allow_schema_evolution`` and are appended to the schema."""
     tgt = {f.name: f.dataType for f in target.fields}
-    batch_fields = [f for f in batch.schema.fields if f.name not in ignore]
+    batch_fields = [f for f in batch_schema.fields if f.name not in ignore]
     bat = {f.name: f.dataType for f in batch_fields}
     missing = sorted(set(tgt) - set(bat))
     if missing:
@@ -1392,7 +1392,7 @@ def merge_upsert_cow(
             spark, path, m["version"], fs
         ).schema
         out_schema = _check_batch_schema(
-            target_schema, updates, set(), allow_schema_evolution,
+            target_schema, updates.schema, set(), allow_schema_evolution,
             "merge_upsert_cow",
         )
         out_cols = [f.name for f in out_schema.fields]
@@ -1551,7 +1551,7 @@ def apply_cdc_cow(
             spark, path, m["version"], fs
         ).schema
         out_schema = _check_batch_schema(
-            target_schema, batch, {op_col}, allow_schema_evolution,
+            target_schema, batch.schema, {op_col}, allow_schema_evolution,
             "apply_cdc_cow",
         )
         out_cols = [f.name for f in out_schema.fields]
@@ -1735,7 +1735,7 @@ def snap_append(
             spark, path, m["version"], fs
         ).schema
         out_schema = _check_batch_schema(
-            target_schema, batch, set(), allow_schema_evolution,
+            target_schema, batch.schema, set(), allow_schema_evolution,
             "snap_append",
         )
         out_cols = [f.name for f in out_schema.fields]

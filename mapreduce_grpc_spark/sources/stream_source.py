@@ -107,14 +107,14 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         self._skip_changes = skip_changes
         self._schema_json = schema_json
         self._max_versions = max_versions
-        # progress within THIS run, advanced by planning: lets
-        # latestOffset pace STEADY-STATE batches to max_versions each
+        # progress within THIS run, seeded by initialOffset (fresh
+        # query) or the first partitions() call (restart replay):
+        # lets latestOffset pace batches to max_versions each
         # (maxVersionsPerTrigger).  Best-effort like Delta's
-        # maxFilesPerTrigger — the first batch of a (re)started query
-        # is unpaced, because the engine asks for latestOffset before
-        # the reader can learn the checkpointed position (pacing from
-        # a guess below it would plan a backwards span); every batch
-        # after the first partitions() call is bounded.
+        # maxFilesPerTrigger — only the first post-RESTART batch is
+        # unpaced, because the engine asks for latestOffset before the
+        # reader can learn the checkpointed position (pacing from a
+        # guess below it would plan a backwards span).
         self._planned: int | None = None
 
     # -- manifest access (driver-side, plain JSON — no Spark jobs) ----
@@ -142,6 +142,11 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     # -- streaming contract -------------------------------------------
 
     def initialOffset(self) -> dict:
+        # only called for FRESH queries (no checkpoint), where the
+        # start position is exactly startingVersion — seeding the pace
+        # base here bounds even the first catch-up batch; restarts
+        # learn their position from the replayed span's partitions()
+        self._planned = self._starting
         return {"version": self._starting}
 
     def latestOffset(self) -> dict:
@@ -248,7 +253,12 @@ class _SnapshotStreamWriter(DataSourceStreamWriter):
         self._schema_json = schema.json()
         self._txn_app = txn_app
 
+    # rows per Arrow chunk flushed into the task's parquet file: bounds
+    # executor memory at O(chunk), not O(partition)
+    WRITE_CHUNK_ROWS = 65_536
+
     def write(self, iterator) -> _FileCommit:
+        import itertools
         import uuid as _uuid
 
         import pyarrow as pa
@@ -258,12 +268,28 @@ class _SnapshotStreamWriter(DataSourceStreamWriter):
 
         schema = _St.fromJson(json.loads(self._schema_json))
         target = to_arrow_schema(schema)
-        rows = [r.asDict(recursive=True) for r in iterator]
-        if not rows:
-            return _FileCommit(None)
-        table = pa.Table.from_pylist(rows, schema=target)
         name = f"data-sink-{_uuid.uuid4().hex[:16]}.parquet"
-        pq.write_table(table, os.path.join(self._path, name))
+        full = os.path.join(self._path, name)
+        writer = None
+        try:
+            while True:
+                chunk = list(
+                    itertools.islice(iterator, self.WRITE_CHUNK_ROWS)
+                )
+                if not chunk:
+                    break
+                table = pa.Table.from_pylist(
+                    [r.asDict(recursive=True) for r in chunk],
+                    schema=target,
+                )
+                if writer is None:
+                    writer = pq.ParquetWriter(full, target)
+                writer.write_table(table)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return _FileCommit(None)
         return _FileCommit(name)
 
     def commit(self, messages, batchId: int) -> None:
@@ -271,48 +297,59 @@ class _SnapshotStreamWriter(DataSourceStreamWriter):
             CommitConflict,
             COMMIT_RETRIES,
             _build_bloom_sidecar,
+            _check_batch_schema,
             _commit,
             _file_stats,
             _fs,
+            _manifest_schema,
             _txn_already_applied,
             read_manifest,
         )
+        from pyspark.sql.types import StructType as _St
 
         names = [m.name for m in messages if m is not None and m.name]
         f = _fs(None)
+        if not names:
+            # every row of the micro-batch was filtered out: committing
+            # would only bump the version chain (snap_append's
+            # empty-batch rule); skipping is replay-safe — an empty
+            # batch replayed appends nothing either way
+            return
+        m0 = read_manifest(self._path)
+        if _txn_already_applied(m0, self._txn_app, batchId):
+            for n in names:  # replayed batch: drop the duplicates
+                if f.exists(os.path.join(self._path, n)):
+                    f.remove(os.path.join(self._path, n))
+            return
+        target_schema = _manifest_schema(m0)
+        if target_schema is not None:
+            # same validator as the batch writers: (name, type) match,
+            # loud rejection — the sink offers no evolution path
+            _check_batch_schema(
+                target_schema,
+                _St.fromJson(json.loads(self._schema_json)),
+                set(),
+                False,
+                "snapshot_table sink",
+            )
+        # stats + blooms are a pure function of the immutable files:
+        # compute ONCE, not per commit-race retry
+        entries = []
+        for n in names:
+            e = {"name": n}
+            e.update(
+                _file_stats(os.path.join(self._path, n), m0["stats_cols"])
+            )
+            entries.append(e)
+        _build_bloom_sidecar(self._path, entries, m0["stats_cols"], None)
+
+        m = m0
         for _attempt in range(COMMIT_RETRIES):
-            m = read_manifest(self._path)
             if _txn_already_applied(m, self._txn_app, batchId):
-                for n in names:  # replayed batch: drop the duplicates
+                for n in names:
                     if f.exists(os.path.join(self._path, n)):
                         f.remove(os.path.join(self._path, n))
                 return
-            if m.get("schema"):
-                tbl = {
-                    (fld["name"], json.dumps(fld["type"], sort_keys=True))
-                    for fld in json.loads(m["schema"])["fields"]
-                }
-                got = {
-                    (fld["name"], json.dumps(fld["type"], sort_keys=True))
-                    for fld in json.loads(self._schema_json)["fields"]
-                }
-                if got != tbl:
-                    raise ValueError(
-                        "snapshot_table sink: stream schema differs from "
-                        f"the table's — stream {sorted(n for n, _ in got)} "
-                        f"vs table {sorted(n for n, _ in tbl)} (or a type "
-                        "mismatch); align the stream projection first"
-                    )
-            entries = []
-            for n in names:
-                e = {"name": n}
-                e.update(
-                    _file_stats(
-                        os.path.join(self._path, n), m["stats_cols"]
-                    )
-                )
-                entries.append(e)
-            _build_bloom_sidecar(self._path, entries, m["stats_cols"], None)
             txns = dict(m.get("txns", {}))
             txns[self._txn_app] = int(batchId)
             try:
@@ -331,6 +368,7 @@ class _SnapshotStreamWriter(DataSourceStreamWriter):
                 )
                 return
             except CommitConflict:
+                m = read_manifest(self._path)
                 continue
         raise CommitConflict(
             f"stream sink lost the commit race {COMMIT_RETRIES} times "
@@ -383,12 +421,20 @@ class SnapshotTableStreamSource(DataSource):
             self.options.get("skipchangecommits", "false")
         ).lower() in ("true", "1")
         mv = self.options.get("maxversionspertrigger")
+        max_versions = None
+        if mv:
+            max_versions = int(mv)
+            if max_versions <= 0:
+                raise ValueError(
+                    f"maxVersionsPerTrigger must be positive, got {mv!r} "
+                    "(0 would freeze the offset and stall the stream)"
+                )
         return _SnapshotStreamReader(
             self._path(),
             starting,
             skip,
             schema.json(),
-            max_versions=int(mv) if mv else None,
+            max_versions=max_versions,
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):
@@ -399,5 +445,18 @@ class SnapshotTableStreamSource(DataSource):
                 "supported — aggregate downstream or use foreachBatch "
                 "with merge_upsert_cow"
             )
-        txn_app = self.options.get("txnappid", "snapshot_sink")
+        txn_app = self.options.get("txnappid")
+        if not txn_app:
+            # a DEFAULT id would be shared by every query writing this
+            # table: query B's batchId 0 would look like a replay of
+            # query A's batch 0..N and be silently dropped (files
+            # deleted).  The id must be stable across restarts of ONE
+            # query and unique across queries — only the caller knows
+            # both, so it is required (the Delta idempotent-write rule).
+            raise ValueError(
+                "snapshot_table sink requires .option('txnAppId', ...): "
+                "a stable unique id for THIS streaming query (keep it "
+                "when restarting from the same checkpoint; change it "
+                "together with the checkpoint when reprocessing)"
+            )
         return _SnapshotStreamWriter(self._path(), schema, txn_app)

@@ -451,10 +451,33 @@ def test_native_sink_rejects_schema_drift_and_complete_mode(spark, tmp_path):
         dst,
         stats_cols=["k"],
     )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import uuid as _uuid
+    from pyspark.sql.pandas.types import to_arrow_schema
+
     drifted = spark.createDataFrame([(1, 2)], "k bigint, v bigint")
     w = _SnapshotStreamWriter(dst, drifted.schema, "app1")
-    with pytest.raises(ValueError, match="schema differs"):
-        w.commit([], batchId=0)
+    name = f"data-sink-{_uuid.uuid4().hex[:16]}.parquet"
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"k": 1, "v": 2}], schema=to_arrow_schema(drifted.schema)
+        ),
+        os.path.join(dst, name),
+    )
+    with pytest.raises(ValueError, match="types differ"):
+        w.commit([_FileCommit(name)], batchId=0)
+    # an all-filtered micro-batch is a version-chain no-op
+    from mapreduce_grpc_spark.sources.snapshots import current_version
+
+    v = current_version(dst)
+    ok = _SnapshotStreamWriter(
+        dst,
+        spark.createDataFrame([], "k bigint, v string").schema,
+        "app2",
+    )
+    ok.commit([_FileCommit(None)], batchId=0)
+    assert current_version(dst) == v
 
     ds = SnapshotTableStreamSource(options={"path": dst})
     with pytest.raises(ValueError, match="append-only"):
