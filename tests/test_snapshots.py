@@ -2315,3 +2315,96 @@ def test_snap_register_sql_surface(spark, tmp_path):
     assert spark.sql("SELECT count(*) AS c FROM snap_a").collect()[0].c == 50
     snap_register(spark, t1, "snap_a")  # re-register picks it up
     assert spark.sql("SELECT count(*) AS c FROM snap_a").collect()[0].c == 51
+
+
+def test_table_layer_randomized_composition_vs_model(spark, tmp_path):
+    """Model-based fuzz over the WHOLE mutation surface: a random
+    interleaving of append / CoW merge / CDC (MoR and rewrite) /
+    keyed MoR delete / optimize / auto_compact must always equal a
+    plain dict model, keep fsck clean, and keep snap_count exact.
+    Each op alone is invariant-tested elsewhere; this pins their
+    COMPOSITION (DV carry-forward across rewrites, bloom pruning under
+    mixed layouts, txn-map survival through compaction)."""
+    import random
+
+    from mapreduce_grpc_spark.sources.snapshots import (
+        apply_cdc_cow,
+        auto_compact,
+        delete_keys_mor,
+        optimize_snapshot,
+        snap_append,
+        snap_count,
+        verify_snapshot,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    path = str(tmp_path / "snap")
+    model = {k: f"v{k}" for k in range(200)}
+    snap_init(
+        spark,
+        spark.createDataFrame(
+            [(k, v) for k, v in model.items()], "k bigint, v string"
+        ).repartition(3),
+        path,
+        stats_cols=["k"],
+    )
+
+    def df_of(rows, schema="k bigint, v string"):
+        return spark.createDataFrame(rows, schema)
+
+    for step in range(14):
+        op = rng.choice(
+            ["append", "merge", "cdc", "cdc_mor", "del_mor", "optimize",
+             "auto"]
+        )
+        if op == "append":
+            ks = [1000 + step * 10 + j for j in range(rng.randint(1, 4))]
+            snap_append(spark, path, df_of([(k, f"a{k}") for k in ks]))
+            model.update({k: f"a{k}" for k in ks})
+        elif op == "merge":
+            ks = rng.sample(range(1200), rng.randint(1, 6))
+            merge_upsert_cow(
+                spark, path, df_of([(k, f"m{step}-{k}") for k in ks]), ["k"]
+            )
+            model.update({k: f"m{step}-{k}" for k in ks})
+        elif op in ("cdc", "cdc_mor"):
+            ups = rng.sample(range(1200), rng.randint(1, 4))
+            live = [k for k in model if k not in ups]
+            dels = rng.sample(live, min(len(live), rng.randint(0, 3)))
+            batch = [(k, f"c{step}-{k}", "U") for k in ups] + [
+                (k, None, "D") for k in dels
+            ]
+            apply_cdc_cow(
+                spark,
+                path,
+                df_of(batch, "k bigint, v string, _op string"),
+                ["k"],
+                mor_deletes=(op == "cdc_mor"),
+            )
+            model.update({k: f"c{step}-{k}" for k in ups})
+            for k in dels:
+                model.pop(k, None)
+        elif op == "del_mor":
+            if model:
+                dels = rng.sample(sorted(model), min(len(model), 2))
+                delete_keys_mor(
+                    spark, path, df_of([(k,) for k in dels], "k bigint"),
+                    ["k"],
+                )
+                for k in dels:
+                    model.pop(k, None)
+        elif op == "optimize":
+            optimize_snapshot(spark, path, target_bytes=1 << 20)
+        else:
+            auto_compact(spark, path, max_files=6, target_bytes=1 << 20)
+
+        assert snap_count(path) == len(model), f"step {step} ({op})"
+
+    got = dict(_rows(snap_read(spark, path)))
+    assert got == model
+    rep = verify_snapshot(path)
+    assert rep["missing"] == [] and rep["mismatched"] == []
+    # GC then re-check: current state survives, history collapses
+    expire_snapshots(path, keep_last=1, orphan_grace_seconds=0)
+    assert dict(_rows(snap_read(spark, path))) == model
+    assert snap_count(path) == len(model)
