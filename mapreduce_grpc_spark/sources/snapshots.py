@@ -1871,6 +1871,183 @@ def optimize_snapshot(
     ) from last_err
 
 
+def _overlap_groups(entries: list[dict], col: str) -> list[list[int]]:
+    """Indices of files grouped by pairwise key-range overlap on
+    ``col`` (files without stats form their own singleton — can't be
+    clustered, never selected).  Driver-side interval sweep over the
+    manifest: O(files log files)."""
+    ivals = []
+    for i, e in enumerate(entries):
+        env = e.get("stats", {}).get(col)
+        if env and env["min"] is not None and env["max"] is not None:
+            ivals.append((env["min"], env["max"], i))
+    ivals.sort(key=lambda t: (t[0], t[1]))
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_hi = None
+    for lo, hi, i in ivals:
+        if cur and _lt(cur_hi, lo) is True:
+            groups.append(cur)
+            cur = []
+            cur_hi = None
+        cur.append(i)
+        if cur_hi is None or _lt(cur_hi, hi):
+            cur_hi = hi
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def optimize_incremental(
+    spark: SparkSession,
+    path: str,
+    cluster_by: list[str] | tuple[str, ...],
+    target_bytes: int = 128 * 1024 * 1024,
+    max_rewrite_bytes: int = 512 * 1024 * 1024,
+    fs: LocalSnapshotFS | None = None,
+) -> dict:
+    """Budget-bounded INCREMENTAL re-clustering (the Delta liquid-
+    clustering shape): rewrite only the worst-overlapping group of
+    files, clustered on ``cluster_by``, carrying everything else.
+
+    ``optimize_snapshot(zorder=...)`` rewrites the WHOLE table because
+    global clustering is a global property — correct, but at 100 TB a
+    full rewrite per re-cluster is untenable.  This picks, from the
+    manifest's envelopes alone (driver-side interval sweep, no data
+    read), the largest group of mutually range-overlapping files on
+    the primary cluster column, trims it to ``max_rewrite_bytes``, and
+    range-partitions (1 column) or Z-orders (2 columns, equi-depth)
+    just that group — its key region becomes internally disjoint in
+    one commit.  Repeated invocations (e.g. after every K ingest
+    batches) converge the layout region by region; each run's cost is
+    bounded by the budget, never the table.  Returns ``{"version",
+    "rewritten", "carried", "added", "groups_remaining"}``; a table
+    with no overlapping group (already clustered, or nothing within
+    budget) is a version-chain no-op."""
+    from .layout import zorder_frame
+
+    cluster_by = list(cluster_by)
+    if not 1 <= len(cluster_by) <= 2:
+        raise ValueError("cluster_by takes 1 or 2 columns")
+    f = _fs(fs)
+    last_err: Exception | None = None
+    for _attempt in range(COMMIT_RETRIES):
+        m = read_manifest(path, fs=fs)
+        col = cluster_by[0]
+        if col not in m["stats_cols"]:
+            raise ValueError(
+                f"cluster column {col!r} not tracked in manifest "
+                f"stats_cols {m['stats_cols']}"
+            )
+        groups = [
+            g for g in _overlap_groups(m["files"], col) if len(g) >= 2
+        ]
+        if not groups:
+            return {
+                "version": m["version"],
+                "rewritten": 0,
+                "carried": len(m["files"]),
+                "added": 0,
+                "groups_remaining": 0,
+            }
+        sizes = {
+            e["name"]: f.getsize(os.path.join(path, e["name"]))
+            for e in m["files"]
+        }
+        # worst group first: most files (then most bytes) — that's
+        # where range pruning is losing the most
+        groups.sort(
+            key=lambda g: (
+                len(g),
+                sum(sizes[m["files"][i]["name"]] for i in g),
+            ),
+            reverse=True,
+        )
+        chosen = groups[0]
+        # trim to budget, taking the files that overlap the MOST
+        # others first (the wide-span offenders): each run then retires
+        # maximal offenders, so repeated budgeted runs converge instead
+        # of repeatedly re-clustering already-narrow files
+        if len(chosen) <= 2048:
+
+            def _env(i):
+                s = m["files"][i]["stats"][col]
+                return s["min"], s["max"]
+
+            def _degree(i):
+                lo_i, hi_i = _env(i)
+                d = 0
+                for j in chosen:
+                    if j == i:
+                        continue
+                    lo_j, hi_j = _env(j)
+                    if not (
+                        _lt(hi_i, lo_j) is True or _lt(hi_j, lo_i) is True
+                    ):
+                        d += 1
+                return d
+
+            chosen = sorted(chosen, key=_degree, reverse=True)
+        budgeted: list[int] = []
+        total = 0
+        for i in chosen:
+            sz = sizes[m["files"][i]["name"]]
+            if budgeted and total + sz > max_rewrite_bytes:
+                break
+            budgeted.append(i)
+            total += sz
+        if len(budgeted) < 2:
+            return {
+                "version": m["version"],
+                "rewritten": 0,
+                "carried": len(m["files"]),
+                "added": 0,
+                "groups_remaining": len(groups),
+            }
+        to_rewrite = [m["files"][i] for i in budgeted]
+        names = {e["name"] for e in to_rewrite}
+        carried = [e for e in m["files"] if e["name"] not in names]
+        df = _read_entries(spark, path, to_rewrite, _manifest_schema(m))
+        n_files = max(1, -(-total // target_bytes))  # ceil
+        if len(cluster_by) == 2:
+            out = zorder_frame(
+                df, tuple(cluster_by), n_files, equidepth=True
+            )
+        else:
+            out = df.repartitionByRange(
+                n_files, F.col(col)
+            ).sortWithinPartitions(col)
+        new_entries = _write_data_files(spark, out, path, m["stats_cols"], fs)
+        info = {
+            "op": "optimize_incremental",
+            "rewritten": len(to_rewrite),
+            "carried": len(carried),
+            "added": len(new_entries),
+        }
+        try:
+            version = _commit(
+                path, carried + new_entries, m["stats_cols"],
+                base_version=m["version"],
+                schema_json=m.get("schema"),
+                txns=dict(m.get("txns", {})),
+                commit_info=info, fs=fs,
+            )
+        except CommitConflict as e:
+            last_err = e
+            continue
+        return {
+            "version": version,
+            "rewritten": len(to_rewrite),
+            "carried": len(carried),
+            "added": len(new_entries),
+            "groups_remaining": len(groups) - 1,
+        }
+    raise CommitConflict(
+        f"optimize_incremental: lost the commit race {COMMIT_RETRIES} "
+        f"times at {path!r}"
+    ) from last_err
+
+
 def auto_compact(
     spark: SparkSession,
     path: str,
