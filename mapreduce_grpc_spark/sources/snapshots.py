@@ -2054,27 +2054,47 @@ def auto_compact(
     max_files: int = 32,
     target_bytes: int = 128 * 1024 * 1024,
     max_dv_fraction: float = 0.3,
+    cluster_by: list[str] | None = None,
+    max_overlap_group: int = 8,
+    max_rewrite_bytes: int = 512 * 1024 * 1024,
     fs: LocalSnapshotFS | None = None,
 ) -> dict | None:
-    """Compaction POLICY hook: run ``optimize_snapshot`` when the
+    """Maintenance POLICY hook: run ``optimize_snapshot`` when the
     CURRENT version references more than ``max_files`` files OR when
     deletion vectors mask more than ``max_dv_fraction`` of the table's
     physical rows (merge-on-read debt: every masked row is still read
-    and anti-joined on every scan until a rewrite folds it away).
+    and anti-joined on every scan until a rewrite folds it away); and,
+    with ``cluster_by``, run budgeted ``optimize_incremental`` when the
+    worst range-overlap group on the cluster column exceeds
+    ``max_overlap_group`` files (clustering debt: range scans and CoW
+    merges over that key region stop pruning).
 
     The CoW coalesce bounds small-file accretion per commit but not
     cumulatively — N sequential 1-row merges each add a file.  Wiring
     this after every Kth ingest batch (see ``run_streaming_cdc``) keeps
-    the file count bounded by ``max_files + per-commit additions``
-    without paying a rewrite on every batch.  Returns the optimize
-    stats, or ``None`` when the policy did not fire."""
+    the file count AND the layout bounded without paying a rewrite on
+    every batch.  Returns the optimize stats, or ``None`` when no
+    policy fired."""
     m = read_manifest(path, fs=fs)
     rows = sum(e.get("rows", 0) for e in m["files"])
     dv_rows = sum(e["dv"]["rows"] for e in m["files"] if e.get("dv"))
     dv_debt = rows > 0 and dv_rows / rows > max_dv_fraction
-    if len(m["files"]) <= max_files and not dv_debt:
-        return None
-    return optimize_snapshot(spark, path, target_bytes=target_bytes, fs=fs)
+    if len(m["files"]) > max_files or dv_debt:
+        return optimize_snapshot(
+            spark, path, target_bytes=target_bytes, fs=fs
+        )
+    if cluster_by:
+        col = cluster_by[0]
+        worst = max(
+            (len(g) for g in _overlap_groups(m["files"], col)), default=0
+        )
+        if worst > max_overlap_group:
+            return optimize_incremental(
+                spark, path, cluster_by,
+                target_bytes=target_bytes,
+                max_rewrite_bytes=max_rewrite_bytes, fs=fs,
+            )
+    return None
 
 
 def table_changes(

@@ -2472,3 +2472,34 @@ def test_optimize_incremental_converges_within_budget(spark, tmp_path):
     )
     if res["rewritten"] == 0:
         assert read_manifest(path)["version"] == v
+
+
+def test_auto_compact_clustering_policy_fires_on_overlap_debt(
+    spark, tmp_path
+):
+    """cluster_by policy: a round-robin table (worst group = all
+    files) triggers budgeted re-clustering; a clustered one does not."""
+    from mapreduce_grpc_spark.sources.snapshots import auto_compact
+
+    path = str(tmp_path / "snap")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    ).repartition(6)
+    snap_init(spark, df, path, stats_cols=["k"])
+    res = auto_compact(
+        spark, path, max_files=64, cluster_by=["k"], max_overlap_group=4
+    )
+    assert res is not None and res["rewritten"] >= 2
+    assert dict(_rows(snap_read(spark, path))) == {
+        k: f"v{k}" for k in range(2000)
+    }
+    # clustered table under the thresholds: no policy fires
+    path2 = str(tmp_path / "snap2")
+    _mk_table(spark, path2, n=500, n_files=4)
+    assert (
+        auto_compact(
+            spark, path2, max_files=64, cluster_by=["k"],
+            max_overlap_group=4,
+        )
+        is None
+    )
