@@ -1992,18 +1992,13 @@ def optimize_incremental(
         total = 0
         for i in chosen:
             sz = sizes[m["files"][i]["name"]]
-            if budgeted and total + sz > max_rewrite_bytes:
+            # the budget is a target, not a straitjacket: a run must
+            # always make progress, and the minimum useful re-cluster
+            # is one PAIR of overlapping files
+            if len(budgeted) >= 2 and total + sz > max_rewrite_bytes:
                 break
             budgeted.append(i)
             total += sz
-        if len(budgeted) < 2:
-            return {
-                "version": m["version"],
-                "rewritten": 0,
-                "carried": len(m["files"]),
-                "added": 0,
-                "groups_remaining": len(groups),
-            }
         to_rewrite = [m["files"][i] for i in budgeted]
         names = {e["name"] for e in to_rewrite}
         carried = [e for e in m["files"] if e["name"] not in names]
