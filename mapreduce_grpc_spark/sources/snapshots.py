@@ -1779,6 +1779,7 @@ def optimize_snapshot(
     target_bytes: int = 128 * 1024 * 1024,
     zorder: tuple[str, str] | None = None,
     equidepth: bool = False,
+    cluster_by: list[str] | None = None,
     fs: LocalSnapshotFS | None = None,
 ) -> dict:
     """OPTIMIZE for snapshot tables: compaction (and optionally Z-order
@@ -1839,6 +1840,13 @@ def optimize_snapshot(
         n_files = max(1, -(-total // target_bytes))  # ceil
         if zorder is not None:
             out = zorder_frame(df, zorder, n_files, equidepth)
+        elif cluster_by:
+            # key-ordered compaction: merging small files must not
+            # destroy clustering the incremental re-clusterer paid for
+            # (a bare coalesce mixes ranges and recreates overlap debt)
+            out = df.repartitionByRange(
+                n_files, F.col(cluster_by[0])
+            ).sortWithinPartitions(*cluster_by)
         else:
             out = df.coalesce(n_files)
         new_entries = _write_data_files(spark, out, path, stats_cols, fs)
@@ -1881,7 +1889,13 @@ def _overlap_groups(entries: list[dict], col: str) -> list[list[int]]:
         env = e.get("stats", {}).get(col)
         if env and env["min"] is not None and env["max"] is not None:
             ivals.append((env["min"], env["max"], i))
-    ivals.sort(key=lambda t: (t[0], t[1]))
+    try:
+        ivals.sort(key=lambda t: (t[0], t[1]))
+    except TypeError:
+        # mixed-type envelopes (engine/type change): no total order, so
+        # conservatively treat every stat-ful file as one overlapping
+        # group — the _lt "incomparable means may overlap" rule
+        return [[i for _, _, i in ivals]] if ivals else []
     groups: list[list[int]] = []
     cur: list[int] = []
     cur_hi = None
@@ -1946,13 +1960,19 @@ def optimize_incremental(
             return {
                 "version": m["version"],
                 "rewritten": 0,
+                "rewritten_bytes": 0,
                 "carried": len(m["files"]),
                 "added": 0,
                 "groups_remaining": 0,
             }
+        # size only the candidate files (multi-file groups) — the cost
+        # contract is O(candidates), never O(table)
+        cand = {i for g in groups for i in g}
         sizes = {
-            e["name"]: f.getsize(os.path.join(path, e["name"]))
-            for e in m["files"]
+            m["files"][i]["name"]: f.getsize(
+                os.path.join(path, m["files"][i]["name"])
+            )
+            for i in cand
         }
         # worst group first: most files (then most bytes) — that's
         # where range pruning is losing the most
@@ -1999,6 +2019,9 @@ def optimize_incremental(
                 break
             budgeted.append(i)
             total += sz
+        # the trimmed group's leftover still mutually overlaps: it
+        # remains clustering debt the NEXT run must see
+        leftover_group = len(chosen) - len(budgeted) >= 2
         to_rewrite = [m["files"][i] for i in budgeted]
         names = {e["name"] for e in to_rewrite}
         carried = [e for e in m["files"] if e["name"] not in names]
@@ -2033,9 +2056,10 @@ def optimize_incremental(
         return {
             "version": version,
             "rewritten": len(to_rewrite),
+            "rewritten_bytes": total,
             "carried": len(carried),
             "added": len(new_entries),
-            "groups_remaining": len(groups) - 1,
+            "groups_remaining": len(groups) - 1 + (1 if leftover_group else 0),
         }
     raise CommitConflict(
         f"optimize_incremental: lost the commit race {COMMIT_RETRIES} "
@@ -2071,12 +2095,22 @@ def auto_compact(
     every batch.  Returns the optimize stats, or ``None`` when no
     policy fired."""
     m = read_manifest(path, fs=fs)
+    if cluster_by and cluster_by[0] not in m["stats_cols"]:
+        # silently never firing would let clustering debt grow
+        # unbounded; fail as loudly as optimize_incremental does
+        raise ValueError(
+            f"cluster column {cluster_by[0]!r} not tracked in manifest "
+            f"stats_cols {m['stats_cols']}"
+        )
     rows = sum(e.get("rows", 0) for e in m["files"])
     dv_rows = sum(e["dv"]["rows"] for e in m["files"] if e.get("dv"))
     dv_debt = rows > 0 and dv_rows / rows > max_dv_fraction
     if len(m["files"]) > max_files or dv_debt:
+        # cluster_by keeps the compaction key-ordered so the two
+        # policies converge instead of undoing each other's work
         return optimize_snapshot(
-            spark, path, target_bytes=target_bytes, fs=fs
+            spark, path, target_bytes=target_bytes,
+            cluster_by=cluster_by, fs=fs,
         )
     if cluster_by:
         col = cluster_by[0]
