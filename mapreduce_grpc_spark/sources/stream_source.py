@@ -80,12 +80,16 @@ class ChangeCommitError(RuntimeError):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, file_path: str, schema_json: str):
+    def __init__(
+        self, file_path: str, schema_json: str, commit_version: int = 0
+    ):
         self.file_path = file_path
         # the DECLARED source schema (CURRENT at query planning) — each
         # file is aligned to it at read: columns an old pre-evolution
         # file lacks are null-backfilled, exactly like snap_read
         self.schema_json = schema_json
+        # the version whose commit ADDED this file (provenance column)
+        self.commit_version = commit_version
 
 
 def _dv_sig(e: dict) -> tuple:
@@ -101,7 +105,9 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         skip_changes: bool,
         schema_json: str,
         max_versions: int | None = None,
+        with_commit_version: bool = False,
     ):
+        self._with_version = with_commit_version
         self._path = path
         self._starting = starting
         self._skip_changes = skip_changes
@@ -180,6 +186,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 _FilePartition(
                     os.path.join(self._path, e["name"]),
                     self._schema_json,
+                    commit_version=v,
                 )
                 for e in added
             ]
@@ -206,6 +213,15 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 json.loads(partition.schema_json)
             )
             target = to_arrow_schema(spark_schema)
+            add_version = (
+                self._with_version
+                and target.names
+                and target.names[-1] == "_commit_version"
+            )
+            if add_version:
+                # provenance column: synthesized below, not aligned
+                # against the file (which cannot contain it)
+                target = pa.schema(list(target)[:-1])
             have = set(table.schema.names)
             arrays = []
             for field in target:
@@ -215,6 +231,16 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     )
                 else:
                     arrays.append(pa.nulls(table.num_rows, field.type))
+            if add_version:
+                arrays.append(
+                    pa.array(
+                        [partition.commit_version] * table.num_rows,
+                        type=pa.int64(),
+                    )
+                )
+                target = target.append(
+                    pa.field("_commit_version", pa.int64())
+                )
             table = pa.table(arrays, schema=target)
         return iter(table.to_batches())
 
@@ -413,7 +439,18 @@ class SnapshotTableStreamSource(DataSource):
             raise ValueError(
                 "snapshot_table source needs a manifest-recorded schema"
             )
-        return StructType.fromJson(json.loads(m["schema"]))
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if str(self.options.get("withcommitversion", "false")).lower() in (
+            "true",
+            "1",
+        ):
+            from pyspark.sql.types import LongType, StructField
+
+            schema = StructType(
+                list(schema.fields)
+                + [StructField("_commit_version", LongType())]
+            )
+        return schema
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         starting = int(self.options.get("startingversion", 0))
@@ -435,6 +472,10 @@ class SnapshotTableStreamSource(DataSource):
             skip,
             schema.json(),
             max_versions=max_versions,
+            with_commit_version=str(
+                self.options.get("withcommitversion", "false")
+            ).lower()
+            in ("true", "1"),
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):

@@ -482,3 +482,27 @@ def test_native_sink_rejects_schema_drift_and_complete_mode(spark, tmp_path):
     ds = SnapshotTableStreamSource(options={"path": dst})
     with pytest.raises(ValueError, match="append-only"):
         ds.streamWriter(drifted.schema, overwrite=True)
+
+
+def test_stream_with_commit_version_provenance(spark, tmp_path):
+    """withCommitVersion=true appends a `_commit_version` column naming
+    the commit that ADDED each row's file — exact per version."""
+    path = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    _mk(spark, path, [(1, "a")])
+    snap_append(
+        spark, path, spark.createDataFrame([(2, "b")], "k bigint, v string")
+    )
+    snap_append(
+        spark, path, spark.createDataFrame([(3, "c")], "k bigint, v string")
+    )
+    rows = _drain_rows(
+        spark, _read_stream(spark, path, withCommitVersion="true"), ck
+    )
+    got = sorted((r.k, r.v, r._commit_version) for r in rows)
+    assert got == [(1, "a", 1), (2, "b", 2), (3, "c", 3)]
+    # option off: no synthetic column
+    rows2 = _drain_rows(
+        spark, _read_stream(spark, path), str(tmp_path / "ck2")
+    )
+    assert "_commit_version" not in rows2[0].asDict()
