@@ -1421,7 +1421,12 @@ def merge_upsert_cow(
         # keep file count ≈ rewritten count: without this the union
         # inherits the shuffle partitioning and a 1-file rewrite fans
         # out into dozens of small files, compounding per merge
-        out = out.coalesce(max(1, len(overlapping)))
+        # key-sorted rewrite output: tight per-row-group key ranges in
+        # the new files, so FUTURE merges' row-group membership probes
+        # prune inside them (sort cost is row-local, no extra shuffle)
+        out = out.coalesce(max(1, len(overlapping))).sortWithinPartitions(
+            *keys
+        )
         new_entries = _write_data_files(spark, out, path, stats_cols, fs)
         txns = dict(m.get("txns", {}))
         if txn_app is not None:
@@ -1594,7 +1599,10 @@ def apply_cdc_cow(
                 out = remaining.unionByName(upserts.select(*out_cols))
             else:
                 out = upserts.select(*out_cols)
-            out = out.coalesce(max(1, len(overlapping)))  # see merge_upsert_cow
+            # see merge_upsert_cow: bounded file count + key-sorted rows
+            out = out.coalesce(
+                max(1, len(overlapping))
+            ).sortWithinPartitions(*keys)
             new_entries = _write_data_files(spark, out, path, stats_cols, fs)
         else:
             new_entries = []

@@ -2523,3 +2523,28 @@ def test_auto_compact_clustering_policy_fires_on_overlap_debt(
         )
         is None
     )
+
+
+def test_merge_rewrites_are_key_sorted(spark, tmp_path):
+    """Rewritten files come out key-sorted, so their per-row-group
+    ranges stay tight for FUTURE merges' membership probes."""
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=400, n_files=2)
+    before = {e["name"] for e in read_manifest(path)["files"]}
+    merge_upsert_cow(
+        spark,
+        path,
+        spark.createDataFrame([(10, "U10"), (300, "U300")], "k bigint, v string"),
+        ["k"],
+    )
+    new = [
+        e for e in read_manifest(path)["files"] if e["name"] not in before
+    ]
+    assert new
+    import pyarrow.parquet as pq
+
+    for e in new:
+        ks = pq.read_table(
+            str(tmp_path / "snap" / e["name"]), columns=["k"]
+        ).column("k").to_pylist()
+        assert ks == sorted(ks), e["name"]
