@@ -108,6 +108,42 @@ def main() -> None:
     drain("after 2 appends")
     drain("drained (no new versions)")
 
+    # the NATIVE sink: row-level table-to-table pipeline as ONE
+    # streaming query — no foreachBatch, one txn-marked append commit
+    # per micro-batch, with per-row commit provenance
+    mirror = f"{work}/mirror"
+    snap_init(
+        spark,
+        spark.createDataFrame(
+            [], "event_id long, source string, _commit_version long"
+        ),
+        mirror,
+        stats_cols=["event_id"],
+    )
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", src)
+        .option("withCommitVersion", "true")
+        .load()
+        .filter(F.col("source") != "s9")
+        .writeStream.format("snapshot_table")
+        .option("path", mirror)
+        .option("txnAppId", "mirror-pipe")
+        .option("checkpointLocation", f"{work}/ck2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    mrows = snap_read(spark, mirror)
+    print(
+        "native-sink mirror:", mrows.count(), "rows;",
+        "source versions seen:",
+        sorted(
+            r._commit_version
+            for r in mrows.select("_commit_version").distinct().collect()
+        ),
+    )
+
     print("source audit:")
     for a in snapshot_audit(src):
         print("  ", a["version"], a["commit_info"].get("op", "init"),
