@@ -386,10 +386,12 @@ FROM ns LEFT JOIN dup USING (doc_id)
 # compressibility gate thresholds: ratio below MIN = pathologically
 # repetitive (machine-generated boilerplate compresses away); above
 # MAX = near-incompressible (binary junk / encoded blobs posing as
-# text).  The MAX gate only applies to docs of at least
-# MIN_GATE_BYTES: zlib's ~11-byte fixed header pushes every short
-# legitimate snippet's ratio past any sane ceiling (an 11-byte "Hello
-# world" compresses to ~19 bytes), and shortness is gated elsewhere.
+# text).  Only the MAX gate is waived for docs under MIN_GATE_BYTES:
+# zlib's ~11-byte fixed header pushes every short legitimate snippet's
+# ratio past any sane ceiling (an 11-byte "Hello world" compresses to
+# ~19 bytes), but the MIN gate applies at every length — a short
+# pathologically repetitive doc still drops.  Empty docs keep
+# (emptiness is gated elsewhere).
 MIN_COMPRESS_RATIO = 0.20
 MAX_COMPRESS_RATIO = 0.95
 MIN_GATE_BYTES = 64
@@ -447,10 +449,10 @@ def compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_bytes": n,
                     "z_bytes": z,
                     "compress_ratio": ratio,
-                    "keep": (n < MIN_GATE_BYTES)
+                    "keep": (n == 0)
                     | (
                         (ratio >= MIN_COMPRESS_RATIO)
-                        & (ratio <= MAX_COMPRESS_RATIO)
+                        & ((n < MIN_GATE_BYTES) | (ratio <= MAX_COMPRESS_RATIO))
                     ),
                 }
             )

@@ -192,11 +192,88 @@ class LocalSnapshotFS:
         return os.path.getmtime(p)
 
 
+class ObjectStoreFS(LocalSnapshotFS):
+    """Object-store-semantics backend (the S3/GCS/ABFS model), backed
+    by the local filesystem so Spark and pyarrow can still read the
+    data bytes in tests.  It restricts itself to the ONLY guarantees
+    the commit protocol may rely on against a real object store:
+
+    - ``create_exclusive`` is a **conditional PUT** (If-None-Match: *):
+      the object body is fully staged first, then committed atomically
+      iff the key does not exist — emulated with ``os.link``, whose
+      EEXIST failure is exactly the conditional PUT's 412.  Losers get
+      ``CommitConflict``; there is no create-then-write window.
+    - ``replace_atomic`` is a **whole-object last-writer-wins PUT**
+      (readers see the old or the new object, never a mix — the one
+      atomicity every store gives).  Safe for CURRENT because the
+      protocol orders pointer swaps through manifest claims: a writer
+      can only claim ``base+1`` after reading base THROUGH CURRENT, so
+      a stale pointer PUT can never be in flight once a later version
+      has been claimed.
+    - ``rename`` is **copy + delete** — object stores have no rename.
+      Safe because the protocol only renames uniquely-named files that
+      are invisible until a manifest references them (a crash mid-copy
+      leaves an unreferenced orphan for ``expire_snapshots``).
+
+    Data-file BYTES (Spark parquet writes, pyarrow footer/page reads)
+    do not go through this seam: on a real object store they ride the
+    Hadoop / pyarrow object-store connectors.  The seam owns the commit
+    PROTOCOL — manifests, CURRENT, sidecar publishes, staging — which
+    is the part whose semantics actually differ between POSIX and a
+    conditional-PUT store."""
+
+    def rename(self, src: str, dst: str) -> None:
+        shutil.copyfile(src, dst)
+        os.remove(src)
+
+    def create_exclusive(self, p: str, text: str) -> None:
+        tmp = f"{p}.upload-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(text)
+        try:
+            os.link(tmp, p)
+        except FileExistsError as e:
+            raise CommitConflict(str(e)) from e
+        finally:
+            os.remove(tmp)
+
+
 _FS = LocalSnapshotFS()
+# process-default FS, swappable for test parameterization / deployment
+# (callers can still pass ``fs=`` per call, which always wins)
+_DEFAULT_FS: LocalSnapshotFS | None = None
+
+
+def set_default_fs(fs: LocalSnapshotFS | None) -> LocalSnapshotFS | None:
+    """Set the process-default ``SnapshotFS`` used when a call passes
+    ``fs=None``; returns the previous default (restore it when done)."""
+    global _DEFAULT_FS
+    prev = _DEFAULT_FS
+    _DEFAULT_FS = fs
+    return prev
 
 
 def _fs(fs: LocalSnapshotFS | None) -> LocalSnapshotFS:
-    return _FS if fs is None else fs
+    if fs is not None:
+        return fs
+    return _DEFAULT_FS if _DEFAULT_FS is not None else _FS
+
+
+def load_fs(spec: str | None) -> LocalSnapshotFS:
+    """Build a ``SnapshotFS`` from an importable ``module:Class`` spec
+    (the string form the streaming source's ``fsImpl`` option takes —
+    data source readers/writers run in separate Python workers, so a
+    live FS object cannot be handed to them)."""
+    if not spec:
+        return _fs(None)
+    import importlib
+
+    mod, _, cls = spec.partition(":")
+    if not cls:
+        raise ValueError(
+            f"bad fsImpl {spec!r}: expected 'module.path:ClassName'"
+        )
+    return getattr(importlib.import_module(mod), cls)()
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -289,7 +366,12 @@ def _file_stats(file_path: str, stats_cols: list[str]) -> dict:
     envelopes = {
         c: {"min": mins[c], "max": maxs[c]} for c in mins if c in maxs
     }
-    return {"rows": rows, "stats": envelopes, "rg": rg_ranges}
+    return {
+        "rows": rows,
+        "bytes": os.path.getsize(file_path),
+        "stats": envelopes,
+        "rg": rg_ranges,
+    }
 
 
 # --- per-file key bloom filters -------------------------------------
@@ -1976,12 +2058,23 @@ def optimize_incremental(
         # size only the candidate files (multi-file groups) — the cost
         # contract is O(candidates), never O(table)
         cand = {i for g in groups for i in g}
-        sizes = {
-            m["files"][i]["name"]: f.getsize(
-                os.path.join(path, m["files"][i]["name"])
-            )
-            for i in cand
-        }
+        try:
+            sizes = {
+                m["files"][i]["name"]: f.getsize(
+                    os.path.join(path, m["files"][i]["name"])
+                )
+                for i in cand
+            }
+        except FileNotFoundError as e:
+            # a concurrent commit + expire_snapshots can delete a
+            # candidate between read_manifest and getsize — treat it
+            # like a lost commit race (re-read the new manifest and
+            # retry) rather than surfacing a spurious error; a missing
+            # file with NO new commit is real corruption, so re-raise
+            if current_version(path, fs) != m["version"]:
+                last_err = e
+                continue
+            raise
         # worst group first: most files (then most bytes) — that's
         # where range pruning is losing the most
         groups.sort(

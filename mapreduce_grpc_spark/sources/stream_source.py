@@ -33,11 +33,14 @@ Design (the Delta streaming-source shape):
   what keeps skipped semantics consistent.)  Deletion vectors added to
   a carried file are a removal for this purpose.
 
-Caveats (documented, honest): per-file partitions mean batch
-parallelism = files in the span (append batches usually write a
-handful — fine for ingest-rate streams); wildly wide rows and
-DV-masked reads are not served here (DVs only ever appear via change
-commits, which this source refuses or skips).
+Partition planning bins SMALL files of a span into shared input
+partitions (Spark's own openCost model: a file costs
+``max(bytes, OPEN_COST_BYTES)``, bins close at
+``PARTITION_TARGET_BYTES``), so a compacted history replay or a
+100-small-file backlog doesn't schedule one task per tiny file; big
+files still get a partition each.  DV-masked reads are not served here
+(DVs only ever appear via change commits, which this source refuses or
+skips).
 
 Usage::
 
@@ -52,10 +55,29 @@ Usage::
         .load()
     )
 
-Options: ``path`` (required); ``startingVersion`` (default 0 — replay
-every append from the beginning; ``N`` starts after version N, i.e.
-first batch is ``(N, CURRENT]``); ``skipChangeCommits``
-(default false).
+Options:
+
+- ``path`` (required).
+- ``startingVersion`` (default: replay every append from the
+  beginning).  **Inclusive, matching Delta's option of the same
+  name**: ``N`` means version N's changes are in the first batch;
+  ``"latest"`` starts from the table's CURRENT at query start (only
+  commits after that point stream).
+- ``skipChangeCommits`` (default false).
+- ``maxVersionsPerTrigger`` / ``maxBytesPerTrigger``: best-effort
+  pacing (the Delta ``maxFilesPerTrigger`` contract — only the first
+  post-RESTART batch is unpaced).  Byte pacing rounds UP to commit
+  boundaries like Delta: a single fat commit always lands whole in one
+  micro-batch (an offset inside a commit would not be replayable).
+- ``withCommitVersion`` (default false): append a ``_commit_version``
+  provenance column naming the commit that added each row's file.
+- ``fsImpl``: ``module:Class`` spec of the ``SnapshotFS`` the
+  manifest/CURRENT reads and sink commit ops run through (default the
+  process default — ``LocalSnapshotFS`` unless ``set_default_fs``
+  changed it in THIS interpreter; data-source readers/writers run in
+  separate Python workers, so the option string is how a non-default
+  FS reaches them).  Data-file bytes ride pyarrow directly (the
+  object-store connectors' job), same layering as the batch side.
 """
 
 from __future__ import annotations
@@ -79,17 +101,24 @@ class ChangeCommitError(RuntimeError):
     commits, or consume the change feed (sources/feed.py) instead."""
 
 
+# Spark's file-scan cost model (spark.sql.files.*): a file costs at
+# least OPEN_COST_BYTES, and a partition's files close at
+# PARTITION_TARGET_BYTES of cost — small files share a task, big files
+# get their own
+OPEN_COST_BYTES = 4 * 1024 * 1024
+PARTITION_TARGET_BYTES = 128 * 1024 * 1024
+
+
 class _FilePartition(InputPartition):
-    def __init__(
-        self, file_path: str, schema_json: str, commit_version: int = 0
-    ):
-        self.file_path = file_path
+    def __init__(self, files: list[tuple[str, int]], schema_json: str):
+        # [(file_path, commit_version)] — the version is the commit
+        # that ADDED the file (provenance column); several small files
+        # (possibly from different commits) may share one partition
+        self.files = files
         # the DECLARED source schema (CURRENT at query planning) — each
         # file is aligned to it at read: columns an old pre-evolution
         # file lacks are null-backfilled, exactly like snap_read
         self.schema_json = schema_json
-        # the version whose commit ADDED this file (provenance column)
-        self.commit_version = commit_version
 
 
 def _dv_sig(e: dict) -> tuple:
@@ -105,31 +134,39 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         skip_changes: bool,
         schema_json: str,
         max_versions: int | None = None,
+        max_bytes: int | None = None,
         with_commit_version: bool = False,
+        fs_spec: str | None = None,
     ):
+        from .snapshots import load_fs
+
         self._with_version = with_commit_version
         self._path = path
         self._starting = starting
         self._skip_changes = skip_changes
         self._schema_json = schema_json
         self._max_versions = max_versions
+        self._max_bytes = max_bytes
+        # all manifest/CURRENT access goes through the FS seam (a
+        # stateless, picklable object — the reader is shipped to
+        # executors for read(), which itself only touches data bytes)
+        self._fs = load_fs(fs_spec)
         # progress within THIS run, seeded by initialOffset (fresh
         # query) or the first partitions() call (restart replay):
-        # lets latestOffset pace batches to max_versions each
-        # (maxVersionsPerTrigger).  Best-effort like Delta's
+        # lets latestOffset pace batches (maxVersionsPerTrigger /
+        # maxBytesPerTrigger).  Best-effort like Delta's
         # maxFilesPerTrigger — only the first post-RESTART batch is
         # unpaced, because the engine asks for latestOffset before the
         # reader can learn the checkpointed position (pacing from a
         # guess below it would plan a backwards span).
         self._planned: int | None = None
 
-    # -- manifest access (driver-side, plain JSON — no Spark jobs) ----
+    # -- manifest access (driver-side, via the FS seam — no Spark jobs)
 
     def _manifest(self, version: int) -> dict:
         p = os.path.join(self._path, "_manifests", f"v{version}.json")
         try:
-            with open(p) as fh:
-                return json.load(fh)
+            return json.loads(self._fs.read_text(p))
         except FileNotFoundError:
             raise ChangeCommitError(
                 f"manifest v{version} of {self._path!r} is expired — "
@@ -140,10 +177,24 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
     def _current(self) -> int:
         p = os.path.join(self._path, "_manifests", "CURRENT")
-        if not os.path.exists(p):
+        if not self._fs.exists(p):
             return 0
-        with open(p) as fh:
-            return int(fh.read().strip())
+        return int(self._fs.read_text(p).strip())
+
+    def _entry_bytes(self, e: dict) -> int:
+        # manifests have recorded per-entry bytes since the pacing
+        # option shipped; fall back to a stat for older tables
+        b = e.get("bytes")
+        if b is not None:
+            return int(b)
+        try:
+            return self._fs.getsize(os.path.join(self._path, e["name"]))
+        except FileNotFoundError:
+            return 0
+
+    def _added_in(self, prev: dict, cur: dict) -> list[dict]:
+        prev_sigs = {_dv_sig(e) for e in prev["files"]}
+        return [e for e in cur["files"] if _dv_sig(e) not in prev_sigs]
 
     # -- streaming contract -------------------------------------------
 
@@ -157,21 +208,39 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         cur = max(self._current(), self._starting)
-        if self._max_versions is not None and self._planned is not None:
-            cur = min(cur, self._planned + self._max_versions)
+        lo = self._planned
+        if lo is None:
+            return {"version": cur}
+        if self._max_versions is not None:
+            cur = min(cur, lo + self._max_versions)
+        if self._max_bytes is not None and cur > lo + 1:
+            # walk the span's manifests, accumulating each commit's
+            # ADDED bytes; stop before the cap but always take one
+            # commit (byte pacing rounds to commit boundaries — an
+            # offset inside a commit would not be replayable).  Driver
+            # cost is O(span) JSON reads, the same as partitions().
+            total, end = 0, lo
+            prev = self._manifest(lo) if lo > 0 else {"files": []}
+            for v in range(lo + 1, cur + 1):
+                mv = self._manifest(v)
+                b = sum(self._entry_bytes(e) for e in self._added_in(prev, mv))
+                if end > lo and total + b > self._max_bytes:
+                    break
+                end, total, prev = v, total + b, mv
+            cur = end
         return {"version": cur}
 
     def partitions(self, start: dict, end: dict):
         v0, v1 = int(start["version"]), int(end["version"])
         self._planned = max(self._planned or 0, v1)
-        parts: list[_FilePartition] = []
+        files: list[tuple[str, int, int]] = []  # (path, version, bytes)
         prev = self._manifest(v0) if v0 > 0 else {"files": []}
         for v in range(v0 + 1, v1 + 1):
             cur = self._manifest(v)
-            prev_sigs = {_dv_sig(e) for e in prev["files"]}
-            cur_sigs = {_dv_sig(e) for e in cur["files"]}
-            removed = prev_sigs - cur_sigs
-            added = [e for e in cur["files"] if _dv_sig(e) not in prev_sigs]
+            added = self._added_in(prev, cur)
+            removed = {_dv_sig(e) for e in prev["files"]} - {
+                _dv_sig(e) for e in cur["files"]
+            }
             prev = cur
             if removed:
                 if self._skip_changes:
@@ -182,24 +251,42 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     "only. Set skipChangeCommits=true or consume the "
                     "change feed (sources/feed.py)."
                 )
-            parts += [
-                _FilePartition(
+            files += [
+                (
                     os.path.join(self._path, e["name"]),
-                    self._schema_json,
-                    commit_version=v,
+                    v,
+                    self._entry_bytes(e),
                 )
                 for e in added
             ]
-        return parts or [_FilePartition("", "")]
+        # openCost binning: small files share a partition, big files
+        # get their own; commit order is preserved within a bin
+        parts: list[_FilePartition] = []
+        bin_files: list[tuple[str, int]] = []
+        bin_cost = 0
+        for p, v, b in files:
+            cost = max(b, OPEN_COST_BYTES)
+            if bin_files and bin_cost + cost > PARTITION_TARGET_BYTES:
+                parts.append(_FilePartition(bin_files, self._schema_json))
+                bin_files, bin_cost = [], 0
+            bin_files.append((p, v))
+            bin_cost += cost
+        if bin_files:
+            parts.append(_FilePartition(bin_files, self._schema_json))
+        return parts or [_FilePartition([], "")]
 
     def read(self, partition: _FilePartition):
-        # executor-side: one parquet file -> Arrow RecordBatches
-        if not partition.file_path:
-            return iter(())
+        # executor-side: the partition's parquet files -> Arrow batches
+        for file_path, commit_version in partition.files:
+            yield from self._read_one(
+                file_path, commit_version, partition.schema_json
+            )
+
+    def _read_one(self, file_path: str, commit_version: int, schema_json: str):
         import pyarrow.parquet as pq
 
-        table = pq.read_table(partition.file_path)
-        if partition.schema_json:
+        table = pq.read_table(file_path)
+        if schema_json:
             # align to the DECLARED schema: null-backfill columns this
             # (pre-evolution) file lacks, drop extras, and cast to the
             # exact Arrow types — Spark writes INT96 timestamps by
@@ -209,9 +296,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             from pyspark.sql.pandas.types import to_arrow_schema
             from pyspark.sql.types import StructType
 
-            spark_schema = StructType.fromJson(
-                json.loads(partition.schema_json)
-            )
+            spark_schema = StructType.fromJson(json.loads(schema_json))
             target = to_arrow_schema(spark_schema)
             add_version = (
                 self._with_version
@@ -234,7 +319,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             if add_version:
                 arrays.append(
                     pa.array(
-                        [partition.commit_version] * table.num_rows,
+                        [commit_version] * table.num_rows,
                         type=pa.int64(),
                     )
                 )
@@ -274,10 +359,17 @@ class _SnapshotStreamWriter(DataSourceStreamWriter):
       (they were never visible; GC would also collect them).
     """
 
-    def __init__(self, path: str, schema: StructType, txn_app: str):
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        txn_app: str,
+        fs_spec: str | None = None,
+    ):
         self._path = path
         self._schema_json = schema.json()
         self._txn_app = txn_app
+        self._fs_spec = fs_spec
 
     # rows per Arrow chunk flushed into the task's parquet file: bounds
     # executor memory at O(chunk), not O(partition)
@@ -326,22 +418,22 @@ class _SnapshotStreamWriter(DataSourceStreamWriter):
             _check_batch_schema,
             _commit,
             _file_stats,
-            _fs,
             _manifest_schema,
             _txn_already_applied,
+            load_fs,
             read_manifest,
         )
         from pyspark.sql.types import StructType as _St
 
         names = [m.name for m in messages if m is not None and m.name]
-        f = _fs(None)
+        f = load_fs(self._fs_spec)
         if not names:
             # every row of the micro-batch was filtered out: committing
             # would only bump the version chain (snap_append's
             # empty-batch rule); skipping is replay-safe — an empty
             # batch replayed appends nothing either way
             return
-        m0 = read_manifest(self._path)
+        m0 = read_manifest(self._path, fs=f)
         if _txn_already_applied(m0, self._txn_app, batchId):
             for n in names:  # replayed batch: drop the duplicates
                 if f.exists(os.path.join(self._path, n)):
@@ -367,7 +459,7 @@ class _SnapshotStreamWriter(DataSourceStreamWriter):
                 _file_stats(os.path.join(self._path, n), m0["stats_cols"])
             )
             entries.append(e)
-        _build_bloom_sidecar(self._path, entries, m0["stats_cols"], None)
+        _build_bloom_sidecar(self._path, entries, m0["stats_cols"], f)
 
         m = m0
         for _attempt in range(COMMIT_RETRIES):
@@ -394,7 +486,7 @@ class _SnapshotStreamWriter(DataSourceStreamWriter):
                 )
                 return
             except CommitConflict:
-                m = read_manifest(self._path)
+                m = read_manifest(self._path, fs=f)
                 continue
         raise CommitConflict(
             f"stream sink lost the commit race {COMMIT_RETRIES} times "
@@ -402,9 +494,9 @@ class _SnapshotStreamWriter(DataSourceStreamWriter):
         )
 
     def abort(self, messages, batchId: int) -> None:
-        from .snapshots import _fs
+        from .snapshots import load_fs
 
-        f = _fs(None)
+        f = load_fs(self._fs_spec)
         for m in messages:
             if m is not None and m.name:
                 p = os.path.join(self._path, m.name)
@@ -426,26 +518,40 @@ class SnapshotTableStreamSource(DataSource):
             raise ValueError("snapshot_table source requires .option('path', ...)")
         return p
 
+    def _fs(self):
+        from .snapshots import load_fs
+
+        return load_fs(self.options.get("fsimpl"))
+
+    def _flag(self, opt: str) -> bool:
+        return str(self.options.get(opt, "false")).lower() in ("true", "1")
+
     def schema(self) -> StructType:
         path = self._path()
-        cur_file = os.path.join(path, "_manifests", "CURRENT")
-        with open(cur_file) as fh:
-            v = int(fh.read().strip())
-        with open(
-            os.path.join(path, "_manifests", f"v{v}.json")
-        ) as fh:
-            m = json.load(fh)
+        fs = self._fs()
+        v = int(
+            fs.read_text(os.path.join(path, "_manifests", "CURRENT")).strip()
+        )
+        m = json.loads(
+            fs.read_text(os.path.join(path, "_manifests", f"v{v}.json"))
+        )
         if not m.get("schema"):
             raise ValueError(
                 "snapshot_table source needs a manifest-recorded schema"
             )
         schema = StructType.fromJson(json.loads(m["schema"]))
-        if str(self.options.get("withcommitversion", "false")).lower() in (
-            "true",
-            "1",
-        ):
+        if self._flag("withcommitversion"):
             from pyspark.sql.types import LongType, StructField
 
+            if "_commit_version" in schema.fieldNames():
+                # e.g. a mirror table that PERSISTED a provenance
+                # column: appending the synthetic one would produce a
+                # duplicate field name and ambiguous downstream refs
+                raise ValueError(
+                    "withCommitVersion=true but the table schema "
+                    "already has a `_commit_version` column — rename "
+                    "the physical column or drop the option"
+                )
             schema = StructType(
                 list(schema.fields)
                 + [StructField("_commit_version", LongType())]
@@ -453,29 +559,45 @@ class SnapshotTableStreamSource(DataSource):
         return schema
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
-        starting = int(self.options.get("startingversion", 0))
-        skip = str(
-            self.options.get("skipchangecommits", "false")
-        ).lower() in ("true", "1")
-        mv = self.options.get("maxversionspertrigger")
-        max_versions = None
-        if mv:
-            max_versions = int(mv)
-            if max_versions <= 0:
+        sv = self.options.get("startingversion")
+        if sv is None:
+            starting = 0
+        elif str(sv).lower() == "latest":
+            # only commits AFTER the table's current version stream
+            cur = os.path.join(self._path(), "_manifests", "CURRENT")
+            fs = self._fs()
+            starting = (
+                int(fs.read_text(cur).strip()) if fs.exists(cur) else 0
+            )
+        else:
+            # INCLUSIVE like Delta: version N's changes are in the
+            # first batch, so the internal (exclusive) offset is N-1
+            starting = max(0, int(sv) - 1)
+        skip = self._flag("skipchangecommits")
+
+        def _positive(opt: str, label: str) -> int | None:
+            raw = self.options.get(opt)
+            if not raw:
+                return None
+            val = int(raw)
+            if val <= 0:
                 raise ValueError(
-                    f"maxVersionsPerTrigger must be positive, got {mv!r} "
+                    f"{label} must be positive, got {raw!r} "
                     "(0 would freeze the offset and stall the stream)"
                 )
+            return val
+
         return _SnapshotStreamReader(
             self._path(),
             starting,
             skip,
             schema.json(),
-            max_versions=max_versions,
-            with_commit_version=str(
-                self.options.get("withcommitversion", "false")
-            ).lower()
-            in ("true", "1"),
+            max_versions=_positive(
+                "maxversionspertrigger", "maxVersionsPerTrigger"
+            ),
+            max_bytes=_positive("maxbytespertrigger", "maxBytesPerTrigger"),
+            with_commit_version=self._flag("withcommitversion"),
+            fs_spec=self.options.get("fsimpl"),
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):
@@ -500,4 +622,6 @@ class SnapshotTableStreamSource(DataSource):
                 "when restarting from the same checkpoint; change it "
                 "together with the checkpoint when reprocessing)"
             )
-        return _SnapshotStreamWriter(self._path(), schema, txn_app)
+        return _SnapshotStreamWriter(
+            self._path(), schema, txn_app, fs_spec=self.options.get("fsimpl")
+        )

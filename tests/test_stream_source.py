@@ -135,8 +135,10 @@ def test_stream_checkpoint_restart_is_exactly_once(spark, tmp_path):
 
 
 def test_stream_starting_version_skips_history(spark, tmp_path):
+    """startingVersion is INCLUSIVE (Delta's semantics): N means
+    version N's changes are in the first batch; 'latest' streams only
+    commits made after query start."""
     path = str(tmp_path / "t")
-    ck = str(tmp_path / "ck")
     _mk(spark, path, [(1, "a")])
     snap_append(
         spark, path, spark.createDataFrame([(2, "b")], "k bigint, v string")
@@ -145,9 +147,23 @@ def test_stream_starting_version_skips_history(spark, tmp_path):
         spark, path, spark.createDataFrame([(3, "c")], "k bigint, v string")
     )
     got = _drain(
-        spark, _read_stream(spark, path, startingVersion="2"), ck
+        spark,
+        _read_stream(spark, path, startingVersion="2"),
+        str(tmp_path / "ck2"),
     )
-    assert sorted(got) == [(3, "c")]
+    assert sorted(got) == [(2, "b"), (3, "c")]
+    got3 = _drain(
+        spark,
+        _read_stream(spark, path, startingVersion="3"),
+        str(tmp_path / "ck3"),
+    )
+    assert sorted(got3) == [(3, "c")]
+    gotl = _drain(
+        spark,
+        _read_stream(spark, path, startingVersion="latest"),
+        str(tmp_path / "ckl"),
+    )
+    assert gotl == []
 
 
 def test_stream_refuses_change_commits_unless_skipped(spark, tmp_path):
@@ -506,3 +522,108 @@ def test_stream_with_commit_version_provenance(spark, tmp_path):
         spark, _read_stream(spark, path), str(tmp_path / "ck2")
     )
     assert "_commit_version" not in rows2[0].asDict()
+
+
+def test_with_commit_version_rejects_physical_column(spark, tmp_path):
+    """A table that PERSISTED a `_commit_version` column cannot also
+    ask for the synthetic provenance column — loud error, not a
+    duplicate field name."""
+    path = str(tmp_path / "t")
+    snap_init(
+        spark,
+        spark.createDataFrame([(1, 5)], "k bigint, _commit_version bigint"),
+        path,
+        stats_cols=["k"],
+    )
+    with pytest.raises(Exception, match="_commit_version"):
+        _drain_rows(
+            spark,
+            _read_stream(spark, path, withCommitVersion="true"),
+            str(tmp_path / "ck"),
+        )
+
+
+def test_byte_pacing_rounds_to_commit_boundaries(spark, tmp_path):
+    """maxBytesPerTrigger: a tiny budget drains one commit per trigger;
+    a budget sized to two commits' added bytes takes exactly two; a fat
+    commit always lands whole (rounds UP to commit boundaries)."""
+    from mapreduce_grpc_spark.sources.stream_source import (
+        _SnapshotStreamReader,
+    )
+    from mapreduce_grpc_spark.sources.snapshots import read_manifest
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, [(1, "a")])
+    for i in range(2, 6):
+        snap_append(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(i, f"v{i}")], "k bigint, v string"
+            ).coalesce(1),
+        )
+    schema_json = snap_read(spark, path).schema.json()
+
+    def spans(max_bytes):
+        r = _SnapshotStreamReader(
+            path, 0, False, schema_json, max_bytes=max_bytes
+        )
+        r.initialOffset()
+        out = []
+        for _ in range(10):
+            start = r._planned
+            end = r.latestOffset()["version"]
+            if end == start:
+                break
+            out.append((start, end))
+            r.partitions({"version": start}, {"version": end})
+        return out
+
+    # 1-byte budget: every commit exceeds it, so each trigger still
+    # takes exactly one commit (whole — never a partial commit)
+    assert spans(1) == [(i, i + 1) for i in range(5)]
+    # unbounded-ish budget: one catch-up batch
+    assert spans(10**9) == [(0, 5)]
+    # budget of exactly commits v1+v2's added bytes: (0,2] then (2,4]
+    # (v3+v4 happen to fit the same budget) then the leftover v5
+    added = {}
+    prev: set = set()
+    for v in range(1, 6):
+        m = read_manifest(path, version=v)
+        names = {e["name"] for e in m["files"]}
+        added[v] = sum(
+            e["bytes"] for e in m["files"] if e["name"] not in prev
+        )
+        prev = names
+    assert spans(added[1] + added[2]) == [(0, 2), (2, 4), (4, 5)]
+
+
+def test_partition_binning_coalesces_small_files(spark, tmp_path):
+    """openCost binning: 70 tiny files plan into
+    ceil(70 / (target/openCost)) shared partitions, not 70 tasks — and
+    the drained rows are still exact."""
+    import math
+
+    from mapreduce_grpc_spark.sources.stream_source import (
+        OPEN_COST_BYTES,
+        PARTITION_TARGET_BYTES,
+        _SnapshotStreamReader,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(70).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS v"
+    ).repartition(70)
+    snap_init(spark, df, path, stats_cols=["k"])
+    # round-robin leaves some target partitions empty (no file written),
+    # so pin the binning math to the ACTUAL file count
+    n_files = len(read_manifest(path)["files"])
+    per_bin = PARTITION_TARGET_BYTES // OPEN_COST_BYTES
+    assert n_files > per_bin, "fixture must overflow one bin"
+    schema_json = snap_read(spark, path).schema.json()
+    r = _SnapshotStreamReader(path, 0, False, schema_json)
+    parts = r.partitions({"version": 0}, {"version": 1})
+    assert sum(len(p.files) for p in parts) == n_files
+    assert len(parts) == math.ceil(n_files / per_bin)
+    got = _drain(spark, _read_stream(spark, path), str(tmp_path / "ck"))
+    assert sorted(got) == [(i, str(i)) for i in range(70)]
