@@ -1,26 +1,37 @@
-"""Byte-pair-encoding merge training over the corpus (distributed).
+"""Byte-pair-encoding merge training over the corpus.
 
 The tokenizer-training stage of a pre-training pipeline: learn the
 ``n_merges`` most frequent adjacent-symbol merges (Sennrich et al.
 2016) from corpus word counts.  The reference engine's vocabulary
 (map/emit/reduce, /root/reference/external/include/mr_task_factory.h:
-20-47) could express each ROUND as one MapReduce job; here each round
-is one keyed aggregation plus a 1-row argmax collect.
+20-47) could express each ROUND as one MapReduce job; the scale insight
+is that NO round needs the corpus at all:
 
-Scale shape — the part that matters at 100 TB:
-
-- The CORPUS is touched exactly once: a wordcount-shaped aggregation
-  collapses it to the word-TYPE relation ``(word, count)`` (Zipf-
-  compact, map-side partial agg).  Every merge round runs over word
-  types, never re-reading the corpus — the classic BPE-trainer split.
-- A round = explode adjacent symbol pairs (row-local ``transform``),
-  ``groupBy(pair).sum(count)`` (partial agg), and a ``TakeOrdered(1)``
-  argmax with a deterministic tie-break (count desc, pair asc) — the
-  only driver state is the single winning pair per round.
-- Applying a merge is a row-local left-to-right greedy fold
-  (``F.aggregate`` over the symbol array, JVM-side, no Python), and
-  the vocabulary is ``localCheckpoint``-ed each round so the plan
-  doesn't accrete ``n_merges`` nested transforms.
+- **The corpus is touched exactly once** (``bpe_word_counts``): a
+  wordcount-shaped aggregation collapses it to the word-TYPE relation
+  ``(word, count)`` — Zipf-compact, map-side partial agg, capped at the
+  ``MAX_WORD_TYPES`` most frequent types (standard BPE-trainer
+  practice).  At 100 TB this is the only distributed stage, and it is
+  one shuffle.
+- **All merges train driver-local over that capped relation**
+  (``_train_merges_local``): the collected table is ≤ MAX_WORD_TYPES
+  rows by construction — model-artifact-sized, not data-sized — and the
+  trainer maintains pair counts INCREMENTALLY (only words containing
+  the winning pair are re-segmented; a lazy max-heap yields each
+  round's argmax), so training 32k merges is O(total changes · log P),
+  not 32k sequential Spark jobs.  The previous design — one
+  groupBy/argmax job per merge — was correct but a driver-round-trip
+  scale-killer at real vocabulary sizes; this is the classic
+  split Sennrich's own reference implementation uses.
+- **Applying a model** (``bpe_apply``) is row-local and distributed:
+  up to ``BPE_EXPR_MAX_MERGES`` merges as a JVM-side expression fold
+  (no Python), beyond that an Arrow-batched pandas UDF with a
+  rank-priority encoder and per-word memoization (codegen expression
+  depth grows per merge, so a 32k-merge model cannot be an expression
+  tree).  Both paths produce IDENTICAL segmentations: a later merge
+  can never create a pair an earlier merge consumes (the earlier
+  merge's symbols predate it in training), so greedy
+  in-training-order folding and rank-priority encoding agree.
 
 Deliberately NOT SQL-expressible as one query (iterative, data-
 dependent argmax each round), so ``bpe_merges`` is verified in pytest
@@ -30,30 +41,31 @@ counts (exact merge-sequence equality) rather than a DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import heapq
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.textfns import tokens
 
 N_MERGES = 8
-# materialize the evolving vocabulary every K applied merges: between
-# checkpoints the merge folds stack as nested row-local expressions
-# (cheap to recompute, but codegen size grows with nesting depth, so
-# the interval is kept small); each checkpoint is one extra tiny job
-CHECKPOINT_EVERY = 3
-# training vocabulary cap: keep the per-round relation bounded by the
-# most frequent word types (standard BPE-trainer practice; ties broken
-# by word asc so the cut is deterministic)
+# training vocabulary cap: keep the driver-collected relation bounded
+# by the most frequent word types (ties broken by word asc so the cut
+# is deterministic)
 MAX_WORD_TYPES = 50_000
+# largest merge list applied as a JVM expression fold; beyond this the
+# pandas-UDF encoder takes over (expression/codegen depth is linear in
+# the merge count)
+BPE_EXPR_MAX_MERGES = 64
 
 
 def _fold_step(a: str, b: str, ab: str):
-    """The one greedy left-to-right merge step, shared by the trainer
-    and ``bpe_apply`` so their segmentation semantics cannot drift:
-    fold symbols into an accumulator, replacing a trailing ``a`` when
-    ``b`` arrives.  Overlaps resolve greedily ('aaa' under (a,a) ->
-    ['aa','a']), matching the reference trainer."""
+    """The one greedy left-to-right merge step, shared by the JVM apply
+    path and (in spirit) the trainer so segmentation semantics cannot
+    drift: fold symbols into an accumulator, replacing a trailing ``a``
+    when ``b`` arrives.  Overlaps resolve greedily ('aaa' under (a,a)
+    -> ['aa','a'])."""
 
     def step(acc, x):
         hit = (
@@ -71,13 +83,89 @@ def _fold_step(a: str, b: str, ab: str):
     return step
 
 
-def _merge_fold(a: str, b: str):
-    """Apply merge (a, b) to the ``syms`` column row-locally."""
-    return F.aggregate(
-        F.col("syms"),
-        F.array().cast("array<string>"),
-        _fold_step(a, b, a + b),
-    )
+def _fold_py(syms: list[str], a: str, b: str, ab: str) -> list[str]:
+    """Python twin of ``_fold_step`` (same greedy left-to-right
+    semantics), used by the trainer and the pandas apply path."""
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = ab
+        else:
+            out.append(x)
+    return out
+
+
+def _train_merges_local(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[dict]:
+    """Incremental BPE trainer over a (word, count) list.
+
+    Maintains exact adjacent-pair counts under a lazy max-heap
+    (entries are invalidated by comparing against the live count at
+    pop time; every count change pushes a fresh entry) and, per merge,
+    re-segments ONLY the words indexed as containing the winning pair.
+    Argmax tie-break is (count desc, pair asc) — heap key
+    ``(-count, (l, r))`` — matching the pure-Python reference trainer
+    the tests compare against symbol for symbol."""
+    vocab: list[list] = [
+        [list(w), int(c)] for w, c in word_counts if w
+    ]
+    pair_counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    heap: list[tuple[int, tuple[str, str]]] = []
+
+    def bump(pair: tuple[str, str], delta: int) -> None:
+        n = pair_counts.get(pair, 0) + delta
+        if n <= 0:
+            pair_counts.pop(pair, None)
+        else:
+            pair_counts[pair] = n
+            heapq.heappush(heap, (-n, pair))
+
+    for i, (syms, c) in enumerate(vocab):
+        for p in zip(syms, syms[1:]):
+            bump(p, c)
+            where.setdefault(p, set()).add(i)
+
+    merges: list[dict] = []
+    for step in range(1, n_merges + 1):
+        # lazy-heap argmax: discard entries whose count is stale
+        while heap:
+            neg, pair = heap[0]
+            if pair_counts.get(pair, 0) == -neg:
+                break
+            heapq.heappop(heap)
+        if not heap:
+            break
+        neg, (a, b) = heap[0]
+        ab = a + b
+        merges.append(
+            {
+                "step": step,
+                "left": a,
+                "right": b,
+                "merged": ab,
+                "pair_count": -neg,
+            }
+        )
+        # re-segment only the words that (may) contain the pair; the
+        # `where` index is lazy — stale members fall out via the
+        # no-change check below
+        for i in sorted(where.pop((a, b), ())):
+            syms, c = vocab[i]
+            out = _fold_py(syms, a, b, ab)
+            if len(out) == len(syms):
+                continue  # stale index entry: pair no longer present
+            for p in zip(syms, syms[1:]):
+                bump(p, -c)
+            for p in zip(out, out[1:]):
+                bump(p, c)
+                where.setdefault(p, set()).add(i)
+            vocab[i][0] = out
+        # the merged-away pair must be gone (folding leaves no (a,b)
+        # adjacency); drop any residual heap entries via the count map
+        pair_counts.pop((a, b), None)
+    return merges
 
 
 def bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,44 +188,15 @@ def bpe_train(
 ) -> list[dict]:
     """Learn ``n_merges`` BPE merges from a ``(w, cnt)`` relation.
 
-    Returns the ordered merge list ``[{"step", "left", "right",
-    "merged", "pair_count"}, ...]`` (driver-held by nature — the model
-    artifact is O(n_merges), not O(data)).  Stops early when no
-    adjacent pair remains."""
-    vocab = word_counts.select(
-        F.col("cnt").cast("long").alias("cnt"),
-        F.split(F.col("w"), "").alias("syms"),
-    ).localCheckpoint()
-    merges: list[dict] = []
-    pair_structs = F.expr(
-        "transform(slice(syms, 1, greatest(size(syms) - 1, 0)), "
-        "(x, i) -> struct(x AS l, syms[i + 1] AS r))"
-    )
-    for step in range(1, n_merges + 1):
-        best = (
-            vocab.select("cnt", F.explode(pair_structs).alias("p"))
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("cnt").alias("n"))
-            .orderBy(F.desc("n"), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        a, b, n = best[0]["l"], best[0]["r"], best[0]["n"]
-        merges.append(
-            {
-                "step": step,
-                "left": a,
-                "right": b,
-                "merged": a + b,
-                "pair_count": int(n),
-            }
-        )
-        vocab = vocab.select("cnt", _merge_fold(a, b).alias("syms"))
-        if step % CHECKPOINT_EVERY == 0:
-            vocab = vocab.localCheckpoint()
-    return merges
+    Collects ``word_counts`` to the driver — callers hand it the
+    already-capped output of ``bpe_word_counts`` (≤ ``MAX_WORD_TYPES``
+    rows; the model input is artifact-sized by design, never the
+    corpus) — and trains all merges locally with incremental
+    pair-count updates.  Returns the ordered merge list ``[{"step",
+    "left", "right", "merged", "pair_count"}, ...]``; stops early when
+    no adjacent pair remains."""
+    wc = [(r[0], r[1]) for r in word_counts.select("w", "cnt").collect()]
+    return _train_merges_local(wc, n_merges)
 
 
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,24 +210,70 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("step", "left", "right", "merged", "pair_count")
 
 
-def bpe_apply(df: DataFrame, text_col: str, merges: list[dict]):
-    """Column expression segmenting ``text_col``'s tokens with a learned
-    merge list: per token, chars -> fold each merge in training order
-    (row-local, JVM-side; expression depth = n_merges).  Returns an
-    ``array<array<string>>`` column (symbols per token)."""
+def bpe_apply(df: DataFrame, text_col: str, merges: list[dict]) -> Column:
+    """Column expression segmenting ``text_col``'s tokens with a
+    learned merge list; returns ``array<array<string>>`` (symbols per
+    token).
+
+    Small models (≤ ``BPE_EXPR_MAX_MERGES``) fold each merge in
+    training order as a row-local JVM expression.  Larger models
+    switch to an Arrow-batched pandas UDF over the SAME Spark-side
+    tokenizer: a rank-priority encoder (repeatedly fold the
+    lowest-ranked merge present) with per-word memoization — provably
+    the same segmentation as the sequential fold, at O(present merges)
+    instead of O(model size) per word."""
     tok = tokens(text_col)
+    if len(merges) <= BPE_EXPR_MAX_MERGES:
 
-    def seg(word_syms):
-        acc = word_syms
-        for m in merges:
-            acc = F.aggregate(
-                acc,
-                F.array().cast("array<string>"),
-                _fold_step(m["left"], m["right"], m["merged"]),
-            )
-        return acc
+        def seg(word_syms):
+            acc = word_syms
+            for m in merges:
+                acc = F.aggregate(
+                    acc,
+                    F.array().cast("array<string>"),
+                    _fold_step(m["left"], m["right"], m["merged"]),
+                )
+            return acc
 
-    return F.transform(tok, lambda w: seg(F.split(w, "")))
+        return F.transform(tok, lambda w: seg(F.split(w, "")))
+
+    # rank by POSITION in the list (training order), so slices or
+    # re-numbered merge lists encode exactly as handed in
+    ordered = [(m["left"], m["right"], m["merged"]) for m in merges]
+    ranks = {(a, b): i for i, (a, b, _ab) in enumerate(ordered)}
+
+    @F.pandas_udf("array<array<string>>")
+    def seg_udf(token_arrays):
+        cache: dict[str, list[str]] = {}
+
+        def encode(word: str) -> list[str]:
+            got = cache.get(word)
+            if got is not None:
+                return got
+            syms = list(word)
+            while len(syms) > 1:
+                best = min(
+                    (
+                        ranks[p]
+                        for p in zip(syms, syms[1:])
+                        if p in ranks
+                    ),
+                    default=None,
+                )
+                if best is None:
+                    break
+                a, b, ab = ordered[best]
+                syms = _fold_py(syms, a, b, ab)
+            cache[word] = syms
+            return syms
+
+        return token_arrays.map(
+            lambda toks: [
+                encode(w) for w in (toks if toks is not None else [])
+            ]
+        )
+
+    return seg_udf(tok)
 
 
 QUERIES: dict = {}

@@ -101,3 +101,79 @@ def test_bpe_early_stop_on_single_symbols(spark):
     stops immediately instead of looping."""
     wc = spark.createDataFrame([("a", 9), ("b", 4)], "w string, cnt long")
     assert bpe_train(spark, wc, n_merges=5) == []
+
+
+def test_bpe_thousand_merges_trains_fast_and_matches_reference(spark):
+    """Real-vocabulary merge counts: 1000 merges over a synthetic vocab
+    train driver-local (no per-merge Spark jobs) in seconds, with exact
+    merge-sequence parity against the recompute-everything reference
+    trainer."""
+    import random
+    import time
+
+    from mapreduce_grpc_spark.operators.bpe import bpe_train
+
+    rng = random.Random(11)
+    letters = "abcdefghij"
+    wc: dict[str, int] = {}
+    for _ in range(600):
+        w = "".join(
+            rng.choice(letters) for _ in range(rng.randint(3, 12))
+        )
+        wc[w] = wc.get(w, 0) + rng.randint(1, 50)
+    wdf = spark.createDataFrame(sorted(wc.items()), "w string, cnt long")
+    t0 = time.monotonic()
+    got = bpe_train(spark, wdf, n_merges=1000)
+    dt = time.monotonic() - t0
+    expected = _reference_bpe(wc, 1000)
+    assert [
+        (m["step"], m["left"], m["right"], m["merged"], m["pair_count"])
+        for m in got
+    ] == expected
+    assert len(got) > 200  # the vocab genuinely supports deep training
+    assert dt < 30, f"driver-local training took {dt:.1f}s"
+
+
+def test_bpe_apply_pandas_path_matches_sequential_fold(spark):
+    """Past BPE_EXPR_MAX_MERGES the apply path switches to the Arrow
+    pandas encoder; it must produce EXACTLY the sequential in-training-
+    order fold's segmentation (the small-model expression path is held
+    to the same oracle)."""
+    import random
+
+    from mapreduce_grpc_spark.operators.bpe import (
+        BPE_EXPR_MAX_MERGES,
+        _fold_py,
+        _train_merges_local,
+        bpe_apply,
+    )
+
+    rng = random.Random(5)
+    letters = "abcde"
+    wc: dict[str, int] = {}
+    for _ in range(200):
+        w = "".join(
+            rng.choice(letters) for _ in range(rng.randint(2, 10))
+        )
+        wc[w] = wc.get(w, 0) + rng.randint(1, 9)
+    merges = _train_merges_local(sorted(wc.items()), 500)
+    assert len(merges) > BPE_EXPR_MAX_MERGES
+
+    def seq(word: str, ms) -> list[str]:
+        syms = list(word)
+        for m in ms:
+            syms = _fold_py(syms, m["left"], m["right"], m["merged"])
+        return syms
+
+    texts = [" ".join(rng.sample(sorted(wc), 8)) for _ in range(10)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    big = df.select(bpe_apply(df, "text", merges).alias("s")).collect()
+    for row, t in zip(big, texts):
+        assert row.s == [seq(w, merges) for w in t.split()]
+
+    small = merges[:BPE_EXPR_MAX_MERGES]
+    small_rows = df.select(
+        bpe_apply(df, "text", small).alias("s")
+    ).collect()
+    for row, t in zip(small_rows, texts):
+        assert row.s == [seq(w, small) for w in t.split()]
