@@ -9,6 +9,8 @@ import os
 from pyspark.sql import functions as F
 
 from mapreduce_grpc_spark.catalog import table
+import pytest
+
 from mapreduce_grpc_spark.sources.maintenance import (
     merge_upsert,
     rollup_build,
@@ -16,6 +18,11 @@ from mapreduce_grpc_spark.sources.maintenance import (
     rollup_read,
     rollup_refresh,
 )
+
+
+# every test in this module runs under BOTH commit-protocol FS
+# backends (POSIX + object-store semantics) — see conftest.snapshot_fs
+pytestmark = pytest.mark.usefixtures("snapshot_fs")
 
 
 def _partition_mtimes(path: str) -> dict[str, float]:

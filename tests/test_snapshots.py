@@ -22,6 +22,11 @@ from mapreduce_grpc_spark.sources.snapshots import (
 )
 
 
+# every test in this module runs under BOTH commit-protocol FS
+# backends (POSIX + object-store semantics) — see conftest.snapshot_fs
+pytestmark = pytest.mark.usefixtures("snapshot_fs")
+
+
 def _mk_table(spark, path, n=1000, n_files=4):
     """A snapshot table clustered on k (disjoint per-file key ranges) —
     the layout that makes envelope pruning effective."""
@@ -2548,3 +2553,237 @@ def test_merge_rewrites_are_key_sorted(spark, tmp_path):
             str(tmp_path / "snap" / e["name"]), columns=["k"]
         ).column("k").to_pylist()
         assert ks == sorted(ks), e["name"]
+
+
+# --- object-store FS semantics ---------------------------------------
+
+
+def test_objectstore_conditional_put_race(tmp_path):
+    """Two writers racing a conditional PUT on the same key: exactly
+    one wins per round, the winner's FULL body is what lands (no torn
+    object), and no upload staging survives."""
+    import threading
+
+    from mapreduce_grpc_spark.sources.snapshots import (
+        CommitConflict,
+        ObjectStoreFS,
+    )
+
+    fs = ObjectStoreFS()
+    for rnd in range(10):
+        p = str(tmp_path / f"v{rnd}.json")
+        results: list[tuple[str, int]] = []
+        barrier = threading.Barrier(2)
+
+        def attempt(i, p=p, results=results, barrier=barrier):
+            barrier.wait()
+            try:
+                fs.create_exclusive(p, f"writer-{i}-" + "x" * 1000)
+                results.append(("win", i))
+            except CommitConflict:
+                results.append(("lose", i))
+
+        ts = [
+            threading.Thread(target=attempt, args=(i,)) for i in range(2)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert sorted(r for r, _ in results) == ["lose", "win"], results
+        winner = next(i for r, i in results if r == "win")
+        assert fs.read_text(p) == f"writer-{winner}-" + "x" * 1000
+    stray = [n for n in os.listdir(tmp_path) if ".upload-" in n]
+    assert stray == []
+
+
+def test_objectstore_rename_is_copy_delete(tmp_path):
+    from mapreduce_grpc_spark.sources.snapshots import ObjectStoreFS
+
+    fs = ObjectStoreFS()
+    src, dst = str(tmp_path / "a"), str(tmp_path / "b")
+    with open(src, "w") as fh:
+        fh.write("payload")
+    fs.rename(src, dst)
+    assert not os.path.exists(src)
+    assert fs.read_text(dst) == "payload"
+
+
+def test_objectstore_two_writers_race_one_version(spark, tmp_path):
+    """The full protocol under object-store semantics: two threads
+    committing against the SAME base version — the conditional PUT
+    serializes them, the loser retries onto base+2, and both rows land
+    (nothing lost, no version gap)."""
+    import threading
+
+    from mapreduce_grpc_spark.sources.snapshots import (
+        ObjectStoreFS,
+        set_default_fs,
+        snap_append,
+        snapshot_audit,
+    )
+
+    fs = ObjectStoreFS()
+    prev = set_default_fs(fs)
+    try:
+        path = str(tmp_path / "t")
+        _mk_table(spark, path, n=50, n_files=2)
+        base = read_manifest(path)["version"]
+        barrier = threading.Barrier(2)
+        errs: list = []
+
+        def writer(i):
+            df = spark.createDataFrame(
+                [(10_000 + i, f"w{i}")], "k long, v string"
+            )
+            barrier.wait()
+            try:
+                snap_append(spark, path, df.coalesce(1))
+            except Exception as e:  # surfaced after join
+                errs.append(e)
+
+        ts = [threading.Thread(target=writer, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert errs == []
+        m = read_manifest(path)
+        assert m["version"] == base + 2
+        got = {
+            r.k
+            for r in snap_read(spark, path).filter("k >= 10000").collect()
+        }
+        assert got == {10_000, 10_001}
+        versions = [a["version"] for a in snapshot_audit(path)]
+        assert versions == list(range(1, base + 3))
+    finally:
+        set_default_fs(prev)
+
+
+def test_mv_minmax_incremental_over_random_workload(spark, tmp_path):
+    """Multi-aggregate MV (count + sum + min + max): min/max merge
+    incrementally on inserts and fall back to recomputing ONLY the
+    groups whose extremum died — after every refresh the MV equals a
+    full recompute across random I/U/D batches, pure-insert refreshes
+    recompute nothing, and an extremum-killing delete recomputes just
+    its group."""
+    import random
+
+    from mapreduce_grpc_spark.sources.matview import (
+        mv_init,
+        mv_read,
+        mv_refresh,
+    )
+
+    rng = random.Random(33)
+    src = str(tmp_path / "src")
+    mvp = str(tmp_path / "mv")
+    aggs = {
+        "cnt": ("count", None),
+        "total": ("sum", "val"),
+        "lo": ("min", "val"),
+        "hi": ("max", "val"),
+    }
+    df = (
+        spark.range(60)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("g"),
+            (F.col("id") % 17).cast("double").alias("val"),
+        )
+        .repartitionByRange(2, "k")
+    )
+    snap_init(spark, df, src, stats_cols=["k"])
+    mv_init(spark, src, mvp, dims=["g"], aggs=aggs)
+
+    def recompute():
+        return (
+            snap_read(spark, src)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("val").cast("decimal(38,6)"))
+                .cast("decimal(38,6)")
+                .alias("total"),
+                F.min("val").alias("lo"),
+                F.max("val").alias("hi"),
+            )
+        )
+
+    def canon(df):
+        return sorted(
+            (r.g, r.cnt, float(r.total), r.lo, r.hi) for r in df.collect()
+        )
+
+    assert canon(mv_read(spark, mvp)) == canon(recompute())
+
+    model_keys = set(range(60))
+    recomputes = []
+    for step in range(5):
+        rows = {}
+        for k in rng.sample(range(90), rng.randint(3, 9)):
+            if k in model_keys and rng.random() < 0.45:
+                rows[k] = (k, None, None, "D")
+                model_keys.discard(k)
+            else:
+                rows[k] = (
+                    k,
+                    rng.choice([k % 5, 5 + step]),
+                    float(rng.randint(0, 80)),
+                    "U",
+                )
+                model_keys.add(k)
+        batch = spark.createDataFrame(
+            list(rows.values()), "k bigint, g bigint, val double, _op string"
+        )
+        apply_cdc_cow(spark, src, batch, keys=["k"])
+        res = mv_refresh(spark, src, mvp, keys=["k"], dims=["g"], aggs=aggs)
+        assert not res["skipped"]
+        recomputes.append(res["recomputed_groups"])
+        assert canon(mv_read(spark, mvp)) == canon(recompute()), (
+            f"multi-agg MV diverged at step {step}"
+        )
+
+    # the random workload must have exercised the recompute path at
+    # least once (deletes do kill extrema at this density) ...
+    assert any(n > 0 for n in recomputes), recomputes
+
+    # ... while PURE INSERTS never recompute: min/max merge forward
+    ins = spark.createDataFrame(
+        [(500, 2, 1000.0, "U"), (501, 99, -1.0, "U")],
+        "k bigint, g bigint, val double, _op string",
+    )
+    apply_cdc_cow(spark, src, ins, keys=["k"])
+    res = mv_refresh(spark, src, mvp, keys=["k"], dims=["g"], aggs=aggs)
+    assert res["recomputed_groups"] == 0
+    assert canon(mv_read(spark, mvp)) == canon(recompute())
+    got = {r.g: (r.lo, r.hi) for r in mv_read(spark, mvp).collect()}
+    assert got[2][1] == 1000.0  # new max merged without recompute
+    assert got[99] == (-1.0, -1.0)  # born group
+
+    # a delete that kills exactly one group's max recomputes ONE group
+    kill = spark.createDataFrame(
+        [(500, None, None, "D")], "k bigint, g bigint, val double, _op string"
+    )
+    apply_cdc_cow(spark, src, kill, keys=["k"])
+    res = mv_refresh(spark, src, mvp, keys=["k"], dims=["g"], aggs=aggs)
+    assert res["recomputed_groups"] == 1
+    assert canon(mv_read(spark, mvp)) == canon(recompute())
+
+
+def test_mv_aggs_spec_validation(spark, tmp_path):
+    from mapreduce_grpc_spark.sources.matview import _normalize_aggs
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="count"):
+        _normalize_aggs({"s": ("sum", "v")}, None)
+    with _pytest.raises(ValueError, match="unsupported"):
+        _normalize_aggs({"c": ("count", None), "m": ("median", "v")}, None)
+    with _pytest.raises(ValueError, match="needs a column"):
+        _normalize_aggs({"c": ("count", None), "s": ("sum", None)}, None)
+    assert _normalize_aggs(None, "x") == {
+        "cnt": ("count", None),
+        "sum_val": ("sum", "x"),
+    }

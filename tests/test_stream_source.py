@@ -22,14 +22,34 @@ from mapreduce_grpc_spark.sources.stream_source import (
 )
 
 
+# every test in this module runs under BOTH commit-protocol FS
+# backends (POSIX + object-store semantics) — see conftest.snapshot_fs
+pytestmark = pytest.mark.usefixtures("snapshot_fs")
+
+
 def _mk(spark, path, rows):
     df = spark.createDataFrame(rows, "k bigint, v string")
     snap_init(spark, df, path, stats_cols=["k"])
 
 
+# the active FS backend's module:Class spec — the data source runs in a
+# separate Python worker, so the test process's default FS is invisible
+# to it and must travel as the fsImpl option
+_ACTIVE_FS = {"spec": None}
+
+
+@pytest.fixture(autouse=True)
+def _fs_spec(snapshot_fs):
+    _ACTIVE_FS["spec"] = snapshot_fs.spec
+    yield
+    _ACTIVE_FS["spec"] = None
+
+
 def _read_stream(spark, path, **opts):
     spark.dataSource.register(SnapshotTableStreamSource)
     r = spark.readStream.format("snapshot_table").option("path", path)
+    if _ACTIVE_FS["spec"]:
+        r = r.option("fsImpl", _ACTIVE_FS["spec"])
     for k, v in opts.items():
         r = r.option(k, v)
     return r.load()
@@ -383,6 +403,7 @@ def test_native_sink_table_to_table_pipeline(spark, tmp_path):
             .filter(F.col("k") >= 10)
             .writeStream.format("snapshot_table")
             .option("path", dst)
+            .option("fsImpl", _ACTIVE_FS["spec"])
             .option("txnAppId", "pipe1")
             .option("checkpointLocation", ck)
             .trigger(availableNow=True)

@@ -24,6 +24,11 @@ from mapreduce_grpc_spark.sources.vector_index import (
 )
 
 
+# every test in this module runs under BOTH commit-protocol FS
+# backends (POSIX + object-store semantics) — see conftest.snapshot_fs
+pytestmark = pytest.mark.usefixtures("snapshot_fs")
+
+
 @pytest.fixture(scope="module")
 def index(spark, sf_dir, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("ivf") / "idx")
@@ -95,12 +100,16 @@ def test_search_prunes_unprobed_cell_files(spark, index):
     assert a == b
 
 
-def test_insert_fresh_ids_rewrites_nothing_and_is_searchable(spark, index):
+def test_insert_fresh_ids_rewrites_nothing_and_is_searchable(
+    spark, index, snapshot_fs
+):
     path, emb, _info = index
     # a fresh vector placed exactly on an existing vector's embedding:
     # must land in that vector's cell and come back as its neighbor
     probe = emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]
-    new_id = 10_000_001
+    # the index fixture is module-scoped and this test MUTATES it —
+    # each FS-backend run needs its own genuinely-fresh id
+    new_id = 10_000_001 + (0 if snapshot_fs.name == "local" else 1000)
     new = spark.createDataFrame(
         [(new_id, list(probe.embedding))],
         "vec_id long, embedding array<float>",
