@@ -239,15 +239,89 @@ WHERE c_custkey % 100 < 10
 """
 
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+def streaming_table_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native streaming loop, measured end to end: snapshot table
+    --readStream ("snapshot_table" source)--> filter --writeStream
+    ("snapshot_table" sink)--> snapshot table, one txn-marked append
+    commit per micro-batch (exactly-once; a replayed batch is skipped
+    by its marker).
+
+    The source table is built in two commits (even keys at v1, odd at
+    v2) so the stream genuinely spans multiple versions; the sink's
+    result is read back through the ordinary batch reader and
+    hash-checked against a one-line SQL filter of the fixture — the
+    whole pipeline (source offsets, Arrow partition reads, sink
+    commit protocol) sits between the two.  This is the benched cost
+    of the per-micro-batch commit overhead the round-6 flagship
+    introduced."""
+    import uuid as _uuid
+
+    from ..sources.snapshots import snap_append
+    from ..sources.stream_source import SnapshotTableStreamSource
+
+    tmp = tempfile.mkdtemp(prefix="snap-pipe-")
+    src, dst = os.path.join(tmp, "src"), os.path.join(tmp, "dst")
+    try:
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        snap_init(
+            spark,
+            orders.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+                2, "o_orderkey"
+            ),
+            src,
+            stats_cols=["o_orderkey"],
+        )
+        snap_append(
+            spark,
+            src,
+            orders.filter(F.col("o_orderkey") % 2 == 1).repartitionByRange(
+                2, "o_orderkey"
+            ),
+        )
+        snap_init(spark, orders.limit(0), dst, stats_cols=["o_orderkey"])
+        spark.dataSource.register(SnapshotTableStreamSource)
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("path", src)
+            .load()
+            .filter(F.col("o_totalprice") > 150000.0)
+            .writeStream.format("snapshot_table")
+            .option("path", dst)
+            .option("txnAppId", f"pipe-{_uuid.uuid4().hex[:8]}")
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = snap_read(spark, dst)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_TABLE_PIPELINE_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_totalprice > 150000.0
+"""
+
+
+# snapshot_timetravel is IN the 50-query driver contract (rotated in
+# round 7, replacing the redundant doc_fingerprint text query): the
+# table layer is the engine's centerpiece and deserves the driver's
+# own hash check, not just the pytest mirror.
+QUERIES = {"snapshot_timetravel": snapshot_timetravel}
+ORACLES = {"snapshot_timetravel": SNAPSHOT_TIMETRAVEL_SQL}
 AUX_QUERIES = {
-    "snapshot_timetravel": snapshot_timetravel,
     "matview_orders": matview_orders,
     "snapshot_delete_scan": snapshot_delete_scan,
+    "streaming_table_pipeline": streaming_table_pipeline,
 }
 AUX_ORACLES = {
-    "snapshot_timetravel": SNAPSHOT_TIMETRAVEL_SQL,
     "matview_orders": MATVIEW_ORDERS_SQL,
     "snapshot_delete_scan": SNAPSHOT_DELETE_SCAN_SQL,
+    "streaming_table_pipeline": STREAMING_TABLE_PIPELINE_SQL,
 }

@@ -879,30 +879,78 @@ def _check_predicates(predicates: list[tuple]) -> None:
             raise ValueError(f"predicate {p!r} needs {want - 2} value(s)")
 
 
+def _parse_dnf(predicates) -> list[list[tuple]]:
+    """Normalize a predicate argument to DNF branches (OR of ANDs).
+
+    Two accepted shapes:
+
+    - a plain list of tuples — the original conjunction form: one
+      branch, all predicates AND-ed;
+    - an OR form ``[branch, "or", branch, ...]`` where each branch is
+      a single predicate tuple or a LIST of tuples (a conjunction).
+
+    In the OR form every branch must be separated by the literal
+    string ``"or"`` — adjacent branches without it are rejected rather
+    than guessed at."""
+    if not isinstance(predicates, (list, tuple)):
+        raise ValueError(
+            f"predicates must be a list, got {type(predicates).__name__}"
+        )
+    if not any(isinstance(x, str) for x in predicates):
+        preds = list(predicates)
+        _check_predicates(preds)
+        return [preds]
+    branches: list[list[tuple]] = []
+    expect = "branch"
+    for item in predicates:
+        if isinstance(item, str):
+            if item != "or" or expect != "or":
+                raise ValueError(
+                    f"misplaced {item!r} in predicate tree; the OR form "
+                    "is [branch, 'or', branch, ...]"
+                )
+            expect = "branch"
+        else:
+            if expect != "branch":
+                raise ValueError(
+                    "adjacent branches need 'or' between them"
+                )
+            b = [item] if isinstance(item, tuple) else list(item)
+            _check_predicates(b)
+            branches.append(b)
+            expect = "or"
+    if expect != "or":
+        raise ValueError("predicate tree ends with a dangling 'or'")
+    return branches
+
+
 def prune_manifest(
-    m: dict, predicates: list[tuple], bloom_of=None
+    m: dict, predicates, bloom_of=None
 ) -> tuple[list[dict], list[dict]]:
     """Split a manifest's file entries into (kept, skipped) under a
-    conjunction of simple predicates — the reader-side half of data
-    skipping (the merge path's ``_overlaps`` is the writer-side half).
-    A file is skipped only when its footer statistics (or its bloom
-    filter, for ``=``/``in``) PROVE no row can satisfy some
-    predicate."""
-    _check_predicates(predicates)
+    predicate tree — the reader-side half of data skipping (the merge
+    path's ``_overlaps`` is the writer-side half).  ``predicates`` is
+    a conjunction list or the DNF OR form (``_parse_dnf``); a file is
+    kept when ANY branch's conjunction may match it (the union of
+    per-branch file sets), and skipped only when its footer statistics
+    (or its bloom filter, for ``=``/``in``) PROVE no branch can
+    match — still strictly conservative."""
+    branches = _parse_dnf(predicates)
     kept, skipped = [], []
     for e in m["files"]:
-        if all(_entry_may_match(e, p, bloom_of) for p in predicates):
+        if any(
+            all(_entry_may_match(e, p, bloom_of) for p in b)
+            for b in branches
+        ):
             kept.append(e)
         else:
             skipped.append(e)
     return kept, skipped
 
 
-def _predicates_to_column(predicates: list[tuple]):
-    """The exact row-level filter for a predicate list (pruning is
-    advisory; this is what guarantees correctness)."""
+def _conjunction_to_column(preds: list[tuple]):
     cond = F.lit(True)
-    for p in predicates:
+    for p in preds:
         col, op = F.col(p[0]), p[1]
         if op == "=":
             c = col == F.lit(p[2])
@@ -922,6 +970,16 @@ def _predicates_to_column(predicates: list[tuple]):
     return cond
 
 
+def _predicates_to_column(predicates):
+    """The exact row-level filter for a predicate tree (pruning is
+    advisory; this is what guarantees correctness)."""
+    branches = _parse_dnf(predicates)
+    cond = F.lit(False)
+    for b in branches:
+        cond = cond | _conjunction_to_column(b)
+    return cond
+
+
 def snap_scan(
     spark: SparkSession,
     path: str,
@@ -936,7 +994,11 @@ def snap_scan(
     manifest-level data skipping layered UNDER Spark's own row-group
     pushdown, exactly Delta/Iceberg's scan planning.  Predicates are
     tuples ``(col, op, value)`` with op in ``= < <= > >= in between``
-    (``between`` takes two values, ``in`` a list), AND-ed together.
+    (``between`` takes two values, ``in`` a list), AND-ed together —
+    or the DNF OR form ``[branch, "or", branch, ...]`` (each branch a
+    tuple or a conjunction list), pruned with the UNION of the
+    branches' file sets, so an OR-of-ranges audit scan is one pruned
+    pass instead of two scans.
 
     At 100 TB this is the difference between a point lookup scheduling
     O(table) tasks and O(matching files): on a key-clustered table

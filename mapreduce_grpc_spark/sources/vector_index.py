@@ -41,10 +41,13 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 from ..functions.vectors import cosine
 from .snapshots import (
     LocalSnapshotFS,
+    apply_cdc_cow,
+    delete_keys_mor,
     merge_upsert_cow,
     snap_init,
     snap_read,
@@ -54,6 +57,10 @@ from .snapshots import (
 N_CELLS = 8
 N_PROBE = 2
 TOP_K = 10
+# above this many query rows the per-query side stops being broadcast
+# (a million-query batch scoring a billion-vector index should shuffle
+# on cell, not ship the queries to every task twice)
+QUERY_BROADCAST_MAX_ROWS = 100_000
 
 
 def _centroids_path(path: str) -> str:
@@ -156,6 +163,169 @@ def ivf_index_insert(
     )
 
 
+def ivf_index_delete(
+    spark: SparkSession,
+    path: str,
+    vec_ids,
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
+    fs: LocalSnapshotFS | None = None,
+) -> dict:
+    """Remove vectors from the index by id — a merge-on-read delete on
+    the postings table (``delete_keys_mor``): matched rows are masked
+    by a deletion vector, no cell file is rewritten, and searches stop
+    returning them immediately (``snap_scan`` applies DVs).  The
+    masked-row debt is paid by the next rewrite of those files
+    (``ivf_index_insert`` re-using an id, ``ivf_rebalance``, or the
+    table's own ``auto_compact``).  ``vec_ids`` is an iterable of ids
+    or a DataFrame with a ``vec_id`` column."""
+    if not isinstance(vec_ids, DataFrame):
+        vec_ids = spark.createDataFrame(
+            [(int(v),) for v in vec_ids], "vec_id long"
+        )
+    return delete_keys_mor(
+        spark,
+        _postings_path(path),
+        vec_ids.select("vec_id"),
+        keys=["vec_id"],
+        txn_app=txn_app,
+        txn_batch=txn_batch,
+        fs=fs,
+    )
+
+
+def ivf_cell_stats(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    fs: LocalSnapshotFS | None = None,
+) -> DataFrame:
+    """Cell-occupancy audit: live posting count per cell (deletion
+    vectors applied).  One scan + one K-row shuffle; cells whose count
+    is far above the median are probe-cost hot spots —
+    ``ivf_rebalance`` is the remedy."""
+    return (
+        snap_read(spark, _postings_path(path), version, fs)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def ivf_rebalance(
+    spark: SparkSession,
+    path: str,
+    skew_factor: float = 4.0,
+    max_splits: int = 2,
+    seed: int = 43,
+    fs: LocalSnapshotFS | None = None,
+) -> dict:
+    """Budgeted re-cluster of overgrown cells (the
+    ``optimize_incremental`` shape applied to the quantizer): cells
+    holding more than ``skew_factor`` x the median posting count are
+    split in two by a seeded k-means over JUST that cell's vectors —
+    at most ``max_splits`` cells per run, so each invocation's cost is
+    bounded by the offenders, never the index.  The split cell's
+    centroid is replaced by the two sub-centroids (fresh cell ids) and
+    its postings are CoW-merged to their new cells, so probe cost in
+    that region is re-bounded while every other cell's files are
+    carried untouched.  Inserts keep assigning to nearest-centroid —
+    the quantizer stays frozen BETWEEN rebalances, exactly IVF's
+    contract.  Repeated churn converges like repeated
+    ``optimize_incremental`` runs: worst offender first, budget per
+    run.  Returns ``{"split_cells", "new_cells", "median", "max_over_
+    median_before"}``."""
+    import statistics
+
+    from ..operators.clustering import kmeans_pp_fit
+
+    counts = {
+        r["cell"]: r["n_vectors"]
+        for r in ivf_cell_stats(spark, path, fs=fs).collect()
+    }
+    if not counts:
+        return {
+            "split_cells": [],
+            "new_cells": [],
+            "median": 0,
+            "max_over_median_before": 0.0,
+        }
+    med = statistics.median(counts.values())
+    ratio_before = max(counts.values()) / max(med, 1)
+    skewed = sorted(
+        (c for c, n in counts.items() if n > skew_factor * med),
+        key=lambda c: -counts[c],
+    )[:max_splits]
+    if not skewed:
+        return {
+            "split_cells": [],
+            "new_cells": [],
+            "median": med,
+            "max_over_median_before": ratio_before,
+        }
+    cent_schema = snap_read(spark, _centroids_path(path), fs=fs).schema
+    next_id = (
+        max(
+            r["cell"]
+            for r in snap_read(spark, _centroids_path(path), fs=fs)
+            .select("cell")
+            .collect()
+        )
+        + 1
+    )
+    new_cells: list[int] = []
+    for c in skewed:
+        cell_rows = snap_scan(
+            spark, _postings_path(path), [("cell", "=", c)], fs=fs
+        ).select("vec_id", "embedding")
+        _assigned, _rounds, cents = kmeans_pp_fit(
+            spark, cell_rows, k=2, seed=seed, return_centroids=True
+        )
+        ids = {int(k): next_id + i for i, (k, _arr) in enumerate(cents)}
+        cell_expr = F.lit(None).cast("int")
+        for k, new_id in ids.items():
+            cell_expr = F.when(
+                F.col("_sub") == F.lit(k), F.lit(new_id)
+            ).otherwise(cell_expr)
+        batch = (
+            cell_rows.join(
+                _assigned.select(
+                    "vec_id", F.col("cluster").alias("_sub")
+                ),
+                "vec_id",
+            )
+            .select(
+                "vec_id",
+                cell_expr.cast("int").alias("cell"),
+                "embedding",
+            )
+        )
+        merge_upsert_cow(
+            spark, _postings_path(path), batch, keys=["vec_id"], fs=fs
+        )
+        cent_batch = spark.createDataFrame(
+            [(int(c), None, "D")]
+            + [
+                (ids[int(k)], [float(x) for x in arr], "U")
+                for k, arr in cents
+            ],
+            StructType(
+                list(cent_schema.fields)
+                + [StructField("_op", StringType())]
+            ),
+        )
+        apply_cdc_cow(
+            spark, _centroids_path(path), cent_batch, keys=["cell"], fs=fs
+        )
+        new_cells += sorted(ids.values())
+        next_id += len(ids)
+    return {
+        "split_cells": [int(c) for c in skewed],
+        "new_cells": new_cells,
+        "median": med,
+        "max_over_median_before": ratio_before,
+    }
+
+
 def ivf_search(
     spark: SparkSession,
     path: str,
@@ -163,6 +333,7 @@ def ivf_search(
     nprobe: int = N_PROBE,
     top_k: int = TOP_K,
     version: int | None = None,
+    broadcast_queries: bool | None = None,
     fs: LocalSnapshotFS | None = None,
 ) -> DataFrame:
     """Top-k cosine search: probe the ``nprobe`` nearest cells per
@@ -172,7 +343,13 @@ def ivf_search(
     ``queries`` is ``(q_id, q_emb)``; returns ``q_id, neighbor_id,
     cos_sim, rank`` (the query's own id is not excluded — filter
     downstream if self-matches are unwanted).  ``version`` time-travels
-    the POSTINGS (the quantizer is read at its matching CURRENT)."""
+    the POSTINGS (the quantizer is read at its matching CURRENT).
+
+    ``broadcast_queries``: the per-query side is broadcast into the
+    candidate scan while it stays under ``QUERY_BROADCAST_MAX_ROWS``
+    (one count of the small frame decides when ``None``); a huge query
+    batch instead shuffle-joins on ``cell`` then ``q_id`` — shipping a
+    million queries to every scan task would invert the win."""
     cent = _load_centroids(spark, path, None, fs)
     probes = (
         queries.crossJoin(F.broadcast(cent))
@@ -213,9 +390,13 @@ def ivf_search(
         version=version,
         fs=fs,
     )
+    if broadcast_queries is None:
+        broadcast_queries = queries.count() <= QUERY_BROADCAST_MAX_ROWS
+    if broadcast_queries:
+        probes, queries = F.broadcast(probes), F.broadcast(queries)
     scored = (
-        cand.join(F.broadcast(probes), "cell")
-        .join(F.broadcast(queries), "q_id")
+        cand.join(probes, "cell")
+        .join(queries, "q_id")
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),

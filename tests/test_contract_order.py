@@ -7,7 +7,7 @@ from __future__ import annotations
 
 CONTRACT_ORDER = [
     "wordcount", "grep_filter", "inverted_index", "text_stats", "ngrams",
-    "text_quality", "lang_id", "doc_fingerprint", "tfidf",
+    "text_quality", "lang_id", "tfidf",
     "pipeline_clean_corpus", "udtf_wordcount", "pandas_token_count",
     "streaming_tumbling", "streaming_sessionize", "mapreduce_wordcount",
     "per_key_agg", "distinct_count", "rollup_agg", "reduce_side_join",
@@ -19,6 +19,7 @@ CONTRACT_ORDER = [
     "similarity_topk", "ann_lsh_topk", "ivf_topk", "dedup_embedding",
     "tumbling_window", "sliding_window", "session_window", "events_json",
     "multimodal_features", "frame_sample", "zscore_outliers",
+    "snapshot_timetravel",
 ]
 
 

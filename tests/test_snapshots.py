@@ -2787,3 +2787,62 @@ def test_mv_aggs_spec_validation(spark, tmp_path):
         "cnt": ("count", None),
         "sum_val": ("sum", "x"),
     }
+
+
+def test_snap_scan_dnf_or_predicates(spark, tmp_path):
+    """OR-of-ranges in one pruned scan: the kept file set is the UNION
+    of the branches' sets (middle files skipped), rows equal the full
+    filter, and malformed trees are rejected loudly."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        _bloom_loader,
+        prune_manifest,
+        snap_scan,
+    )
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=1000, n_files=5)
+    m = read_manifest(path)
+    assert len(m["files"]) == 5
+
+    preds = [("k", "between", 0, 40), "or", ("k", "between", 950, 999)]
+    kept, skipped = prune_manifest(m, preds, _bloom_loader(path, None))
+    assert len(kept) == 2 and len(skipped) == 3
+
+    got = sorted(r.k for r in snap_scan(spark, path, preds).collect())
+    want = sorted(
+        r.k
+        for r in snap_read(spark, path)
+        .filter("(k BETWEEN 0 AND 40) OR (k BETWEEN 950 AND 999)")
+        .collect()
+    )
+    assert got == want and len(got) == 91
+
+    # branch = conjunction list: (k<40 AND v='v7') OR (k>990)
+    preds2 = [
+        [("k", "<", 40), ("v", "=", "v7")],
+        "or",
+        [("k", ">", 990)],
+    ]
+    got2 = sorted(r.k for r in snap_scan(spark, path, preds2).collect())
+    assert got2 == [7] + list(range(991, 1000))
+    kept2, skipped2 = prune_manifest(m, preds2)
+    assert len(kept2) == 2 and len(skipped2) == 3
+
+    # single-branch OR degenerates to the conjunction
+    got3 = {r.k for r in snap_scan(spark, path, [("k", "=", 500)]).collect()}
+    assert got3 == {500}
+
+    for bad in (
+        [("k", "=", 1), ("k", "=", 2), "or", ("k", "=", 3)],
+        ["or", ("k", "=", 1)],
+        [("k", "=", 1), "or"],
+        [("k", "=", 1), "and", ("k", "=", 2)],
+    ):
+        with pytest.raises(ValueError):
+            snap_scan(spark, path, bad)
+
+    # pruning stays conservative on an OR that spans everything
+    kept_all, _ = prune_manifest(
+        m, [("k", "<=", 999), "or", ("k", "=", 0)]
+    )
+    assert len(kept_all) == 5

@@ -648,3 +648,15 @@ def test_partition_binning_coalesces_small_files(spark, tmp_path):
     assert len(parts) == math.ceil(n_files / per_bin)
     got = _drain(spark, _read_stream(spark, path), str(tmp_path / "ck"))
     assert sorted(got) == [(i, str(i)) for i in range(70)]
+
+
+def test_streaming_table_pipeline_oracle_parity(spark, sf_dir):
+    """The benched AUX query: table -> readStream -> filter ->
+    writeStream -> table, hash-checked against the one-line SQL
+    equivalent (same comparator as the driver)."""
+    from mapreduce_grpc_spark import registry
+    from tests.oracle import assert_oracle_match
+
+    name = "streaming_table_pipeline"
+    df = registry.AUX_QUERIES[name](spark, sf_dir)
+    assert_oracle_match(df, registry.AUX_ORACLES[name], sf_dir, name)

@@ -161,3 +161,166 @@ def test_rebuild_is_deterministic(spark, sf_dir, tmp_path):
         for r in snap_read(spark, _postings_path(b)).collect()
     )
     assert pa == pb
+
+
+def _recall(spark, path, live_emb, n_q=12, nprobe=2, top_k=10, **kw):
+    """IVF recall@top_k vs brute force over the LIVE embedding set."""
+    from mapreduce_grpc_spark.sources.vector_index import ivf_search
+
+    q = (
+        live_emb.orderBy("vec_id")
+        .limit(n_q)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    approx = {
+        (r.q_id, r.neighbor_id)
+        for r in ivf_search(
+            spark, path, q, nprobe=nprobe, top_k=top_k, **kw
+        ).collect()
+    }
+    brute = (
+        q.crossJoin(live_emb)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.desc("cos_sim"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= top_k)
+    )
+    exact = {(r.q_id, r.neighbor_id) for r in brute.collect()}
+    return len(approx & exact) / len(exact)
+
+
+def test_delete_then_insert_churn_holds_recall(spark, sf_dir, tmp_path):
+    """Insert+delete churn: deleted ids vanish from results immediately
+    (MoR deletion vectors, no file rewritten), re-inserts resurface,
+    and recall over the LIVE set stays at the fresh-build baseline."""
+    from mapreduce_grpc_spark.sources.snapshots import read_manifest as _rm
+    from mapreduce_grpc_spark.sources.vector_index import (
+        ivf_index_delete,
+        ivf_index_init,
+        ivf_index_insert,
+        ivf_search,
+    )
+
+    path = str(tmp_path / "idx")
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ivf_index_init(spark, emb, path, n_cells=8, seed=42)
+    base_recall = _recall(spark, path, emb)
+
+    # delete a third of the ids
+    all_ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    dead = sorted(all_ids)[:: 3]
+    m_before = _rm(_postings_path(path))
+    res = ivf_index_delete(spark, path, dead)
+    assert res["deleted"] == len(dead)
+    m_after = _rm(_postings_path(path))
+    # MoR: same data files, just DV'd
+    assert {e["name"] for e in m_after["files"]} == {
+        e["name"] for e in m_before["files"]
+    }
+
+    live = emb.filter(~F.col("vec_id").isin(dead))
+    got = ivf_search(
+        spark,
+        path,
+        live.limit(5).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+        ),
+        nprobe=8,
+        top_k=1000,
+    )
+    assert not {r.neighbor_id for r in got.collect()} & set(dead)
+    assert _recall(spark, path, live) >= base_recall - 0.05
+
+    # churn back: re-insert half the dead ids
+    back = emb.filter(F.col("vec_id").isin(dead[: len(dead) // 2]))
+    ivf_index_insert(spark, path, back)
+    live2 = live.unionByName(back)
+    assert _recall(spark, path, live2) >= base_recall - 0.05
+
+
+def test_rebalance_splits_skewed_cell_and_rebounds_probe_cost(
+    spark, sf_dir, tmp_path
+):
+    """A hostile layout — one cell holding most of the corpus — is
+    re-bounded by the budgeted rebalance: the offender is split into
+    sub-cells, per-cell max occupancy drops, a probe of that region
+    reads fewer candidate rows, and recall does not regress."""
+    from mapreduce_grpc_spark.sources.vector_index import (
+        ivf_cell_stats,
+        ivf_index_init,
+        ivf_index_insert,
+        ivf_rebalance,
+    )
+
+    path = str(tmp_path / "idx")
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.limit(1).collect()[0].embedding)
+    # base index over a tight cluster near +e0 plus scattered vectors
+    ivf_index_init(spark, emb, path, n_cells=6, seed=42)
+
+    # pile a tight blob of new vectors onto ONE region -> one fat cell
+    blob = spark.range(200_000, 200_800).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *(
+                [F.lit(10.0) + (F.col("id") % 7).cast("double") / 100.0]
+                + [
+                    (F.col("id") % (i + 3)).cast("double") / 50.0
+                    for i in range(1, dim)
+                ]
+            )
+        ).cast("array<float>").alias("embedding"),
+    )
+    ivf_index_insert(spark, path, blob)
+
+    stats0 = {
+        r.cell: r.n_vectors
+        for r in ivf_cell_stats(spark, path).collect()
+    }
+    import statistics as _st
+
+    assert max(stats0.values()) > 4.0 * _st.median(stats0.values()), stats0
+    live = emb.unionByName(blob)
+    recall_before = _recall(spark, path, live)
+
+    res = ivf_rebalance(spark, path, skew_factor=4.0, max_splits=1, seed=7)
+    assert len(res["split_cells"]) == 1 and len(res["new_cells"]) >= 1
+    fat = res["split_cells"][0]
+    stats1 = {
+        r.cell: r.n_vectors
+        for r in ivf_cell_stats(spark, path).collect()
+    }
+    assert fat not in stats1
+    assert set(res["new_cells"]) <= set(stats1)
+    # the offender's postings were genuinely split across the sub-cells
+    assert max(stats1.get(c, 0) for c in res["new_cells"]) < stats0[fat]
+    assert sum(stats1.get(c, 0) for c in res["new_cells"]) == stats0[fat]
+    # probe cost in the hot region is re-bounded: a query in the blob
+    # now reads the sub-cell, not the whole former fat cell
+    from mapreduce_grpc_spark.sources.snapshots import snap_scan
+
+    worst_new = max(
+        res["new_cells"], key=lambda c: stats1.get(c, 0)
+    )
+    assert (
+        snap_scan(
+            spark, _postings_path(path), [("cell", "=", worst_new)]
+        ).count()
+        < stats0[fat]
+    )
+    # recall over everything does not regress
+    assert _recall(spark, path, live) >= recall_before - 0.05
