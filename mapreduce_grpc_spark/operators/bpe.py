@@ -267,10 +267,12 @@ def bpe_apply(df: DataFrame, text_col: str, merges: list[dict]) -> Column:
             cache[word] = syms
             return syms
 
+        # NULL token arrays stay NULL — the expression path's
+        # F.transform(NULL) is NULL, and both paths must agree exactly
         return token_arrays.map(
-            lambda toks: [
-                encode(w) for w in (toks if toks is not None else [])
-            ]
+            lambda toks: None
+            if toks is None
+            else [encode(w) for w in toks]
         )
 
     return seg_udf(tok)

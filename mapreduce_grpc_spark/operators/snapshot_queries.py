@@ -294,7 +294,12 @@ def streaming_table_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_table_pipeline: availableNow drain exceeded "
+                "300s — partial sink state must not be hash-compared"
+            )
         out = snap_read(spark, dst)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)

@@ -238,12 +238,16 @@ def mv_refresh(
             .alias(n)
         )
     # min/max merge on insert; a delete that ties-or-beats the stored
-    # extremum makes the group non-incrementable -> recompute it
+    # extremum makes the group non-incrementable -> recompute it.  The
+    # stored-extremum column is NULL both for an all-null group and for
+    # a group BORN inside this (possibly multi-commit) span — in either
+    # case any delete in the span forces the recompute: a born group's
+    # ``_ins_`` is the min/max over ALL values inserted in the span,
+    # including ones a later intra-span commit deleted again
     needs = F.lit(False)
     for n in mins:
         needs = needs | (
-            exists
-            & F.col(f"_del_{n}").isNotNull()
+            F.col(f"_del_{n}").isNotNull()
             & (F.col(n).isNull() | (F.col(f"_del_{n}") <= F.col(n)))
         )
         out_cols.append(
@@ -253,8 +257,7 @@ def mv_refresh(
         )
     for n in maxs:
         needs = needs | (
-            exists
-            & F.col(f"_del_{n}").isNotNull()
+            F.col(f"_del_{n}").isNotNull()
             & (F.col(n).isNull() | (F.col(f"_del_{n}") >= F.col(n)))
         )
         out_cols.append(
@@ -262,7 +265,11 @@ def mv_refresh(
             .otherwise(F.col(f"_ins_{n}"))
             .alias(n)
         )
-    merged = j.select(*out_cols, needs.alias("_rec"))
+    # the delta/join lineage re-reads the change feed per action; it is
+    # consumed by up to three actions below (recompute-key collect, the
+    # incremental batch, the recompute union) — materialize ONCE
+    # (O(touched groups) rows, the refresh's own cost class)
+    merged = j.select(*out_cols, needs.alias("_rec")).localCheckpoint()
 
     agg_names = list(spec)
 

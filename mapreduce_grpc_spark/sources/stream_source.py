@@ -483,6 +483,7 @@ class _SnapshotStreamWriter(DataSourceStreamWriter):
                         "added": len(entries),
                         "txn": {"app": self._txn_app, "batch": int(batchId)},
                     },
+                    fs=f,
                 )
                 return
             except CommitConflict:

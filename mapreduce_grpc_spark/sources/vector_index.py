@@ -211,6 +211,72 @@ def ivf_cell_stats(
     )
 
 
+def ivf_repair(
+    spark: SparkSession,
+    path: str,
+    fs: LocalSnapshotFS | None = None,
+) -> dict:
+    """Re-attach orphaned cells to the quantizer.
+
+    A rebalance lands TWO commits on two tables (postings move, then
+    centroid swap); a crash between them leaves postings assigned to
+    cells the centroids table does not list — probes would never
+    select those cells, silently hiding their vectors.  This repairs
+    that window: any cell present in the postings but absent from the
+    centroids gets a centroid recomputed as its postings' per-dimension
+    mean (exactly the k-means update step, so the repaired quantizer
+    is what the interrupted split was converging to).  Idempotent; a
+    healthy index is a no-op.  ``ivf_rebalance`` runs it first, so a
+    crashed rebalance is healed by the next one (or by calling this
+    directly)."""
+    post_cells = {
+        r["cell"]
+        for r in snap_read(spark, _postings_path(path), fs=fs)
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    cent_cells = {
+        r["cell"]
+        for r in snap_read(spark, _centroids_path(path), fs=fs)
+        .select("cell")
+        .collect()
+    }
+    orphans = sorted(post_cells - cent_cells)
+    if not orphans:
+        return {"repaired_cells": []}
+    means = (
+        snap_scan(
+            spark, _postings_path(path), [("cell", "in", orphans)], fs=fs
+        )
+        .select("cell", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("pm")
+        )
+        .select(
+            "cell",
+            F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
+        )
+    )
+    cent_schema = snap_read(spark, _centroids_path(path), fs=fs).schema
+    batch = spark.createDataFrame(
+        [
+            (int(r["cell"]), [float(x) for x in r["centroid"]], "U")
+            for r in means.collect()
+        ],
+        StructType(
+            list(cent_schema.fields) + [StructField("_op", StringType())]
+        ),
+    )
+    apply_cdc_cow(spark, _centroids_path(path), batch, keys=["cell"], fs=fs)
+    return {"repaired_cells": orphans}
+
+
 def ivf_rebalance(
     spark: SparkSession,
     path: str,
@@ -233,11 +299,21 @@ def ivf_rebalance(
     contract.  Repeated churn converges like repeated
     ``optimize_incremental`` runs: worst offender first, budget per
     run.  Returns ``{"split_cells", "new_cells", "median", "max_over_
-    median_before"}``."""
+    median_before", "repaired_cells"}``.
+
+    Crash semantics: each split is two commits (postings move, then
+    centroid swap — not atomic across tables).  A crash between them
+    leaves the moved postings in cells the quantizer doesn't list yet;
+    ``ivf_repair`` (run first thing here) re-attaches such orphan
+    cells, so the window costs one healing pass, never silent recall
+    loss.  A crash after the postings move can also leave the OLD
+    centroid pointing at a now-empty cell — harmless (a probe of an
+    empty cell reads nothing) and cleared by the completed retry."""
     import statistics
 
     from ..operators.clustering import kmeans_pp_fit
 
+    repaired = ivf_repair(spark, path, fs=fs)["repaired_cells"]
     counts = {
         r["cell"]: r["n_vectors"]
         for r in ivf_cell_stats(spark, path, fs=fs).collect()
@@ -248,6 +324,7 @@ def ivf_rebalance(
             "new_cells": [],
             "median": 0,
             "max_over_median_before": 0.0,
+            "repaired_cells": repaired,
         }
     med = statistics.median(counts.values())
     ratio_before = max(counts.values()) / max(med, 1)
@@ -261,6 +338,7 @@ def ivf_rebalance(
             "new_cells": [],
             "median": med,
             "max_over_median_before": ratio_before,
+            "repaired_cells": repaired,
         }
     cent_schema = snap_read(spark, _centroids_path(path), fs=fs).schema
     next_id = (
@@ -323,6 +401,7 @@ def ivf_rebalance(
         "new_cells": new_cells,
         "median": med,
         "max_over_median_before": ratio_before,
+        "repaired_cells": repaired,
     }
 
 
@@ -391,7 +470,12 @@ def ivf_search(
         fs=fs,
     )
     if broadcast_queries is None:
-        broadcast_queries = queries.count() <= QUERY_BROADCAST_MAX_ROWS
+        # bounded probe, not a full count: deciding "over the
+        # threshold?" must not scan an arbitrarily large query set
+        broadcast_queries = (
+            queries.limit(QUERY_BROADCAST_MAX_ROWS + 1).count()
+            <= QUERY_BROADCAST_MAX_ROWS
+        )
     if broadcast_queries:
         probes, queries = F.broadcast(probes), F.broadcast(queries)
     scored = (

@@ -2846,3 +2846,54 @@ def test_snap_scan_dnf_or_predicates(spark, tmp_path):
         m, [("k", "<=", 999), "or", ("k", "=", 0)]
     )
     assert len(kept_all) == 5
+
+
+def test_mv_minmax_group_born_and_trimmed_within_span(spark, tmp_path):
+    """A group BORN inside a multi-commit refresh span whose extremum
+    is deleted by a LATER commit of the same span: the incremental
+    path cannot know the delete removed the running min, so the group
+    must be recomputed — the stored min is the survivor's value, not
+    the span's insert-minimum."""
+    from mapreduce_grpc_spark.sources.matview import (
+        mv_init,
+        mv_read,
+        mv_refresh,
+    )
+
+    src = str(tmp_path / "src")
+    mvp = str(tmp_path / "mv")
+    aggs = {"cnt": ("count", None), "lo": ("min", "val"), "hi": ("max", "val")}
+    snap_init(
+        spark,
+        spark.createDataFrame(
+            [(1, 1, 5.0), (2, 1, 7.0)], "k bigint, g bigint, val double"
+        ),
+        src,
+        stats_cols=["k"],
+    )
+    mv_init(spark, src, mvp, dims=["g"], aggs=aggs)
+
+    # commit A: group 9 born with values {3, 9}
+    apply_cdc_cow(
+        spark,
+        src,
+        spark.createDataFrame(
+            [(100, 9, 3.0, "U"), (101, 9, 9.0, "U")],
+            "k bigint, g bigint, val double, _op string",
+        ),
+        keys=["k"],
+    )
+    # commit B (same span): the 3 dies -> true min is 9
+    apply_cdc_cow(
+        spark,
+        src,
+        spark.createDataFrame(
+            [(100, None, None, "D")],
+            "k bigint, g bigint, val double, _op string",
+        ),
+        keys=["k"],
+    )
+    res = mv_refresh(spark, src, mvp, keys=["k"], dims=["g"], aggs=aggs)
+    assert res["recomputed_groups"] >= 1
+    row = {r.g: r for r in mv_read(spark, mvp).collect()}[9]
+    assert (row.cnt, row.lo, row.hi) == (1, 9.0, 9.0)

@@ -324,3 +324,54 @@ def test_rebalance_splits_skewed_cell_and_rebounds_probe_cost(
     )
     # recall over everything does not regress
     assert _recall(spark, path, live) >= recall_before - 0.05
+
+
+def test_ivf_repair_reattaches_orphan_cells(spark, sf_dir, tmp_path):
+    """The rebalance crash window (postings moved, centroid swap never
+    landed): orphan cells hide their vectors from every probe.
+    ivf_repair recomputes the orphan's centroid from its postings and
+    searches find the vectors again; a healthy index is a no-op."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        merge_upsert_cow,
+        snap_scan,
+    )
+    from mapreduce_grpc_spark.sources.vector_index import (
+        ivf_index_init,
+        ivf_repair,
+        ivf_search,
+    )
+
+    path = str(tmp_path / "idx")
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ivf_index_init(spark, emb, path, n_cells=6, seed=42)
+
+    moved = snap_scan(
+        spark, _postings_path(path), [("cell", "=", 0)]
+    ).select(
+        "vec_id", F.lit(100).cast("int").alias("cell"), "embedding"
+    )
+    rows = moved.collect()
+    assert rows, "fixture must populate cell 0"
+    merge_upsert_cow(
+        spark,
+        _postings_path(path),
+        spark.createDataFrame(rows, moved.schema),
+        keys=["vec_id"],
+    )
+
+    probe = rows[0]
+    q = spark.createDataFrame(
+        [(probe.vec_id, list(probe.embedding))],
+        "q_id long, q_emb array<float>",
+    )
+    # all 6 known cells probed -> the orphaned vector is invisible
+    got = ivf_search(spark, path, q, nprobe=6, top_k=5)
+    assert probe.vec_id not in {r.neighbor_id for r in got.collect()}
+
+    res = ivf_repair(spark, path)
+    assert res["repaired_cells"] == [100]
+    got2 = ivf_search(spark, path, q, nprobe=7, top_k=5)
+    top = sorted(got2.collect(), key=lambda r: r.rank)
+    assert top[0].neighbor_id == probe.vec_id
+
+    assert ivf_repair(spark, path)["repaired_cells"] == []
