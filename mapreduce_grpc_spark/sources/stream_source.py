@@ -87,8 +87,8 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -340,15 +340,16 @@ class _FileCommit(WriterCommitMessage):
         self.name = name
 
 
-class _SnapshotStreamWriter(DataSourceStreamWriter):
+class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
     """Native streaming SINK: each micro-batch lands as ONE append
     commit on the snapshot table.
 
-    - ``write`` (executors): each task's rows become one immutable
-      ``data-*.parquet`` written DIRECTLY into the table dir via
-      pyarrow (invisible until a manifest references it — the same
-      publish-then-commit shape the batch writers use); the file name
-      is the commit message.
+    - ``write`` (executors): each task's ARROW RecordBatches (the
+      engine ships columnar batches — no per-row Python conversion on
+      the data path) stream into one immutable ``data-*.parquet``
+      written DIRECTLY into the table dir via pyarrow (invisible until
+      a manifest references it — the same publish-then-commit shape
+      the batch writers use); the file name is the commit message.
     - ``commit`` (driver): footer stats + blooms for the new files,
       then one manifest commit carrying a ``(txnAppId, batchId)``
       marker — a replayed micro-batch (failure before the streaming
@@ -371,12 +372,10 @@ class _SnapshotStreamWriter(DataSourceStreamWriter):
         self._txn_app = txn_app
         self._fs_spec = fs_spec
 
-    # rows per Arrow chunk flushed into the task's parquet file: bounds
-    # executor memory at O(chunk), not O(partition)
-    WRITE_CHUNK_ROWS = 65_536
-
     def write(self, iterator) -> _FileCommit:
-        import itertools
+        # iterator of pyarrow RecordBatch (DataSourceStreamArrowWriter):
+        # batches append straight into the parquet writer — executor
+        # memory bounded at O(batch), zero per-row Python
         import uuid as _uuid
 
         import pyarrow as pa
@@ -390,16 +389,10 @@ class _SnapshotStreamWriter(DataSourceStreamWriter):
         full = os.path.join(self._path, name)
         writer = None
         try:
-            while True:
-                chunk = list(
-                    itertools.islice(iterator, self.WRITE_CHUNK_ROWS)
-                )
-                if not chunk:
-                    break
-                table = pa.Table.from_pylist(
-                    [r.asDict(recursive=True) for r in chunk],
-                    schema=target,
-                )
+            for batch in iterator:
+                table = pa.Table.from_batches([batch]).select(
+                    target.names
+                ).cast(target)
                 if writer is None:
                     writer = pq.ParquetWriter(full, target)
                 writer.write_table(table)

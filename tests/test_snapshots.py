@@ -844,10 +844,10 @@ def test_snapshot_timetravel_oracle_parity(spark, sf_dir):
     from mapreduce_grpc_spark import registry
     from tests.oracle import assert_oracle_match
 
-    df = registry.AUX_QUERIES["snapshot_timetravel"](spark, sf_dir)
+    df = registry.QUERIES["snapshot_timetravel"](spark, sf_dir)
     assert_oracle_match(
         df,
-        registry.AUX_ORACLES["snapshot_timetravel"],
+        registry.ORACLES["snapshot_timetravel"],
         sf_dir,
         "snapshot_timetravel",
     )
