@@ -410,6 +410,124 @@ GROUP BY dim
 """
 
 
+# --- SemDeDup: semantic dedup through learned clusters -------------------
+# (Abbas et al. 2023, arXiv:2303.09540): k-means the embedding space,
+# then find semantic-duplicate GROUPS only within each cluster and keep
+# one representative per group — the member farthest from its centroid
+# (the paper's keep-low-centroid-similarity rule: the most "extreme"
+# exemplar carries the most information).  All-pairs work is bounded by
+# O(sum cluster_size^2), never O(n^2), and the within-cluster pass is a
+# chunked Arrow computation, not a pair join.
+
+SEMANTIC_COS_THRESHOLD = 0.4
+# rows above which a cluster's pairwise pass is refused: the O(n_c^2)
+# within-cluster stage is the algorithm's documented cost, and a
+# monster cluster means k is mis-sized for the corpus — raise k (the
+# paper sizes k so clusters stay in the tens of thousands)
+MAX_SEMANTIC_CLUSTER_ROWS = 100_000
+# pairwise sims are computed in row-chunks of this size: peak memory
+# O(chunk x cluster), never O(cluster^2) floats
+_SEM_CHUNK = 1024
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = 8,
+    threshold: float = SEMANTIC_COS_THRESHOLD,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup over an ``(vec_id, embedding)`` relation.
+
+    Returns one row per input vector: ``(vec_id, cluster, keep,
+    group_size)`` where ``group_size`` is the size of the vector's
+    semantic-duplicate group (1 = unique).  Deterministic: seeded
+    k-means++ fit, exact cosine, representative = max centroid
+    distance with vec_id tie-break.
+    """
+    from .clustering import kmeans_pp_fit
+
+    assign, _rounds = kmeans_pp_fit(
+        spark, emb.select("vec_id", "embedding"), k=k, seed=seed
+    )
+    clustered = emb.select("vec_id", "embedding").join(assign, "vec_id")
+
+    out_schema = (
+        "vec_id long, cluster int, keep boolean, group_size int"
+    )
+
+    def _dedup_cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n > MAX_SEMANTIC_CLUSTER_ROWS:
+            raise ValueError(
+                f"semantic_dedup: cluster of {n} rows exceeds "
+                f"MAX_SEMANTIC_CLUSTER_ROWS={MAX_SEMANTIC_CLUSTER_ROWS}; "
+                "the within-cluster pairwise pass is O(n^2) by design — "
+                "refit with a larger k so clusters stay bounded"
+            )
+        # deterministic processing order regardless of Arrow batch order
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(E, axis=1)
+        norms[norms == 0.0] = 1.0
+        E = E / norms[:, None]
+        parent = np.arange(n)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for lo in range(0, n, _SEM_CHUNK):
+            hi = min(lo + _SEM_CHUNK, n)
+            sims = E[lo:hi] @ E.T  # (chunk, n)
+            ii, jj = np.nonzero(sims >= threshold)
+            for a, b in zip(ii + lo, jj):
+                if a < b:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(n)])
+        dist = pdf["dist_sq"].to_numpy()
+        keep = np.zeros(n, dtype=bool)
+        sizes = np.zeros(n, dtype=np.int32)
+        for r in np.unique(roots):
+            members = np.nonzero(roots == r)[0]
+            sizes[members] = len(members)
+            # farthest from centroid wins; vec_id ascending breaks ties
+            # (members are vec_id-sorted, argmax takes the first max)
+            keep[members[int(np.argmax(dist[members]))]] = True
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cluster": pdf["cluster"].astype("int32"),
+                "keep": keep,
+                "group_size": sizes,
+            }
+        )
+
+    return clustered.groupBy("cluster").applyInPandas(
+        _dedup_cluster, out_schema
+    )
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The benched SemDeDup entry over the ``embeddings`` fixture:
+    cluster-bounded semantic dedup decisions for every vector.
+
+    No SQL oracle by nature (k-means fit + union-find); pinned instead
+    by exact keep-set equality against a pure-numpy reference
+    implementation in ``tests/test_semantic_dedup.py`` plus structural
+    invariants (one representative per group, cluster-local groups).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    return semantic_dedup(spark, emb).orderBy("vec_id")
+
+
 QUERIES = {
     "similarity_topk": similarity_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -419,6 +537,7 @@ QUERIES = {
 
 AUX_QUERIES = {
     "embedding_stats": embedding_stats,
+    "dedup_semantic": dedup_semantic,
 }
 
 AUX_ORACLES = {

@@ -314,6 +314,86 @@ WHERE o_totalprice > 150000.0
 """
 
 
+def snapshot_update_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-by-predicate + RESTORE, hash-checked end-to-end.
+
+    Pipeline: ``orders`` → snapshot table (key-clustered, CHECK
+    constraint on price) → ``update_where`` with a DNF predicate bumps
+    a deterministic band (file-pruned CoW, constraint-validated) →
+    ``delete_where_mor`` wipes a key range → ``snap_restore`` rolls the
+    table back to the post-update version, resurrecting the deleted
+    rows as a metadata-only commit.  The returned sample therefore
+    equals the pure-SQL CASE-WHEN update of the fixture — if pruning
+    dropped a matching file, the update leaked into unmatched rows, or
+    the restore failed to resurrect exactly the deleted band, the hash
+    mismatches.  At 100 TB: the update rewrites only envelope-matching
+    files, the delete writes O(matched) positions, the restore writes
+    one manifest."""
+    tmp = tempfile.mkdtemp(prefix="snap-ur-")
+    path = os.path.join(tmp, "t")
+    try:
+        from ..sources.snapshots import (
+            snap_add_constraint,
+            snap_restore,
+            update_where,
+        )
+
+        src = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority",
+        )
+        snap_init(
+            spark,
+            src.repartitionByRange(4, "o_orderkey"),
+            path,
+            stats_cols=["o_orderkey"],
+        )
+        snap_add_constraint(
+            spark, path, "price_pos",
+            "o_totalprice > cast(0.0 as double)",
+            validate=False,
+        )
+        update_where(
+            spark, path,
+            [("o_orderkey", "<=", 600), "or", ("o_orderstatus", "=", "P")],
+            {
+                "o_totalprice": "cast(o_totalprice + 500.0 as double)",
+                "o_orderpriority": "'0-BUMPED'",
+            },
+        )
+        post_update = 3  # v1 init, v2 constraint, v3 update
+        delete_where_mor(
+            spark, path, [("o_orderkey", "between", 100, 700)]
+        )
+        snap_restore(path, post_update)
+        out = (
+            snap_read(spark, path)
+            .filter(F.col("o_orderkey") % 13 == 0)
+            .select(
+                "o_orderkey",
+                F.col("o_totalprice").alias("upd_price"),
+                F.col("o_orderpriority").alias("upd_priority"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SNAPSHOT_UPDATE_RESTORE_SQL = """
+SELECT o_orderkey,
+       CASE WHEN (o_orderkey <= 600 OR o_orderstatus = 'P')
+            THEN o_totalprice + 500.0 ELSE o_totalprice
+       END AS upd_price,
+       CASE WHEN (o_orderkey <= 600 OR o_orderstatus = 'P')
+            THEN '0-BUMPED' ELSE o_orderpriority
+       END AS upd_priority
+FROM orders
+WHERE o_orderkey % 13 = 0
+"""
+
+
 # snapshot_timetravel is IN the 50-query driver contract (rotated in
 # round 7, replacing the redundant doc_fingerprint text query): the
 # table layer is the engine's centerpiece and deserves the driver's
@@ -324,9 +404,11 @@ AUX_QUERIES = {
     "matview_orders": matview_orders,
     "snapshot_delete_scan": snapshot_delete_scan,
     "streaming_table_pipeline": streaming_table_pipeline,
+    "snapshot_update_restore": snapshot_update_restore,
 }
 AUX_ORACLES = {
     "matview_orders": MATVIEW_ORDERS_SQL,
     "snapshot_delete_scan": SNAPSHOT_DELETE_SCAN_SQL,
     "streaming_table_pipeline": STREAMING_TABLE_PIPELINE_SQL,
+    "snapshot_update_restore": SNAPSHOT_UPDATE_RESTORE_SQL,
 }

@@ -83,6 +83,7 @@ def _load() -> None:
         snapshot_queries,
         text,
         udfs,
+        unigram,
         windows,
     )
     from .streaming import anomaly as streaming_anomaly
@@ -114,6 +115,7 @@ def _load() -> None:
         snapshot_queries,
         streaming_anomaly,
         bpe,
+        unigram,
     ):
         _register(mod)
     if len(QUERIES) > MAX_CONTRACT_QUERIES:

@@ -384,6 +384,7 @@ def rollup_refresh_snap(
         schema_json=m.get("schema"),
         txns=dict(m.get("txns", {})),
         commit_info={"op": "rollup_refresh", "days": len(days_norm)},
+        carry=m,
     )
     return len(days_norm)
 

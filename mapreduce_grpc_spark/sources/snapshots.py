@@ -130,6 +130,15 @@ class CommitConflict(FileExistsError):
     """
 
 
+class ConstraintViolation(ValueError):
+    """A write batch contains rows that fail a table CHECK constraint.
+
+    Raised BEFORE the commit — a constrained table never becomes
+    visible in a violating state (the Delta `delta.constraints.*`
+    contract).  Carries the constraint name, its expression, and a
+    small sample of violating rows for the error message."""
+
+
 class LocalSnapshotFS:
     """POSIX implementation of the commit-protocol file operations.
 
@@ -651,6 +660,7 @@ def _commit(
     txns: dict | None = None,
     commit_info: dict | None = None,
     fs: LocalSnapshotFS | None = None,
+    carry: dict | None = None,
 ) -> int:
     """Write manifest v(base+1) and atomically swap CURRENT to it.
 
@@ -659,7 +669,12 @@ def _commit(
     create-exclusive write is what makes two racing writers safe: if
     another writer committed after the caller's read, the claim raises
     ``CommitConflict`` and the caller re-reads and re-derives (a commit
-    can never silently discard a concurrent writer's changes)."""
+    can never silently discard a concurrent writer's changes).
+
+    ``carry`` is the base manifest the caller read: table-level
+    metadata that every commit must preserve (``constraints``) is
+    copied forward from it, so a write path can never silently drop a
+    CHECK constraint just because it rebuilt the manifest dict."""
     f = _fs(fs)
     mdir = os.path.join(path, _MANIFEST_DIR)
     f.makedirs(mdir)
@@ -672,6 +687,10 @@ def _commit(
         "txns": txns or {},
         "commit_info": commit_info or {},
     }
+    if carry:
+        for k in ("constraints",):
+            if carry.get(k):
+                manifest[k] = carry[k]
     f.create_exclusive(_manifest_path(path, version), json.dumps(manifest))
     f.replace_atomic(_current_path(path), str(version))
     return version
@@ -1176,7 +1195,7 @@ def _delete_mor(
                 path, files, m["stats_cols"],
                 base_version=m["version"],
                 schema_json=m.get("schema"),
-                txns=txns, commit_info=info, fs=fs,
+                txns=txns, commit_info=info, fs=fs, carry=m,
             )
         except CommitConflict as e:
             last_err = e
@@ -1541,6 +1560,9 @@ def merge_upsert_cow(
         )
         out_cols = [f.name for f in out_schema.fields]
 
+        _enforce_constraints(
+            m, updates.select(*out_cols), "merge_upsert_cow"
+        )
         bl = _bloom_loader(path, fs)
         overlapping = [
             f for f in m["files"] if _overlaps(f, probe, keys, bl)
@@ -1588,7 +1610,7 @@ def merge_upsert_cow(
                 path, carried + new_entries, stats_cols,
                 base_version=m["version"],
                 schema_json=out_schema.json(),
-                txns=txns, commit_info=info, fs=fs,
+                txns=txns, commit_info=info, fs=fs, carry=m,
             )
         except CommitConflict as e:
             # the freshly written files become expirable orphans; the
@@ -1704,7 +1726,11 @@ def apply_cdc_cow(
             "apply_cdc_cow",
         )
         out_cols = [f.name for f in out_schema.fields]
-
+        if n_upserts:
+            # deletes carry no row image to validate; I/U rows must pass
+            _enforce_constraints(
+                m, upserts.select(*out_cols), "apply_cdc_cow"
+            )
         bl = _bloom_loader(path, fs)
         if use_mor:
             # rewrite only what the UPSERTS touch; deletes landing in
@@ -1835,7 +1861,7 @@ def apply_cdc_cow(
                 path, files_out, stats_cols,
                 base_version=m["version"],
                 schema_json=out_schema.json(),
-                txns=txns, commit_info=info, fs=fs,
+                txns=txns, commit_info=info, fs=fs, carry=m,
             )
         except CommitConflict as e:
             last_err = e
@@ -1891,6 +1917,7 @@ def snap_append(
             "snap_append",
         )
         out_cols = [f.name for f in out_schema.fields]
+        _enforce_constraints(m, batch.select(*out_cols), "snap_append")
         new_entries = _write_data_files(
             spark, batch.select(*out_cols), path, m["stats_cols"], fs
         )
@@ -1909,7 +1936,7 @@ def snap_append(
                 path, m["files"] + new_entries, m["stats_cols"],
                 base_version=m["version"],
                 schema_json=out_schema.json(),
-                txns=txns, commit_info=info, fs=fs,
+                txns=txns, commit_info=info, fs=fs, carry=m,
             )
         except CommitConflict as e:
             last_err = e
@@ -2014,7 +2041,7 @@ def optimize_snapshot(
                 base_version=m["version"],
                 schema_json=m.get("schema"),
                 txns=dict(m.get("txns", {})),
-                commit_info=info, fs=fs,
+                commit_info=info, fs=fs, carry=m,
             )
         except CommitConflict as e:
             last_err = e
@@ -2211,7 +2238,7 @@ def optimize_incremental(
                 base_version=m["version"],
                 schema_json=m.get("schema"),
                 txns=dict(m.get("txns", {})),
-                commit_info=info, fs=fs,
+                commit_info=info, fs=fs, carry=m,
             )
         except CommitConflict as e:
             last_err = e
@@ -2645,3 +2672,335 @@ def expire_snapshots(
             f.remove(_manifest_path(path, v))
             deleted.append(f"v{v}.json")
     return deleted
+
+
+# --------------------------------------------------------------------------
+# CHECK constraints, UPDATE-by-predicate, RESTORE
+# --------------------------------------------------------------------------
+# The Delta-parity ring the reference never had (its tables are
+# write-once text buckets, /root/reference/src/worker.cc): declarative
+# row-quality gates enforced AT COMMIT on every write path, predicate
+# UPDATE with file-level copy-on-write, and metadata-only rollback.
+
+# violating rows quoted in a ConstraintViolation message
+_CONSTRAINT_SAMPLE_ROWS = 3
+
+
+def _enforce_constraints(m: dict, df: DataFrame, op: str) -> None:
+    """Raise ``ConstraintViolation`` if any row of ``df`` FAILS a CHECK
+    constraint recorded in manifest ``m``.
+
+    SQL CHECK semantics: a row violates only when the expression
+    evaluates to FALSE — NULL passes (declare ``col IS NOT NULL`` to
+    reject nulls).  One filter+limit job per constraint, and only on
+    write paths of tables that declare constraints; the scan is over
+    the incoming batch, never the table."""
+    cons = m.get("constraints") or {}
+    for name, expr in sorted(cons.items()):
+        bad = df.filter(
+            ~F.coalesce(F.expr(expr), F.lit(True))
+        ).limit(_CONSTRAINT_SAMPLE_ROWS).collect()
+        if bad:
+            sample = [r.asDict(recursive=True) for r in bad]
+            raise ConstraintViolation(
+                f"{op}: {len(sample)}+ row(s) violate CHECK constraint "
+                f"{name!r} ({expr}); sample: {sample}"
+            )
+
+
+def snap_add_constraint(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    expr: str,
+    validate: bool = True,
+    fs: LocalSnapshotFS | None = None,
+) -> int:
+    """Add a named CHECK constraint (a SQL boolean expression over the
+    table's columns) to a snapshot table — ``ALTER TABLE ADD
+    CONSTRAINT``.
+
+    With ``validate=True`` (default, matching Delta) the CURRENT data
+    must already satisfy the expression: one pruned-free scan, loud
+    failure listing sample violators.  The constraint is stored in the
+    manifest and carried forward by EVERY commit path (``_commit``'s
+    ``carry`` contract), each of which validates incoming rows before
+    its commit — so a constrained table can never become visible in a
+    violating state.  Metadata-only commit; returns the new version."""
+    if not name or not name.isidentifier():
+        raise ValueError(
+            f"constraint name {name!r} must be a bare identifier"
+        )
+    last_err: Exception | None = None
+    for _attempt in range(COMMIT_RETRIES):
+        m = read_manifest(path, fs=fs)
+        cons = dict(m.get("constraints") or {})
+        if name in cons and cons[name] != expr:
+            raise ValueError(
+                f"constraint {name!r} already exists with a different "
+                f"expression ({cons[name]!r}); drop it first"
+            )
+        if validate:
+            current = snap_read(spark, path, m["version"], fs)
+            # reuse the writer-side enforcement against a synthetic
+            # one-constraint manifest: same semantics, same message
+            _enforce_constraints(
+                {"constraints": {name: expr}}, current, "snap_add_constraint"
+            )
+        cons[name] = expr
+        carry = dict(m)
+        carry["constraints"] = cons
+        try:
+            return _commit(
+                path, m["files"], m["stats_cols"],
+                base_version=m["version"],
+                schema_json=m.get("schema"),
+                txns=dict(m.get("txns", {})),
+                commit_info={"op": "add_constraint", "name": name,
+                             "expr": expr},
+                fs=fs, carry=carry,
+            )
+        except CommitConflict as e:
+            last_err = e
+            continue
+    raise CommitConflict(
+        f"snap_add_constraint: lost the commit race {COMMIT_RETRIES} "
+        f"times at {path!r}"
+    ) from last_err
+
+
+def snap_drop_constraint(
+    path: str,
+    name: str,
+    fs: LocalSnapshotFS | None = None,
+) -> int:
+    """Drop a named CHECK constraint (metadata-only commit)."""
+    last_err: Exception | None = None
+    for _attempt in range(COMMIT_RETRIES):
+        m = read_manifest(path, fs=fs)
+        cons = dict(m.get("constraints") or {})
+        if name not in cons:
+            raise KeyError(
+                f"no constraint {name!r} on {path!r}; "
+                f"have {sorted(cons)}"
+            )
+        del cons[name]
+        carry = dict(m)
+        carry["constraints"] = cons
+        try:
+            return _commit(
+                path, m["files"], m["stats_cols"],
+                base_version=m["version"],
+                schema_json=m.get("schema"),
+                txns=dict(m.get("txns", {})),
+                commit_info={"op": "drop_constraint", "name": name},
+                fs=fs, carry=carry,
+            )
+        except CommitConflict as e:
+            last_err = e
+            continue
+    raise CommitConflict(
+        f"snap_drop_constraint: lost the commit race {COMMIT_RETRIES} "
+        f"times at {path!r}"
+    ) from last_err
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    predicates,
+    set_exprs: dict[str, str],
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
+    fs: LocalSnapshotFS | None = None,
+) -> dict:
+    """``UPDATE table SET col = expr, ... WHERE <predicates>`` with
+    file-level copy-on-write.
+
+    ``predicates`` is the ``snap_scan`` grammar (conjunction list or
+    DNF OR-tree); ``set_exprs`` maps column name -> SQL expression
+    (evaluated against the PRE-update row, standard UPDATE semantics —
+    ``{"a": "b", "b": "a"}`` swaps).  Only files whose manifest
+    statistics (or blooms) can match the predicate are read and
+    rewritten; everything else is carried by reference — the same
+    pruning that bounds ``delete_where_mor``.  Rewrites fold deletion
+    vectors and keep the file key-sorted on the table's stats columns
+    (tight row-group envelopes for future pruning).  UPDATE never
+    changes the schema: every assigned expression is cast-checked
+    against the column's declared type and rejected on mismatch.
+    Post-update rows are validated against the table's CHECK
+    constraints.  Commit retries, txn idempotence, and empty-match
+    no-ops follow the merge path.  Returns ``{"version", "updated",
+    "rewritten", "carried", "added"}``."""
+    cond = _predicates_to_column(predicates)  # _parse_dnf validates
+    if not set_exprs:
+        raise ValueError("update_where: empty set_exprs")
+    last_err: Exception | None = None
+    for _attempt in range(COMMIT_RETRIES):
+        m = read_manifest(path, fs=fs)
+        if _txn_already_applied(m, txn_app, txn_batch):
+            return _skipped_result(m)
+        schema = _manifest_schema(m)
+        if schema is not None:
+            known = {f.name for f in schema.fields}
+            missing = sorted(set(set_exprs) - known)
+            if missing:
+                raise ValueError(
+                    f"update_where: SET columns {missing} not in table "
+                    f"schema {sorted(known)}"
+                )
+        candidates, carried = prune_manifest(
+            m, predicates, _bloom_loader(path, fs)
+        )
+        if not candidates:
+            res = _skipped_result(m)
+            res["updated"] = 0
+            return res
+        old = _read_entries(
+            spark, path, candidates, schema
+        )
+        if schema is not None:
+            # UPDATE never evolves the schema: each assignment must
+            # already be the column's declared type (loud reject beats
+            # a silent lossy cast)
+            probe = old.limit(0)
+            by_name = {f.name: f.dataType for f in schema.fields}
+            for col, expr in sorted(set_exprs.items()):
+                got = probe.select(
+                    F.expr(expr).alias(col)
+                ).schema.fields[0].dataType
+                if got != by_name[col]:
+                    raise ValueError(
+                        f"update_where: SET {col} = {expr!r} has type "
+                        f"{got.simpleString()}, column is "
+                        f"{by_name[col].simpleString()}; cast explicitly"
+                    )
+        # pre-update images feed every RHS (simultaneous-assignment
+        # semantics), then the predicate picks which rows change
+        assigned = {
+            col: F.when(cond, F.expr(expr)).otherwise(F.col(col))
+            for col, expr in set_exprs.items()
+        }
+        out = old.withColumns(assigned)
+        # one bounded action over ONLY the candidate files for the
+        # updated-row count (and it doubles as the constraint scan
+        # input); the unchanged-row bulk is never counted row-by-row
+        changed = old.filter(cond)
+        _enforce_constraints(
+            m, changed.withColumns(assigned), "update_where"
+        )
+        n_updated = changed.count()
+        if n_updated == 0:
+            # conservative pruning kept files the rows dodge: nothing
+            # to write, don't grow the version chain
+            res = _skipped_result(m)
+            res["updated"] = 0
+            return res
+        sort_cols = [c for c in m["stats_cols"] if c in out.columns]
+        out = out.coalesce(max(1, len(candidates)))
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        new_entries = _write_data_files(
+            spark, out, path, m["stats_cols"], fs
+        )
+        txns = dict(m.get("txns", {}))
+        if txn_app is not None:
+            txns[txn_app] = int(txn_batch)
+        info = {
+            "op": "update_where",
+            "updated": n_updated,
+            "rewritten": len(candidates),
+            "carried": len(carried),
+            "added": len(new_entries),
+        }
+        if txn_app is not None:
+            info["txn"] = {"app": txn_app, "batch": int(txn_batch)}
+        try:
+            version = _commit(
+                path, carried + new_entries, m["stats_cols"],
+                base_version=m["version"],
+                schema_json=m.get("schema"),
+                txns=txns, commit_info=info, fs=fs, carry=m,
+            )
+        except CommitConflict as e:
+            last_err = e
+            continue
+        return {
+            "version": version,
+            "updated": n_updated,
+            "rewritten": len(candidates),
+            "carried": len(carried),
+            "added": len(new_entries),
+        }
+    raise CommitConflict(
+        f"update_where: lost the commit race {COMMIT_RETRIES} times "
+        f"at {path!r}"
+    ) from last_err
+
+
+def snap_restore(
+    path: str,
+    version: int,
+    fs: LocalSnapshotFS | None = None,
+) -> int:
+    """``RESTORE TABLE ... TO VERSION AS OF n`` — roll the table back
+    (or forward) to an earlier version's exact file set as a NEW
+    commit.
+
+    Metadata-only: no data file is read or written; the new manifest
+    simply references version ``n``'s files (and their deletion-vector
+    sidecars), so history is preserved — the bad commits stay
+    inspectable and the restore itself is one more auditable entry.
+    Fails loudly if any referenced file has already been removed by
+    ``expire_snapshots`` (Delta's RESTORE-after-VACUUM rule); after a
+    successful restore the files are live again and GC keeps them.
+    Idempotence markers (``txns``) and CHECK constraints are carried
+    from CURRENT, not the restore target: a streaming writer's
+    high-water mark must survive a rollback or replayed batches would
+    double-apply."""
+    f = _fs(fs)
+    try:
+        target = read_manifest(path, version, fs)
+    except FileNotFoundError as e:
+        raise FileNotFoundError(
+            f"snap_restore: version {version} of {path!r} has been "
+            "garbage-collected (its manifest is gone — expire_snapshots "
+            "kept fewer versions than that); restore past GC is "
+            "impossible by design"
+        ) from e
+    missing = []
+    for e in target["files"]:
+        if not f.exists(os.path.join(path, e["name"])):
+            missing.append(e["name"])
+        dv = e.get("dv")
+        if dv and not f.exists(os.path.join(path, dv["file"])):
+            missing.append(dv["file"])
+    if missing:
+        raise FileNotFoundError(
+            f"snap_restore: version {version} references "
+            f"{len(missing)} file(s) already garbage-collected "
+            f"({sorted(missing)[:5]}...); restore past GC is impossible "
+            "by design — expire_snapshots removed them"
+        )
+    last_err: Exception | None = None
+    for _attempt in range(COMMIT_RETRIES):
+        m = read_manifest(path, fs=fs)
+        if m["version"] == version:
+            return version  # restoring to where we already are: no-op
+        try:
+            return _commit(
+                path, target["files"], target["stats_cols"],
+                base_version=m["version"],
+                schema_json=target.get("schema"),
+                txns=dict(m.get("txns", {})),
+                commit_info={"op": "restore",
+                             "restored_version": int(version)},
+                fs=fs, carry=m,
+            )
+        except CommitConflict as e:
+            last_err = e
+            continue
+    raise CommitConflict(
+        f"snap_restore: lost the commit race {COMMIT_RETRIES} times "
+        f"at {path!r}"
+    ) from last_err

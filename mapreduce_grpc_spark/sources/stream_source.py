@@ -443,6 +443,26 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
                 False,
                 "snapshot_table sink",
             )
+        if m0.get("constraints"):
+            # CHECK constraints: validate the batch's freshly written
+            # (still invisible) files BEFORE any manifest references
+            # them; a violation drops the files and fails the batch, so
+            # constrained tables stay clean even through the sink
+            from pyspark.sql import SparkSession as _Ss
+
+            from .snapshots import ConstraintViolation, _enforce_constraints
+
+            sess = _Ss.getActiveSession()
+            batch_df = sess.read.parquet(
+                *[os.path.join(self._path, n) for n in names]
+            )
+            try:
+                _enforce_constraints(m0, batch_df, "stream_sink")
+            except ConstraintViolation:
+                for n in names:
+                    if f.exists(os.path.join(self._path, n)):
+                        f.remove(os.path.join(self._path, n))
+                raise
         # stats + blooms are a pure function of the immutable files:
         # compute ONCE, not per commit-race retry
         entries = []
@@ -477,6 +497,7 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
                         "txn": {"app": self._txn_app, "batch": int(batchId)},
                     },
                     fs=f,
+                    carry=m,
                 )
                 return
             except CommitConflict:

@@ -2897,3 +2897,374 @@ def test_mv_minmax_group_born_and_trimmed_within_span(spark, tmp_path):
     assert res["recomputed_groups"] >= 1
     row = {r.g: r for r in mv_read(spark, mvp).collect()}[9]
     assert (row.cnt, row.lo, row.hi) == (1, 9.0, 9.0)
+
+
+# --------------------------------------------------------------------------
+# UPDATE WHERE (file-level CoW), RESTORE, CHECK constraints
+# --------------------------------------------------------------------------
+
+
+def test_update_where_basic_and_simultaneous_assignment(spark, tmp_path):
+    """Matched rows take the SET exprs (evaluated against pre-update
+    images — swap semantics), unmatched rows are byte-identical."""
+    from mapreduce_grpc_spark.sources.snapshots import update_where
+
+    path = str(tmp_path / "snap")
+    df = (
+        spark.range(100)
+        .select(
+            F.col("id").alias("k"),
+            F.col("id").cast("long").alias("a"),
+            (F.col("id") * 2).cast("long").alias("b"),
+        )
+    )
+    snap_init(spark, df, path, stats_cols=["k"])
+    res = update_where(
+        spark, path, [("k", "<", 10)], {"a": "b", "b": "a"}
+    )
+    assert res["updated"] == 10
+    assert res["version"] == 2
+    got = {r.k: (r.a, r.b) for r in snap_read(spark, path).collect()}
+    for k in range(100):
+        if k < 10:
+            assert got[k] == (2 * k, k)  # swapped
+        else:
+            assert got[k] == (k, 2 * k)
+
+
+def test_update_where_prunes_and_sorts(spark, tmp_path):
+    """Only envelope-overlapping files rewrite; the rest carry by
+    reference (same entry dicts), and rewritten files stay key-sorted."""
+    from mapreduce_grpc_spark.sources.snapshots import update_where
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=1000, n_files=4)
+    m1 = read_manifest(path)
+    res = update_where(
+        spark, path, [("k", "between", 0, 99)],
+        {"v": "concat(v, '!')"},
+    )
+    assert res["updated"] == 100
+    assert res["rewritten"] == 1 and res["carried"] == 3
+    m2 = read_manifest(path)
+    carried_names = {e["name"] for e in m1["files"]} & {
+        e["name"] for e in m2["files"]
+    }
+    assert len(carried_names) == 3
+    got = snap_read(spark, path)
+    assert got.filter("k < 100 and not v like '%!'").count() == 0
+    assert got.filter("k >= 100 and v like '%!'").count() == 0
+    assert got.count() == 1000
+
+
+def test_update_where_dnf_predicate(spark, tmp_path):
+    from mapreduce_grpc_spark.sources.snapshots import update_where
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=1000, n_files=4)
+    res = update_where(
+        spark, path,
+        [("k", "<", 5), "or", ("k", ">=", 995)],
+        {"v": "'hit'"},
+    )
+    assert res["updated"] == 10
+    assert snap_read(spark, path).filter("v = 'hit'").count() == 10
+
+
+def test_update_where_type_mismatch_rejected(spark, tmp_path):
+    from mapreduce_grpc_spark.sources.snapshots import update_where
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path)
+    v0 = current_version(path)
+    with pytest.raises(ValueError, match="cast explicitly"):
+        update_where(spark, path, [("k", "<", 10)], {"v": "k"})
+    with pytest.raises(ValueError, match="not in table schema"):
+        update_where(spark, path, [("k", "<", 10)], {"nope": "'x'"})
+    assert current_version(path) == v0
+
+
+def test_update_where_folds_deletion_vectors(spark, tmp_path):
+    """A CoW update of a DV'd file folds the vectors away: deleted rows
+    stay deleted, the rewritten file carries no dv entry."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        delete_where_mor,
+        update_where,
+    )
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=1000, n_files=4)
+    delete_where_mor(spark, path, [("k", "between", 0, 49)])
+    res = update_where(
+        spark, path, [("k", "between", 50, 99)], {"v": "'upd'"}
+    )
+    assert res["updated"] == 50
+    got = snap_read(spark, path)
+    assert got.count() == 950
+    assert got.filter("k < 50").count() == 0
+    assert got.filter("v = 'upd'").count() == 50
+    m = read_manifest(path)
+    assert all(not e.get("dv") for e in m["files"])
+
+
+def test_update_where_no_match_is_a_no_op(spark, tmp_path):
+    from mapreduce_grpc_spark.sources.snapshots import update_where
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=1000, n_files=4)
+    v0 = current_version(path)
+    # prunes to zero files
+    res = update_where(spark, path, [("k", ">", 10_000)], {"v": "'x'"})
+    assert res["updated"] == 0 and res.get("skipped")
+    # survives pruning but matches zero rows (envelope keeps the file,
+    # the row filter finds nothing)
+    res = update_where(
+        spark, path, [("k", "=", 250), ("v", "=", "nope")], {"v": "'x'"}
+    )
+    assert res["updated"] == 0
+    assert current_version(path) == v0
+
+
+def test_update_where_txn_idempotent(spark, tmp_path):
+    from mapreduce_grpc_spark.sources.snapshots import update_where
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path)
+    r1 = update_where(
+        spark, path, [("k", "<", 10)], {"v": "'x'"},
+        txn_app="upd", txn_batch=1,
+    )
+    v1 = r1["version"]
+    r2 = update_where(
+        spark, path, [("k", "<", 500)], {"v": "'y'"},
+        txn_app="upd", txn_batch=1,
+    )
+    assert r2.get("skipped") and current_version(path) == v1
+    assert snap_read(spark, path).filter("v = 'y'").count() == 0
+
+
+def test_snap_restore_round_trip(spark, tmp_path):
+    """RESTORE rolls back as a NEW commit; history keeps everything."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        snap_append,
+        snap_restore,
+        snapshot_audit,
+        update_where,
+    )
+
+    path = str(tmp_path / "snap")
+    df = _mk_table(spark, path, n=100, n_files=2)  # v1
+    snap_append(
+        spark, path,
+        spark.range(100, 120).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ),
+    )  # v2
+    update_where(spark, path, [("k", "<", 50)], {"v": "'bad'"})  # v3
+    v = snap_restore(path, 1)
+    assert v == 4
+    assert _rows(snap_read(spark, path)) == _rows(df)
+    # history is intact and the restore is an auditable entry
+    hist = snapshot_audit(path)
+    assert [h["version"] for h in hist] == [1, 2, 3, 4]
+    assert hist[-1]["commit_info"] == {
+        "op": "restore", "restored_version": 1,
+    }
+    # the table keeps working after a restore
+    snap_append(
+        spark, path,
+        spark.range(500, 510).select(
+            F.col("id").alias("k"), F.lit("new").alias("v")
+        ),
+    )
+    assert snap_read(spark, path).count() == 110
+    # restore to CURRENT is a no-op
+    assert snap_restore(path, 5) == 5
+
+
+def test_snap_restore_carries_current_txns(spark, tmp_path):
+    """A streaming writer's high-water mark survives a rollback —
+    otherwise replayed batches double-apply after a restore."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        snap_append,
+        snap_restore,
+    )
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=50, n_files=1)
+    snap_append(
+        spark, path,
+        spark.range(50, 60).select(
+            F.col("id").alias("k"), F.lit("x").alias("v")
+        ),
+        txn_app="ingest", txn_batch=7,
+    )
+    snap_restore(path, 1)
+    m = read_manifest(path)
+    assert m["txns"] == {"ingest": 7}
+    # the marker still suppresses a replay
+    res = snap_append(
+        spark, path,
+        spark.range(50, 60).select(
+            F.col("id").alias("k"), F.lit("x").alias("v")
+        ),
+        txn_app="ingest", txn_batch=7,
+    )
+    assert res.get("skipped")
+
+
+def test_snap_restore_after_gc_fails_loudly(spark, tmp_path):
+    from mapreduce_grpc_spark.sources.snapshots import (
+        snap_restore,
+        update_where,
+    )
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=1000, n_files=4)
+    # rewrite EVERY file so v1's files become expirable
+    update_where(spark, path, [("k", ">=", 0)], {"v": "'w'"})
+    expire_snapshots(path, keep_last=1, orphan_grace_seconds=0)
+    with pytest.raises(FileNotFoundError, match="garbage-collected"):
+        snap_restore(path, 1)
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """A constrained table never becomes visible in a violating state:
+    append, merge, CDC, and update all validate BEFORE their commit."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        ConstraintViolation,
+        snap_add_constraint,
+        snap_append,
+        snap_drop_constraint,
+        update_where,
+    )
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=100, n_files=2)
+    v = snap_add_constraint(
+        spark, path, "k_in_range", "k >= 0 AND k < 10000"
+    )
+    assert read_manifest(path)["constraints"] == {
+        "k_in_range": "k >= 0 AND k < 10000"
+    }
+    bad = spark.range(1).select(
+        F.lit(-1).cast("long").alias("k"), F.lit("z").alias("v")
+    )
+    good = spark.range(1).select(
+        F.lit(200).cast("long").alias("k"), F.lit("z").alias("v")
+    )
+    with pytest.raises(ConstraintViolation, match="k_in_range"):
+        snap_append(spark, path, bad)
+    with pytest.raises(ConstraintViolation, match="k_in_range"):
+        merge_upsert_cow(spark, path, bad, keys=["k"])
+    with pytest.raises(ConstraintViolation, match="k_in_range"):
+        apply_cdc_cow(
+            spark, path, bad.withColumn("_op", F.lit("I")), keys=["k"]
+        )
+    with pytest.raises(ConstraintViolation, match="k_in_range"):
+        update_where(spark, path, [("k", "=", 5)], {"k": "-5L"})
+    assert current_version(path) == v  # nothing committed
+    # passing rows land; the constraint is carried by the data commit
+    snap_append(spark, path, good)
+    merge_upsert_cow(spark, path, good, keys=["k"])
+    assert read_manifest(path)["constraints"] == {
+        "k_in_range": "k >= 0 AND k < 10000"
+    }
+    # CDC deletes carry no row image — a delete of any row passes
+    apply_cdc_cow(
+        spark, path,
+        good.withColumn("_op", F.lit("D")),
+        keys=["k"],
+    )
+    # dropped -> violating writes land again
+    snap_drop_constraint(path, "k_in_range")
+    snap_append(spark, path, bad)
+    assert snap_read(spark, path).filter("k = -1").count() == 1
+
+
+def test_add_constraint_validates_existing_data(spark, tmp_path):
+    from mapreduce_grpc_spark.sources.snapshots import (
+        ConstraintViolation,
+        snap_add_constraint,
+    )
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=100, n_files=2)
+    v0 = current_version(path)
+    with pytest.raises(ConstraintViolation, match="k_small"):
+        snap_add_constraint(spark, path, "k_small", "k < 50")
+    assert current_version(path) == v0
+    # validate=False takes the Delta NOVALIDATE shape: existing rows
+    # are grandfathered, new writes are gated
+    snap_add_constraint(spark, path, "k_small", "k < 50", validate=False)
+    assert "k_small" in read_manifest(path)["constraints"]
+
+
+def test_check_constraint_null_passes_and_maintenance_carries(
+    spark, tmp_path
+):
+    """SQL CHECK semantics (NULL passes — declare IS NOT NULL to
+    reject) and metadata survival through maintenance commits."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        ConstraintViolation,
+        snap_add_constraint,
+        snap_append,
+    )
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=100, n_files=2)
+    snap_add_constraint(spark, path, "v_prefixed", "v LIKE 'v%'")
+    # NULL v: CHECK is NULL -> passes (SQL standard)
+    snap_append(
+        spark, path,
+        spark.range(1).select(
+            F.lit(900).cast("long").alias("k"),
+            F.lit(None).cast("string").alias("v"),
+        ),
+    )
+    with pytest.raises(ConstraintViolation):
+        snap_append(
+            spark, path,
+            spark.range(1).select(
+                F.lit(901).cast("long").alias("k"),
+                F.lit("nope").alias("v"),
+            ),
+        )
+    # NOT NULL is just another CHECK
+    snap_add_constraint(
+        spark, path, "v_not_null", "v IS NOT NULL", validate=False
+    )
+    with pytest.raises(ConstraintViolation, match="v_not_null"):
+        snap_append(
+            spark, path,
+            spark.range(1).select(
+                F.lit(902).cast("long").alias("k"),
+                F.lit(None).cast("string").alias("v"),
+            ),
+        )
+    # OPTIMIZE rebuilds the manifest from scratch: constraints survive
+    optimize_snapshot(spark, path)
+    assert set(read_manifest(path)["constraints"]) == {
+        "v_prefixed", "v_not_null",
+    }
+
+
+def test_snapshot_update_restore_oracle_parity(spark, sf_dir):
+    """The UPDATE+RESTORE composition's driver-style hash check: DNF
+    CoW update, MoR delete, then rollback must hash-match a pure-SQL
+    CASE-WHEN update of the fixture (the delete must leave no trace)."""
+    from mapreduce_grpc_spark import registry
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["snapshot_update_restore"](spark, sf_dir)
+    assert_oracle_match(
+        df,
+        registry.AUX_ORACLES["snapshot_update_restore"],
+        sf_dir,
+        "snapshot_update_restore",
+    )
+    # the restore genuinely resurrected the deleted band
+    assert df.filter(
+        (F.col("o_orderkey") >= 100) & (F.col("o_orderkey") <= 700)
+    ).count() > 0

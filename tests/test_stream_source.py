@@ -660,3 +660,53 @@ def test_streaming_table_pipeline_oracle_parity(spark, sf_dir):
     name = "streaming_table_pipeline"
     df = registry.AUX_QUERIES[name](spark, sf_dir)
     assert_oracle_match(df, registry.AUX_ORACLES[name], sf_dir, name)
+
+
+def test_native_sink_enforces_check_constraints(spark, tmp_path):
+    """A constrained table stays clean through the streaming sink: a
+    violating micro-batch fails BEFORE its manifest commit, its files
+    are dropped, and the table is untouched."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        ConstraintViolation,
+        read_manifest as _rm,
+        snap_add_constraint,
+        snap_count,
+        snap_init,
+    )
+    from mapreduce_grpc_spark.sources.stream_source import (
+        _FileCommit,
+        _SnapshotStreamWriter,
+    )
+
+    dst = str(tmp_path / "dst")
+    base = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    snap_init(spark, base, dst, stats_cols=["k"])
+    snap_add_constraint(spark, dst, "k_pos", "k > 0")
+    w = _SnapshotStreamWriter(dst, base.schema, "app1")
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    def fake_file(rows):
+        import uuid
+
+        name = f"data-sink-{uuid.uuid4().hex[:16]}.parquet"
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=to_arrow_schema(base.schema)),
+            os.path.join(dst, name),
+        )
+        return name
+
+    v0 = _rm(dst)["version"]
+    bad = fake_file([{"k": -1, "v": "z"}])
+    with pytest.raises(ConstraintViolation, match="k_pos"):
+        w.commit([_FileCommit(bad)], batchId=1)
+    assert _rm(dst)["version"] == v0
+    assert snap_count(dst) == 1
+    assert not os.path.exists(os.path.join(dst, bad))
+    # a clean batch still lands, and the constraint rides the commit
+    good = fake_file([{"k": 2, "v": "b"}])
+    w.commit([_FileCommit(good)], batchId=2)
+    assert snap_count(dst) == 2
+    assert _rm(dst)["constraints"] == {"k_pos": "k > 0"}
