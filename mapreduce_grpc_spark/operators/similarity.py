@@ -430,6 +430,77 @@ MAX_SEMANTIC_CLUSTER_ROWS = 100_000
 _SEM_CHUNK = 1024
 
 
+# driver-collected fit sample cap: the quantizer trains on at most
+# this many hash-sampled vectors (k x dim centroids are the model; the
+# sample only has to cover the density, not the corpus — the
+# SemDeDup/faiss practice of fitting on a slice and assigning all)
+SEMANTIC_FIT_SAMPLE = 50_000
+
+
+def _semantic_clusters(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int,
+    seed: int,
+) -> DataFrame:
+    """Cluster assignment for SemDeDup: numpy k-means++ and Lloyd on a
+    deterministic hash-sample DRIVER-LOCAL (bounded by
+    ``SEMANTIC_FIT_SAMPLE`` — model-sized work, zero per-round Spark
+    jobs), then ONE distributed broadcast-centroid assignment pass.
+    Returns ``(vec_id, cluster, dist_sq)``.  The fit-on-sample /
+    assign-all split is the 100 TB shape: the corpus is touched once
+    for the sample sort-limit and once for assignment."""
+    import numpy as np
+
+    from .clustering import _assign
+
+    sample = (
+        emb.select(
+            "vec_id", "embedding",
+            F.xxhash64("vec_id", F.lit(seed)).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(SEMANTIC_FIT_SAMPLE)
+        .collect()
+    )
+    X = np.stack([list(r.embedding) for r in sample]).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    # k-means++ init
+    cents = [X[rng.randint(len(X))]]
+    for _ in range(1, min(k, len(X))):
+        d2 = np.min(
+            [((X - c) ** 2).sum(axis=1) for c in cents], axis=0
+        )
+        tot = d2.sum()
+        if tot <= 0.0:
+            break
+        cents.append(X[rng.choice(len(X), p=d2 / tot)])
+    C = np.stack(cents)
+    x_sq = (X ** 2).sum(axis=1)
+    for _ in range(100):  # Lloyd to fixpoint on the sample
+        # ||x-c||^2 = x^2 + c^2 - 2xc: O(n·k) memory, no (n,k,dim) temp
+        d = (
+            x_sq[:, None] + (C ** 2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        )
+        lab = d.argmin(axis=1)
+        newC = np.stack(
+            [
+                X[lab == j].mean(axis=0) if (lab == j).any() else C[j]
+                for j in range(len(C))
+            ]
+        )
+        if np.allclose(newC, C):
+            break
+        C = newC
+    cent_df = spark.createDataFrame(
+        [(int(j), [float(x) for x in C[j]]) for j in range(len(C))],
+        "k long, carr array<double>",
+    )
+    return _assign(emb.select("vec_id", "embedding"), cent_df).select(
+        "vec_id", F.col("k").cast("int").alias("cluster"), "dist_sq"
+    )
+
+
 def semantic_dedup(
     spark: SparkSession,
     emb: DataFrame,
@@ -442,13 +513,11 @@ def semantic_dedup(
     Returns one row per input vector: ``(vec_id, cluster, keep,
     group_size)`` where ``group_size`` is the size of the vector's
     semantic-duplicate group (1 = unique).  Deterministic: seeded
-    k-means++ fit, exact cosine, representative = max centroid
-    distance with vec_id tie-break.
+    sample-fit quantizer (``_semantic_clusters``), exact cosine,
+    representative = max centroid distance with vec_id tie-break.
     """
-    from .clustering import kmeans_pp_fit
-
-    assign, _rounds = kmeans_pp_fit(
-        spark, emb.select("vec_id", "embedding"), k=k, seed=seed
+    assign = _semantic_clusters(
+        spark, emb.select("vec_id", "embedding"), k, seed
     )
     clustered = emb.select("vec_id", "embedding").join(assign, "vec_id")
 

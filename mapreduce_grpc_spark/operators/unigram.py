@@ -136,7 +136,7 @@ def _train_unigram_local(
     word_counts: list[tuple[str, int]],
     vocab_size: int,
     max_piece_len: int = MAX_PIECE_LEN,
-    seed_size: int = SEED_SIZE,
+    seed_size: int | None = None,
 ) -> tuple[list[dict], list[float]]:
     """Kudo's EM+prune loop over a ``(word, count)`` relation.
 
@@ -144,6 +144,10 @@ def _train_unigram_local(
     ...]`` sorted by logp desc then piece asc, and the corpus
     log-likelihood after each EM step (a non-decreasing-within-round
     trace the tests assert on)."""
+    if seed_size is None:
+        # the seed must comfortably exceed the target or pruning has
+        # nothing to choose from (SentencePiece's seed is ~20x target)
+        seed_size = max(SEED_SIZE, 4 * vocab_size)
     wc = sorted(word_counts)
     chars = sorted({c for w, _ in wc for c in w})
     if not chars:

@@ -13,9 +13,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from mapreduce_grpc_spark.catalog import table
-from mapreduce_grpc_spark.operators.clustering import kmeans_pp_fit
 from mapreduce_grpc_spark.operators.similarity import (
     SEMANTIC_COS_THRESHOLD,
+    _semantic_clusters,
     semantic_dedup,
 )
 
@@ -70,9 +70,9 @@ def test_semantic_dedup_matches_reference(spark, sf_dir):
         r.vec_id: (r.cluster, r.keep, r.group_size)
         for r in semantic_dedup(spark, emb).collect()
     }
-    # the same seeded fit the operator ran (deterministic re-fit is
-    # pinned by test_clustering) gives the reference its clusters
-    assign, _ = kmeans_pp_fit(spark, emb, k=8, seed=42)
+    # the same seeded sample-fit the operator ran (deterministic by
+    # construction) gives the reference its clusters
+    assign = _semantic_clusters(spark, emb, k=8, seed=42)
     rows = emb.join(assign, "vec_id").collect()
     ids = [r.vec_id for r in rows]
     embs = [list(r.embedding) for r in rows]
