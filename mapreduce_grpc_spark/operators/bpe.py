@@ -242,10 +242,12 @@ def bpe_apply(df: DataFrame, text_col: str, merges: list[dict]) -> Column:
     ordered = [(m["left"], m["right"], m["merged"]) for m in merges]
     ranks = {(a, b): i for i, (a, b, _ab) in enumerate(ordered)}
 
+    # per-WORKER memo (closure state survives across Arrow batches in
+    # each Python worker; the model is fixed for the UDF's lifetime)
+    cache: dict[str, list[str]] = {}
+
     @F.pandas_udf("array<array<string>>")
     def seg_udf(token_arrays):
-        cache: dict[str, list[str]] = {}
-
         def encode(word: str) -> list[str]:
             got = cache.get(word)
             if got is not None:

@@ -365,7 +365,7 @@ def snapshot_update_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_where_mor(
             spark, path, [("o_orderkey", "between", 100, 700)]
         )
-        snap_restore(path, post_update)
+        snap_restore(path, post_update, spark=spark)
         out = (
             snap_read(spark, path)
             .filter(F.col("o_orderkey") % 13 == 0)

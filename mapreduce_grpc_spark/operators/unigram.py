@@ -177,12 +177,15 @@ def _train_unigram_local(
 
     ll_trace: list[float] = []
 
-    def em_step() -> None:
+    def e_pass() -> dict[str, float]:
         expected: dict[str, float] = {}
         ll = 0.0
         for w, c in wc:
             ll += _forward_backward(w, c, logp, expected)
         ll_trace.append(ll)
+        return expected
+
+    def m_step(expected: dict[str, float]) -> None:
         tot = sum(expected.values())
         floor = math.log(1e-12)
         log_tot = math.log(tot)
@@ -195,16 +198,20 @@ def _train_unigram_local(
             )
 
     while True:
-        for _ in range(EM_STEPS):
-            em_step()
+        # the round's LAST E-pass is left un-M'd so its counts stay
+        # consistent with the model the prune evaluates (and no extra
+        # lattice pass is spent recomputing them)
+        expected: dict[str, float] = {}
+        for i in range(EM_STEPS):
+            expected = e_pass()
+            if i < EM_STEPS - 1:
+                m_step(expected)
         if len(logp) <= vocab_size:
+            m_step(expected)  # vocab is final: finish the round
             break
         # --- prune: loss of removing piece x ≈ its expected usage
         # times how much worse its own best ALTERNATIVE segmentation
         # is (Kudo's approximation); single chars are never dropped
-        expected: dict[str, float] = {}
-        for w, c in wc:
-            _forward_backward(w, c, logp, expected)
         removable = [s for s in logp if len(s) > 1]
         losses = []
         for s in removable:
@@ -263,11 +270,12 @@ def unigram_apply(
     character-coverage escape) so apply never throws on unseen text."""
     logp = {d["piece"]: float(d["logp"]) for d in pieces}
     floor = math.log(1e-12)
+    # per-WORKER memo (closure state survives across Arrow batches in
+    # each Python worker; the model is fixed for the UDF's lifetime)
+    cache: dict[str, list[str]] = {}
 
     @F.pandas_udf("array<array<string>>")
     def seg_udf(token_arrays):
-        cache: dict[str, list[str]] = {}
-
         def encode(word: str) -> list[str]:
             got = cache.get(word)
             if got is not None:

@@ -2708,6 +2708,49 @@ def _enforce_constraints(m: dict, df: DataFrame, op: str) -> None:
             )
 
 
+def _enforce_constraints_files(
+    paths: list[str], cons: dict, op: str
+) -> None:
+    """Session-free CHECK validation over parquet files via DuckDB —
+    for contexts with no SparkSession (the streaming sink's ``commit``
+    runs in a dedicated Python worker, not the driver).  Same
+    semantics as ``_enforce_constraints`` (violation = expression
+    FALSE, NULL passes); an expression DuckDB cannot evaluate fails
+    the batch LOUDLY rather than skipping the check — keep constraint
+    expressions ANSI-portable on tables that are streamed into."""
+    if not cons or not paths:
+        return
+    import duckdb
+
+    con = duckdb.connect()
+    files_sql = (
+        "read_parquet(["
+        + ", ".join("'" + p.replace("'", "''") + "'" for p in paths)
+        + "])"
+    )
+    for name, expr in sorted(cons.items()):
+        try:
+            bad = con.execute(
+                f"SELECT * FROM {files_sql} "
+                f"WHERE NOT coalesce(({expr}), TRUE) "
+                f"LIMIT {_CONSTRAINT_SAMPLE_ROWS}"
+            ).fetchall()
+        except ConstraintViolation:
+            raise
+        except Exception as e:
+            raise ConstraintViolation(
+                f"{op}: CHECK constraint {name!r} ({expr}) could not be "
+                f"evaluated by the session-free validator (ANSI SQL via "
+                f"DuckDB): {e}; rewrite the expression portably or drop "
+                "the constraint before streaming into this table"
+            ) from e
+        if bad:
+            raise ConstraintViolation(
+                f"{op}: {len(bad)}+ row(s) violate CHECK constraint "
+                f"{name!r} ({expr}); sample: {bad}"
+            )
+
+
 def snap_add_constraint(
     spark: SparkSession,
     path: str,
@@ -2726,7 +2769,12 @@ def snap_add_constraint(
     manifest and carried forward by EVERY commit path (``_commit``'s
     ``carry`` contract), each of which validates incoming rows before
     its commit — so a constrained table can never become visible in a
-    violating state.  Metadata-only commit; returns the new version."""
+    violating state (``snap_restore`` upholds this too: restoring a
+    constrained table re-validates the restored version's rows).
+    Tables consumed by the native streaming SINK evaluate constraints
+    through a session-free ANSI-SQL validator — keep expressions
+    portable (plain comparisons/boolean logic) on those tables.
+    Metadata-only commit; returns the new version."""
     if not name or not name.isidentifier():
         raise ValueError(
             f"constraint name {name!r} must be a bare identifier"
@@ -2942,22 +2990,27 @@ def snap_restore(
     path: str,
     version: int,
     fs: LocalSnapshotFS | None = None,
+    spark: SparkSession | None = None,
 ) -> int:
     """``RESTORE TABLE ... TO VERSION AS OF n`` — roll the table back
     (or forward) to an earlier version's exact file set as a NEW
     commit.
 
-    Metadata-only: no data file is read or written; the new manifest
-    simply references version ``n``'s files (and their deletion-vector
-    sidecars), so history is preserved — the bad commits stay
-    inspectable and the restore itself is one more auditable entry.
-    Fails loudly if any referenced file has already been removed by
-    ``expire_snapshots`` (Delta's RESTORE-after-VACUUM rule); after a
-    successful restore the files are live again and GC keeps them.
-    Idempotence markers (``txns``) and CHECK constraints are carried
-    from CURRENT, not the restore target: a streaming writer's
-    high-water mark must survive a rollback or replayed batches would
-    double-apply."""
+    Metadata-only on unconstrained tables: no data file is read or
+    written; the new manifest simply references version ``n``'s files
+    (and their deletion-vector sidecars), so history is preserved —
+    the bad commits stay inspectable and the restore itself is one
+    more auditable entry.  Fails loudly if any referenced file has
+    already been removed by ``expire_snapshots`` (Delta's
+    RESTORE-after-VACUUM rule); after a successful restore the files
+    are live again and GC keeps them.  Idempotence markers (``txns``)
+    and CHECK constraints are carried from CURRENT, not the restore
+    target: a streaming writer's high-water mark must survive a
+    rollback or replayed batches would double-apply.  When CURRENT
+    carries constraints, the restored version's LIVE rows are
+    re-validated before the commit (pass ``spark`` — required in that
+    case) so a rollback cannot resurface rows a later constraint
+    outlawed."""
     f = _fs(fs)
     try:
         target = read_manifest(path, version, fs)
@@ -2983,10 +3036,27 @@ def snap_restore(
             "by design — expire_snapshots removed them"
         )
     last_err: Exception | None = None
+    validated_for: dict | None = None
     for _attempt in range(COMMIT_RETRIES):
         m = read_manifest(path, fs=fs)
         if m["version"] == version:
             return version  # restoring to where we already are: no-op
+        cons = m.get("constraints") or {}
+        if cons and cons != validated_for:
+            # the rollback must not resurface rows a later constraint
+            # outlawed: validate the target version's LIVE rows
+            # (snap_read applies its deletion vectors) against the
+            # constraints the restored table will carry
+            if spark is None:
+                raise ValueError(
+                    f"snap_restore: {path!r} carries CHECK constraints "
+                    f"{sorted(cons)}; restoring a constrained table "
+                    "re-validates the restored rows — pass spark="
+                )
+            _enforce_constraints(
+                m, snap_read(spark, path, version, fs), "snap_restore"
+            )
+            validated_for = cons
         try:
             return _commit(
                 path, target["files"], target["stats_cols"],

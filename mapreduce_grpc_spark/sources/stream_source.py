@@ -443,26 +443,32 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
                 False,
                 "snapshot_table sink",
             )
-        if m0.get("constraints"):
+        from .snapshots import _enforce_constraints_files
+
+        def _validate(cons: dict) -> None:
             # CHECK constraints: validate the batch's freshly written
             # (still invisible) files BEFORE any manifest references
             # them; a violation drops the files and fails the batch, so
-            # constrained tables stay clean even through the sink
-            from pyspark.sql import SparkSession as _Ss
-
-            from .snapshots import ConstraintViolation, _enforce_constraints
-
-            sess = _Ss.getActiveSession()
-            batch_df = sess.read.parquet(
-                *[os.path.join(self._path, n) for n in names]
-            )
+            # constrained tables stay clean even through the sink.
+            # Session-free (DuckDB over the parquet files): this commit
+            # runs in a dedicated Python worker with NO SparkSession
+            # (pyspark/sql/worker/python_streaming_sink_runner.py).
             try:
-                _enforce_constraints(m0, batch_df, "stream_sink")
-            except ConstraintViolation:
+                _enforce_constraints_files(
+                    [os.path.join(self._path, n) for n in names],
+                    cons,
+                    "stream_sink",
+                )
+            except Exception:
                 for n in names:
                     if f.exists(os.path.join(self._path, n)):
                         f.remove(os.path.join(self._path, n))
                 raise
+
+        validated_for: dict = {}
+        if m0.get("constraints"):
+            _validate(m0["constraints"])
+            validated_for = m0["constraints"]
         # stats + blooms are a pure function of the immutable files:
         # compute ONCE, not per commit-race retry
         entries = []
@@ -481,6 +487,14 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
                     if f.exists(os.path.join(self._path, n)):
                         f.remove(os.path.join(self._path, n))
                 return
+            cons = m.get("constraints") or {}
+            if cons != validated_for:
+                # a retried commit must honor constraints added by the
+                # writer that beat us — re-validate against what THIS
+                # manifest declares (the batch writers enforce inside
+                # their retry loops for the same reason)
+                _validate(cons)
+                validated_for = cons
             txns = dict(m.get("txns", {}))
             txns[self._txn_app] = int(batchId)
             try:

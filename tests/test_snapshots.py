@@ -3268,3 +3268,38 @@ def test_snapshot_update_restore_oracle_parity(spark, sf_dir):
     assert df.filter(
         (F.col("o_orderkey") >= 100) & (F.col("o_orderkey") <= 700)
     ).count() > 0
+
+
+def test_snap_restore_validates_constraints(spark, tmp_path):
+    """A rollback cannot resurface rows a later constraint outlawed:
+    restoring a constrained table re-validates the restored version's
+    live rows (and demands a session to do it)."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        ConstraintViolation,
+        delete_where_mor,
+        snap_add_constraint,
+        snap_restore,
+    )
+
+    path = str(tmp_path / "snap")
+    base = spark.range(-5, 95).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    snap_init(
+        spark,
+        base.repartitionByRange(2, "k").sortWithinPartitions("k"),
+        path,
+        stats_cols=["k"],
+    )  # v1 holds k=-5..-1
+    delete_where_mor(spark, path, [("k", "<", 0)])  # v2: clean
+    snap_add_constraint(spark, path, "k_pos", "k >= 0")  # v3 validates OK
+    v3 = current_version(path)
+    with pytest.raises(ValueError, match="pass spark="):
+        snap_restore(path, 1)
+    with pytest.raises(ConstraintViolation, match="k_pos"):
+        snap_restore(path, 1, spark=spark)
+    assert current_version(path) == v3  # nothing committed
+    # restoring to a version that satisfies the constraint works
+    assert snap_restore(path, 2, spark=spark) == v3 + 1
+    assert snap_read(spark, path).filter("k < 0").count() == 0

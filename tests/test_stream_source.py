@@ -710,3 +710,57 @@ def test_native_sink_enforces_check_constraints(spark, tmp_path):
     w.commit([_FileCommit(good)], batchId=2)
     assert snap_count(dst) == 2
     assert _rm(dst)["constraints"] == {"k_pos": "k > 0"}
+
+
+def test_native_sink_constraint_end_to_end_streaming(spark, tmp_path):
+    """The REAL streaming path for constraint enforcement: the sink's
+    ``commit`` runs in a dedicated Python worker with NO SparkSession
+    (pyspark's python_streaming_sink_runner), so validation must be
+    session-free.  A violating micro-batch fails the query and leaves
+    the table untouched; a clean stream into the same constrained
+    table lands."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        snap_add_constraint,
+        snap_count,
+        snap_init,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _mk(spark, src, [(i - 5, f"g{i}") for i in range(10)])  # ks -5..4
+    snap_init(
+        spark,
+        spark.createDataFrame([], "k bigint, v string"),
+        dst,
+        stats_cols=["k"],
+    )
+    snap_add_constraint(spark, dst, "k_pos", "k >= 0", validate=False)
+    pre_existing = set(os.listdir(dst))
+
+    def run(ck, flt):
+        q = (
+            _read_stream(spark, src)
+            .filter(flt)
+            .writeStream.format("snapshot_table")
+            .option("path", dst)
+            .option("fsImpl", _ACTIVE_FS["spec"])
+            .option("txnAppId", f"c-{ck}")
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    # violating rows -> the query fails, nothing lands, no file leaks
+    with pytest.raises(Exception, match="k_pos"):
+        run("ck-bad", F.col("k") < 0)
+    assert snap_count(dst) == 0
+    leaked = [
+        n for n in set(os.listdir(dst)) - pre_existing
+        if n.startswith("data-") and n.endswith(".parquet")
+    ]
+    assert leaked == []
+    # a clean stream into the same constrained table works
+    run("ck-good", F.col("k") >= 0)
+    assert snap_count(dst) == 5

@@ -91,8 +91,12 @@ def test_train_and_apply_on_fixture(spark, sf_dir):
     ).collect()
     import re
 
+    from mapreduce_grpc_spark.functions.textfns import TOKEN_DELIM_RE
+
     for r in out:
-        toks = [t for t in re.split(r"[^A-Za-z0-9]+", r.text) if t]
+        # the ENGINE's tokenizer semantics, not a hand-rolled regex —
+        # the two must split identically or the test lies
+        toks = [t for t in re.split(TOKEN_DELIM_RE, r.text) if t]
         assert len(r.segs) == len(toks)
         for word, segs in zip(toks, r.segs):
             assert "".join(segs) == word  # lattice consistency
