@@ -394,6 +394,96 @@ WHERE o_orderkey % 13 = 0
 """
 
 
+def snapshot_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full conditional MERGE INTO, hash-checked end-to-end.
+
+    Target = ``customer`` as a key-clustered snapshot table; source = a
+    deterministic change feed derived from the same fixture (existing
+    keys %5==0 carrying a delta, brand-new shifted keys from %5==1).
+    One ``merge_into`` commit applies the SQL:2003 grammar: matched
+    BUILDING customers take the delta, remaining matched rows with
+    negative balance are deleted, and only odd new keys insert.  The
+    oracle rebuilds the identical final relation with a LEFT JOIN +
+    CASE + UNION — if clause ordering, the delete filter, insert
+    gating, or file pruning drops or doubles one row, the hash
+    mismatches.  At 100 TB the merge rewrites only files whose key
+    envelopes overlap the source keys."""
+    tmp = tempfile.mkdtemp(prefix="snap-mi-")
+    path = os.path.join(tmp, "t")
+    try:
+        from ..sources.snapshots import merge_into
+
+        cust = table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+        snap_init(
+            spark,
+            cust.repartitionByRange(4, "c_custkey"),
+            path,
+            stats_cols=["c_custkey"],
+        )
+        k = F.col("c_custkey")
+        src = (
+            cust.filter(k % 5 == 0)
+            .select(
+                k.alias("c_custkey"),
+                F.lit(100.0).cast("double").alias("delta"),
+            )
+            .unionByName(
+                cust.filter(k % 5 == 1).select(
+                    (k + F.lit(10_000_000)).alias("c_custkey"),
+                    F.lit(50.0).cast("double").alias("delta"),
+                )
+            )
+        )
+        merge_into(
+            spark, path, src, keys=["c_custkey"],
+            matched=[
+                ("update", "t.c_mktsegment = 'BUILDING'",
+                 {"c_acctbal": "t.c_acctbal + s.delta"}),
+                ("delete", "t.c_acctbal < 0"),
+            ],
+            not_matched=[
+                ("insert", "s.c_custkey % 2 = 1",
+                 {"c_custkey": "s.c_custkey",
+                  "c_acctbal": "s.delta",
+                  "c_mktsegment": "'NEW'"}),
+            ],
+        )
+        out = snap_read(spark, path).select(
+            "c_custkey",
+            F.col("c_acctbal").alias("bal"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SNAPSHOT_MERGE_INTO_SQL = """
+WITH src AS (
+  SELECT c_custkey AS k, CAST(100.0 AS DOUBLE) AS delta
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey + 10000000, CAST(50.0 AS DOUBLE)
+  FROM customer WHERE c_custkey % 5 = 1
+)
+SELECT t.c_custkey,
+       CASE WHEN s.k IS NOT NULL AND t.c_mktsegment = 'BUILDING'
+            THEN t.c_acctbal + s.delta ELSE t.c_acctbal END AS bal,
+       t.c_mktsegment AS seg
+FROM customer t LEFT JOIN src s ON t.c_custkey = s.k
+WHERE NOT (s.k IS NOT NULL
+           AND t.c_mktsegment <> 'BUILDING'
+           AND t.c_acctbal < 0)
+UNION ALL
+SELECT s.k, s.delta, 'NEW'
+FROM src s LEFT JOIN customer t ON t.c_custkey = s.k
+WHERE t.c_custkey IS NULL AND s.k % 2 = 1
+"""
+
+
 # snapshot_timetravel is IN the 50-query driver contract (rotated in
 # round 7, replacing the redundant doc_fingerprint text query): the
 # table layer is the engine's centerpiece and deserves the driver's
@@ -405,10 +495,12 @@ AUX_QUERIES = {
     "snapshot_delete_scan": snapshot_delete_scan,
     "streaming_table_pipeline": streaming_table_pipeline,
     "snapshot_update_restore": snapshot_update_restore,
+    "snapshot_merge_into": snapshot_merge_into,
 }
 AUX_ORACLES = {
     "matview_orders": MATVIEW_ORDERS_SQL,
     "snapshot_delete_scan": SNAPSHOT_DELETE_SCAN_SQL,
     "streaming_table_pipeline": STREAMING_TABLE_PIPELINE_SQL,
     "snapshot_update_restore": SNAPSHOT_UPDATE_RESTORE_SQL,
+    "snapshot_merge_into": SNAPSHOT_MERGE_INTO_SQL,
 }

@@ -3074,3 +3074,280 @@ def snap_restore(
         f"snap_restore: lost the commit race {COMMIT_RETRIES} times "
         f"at {path!r}"
     ) from last_err
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    matched: list[tuple] | None = None,
+    not_matched: list[tuple] | None = None,
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
+    fs: LocalSnapshotFS | None = None,
+) -> dict:
+    """Full conditional ``MERGE INTO`` (the Delta/SQL:2003 grammar) with
+    file-level copy-on-write.
+
+    - ``matched``: ordered WHEN MATCHED clauses, each
+      ``("update", condition, set_exprs)`` or ``("delete", condition)``
+      — ``condition`` is a SQL boolean over ``t.*`` (target row) and
+      ``s.*`` (source row), or ``None`` for always; ``set_exprs`` maps
+      target column -> SQL expr over ``t.*``/``s.*``.  The FIRST clause
+      whose condition holds wins (SQL MERGE semantics); a matched row
+      hitting no clause stays unchanged.
+    - ``not_matched``: ordered WHEN NOT MATCHED clauses
+      ``("insert", condition, values)`` — ``values`` maps target
+      column -> SQL expr over ``s.*`` (``None`` = insert the source
+      row's same-named columns).  A source row hitting no clause is
+      ignored.
+
+    Scale shape is ``merge_upsert_cow``'s: the source's key set probes
+    per-file envelopes/row-group ranges/blooms, ONLY files that may
+    hold a matching key are read and rewritten (every possible match
+    lives in a candidate file — pruning is conservative on key
+    statistics), everything else carries by reference.  A source with
+    duplicate keys is rejected (MERGE's multiple-matches rule); rows
+    produced by update/insert clauses are cast-checked against the
+    declared column types and validated against CHECK constraints.
+    One tagged pass computes the update/delete/insert counts.  Returns
+    ``{"version", "updated", "deleted", "inserted", "rewritten",
+    "carried", "added"}``."""
+    matched = list(matched or [])
+    not_matched = list(not_matched or [])
+    if not matched and not not_matched:
+        raise ValueError("merge_into: no WHEN clauses")
+    for c in matched:
+        if c[0] == "update":
+            if len(c) != 3 or not isinstance(c[2], dict) or not c[2]:
+                raise ValueError(
+                    f"matched update clause must be ('update', cond, "
+                    f"set_exprs): {c!r}"
+                )
+        elif c[0] == "delete":
+            if len(c) != 2:
+                raise ValueError(
+                    f"matched delete clause must be ('delete', cond): {c!r}"
+                )
+        else:
+            raise ValueError(f"unknown matched clause {c[0]!r}")
+    for c in not_matched:
+        if c[0] != "insert" or len(c) != 3 or not (
+            c[2] is None or isinstance(c[2], dict)
+        ):
+            raise ValueError(
+                f"not_matched clause must be ('insert', cond, "
+                f"values|None): {c!r}"
+            )
+
+    bad = _bad_key_rows(source, keys)
+    if bad:
+        row = bad[0]
+        if any(row[k] is None for k in keys):
+            raise ValueError(
+                f"merge_into: NULL merge key in source row "
+                f"{tuple(row[k] for k in keys)!r}; coalesce keys upstream"
+            )
+        raise ValueError(
+            f"merge_into: source has multiple rows for key "
+            f"{tuple(row[k] for k in keys)!r} (MERGE's multiple-matches "
+            "rule); collapse the source first"
+        )
+    probe = _batch_key_probe(source.select(*keys), keys)
+    if probe.get("empty"):
+        res = _skipped_result(read_manifest(path, fs=fs))
+        res.update({"updated": 0, "deleted": 0, "inserted": 0})
+        return res
+
+    last_err: Exception | None = None
+    for _attempt in range(COMMIT_RETRIES):
+        m = read_manifest(path, fs=fs)
+        if _txn_already_applied(m, txn_app, txn_batch):
+            res = _skipped_result(m)
+            res.update({"updated": 0, "deleted": 0, "inserted": 0})
+            return res
+        stats_cols = m["stats_cols"]
+        missing = [k for k in keys if k not in stats_cols]
+        if missing:
+            raise ValueError(
+                f"merge keys {missing} not tracked in manifest stats_cols "
+                f"{stats_cols}; re-init the table tracking them"
+            )
+        schema = _manifest_schema(m) or snap_read(
+            spark, path, m["version"], fs
+        ).schema
+        tcols = [f.name for f in schema.fields]
+        by_name = {f.name: f.dataType for f in schema.fields}
+        for c in matched:
+            if c[0] == "update":
+                unknown = sorted(set(c[2]) - set(tcols))
+                if unknown:
+                    raise ValueError(
+                        f"merge_into: update SET columns {unknown} not in "
+                        f"table schema {tcols}"
+                    )
+        for c in not_matched:
+            if c[2] is not None:
+                missing_cols = sorted(set(tcols) - set(c[2]))
+                if missing_cols:
+                    raise ValueError(
+                        f"merge_into: insert values missing target "
+                        f"columns {missing_cols}"
+                    )
+
+        bl = _bloom_loader(path, fs)
+        overlapping = [
+            f for f in m["files"] if _overlaps(f, probe, keys, bl)
+        ]
+        carried = [
+            f for f in m["files"] if not _overlaps(f, probe, keys, bl)
+        ]
+
+        t = _read_entries(spark, path, overlapping, schema).alias("t")
+        s = source.alias("s")
+        join_cond = F.lit(True)
+        for k in keys:
+            join_cond = join_cond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
+
+        def _cond_col(cond: str | None):
+            return F.lit(True) if cond is None else F.expr(cond)
+
+        # matched rows: first clause whose condition holds wins
+        pairs = t.join(s, join_cond, "inner")
+        clause_idx = F.lit(-1)
+        for i, c in reversed(list(enumerate(matched))):
+            clause_idx = F.when(_cond_col(c[1]), F.lit(i)).otherwise(
+                clause_idx
+            )
+        out_matched_cols = []
+        for col in tcols:
+            expr = F.col(f"t.{col}")
+            for i, c in enumerate(matched):
+                if c[0] == "update" and col in c[2]:
+                    expr = F.when(
+                        F.col("_clause") == i, F.expr(c[2][col])
+                    ).otherwise(expr)
+            out_matched_cols.append(expr.alias(col))
+        delete_idxs = [
+            i for i, c in enumerate(matched) if c[0] == "delete"
+        ]
+        update_idxs = [
+            i for i, c in enumerate(matched) if c[0] == "update"
+        ]
+        matched_tagged = (
+            pairs.withColumn("_clause", clause_idx)
+            .select(
+                *out_matched_cols,
+                F.when(
+                    F.col("_clause").isin(delete_idxs or [-2]),
+                    F.lit("delete"),
+                )
+                .when(
+                    F.col("_clause").isin(update_idxs or [-2]),
+                    F.lit("update"),
+                )
+                .otherwise(F.lit("keep"))
+                .alias("_action"),
+            )
+        )
+        # target rows in candidate files with no source match: unchanged
+        untouched = (
+            t.join(s, join_cond, "left_anti")
+            .select(*tcols)
+            .withColumn("_action", F.lit("carry"))
+        )
+        # source rows with no target match: first insert clause wins
+        src_only = s.join(t, join_cond, "left_anti")
+        ins_idx = F.lit(-1)
+        for i, c in reversed(list(enumerate(not_matched))):
+            ins_idx = F.when(_cond_col(c[1]), F.lit(i)).otherwise(ins_idx)
+        src_cols = set(source.columns)
+        ins_value_cols = []
+        for col in tcols:
+            expr = F.lit(None).cast(by_name[col])
+            for i, c in enumerate(not_matched):
+                if c[2] is not None:
+                    v = F.expr(c[2][col])
+                elif col in src_cols:
+                    v = F.col(f"s.{col}")
+                else:
+                    raise ValueError(
+                        f"merge_into: default insert needs source column "
+                        f"{col!r}; pass explicit insert values"
+                    )
+                expr = F.when(F.col("_ins") == i, v).otherwise(expr)
+            ins_value_cols.append(expr.alias(col))
+        inserts = (
+            src_only.withColumn("_ins", ins_idx)
+            .filter(F.col("_ins") >= 0)
+            .select(*ins_value_cols)
+            .withColumn("_action", F.lit("insert"))
+        )
+
+        tagged = matched_tagged.unionByName(untouched).unionByName(
+            inserts
+        )
+        # cast-check every produced column against the declared type
+        for f_ in tagged.select(*tcols).schema.fields:
+            if f_.dataType != by_name[f_.name]:
+                raise ValueError(
+                    f"merge_into: produced column {f_.name!r} has type "
+                    f"{f_.dataType.simpleString()}, table declares "
+                    f"{by_name[f_.name].simpleString()}; cast explicitly"
+                )
+        tagged = tagged.persist()
+        try:
+            counts = {
+                r["_action"]: r["n"]
+                for r in tagged.groupBy("_action")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            changed = tagged.filter(
+                F.col("_action").isin("update", "insert")
+            )
+            _enforce_constraints(m, changed.drop("_action"), "merge_into")
+            out = (
+                tagged.filter(F.col("_action") != "delete")
+                .drop("_action")
+                .coalesce(max(1, len(overlapping)))
+                .sortWithinPartitions(
+                    *[k for k in stats_cols if k in tcols]
+                )
+            )
+            new_entries = _write_data_files(
+                spark, out, path, stats_cols, fs
+            )
+        finally:
+            tagged.unpersist()
+        txns = dict(m.get("txns", {}))
+        if txn_app is not None:
+            txns[txn_app] = int(txn_batch)
+        info = {
+            "op": "merge_into",
+            "updated": counts.get("update", 0),
+            "deleted": counts.get("delete", 0),
+            "inserted": counts.get("insert", 0),
+            "rewritten": len(overlapping),
+            "carried": len(carried),
+            "added": len(new_entries),
+        }
+        if txn_app is not None:
+            info["txn"] = {"app": txn_app, "batch": int(txn_batch)}
+        try:
+            version = _commit(
+                path, carried + new_entries, stats_cols,
+                base_version=m["version"],
+                schema_json=m.get("schema"),
+                txns=txns, commit_info=info, fs=fs, carry=m,
+            )
+        except CommitConflict as e:
+            last_err = e
+            continue
+        info["version"] = version
+        return {k: v for k, v in info.items() if k != "op" and k != "txn"}
+    raise CommitConflict(
+        f"merge_into: lost the commit race {COMMIT_RETRIES} times "
+        f"at {path!r}"
+    ) from last_err
