@@ -488,19 +488,25 @@ WHERE t.c_custkey IS NULL AND s.k % 2 = 1
 # round 7, replacing the redundant doc_fingerprint text query): the
 # table layer is the engine's centerpiece and deserves the driver's
 # own hash check, not just the pytest mirror.
-QUERIES = {"snapshot_timetravel": snapshot_timetravel}
-ORACLES = {"snapshot_timetravel": SNAPSHOT_TIMETRAVEL_SQL}
+QUERIES = {
+    "snapshot_timetravel": snapshot_timetravel,
+    # rotated IN (round 7, replacing the redundant ngrams text query):
+    # the full conditional MERGE grammar under the driver's own hash
+    "snapshot_merge_into": snapshot_merge_into,
+}
+ORACLES = {
+    "snapshot_timetravel": SNAPSHOT_TIMETRAVEL_SQL,
+    "snapshot_merge_into": SNAPSHOT_MERGE_INTO_SQL,
+}
 AUX_QUERIES = {
     "matview_orders": matview_orders,
     "snapshot_delete_scan": snapshot_delete_scan,
     "streaming_table_pipeline": streaming_table_pipeline,
     "snapshot_update_restore": snapshot_update_restore,
-    "snapshot_merge_into": snapshot_merge_into,
 }
 AUX_ORACLES = {
     "matview_orders": MATVIEW_ORDERS_SQL,
     "snapshot_delete_scan": SNAPSHOT_DELETE_SCAN_SQL,
     "streaming_table_pipeline": STREAMING_TABLE_PIPELINE_SQL,
     "snapshot_update_restore": SNAPSHOT_UPDATE_RESTORE_SQL,
-    "snapshot_merge_into": SNAPSHOT_MERGE_INTO_SQL,
 }

@@ -565,7 +565,6 @@ QUERIES = {
     "grep_filter": grep_filter,
     "inverted_index": inverted_index,
     "text_stats": text_stats,
-    "ngrams": ngrams,
     "text_quality": text_quality,
     "lang_id": lang_id,
     "tfidf": tfidf,
@@ -664,6 +663,9 @@ HAVING count(*) >= {HH_FRAC} * total
 
 
 AUX_QUERIES = {
+    # rotated out (round 7, second rotation) for snapshot_merge_into —
+    # still pytest-hash-checked and benched
+    "ngrams": ngrams,
     "bm25_topk": bm25_topk,
     "heavy_hitters": heavy_hitters,
     # rotated out of the 50-query contract (round 7) to make room for
@@ -672,6 +674,7 @@ AUX_QUERIES = {
 }
 
 AUX_ORACLES = {
+    "ngrams": NGRAMS_SQL,
     "bm25_topk": BM25_TOPK_SQL,
     "heavy_hitters": HEAVY_HITTERS_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
@@ -684,7 +687,6 @@ ORACLES = {
     "grep_filter": GREP_FILTER_SQL,
     "inverted_index": INVERTED_INDEX_SQL,
     "text_stats": TEXT_STATS_SQL,
-    "ngrams": NGRAMS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "lang_id": LANG_ID_SQL,
 }
