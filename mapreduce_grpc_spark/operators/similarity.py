@@ -463,6 +463,12 @@ def _semantic_clusters(
         .limit(SEMANTIC_FIT_SAMPLE)
         .collect()
     )
+    if not sample:
+        # empty relation: an empty assignment with the right schema
+        # (the per-cluster dedup stage then has no groups to process)
+        return spark.createDataFrame(
+            [], "vec_id long, cluster int, dist_sq double"
+        )
     X = np.stack([list(r.embedding) for r in sample]).astype(np.float64)
     rng = np.random.RandomState(seed)
     # k-means++ init

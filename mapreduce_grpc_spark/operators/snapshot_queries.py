@@ -353,7 +353,7 @@ def snapshot_update_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice > cast(0.0 as double)",
             validate=False,
         )
-        update_where(
+        upd = update_where(
             spark, path,
             [("o_orderkey", "<=", 600), "or", ("o_orderstatus", "=", "P")],
             {
@@ -361,7 +361,9 @@ def snapshot_update_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_orderpriority": "'0-BUMPED'",
             },
         )
-        post_update = 3  # v1 init, v2 constraint, v3 update
+        # the committed post-update version (an empty fixture commits
+        # nothing — update_where reports the unchanged CURRENT)
+        post_update = upd["version"]
         delete_where_mor(
             spark, path, [("o_orderkey", "between", 100, 700)]
         )

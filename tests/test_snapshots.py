@@ -2325,20 +2325,26 @@ def test_snap_register_sql_surface(spark, tmp_path):
 def test_table_layer_randomized_composition_vs_model(spark, tmp_path):
     """Model-based fuzz over the WHOLE mutation surface: a random
     interleaving of append / CoW merge / CDC (MoR and rewrite) /
-    keyed MoR delete / optimize / auto_compact must always equal a
-    plain dict model, keep fsck clean, and keep snap_count exact.
-    Each op alone is invariant-tested elsewhere; this pins their
-    COMPOSITION (DV carry-forward across rewrites, bloom pruning under
-    mixed layouts, txn-map survival through compaction)."""
+    keyed MoR delete / predicate UPDATE / conditional MERGE INTO /
+    RESTORE / optimize / auto_compact must always equal a plain dict
+    model (with a per-version model history so RESTORE rolls the model
+    back too), keep fsck clean, and keep snap_count exact.  Each op
+    alone is invariant-tested elsewhere; this pins their COMPOSITION
+    (DV carry-forward across rewrites, bloom pruning under mixed
+    layouts, txn-map survival through compaction, restore-after-
+    anything)."""
     import random
 
     from mapreduce_grpc_spark.sources.snapshots import (
         apply_cdc_cow,
         auto_compact,
         delete_keys_mor,
+        merge_into,
         optimize_snapshot,
         snap_append,
         snap_count,
+        snap_restore,
+        update_where,
         verify_snapshot,
     )
 
@@ -2357,10 +2363,12 @@ def test_table_layer_randomized_composition_vs_model(spark, tmp_path):
     def df_of(rows, schema="k bigint, v string"):
         return spark.createDataFrame(rows, schema)
 
-    for step in range(14):
+    history = {current_version(path): dict(model)}
+
+    for step in range(18):
         op = rng.choice(
             ["append", "merge", "cdc", "cdc_mor", "del_mor", "optimize",
-             "auto"]
+             "auto", "update", "m_into", "restore"]
         )
         if op == "append":
             # fresh keys only: append has no upsert semantics, so a key
@@ -2404,11 +2412,50 @@ def test_table_layer_randomized_composition_vs_model(spark, tmp_path):
                 )
                 for k in dels:
                     model.pop(k, None)
+        elif op == "update":
+            lo = rng.randrange(0, 500)
+            hi = lo + rng.randrange(0, 60)
+            update_where(
+                spark, path,
+                [("k", "between", lo, hi)],
+                {"v": "concat(v, '!')"},
+            )
+            for k in list(model):
+                if lo <= k <= hi:
+                    model[k] = model[k] + "!"
+        elif op == "m_into":
+            ks = rng.sample(
+                sorted(set(range(600)) | set(model)), rng.randint(1, 5)
+            )
+            vals = {k: f"g{step}-{k}" for k in ks}
+            merge_into(
+                spark, path,
+                df_of([(k, v) for k, v in vals.items()]),
+                ["k"],
+                matched=[
+                    ("delete", "s.v like '%3'"),
+                    ("update", None, {"v": "s.v"}),
+                ],
+                not_matched=[("insert", "s.k % 2 = 0", None)],
+            )
+            for k, v in vals.items():
+                if k in model:
+                    if v.endswith("3"):
+                        del model[k]
+                    else:
+                        model[k] = v
+                elif k % 2 == 0:
+                    model[k] = v
+        elif op == "restore":
+            v = rng.choice(sorted(history))
+            snap_restore(path, v)
+            model = dict(history[v])
         elif op == "optimize":
             optimize_snapshot(spark, path, target_bytes=1 << 20)
         else:
             auto_compact(spark, path, max_files=6, target_bytes=1 << 20)
 
+        history[current_version(path)] = dict(model)
         assert snap_count(path) == len(model), f"step {step} ({op})"
 
     got = dict(_rows(snap_read(spark, path)))
@@ -3469,10 +3516,10 @@ def test_snapshot_merge_into_oracle_parity(spark, sf_dir):
     from mapreduce_grpc_spark import registry
     from tests.oracle import assert_oracle_match
 
-    df = registry.AUX_QUERIES["snapshot_merge_into"](spark, sf_dir)
+    df = registry.QUERIES["snapshot_merge_into"](spark, sf_dir)
     assert_oracle_match(
         df,
-        registry.AUX_ORACLES["snapshot_merge_into"],
+        registry.ORACLES["snapshot_merge_into"],
         sf_dir,
         "snapshot_merge_into",
     )
