@@ -3213,58 +3213,33 @@ def merge_into(
         def _cond_col(cond: str | None):
             return F.lit(True) if cond is None else F.expr(cond)
 
-        # matched rows: first clause whose condition holds wins
-        pairs = t.join(s, join_cond, "inner")
+        # first clause whose condition holds wins, per population
         clause_idx = F.lit(-1)
         for i, c in reversed(list(enumerate(matched))):
             clause_idx = F.when(_cond_col(c[1]), F.lit(i)).otherwise(
                 clause_idx
             )
-        out_matched_cols = []
-        for col in tcols:
-            expr = F.col(f"t.{col}")
-            for i, c in enumerate(matched):
-                if c[0] == "update" and col in c[2]:
-                    expr = F.when(
-                        F.col("_clause") == i, F.expr(c[2][col])
-                    ).otherwise(expr)
-            out_matched_cols.append(expr.alias(col))
+        ins_idx = F.lit(-1)
+        for i, c in reversed(list(enumerate(not_matched))):
+            ins_idx = F.when(_cond_col(c[1]), F.lit(i)).otherwise(ins_idx)
         delete_idxs = [
             i for i, c in enumerate(matched) if c[0] == "delete"
         ]
         update_idxs = [
             i for i, c in enumerate(matched) if c[0] == "update"
         ]
-        matched_tagged = (
-            pairs.withColumn("_clause", clause_idx)
-            .select(
-                *out_matched_cols,
-                F.when(
-                    F.col("_clause").isin(delete_idxs or [-2]),
-                    F.lit("delete"),
-                )
-                .when(
-                    F.col("_clause").isin(update_idxs or [-2]),
-                    F.lit("update"),
-                )
-                .otherwise(F.lit("keep"))
-                .alias("_action"),
-            )
-        )
-        # target rows in candidate files with no source match: unchanged
-        untouched = (
-            t.join(s, join_cond, "left_anti")
-            .select(*tcols)
-            .withColumn("_action", F.lit("carry"))
-        )
-        # source rows with no target match: first insert clause wins
-        src_only = s.join(t, join_cond, "left_anti")
-        ins_idx = F.lit(-1)
-        for i, c in reversed(list(enumerate(not_matched))):
-            ins_idx = F.when(_cond_col(c[1]), F.lit(i)).otherwise(ins_idx)
         src_cols = set(source.columns)
-        ins_value_cols = []
-        for col in tcols:
+
+        def _matched_col(col: str):
+            expr = F.col(f"t.{col}")
+            for i, c in enumerate(matched):
+                if c[0] == "update" and col in c[2]:
+                    expr = F.when(
+                        F.col("_clause") == i, F.expr(c[2][col])
+                    ).otherwise(expr)
+            return expr
+
+        def _insert_col(col: str):
             expr = F.lit(None).cast(by_name[col])
             for i, c in enumerate(not_matched):
                 if c[2] is not None:
@@ -3277,17 +3252,85 @@ def merge_into(
                         f"{col!r}; pass explicit insert values"
                     )
                 expr = F.when(F.col("_ins") == i, v).otherwise(expr)
-            ins_value_cols.append(expr.alias(col))
-        inserts = (
-            src_only.withColumn("_ins", ins_idx)
-            .filter(F.col("_ins") >= 0)
-            .select(*ins_value_cols)
-            .withColumn("_action", F.lit("insert"))
+            return expr
+
+        matched_action = (
+            F.when(
+                F.col("_clause").isin(delete_idxs or [-2]),
+                F.lit("delete"),
+            )
+            .when(
+                F.col("_clause").isin(update_idxs or [-2]),
+                F.lit("update"),
+            )
+            .otherwise(F.lit("keep"))
         )
 
-        tagged = matched_tagged.unionByName(untouched).unionByName(
-            inserts
-        )
+        if probe["key_rows"] is not None:
+            # BOUNDED source (≤ KEY_PROBE_CAP distinct keys): three
+            # BROADCAST joins, zero shuffle of the candidate files —
+            # with a small source the pruned candidates are small too,
+            # so 3 cheap scans beat one scan plus a full shuffle (full
+            # outer join cannot broadcast).
+            sb = F.broadcast(s)
+            matched_tagged = (
+                t.join(sb, join_cond, "inner")
+                .withColumn("_clause", clause_idx)
+                .select(
+                    *[_matched_col(c).alias(c) for c in tcols],
+                    matched_action.alias("_action"),
+                )
+            )
+            untouched = (
+                t.join(sb, join_cond, "left_anti")
+                .select(*tcols)
+                .withColumn("_action", F.lit("carry"))
+            )
+            inserts = (
+                s.join(t, join_cond, "left_anti")
+                .withColumn("_ins", ins_idx)
+                .filter(F.col("_ins") >= 0)
+                .select(*[_insert_col(c).alias(c) for c in tcols])
+                .withColumn("_action", F.lit("insert"))
+            )
+            tagged = matched_tagged.unionByName(untouched).unionByName(
+                inserts
+            )
+        else:
+            # OVERSIZED source: ONE scan of the candidates + ONE
+            # full-outer sort-merge join carries all three MERGE
+            # populations (the Delta plan shape) — at corpus-sized
+            # sources the candidates are the whole table, and one
+            # shuffle beats three table scans.  Presence flags ride
+            # non-null key columns (NULL keys were rejected above).
+            both = t.join(s, join_cond, "full_outer")
+            t_here = F.col(f"t.{keys[0]}").isNotNull()
+            s_here = F.col(f"s.{keys[0]}").isNotNull()
+            both = both.withColumns(
+                {
+                    "_clause": F.when(
+                        t_here & s_here, clause_idx
+                    ).otherwise(F.lit(-1)),
+                    "_ins": F.when(
+                        s_here & ~t_here, ins_idx
+                    ).otherwise(F.lit(-1)),
+                }
+            )
+            out_cols = [
+                F.when(t_here, _matched_col(col))
+                .otherwise(_insert_col(col))
+                .alias(col)
+                for col in tcols
+            ]
+            action = (
+                F.when(t_here & s_here, matched_action)
+                .when(t_here, F.lit("carry"))
+                .when(F.col("_ins") >= 0, F.lit("insert"))
+                .otherwise(F.lit("drop"))  # source-only, no clause
+            )
+            tagged = both.select(
+                *out_cols, action.alias("_action")
+            ).filter(F.col("_action") != "drop")
         # cast-check every produced column against the declared type
         for f_ in tagged.select(*tcols).schema.fields:
             if f_.dataType != by_name[f_.name]:

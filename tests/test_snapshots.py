@@ -3525,3 +3525,41 @@ def test_snapshot_merge_into_oracle_parity(spark, sf_dir):
     )
     # every clause genuinely fired
     assert df.filter("seg = 'NEW'").count() > 0
+
+
+def test_merge_into_oversized_source_single_join_path(spark, tmp_path):
+    """Sources beyond KEY_PROBE_CAP take the one-scan full-outer plan
+    (a full outer join cannot broadcast); results must be identical to
+    the bounded three-broadcast-join path."""
+    import unittest.mock as mock
+
+    import mapreduce_grpc_spark.sources.snapshots as snap
+
+    def run(path, cap):
+        _merge_target(spark, path, n=200, n_files=2)
+        src = spark.range(150, 260).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).cast("long").alias("amt"),
+        )
+        with mock.patch.object(snap, "KEY_PROBE_CAP", cap):
+            res = snap.merge_into(
+                spark, path, src, keys=["k"],
+                matched=[
+                    ("update", "t.tag = 'even'", {"amt": "s.amt"}),
+                    ("delete", "t.amt >= 60"),
+                ],
+                not_matched=[("insert", "s.k < 240",
+                              {"k": "s.k", "amt": "s.amt",
+                               "tag": "'new'"})],
+            )
+        return res, sorted(
+            (r.k, r.amt, r.tag) for r in snap_read(spark, path).collect()
+        )
+
+    res_b, rows_b = run(str(tmp_path / "bounded"), 100_000)
+    res_o, rows_o = run(str(tmp_path / "oversized"), 1)
+    assert rows_b == rows_o
+    for key in ("updated", "deleted", "inserted"):
+        assert res_b[key] == res_o[key], key
+    # the oversized probe really did lose exact pruning (bounding box)
+    assert res_o["rewritten"] >= res_b["rewritten"]
