@@ -1564,12 +1564,10 @@ def merge_upsert_cow(
             m, updates.select(*out_cols), "merge_upsert_cow"
         )
         bl = _bloom_loader(path, fs)
-        overlapping = [
-            f for f in m["files"] if _overlaps(f, probe, keys, bl)
-        ]
-        carried = [
-            f for f in m["files"] if not _overlaps(f, probe, keys, bl)
-        ]
+        overlapping, carried = [], []
+        for f_entry in m["files"]:
+            (overlapping if _overlaps(f_entry, probe, keys, bl)
+             else carried).append(f_entry)
 
         if overlapping:
             # reading with the POST-commit schema null-backfills any
@@ -3195,16 +3193,27 @@ def merge_into(
                         f"merge_into: insert values missing target "
                         f"columns {missing_cols}"
                     )
+                extras = sorted(set(c[2]) - set(tcols))
+                if extras:
+                    raise ValueError(
+                        f"merge_into: insert values reference unknown "
+                        f"columns {extras} (table schema {tcols})"
+                    )
 
         bl = _bloom_loader(path, fs)
-        overlapping = [
-            f for f in m["files"] if _overlaps(f, probe, keys, bl)
-        ]
-        carried = [
-            f for f in m["files"] if not _overlaps(f, probe, keys, bl)
-        ]
+        overlapping, carried = [], []
+        for f_entry in m["files"]:
+            (overlapping if _overlaps(f_entry, probe, keys, bl)
+             else carried).append(f_entry)
 
-        t = _read_entries(spark, path, overlapping, schema).alias("t")
+        if overlapping:
+            t = _read_entries(spark, path, overlapping, schema)
+        else:
+            # no file can hold a matching key (e.g. an insert-only
+            # merge of a brand-new key range): an empty target side —
+            # every source row is NOT MATCHED
+            t = spark.createDataFrame([], schema)
+        t = t.alias("t")
         s = source.alias("s")
         join_cond = F.lit(True)
         for k in keys:
@@ -3303,9 +3312,21 @@ def merge_into(
             # sources the candidates are the whole table, and one
             # shuffle beats three table scans.  Presence flags ride
             # non-null key columns (NULL keys were rejected above).
-            both = t.join(s, join_cond, "full_outer")
-            t_here = F.col(f"t.{keys[0]}").isNotNull()
-            s_here = F.col(f"s.{keys[0]}").isNotNull()
+            # literal presence markers, NOT key nullability: the
+            # TARGET may legally hold NULL-keyed rows (the join just
+            # never matches them) and they must carry through the
+            # rewrite, not be misread as source-only and dropped
+            both = (
+                t.withColumn("_t_present", F.lit(True))
+                .alias("t")
+                .join(
+                    s.withColumn("_s_present", F.lit(True)).alias("s"),
+                    join_cond,
+                    "full_outer",
+                )
+            )
+            t_here = F.col("_t_present").isNotNull()
+            s_here = F.col("_s_present").isNotNull()
             both = both.withColumns(
                 {
                     "_clause": F.when(

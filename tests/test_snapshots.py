@@ -3428,7 +3428,7 @@ def test_merge_into_update_only_prunes_files(spark, tmp_path):
     path = str(tmp_path / "snap")
     _merge_target(spark, path, n=1000, n_files=4)
     src = spark.range(0, 50).select(
-        F.col("k") if False else F.col("id").alias("k"),
+        F.col("id").alias("k"),
         F.lit(7).cast("long").alias("amt"),
     )
     res = merge_into(
@@ -3563,3 +3563,73 @@ def test_merge_into_oversized_source_single_join_path(spark, tmp_path):
         assert res_b[key] == res_o[key], key
     # the oversized probe really did lose exact pruning (bounding box)
     assert res_o["rewritten"] >= res_b["rewritten"]
+
+
+def test_merge_into_insert_only_new_key_range(spark, tmp_path):
+    """An insert-only merge of a brand-new key range prunes EVERY file
+    (zero candidates) and must still insert, not crash."""
+    from mapreduce_grpc_spark.sources.snapshots import merge_into
+
+    path = str(tmp_path / "snap")
+    _merge_target(spark, path, n=100, n_files=2)
+    src = spark.range(5000, 5005).select(
+        F.col("id").alias("k"),
+        F.lit(1).cast("long").alias("amt"),
+        F.lit("new").alias("tag"),
+    )
+    res = merge_into(
+        spark, path, src, keys=["k"],
+        not_matched=[("insert", None, None)],
+    )
+    assert res["inserted"] == 5 and res["updated"] == 0
+    assert res["rewritten"] == 0 and res["carried"] == 2
+    got = snap_read(spark, path)
+    assert got.count() == 105
+    assert got.filter("k >= 5000").count() == 5
+
+
+def test_merge_into_oversized_path_keeps_null_keyed_target_rows(
+    spark, tmp_path
+):
+    """The full-outer plan must not misread a NULL-keyed TARGET row as
+    source-only: presence is a literal marker, not key nullability."""
+    import unittest.mock as mock
+
+    import mapreduce_grpc_spark.sources.snapshots as snap
+
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(k, k, "even" if k % 2 == 0 else "odd") for k in range(10)]
+        + [(None, 999, "nullkey")],
+        "k bigint, amt bigint, tag string",
+    )
+    snap.snap_init(spark, base, path, stats_cols=["k"])
+    src = spark.range(0, 5).select(
+        F.col("id").alias("k"), F.lit(7).cast("long").alias("amt")
+    )
+    with mock.patch.object(snap, "KEY_PROBE_CAP", 1):
+        res = snap.merge_into(
+            spark, path, src, keys=["k"],
+            matched=[("update", None, {"amt": "s.amt"})],
+        )
+    assert res["updated"] == 5 and res["deleted"] == 0
+    got = snap_read(spark, path)
+    assert got.count() == 11  # the NULL-keyed row survived the rewrite
+    assert got.filter("k IS NULL AND amt = 999").count() == 1
+
+
+def test_merge_into_rejects_unknown_insert_columns(spark, tmp_path):
+    from mapreduce_grpc_spark.sources.snapshots import merge_into
+
+    path = str(tmp_path / "snap")
+    _merge_target(spark, path, n=20, n_files=1)
+    src = spark.range(100, 103).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("amt")
+    )
+    with pytest.raises(ValueError, match="unknown columns"):
+        merge_into(
+            spark, path, src, keys=["k"],
+            not_matched=[("insert", None,
+                          {"k": "s.k", "amt": "s.amt",
+                           "tag": "'x'", "tags": "'oops'"})],
+        )
