@@ -113,3 +113,67 @@ def test_unigram_pieces_query(spark, sf_dir):
     # ranks follow logp desc
     lps = [r.logp for r in rows]
     assert lps == sorted(lps, reverse=True)
+
+
+def _enumerate_segmentations(word, vocab):
+    """All segmentations of ``word`` into vocab pieces (brute force)."""
+    if not word:
+        return [[]]
+    out = []
+    for j in range(1, len(word) + 1):
+        piece = word[:j]
+        if piece in vocab:
+            for rest in _enumerate_segmentations(word[j:], vocab):
+                out.append([piece] + rest)
+    return out
+
+
+def test_forward_backward_matches_brute_force_enumeration():
+    """The lattice marginal must equal the sum over ALL segmentations,
+    and the expected counts must equal the posterior-weighted piece
+    counts — checked against explicit enumeration on a small vocab."""
+    from mapreduce_grpc_spark.operators.unigram import _forward_backward
+
+    logp = {
+        "a": math.log(0.3), "b": math.log(0.2), "ab": math.log(0.25),
+        "ba": math.log(0.15), "aba": math.log(0.1),
+    }
+    for word in ("ab", "aba", "abab", "ababa", "bab"):
+        segs = _enumerate_segmentations(word, set(logp))
+        probs = [
+            math.exp(sum(logp[p] for p in seg)) for seg in segs
+        ]
+        total = sum(probs)
+        expected: dict[str, float] = {}
+        ll = _forward_backward(word, 1, logp, expected)
+        assert math.isclose(ll, math.log(total), rel_tol=1e-12), word
+        brute: dict[str, float] = {}
+        for seg, pr in zip(segs, probs):
+            for p in seg:
+                brute[p] = brute.get(p, 0.0) + pr / total
+        assert set(expected) == set(brute), word
+        for p in brute:
+            assert math.isclose(expected[p], brute[p], rel_tol=1e-10), (
+                word, p
+            )
+
+
+def test_viterbi_matches_brute_force_argmax():
+    from mapreduce_grpc_spark.operators.unigram import _viterbi
+
+    logp = {
+        "a": math.log(0.3), "b": math.log(0.2), "ab": math.log(0.25),
+        "ba": math.log(0.15), "aba": math.log(0.1),
+    }
+    for word in ("ab", "aba", "abab", "ababa", "bab", "aaaa"):
+        segs = _enumerate_segmentations(word, set(logp))
+        if not segs:
+            with pytest.raises(ValueError):
+                _viterbi(word, logp)
+            continue
+        best_seg, best_lp = _viterbi(word, logp)
+        brute_best = max(
+            (sum(logp[p] for p in seg), seg) for seg in segs
+        )
+        assert math.isclose(best_lp, brute_best[0], rel_tol=1e-12), word
+        assert sum(logp[p] for p in best_seg) == best_lp
