@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # let Python data sources see query filters (snapshot_table's
+        # batch reader prunes FILES from the manifest with them; the
+        # exact row filter always stays with Spark)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # wide aggregates (e.g. the 60-vote SimHash) fall out of
         # WholeStageCodegen at the default 100-field cap — measured ~30%
         .config("spark.sql.codegen.maxFields", "300")

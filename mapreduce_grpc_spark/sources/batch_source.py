@@ -1,0 +1,410 @@
+"""Batch DataSource surface for snapshot tables: the format-string
+integration contract.
+
+::
+
+    spark.dataSource.register(SnapshotTableStreamSource)
+    df = spark.read.format("snapshot_table").option("path", p).load()
+    df.write.format("snapshot_table").option("path", p) \
+        .mode("append").save()
+
+The reference's tables are write-once text buckets a job reads by path
+(/root/reference/src/worker.cc); here the same "hand a path to any
+job" contract carries the full snapshot-table semantics — versioned
+reads, deletion-vector masking, manifest-level file pruning — without
+importing the package:
+
+- **reader**: plans file splits from the MANIFEST (never a directory
+  listing), honors ``versionAsOf`` time travel, applies deletion
+  vectors in the Arrow path, and prunes files via ``pushFilters`` —
+  translated leaf predicates skip files whose footer stats/blooms
+  prove no match, while every filter is also returned to Spark so the
+  exact row-level filter still runs (pruning stays advisory, the same
+  two-layer contract as ``snap_scan``).
+- **writer**: each task streams its Arrow batches into one immutable
+  ``data-*.parquet`` (the streaming sink's write path, shared below);
+  the driver commit computes footer stats + blooms, enforces CHECK
+  constraints session-free (DuckDB over the written files — the batch
+  commit runs in a Python worker with no SparkSession, like the sink),
+  and claims the next version under the same OCC retry loop as every
+  other mutator.  ``mode("append")`` adds files; ``mode("overwrite")``
+  replaces the table's file set in one commit; appending to a missing
+  table creates it (``statsCols`` option seeds the pruning columns).
+
+At 100 TB the reader's scheduling cost is O(matching files) — manifest
+pruning happens before Spark sees a single task — and the writer's
+commit is O(batch files), independent of table size (delta commit
+records, snapshots.py manifest-scale block).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+
+# openCost binning shared with the streaming reader: small files share
+# a split, big files get their own
+OPEN_COST_BYTES = 4 * 1024 * 1024
+PARTITION_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def write_arrow_parquet(path: str, schema_json: str, iterator) -> str | None:
+    """One task's Arrow batches -> one immutable ``data-*.parquet``
+    inside the table dir (invisible until a manifest references it).
+    Shared by the streaming sink and the batch writer.  Returns the
+    file name, or None when the task had zero rows."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType as _St
+
+    schema = _St.fromJson(json.loads(schema_json))
+    target = to_arrow_schema(schema)
+    name = f"data-sink-{_uuid.uuid4().hex[:16]}.parquet"
+    full = os.path.join(path, name)
+    writer = None
+    try:
+        for batch in iterator:
+            table = pa.Table.from_batches([batch]).select(
+                target.names
+            ).cast(target)
+            if writer is None:
+                writer = pq.ParquetWriter(full, target)
+            writer.write_table(table)
+    finally:
+        if writer is not None:
+            writer.close()
+    if writer is None:
+        return None
+    return name
+
+
+def align_to_schema(table, schema_json: str):
+    """Align a pyarrow table to the table's DECLARED schema:
+    null-backfill columns a (pre-evolution) file lacks, drop extras,
+    and cast to the exact Arrow types — Spark writes INT96 timestamps
+    by default, which pyarrow reads as timestamp[ns] while the data
+    source API only accepts [us]."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    target = to_arrow_schema(StructType.fromJson(json.loads(schema_json)))
+    have = set(table.schema.names)
+    arrays = []
+    for field in target:
+        if field.name in have:
+            arrays.append(table.column(field.name).cast(field.type))
+        else:
+            arrays.append(pa.nulls(table.num_rows, field.type))
+    return pa.table(arrays, schema=target)
+
+
+def translate_filters(filters) -> list[tuple]:
+    """Map the data source API's leaf filters onto the manifest
+    predicate grammar (``snap_scan`` tuples) — FILE PRUNING only.
+    Unsupported shapes (nested columns, string predicates, IsNull...)
+    are simply not translated; since every filter is also handed back
+    to Spark for exact row filtering, skipping one is always safe."""
+    preds: list[tuple] = []
+    for flt in filters:
+        attr = getattr(flt, "attribute", None)
+        if not attr or len(attr) != 1:
+            continue
+        col = attr[0]
+        if isinstance(flt, EqualTo):
+            preds.append((col, "=", flt.value))
+        elif isinstance(flt, LessThan):
+            preds.append((col, "<", flt.value))
+        elif isinstance(flt, LessThanOrEqual):
+            preds.append((col, "<=", flt.value))
+        elif isinstance(flt, GreaterThan):
+            preds.append((col, ">", flt.value))
+        elif isinstance(flt, GreaterThanOrEqual):
+            preds.append((col, ">=", flt.value))
+        elif isinstance(flt, In):
+            preds.append((col, "in", list(flt.value)))
+    return preds
+
+
+class _BatchFilePartition(InputPartition):
+    def __init__(self, files: list[tuple[str, str | None]], schema_json: str):
+        # files: (absolute parquet path, absolute dv sidecar path|None)
+        self.files = files
+        self.schema_json = schema_json
+
+
+class SnapshotBatchReader(DataSourceReader):
+    """Manifest-planned batch read with DV masking and advisory file
+    pruning.  Runs read() executor-side over plain data bytes (the FS
+    seam owns only the commit protocol)."""
+
+    def __init__(
+        self,
+        path: str,
+        schema_json: str,
+        version: int | None,
+        fs_spec: str | None,
+    ):
+        self._path = path
+        self._schema_json = schema_json
+        self._version = version
+        self._fs_spec = fs_spec
+        self._preds: list[tuple] = []
+
+    def pushFilters(self, filters):
+        # plain function, NOT a generator: the translation must happen
+        # even if the engine never iterates the returned filters
+        self._preds = translate_filters(filters)
+        # hand EVERY filter back: pruning is advisory, Spark keeps the
+        # exact row-level evaluation (same contract as snap_scan)
+        return list(filters)
+
+    def partitions(self):
+        from .snapshots import (
+            _bloom_loader,
+            load_fs,
+            prune_manifest,
+            read_manifest,
+        )
+
+        f = load_fs(self._fs_spec)
+        m = read_manifest(self._path, self._version, f)
+        entries = m["files"]
+        if self._preds:
+            try:
+                entries, _ = prune_manifest(
+                    m, self._preds, _bloom_loader(self._path, f)
+                )
+            except Exception:
+                entries = m["files"]  # unprunable value shapes: keep all
+        files: list[tuple[str, str | None, int]] = []
+        for e in entries:
+            dv = e.get("dv")
+            files.append(
+                (
+                    os.path.join(self._path, e["name"]),
+                    os.path.join(self._path, dv["file"]) if dv else None,
+                    int(e.get("bytes") or 0),
+                )
+            )
+        parts: list[_BatchFilePartition] = []
+        bin_files: list[tuple[str, str | None]] = []
+        bin_cost = 0
+        for p, dvp, b in files:
+            cost = max(b, OPEN_COST_BYTES)
+            if bin_files and bin_cost + cost > PARTITION_TARGET_BYTES:
+                parts.append(
+                    _BatchFilePartition(bin_files, self._schema_json)
+                )
+                bin_files, bin_cost = [], 0
+            bin_files.append((p, dvp))
+            bin_cost += cost
+        if bin_files:
+            parts.append(_BatchFilePartition(bin_files, self._schema_json))
+        return parts or [_BatchFilePartition([], self._schema_json)]
+
+    def read(self, partition: _BatchFilePartition):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        for file_path, dv_path in partition.files:
+            dv_pos = None
+            if dv_path:
+                dv = pq.read_table(dv_path, columns=["file_name", "pos"])
+                fname = os.path.basename(file_path)
+                mask = np.asarray(dv.column("file_name")) == fname
+                dv_pos = np.sort(
+                    np.asarray(dv.column("pos"))[mask].astype(np.int64)
+                )
+                if dv_pos.size == 0:
+                    dv_pos = None
+            pf = pq.ParquetFile(file_path)
+            offset = 0
+            for batch in pf.iter_batches():
+                import pyarrow as pa
+
+                table = pa.Table.from_batches([batch])
+                n = table.num_rows
+                if dv_pos is not None:
+                    lo = np.searchsorted(dv_pos, offset)
+                    hi = np.searchsorted(dv_pos, offset + n)
+                    dead = dv_pos[lo:hi] - offset
+                    if dead.size:
+                        keep = np.ones(n, dtype=bool)
+                        keep[dead] = False
+                        table = table.filter(pa.array(keep))
+                offset += n
+                if table.num_rows:
+                    yield from align_to_schema(
+                        table, partition.schema_json
+                    ).to_batches()
+
+
+class _BatchFileCommit(WriterCommitMessage):
+    def __init__(self, name: str | None):
+        self.name = name
+
+
+class SnapshotBatchWriter(DataSourceArrowWriter):
+    """Batch write path: publish-then-commit, OCC, session-free
+    constraint enforcement — one visible version per save()."""
+
+    def __init__(
+        self,
+        path: str,
+        schema,
+        overwrite: bool,
+        fs_spec: str | None,
+        stats_cols: list[str],
+    ):
+        self._path = path
+        self._schema_json = schema.json()
+        self._overwrite = overwrite
+        self._fs_spec = fs_spec
+        self._stats_cols = stats_cols
+
+    def write(self, iterator) -> _BatchFileCommit:
+        os.makedirs(self._path, exist_ok=True)
+        return _BatchFileCommit(
+            write_arrow_parquet(self._path, self._schema_json, iterator)
+        )
+
+    def commit(self, messages):
+        from .snapshots import (
+            COMMIT_RETRIES,
+            CommitConflict,
+            _build_bloom_sidecar,
+            _check_batch_schema,
+            _commit,
+            _enforce_constraints_files,
+            _file_stats,
+            _manifest_schema,
+            current_version,
+            load_fs,
+            read_manifest,
+        )
+        from pyspark.sql.types import StructType as _St
+
+        names = [m.name for m in messages if m is not None and m.name]
+        f = load_fs(self._fs_spec)
+        exists = current_version(self._path, f) != 0
+        if not exists:
+            # CREATE: first save() on a fresh path (either mode) — the
+            # manifest seeds stats/pruning columns from the option
+            if not names and not self._overwrite:
+                return  # nothing written, nothing to create
+            entries = []
+            for n in names:
+                e = {"name": n}
+                e.update(
+                    _file_stats(
+                        os.path.join(self._path, n), self._stats_cols
+                    )
+                )
+                entries.append(e)
+            _build_bloom_sidecar(self._path, entries, self._stats_cols, f)
+            _commit(
+                self._path,
+                entries,
+                self._stats_cols,
+                base_version=0,
+                schema_json=self._schema_json,
+                commit_info={"op": "batch_create", "added": len(entries)},
+                fs=f,
+            )
+            return
+        m0 = read_manifest(self._path, fs=f)
+        target_schema = _manifest_schema(m0)
+        if target_schema is not None:
+            _check_batch_schema(
+                target_schema,
+                _St.fromJson(json.loads(self._schema_json)),
+                set(),
+                False,
+                "snapshot_table batch writer",
+            )
+        if not names and not self._overwrite:
+            return  # empty append: version bump would carry no change
+
+        def _validate(cons: dict) -> None:
+            if not cons or not names:
+                return
+            # session-free like the streaming sink: this commit runs in
+            # a Python worker with no SparkSession
+            try:
+                _enforce_constraints_files(
+                    [os.path.join(self._path, n) for n in names],
+                    cons,
+                    "batch_write",
+                )
+            except Exception:
+                for n in names:
+                    if f.exists(os.path.join(self._path, n)):
+                        f.remove(os.path.join(self._path, n))
+                raise
+
+        validated_for = m0.get("constraints") or {}
+        _validate(validated_for)
+        entries = []
+        for n in names:
+            e = {"name": n}
+            e.update(
+                _file_stats(os.path.join(self._path, n), m0["stats_cols"])
+            )
+            entries.append(e)
+        _build_bloom_sidecar(self._path, entries, m0["stats_cols"], f)
+
+        m = m0
+        op = "batch_overwrite" if self._overwrite else "batch_append"
+        for _attempt in range(COMMIT_RETRIES):
+            cons = m.get("constraints") or {}
+            if cons != validated_for:
+                _validate(cons)
+                validated_for = cons
+            files = entries if self._overwrite else m["files"] + entries
+            try:
+                _commit(
+                    self._path,
+                    files,
+                    m["stats_cols"],
+                    base_version=m["version"],
+                    schema_json=m.get("schema"),
+                    txns=dict(m.get("txns", {})),
+                    commit_info={"op": op, "added": len(entries)},
+                    fs=f,
+                    carry=m,
+                )
+                return
+            except CommitConflict:
+                m = read_manifest(self._path, fs=f)
+                continue
+        raise CommitConflict(
+            f"batch writer lost the commit race {COMMIT_RETRIES} times "
+            f"at {self._path!r}"
+        )
+
+    def abort(self, messages):
+        from .snapshots import load_fs
+
+        f = load_fs(self._fs_spec)
+        for m in messages:
+            if m is not None and m.name:
+                p = os.path.join(self._path, m.name)
+                if f.exists(p):
+                    f.remove(p)

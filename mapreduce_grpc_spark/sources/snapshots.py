@@ -293,6 +293,170 @@ def _current_path(path: str) -> str:
     return os.path.join(path, _MANIFEST_DIR, "CURRENT")
 
 
+# --------------------------------------------------------------------------
+# Manifest scale: delta commits + compacted checkpoints
+# --------------------------------------------------------------------------
+# A commit record (``v{N}.json``) stores only the commit's CHANGE —
+# ``adds`` (new or rewritten entries, full manifest entries) and
+# ``removes`` (names no longer live, or rewritten in place) — plus the
+# per-version table metadata (schema, txns, constraints, commit_info).
+# Full table state is reconstructed by replaying deltas forward from the
+# nearest compacted checkpoint (``checkpoint-v{N}.json``, written every
+# ``CHECKPOINT_INTERVAL`` commits and discovered through the
+# ``_last_checkpoint`` pointer — the Delta `_last_checkpoint` shape).
+# Why: with one full JSON listing per version, a 10⁶-file table parses
+# a multi-GB string on the driver for EVERY read and commit; with
+# deltas the steady-state cost is O(changed files + one cached base).
+# Version files with a ``files`` key (the pre-delta format) still read
+# as self-contained full states, so old tables stay readable.
+
+CHECKPOINT_INTERVAL = 16
+
+_LAST_CKPT = "_last_checkpoint"
+
+
+def _ckpt_path(path: str, version: int) -> str:
+    return os.path.join(path, _MANIFEST_DIR, f"checkpoint-v{version}.json")
+
+
+def _last_ckpt_path(path: str) -> str:
+    return os.path.join(path, _MANIFEST_DIR, _LAST_CKPT)
+
+
+# per-process reconstruction cache: (path, version, mtime, size) of the
+# immutable commit record -> reconstructed full file list.  Commit
+# records never change once claimed (create-exclusive), so the stat pair
+# only guards against a table dir being deleted and re-created at the
+# same path (tests, re-bootstraps).  Entries are shared, never mutated
+# (every mutator builds new entry dicts); the outer list is copied on
+# every read_manifest return.
+_RECON_CACHE: dict = {}
+_RECON_CACHE_MAX = 32
+
+
+def _recon_key(f: LocalSnapshotFS, path: str, version: int):
+    mp = _manifest_path(path, version)
+    try:
+        return (path, version, f.getmtime(mp), f.getsize(mp))
+    except OSError:
+        return None
+
+
+def _recon_put(key, files: list[dict]) -> None:
+    if key is None:
+        return
+    if len(_RECON_CACHE) >= _RECON_CACHE_MAX:
+        _RECON_CACHE.pop(next(iter(_RECON_CACHE)))
+    _RECON_CACHE[key] = files
+
+
+def _find_checkpoint(f: LocalSnapshotFS, path: str, version: int) -> int:
+    """Largest checkpoint version ``<= version``, 0 if none.  Fast path
+    is the ``_last_checkpoint`` pointer; time travel below it falls back
+    to a directory scan (rare — only reads of pre-checkpoint history)."""
+    lp = _last_ckpt_path(path)
+    if f.exists(lp):
+        try:
+            c = int(f.read_text(lp).strip())
+        except ValueError:
+            c = 0
+        if 0 < c <= version and f.exists(_ckpt_path(path, c)):
+            return c
+    best = 0
+    try:
+        names = f.listdir(os.path.join(path, _MANIFEST_DIR))
+    except (FileNotFoundError, OSError):
+        return 0
+    for n in names:
+        if n.startswith("checkpoint-v") and n.endswith(".json"):
+            try:
+                v = int(n[len("checkpoint-v"):-5])
+            except ValueError:
+                continue
+            if v <= version:
+                best = max(best, v)
+    return best
+
+
+def _replay_delta(by_name: dict, raw: dict) -> dict:
+    """Apply one commit record to a name->entry state dict."""
+    if "files" in raw:  # full-format record: self-contained state
+        return {e["name"]: e for e in raw["files"]}
+    for n in raw.get("removes") or ():
+        by_name.pop(n, None)
+    for e in raw.get("adds") or ():
+        by_name[e["name"]] = e
+    return by_name
+
+
+def _reconstruct_files(
+    f: LocalSnapshotFS, path: str, version: int, raw: dict
+) -> list[dict]:
+    """Full file list at ``version``, whose already-parsed commit record
+    is ``raw``.  Starts from the nearest of (a) a cached reconstruction,
+    (b) a compacted checkpoint, and replays the delta chain forward —
+    O(deltas since checkpoint) reads, not O(history)."""
+    key = _recon_key(f, path, version)
+    hit = _RECON_CACHE.get(key) if key else None
+    if hit is not None:
+        return hit
+    if "files" in raw:  # pre-delta full manifest
+        _recon_put(key, raw["files"])
+        return raw["files"]
+    start = _find_checkpoint(f, path, version)
+    files: list[dict] = []
+    if start:
+        files = json.loads(f.read_text(_ckpt_path(path, start)))["files"]
+    # a cached neighbor below ``version`` beats the checkpoint
+    for v in range(version - 1, start, -1):
+        k = _recon_key(f, path, v)
+        cached = _RECON_CACHE.get(k) if k else None
+        if cached is not None:
+            files, start = cached, v
+            break
+    by_name = {e["name"]: e for e in files}
+    for v in range(start + 1, version + 1):
+        rv = raw if v == version else json.loads(
+            f.read_text(_manifest_path(path, v))
+        )
+        by_name = _replay_delta(by_name, rv)
+    out = list(by_name.values())
+    _recon_put(key, out)
+    return out
+
+
+def _maybe_checkpoint(
+    f: LocalSnapshotFS,
+    path: str,
+    version: int,
+    files: list[dict],
+    force: bool = False,
+) -> None:
+    """Write a compacted checkpoint of ``files`` at ``version`` (every
+    ``CHECKPOINT_INTERVAL`` commits, or forced by GC at the retention
+    boundary).  Best-effort: the commit already succeeded, and a missed
+    checkpoint only lengthens the next cold replay."""
+    if not force and version % CHECKPOINT_INTERVAL != 0:
+        return
+    try:
+        cp = _ckpt_path(path, version)
+        if not f.exists(cp):
+            f.create_exclusive(
+                cp, json.dumps({"version": version, "files": files})
+            )
+        lp = _last_ckpt_path(path)
+        last = 0
+        if f.exists(lp):
+            try:
+                last = int(f.read_text(lp).strip())
+            except ValueError:
+                last = 0
+        if version > last:
+            f.replace_atomic(lp, str(version))
+    except Exception:
+        pass
+
+
 def _json_val(v):
     """Normalize a stats/pruning value for JSON + cross-type compare:
     numbers (incl. ``Decimal`` — which would otherwise stringify and
@@ -679,20 +843,45 @@ def _commit(
     mdir = os.path.join(path, _MANIFEST_DIR)
     f.makedirs(mdir)
     version = base_version + 1
+    # the commit record stores the DELTA vs the base the caller read,
+    # not the full listing — see the manifest-scale block above.  A
+    # rewritten entry (same name, new dv/bloom) appears in BOTH lists.
+    if base_version == 0:
+        base_files: list[dict] = []
+    elif carry is not None and "files" in carry:
+        base_files = carry["files"]
+    else:
+        base_files = read_manifest(path, base_version, fs)["files"]
+    base_by_name = {e["name"]: e for e in base_files}
+    new_names = {e["name"] for e in files}
+    removes = [n for n in base_by_name if n not in new_names]
+    adds = []
+    for e in files:
+        b = base_by_name.get(e["name"])
+        if b is None:
+            adds.append(e)
+        elif b != e:
+            removes.append(e["name"])
+            adds.append(e)
     manifest = {
         "version": version,
         "stats_cols": stats_cols,
-        "files": files,
+        "adds": adds,
+        "removes": removes,
         "schema": schema_json,
         "txns": txns or {},
         "commit_info": commit_info or {},
     }
     if carry:
-        for k in ("constraints",):
+        for k in ("constraints", "column_mapping"):
             if carry.get(k):
                 manifest[k] = carry[k]
     f.create_exclusive(_manifest_path(path, version), json.dumps(manifest))
     f.replace_atomic(_current_path(path), str(version))
+    # the committer already holds the full state: seed the cache so the
+    # next read/commit replays zero deltas
+    _recon_put(_recon_key(f, path, version), list(files))
+    _maybe_checkpoint(f, path, version, files)
     return version
 
 
@@ -716,7 +905,13 @@ def read_manifest(
     mp = _manifest_path(path, v)
     if not f.exists(mp):
         raise FileNotFoundError(mp)
-    return json.loads(f.read_text(mp))
+    raw = json.loads(f.read_text(mp))
+    if "files" in raw:  # pre-delta full manifest: already materialized
+        return raw
+    files = _reconstruct_files(f, path, v, raw)
+    m = {k: val for k, val in raw.items() if k not in ("adds", "removes")}
+    m["files"] = list(files)  # fresh outer list; entries are immutable
+    return m
 
 
 def _manifest_schema(m: dict) -> StructType | None:
@@ -2626,13 +2821,14 @@ def expire_snapshots(
     if cur == 0:
         return []
     keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
+    v_min = min(keep_versions)
     live: set[str] = set()
     referenced: set[str] = set()
     all_versions: list[int] = []
     for name in f.listdir(os.path.join(path, _MANIFEST_DIR)):
         if name.startswith("v") and name.endswith(".json"):
             all_versions.append(int(name[1:-5]))
-    for v in all_versions:
+    for v in sorted(all_versions):
         entries = read_manifest(path, v, fs)["files"]
         names = {e["name"] for e in entries}
         names |= {e["dv"]["file"] for e in entries if e.get("dv")}
@@ -2640,6 +2836,15 @@ def expire_snapshots(
         referenced |= names
         if v in keep_versions:
             live |= names
+    # delta commit records below the retention floor are about to be
+    # deleted, so the oldest retained version must become reconstructible
+    # on its own: force a compacted checkpoint at exactly v_min BEFORE
+    # any deletion (every retained v > v_min then replays from it)
+    if any(v < v_min for v in all_versions):
+        _maybe_checkpoint(
+            f, path, v_min, read_manifest(path, v_min, fs)["files"],
+            force=True,
+        )
     now = time.time()
     deleted = []
     for name in f.listdir(path):
@@ -2669,6 +2874,17 @@ def expire_snapshots(
         if v not in keep_versions:
             f.remove(_manifest_path(path, v))
             deleted.append(f"v{v}.json")
+    # checkpoints strictly below the retention floor serve no retained
+    # version (v_min has its own, just written above)
+    for name in f.listdir(os.path.join(path, _MANIFEST_DIR)):
+        if name.startswith("checkpoint-v") and name.endswith(".json"):
+            try:
+                v = int(name[len("checkpoint-v"):-5])
+            except ValueError:
+                continue
+            if v < v_min:
+                f.remove(os.path.join(path, _MANIFEST_DIR, name))
+                deleted.append(name)
     return deleted
 
 
@@ -3081,6 +3297,7 @@ def merge_into(
     keys: list[str],
     matched: list[tuple] | None = None,
     not_matched: list[tuple] | None = None,
+    not_matched_by_source: list[tuple] | None = None,
     txn_app: str | None = None,
     txn_batch: int | None = None,
     fs: LocalSnapshotFS | None = None,
@@ -3100,12 +3317,25 @@ def merge_into(
       column -> SQL expr over ``s.*`` (``None`` = insert the source
       row's same-named columns).  A source row hitting no clause is
       ignored.
+    - ``not_matched_by_source``: ordered WHEN NOT MATCHED BY SOURCE
+      clauses ``("update", condition, set_exprs)`` or
+      ``("delete", condition)`` applying to TARGET rows with no source
+      match — conditions and SET exprs may reference ``t.*`` only (no
+      source row exists).  First-holds wins; a row hitting no clause
+      carries unchanged.  This is the mirror-sync grammar: one commit
+      can insert+update+delete a target into agreement with a source.
 
     Scale shape is ``merge_upsert_cow``'s: the source's key set probes
     per-file envelopes/row-group ranges/blooms, ONLY files that may
     hold a matching key are read and rewritten (every possible match
     lives in a candidate file — pruning is conservative on key
-    statistics), everything else carries by reference.  A source with
+    statistics), everything else carries by reference.  **Scale
+    asymmetry, stated honestly:** by-source clauses must scan EVERY
+    target file — a row's ABSENCE from the source cannot be proven by
+    any per-file key statistic — so pruning is disabled exactly when
+    the clause family is present (a full-table sync costs a full
+    table rewrite everywhere, including Delta) and unchanged when it
+    is absent.  A source with
     duplicate keys is rejected (MERGE's multiple-matches rule); rows
     produced by update/insert clauses are cast-checked against the
     declared column types and validated against CHECK constraints.
@@ -3114,22 +3344,29 @@ def merge_into(
     "carried", "added"}``."""
     matched = list(matched or [])
     not_matched = list(not_matched or [])
-    if not matched and not not_matched:
+    by_source = list(not_matched_by_source or [])
+    if not matched and not not_matched and not by_source:
         raise ValueError("merge_into: no WHEN clauses")
-    for c in matched:
-        if c[0] == "update":
-            if len(c) != 3 or not isinstance(c[2], dict) or not c[2]:
-                raise ValueError(
-                    f"matched update clause must be ('update', cond, "
-                    f"set_exprs): {c!r}"
-                )
-        elif c[0] == "delete":
-            if len(c) != 2:
-                raise ValueError(
-                    f"matched delete clause must be ('delete', cond): {c!r}"
-                )
-        else:
-            raise ValueError(f"unknown matched clause {c[0]!r}")
+
+    def _check_ud_clauses(clauses: list[tuple], family: str) -> None:
+        for c in clauses:
+            if c[0] == "update":
+                if len(c) != 3 or not isinstance(c[2], dict) or not c[2]:
+                    raise ValueError(
+                        f"{family} update clause must be ('update', cond, "
+                        f"set_exprs): {c!r}"
+                    )
+            elif c[0] == "delete":
+                if len(c) != 2:
+                    raise ValueError(
+                        f"{family} delete clause must be "
+                        f"('delete', cond): {c!r}"
+                    )
+            else:
+                raise ValueError(f"unknown {family} clause {c[0]!r}")
+
+    _check_ud_clauses(matched, "matched")
+    _check_ud_clauses(by_source, "not_matched_by_source")
     for c in not_matched:
         if c[0] != "insert" or len(c) != 3 or not (
             c[2] is None or isinstance(c[2], dict)
@@ -3153,9 +3390,14 @@ def merge_into(
             "rule); collapse the source first"
         )
     probe = _batch_key_probe(source.select(*keys), keys)
-    if probe.get("empty"):
+    if probe.get("empty") and not by_source:
+        # an empty source with by-source clauses is NOT a no-op: every
+        # target row is not-matched-by-source (a full purge/sync)
         res = _skipped_result(read_manifest(path, fs=fs))
-        res.update({"updated": 0, "deleted": 0, "inserted": 0})
+        res.update({
+            "updated": 0, "deleted": 0, "inserted": 0,
+            "updated_by_source": 0, "deleted_by_source": 0,
+        })
         return res
 
     last_err: Exception | None = None
@@ -3163,7 +3405,10 @@ def merge_into(
         m = read_manifest(path, fs=fs)
         if _txn_already_applied(m, txn_app, txn_batch):
             res = _skipped_result(m)
-            res.update({"updated": 0, "deleted": 0, "inserted": 0})
+            res.update({
+                "updated": 0, "deleted": 0, "inserted": 0,
+                "updated_by_source": 0, "deleted_by_source": 0,
+            })
             return res
         stats_cols = m["stats_cols"]
         missing = [k for k in keys if k not in stats_cols]
@@ -3177,7 +3422,7 @@ def merge_into(
         ).schema
         tcols = [f.name for f in schema.fields]
         by_name = {f.name: f.dataType for f in schema.fields}
-        for c in matched:
+        for c in matched + by_source:
             if c[0] == "update":
                 unknown = sorted(set(c[2]) - set(tcols))
                 if unknown:
@@ -3202,9 +3447,15 @@ def merge_into(
 
         bl = _bloom_loader(path, fs)
         overlapping, carried = [], []
-        for f_entry in m["files"]:
-            (overlapping if _overlaps(f_entry, probe, keys, bl)
-             else carried).append(f_entry)
+        if by_source:
+            # absence from the source is unprovable per-file: every
+            # target file is a candidate (see the docstring's scale
+            # asymmetry note); pruning stays fully active otherwise
+            overlapping = list(m["files"])
+        else:
+            for f_entry in m["files"]:
+                (overlapping if _overlaps(f_entry, probe, keys, bl)
+                 else carried).append(f_entry)
 
         if overlapping:
             t = _read_entries(spark, path, overlapping, schema)
@@ -3231,11 +3482,22 @@ def merge_into(
         ins_idx = F.lit(-1)
         for i, c in reversed(list(enumerate(not_matched))):
             ins_idx = F.when(_cond_col(c[1]), F.lit(i)).otherwise(ins_idx)
+        bysrc_idx = F.lit(-1)
+        for i, c in reversed(list(enumerate(by_source))):
+            bysrc_idx = F.when(_cond_col(c[1]), F.lit(i)).otherwise(
+                bysrc_idx
+            )
         delete_idxs = [
             i for i, c in enumerate(matched) if c[0] == "delete"
         ]
         update_idxs = [
             i for i, c in enumerate(matched) if c[0] == "update"
+        ]
+        bysrc_delete_idxs = [
+            i for i, c in enumerate(by_source) if c[0] == "delete"
+        ]
+        bysrc_update_idxs = [
+            i for i, c in enumerate(by_source) if c[0] == "update"
         ]
         src_cols = set(source.columns)
 
@@ -3263,6 +3525,16 @@ def merge_into(
                 expr = F.when(F.col("_ins") == i, v).otherwise(expr)
             return expr
 
+        def _bysrc_col(col: str):
+            # WHEN NOT MATCHED BY SOURCE update: exprs see t.* only
+            expr = F.col(f"t.{col}")
+            for i, c in enumerate(by_source):
+                if c[0] == "update" and col in c[2]:
+                    expr = F.when(
+                        F.col("_bysrc") == i, F.expr(c[2][col])
+                    ).otherwise(expr)
+            return expr
+
         matched_action = (
             F.when(
                 F.col("_clause").isin(delete_idxs or [-2]),
@@ -3273,6 +3545,17 @@ def merge_into(
                 F.lit("update"),
             )
             .otherwise(F.lit("keep"))
+        )
+        bysrc_action = (
+            F.when(
+                F.col("_bysrc").isin(bysrc_delete_idxs or [-2]),
+                F.lit("delete_bysrc"),
+            )
+            .when(
+                F.col("_bysrc").isin(bysrc_update_idxs or [-2]),
+                F.lit("update_bysrc"),
+            )
+            .otherwise(F.lit("carry"))
         )
 
         if probe["key_rows"] is not None:
@@ -3292,8 +3575,11 @@ def merge_into(
             )
             untouched = (
                 t.join(sb, join_cond, "left_anti")
-                .select(*tcols)
-                .withColumn("_action", F.lit("carry"))
+                .withColumn("_bysrc", bysrc_idx)
+                .select(
+                    *[_bysrc_col(c).alias(c) for c in tcols],
+                    bysrc_action.alias("_action"),
+                )
             )
             inserts = (
                 s.join(t, join_cond, "left_anti")
@@ -3335,17 +3621,21 @@ def merge_into(
                     "_ins": F.when(
                         s_here & ~t_here, ins_idx
                     ).otherwise(F.lit(-1)),
+                    "_bysrc": F.when(
+                        t_here & ~s_here, bysrc_idx
+                    ).otherwise(F.lit(-1)),
                 }
             )
             out_cols = [
-                F.when(t_here, _matched_col(col))
+                F.when(t_here & s_here, _matched_col(col))
+                .when(t_here, _bysrc_col(col))
                 .otherwise(_insert_col(col))
                 .alias(col)
                 for col in tcols
             ]
             action = (
                 F.when(t_here & s_here, matched_action)
-                .when(t_here, F.lit("carry"))
+                .when(t_here, bysrc_action)
                 .when(F.col("_ins") >= 0, F.lit("insert"))
                 .otherwise(F.lit("drop"))  # source-only, no clause
             )
@@ -3369,11 +3659,13 @@ def merge_into(
                 .collect()
             }
             changed = tagged.filter(
-                F.col("_action").isin("update", "insert")
+                F.col("_action").isin("update", "insert", "update_bysrc")
             )
             _enforce_constraints(m, changed.drop("_action"), "merge_into")
             out = (
-                tagged.filter(F.col("_action") != "delete")
+                tagged.filter(
+                    ~F.col("_action").isin("delete", "delete_bysrc")
+                )
                 .drop("_action")
                 .coalesce(max(1, len(overlapping)))
                 .sortWithinPartitions(
@@ -3393,6 +3685,8 @@ def merge_into(
             "updated": counts.get("update", 0),
             "deleted": counts.get("delete", 0),
             "inserted": counts.get("insert", 0),
+            "updated_by_source": counts.get("update_bysrc", 0),
+            "deleted_by_source": counts.get("delete_bysrc", 0),
             "rewritten": len(overlapping),
             "carried": len(carried),
             "added": len(new_entries),

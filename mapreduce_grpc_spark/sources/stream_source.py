@@ -192,9 +192,30 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         except FileNotFoundError:
             return 0
 
-    def _added_in(self, prev: dict, cur: dict) -> list[dict]:
-        prev_sigs = {_dv_sig(e) for e in prev["files"]}
-        return [e for e in cur["files"] if _dv_sig(e) not in prev_sigs]
+    def _changes(self, version: int) -> tuple[list[dict], bool]:
+        """``(entries added by commit v, did v remove/rewrite files)``.
+
+        Delta-format commit records (snapshots.py manifest-scale block)
+        carry their own ``adds``/``removes`` — reading ONE small record
+        per version, no full-manifest diff.  A rewritten file (MoR
+        deletion vector, compaction) appears in both lists, so
+        ``removes`` non-empty is exactly the old dv-signature-diff's
+        change-commit condition.  Pre-delta full manifests fall back to
+        reconstructing both sides and diffing by dv signature."""
+        raw = self._manifest(version)
+        if "files" not in raw:
+            return list(raw.get("adds") or []), bool(raw.get("removes"))
+        from .snapshots import read_manifest
+
+        prev_files = (
+            read_manifest(self._path, version - 1, self._fs)["files"]
+            if version > 1
+            else []
+        )
+        prev_sigs = {_dv_sig(e) for e in prev_files}
+        cur_sigs = {_dv_sig(e) for e in raw["files"]}
+        added = [e for e in raw["files"] if _dv_sig(e) not in prev_sigs]
+        return added, bool(prev_sigs - cur_sigs)
 
     # -- streaming contract -------------------------------------------
 
@@ -214,19 +235,24 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         if self._max_versions is not None:
             cur = min(cur, lo + self._max_versions)
         if self._max_bytes is not None and cur > lo + 1:
-            # walk the span's manifests, accumulating each commit's
+            # walk the span's commit records, accumulating each commit's
             # ADDED bytes; stop before the cap but always take one
             # commit (byte pacing rounds to commit boundaries — an
             # offset inside a commit would not be replayable).  Driver
-            # cost is O(span) JSON reads, the same as partitions().
+            # cost is O(span) small-delta reads.  Change commits that
+            # skipChangeCommits will drop in partitions() contribute 0
+            # bytes, so pacing admits as many REAL versions as the cap
+            # allows.
             total, end = 0, lo
-            prev = self._manifest(lo) if lo > 0 else {"files": []}
             for v in range(lo + 1, cur + 1):
-                mv = self._manifest(v)
-                b = sum(self._entry_bytes(e) for e in self._added_in(prev, mv))
+                added, removed = self._changes(v)
+                if self._skip_changes and removed:
+                    b = 0
+                else:
+                    b = sum(self._entry_bytes(e) for e in added)
                 if end > lo and total + b > self._max_bytes:
                     break
-                end, total, prev = v, total + b, mv
+                end, total = v, total + b
             cur = end
         return {"version": cur}
 
@@ -234,22 +260,16 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         v0, v1 = int(start["version"]), int(end["version"])
         self._planned = max(self._planned or 0, v1)
         files: list[tuple[str, int, int]] = []  # (path, version, bytes)
-        prev = self._manifest(v0) if v0 > 0 else {"files": []}
         for v in range(v0 + 1, v1 + 1):
-            cur = self._manifest(v)
-            added = self._added_in(prev, cur)
-            removed = {_dv_sig(e) for e in prev["files"]} - {
-                _dv_sig(e) for e in cur["files"]
-            }
-            prev = cur
+            added, removed = self._changes(v)
             if removed:
                 if self._skip_changes:
                     continue
                 raise ChangeCommitError(
                     f"commit v{v} of {self._path!r} removed/rewrote "
-                    f"{len(removed)} file(s) — the span is not append-"
-                    "only. Set skipChangeCommits=true or consume the "
-                    "change feed (sources/feed.py)."
+                    "file(s) — the span is not append-only. Set "
+                    "skipChangeCommits=true or consume the change "
+                    "feed (sources/feed.py)."
                 )
             files += [
                 (
@@ -375,33 +395,13 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
     def write(self, iterator) -> _FileCommit:
         # iterator of pyarrow RecordBatch (DataSourceStreamArrowWriter):
         # batches append straight into the parquet writer — executor
-        # memory bounded at O(batch), zero per-row Python
-        import uuid as _uuid
+        # memory bounded at O(batch), zero per-row Python.  Shared with
+        # the batch writer (batch_source.write_arrow_parquet).
+        from .batch_source import write_arrow_parquet
 
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
-        from pyspark.sql.types import StructType as _St
-
-        schema = _St.fromJson(json.loads(self._schema_json))
-        target = to_arrow_schema(schema)
-        name = f"data-sink-{_uuid.uuid4().hex[:16]}.parquet"
-        full = os.path.join(self._path, name)
-        writer = None
-        try:
-            for batch in iterator:
-                table = pa.Table.from_batches([batch]).select(
-                    target.names
-                ).cast(target)
-                if writer is None:
-                    writer = pq.ParquetWriter(full, target)
-                writer.write_table(table)
-        finally:
-            if writer is not None:
-                writer.close()
-        if writer is None:
-            return _FileCommit(None)
-        return _FileCommit(name)
+        return _FileCommit(
+            write_arrow_parquet(self._path, self._schema_json, iterator)
+        )
 
     def commit(self, messages, batchId: int) -> None:
         from .snapshots import (
@@ -555,12 +555,22 @@ class SnapshotTableStreamSource(DataSource):
     def _flag(self, opt: str) -> bool:
         return str(self.options.get(opt, "false")).lower() in ("true", "1")
 
+    def _version_as_of(self) -> int | None:
+        v = self.options.get("versionasof")
+        return int(v) if v is not None else None
+
     def schema(self) -> StructType:
         path = self._path()
         fs = self._fs()
-        v = int(
-            fs.read_text(os.path.join(path, "_manifests", "CURRENT")).strip()
-        )
+        v = self._version_as_of()
+        if v is None:
+            v = int(
+                fs.read_text(
+                    os.path.join(path, "_manifests", "CURRENT")
+                ).strip()
+            )
+        # every commit record (delta or full) carries its own schema,
+        # so time travel reads each version's own declared shape
         m = json.loads(
             fs.read_text(os.path.join(path, "_manifests", f"v{v}.json"))
         )
@@ -653,4 +663,29 @@ class SnapshotTableStreamSource(DataSource):
             )
         return _SnapshotStreamWriter(
             self._path(), schema, txn_app, fs_spec=self.options.get("fsimpl")
+        )
+
+    # -- batch surface (same format string; see batch_source.py) ------
+
+    def reader(self, schema: StructType):
+        from .batch_source import SnapshotBatchReader
+
+        return SnapshotBatchReader(
+            self._path(),
+            schema.json(),
+            self._version_as_of(),
+            self.options.get("fsimpl"),
+        )
+
+    def writer(self, schema: StructType, overwrite: bool):
+        from .batch_source import SnapshotBatchWriter
+
+        raw = self.options.get("statscols", "")
+        stats_cols = [c.strip() for c in raw.split(",") if c.strip()]
+        return SnapshotBatchWriter(
+            self._path(),
+            schema,
+            overwrite,
+            self.options.get("fsimpl"),
+            stats_cols,
         )

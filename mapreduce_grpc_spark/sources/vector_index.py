@@ -359,6 +359,18 @@ def ivf_rebalance(
             spark, cell_rows, k=2, seed=seed, return_centroids=True
         )
         ids = {int(k): next_id + i for i, (k, _arr) in enumerate(cents)}
+        labels = {
+            int(r["cluster"])
+            for r in _assigned.select("cluster").distinct().collect()
+        }
+        if not labels <= set(ids):
+            # a NULL-cell posting would never be probed — silent recall
+            # loss; fail loudly instead (the fit returned centroids
+            # that do not cover its own assignment's label set)
+            raise RuntimeError(
+                f"ivf_rebalance: split of cell {c} assigned labels "
+                f"{sorted(labels - set(ids))} with no returned centroid"
+            )
         cell_expr = F.lit(None).cast("int")
         for k, new_id in ids.items():
             cell_expr = F.when(

@@ -1,0 +1,174 @@
+"""Batch DataSource surface: ``spark.read.format("snapshot_table")`` /
+``df.write.format("snapshot_table")``.
+
+The format string is the integration contract — jobs that never import
+the package get versioned reads (``versionAsOf``), deletion-vector
+masking, manifest-level file pruning via filter pushdown, and the same
+publish-then-commit OCC write path (constraints enforced session-free)
+as the library API.  Each test cross-checks against ``snap_read`` —
+the two paths must be indistinguishable.
+
+Runs over both FS backends.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mapreduce_grpc_spark.sources.snapshots import (
+    ConstraintViolation,
+    current_version,
+    delete_where_mor,
+    read_manifest,
+    snap_add_constraint,
+    snap_init,
+    snap_read,
+)
+from mapreduce_grpc_spark.sources.stream_source import (
+    SnapshotTableStreamSource,
+)
+
+
+@pytest.fixture
+def fs_opt(spark, snapshot_fs):
+    spark.dataSource.register(SnapshotTableStreamSource)
+    return {"fsImpl": snapshot_fs.spec}
+
+
+def _df(spark, lo, n=20):
+    return spark.range(lo, lo + n).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) * 1.5 AS v"
+    )
+
+
+def _read(spark, path, opts, **extra):
+    r = spark.read.format("snapshot_table").option("path", path)
+    for k, v in {**opts, **extra}.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def _write(df, path, mode, opts, **extra):
+    w = df.write.format("snapshot_table").option("path", path).mode(mode)
+    for k, v in {**opts, **extra}.items():
+        w = w.option(k, str(v))
+    w.save()
+
+
+def test_create_append_roundtrip(spark, tmp_path, fs_opt):
+    path = str(tmp_path / "t")
+    _write(_df(spark, 0), path, "append", fs_opt, statsCols="k")
+    assert current_version(path) == 1
+    assert read_manifest(path)["stats_cols"] == ["k"]
+    _write(_df(spark, 100), path, "append", fs_opt)
+    got = _read(spark, path, fs_opt)
+    lib = snap_read(spark, path)
+    assert sorted(got.collect()) == sorted(lib.collect())
+    assert got.count() == 40
+
+
+def test_overwrite_replaces_fileset(spark, tmp_path, fs_opt):
+    path = str(tmp_path / "t")
+    _write(_df(spark, 0), path, "append", fs_opt, statsCols="k")
+    _write(_df(spark, 500, n=5), path, "overwrite", fs_opt)
+    got = _read(spark, path, fs_opt)
+    assert sorted(r.k for r in got.collect()) == list(range(500, 505))
+    # history preserved: version 1 still reads the original rows
+    assert _read(spark, path, fs_opt, versionAsOf=1).count() == 20
+
+
+def test_version_as_of_and_schema_per_version(spark, tmp_path, fs_opt):
+    path = str(tmp_path / "t")
+    snap_init(spark, _df(spark, 0), path, stats_cols=["k"])
+    _write(_df(spark, 100), path, "append", fs_opt)
+    v1 = _read(spark, path, fs_opt, versionAsOf=1)
+    assert v1.count() == 20
+    assert sorted(snap_read(spark, path, version=1).collect()) == sorted(
+        v1.collect()
+    )
+
+
+def test_dv_masking_in_batch_read(spark, tmp_path, fs_opt):
+    path = str(tmp_path / "t")
+    snap_init(
+        spark, _df(spark, 0).coalesce(1), path, stats_cols=["k"]
+    )
+    delete_where_mor(spark, path, [("k", "<", 5)])
+    got = _read(spark, path, fs_opt)
+    assert sorted(r.k for r in got.collect()) == list(range(5, 20))
+    assert sorted(got.collect()) == sorted(snap_read(spark, path).collect())
+
+
+def test_filter_results_and_manifest_pruning(spark, tmp_path, fs_opt):
+    path = str(tmp_path / "t")
+    # 4 key-clustered files: k in [0,25) [25,50) [50,75) [75,100)
+    df = (
+        spark.range(100)
+        .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .repartitionByRange(4, "k")
+    )
+    snap_init(spark, df, path, stats_cols=["k"])
+    got = _read(spark, path, fs_opt).filter("k >= 90")
+    assert sorted(r.k for r in got.collect()) == list(range(90, 100))
+
+    # the reader itself prunes files from the manifest stats
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from mapreduce_grpc_spark.sources.batch_source import (
+        SnapshotBatchReader,
+    )
+
+    m = read_manifest(path)
+    rdr = SnapshotBatchReader(path, m["schema"], None, None)
+    rdr.pushFilters([GreaterThanOrEqual(("k",), 90)])
+    kept = [f for p in rdr.partitions() for f in p.files]
+    assert len(kept) == 1, "stats should prune 3 of 4 files"
+
+
+def test_unsupported_filters_stay_exact(spark, tmp_path, fs_opt):
+    path = str(tmp_path / "t")
+    snap_init(spark, _df(spark, 0), path, stats_cols=["k"])
+    got = _read(spark, path, fs_opt).filter("v > 10.0 AND k % 2 = 0")
+    lib = snap_read(spark, path).filter("v > 10.0 AND k % 2 = 0")
+    assert sorted(got.collect()) == sorted(lib.collect())
+
+
+def test_schema_mismatch_rejected(spark, tmp_path, fs_opt):
+    path = str(tmp_path / "t")
+    snap_init(spark, _df(spark, 0), path, stats_cols=["k"])
+    bad = spark.range(5).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    with pytest.raises(Exception, match="schema"):
+        _write(bad, path, "append", fs_opt)
+    assert current_version(path) == 1
+
+
+def test_constraints_enforced_session_free(spark, tmp_path, fs_opt):
+    path = str(tmp_path / "t")
+    snap_init(spark, _df(spark, 0), path, stats_cols=["k"])
+    snap_add_constraint(spark, path, "v_nonneg", "v >= 0")
+    ok = spark.range(5).selectExpr("id + 200 AS k", "CAST(1.0 AS DOUBLE) AS v")
+    _write(ok, path, "append", fs_opt)
+    bad = spark.range(5).selectExpr(
+        "id + 300 AS k", "CAST(-1.0 AS DOUBLE) AS v"
+    )
+    before = current_version(path)
+    with pytest.raises(Exception, match="v_nonneg|onstraint"):
+        _write(bad, path, "append", fs_opt)
+    assert current_version(path) == before
+    # the rejected batch's published-but-uncommitted files are gone
+    live = {e["name"] for e in read_manifest(path)["files"]}
+    on_disk = {
+        n for n in os.listdir(path) if n.startswith("data-") and
+        n.endswith(".parquet")
+    }
+    assert on_disk == live
+    assert snap_read(spark, path).count() == 25
+
+
+def test_empty_append_is_a_noop(spark, tmp_path, fs_opt):
+    path = str(tmp_path / "t")
+    snap_init(spark, _df(spark, 0), path, stats_cols=["k"])
+    _write(_df(spark, 0).filter("k < 0"), path, "append", fs_opt)
+    assert current_version(path) == 1

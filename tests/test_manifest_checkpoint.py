@@ -1,0 +1,219 @@
+"""Delta commit records + compacted manifest checkpoints.
+
+The manifest layer stores each commit as a DELTA (``adds``/``removes``)
+and reconstructs full state by replaying from the nearest compacted
+checkpoint (``checkpoint-v{N}.json`` + ``_last_checkpoint`` pointer) —
+so read/commit driver cost is O(changed files + recent deltas), not
+O(one JSON string listing every live file).  These tests pin:
+
+- every version file is delta-format and the reconstruction equals a
+  brute-force replay of the raw records from v1;
+- checkpoints appear on the interval, the pointer tracks the latest,
+  and cold reads (cache cleared) start from the checkpoint;
+- time travel below the latest checkpoint still reconstructs;
+- GC writes a checkpoint at the retention floor BEFORE deleting the
+  delta chain under it, so every retained version stays readable;
+- rewrite commits (MoR deletion vectors) record the rewritten file in
+  BOTH lists, which is exactly what the streaming reader treats as a
+  change commit.
+
+Runs over both FS backends (``snapshot_fs``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from mapreduce_grpc_spark.sources import snapshots as snap
+from mapreduce_grpc_spark.sources.snapshots import (
+    current_version,
+    delete_where_mor,
+    expire_snapshots,
+    read_manifest,
+    snap_append,
+    snap_init,
+    snap_read,
+    snap_restore,
+)
+
+pytestmark = pytest.mark.usefixtures("snapshot_fs")
+
+
+def _df(spark, lo, n=10):
+    # one file per batch: keeps the delta records small and makes the
+    # MoR-delete test mask PART of a file (dv) instead of all of it
+    return (
+        spark.range(lo, lo + n)
+        .selectExpr("id AS k", "CAST(id * 2 AS DOUBLE) AS v")
+        .coalesce(1)
+    )
+
+
+def _raw(path, v):
+    with open(os.path.join(path, "_manifests", f"v{v}.json")) as fh:
+        return json.load(fh)
+
+
+def _brute_force_files(path, version):
+    """Replay every raw commit record from v1 — the reconstruction
+    oracle, independent of checkpoints and the cache."""
+    by_name: dict = {}
+    for v in range(1, version + 1):
+        raw = _raw(path, v)
+        if "files" in raw:
+            by_name = {e["name"]: e for e in raw["files"]}
+            continue
+        for n in raw.get("removes") or ():
+            by_name.pop(n, None)
+        for e in raw.get("adds") or ():
+            by_name[e["name"]] = e
+    return by_name
+
+
+@pytest.fixture
+def small_interval(monkeypatch):
+    monkeypatch.setattr(snap, "CHECKPOINT_INTERVAL", 4)
+
+
+def test_delta_records_match_brute_force(spark, tmp_path, small_interval):
+    path = str(tmp_path / "t")
+    snap_init(spark, _df(spark, 0), path, stats_cols=["k"])
+    for i in range(1, 7):
+        snap_append(spark, path, _df(spark, i * 100))
+    cur = current_version(path)
+    assert cur == 7
+    for v in range(1, cur + 1):
+        raw = _raw(path, v)
+        assert "files" not in raw, f"v{v} is not delta-format"
+        assert "adds" in raw and "removes" in raw
+        m = read_manifest(path, v)
+        got = {e["name"]: e for e in m["files"]}
+        assert got == _brute_force_files(path, v)
+    # appends never remove
+    assert all(not _raw(path, v)["removes"] for v in range(1, cur + 1))
+    # the data still round-trips
+    assert snap_read(spark, path).count() == 70
+
+
+def test_checkpoint_written_on_interval_and_used_cold(
+    spark, tmp_path, small_interval
+):
+    path = str(tmp_path / "t")
+    snap_init(spark, _df(spark, 0), path, stats_cols=["k"])
+    for i in range(1, 9):
+        snap_append(spark, path, _df(spark, i * 100))
+    mdir = os.path.join(path, "_manifests")
+    assert os.path.exists(os.path.join(mdir, "checkpoint-v4.json"))
+    assert os.path.exists(os.path.join(mdir, "checkpoint-v8.json"))
+    assert open(os.path.join(mdir, "_last_checkpoint")).read().strip() == "8"
+    ckpt = json.loads(open(os.path.join(mdir, "checkpoint-v8.json")).read())
+    assert {e["name"] for e in ckpt["files"]} == set(
+        _brute_force_files(path, 8)
+    )
+    # cold read (no cache): v9 must come from checkpoint-v8 + one delta
+    snap._RECON_CACHE.clear()
+    m = read_manifest(path, 9)
+    assert {e["name"] for e in m["files"]} == set(_brute_force_files(path, 9))
+    assert snap_read(spark, path).count() == 90
+
+
+def test_time_travel_below_latest_checkpoint(spark, tmp_path, small_interval):
+    path = str(tmp_path / "t")
+    snap_init(spark, _df(spark, 0), path, stats_cols=["k"])
+    for i in range(1, 6):
+        snap_append(spark, path, _df(spark, i * 100))
+    snap._RECON_CACHE.clear()
+    # v3 < checkpoint-v4: the pointer fast path does not apply; the
+    # reconstruction must replay from v1 (or an older checkpoint)
+    m3 = read_manifest(path, 3)
+    assert {e["name"] for e in m3["files"]} == set(_brute_force_files(path, 3))
+    assert snap_read(spark, path, version=3).count() == 30
+
+
+def test_rewrite_commit_records_both_lists(spark, tmp_path, small_interval):
+    path = str(tmp_path / "t")
+    snap_init(spark, _df(spark, 0), path, stats_cols=["k"])
+    delete_where_mor(spark, path, [("k", "<", 3)])
+    raw = _raw(path, 2)
+    # the masked file was rewritten in place: old name removed, new
+    # entry (same name, dv attached) added
+    assert raw["removes"], "MoR delete must record a remove"
+    add_names = {e["name"] for e in raw["adds"]}
+    assert set(raw["removes"]) <= add_names
+    assert all(e.get("dv") for e in raw["adds"])
+    assert snap_read(spark, path).count() == 7
+
+
+def test_restore_is_pure_delta(spark, tmp_path, small_interval):
+    path = str(tmp_path / "t")
+    snap_init(spark, _df(spark, 0), path, stats_cols=["k"])
+    snap_append(spark, path, _df(spark, 100))
+    snap_restore(path, 1)
+    raw = _raw(path, 3)
+    # rolling back to v1 removes exactly v2's files, adds nothing
+    assert not raw["adds"]
+    assert set(raw["removes"]) == {
+        e["name"] for e in _raw(path, 2)["adds"]
+    }
+    assert snap_read(spark, path).count() == 10
+
+
+def test_expire_checkpoints_retention_floor(spark, tmp_path, small_interval):
+    path = str(tmp_path / "t")
+    snap_init(spark, _df(spark, 0), path, stats_cols=["k"])
+    for i in range(1, 10):
+        snap_append(spark, path, _df(spark, i * 100))
+    cur = current_version(path)  # 10
+    deleted = expire_snapshots(path, keep_last=3, orphan_grace_seconds=1e9)
+    mdir = os.path.join(path, "_manifests")
+    v_min = cur - 2  # 8
+    # a checkpoint exists at the retention floor...
+    assert os.path.exists(os.path.join(mdir, f"checkpoint-v{v_min}.json"))
+    # ...expired delta records are gone...
+    assert any(name == "v1.json" for name in deleted)
+    assert not os.path.exists(os.path.join(mdir, "v1.json"))
+    # ...obsolete checkpoints are gone (v4 < floor; v8 retained)
+    assert not os.path.exists(os.path.join(mdir, "checkpoint-v4.json"))
+    # ...and every retained version reconstructs COLD
+    snap._RECON_CACHE.clear()
+    for v in range(v_min, cur + 1):
+        assert snap_read(spark, path, version=v).count() == v * 10
+    # expired history is loudly unreadable
+    with pytest.raises(FileNotFoundError):
+        read_manifest(path, 2)
+
+
+def test_stream_reader_uses_delta_records(spark, tmp_path, small_interval):
+    """End-to-end: the streaming source plans batches from the delta
+    records (adds/removes), including skipping a change commit."""
+    path = str(tmp_path / "t")
+    snap_init(spark, _df(spark, 0), path, stats_cols=["k"])
+    snap_append(spark, path, _df(spark, 100))
+    delete_where_mor(spark, path, [("k", "<", 3)])  # change commit v3
+    snap_append(spark, path, _df(spark, 200))
+
+    from mapreduce_grpc_spark.sources.stream_source import (
+        SnapshotTableStreamSource,
+    )
+
+    spark.dataSource.register(SnapshotTableStreamSource)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", path)
+        .option("skipChangeCommits", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # v1 (10) + v2 (10) + v4 (10); the v3 dv-rewrite commit is skipped
+    assert got.count() == 30

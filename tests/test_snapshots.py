@@ -2368,7 +2368,7 @@ def test_table_layer_randomized_composition_vs_model(spark, tmp_path):
     for step in range(18):
         op = rng.choice(
             ["append", "merge", "cdc", "cdc_mor", "del_mor", "optimize",
-             "auto", "update", "m_into", "restore"]
+             "auto", "update", "m_into", "m_sync", "restore"]
         )
         if op == "append":
             # fresh keys only: append has no upsert semantics, so a key
@@ -2446,6 +2446,33 @@ def test_table_layer_randomized_composition_vs_model(spark, tmp_path):
                         model[k] = v
                 elif k % 2 == 0:
                     model[k] = v
+        elif op == "m_sync":
+            # mirror-sync slice: inside [lo, hi) the table must end up
+            # exactly equal to the source (by-source delete bounded to
+            # the slice so the op doesn't wipe the whole table)
+            lo = rng.randrange(0, 500)
+            hi = lo + rng.randrange(5, 40)
+            ks = [k for k in range(lo, hi) if rng.random() < 0.5]
+            vals = {k: f"y{step}-{k}" for k in ks}
+            merge_into(
+                spark, path,
+                df_of([(k, v) for k, v in vals.items()]),
+                ["k"],
+                matched=[("update", None, {"v": "s.v"})],
+                not_matched=[("insert", None, None)],
+                not_matched_by_source=[
+                    ("delete", f"t.k >= {lo} and t.k < {hi}"),
+                    ("update", "t.k % 10 = 7", {"v": "concat(t.v, '~')"}),
+                ],
+            )
+            for k in list(model):
+                if k in vals:
+                    continue
+                if lo <= k < hi:
+                    del model[k]
+                elif k % 10 == 7:
+                    model[k] = model[k] + "~"
+            model.update(vals)
         elif op == "restore":
             v = rng.choice(sorted(history))
             snap_restore(path, v)
@@ -3563,6 +3590,146 @@ def test_merge_into_oversized_source_single_join_path(spark, tmp_path):
         assert res_b[key] == res_o[key], key
     # the oversized probe really did lose exact pruning (bounding box)
     assert res_o["rewritten"] >= res_b["rewritten"]
+
+
+def test_merge_into_not_matched_by_source_mirror_sync(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE: ONE commit brings the target into
+    exact agreement with the source (insert + update + delete)."""
+    from mapreduce_grpc_spark.sources.snapshots import merge_into
+
+    path = str(tmp_path / "snap")
+    _merge_target(spark, path, n=100, n_files=2)
+    src = spark.range(50, 120).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("long").alias("amt"),
+    )
+    res = merge_into(
+        spark, path, src, keys=["k"],
+        matched=[("update", None, {"amt": "s.amt"})],
+        not_matched=[
+            ("insert", None,
+             {"k": "s.k", "amt": "s.amt", "tag": "'new'"}),
+        ],
+        not_matched_by_source=[("delete", None)],
+    )
+    assert res["updated"] == 50
+    assert res["inserted"] == 20
+    assert res["deleted_by_source"] == 50
+    assert res["updated_by_source"] == 0
+    # by-source clauses cannot be key-pruned: every file is a candidate
+    assert res["rewritten"] == 2 and res["carried"] == 0
+    got = {r.k: r.amt for r in snap_read(spark, path).collect()}
+    assert got == {k: k * 10 for k in range(50, 120)}
+    assert current_version(path) == 2  # one commit did all three
+
+
+def test_merge_into_by_source_conditional_first_wins(spark, tmp_path):
+    """Ordered by-source clauses: first-holds wins, non-hitting rows
+    carry unchanged, update exprs see t.* only."""
+    from mapreduce_grpc_spark.sources.snapshots import merge_into
+
+    path = str(tmp_path / "snap")
+    _merge_target(spark, path, n=100, n_files=2)
+    src = spark.range(90, 95).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("long").alias("amt"),
+    )
+    res = merge_into(
+        spark, path, src, keys=["k"],
+        matched=[("update", None, {"amt": "s.amt"})],
+        not_matched_by_source=[
+            ("update", "t.k < 10", {"tag": "'stale'"}),
+            ("delete", "t.k >= 80"),
+            # 10 <= k < 80: no clause -> carry unchanged
+        ],
+    )
+    assert res["updated"] == 5
+    assert res["updated_by_source"] == 10  # k 0..9
+    # unmatched k >= 80: 80..89 and 95..99 (source covers 90..94 only)
+    assert res["deleted_by_source"] == 15
+    got = {r.k: (r.amt, r.tag) for r in snap_read(spark, path).collect()}
+    assert all(got[k][1] == "stale" for k in range(0, 10))
+    assert all(got[k][0] == k % 100 for k in range(0, 10))  # amt kept
+    assert all(
+        got[k][1] in ("even", "odd") for k in range(10, 80)
+    )  # carried
+    assert all(k not in got for k in list(range(80, 90)) + [95, 96, 97, 98, 99])
+    assert all(got[k][0] == k * 10 for k in range(90, 95))
+
+
+def test_merge_into_by_source_empty_source_purge(spark, tmp_path):
+    """An EMPTY source with a by-source delete is a full purge, not a
+    no-op (every target row is not-matched-by-source)."""
+    from mapreduce_grpc_spark.sources.snapshots import merge_into
+
+    path = str(tmp_path / "snap")
+    _merge_target(spark, path, n=50, n_files=2)
+    src = spark.range(0).select(
+        F.col("id").alias("k"), F.col("id").alias("amt")
+    )
+    res = merge_into(
+        spark, path, src, keys=["k"],
+        not_matched_by_source=[("delete", "t.amt < 25")],
+    )
+    assert res["deleted_by_source"] == 25
+    assert snap_read(spark, path).count() == 25
+
+
+def test_merge_into_by_source_oversized_path_equality(spark, tmp_path):
+    """The full-outer (oversized-source) plan and the bounded
+    three-join plan agree on by-source clause results."""
+    import unittest.mock as mock
+
+    import mapreduce_grpc_spark.sources.snapshots as snap
+
+    def run(path, cap):
+        _merge_target(spark, path, n=200, n_files=2)
+        src = spark.range(150, 260).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).cast("long").alias("amt"),
+        )
+        with mock.patch.object(snap, "KEY_PROBE_CAP", cap):
+            res = snap.merge_into(
+                spark, path, src, keys=["k"],
+                matched=[("update", None, {"amt": "s.amt"})],
+                not_matched=[("insert", None,
+                              {"k": "s.k", "amt": "s.amt",
+                               "tag": "'new'"})],
+                not_matched_by_source=[
+                    ("update", "t.k < 50", {"tag": "'stale'"}),
+                    ("delete", "t.k >= 100"),
+                ],
+            )
+        return res, sorted(
+            (r.k, r.amt, r.tag) for r in snap_read(spark, path).collect()
+        )
+
+    res_b, rows_b = run(str(tmp_path / "bounded"), 100_000)
+    res_o, rows_o = run(str(tmp_path / "oversized"), 1)
+    assert rows_b == rows_o
+    for key in (
+        "updated", "deleted", "inserted",
+        "updated_by_source", "deleted_by_source",
+    ):
+        assert res_b[key] == res_o[key], key
+
+
+def test_merge_into_pruning_unchanged_without_by_source(spark, tmp_path):
+    """The by-source scale asymmetry must not leak: a merge WITHOUT
+    by-source clauses keeps exact key pruning."""
+    from mapreduce_grpc_spark.sources.snapshots import merge_into
+
+    path = str(tmp_path / "snap")
+    _merge_target(spark, path, n=1000, n_files=4)
+    src = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit(7).cast("long").alias("amt")
+    )
+    res = merge_into(
+        spark, path, src, keys=["k"],
+        matched=[("update", None, {"amt": "s.amt"})],
+        not_matched_by_source=None,
+    )
+    assert res["rewritten"] == 1 and res["carried"] == 3
 
 
 def test_merge_into_insert_only_new_key_range(spark, tmp_path):

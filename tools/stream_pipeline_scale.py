@@ -85,7 +85,12 @@ def run_pipeline(spark, root, factor):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "scale run did not finish in 600s — a partial sink count "
+            "must not be recorded as a valid datapoint"
+        )
     sec = time.monotonic() - t0
     return {"rows": snap_count(dst), "sec": round(sec, 2)}
 
