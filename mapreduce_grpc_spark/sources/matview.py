@@ -71,6 +71,12 @@ AGG_FUNCS = ("count", "sum", "min", "max")
 # per-dim IN pruning predicates (a driver-side list that large stops
 # being a cheap manifest probe) and relies on the broadcast key join
 RECOMPUTE_PRED_CAP = 1_000
+# above this many affected groups the affected-dim relation is never
+# COLLECTED at all: a mass extremum death (e.g. a delete sweeping the
+# min of most groups) recomputes via a distributed join of the
+# affected-dim relation against the pinned source version — driver
+# memory stays O(1) no matter how many groups died
+RECOMPUTE_COLLECT_CAP = 100_000
 
 
 def _normalize_aggs(
@@ -287,23 +293,37 @@ def mv_refresh(
     # non-invertible groups: recompute ONLY them from the source AT the
     # refresh's pinned version (later commits must not leak in), with
     # manifest pruning on the affected dim values
-    rec_rows = merged.filter(F.col("_rec")).select(*dims).collect()
+    rec = merged.filter(F.col("_rec"))
+    n_rec = rec.count()  # merged is checkpointed: O(touched) local scan
     batch = to_batch(merged.filter(~F.col("_rec")))
-    if rec_rows:
-        if len(rec_rows) <= RECOMPUTE_PRED_CAP:
-            preds = [
-                (d, "in", sorted({r[d] for r in rec_rows})) for d in dims
-            ]
-            src_cur = snap_scan(spark, src_path, preds, version=cur, fs=fs)
+    if n_rec:
+        if n_rec <= RECOMPUTE_COLLECT_CAP:
+            rec_rows = rec.select(*dims).collect()
+            if len(rec_rows) <= RECOMPUTE_PRED_CAP:
+                preds = [
+                    (d, "in", sorted({r[d] for r in rec_rows}))
+                    for d in dims
+                ]
+                src_cur = snap_scan(
+                    spark, src_path, preds, version=cur, fs=fs
+                )
+            else:
+                src_cur = snap_read(spark, src_path, version=cur, fs=fs)
+            keys_df = spark.createDataFrame(
+                [tuple(r[d] for d in dims) for r in rec_rows],
+                mv_cur.select(*dims).schema,
+            )
+            joined = src_cur.join(F.broadcast(keys_df), list(dims))
         else:
+            # mass extremum death: the affected-dim relation NEVER
+            # lands on the driver — a distributed join against the
+            # pinned source version (shuffle/AQE-planned; at this
+            # group count the recompute touches most of the table, so
+            # manifest pruning would keep everything anyway)
+            keys_df = rec.select(*dims)
             src_cur = snap_read(spark, src_path, version=cur, fs=fs)
-        keys_df = spark.createDataFrame(
-            [tuple(r[d] for d in dims) for r in rec_rows],
-            mv_cur.select(*dims).schema,
-        )
-        rec_agg = _aggregate(
-            src_cur.join(F.broadcast(keys_df), list(dims)), dims, spec
-        )
+            joined = src_cur.join(keys_df, list(dims))
+        rec_agg = _aggregate(joined, dims, spec)
         # a recomputed group with no surviving source rows is DEAD
         rec_full = keys_df.join(rec_agg, list(dims), "left").withColumn(
             count_name, F.coalesce(F.col(count_name), F.lit(0))
@@ -319,7 +339,7 @@ def mv_refresh(
         "from": last,
         "to": cur,
         "touched": touched,
-        "recomputed_groups": len(rec_rows),
+        "recomputed_groups": n_rec,
         "skipped": bool(res.get("skipped", False)),
     }
 

@@ -791,12 +791,19 @@ def _write_data_files(
     path: str,
     stats_cols: list[str],
     fs: LocalSnapshotFS | None = None,
+    cm: dict | None = None,
 ) -> list[dict]:
     """Write ``df``'s rows as new immutable data files inside ``path``
     and return their manifest entries.  Files are written via a staging
     dir then renamed to unique names, so a crashed writer leaves only
     unreferenced orphans (removed by ``expire_snapshots`` after the
-    orphan grace period), never a half-visible table state."""
+    orphan grace period), never a half-visible table state.
+
+    ``df`` carries LOGICAL column names; under a column mapping the
+    bytes land under the PHYSICAL names (``stats_cols`` are already
+    physical — they key the footer stats and bloom sidecars)."""
+    if cm:
+        df = _to_physical(df, cm)
     f = _fs(fs)
     staging = os.path.join(path, f"_stage-{uuid.uuid4().hex[:12]}")
     df.write.mode("errorifexists").parquet(staging)
@@ -919,6 +926,77 @@ def _manifest_schema(m: dict) -> StructType | None:
     return StructType.fromJson(json.loads(s)) if s else None
 
 
+# --------------------------------------------------------------------------
+# Column mapping (rename / drop / re-add evolution)
+# --------------------------------------------------------------------------
+# The manifest's optional ``column_mapping`` is
+# ``{"map": {logical: physical}, "retired": [physical, ...]}``.
+# Data files and per-file statistics are keyed by PHYSICAL names,
+# frozen at first write; renames and drops are metadata-only commits
+# that edit the per-version logical schema + mapping (the Delta
+# column-mapping model).  Readers translate physical -> logical after
+# the scan, writers logical -> physical before it, and stats/bloom
+# probes translate predicate columns logical -> physical — so a rename
+# rewrites ZERO data bytes at any table size and time travel reads
+# each version under that version's own names.  ``retired`` records
+# physical names freed by drops: re-adding the same logical name gets
+# a fresh physical name, so dropped values can never resurrect from
+# old files.
+
+
+def _cm(m: dict) -> dict:
+    """Manifest's logical->physical map ({} = identity)."""
+    cmx = m.get("column_mapping") or {}
+    return cmx.get("map") or {}
+
+
+def _phys(cm: dict, col: str) -> str:
+    return cm.get(col, col)
+
+
+def _phys_schema(schema: StructType, cm: dict) -> StructType:
+    if not cm:
+        return schema
+    from pyspark.sql.types import StructField
+
+    return StructType(
+        [
+            StructField(
+                _phys(cm, f.name), f.dataType, f.nullable, f.metadata
+            )
+            for f in schema.fields
+        ]
+    )
+
+
+def _to_logical(df: DataFrame, cm: dict) -> DataFrame:
+    """Rename a physically-named frame back to logical names (extra
+    non-mapped columns — ``_sg_file`` etc — pass through untouched)."""
+    if not cm:
+        return df
+    inv = {p: l for l, p in cm.items()}
+    return df.select(
+        *[F.col(c).alias(inv.get(c, c)) for c in df.columns]
+    )
+
+
+def _to_physical(df: DataFrame, cm: dict) -> DataFrame:
+    if not cm:
+        return df
+    return df.select(
+        *[F.col(c).alias(_phys(cm, c)) for c in df.columns]
+    )
+
+
+def _logical_sort_cols(stats_cols: list[str], cm: dict) -> list[str]:
+    """Physical stats_cols -> logical names (for sorting a logical
+    frame before the physical write)."""
+    if not cm:
+        return list(stats_cols)
+    inv = {p: l for l, p in cm.items()}
+    return [inv.get(c, c) for c in stats_cols]
+
+
 def snap_init(
     spark: SparkSession,
     df: DataFrame,
@@ -955,6 +1033,7 @@ def _read_entries(
     path: str,
     entries: list[dict],
     schema: StructType | None,
+    cm: dict | None = None,
 ) -> DataFrame:
     """Read a set of manifest entries, applying their deletion vectors.
 
@@ -970,7 +1049,12 @@ def _read_entries(
     the anti-join of the union is the same rows."""
     if not entries:
         raise FileNotFoundError("snapshot version has no files")
-    reader = spark.read if schema is None else spark.read.schema(schema)
+    cm = cm or {}
+    if schema is not None:
+        # files store PHYSICAL names: scan under them, rename at the end
+        reader = spark.read.schema(_phys_schema(schema, cm))
+    else:
+        reader = spark.read
     clean = [e for e in entries if not e.get("dv")]
     dved = [e for e in entries if e.get("dv")]
     parts: list[DataFrame] = []
@@ -1008,7 +1092,7 @@ def _read_entries(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return _to_logical(out, cm)
 
 
 def snap_read(
@@ -1034,7 +1118,7 @@ def snap_read(
         if schema is not None:
             return spark.createDataFrame([], schema)
         raise FileNotFoundError(f"snapshot v{m['version']} has no files")
-    return _read_entries(spark, path, m["files"], schema)
+    return _read_entries(spark, path, m["files"], schema, _cm(m))
 
 
 _PRED_OPS = {"=", "<", "<=", ">", ">=", "in", "between"}
@@ -1148,8 +1232,15 @@ def prune_manifest(
     kept when ANY branch's conjunction may match it (the union of
     per-branch file sets), and skipped only when its footer statistics
     (or its bloom filter, for ``=``/``in``) PROVE no branch can
-    match — still strictly conservative."""
+    match — still strictly conservative.  Predicate columns are
+    LOGICAL names; file stats are keyed physical — translated here."""
     branches = _parse_dnf(predicates)
+    cm = _cm(m)
+    if cm:
+        branches = [
+            [(_phys(cm, p[0]),) + tuple(p[1:]) for p in b]
+            for b in branches
+        ]
     kept, skipped = [], []
     for e in m["files"]:
         if any(
@@ -1227,7 +1318,7 @@ def snap_scan(
         if schema is None:
             return snap_read(spark, path, version, fs).filter(cond).limit(0)
         return spark.createDataFrame([], schema)
-    return _read_entries(spark, path, kept, schema).filter(cond)
+    return _read_entries(spark, path, kept, schema, _cm(m)).filter(cond)
 
 
 def _read_entries_pos(
@@ -1235,6 +1326,7 @@ def _read_entries_pos(
     path: str,
     entries: list[dict],
     schema: StructType | None,
+    cm: dict | None = None,
 ) -> DataFrame:
     """One scan over ``entries`` carrying each row's physical position
     (``_sg_file``, ``_sg_pos`` from the parquet reader's ``_metadata``),
@@ -1242,7 +1334,11 @@ def _read_entries_pos(
     columns must be bound on the scan relation itself (``_metadata`` is
     a scan-level hidden column — it does not survive a union), which is
     why this is a separate single-scan path from ``_read_entries``."""
-    reader = spark.read if schema is None else spark.read.schema(schema)
+    cm = cm or {}
+    if schema is not None:
+        reader = spark.read.schema(_phys_schema(schema, cm))
+    else:
+        reader = spark.read
     df = reader.parquet(
         *[os.path.join(path, e["name"]) for e in entries]
     ).withColumns(
@@ -1263,7 +1359,7 @@ def _read_entries_pos(
             )
         )
         df = df.join(F.broadcast(dv), ["_sg_file", "_sg_pos"], "left_anti")
-    return df
+    return _to_logical(df, cm)
 
 
 def _write_dv_sidecar(
@@ -1329,7 +1425,9 @@ def _delete_mor(
             return _skipped_result(m)
         # positions of NEWLY deleted rows: live rows (existing DVs
         # applied) in candidate files that match the delete condition
-        cand_live = _read_entries_pos(spark, path, candidates, schema)
+        cand_live = _read_entries_pos(
+            spark, path, candidates, schema, _cm(m)
+        )
         new_pos = match_fn(cand_live).select(
             F.col("_sg_file").alias("file_name"),
             F.col("_sg_pos").alias("pos"),
@@ -1479,14 +1577,19 @@ def delete_keys_mor(
         return _skipped_result(read_manifest(path, fs=fs))
 
     def _cands(m: dict) -> list[dict]:
-        missing = [k for k in keys if k not in m["stats_cols"]]
+        cm = _cm(m)
+        missing = [
+            k for k in keys if _phys(cm, k) not in m["stats_cols"]
+        ]
         if missing:
             raise ValueError(
                 f"delete keys {missing} not tracked in manifest stats_cols "
                 f"{m['stats_cols']}; re-init the table tracking them"
             )
         bl = _bloom_loader(path, fs)
-        return [e for e in m["files"] if _overlaps(e, probe, keys, bl)]
+        return [
+            e for e in m["files"] if _overlaps(e, probe, keys, bl, cm)
+        ]
 
     return _delete_mor(
         spark, path,
@@ -1542,7 +1645,8 @@ def _value_in_ranges(v, ranges: list[list]) -> bool:
 
 
 def _overlaps(
-    entry: dict, probe: dict, keys: list[str], bloom_of=None
+    entry: dict, probe: dict, keys: list[str], bloom_of=None,
+    cm: dict | None = None,
 ) -> bool:
     """Conservative file-level predicate: the file MAY hold an updated
     key.  First the envelope check (file [min,max] vs batch [min,max]);
@@ -1554,10 +1658,11 @@ def _overlaps(
     on an UNCLUSTERED table the ranges span everything and only the
     bloom can prune).  Missing stats or incomparable types -> must
     assume overlap."""
+    cm = cm or {}
     stats = entry.get("stats", {})
     for c in keys:
         lo, hi = probe["lows"].get(c), probe["highs"].get(c)
-        env = stats.get(c)
+        env = stats.get(_phys(cm, c))
         if env is None or env["min"] is None or env["max"] is None:
             continue
         if lo is None or hi is None:
@@ -1578,10 +1683,11 @@ def _overlaps(
     blooms = bloom_of(entry) if bloom_of is not None else {}
     checkable = []
     for c in keys:
-        ranges = entry.get("rg", {}).get(c)
-        if not ranges and stats.get(c) and stats[c]["min"] is not None:
-            ranges = [[stats[c]["min"], stats[c]["max"]]]
-        bloom = blooms.get(c)
+        pc = _phys(cm, c)
+        ranges = entry.get("rg", {}).get(pc)
+        if not ranges and stats.get(pc) and stats[pc]["min"] is not None:
+            ranges = [[stats[pc]["min"], stats[pc]["max"]]]
+        bloom = blooms.get(pc)
         if ranges or bloom:
             checkable.append((c, ranges, bloom))
     if not checkable:
@@ -1740,7 +1846,8 @@ def merge_upsert_cow(
         if _txn_already_applied(m, txn_app, txn_batch):
             return _skipped_result(m)
         stats_cols = m["stats_cols"]
-        missing = [k for k in keys if k not in stats_cols]
+        cm = _cm(m)
+        missing = [k for k in keys if _phys(cm, k) not in stats_cols]
         if missing:
             raise ValueError(
                 f"merge keys {missing} not tracked in manifest stats_cols "
@@ -1761,14 +1868,14 @@ def merge_upsert_cow(
         bl = _bloom_loader(path, fs)
         overlapping, carried = [], []
         for f_entry in m["files"]:
-            (overlapping if _overlaps(f_entry, probe, keys, bl)
+            (overlapping if _overlaps(f_entry, probe, keys, bl, cm)
              else carried).append(f_entry)
 
         if overlapping:
             # reading with the POST-commit schema null-backfills any
             # newly added columns in the old files; _read_entries
             # applies deletion vectors, so a rewrite folds them away
-            old = _read_entries(spark, path, overlapping, out_schema)
+            old = _read_entries(spark, path, overlapping, out_schema, cm)
             remaining = old.join(
                 F.broadcast(updates.select(*keys).distinct()),
                 keys,
@@ -1786,7 +1893,9 @@ def merge_upsert_cow(
         out = out.coalesce(max(1, len(overlapping))).sortWithinPartitions(
             *keys
         )
-        new_entries = _write_data_files(spark, out, path, stats_cols, fs)
+        new_entries = _write_data_files(
+            spark, out, path, stats_cols, fs, cm
+        )
         txns = dict(m.get("txns", {}))
         if txn_app is not None:
             txns[txn_app] = int(txn_batch)
@@ -1911,6 +2020,7 @@ def apply_cdc_cow(
             res["deleted"] = 0
             return res
         stats_cols = m["stats_cols"]
+        cm = _cm(m)
         target_schema = _manifest_schema(m) or snap_read(
             spark, path, m["version"], fs
         ).schema
@@ -1934,28 +2044,30 @@ def apply_cdc_cow(
                 else [
                     f
                     for f in m["files"]
-                    if _overlaps(f, probe_up, keys, bl)
+                    if _overlaps(f, probe_up, keys, bl, cm)
                 ]
             )
             over_names = {e["name"] for e in overlapping}
             rest = [e for e in m["files"] if e["name"] not in over_names]
             dv_cands = [
-                e for e in rest if _overlaps(e, probe_del, keys, bl)
+                e for e in rest if _overlaps(e, probe_del, keys, bl, cm)
             ]
             dv_names = {e["name"] for e in dv_cands}
             carried = [e for e in rest if e["name"] not in dv_names]
         else:
             overlapping = [
-                f for f in m["files"] if _overlaps(f, probe, keys, bl)
+                f for f in m["files"] if _overlaps(f, probe, keys, bl, cm)
             ]
             carried = [
-                f for f in m["files"] if not _overlaps(f, probe, keys, bl)
+                f for f in m["files"] if not _overlaps(f, probe, keys, bl, cm)
             ]
             dv_cands = []
 
         if overlapping or n_upserts:
             if overlapping:
-                old = _read_entries(spark, path, overlapping, out_schema)
+                old = _read_entries(
+                    spark, path, overlapping, out_schema, cm
+                )
                 remaining = old.join(
                     F.broadcast(all_keys), keys, "left_anti"
                 )
@@ -1966,7 +2078,9 @@ def apply_cdc_cow(
             out = out.coalesce(
                 max(1, len(overlapping))
             ).sortWithinPartitions(*keys)
-            new_entries = _write_data_files(spark, out, path, stats_cols, fs)
+            new_entries = _write_data_files(
+                spark, out, path, stats_cols, fs, cm
+            )
         else:
             new_entries = []
 
@@ -1974,7 +2088,7 @@ def apply_cdc_cow(
         dv_totals: dict[str, int] = {}
         if dv_cands:
             live = _read_entries_pos(
-                spark, path, dv_cands, _manifest_schema(m)
+                spark, path, dv_cands, _manifest_schema(m), cm
             )
             new_pos = live.join(
                 F.broadcast(del_keys), keys, "left_semi"
@@ -2112,7 +2226,8 @@ def snap_append(
         out_cols = [f.name for f in out_schema.fields]
         _enforce_constraints(m, batch.select(*out_cols), "snap_append")
         new_entries = _write_data_files(
-            spark, batch.select(*out_cols), path, m["stats_cols"], fs
+            spark, batch.select(*out_cols), path, m["stats_cols"], fs,
+            _cm(m),
         )
         txns = dict(m.get("txns", {}))
         if txn_app is not None:
@@ -2205,7 +2320,10 @@ def optimize_snapshot(
                     "carried": len(m["files"]),
                     "added": 0,
                 }
-        df = _read_entries(spark, path, to_rewrite, _manifest_schema(m))
+        cm = _cm(m)
+        df = _read_entries(
+            spark, path, to_rewrite, _manifest_schema(m), cm
+        )
         total = sum(
             f.getsize(os.path.join(path, e["name"])) for e in to_rewrite
         )
@@ -2221,7 +2339,9 @@ def optimize_snapshot(
             ).sortWithinPartitions(*cluster_by)
         else:
             out = df.coalesce(n_files)
-        new_entries = _write_data_files(spark, out, path, stats_cols, fs)
+        new_entries = _write_data_files(
+            spark, out, path, stats_cols, fs, cm
+        )
         info = {
             "op": "optimize",
             "rewritten": len(to_rewrite),

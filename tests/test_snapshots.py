@@ -3800,3 +3800,70 @@ def test_merge_into_rejects_unknown_insert_columns(spark, tmp_path):
                           {"k": "s.k", "amt": "s.amt",
                            "tag": "'x'", "tags": "'oops'"})],
         )
+
+
+def test_mv_mass_extremum_death_distributed_recompute(spark, tmp_path):
+    """A delete sweeping the extremum of MANY groups must not
+    materialize the affected-dim relation on the driver: above
+    RECOMPUTE_COLLECT_CAP the refresh recomputes via a distributed
+    join against the pinned source version.  Forced here by capping at
+    1; the result must hash-match both a from-scratch recompute and
+    the default (collect+broadcast) path on an identical table."""
+    import unittest.mock as mock
+
+    import mapreduce_grpc_spark.sources.matview as mvmod
+    from mapreduce_grpc_spark.sources.matview import (
+        mv_init,
+        mv_read,
+        mv_refresh,
+    )
+    from mapreduce_grpc_spark.sources.snapshots import delete_where_mor
+
+    aggs = {"cnt": ("count", None), "lo": ("min", "val")}
+
+    def build(tag):
+        src = str(tmp_path / f"src-{tag}")
+        mvp = str(tmp_path / f"mv-{tag}")
+        df = (
+            spark.range(400)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") % 40).alias("g"),
+                # id < 200 holds every group's minimum (val = id % 40),
+                # id >= 200 the larger band (val = id % 40 + 100)
+                F.when(F.col("id") < 200, (F.col("id") % 40))
+                .otherwise((F.col("id") % 40) + 100)
+                .cast("double")
+                .alias("val"),
+            )
+            .repartitionByRange(2, "k")
+        )
+        snap_init(spark, df, src, stats_cols=["k"])
+        mv_init(spark, src, mvp, dims=["g"], aggs=aggs)
+        # kill the stored minimum of ALL 40 groups in one commit
+        delete_where_mor(spark, src, [("k", "<", 200)])
+        return src, mvp
+
+    def canon(df):
+        return sorted((r.g, r.cnt, r.lo) for r in df.collect())
+
+    # distributed path (cap forced below the 40 dead groups)
+    src_d, mv_d = build("dist")
+    with mock.patch.object(mvmod, "RECOMPUTE_COLLECT_CAP", 1):
+        res_d = mv_refresh(spark, src_d, mv_d, keys=["k"], dims=["g"],
+                           aggs=aggs)
+    assert res_d["recomputed_groups"] == 40
+    # default collect+broadcast path on an identical workload
+    src_c, mv_c = build("coll")
+    res_c = mv_refresh(spark, src_c, mv_c, keys=["k"], dims=["g"],
+                       aggs=aggs)
+    assert res_c["recomputed_groups"] == 40
+    expect = sorted(
+        (r.g, r.cnt, r.lo)
+        for r in snap_read(spark, src_d)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("val").alias("lo"))
+        .collect()
+    )
+    assert canon(mv_read(spark, mv_d)) == expect
+    assert canon(mv_read(spark, mv_c)) == expect
