@@ -61,11 +61,17 @@ OPEN_COST_BYTES = 4 * 1024 * 1024
 PARTITION_TARGET_BYTES = 128 * 1024 * 1024
 
 
-def write_arrow_parquet(path: str, schema_json: str, iterator) -> str | None:
+def write_arrow_parquet(
+    path: str, schema_json: str, iterator, cm: dict | None = None
+) -> str | None:
     """One task's Arrow batches -> one immutable ``data-*.parquet``
     inside the table dir (invisible until a manifest references it).
     Shared by the streaming sink and the batch writer.  Returns the
-    file name, or None when the task had zero rows."""
+    file name, or None when the task had zero rows.
+
+    ``cm`` is the table's logical->physical column mapping: incoming
+    batches carry LOGICAL names, the bytes land under the frozen
+    PHYSICAL names (snapshots.py column-mapping block)."""
     import uuid as _uuid
 
     import pyarrow as pa
@@ -75,16 +81,23 @@ def write_arrow_parquet(path: str, schema_json: str, iterator) -> str | None:
 
     schema = _St.fromJson(json.loads(schema_json))
     target = to_arrow_schema(schema)
+    cm = cm or {}
+    phys_target = pa.schema(
+        [f.with_name(cm.get(f.name, f.name)) for f in target]
+    )
     name = f"data-sink-{_uuid.uuid4().hex[:16]}.parquet"
     full = os.path.join(path, name)
     writer = None
     try:
         for batch in iterator:
-            table = pa.Table.from_batches([batch]).select(
-                target.names
-            ).cast(target)
+            table = (
+                pa.Table.from_batches([batch])
+                .select(target.names)
+                .cast(target)
+                .rename_columns(phys_target.names)
+            )
             if writer is None:
-                writer = pq.ParquetWriter(full, target)
+                writer = pq.ParquetWriter(full, phys_target)
             writer.write_table(table)
     finally:
         if writer is not None:
@@ -94,22 +107,26 @@ def write_arrow_parquet(path: str, schema_json: str, iterator) -> str | None:
     return name
 
 
-def align_to_schema(table, schema_json: str):
+def align_to_schema(table, schema_json: str, cm: dict | None = None):
     """Align a pyarrow table to the table's DECLARED schema:
     null-backfill columns a (pre-evolution) file lacks, drop extras,
     and cast to the exact Arrow types — Spark writes INT96 timestamps
     by default, which pyarrow reads as timestamp[ns] while the data
-    source API only accepts [us]."""
+    source API only accepts [us].  Files store PHYSICAL column names;
+    ``cm`` (logical->physical) keys the lookup so a renamed column's
+    bytes surface under its logical name instead of null-backfilling."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import StructType
 
+    cm = cm or {}
     target = to_arrow_schema(StructType.fromJson(json.loads(schema_json)))
     have = set(table.schema.names)
     arrays = []
     for field in target:
-        if field.name in have:
-            arrays.append(table.column(field.name).cast(field.type))
+        phys = cm.get(field.name, field.name)
+        if phys in have:
+            arrays.append(table.column(phys).cast(field.type))
         else:
             arrays.append(pa.nulls(table.num_rows, field.type))
     return pa.table(arrays, schema=target)
@@ -143,10 +160,17 @@ def translate_filters(filters) -> list[tuple]:
 
 
 class _BatchFilePartition(InputPartition):
-    def __init__(self, files: list[tuple[str, str | None]], schema_json: str):
+    def __init__(
+        self,
+        files: list[tuple[str, str | None]],
+        schema_json: str,
+        cm: dict | None = None,
+    ):
         # files: (absolute parquet path, absolute dv sidecar path|None)
         self.files = files
         self.schema_json = schema_json
+        # logical->physical column mapping of the read version
+        self.cm = cm or {}
 
 
 class SnapshotBatchReader(DataSourceReader):
@@ -178,6 +202,7 @@ class SnapshotBatchReader(DataSourceReader):
     def partitions(self):
         from .snapshots import (
             _bloom_loader,
+            _cm,
             load_fs,
             prune_manifest,
             read_manifest,
@@ -185,6 +210,7 @@ class SnapshotBatchReader(DataSourceReader):
 
         f = load_fs(self._fs_spec)
         m = read_manifest(self._path, self._version, f)
+        cm = _cm(m)
         entries = m["files"]
         if self._preds:
             try:
@@ -210,14 +236,16 @@ class SnapshotBatchReader(DataSourceReader):
             cost = max(b, OPEN_COST_BYTES)
             if bin_files and bin_cost + cost > PARTITION_TARGET_BYTES:
                 parts.append(
-                    _BatchFilePartition(bin_files, self._schema_json)
+                    _BatchFilePartition(bin_files, self._schema_json, cm)
                 )
                 bin_files, bin_cost = [], 0
             bin_files.append((p, dvp))
             bin_cost += cost
         if bin_files:
-            parts.append(_BatchFilePartition(bin_files, self._schema_json))
-        return parts or [_BatchFilePartition([], self._schema_json)]
+            parts.append(
+                _BatchFilePartition(bin_files, self._schema_json, cm)
+            )
+        return parts or [_BatchFilePartition([], self._schema_json, cm)]
 
     def read(self, partition: _BatchFilePartition):
         import numpy as np
@@ -252,7 +280,7 @@ class SnapshotBatchReader(DataSourceReader):
                 offset += n
                 if table.num_rows:
                     yield from align_to_schema(
-                        table, partition.schema_json
+                        table, partition.schema_json, partition.cm
                     ).to_batches()
 
 
@@ -278,11 +306,23 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         self._fs_spec = fs_spec
         self._stats_cols = stats_cols
+        # capture the table's logical->physical column mapping ONCE,
+        # driver-side at plan time: write tasks land bytes under the
+        # frozen physical names; commit() re-checks the mapping didn't
+        # change underneath (a concurrent rename) before publishing
+        from .snapshots import _cm, load_fs, read_manifest
+
+        try:
+            self._cm = _cm(read_manifest(path, fs=load_fs(fs_spec)))
+        except FileNotFoundError:
+            self._cm = {}
 
     def write(self, iterator) -> _BatchFileCommit:
         os.makedirs(self._path, exist_ok=True)
         return _BatchFileCommit(
-            write_arrow_parquet(self._path, self._schema_json, iterator)
+            write_arrow_parquet(
+                self._path, self._schema_json, iterator, self._cm
+            )
         )
 
     def commit(self, messages):
@@ -319,16 +359,26 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                 )
                 entries.append(e)
             _build_bloom_sidecar(self._path, entries, self._stats_cols, f)
-            _commit(
-                self._path,
-                entries,
-                self._stats_cols,
-                base_version=0,
-                schema_json=self._schema_json,
-                commit_info={"op": "batch_create", "added": len(entries)},
-                fs=f,
-            )
-            return
+            try:
+                _commit(
+                    self._path,
+                    entries,
+                    self._stats_cols,
+                    base_version=0,
+                    schema_json=self._schema_json,
+                    commit_info={
+                        "op": "batch_create", "added": len(entries)
+                    },
+                    fs=f,
+                )
+                return
+            except CommitConflict:
+                # two concurrent first-writers (or a create racing
+                # snap_init): the exists-check above was a TOCTOU probe,
+                # not a claim — the loser falls through and retries as
+                # an append/overwrite against the winner's v1 (schema
+                # checked against the winner's manifest below)
+                pass
         m0 = read_manifest(self._path, fs=f)
         target_schema = _manifest_schema(m0)
         if target_schema is not None:

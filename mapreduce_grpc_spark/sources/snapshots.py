@@ -103,6 +103,7 @@ import os
 import shutil
 import time
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -323,18 +324,26 @@ def _last_ckpt_path(path: str) -> str:
     return os.path.join(path, _MANIFEST_DIR, _LAST_CKPT)
 
 
-# per-process reconstruction cache: (path, version, mtime, size) of the
-# immutable commit record -> reconstructed full file list.  Commit
-# records never change once claimed (create-exclusive), so the stat pair
-# only guards against a table dir being deleted and re-created at the
-# same path (tests, re-bootstraps).  Entries are shared, never mutated
-# (every mutator builds new entry dicts); the outer list is copied on
-# every read_manifest return.
+# per-process reconstruction cache: (path, version, commit uid) of the
+# immutable commit record -> reconstructed full file list.  Every
+# delta-format commit record carries a random ``uid`` stamped at write
+# time, so a table dir deleted and re-created at the same path can
+# never serve a stale reconstruction (a (mtime, size) stat pair could
+# collide under 1s-granularity filesystems when record sizes match —
+# a wrong file list with no error).  Records predating the uid fall
+# back to the stat pair.  Entries are shared, never mutated (every
+# mutator builds new entry dicts); the outer list is copied on every
+# read_manifest return.
 _RECON_CACHE: dict = {}
 _RECON_CACHE_MAX = 32
 
 
-def _recon_key(f: LocalSnapshotFS, path: str, version: int):
+def _recon_key(
+    f: LocalSnapshotFS, path: str, version: int, raw: dict | None = None
+):
+    uid = (raw or {}).get("uid")
+    if uid:
+        return (path, version, uid)
     mp = _manifest_path(path, version)
     try:
         return (path, version, f.getmtime(mp), f.getsize(mp))
@@ -396,7 +405,7 @@ def _reconstruct_files(
     is ``raw``.  Starts from the nearest of (a) a cached reconstruction,
     (b) a compacted checkpoint, and replays the delta chain forward —
     O(deltas since checkpoint) reads, not O(history)."""
-    key = _recon_key(f, path, version)
+    key = _recon_key(f, path, version, raw)
     hit = _RECON_CACHE.get(key) if key else None
     if hit is not None:
         return hit
@@ -407,22 +416,39 @@ def _reconstruct_files(
     files: list[dict] = []
     if start:
         files = json.loads(f.read_text(_ckpt_path(path, start)))["files"]
-    # a cached neighbor below ``version`` beats the checkpoint
+    # a cached neighbor below ``version`` beats the checkpoint; the
+    # probe parses each candidate record to key on its uid (records the
+    # forward replay would read anyway — ``parsed`` hands them over)
+    parsed: dict[int, dict] = {}
     for v in range(version - 1, start, -1):
-        k = _recon_key(f, path, v)
+        try:
+            rv = json.loads(f.read_text(_manifest_path(path, v)))
+        except (FileNotFoundError, OSError):
+            break
+        parsed[v] = rv
+        k = _recon_key(f, path, v, rv)
         cached = _RECON_CACHE.get(k) if k else None
         if cached is not None:
             files, start = cached, v
             break
     by_name = {e["name"]: e for e in files}
     for v in range(start + 1, version + 1):
-        rv = raw if v == version else json.loads(
-            f.read_text(_manifest_path(path, v))
-        )
+        if v == version:
+            rv = raw
+        elif v in parsed:
+            rv = parsed[v]
+        else:
+            rv = json.loads(f.read_text(_manifest_path(path, v)))
         by_name = _replay_delta(by_name, rv)
     out = list(by_name.values())
     _recon_put(key, out)
     return out
+
+
+# consecutive interval-checkpoint write failures per table path — a
+# PERSISTENTLY failing checkpoint writer degrades every future cold
+# read to full-history replay, so repeated failures must not be silent
+_CKPT_FAILURES: dict[str, int] = {}
 
 
 def _maybe_checkpoint(
@@ -431,19 +457,45 @@ def _maybe_checkpoint(
     version: int,
     files: list[dict],
     force: bool = False,
-) -> None:
+) -> bool:
     """Write a compacted checkpoint of ``files`` at ``version`` (every
     ``CHECKPOINT_INTERVAL`` commits, or forced by GC at the retention
-    boundary).  Best-effort: the commit already succeeded, and a missed
-    checkpoint only lengthens the next cold replay."""
+    boundary).  Returns True when the checkpoint file exists on exit.
+
+    The interval path is best-effort — the commit already succeeded,
+    and ONE missed checkpoint only lengthens the next cold replay —
+    but never silent: consecutive failures per table are counted and
+    warned, because a persistently failing writer (ENOSPC, broken
+    object-store creds) would otherwise degrade every cold read to a
+    full-history replay with zero signal.  With ``force=True`` (the GC
+    retention floor) a failed checkpoint write PROPAGATES: deleting
+    the delta chain below a floor whose checkpoint never landed would
+    make every retained version unreconstructable."""
     if not force and version % CHECKPOINT_INTERVAL != 0:
-        return
+        return False
+    cp = _ckpt_path(path, version)
     try:
-        cp = _ckpt_path(path, version)
         if not f.exists(cp):
             f.create_exclusive(
                 cp, json.dumps({"version": version, "files": files})
             )
+        _CKPT_FAILURES.pop(path, None)
+    except Exception as e:
+        if force:
+            raise
+        n = _CKPT_FAILURES.get(path, 0) + 1
+        _CKPT_FAILURES[path] = n
+        warnings.warn(
+            f"snapshot checkpoint write failed at {cp!r} "
+            f"({n} consecutive failure(s) for this table): {e!r}; cold "
+            "reads replay the full delta chain until one succeeds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return False
+    # pointer update stays best-effort even when forced: the checkpoint
+    # exists, and _find_checkpoint falls back to a directory scan
+    try:
         lp = _last_ckpt_path(path)
         last = 0
         if f.exists(lp):
@@ -455,6 +507,7 @@ def _maybe_checkpoint(
             f.replace_atomic(lp, str(version))
     except Exception:
         pass
+    return True
 
 
 def _json_val(v):
@@ -872,6 +925,9 @@ def _commit(
             adds.append(e)
     manifest = {
         "version": version,
+        # random commit identity: what makes the reconstruction cache
+        # safe against same-path table re-creation (see _RECON_CACHE)
+        "uid": uuid.uuid4().hex,
         "stats_cols": stats_cols,
         "adds": adds,
         "removes": removes,
@@ -887,7 +943,7 @@ def _commit(
     f.replace_atomic(_current_path(path), str(version))
     # the committer already holds the full state: seed the cache so the
     # next read/commit replays zero deltas
-    _recon_put(_recon_key(f, path, version), list(files))
+    _recon_put((path, version, manifest["uid"]), list(files))
     _maybe_checkpoint(f, path, version, files)
     return version
 
@@ -995,6 +1051,287 @@ def _logical_sort_cols(stats_cols: list[str], cm: dict) -> list[str]:
         return list(stats_cols)
     inv = {p: l for l, p in cm.items()}
     return [inv.get(c, c) for c in stats_cols]
+
+
+def _cm_retired(m: dict) -> list[str]:
+    """Physical names freed by drops — never reusable (resurrection)."""
+    return list((m.get("column_mapping") or {}).get("retired") or [])
+
+
+def _constraints_referencing(m: dict, col: str) -> list[str]:
+    """Names of CHECK constraints whose expression mentions ``col`` as
+    a bare identifier — conservative word-boundary match; renaming or
+    dropping a referenced column would silently break (or worse,
+    re-bind) the stored SQL string, so those ops reject loudly."""
+    import re
+
+    pat = re.compile(
+        rf"(?i)(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_])"
+    )
+    return sorted(
+        n
+        for n, e in (m.get("constraints") or {}).items()
+        if pat.search(e)
+    )
+
+
+def _pack_cm(cmap: dict, retired: list[str]) -> dict | None:
+    return {"map": cmap, "retired": retired} if (cmap or retired) else None
+
+
+def _guard_new_columns(
+    m: dict, target_schema: StructType, out_schema: StructType, op: str
+) -> None:
+    """Schema-evolution columns default to physical == logical; on a
+    table carrying a column mapping that identity may collide with a
+    LIVE physical name (a renamed column's frozen storage name) or a
+    RETIRED one (a dropped column's) — either would resurrect old bytes
+    under the new logical name.  Such additions must go through
+    ``snap_add_column``, which assigns a fresh physical name."""
+    if not m.get("column_mapping"):
+        return
+    have = {f.name for f in target_schema.fields}
+    new = [f.name for f in out_schema.fields if f.name not in have]
+    if not new:
+        return
+    cmap = _cm(m)
+    used = {_phys(cmap, c) for c in have} | set(_cm_retired(m))
+    bad = sorted(n for n in new if n in used)
+    if bad:
+        raise ValueError(
+            f"{op}: new column(s) {bad} collide with a live or retired "
+            "PHYSICAL column name of this mapped table (old files hold "
+            "bytes under that name — reading them back would resurrect "
+            "dropped/renamed data); add the column with snap_add_column "
+            "(fresh physical name) and retry the write"
+        )
+
+
+def snap_rename_column(
+    path: str,
+    old: str,
+    new: str,
+    fs: LocalSnapshotFS | None = None,
+) -> int:
+    """``ALTER TABLE ... RENAME COLUMN old TO new`` — a metadata-only
+    commit: ZERO data bytes move at any table size.
+
+    The column's PHYSICAL (storage) name is frozen at first write; the
+    commit just rewrites the logical schema and the logical->physical
+    ``column_mapping`` (the Delta column-mapping model).  Readers of
+    this and later versions see ``new``; time travel below the commit
+    still reads ``old`` (each version resolves its own mapping).
+    Stats, row-group ranges, and bloom sidecars stay keyed by the
+    physical name, so file pruning and CoW merge planning keep working
+    unchanged.  Renaming a column referenced by a CHECK constraint is
+    rejected (the stored SQL string would silently break)."""
+    if not new or not new.isidentifier():
+        raise ValueError(
+            f"snap_rename_column: new name {new!r} must be a bare "
+            "identifier"
+        )
+    last_err: Exception | None = None
+    for _attempt in range(COMMIT_RETRIES):
+        m = read_manifest(path, fs=fs)
+        schema = _manifest_schema(m)
+        if schema is None:
+            raise ValueError(
+                "snap_rename_column needs a manifest-recorded schema"
+            )
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise KeyError(
+                f"snap_rename_column: no column {old!r} in {names}"
+            )
+        if new in names:
+            raise ValueError(
+                f"snap_rename_column: column {new!r} already exists in "
+                f"{names}"
+            )
+        refs = _constraints_referencing(m, old)
+        if refs:
+            raise ValueError(
+                f"snap_rename_column: column {old!r} is referenced by "
+                f"CHECK constraint(s) {refs}; drop them first and "
+                "re-add against the new name"
+            )
+        cmap = dict(_cm(m))
+        phys = cmap.pop(old, old)
+        if phys != new:
+            cmap[new] = phys
+        from pyspark.sql.types import StructField
+
+        new_schema = StructType(
+            [
+                StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        carry = dict(m)
+        carry["column_mapping"] = _pack_cm(cmap, _cm_retired(m))
+        try:
+            return _commit(
+                path, m["files"], m["stats_cols"],
+                base_version=m["version"],
+                schema_json=new_schema.json(),
+                txns=dict(m.get("txns", {})),
+                commit_info={
+                    "op": "rename_column", "from": old, "to": new,
+                },
+                fs=fs, carry=carry,
+            )
+        except CommitConflict as e:
+            last_err = e
+            continue
+    raise CommitConflict(
+        f"snap_rename_column: lost the commit race {COMMIT_RETRIES} "
+        f"times at {path!r}"
+    ) from last_err
+
+
+def snap_drop_column(
+    path: str,
+    col: str,
+    fs: LocalSnapshotFS | None = None,
+) -> int:
+    """``ALTER TABLE ... DROP COLUMN`` — metadata-only: the column
+    leaves the logical schema and its physical name is RETIRED, while
+    the bytes stay untouched in the existing files (time travel below
+    the commit still reads them).  A later ``snap_add_column`` of the
+    same logical name gets a FRESH physical name, so the dropped values
+    can never resurrect from old files.  Dropping a column referenced
+    by a CHECK constraint is rejected; dropping a pruning/stats column
+    also removes it from ``stats_cols`` (future files stop tracking
+    it)."""
+    last_err: Exception | None = None
+    for _attempt in range(COMMIT_RETRIES):
+        m = read_manifest(path, fs=fs)
+        schema = _manifest_schema(m)
+        if schema is None:
+            raise ValueError(
+                "snap_drop_column needs a manifest-recorded schema"
+            )
+        names = [f.name for f in schema.fields]
+        if col not in names:
+            raise KeyError(
+                f"snap_drop_column: no column {col!r} in {names}"
+            )
+        if len(names) == 1:
+            raise ValueError(
+                "snap_drop_column: cannot drop the table's only column"
+            )
+        refs = _constraints_referencing(m, col)
+        if refs:
+            raise ValueError(
+                f"snap_drop_column: column {col!r} is referenced by "
+                f"CHECK constraint(s) {refs}; drop them first"
+            )
+        cmap = dict(_cm(m))
+        phys = cmap.pop(col, col)
+        retired = _cm_retired(m) + [phys]
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != col]
+        )
+        stats_cols = [c for c in m["stats_cols"] if c != phys]
+        carry = dict(m)
+        carry["column_mapping"] = _pack_cm(cmap, retired)
+        try:
+            return _commit(
+                path, m["files"], stats_cols,
+                base_version=m["version"],
+                schema_json=new_schema.json(),
+                txns=dict(m.get("txns", {})),
+                commit_info={
+                    "op": "drop_column", "column": col, "physical": phys,
+                },
+                fs=fs, carry=carry,
+            )
+        except CommitConflict as e:
+            last_err = e
+            continue
+    raise CommitConflict(
+        f"snap_drop_column: lost the commit race {COMMIT_RETRIES} "
+        f"times at {path!r}"
+    ) from last_err
+
+
+def snap_add_column(
+    path: str,
+    name: str,
+    dtype,
+    nullable: bool = True,
+    fs: LocalSnapshotFS | None = None,
+) -> int:
+    """``ALTER TABLE ... ADD COLUMN`` — metadata-only; existing files
+    are null-backfilled at read (the reader scans under the manifest's
+    declared schema, no footer sweep).  ``dtype`` is a
+    ``pyspark.sql.types.DataType`` or a DDL type string (``"bigint"``;
+    string form needs an active SparkSession to parse).  If the logical
+    name's default physical identity is already taken — it was dropped
+    earlier (retired) or another column's frozen storage name uses it —
+    the column gets a FRESH physical name via the mapping, which is
+    what makes drop-then-re-add safe against resurrection."""
+    from pyspark.sql.types import DataType, StructField
+
+    if not name or not name.isidentifier():
+        raise ValueError(
+            f"snap_add_column: name {name!r} must be a bare identifier"
+        )
+    if not nullable:
+        raise ValueError(
+            "snap_add_column: new columns must be nullable — every "
+            "existing file null-backfills them at read"
+        )
+    if isinstance(dtype, DataType):
+        dt = dtype
+    else:
+        dt = StructType.fromDDL(f"`{name}` {dtype}").fields[0].dataType
+    last_err: Exception | None = None
+    for _attempt in range(COMMIT_RETRIES):
+        m = read_manifest(path, fs=fs)
+        schema = _manifest_schema(m)
+        if schema is None:
+            raise ValueError(
+                "snap_add_column needs a manifest-recorded schema"
+            )
+        names = [f.name for f in schema.fields]
+        if name in names:
+            raise ValueError(
+                f"snap_add_column: column {name!r} already exists"
+            )
+        cmap = dict(_cm(m))
+        retired = _cm_retired(m)
+        used = {_phys(cmap, c) for c in names} | set(retired)
+        phys = name
+        while phys in used:
+            phys = f"{name}_{uuid.uuid4().hex[:8]}"
+        if phys != name:
+            cmap[name] = phys
+        new_schema = StructType(
+            list(schema.fields) + [StructField(name, dt, nullable)]
+        )
+        carry = dict(m)
+        carry["column_mapping"] = _pack_cm(cmap, retired)
+        try:
+            return _commit(
+                path, m["files"], m["stats_cols"],
+                base_version=m["version"],
+                schema_json=new_schema.json(),
+                txns=dict(m.get("txns", {})),
+                commit_info={
+                    "op": "add_column", "column": name, "physical": phys,
+                },
+                fs=fs, carry=carry,
+            )
+        except CommitConflict as e:
+            last_err = e
+            continue
+    raise CommitConflict(
+        f"snap_add_column: lost the commit race {COMMIT_RETRIES} "
+        f"times at {path!r}"
+    ) from last_err
 
 
 def snap_init(
@@ -1860,6 +2197,7 @@ def merge_upsert_cow(
             target_schema, updates.schema, set(), allow_schema_evolution,
             "merge_upsert_cow",
         )
+        _guard_new_columns(m, target_schema, out_schema, "merge_upsert_cow")
         out_cols = [f.name for f in out_schema.fields]
 
         _enforce_constraints(
@@ -2028,6 +2366,7 @@ def apply_cdc_cow(
             target_schema, batch.schema, {op_col}, allow_schema_evolution,
             "apply_cdc_cow",
         )
+        _guard_new_columns(m, target_schema, out_schema, "apply_cdc_cow")
         out_cols = [f.name for f in out_schema.fields]
         if n_upserts:
             # deletes carry no row image to validate; I/U rows must pass
@@ -2223,6 +2562,7 @@ def snap_append(
             target_schema, batch.schema, set(), allow_schema_evolution,
             "snap_append",
         )
+        _guard_new_columns(m, target_schema, out_schema, "snap_append")
         out_cols = [f.name for f in out_schema.fields]
         _enforce_constraints(m, batch.select(*out_cols), "snap_append")
         new_entries = _write_data_files(
@@ -2439,14 +2779,18 @@ def optimize_incremental(
     last_err: Exception | None = None
     for _attempt in range(COMMIT_RETRIES):
         m = read_manifest(path, fs=fs)
+        cm = _cm(m)
         col = cluster_by[0]
-        if col not in m["stats_cols"]:
+        # envelopes/row-group ranges are keyed by the frozen PHYSICAL
+        # name; the caller clusters on the logical one
+        pcol = _phys(cm, col)
+        if pcol not in m["stats_cols"]:
             raise ValueError(
                 f"cluster column {col!r} not tracked in manifest "
                 f"stats_cols {m['stats_cols']}"
             )
         groups = [
-            g for g in _overlap_groups(m["files"], col) if len(g) >= 2
+            g for g in _overlap_groups(m["files"], pcol) if len(g) >= 2
         ]
         if not groups:
             return {
@@ -2494,7 +2838,7 @@ def optimize_incremental(
         if len(chosen) <= 2048:
 
             def _env(i):
-                s = m["files"][i]["stats"][col]
+                s = m["files"][i]["stats"][pcol]
                 return s["min"], s["max"]
 
             def _degree(i):
@@ -2528,7 +2872,9 @@ def optimize_incremental(
         to_rewrite = [m["files"][i] for i in budgeted]
         names = {e["name"] for e in to_rewrite}
         carried = [e for e in m["files"] if e["name"] not in names]
-        df = _read_entries(spark, path, to_rewrite, _manifest_schema(m))
+        df = _read_entries(
+            spark, path, to_rewrite, _manifest_schema(m), cm
+        )
         n_files = max(1, -(-total // target_bytes))  # ceil
         if len(cluster_by) == 2:
             out = zorder_frame(
@@ -2538,7 +2884,9 @@ def optimize_incremental(
             out = df.repartitionByRange(
                 n_files, F.col(col)
             ).sortWithinPartitions(col)
-        new_entries = _write_data_files(spark, out, path, m["stats_cols"], fs)
+        new_entries = _write_data_files(
+            spark, out, path, m["stats_cols"], fs, cm
+        )
         info = {
             "op": "optimize_incremental",
             "rewritten": len(to_rewrite),
@@ -2598,7 +2946,7 @@ def auto_compact(
     every batch.  Returns the optimize stats, or ``None`` when no
     policy fired."""
     m = read_manifest(path, fs=fs)
-    if cluster_by and cluster_by[0] not in m["stats_cols"]:
+    if cluster_by and _phys(_cm(m), cluster_by[0]) not in m["stats_cols"]:
         # silently never firing would let clustering debt grow
         # unbounded; fail as loudly as optimize_incremental does
         raise ValueError(
@@ -2616,7 +2964,7 @@ def auto_compact(
             cluster_by=cluster_by, fs=fs,
         )
     if cluster_by:
-        col = cluster_by[0]
+        col = _phys(_cm(m), cluster_by[0])
         worst = max(
             (len(g) for g in _overlap_groups(m["files"], col)), default=0
         )
@@ -2695,7 +3043,9 @@ def table_changes(
         def _read(entries: list[dict], m: dict) -> DataFrame | None:
             if not entries:
                 return None
-            df = _read_entries(spark, path, entries, _manifest_schema(m))
+            df = _read_entries(
+                spark, path, entries, _manifest_schema(m), _cm(m)
+            )
             # align to the output schema (null-backfill evolved columns)
             have = set(df.columns)
             return df.select(
@@ -2959,12 +3309,23 @@ def expire_snapshots(
     # delta commit records below the retention floor are about to be
     # deleted, so the oldest retained version must become reconstructible
     # on its own: force a compacted checkpoint at exactly v_min BEFORE
-    # any deletion (every retained v > v_min then replays from it)
+    # any deletion (every retained v > v_min then replays from it).
+    # force=True propagates a failed write, and the existence check is
+    # re-verified independently — GC must NEVER delete the only
+    # reconstruction path of the retained versions (permanent table
+    # loss); aborting here leaves the table fully intact.
     if any(v < v_min for v in all_versions):
         _maybe_checkpoint(
             f, path, v_min, read_manifest(path, v_min, fs)["files"],
             force=True,
         )
+        if not f.exists(_ckpt_path(path, v_min)):
+            raise RuntimeError(
+                f"expire_snapshots: retention-floor checkpoint "
+                f"{_ckpt_path(path, v_min)!r} is missing after a forced "
+                "write; aborting GC — deleting the delta chain without "
+                "it would make every retained version unreconstructable"
+            )
     now = time.time()
     deleted = []
     for name in f.listdir(path):
@@ -3239,7 +3600,7 @@ def update_where(
             res["updated"] = 0
             return res
         old = _read_entries(
-            spark, path, candidates, schema
+            spark, path, candidates, schema, _cm(m)
         )
         if schema is not None:
             # UPDATE never evolves the schema: each assignment must
@@ -3278,12 +3639,16 @@ def update_where(
             res = _skipped_result(m)
             res["updated"] = 0
             return res
-        sort_cols = [c for c in m["stats_cols"] if c in out.columns]
+        sort_cols = [
+            c
+            for c in _logical_sort_cols(m["stats_cols"], _cm(m))
+            if c in out.columns
+        ]
         out = out.coalesce(max(1, len(candidates)))
         if sort_cols:
             out = out.sortWithinPartitions(*sort_cols)
         new_entries = _write_data_files(
-            spark, out, path, m["stats_cols"], fs
+            spark, out, path, m["stats_cols"], fs, _cm(m)
         )
         txns = dict(m.get("txns", {}))
         if txn_app is not None:
@@ -3391,6 +3756,12 @@ def snap_restore(
                 m, snap_read(spark, path, version, fs), "snap_restore"
             )
             validated_for = cons
+        # data-defining metadata (the column mapping) travels with the
+        # restored FILE SET; operational metadata (txns, constraints)
+        # stays CURRENT's — a restored version must read under its own
+        # names, not whatever renames landed after it
+        carry = dict(m)
+        carry["column_mapping"] = target.get("column_mapping")
         try:
             return _commit(
                 path, target["files"], target["stats_cols"],
@@ -3399,7 +3770,7 @@ def snap_restore(
                 txns=dict(m.get("txns", {})),
                 commit_info={"op": "restore",
                              "restored_version": int(version)},
-                fs=fs, carry=m,
+                fs=fs, carry=carry,
             )
         except CommitConflict as e:
             last_err = e
@@ -3531,7 +3902,8 @@ def merge_into(
             })
             return res
         stats_cols = m["stats_cols"]
-        missing = [k for k in keys if k not in stats_cols]
+        cm = _cm(m)
+        missing = [k for k in keys if _phys(cm, k) not in stats_cols]
         if missing:
             raise ValueError(
                 f"merge keys {missing} not tracked in manifest stats_cols "
@@ -3574,11 +3946,11 @@ def merge_into(
             overlapping = list(m["files"])
         else:
             for f_entry in m["files"]:
-                (overlapping if _overlaps(f_entry, probe, keys, bl)
+                (overlapping if _overlaps(f_entry, probe, keys, bl, cm)
                  else carried).append(f_entry)
 
         if overlapping:
-            t = _read_entries(spark, path, overlapping, schema)
+            t = _read_entries(spark, path, overlapping, schema, cm)
         else:
             # no file can hold a matching key (e.g. an insert-only
             # merge of a brand-new key range): an empty target side —
@@ -3789,11 +4161,15 @@ def merge_into(
                 .drop("_action")
                 .coalesce(max(1, len(overlapping)))
                 .sortWithinPartitions(
-                    *[k for k in stats_cols if k in tcols]
+                    *[
+                        k
+                        for k in _logical_sort_cols(stats_cols, cm)
+                        if k in tcols
+                    ]
                 )
             )
             new_entries = _write_data_files(
-                spark, out, path, stats_cols, fs
+                spark, out, path, stats_cols, fs, cm
             )
         finally:
             tagged.unpersist()

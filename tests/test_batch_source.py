@@ -172,3 +172,62 @@ def test_empty_append_is_a_noop(spark, tmp_path, fs_opt):
     snap_init(spark, _df(spark, 0), path, stats_cols=["k"])
     _write(_df(spark, 0).filter("k < 0"), path, "append", fs_opt)
     assert current_version(path) == 1
+
+
+def test_create_race_falls_back_to_append(spark, tmp_path, snapshot_fs, monkeypatch):
+    """Two concurrent first-writers: the create branch's exists-check
+    is a TOCTOU probe, so the loser's _commit(base_version=0) hits
+    CommitConflict — it must retry as an append against the winner's
+    v1 instead of failing the whole save()."""
+    from pyspark.sql.types import StructType
+
+    from mapreduce_grpc_spark.sources import snapshots as snap
+    from mapreduce_grpc_spark.sources.batch_source import (
+        SnapshotBatchWriter,
+        write_arrow_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    # the "winner": commits v1 between the loser's exists-probe and its
+    # create-commit (simulated by forcing the probe to see version 0)
+    snap_init(spark, _df(spark, 0).coalesce(1), path, stats_cols=["k"])
+    assert current_version(path) == 1
+
+    schema = snap_read(spark, path).schema
+    writer = SnapshotBatchWriter(
+        path, schema, overwrite=False, fs_spec=snapshot_fs.spec,
+        stats_cols=["k"],
+    )
+    # one simulated task output (driver-side stand-in for write())
+    batch_tbl = (
+        _df(spark, 100, 5).toPandas()
+    )
+    import pyarrow as pa
+
+    name = write_arrow_parquet(
+        path, schema.json(), pa.Table.from_pandas(
+            batch_tbl, preserve_index=False
+        ).to_batches(),
+    )
+
+    class _Msg:
+        pass
+
+    msg = _Msg()
+    msg.name = name
+    # one-shot: only the writer's exists-PROBE sees version 0 (the
+    # pre-winner state); every later read sees the real table
+    real_cv = snap.current_version
+    calls = {"n": 0}
+
+    def fake_cv(*a, **k):
+        calls["n"] += 1
+        return 0 if calls["n"] == 1 else real_cv(*a, **k)
+
+    monkeypatch.setattr(snap, "current_version", fake_cv)
+    writer.commit([msg])  # must NOT raise CommitConflict
+    monkeypatch.undo()
+    assert current_version(path) == 2
+    got = snap_read(spark, path)
+    assert got.count() == 25
+    assert read_manifest(path)["commit_info"]["op"] == "batch_append"

@@ -217,3 +217,114 @@ def test_stream_reader_uses_delta_records(spark, tmp_path, small_interval):
     got = spark.read.parquet(out)
     # v1 (10) + v2 (10) + v4 (10); the v3 dv-rewrite commit is skipped
     assert got.count() == 30
+
+
+class _FailingCheckpointFS:
+    """FS wrapper that fails every checkpoint write — the injected
+    ENOSPC / broken-object-store failure mode."""
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def create_exclusive(self, path, text):
+        if os.path.basename(path).startswith("checkpoint-v"):
+            raise OSError("injected checkpoint write failure")
+        return self._inner.create_exclusive(path, text)
+
+
+def test_gc_aborts_when_floor_checkpoint_write_fails(
+    spark, tmp_path, small_interval, snapshot_fs
+):
+    """A failed retention-floor checkpoint must ABORT the GC with the
+    table fully intact — deleting the delta chain without its
+    reconstruction base would be permanent table loss."""
+    path = str(tmp_path / "t")
+    snap_init(spark, _df(spark, 0), path, stats_cols=["k"])
+    for i in range(1, 3):
+        snap_append(spark, path, _df(spark, i * 100))
+    cur = current_version(path)
+    manifests_before = sorted(
+        os.listdir(os.path.join(path, "_manifests"))
+    )
+    failing = _FailingCheckpointFS(snapshot_fs.fs)
+    with pytest.raises(Exception):
+        expire_snapshots(path, keep_last=1, fs=failing)
+    # nothing deleted: every manifest survives and every version reads
+    assert (
+        sorted(os.listdir(os.path.join(path, "_manifests")))
+        == manifests_before
+    )
+    snap._RECON_CACHE.clear()
+    for v in range(1, cur + 1):
+        assert snap_read(spark, path, version=v).count() == v * 10
+    # with the failure gone the same GC succeeds
+    deleted = expire_snapshots(path, keep_last=1)
+    assert any(n.startswith("v") for n in deleted)
+    assert snap_read(spark, path).count() == cur * 10
+
+
+def test_interval_checkpoint_failure_warns_not_raises(
+    tmp_path, snapshot_fs
+):
+    """Best-effort interval checkpoints stay best-effort, but failures
+    are counted and warned — never silent (a persistently failing
+    writer degrades every cold read to full replay)."""
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
+    failing = _FailingCheckpointFS(snapshot_fs.fs)
+    snap._CKPT_FAILURES.pop(path, None)
+    with pytest.warns(RuntimeWarning, match="checkpoint write failed"):
+        ok = snap._maybe_checkpoint(
+            failing, path, snap.CHECKPOINT_INTERVAL, []
+        )
+    assert ok is False
+    assert snap._CKPT_FAILURES[path] == 1
+    with pytest.warns(RuntimeWarning, match="2 consecutive"):
+        snap._maybe_checkpoint(failing, path, snap.CHECKPOINT_INTERVAL, [])
+    # a successful write clears the failure streak
+    ok = snap._maybe_checkpoint(
+        snapshot_fs.fs, path, snap.CHECKPOINT_INTERVAL, []
+    )
+    assert ok is True
+    assert path not in snap._CKPT_FAILURES
+    # and force=True PROPAGATES instead of warning
+    with pytest.raises(OSError):
+        snap._maybe_checkpoint(
+            failing, path, snap.CHECKPOINT_INTERVAL + 1, [], force=True
+        )
+
+
+def test_recon_cache_keys_on_commit_uid(spark, tmp_path, snapshot_fs):
+    """The reconstruction cache keys on the commit record's random uid,
+    so a table dir deleted and re-created at the same path can never
+    serve a stale file list (stat-pair keys could collide under coarse
+    mtime granularity)."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    snap_init(spark, _df(spark, 0), path, stats_cols=["k"])
+    raw1 = _raw(path, 1)
+    assert raw1.get("uid")
+    key = snap._recon_key(snapshot_fs.fs, path, 1, raw1)
+    assert key == (path, 1, raw1["uid"])
+    # poison the cache under the OLD stat-based key shape: the uid key
+    # must never hit it
+    mp = os.path.join(path, "_manifests", "v1.json")
+    stale_key = (
+        path, 1, snapshot_fs.fs.getmtime(mp), snapshot_fs.fs.getsize(mp)
+    )
+    snap._RECON_CACHE[stale_key] = [{"name": "data-STALE.parquet"}]
+    names1 = {e["name"] for e in read_manifest(path, 1)["files"]}
+    assert "data-STALE.parquet" not in names1
+    # re-create the table at the same path: fresh uid, fresh listing
+    shutil.rmtree(path)
+    snap_init(spark, _df(spark, 500), path, stats_cols=["k"])
+    raw1b = _raw(path, 1)
+    assert raw1b["uid"] != raw1["uid"]
+    names2 = {e["name"] for e in read_manifest(path, 1)["files"]}
+    assert names2 == {e["name"] for e in raw1b["adds"]}
+    assert names2.isdisjoint(names1)
+    assert snap_read(spark, path).agg({"k": "min"}).collect()[0][0] == 500
