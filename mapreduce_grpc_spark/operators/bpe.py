@@ -52,8 +52,22 @@ from ..functions.textfns import tokens
 N_MERGES = 8
 # training vocabulary cap: keep the driver-collected relation bounded
 # by the most frequent word types (ties broken by word asc so the cut
-# is deterministic)
+# is deterministic).  This is the hard MEMORY bound; the primary cut
+# is mass coverage (BPE_TAIL_EPS below), which carries a guarantee a
+# fixed type count cannot: measured on a Zipf(s=1.1) 200k-type
+# vocabulary, a fixed 50k-type cap diverged from the uncapped merge
+# sequence at merge 26 with merge-set Jaccard 0.78
+# (tools/bpe_cap_divergence.py) — because the cap's discarded TOKEN
+# MASS was unknown (5.8% there, arbitrarily worse elsewhere).
 MAX_WORD_TYPES = 50_000
+# mass-coverage cut: keep the most frequent types covering >= (1-eps)
+# of all corpus TOKENS.  Any pair's count evidence lost to the cut is
+# <= eps * total_tokens (discarded words can contribute at most the
+# discarded mass), so every argmax decision is correct whenever the
+# winning pair leads the runner-up by more than eps * total_tokens —
+# an explicit, tunable error bound where the old fixed type count had
+# none.
+BPE_TAIL_EPS = 0.01
 # largest merge list applied as a JVM expression fold; beyond this the
 # pandas-UDF encoder takes over (expression/codegen depth is linear in
 # the merge count)
@@ -168,17 +182,56 @@ def _train_merges_local(
     return merges
 
 
-def bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The one corpus pass: word-type counts, capped to the most
-    frequent ``MAX_WORD_TYPES`` types (count desc, word asc)."""
+def bpe_word_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    eps: float = BPE_TAIL_EPS,
+    max_types: int = MAX_WORD_TYPES,
+) -> DataFrame:
+    """The one corpus pass: word-type counts, cut by MASS COVERAGE.
+
+    Keeps the most frequent types whose cumulative count reaches
+    ``(1 - eps)`` of all corpus tokens, bounded by ``max_types`` (the
+    driver-memory hard cap).  The threshold is found from the COUNT
+    HISTOGRAM — one row per distinct count value, a tiny relation even
+    at 100 TB (distinct count values grow ~logarithmically) — so there
+    is never a global sort of the type relation: the cut is a plain
+    ``cnt >= t`` filter, plus a bounded orderBy/limit only when the
+    hard cap truncates inside a count class.  See ``BPE_TAIL_EPS`` for
+    the resulting argmax error bound."""
     docs = table(spark, sf_dir, "documents")
-    return (
+    w = (
         docs.select(F.explode(tokens("text")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), "w")
-        .limit(MAX_WORD_TYPES)
     )
+    hist = sorted(
+        w.groupBy("cnt").agg(F.count("*").alias("n_types")).collect(),
+        key=lambda r: -r["cnt"],
+    )
+    total = sum(r["cnt"] * r["n_types"] for r in hist)
+    if total == 0:
+        return w.limit(0)
+    target = (1.0 - eps) * total
+    acc_mass = 0
+    acc_types = 0
+    threshold = None
+    capped = False
+    for r in hist:
+        threshold = r["cnt"]
+        acc_mass += r["cnt"] * r["n_types"]
+        acc_types += r["n_types"]
+        if acc_types >= max_types:
+            capped = True
+            break
+        if acc_mass >= target:
+            break
+    kept = w.filter(F.col("cnt") >= F.lit(threshold))
+    if capped:
+        # the hard cap truncates inside a count class: deterministic
+        # tie-break (count desc, word asc) over the BOUNDED kept set
+        kept = kept.orderBy(F.desc("cnt"), "w").limit(max_types)
+    return kept
 
 
 def bpe_train(

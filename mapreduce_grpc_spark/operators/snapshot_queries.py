@@ -495,20 +495,24 @@ QUERIES = {
     # rotated IN (round 7, replacing the redundant ngrams text query):
     # the full conditional MERGE grammar under the driver's own hash
     "snapshot_merge_into": snapshot_merge_into,
+    # rotated IN (round 9, replacing the redundant text_stats row): a
+    # REAL Structured Streaming query through the native source+sink
+    # (offset pacing, Arrow write path, txn-marked commits) under the
+    # driver's own comparator
+    "streaming_table_pipeline": streaming_table_pipeline,
 }
 ORACLES = {
     "snapshot_timetravel": SNAPSHOT_TIMETRAVEL_SQL,
     "snapshot_merge_into": SNAPSHOT_MERGE_INTO_SQL,
+    "streaming_table_pipeline": STREAMING_TABLE_PIPELINE_SQL,
 }
 AUX_QUERIES = {
     "matview_orders": matview_orders,
     "snapshot_delete_scan": snapshot_delete_scan,
-    "streaming_table_pipeline": streaming_table_pipeline,
     "snapshot_update_restore": snapshot_update_restore,
 }
 AUX_ORACLES = {
     "matview_orders": MATVIEW_ORDERS_SQL,
     "snapshot_delete_scan": SNAPSHOT_DELETE_SCAN_SQL,
-    "streaming_table_pipeline": STREAMING_TABLE_PIPELINE_SQL,
     "snapshot_update_restore": SNAPSHOT_UPDATE_RESTORE_SQL,
 }

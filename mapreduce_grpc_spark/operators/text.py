@@ -564,7 +564,6 @@ QUERIES = {
     "wordcount": wordcount,
     "grep_filter": grep_filter,
     "inverted_index": inverted_index,
-    "text_stats": text_stats,
     "text_quality": text_quality,
     "lang_id": lang_id,
     "tfidf": tfidf,
@@ -671,6 +670,10 @@ AUX_QUERIES = {
     # rotated out of the 50-query contract (round 7) to make room for
     # snapshot_timetravel — still pytest-hash-checked and benched here
     "doc_fingerprint": doc_fingerprint,
+    # rotated out (round 9) for streaming_table_pipeline — the length/
+    # token/line stats are the contract's most redundant text row
+    # (text_quality hash-checks the same signal family)
+    "text_stats": text_stats,
 }
 
 AUX_ORACLES = {
@@ -678,6 +681,7 @@ AUX_ORACLES = {
     "bm25_topk": BM25_TOPK_SQL,
     "heavy_hitters": HEAVY_HITTERS_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "text_stats": TEXT_STATS_SQL,
 }
 
 ORACLES = {
@@ -686,7 +690,6 @@ ORACLES = {
     "wordcount": WORDCOUNT_SQL,
     "grep_filter": GREP_FILTER_SQL,
     "inverted_index": INVERTED_INDEX_SQL,
-    "text_stats": TEXT_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "lang_id": LANG_ID_SQL,
 }

@@ -366,6 +366,8 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                     self._stats_cols,
                     base_version=0,
                     schema_json=self._schema_json,
+                    adds=entries,
+                    removes=[],
                     commit_info={
                         "op": "batch_create", "added": len(entries)
                     },
@@ -380,6 +382,21 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                 # checked against the winner's manifest below)
                 pass
         m0 = read_manifest(self._path, fs=f)
+        from .snapshots import _cm as _cm_of
+
+        if _cm_of(m0) != self._cm:
+            # the table's column mapping changed between plan time (the
+            # tasks wrote bytes under the OLD physical names) and this
+            # commit — publishing would mis-name columns; drop the
+            # never-visible files and fail loudly for a retry
+            for n in names:
+                if f.exists(os.path.join(self._path, n)):
+                    f.remove(os.path.join(self._path, n))
+            raise CommitConflict(
+                f"snapshot_table batch writer: column mapping of "
+                f"{self._path!r} changed during the write (a concurrent "
+                "rename/drop); re-run the save()"
+            )
         target_schema = _manifest_schema(m0)
         if target_schema is not None:
             _check_batch_schema(
@@ -402,6 +419,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                     [os.path.join(self._path, n) for n in names],
                     cons,
                     "batch_write",
+                    self._cm,
                 )
             except Exception:
                 for n in names:
@@ -439,6 +457,12 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                     commit_info={"op": op, "added": len(entries)},
                     fs=f,
                     carry=m,
+                    adds=entries,
+                    removes=(
+                        [e["name"] for e in m["files"]]
+                        if self._overwrite
+                        else []
+                    ),
                 )
                 return
             except CommitConflict:

@@ -385,6 +385,8 @@ def rollup_refresh_snap(
         txns=dict(m.get("txns", {})),
         commit_info={"op": "rollup_refresh", "days": len(days_norm)},
         carry=m,
+        adds=new_entries,
+        removes=[f["name"] for f in overlapping],
     )
     return len(days_norm)
 

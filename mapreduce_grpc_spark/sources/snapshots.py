@@ -885,6 +885,8 @@ def _commit(
     commit_info: dict | None = None,
     fs: LocalSnapshotFS | None = None,
     carry: dict | None = None,
+    adds: list[dict] | None = None,
+    removes: list[str] | None = None,
 ) -> int:
     """Write manifest v(base+1) and atomically swap CURRENT to it.
 
@@ -898,7 +900,17 @@ def _commit(
     ``carry`` is the base manifest the caller read: table-level
     metadata that every commit must preserve (``constraints``) is
     copied forward from it, so a write path can never silently drop a
-    CHECK constraint just because it rebuilt the manifest dict."""
+    CHECK constraint just because it rebuilt the manifest dict.
+
+    ``adds``/``removes`` (pass BOTH) are the caller's explicit delta vs
+    the base — every mutator knows exactly what it rewrote, so handing
+    the sets over makes commit cost O(changed files) with NO in-memory
+    diff of the full listing (the residual O(table) the manifest-scale
+    block notes).  ``files`` must still be the complete post-commit
+    list (it seeds the reconstruction cache and checkpoints); an entry
+    rewritten in place (new dv/bloom) appears in BOTH lists.  Omitting
+    them falls back to the base diff — correct for callers that only
+    hold the full list."""
     f = _fs(fs)
     mdir = os.path.join(path, _MANIFEST_DIR)
     f.makedirs(mdir)
@@ -906,23 +918,24 @@ def _commit(
     # the commit record stores the DELTA vs the base the caller read,
     # not the full listing — see the manifest-scale block above.  A
     # rewritten entry (same name, new dv/bloom) appears in BOTH lists.
-    if base_version == 0:
-        base_files: list[dict] = []
-    elif carry is not None and "files" in carry:
-        base_files = carry["files"]
-    else:
-        base_files = read_manifest(path, base_version, fs)["files"]
-    base_by_name = {e["name"]: e for e in base_files}
-    new_names = {e["name"] for e in files}
-    removes = [n for n in base_by_name if n not in new_names]
-    adds = []
-    for e in files:
-        b = base_by_name.get(e["name"])
-        if b is None:
-            adds.append(e)
-        elif b != e:
-            removes.append(e["name"])
-            adds.append(e)
+    if adds is None or removes is None:
+        if base_version == 0:
+            base_files: list[dict] = []
+        elif carry is not None and "files" in carry:
+            base_files = carry["files"]
+        else:
+            base_files = read_manifest(path, base_version, fs)["files"]
+        base_by_name = {e["name"]: e for e in base_files}
+        new_names = {e["name"] for e in files}
+        removes = [n for n in base_by_name if n not in new_names]
+        adds = []
+        for e in files:
+            b = base_by_name.get(e["name"])
+            if b is None:
+                adds.append(e)
+            elif b != e:
+                removes.append(e["name"])
+                adds.append(e)
     manifest = {
         "version": version,
         # random commit identity: what makes the reconstruction cache
@@ -1180,7 +1193,7 @@ def snap_rename_column(
                 commit_info={
                     "op": "rename_column", "from": old, "to": new,
                 },
-                fs=fs, carry=carry,
+                fs=fs, carry=carry, adds=[], removes=[],
             )
         except CommitConflict as e:
             last_err = e
@@ -1246,7 +1259,7 @@ def snap_drop_column(
                 commit_info={
                     "op": "drop_column", "column": col, "physical": phys,
                 },
-                fs=fs, carry=carry,
+                fs=fs, carry=carry, adds=[], removes=[],
             )
         except CommitConflict as e:
             last_err = e
@@ -1323,7 +1336,7 @@ def snap_add_column(
                 commit_info={
                     "op": "add_column", "column": name, "physical": phys,
                 },
-                fs=fs, carry=carry,
+                fs=fs, carry=carry, adds=[], removes=[],
             )
         except CommitConflict as e:
             last_err = e
@@ -1356,6 +1369,7 @@ def snap_init(
     return _commit(
         path, files, stats_cols, base_version=0,
         schema_json=df.schema.json(), txns=txns, fs=fs,
+        adds=files, removes=[],
     )
 
 
@@ -1797,6 +1811,8 @@ def _delete_mor(
             return _skipped_result(m)
 
         files: list[dict] = []
+        adds: list[dict] = []  # repointed entries (explicit commit delta)
+        removes: list[str] = []
         fully_deleted = 0
         for e in m["files"]:
             t = totals.get(e["name"])
@@ -1804,10 +1820,13 @@ def _delete_mor(
                 files.append(e)
             elif t >= e["rows"]:
                 fully_deleted += 1  # every row dead: drop the entry
+                removes.append(e["name"])
             else:
                 e2 = {k: v for k, v in e.items() if k != "dv"}
                 e2["dv"] = {"file": sidecar, "rows": t}
                 files.append(e2)
+                removes.append(e["name"])
+                adds.append(e2)
         n_new = sum(totals.values()) - sum(old_rows.values())
         txns = dict(m.get("txns", {}))
         if txn_app is not None:
@@ -1826,6 +1845,7 @@ def _delete_mor(
                 base_version=m["version"],
                 schema_json=m.get("schema"),
                 txns=txns, commit_info=info, fs=fs, carry=m,
+                adds=adds, removes=removes,
             )
         except CommitConflict as e:
             last_err = e
@@ -2251,6 +2271,8 @@ def merge_upsert_cow(
                 base_version=m["version"],
                 schema_json=out_schema.json(),
                 txns=txns, commit_info=info, fs=fs, carry=m,
+                adds=new_entries,
+                removes=[e["name"] for e in overlapping],
             )
         except CommitConflict as e:
             # the freshly written files become expirable orphans; the
@@ -2465,6 +2487,8 @@ def apply_cdc_cow(
                 sidecar, dv_totals = "", {}
 
         files_out = list(carried)
+        adds = list(new_entries)  # explicit commit delta
+        removes = [e["name"] for e in overlapping]
         dropped = 0
         for e in dv_cands:
             t = dv_totals.get(e["name"])
@@ -2472,10 +2496,13 @@ def apply_cdc_cow(
                 files_out.append(e)
             elif t >= e["rows"]:
                 dropped += 1
+                removes.append(e["name"])
             else:
                 e2 = {k: v for k, v in e.items() if k != "dv"}
                 e2["dv"] = {"file": sidecar, "rows": t}
                 files_out.append(e2)
+                removes.append(e["name"])
+                adds.append(e2)
         files_out += new_entries
 
         if not new_entries and not dv_totals and txn_app is None:
@@ -2508,6 +2535,7 @@ def apply_cdc_cow(
                 base_version=m["version"],
                 schema_json=out_schema.json(),
                 txns=txns, commit_info=info, fs=fs, carry=m,
+                adds=adds, removes=removes,
             )
         except CommitConflict as e:
             last_err = e
@@ -2585,6 +2613,7 @@ def snap_append(
                 base_version=m["version"],
                 schema_json=out_schema.json(),
                 txns=txns, commit_info=info, fs=fs, carry=m,
+                adds=new_entries, removes=[],
             )
         except CommitConflict as e:
             last_err = e
@@ -2597,6 +2626,79 @@ def snap_append(
     raise CommitConflict(
         f"snap_append: lost the commit race {COMMIT_RETRIES} times at "
         f"{path!r}"
+    ) from last_err
+
+
+def snap_overwrite(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
+    fs: LocalSnapshotFS | None = None,
+) -> dict:
+    """Replace the table's ENTIRE file set with ``df``'s rows in one
+    commit (``mode("overwrite")`` for the library API — the batch
+    DataSource already exposes it via the format string).
+
+    Old versions stay readable (time travel) until GC; schema must
+    match the recorded schema by (name, type) — overwrite replaces
+    DATA, not shape (evolve via snap_append/merge or the column DDL);
+    CHECK constraints validate the incoming rows; the column mapping
+    carries forward and the new files land under the physical names.
+    Cost is O(new data) + an O(1) commit; the removed files become
+    GC-collectable when their versions expire."""
+    last_err: Exception | None = None
+    written: list[dict] | None = None
+    written_cm: dict = {}
+    for _attempt in range(COMMIT_RETRIES):
+        m = read_manifest(path, fs=fs)
+        if _txn_already_applied(m, txn_app, txn_batch):
+            return _skipped_result(m)
+        target_schema = _manifest_schema(m)
+        if target_schema is not None:
+            _check_batch_schema(
+                target_schema, df.schema, set(), False, "snap_overwrite"
+            )
+        _enforce_constraints(m, df, "snap_overwrite")
+        if written is not None and _cm(m) != written_cm:
+            written = None  # a racing rename moved the physical names
+        if written is None:  # files are commit-agnostic: write once
+            written_cm = _cm(m)
+            written = _write_data_files(
+                spark, df, path, m["stats_cols"], fs, written_cm
+            )
+        txns = dict(m.get("txns", {}))
+        if txn_app is not None:
+            txns[txn_app] = int(txn_batch)
+        info = {
+            "op": "overwrite",
+            "added": len(written),
+            "removed": len(m["files"]),
+        }
+        if txn_app is not None:
+            info["txn"] = {"app": txn_app, "batch": int(txn_batch)}
+        try:
+            version = _commit(
+                path, written, m["stats_cols"],
+                base_version=m["version"],
+                schema_json=m.get("schema"),
+                txns=txns, commit_info=info, fs=fs, carry=m,
+                adds=written,
+                removes=[e["name"] for e in m["files"]],
+            )
+        except CommitConflict as e:
+            last_err = e
+            continue
+        return {
+            "version": version,
+            "added": len(written),
+            "removed": len(m["files"]),
+            "carried": 0,
+        }
+    raise CommitConflict(
+        f"snap_overwrite: lost the commit race {COMMIT_RETRIES} times "
+        f"at {path!r}"
     ) from last_err
 
 
@@ -2695,6 +2797,8 @@ def optimize_snapshot(
                 schema_json=m.get("schema"),
                 txns=dict(m.get("txns", {})),
                 commit_info=info, fs=fs, carry=m,
+                adds=new_entries,
+                removes=[e["name"] for e in to_rewrite],
             )
         except CommitConflict as e:
             last_err = e
@@ -2900,6 +3004,8 @@ def optimize_incremental(
                 schema_json=m.get("schema"),
                 txns=dict(m.get("txns", {})),
                 commit_info=info, fs=fs, carry=m,
+                adds=new_entries,
+                removes=[e["name"] for e in to_rewrite],
             )
         except CommitConflict as e:
             last_err = e
@@ -3404,7 +3510,7 @@ def _enforce_constraints(m: dict, df: DataFrame, op: str) -> None:
 
 
 def _enforce_constraints_files(
-    paths: list[str], cons: dict, op: str
+    paths: list[str], cons: dict, op: str, cm: dict | None = None
 ) -> None:
     """Session-free CHECK validation over parquet files via DuckDB —
     for contexts with no SparkSession (the streaming sink's ``commit``
@@ -3412,7 +3518,9 @@ def _enforce_constraints_files(
     semantics as ``_enforce_constraints`` (violation = expression
     FALSE, NULL passes); an expression DuckDB cannot evaluate fails
     the batch LOUDLY rather than skipping the check — keep constraint
-    expressions ANSI-portable on tables that are streamed into."""
+    expressions ANSI-portable on tables that are streamed into.
+    ``cm`` (logical->physical) re-surfaces a mapped table's physical
+    column names under the logical ones the expressions reference."""
     if not cons or not paths:
         return
     import duckdb
@@ -3423,6 +3531,18 @@ def _enforce_constraints_files(
         + ", ".join("'" + p.replace("'", "''") + "'" for p in paths)
         + "])"
     )
+    renames = [
+        (p, l) for l, p in sorted((cm or {}).items()) if p != l
+    ]
+    if renames:
+        # alias physical -> logical (star-EXCLUDE keeps the rest; the
+        # column ORDER is irrelevant to constraint evaluation)
+        aliased = ", ".join(f'"{p}" AS "{l}"' for p, l in renames)
+        excluded = ", ".join(f'"{p}"' for p, _ in renames)
+        files_sql = (
+            f"(SELECT {aliased}, * EXCLUDE ({excluded}) "
+            f"FROM {files_sql})"
+        )
     for name, expr in sorted(cons.items()):
         try:
             bad = con.execute(
@@ -3501,7 +3621,7 @@ def snap_add_constraint(
                 txns=dict(m.get("txns", {})),
                 commit_info={"op": "add_constraint", "name": name,
                              "expr": expr},
-                fs=fs, carry=carry,
+                fs=fs, carry=carry, adds=[], removes=[],
             )
         except CommitConflict as e:
             last_err = e
@@ -3537,7 +3657,7 @@ def snap_drop_constraint(
                 schema_json=m.get("schema"),
                 txns=dict(m.get("txns", {})),
                 commit_info={"op": "drop_constraint", "name": name},
-                fs=fs, carry=carry,
+                fs=fs, carry=carry, adds=[], removes=[],
             )
         except CommitConflict as e:
             last_err = e
@@ -3668,6 +3788,8 @@ def update_where(
                 base_version=m["version"],
                 schema_json=m.get("schema"),
                 txns=txns, commit_info=info, fs=fs, carry=m,
+                adds=new_entries,
+                removes=[e["name"] for e in candidates],
             )
         except CommitConflict as e:
             last_err = e
@@ -4195,6 +4317,8 @@ def merge_into(
                 base_version=m["version"],
                 schema_json=m.get("schema"),
                 txns=txns, commit_info=info, fs=fs, carry=m,
+                adds=new_entries,
+                removes=[e["name"] for e in overlapping],
             )
         except CommitConflict as e:
             last_err = e

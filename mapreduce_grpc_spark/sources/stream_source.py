@@ -110,7 +110,12 @@ PARTITION_TARGET_BYTES = 128 * 1024 * 1024
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, files: list[tuple[str, int]], schema_json: str):
+    def __init__(
+        self,
+        files: list[tuple[str, int]],
+        schema_json: str,
+        cm: dict | None = None,
+    ):
         # [(file_path, commit_version)] — the version is the commit
         # that ADDED the file (provenance column); several small files
         # (possibly from different commits) may share one partition
@@ -119,6 +124,10 @@ class _FilePartition(InputPartition):
         # file is aligned to it at read: columns an old pre-evolution
         # file lacks are null-backfilled, exactly like snap_read
         self.schema_json = schema_json
+        # logical->physical column mapping at planning time: data files
+        # store the frozen PHYSICAL names (a renamed column's bytes
+        # must surface under its logical name, not null-backfill)
+        self.cm = cm or {}
 
 
 def _dv_sig(e: dict) -> tuple:
@@ -137,6 +146,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         max_bytes: int | None = None,
         with_commit_version: bool = False,
         fs_spec: str | None = None,
+        cm: dict | None = None,
     ):
         from .snapshots import load_fs
 
@@ -147,6 +157,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         self._schema_json = schema_json
         self._max_versions = max_versions
         self._max_bytes = max_bytes
+        self._cm = cm or {}
         # all manifest/CURRENT access goes through the FS seam (a
         # stateless, picklable object — the reader is shipped to
         # executors for read(), which itself only touches data bytes)
@@ -287,24 +298,38 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         for p, v, b in files:
             cost = max(b, OPEN_COST_BYTES)
             if bin_files and bin_cost + cost > PARTITION_TARGET_BYTES:
-                parts.append(_FilePartition(bin_files, self._schema_json))
+                parts.append(
+                    _FilePartition(bin_files, self._schema_json, self._cm)
+                )
                 bin_files, bin_cost = [], 0
             bin_files.append((p, v))
             bin_cost += cost
         if bin_files:
-            parts.append(_FilePartition(bin_files, self._schema_json))
-        return parts or [_FilePartition([], "")]
+            parts.append(
+                _FilePartition(bin_files, self._schema_json, self._cm)
+            )
+        return parts or [_FilePartition([], "", self._cm)]
 
     def read(self, partition: _FilePartition):
         # executor-side: the partition's parquet files -> Arrow batches
         for file_path, commit_version in partition.files:
             yield from self._read_one(
-                file_path, commit_version, partition.schema_json
+                file_path,
+                commit_version,
+                partition.schema_json,
+                partition.cm,
             )
 
-    def _read_one(self, file_path: str, commit_version: int, schema_json: str):
+    def _read_one(
+        self,
+        file_path: str,
+        commit_version: int,
+        schema_json: str,
+        cm: dict | None = None,
+    ):
         import pyarrow.parquet as pq
 
+        cm = cm or {}
         table = pq.read_table(file_path)
         if schema_json:
             # align to the DECLARED schema: null-backfill columns this
@@ -330,10 +355,11 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             have = set(table.schema.names)
             arrays = []
             for field in target:
-                if field.name in have:
-                    arrays.append(
-                        table.column(field.name).cast(field.type)
-                    )
+                # files store PHYSICAL names (frozen at first write);
+                # the declared schema is logical
+                phys = cm.get(field.name, field.name)
+                if phys in have:
+                    arrays.append(table.column(phys).cast(field.type))
                 else:
                     arrays.append(pa.nulls(table.num_rows, field.type))
             if add_version:
@@ -386,11 +412,15 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
         schema: StructType,
         txn_app: str,
         fs_spec: str | None = None,
+        cm: dict | None = None,
     ):
         self._path = path
         self._schema_json = schema.json()
         self._txn_app = txn_app
         self._fs_spec = fs_spec
+        # logical->physical mapping captured at query planning; each
+        # micro-batch commit re-checks it (see commit())
+        self._cm = cm or {}
 
     def write(self, iterator) -> _FileCommit:
         # iterator of pyarrow RecordBatch (DataSourceStreamArrowWriter):
@@ -400,7 +430,9 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
         from .batch_source import write_arrow_parquet
 
         return _FileCommit(
-            write_arrow_parquet(self._path, self._schema_json, iterator)
+            write_arrow_parquet(
+                self._path, self._schema_json, iterator, self._cm
+            )
         )
 
     def commit(self, messages, batchId: int) -> None:
@@ -432,6 +464,21 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
                 if f.exists(os.path.join(self._path, n)):
                     f.remove(os.path.join(self._path, n))
             return
+        from .snapshots import _cm as _cm_of
+
+        if _cm_of(m0) != self._cm:
+            # a rename/drop landed after the query planned: this
+            # batch's files carry the OLD physical names — publishing
+            # them would mis-name columns.  Fail the query loudly;
+            # restarting re-plans against the new mapping.
+            for n in names:
+                if f.exists(os.path.join(self._path, n)):
+                    f.remove(os.path.join(self._path, n))
+            raise CommitConflict(
+                f"snapshot_table sink: column mapping of {self._path!r} "
+                "changed while the query was running (a concurrent "
+                "rename/drop); restart the query to re-plan"
+            )
         target_schema = _manifest_schema(m0)
         if target_schema is not None:
             # same validator as the batch writers: (name, type) match,
@@ -458,6 +505,7 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
                     [os.path.join(self._path, n) for n in names],
                     cons,
                     "stream_sink",
+                    self._cm,
                 )
             except Exception:
                 for n in names:
@@ -504,6 +552,8 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
                     m["stats_cols"],
                     base_version=m["version"],
                     schema_json=m.get("schema"),
+                    adds=entries,
+                    removes=[],
                     txns=txns,
                     commit_info={
                         "op": "stream_sink",
@@ -558,6 +608,28 @@ class SnapshotTableStreamSource(DataSource):
     def _version_as_of(self) -> int | None:
         v = self.options.get("versionasof")
         return int(v) if v is not None else None
+
+    def _column_mapping(self) -> dict:
+        """Logical->physical map of the planned version (same version
+        ``schema()`` declares) — {} on fresh/unmapped tables."""
+        path = self._path()
+        fs = self._fs()
+        v = self._version_as_of()
+        try:
+            if v is None:
+                v = int(
+                    fs.read_text(
+                        os.path.join(path, "_manifests", "CURRENT")
+                    ).strip()
+                )
+            raw = json.loads(
+                fs.read_text(
+                    os.path.join(path, "_manifests", f"v{v}.json")
+                )
+            )
+        except (FileNotFoundError, ValueError):
+            return {}
+        return (raw.get("column_mapping") or {}).get("map") or {}
 
     def schema(self) -> StructType:
         path = self._path()
@@ -637,6 +709,7 @@ class SnapshotTableStreamSource(DataSource):
             max_bytes=_positive("maxbytespertrigger", "maxBytesPerTrigger"),
             with_commit_version=self._flag("withcommitversion"),
             fs_spec=self.options.get("fsimpl"),
+            cm=self._column_mapping(),
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):
@@ -662,7 +735,11 @@ class SnapshotTableStreamSource(DataSource):
                 "together with the checkpoint when reprocessing)"
             )
         return _SnapshotStreamWriter(
-            self._path(), schema, txn_app, fs_spec=self.options.get("fsimpl")
+            self._path(),
+            schema,
+            txn_app,
+            fs_spec=self.options.get("fsimpl"),
+            cm=self._column_mapping(),
         )
 
     # -- batch surface (same format string; see batch_source.py) ------

@@ -50,6 +50,7 @@ from .snapshots import (
     delete_keys_mor,
     merge_upsert_cow,
     snap_init,
+    snap_overwrite,
     snap_read,
     snap_scan,
 )
@@ -69,6 +70,59 @@ def _centroids_path(path: str) -> str:
 
 def _postings_path(path: str) -> str:
     return os.path.join(path, "postings")
+
+
+def _meta_path(path: str) -> str:
+    return os.path.join(path, "meta")
+
+
+def _mean_assign_dist(postings: DataFrame, cent: DataFrame) -> float:
+    """Mean cosine DISTANCE (1 - cos) of each posting to its assigned
+    centroid — the quantizer-quality scalar the drift trigger tracks.
+    One joined scan, O(1)-row aggregate."""
+    row = (
+        postings.join(F.broadcast(cent), "cell")
+        .agg(
+            F.avg(
+                F.lit(1.0) - cosine(F.col("embedding"), F.col("centroid"))
+            ).alias("d")
+        )
+        .collect()[0]
+    )
+    return float(row["d"]) if row["d"] is not None else 0.0
+
+
+def _write_meta(
+    spark: SparkSession,
+    path: str,
+    baseline: float,
+    n_cells: int,
+    seed: int,
+    fs: LocalSnapshotFS | None,
+    create: bool,
+) -> None:
+    rows = [
+        ("drift_baseline", float(baseline)),
+        ("n_cells", float(n_cells)),
+        ("seed", float(seed)),
+    ]
+    df = spark.createDataFrame(rows, "key string, value double")
+    if create:
+        snap_init(spark, df, _meta_path(path), stats_cols=["key"], fs=fs)
+    else:
+        merge_upsert_cow(spark, _meta_path(path), df, keys=["key"], fs=fs)
+
+
+def _read_meta(
+    spark: SparkSession, path: str, fs: LocalSnapshotFS | None
+) -> dict:
+    try:
+        return {
+            r["key"]: r["value"]
+            for r in snap_read(spark, _meta_path(path), fs=fs).collect()
+        }
+    except FileNotFoundError:
+        return {}  # pre-drift-tracking index (round <= 8 layout)
 
 
 def ivf_index_init(
@@ -112,7 +166,17 @@ def ivf_index_init(
         stats_cols=["cell", "vec_id"],
         fs=fs,
     )
-    return {"cells": n_cells, "centroids_version": cv, "postings_version": pv}
+    # fit-time assignment quality: the drift trigger's baseline
+    baseline = _mean_assign_dist(
+        snap_read(spark, _postings_path(path), fs=fs), cent_df
+    )
+    _write_meta(spark, path, baseline, n_cells, seed, fs, create=True)
+    return {
+        "cells": n_cells,
+        "centroids_version": cv,
+        "postings_version": pv,
+        "drift_baseline": baseline,
+    }
 
 
 def _load_centroids(
@@ -414,6 +478,202 @@ def ivf_rebalance(
         "median": med,
         "max_over_median_before": ratio_before,
         "repaired_cells": repaired,
+    }
+
+
+def ivf_merge_cells(
+    spark: SparkSession,
+    path: str,
+    sparse_factor: float = 0.25,
+    max_merges: int = 2,
+    fs: LocalSnapshotFS | None = None,
+) -> dict:
+    """Budgeted merge of UNDER-occupied cells — ``ivf_rebalance``'s
+    mirror image.  Churn (deletes, skewed inserts, past splits) leaves
+    cells holding far fewer postings than the median; each one still
+    costs a probe slot and a file-open on every query that selects it,
+    so nprobe budget is spent reading near-empty cells instead of
+    candidates (probe cost up, recall per probe down).
+
+    Cells with fewer than ``sparse_factor`` x median postings (and
+    cells with ZERO postings — pure quantizer litter) are merged into
+    their NEAREST sibling centroid, at most ``max_merges`` per run (the
+    ``optimize_incremental`` budget shape: each run's rewrite cost is
+    bounded by the offenders' postings, never the index).  The
+    surviving centroid moves to the posting-count-weighted mean of the
+    pair — exactly the k-means update for the union cell.  Commit
+    order matches the split path (postings move first, then the
+    centroid CDC), so a crash mid-merge leaves only the already-listed
+    target cell fatter plus a stale empty-cell centroid — harmless,
+    finished by the retry; ``ivf_repair`` stays a no-op because no
+    posting ever references a missing centroid.  Returns
+    ``{"merged", "median"}`` with ``merged`` = [(source, target)]."""
+    cent_rows = {
+        int(r["cell"]): [float(x) for x in r["centroid"]]
+        for r in snap_read(spark, _centroids_path(path), fs=fs).collect()
+    }
+    if len(cent_rows) < 2:
+        return {"merged": [], "median": 0}
+    counts = {
+        int(r["cell"]): r["n_vectors"]
+        for r in ivf_cell_stats(spark, path, fs=fs).collect()
+    }
+    import statistics
+
+    med = statistics.median(
+        [counts.get(c, 0) for c in cent_rows]
+    )
+    sparse = sorted(
+        (
+            c
+            for c in cent_rows
+            if counts.get(c, 0) < sparse_factor * max(med, 1)
+        ),
+        key=lambda c: counts.get(c, 0),
+    )[:max_merges]
+    cent_schema = snap_read(spark, _centroids_path(path), fs=fs).schema
+    merged: list[tuple[int, int]] = []
+    retired: set[int] = set()
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    for c in sparse:
+        if c in retired or len(cent_rows) - len(retired) < 2:
+            continue
+        # nearest surviving sibling (driver-side over K x dim — tiny)
+        target = max(
+            (t for t in cent_rows if t != c and t not in retired),
+            key=lambda t: (_cos(cent_rows[c], cent_rows[t]), -t),
+        )
+        n_c, n_t = counts.get(c, 0), counts.get(target, 0)
+        if n_c:
+            batch = (
+                snap_scan(
+                    spark, _postings_path(path), [("cell", "=", c)], fs=fs
+                )
+                .select(
+                    "vec_id",
+                    F.lit(int(target)).cast("int").alias("cell"),
+                    "embedding",
+                )
+            )
+            merge_upsert_cow(
+                spark, _postings_path(path), batch, keys=["vec_id"], fs=fs
+            )
+        total = max(n_c + n_t, 1)
+        new_t = [
+            (n_c * a + n_t * b) / total
+            for a, b in zip(cent_rows[c], cent_rows[target])
+        ]
+        cent_batch = spark.createDataFrame(
+            [(int(c), None, "D"), (int(target), new_t, "U")],
+            StructType(
+                list(cent_schema.fields)
+                + [StructField("_op", StringType())]
+            ),
+        )
+        apply_cdc_cow(
+            spark, _centroids_path(path), cent_batch, keys=["cell"], fs=fs
+        )
+        cent_rows[target] = new_t
+        counts[target] = n_c + n_t
+        retired.add(c)
+        merged.append((int(c), int(target)))
+    return {"merged": merged, "median": med}
+
+
+def ivf_drift_stats(
+    spark: SparkSession,
+    path: str,
+    refit_threshold: float = 1.25,
+    fs: LocalSnapshotFS | None = None,
+) -> dict:
+    """Quantizer drift check: mean assignment distance of the CURRENT
+    postings vs the fit-time baseline recorded at ``ivf_index_init``.
+
+    The quantizer is frozen between re-trains (IVF's contract), so a
+    distribution shift in the inserted vectors shows up exactly here —
+    vectors land ever farther from their nearest centroid, candidate
+    lists get less selective, and recall at fixed nprobe decays.
+    ``drift_ratio > refit_threshold`` recommends ``ivf_refit`` (the
+    scheduled re-quantization); indexes created before drift tracking
+    report ``baseline None`` and never recommend.  Cost: one joined
+    scan + O(1)-row aggregate — cheap enough for a maintenance cron."""
+    cent = snap_read(spark, _centroids_path(path), fs=fs)
+    now = _mean_assign_dist(
+        snap_read(spark, _postings_path(path), fs=fs), cent
+    )
+    meta = _read_meta(spark, path, fs)
+    baseline = meta.get("drift_baseline")
+    ratio = (now / baseline) if baseline else None
+    return {
+        "mean_dist_now": now,
+        "baseline": baseline,
+        "drift_ratio": ratio,
+        "refit_recommended": bool(ratio and ratio > refit_threshold),
+    }
+
+
+def ivf_refit(
+    spark: SparkSession,
+    path: str,
+    n_cells: int | None = None,
+    seed: int = 42,
+    fs: LocalSnapshotFS | None = None,
+) -> dict:
+    """Scheduled re-quantization IN PLACE: re-train the coarse
+    quantizer on the index's CURRENT live vectors and overwrite the
+    centroids + postings tables as new committed versions (old
+    versions stay time-travelable until GC — a bad refit is one
+    ``snap_restore`` away, unlike the rebuild-at-new-path recipe).
+    Resets the drift baseline to the fresh fit's assignment quality.
+    This is the remedy ``ivf_drift_stats`` schedules; cost is a full
+    re-cluster + full postings rewrite, which is exactly why it runs
+    on the drift TRIGGER instead of a timer."""
+    from ..operators.clustering import kmeans_pp_fit
+
+    meta = _read_meta(spark, path, fs)
+    if n_cells is None:
+        n_cells = int(meta.get("n_cells") or N_CELLS)
+    emb = snap_read(spark, _postings_path(path), fs=fs).select(
+        "vec_id", "embedding"
+    )
+    assign, _rounds, cent_rows = kmeans_pp_fit(
+        spark, emb, k=n_cells, seed=seed, return_centroids=True
+    )
+    cent_df = spark.createDataFrame(
+        cent_rows, "k long, carr array<double>"
+    ).select(
+        F.col("k").cast("int").alias("cell"),
+        F.col("carr").alias("centroid"),
+    )
+    postings = (
+        emb.join(
+            assign.select("vec_id", F.col("cluster").alias("cell")),
+            "vec_id",
+        )
+        .select("vec_id", F.col("cell").cast("int").alias("cell"), "embedding")
+        .repartitionByRange(max(2, n_cells // 2), "cell")
+        .sortWithinPartitions("cell", "vec_id")
+    )
+    pv = snap_overwrite(spark, _postings_path(path), postings, fs=fs)
+    cv = snap_overwrite(spark, _centroids_path(path), cent_df, fs=fs)
+    baseline = _mean_assign_dist(
+        snap_read(spark, _postings_path(path), fs=fs), cent_df
+    )
+    _write_meta(
+        spark, path, baseline, n_cells, seed, fs,
+        create=not meta,
+    )
+    return {
+        "cells": n_cells,
+        "centroids_version": cv["version"],
+        "postings_version": pv["version"],
+        "drift_baseline": baseline,
     }
 
 

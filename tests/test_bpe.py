@@ -177,3 +177,35 @@ def test_bpe_apply_pandas_path_matches_sequential_fold(spark):
     ).collect()
     for row, t in zip(small_rows, texts):
         assert row.s == [seq(w, small) for w in t.split()]
+
+
+def test_word_counts_mass_coverage_cut(spark, sf_dir):
+    """The training-vocabulary cut is MASS coverage with an explicit
+    eps bound (argmax evidence lost <= eps * total tokens), bounded by
+    the max_types memory cap — not a blind fixed type count."""
+    from mapreduce_grpc_spark.operators.bpe import bpe_word_counts
+
+    full = bpe_word_counts(spark, sf_dir, eps=0.0)
+    rows = sorted(
+        ((r["w"], r["cnt"]) for r in full.collect()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    total = sum(c for _, c in rows)
+    assert len(rows) > 5
+
+    cut = bpe_word_counts(spark, sf_dir, eps=0.3)
+    kept = {r["w"]: r["cnt"] for r in cut.collect()}
+    # coverage: kept mass >= (1 - eps) of all tokens
+    assert sum(kept.values()) >= 0.7 * total
+    # the cut is a count threshold: every kept count >= every dropped
+    dropped = [c for w, c in rows if w not in kept]
+    if dropped:
+        assert min(kept.values()) >= max(dropped)
+
+    capped = bpe_word_counts(spark, sf_dir, eps=0.0, max_types=5)
+    got = sorted(
+        ((r["w"], r["cnt"]) for r in capped.collect()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert len(got) == 5
+    assert got == rows[:5]  # deterministic head: count desc, word asc

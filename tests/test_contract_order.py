@@ -6,7 +6,7 @@ This list is the release-to-release contract — change it deliberately."""
 from __future__ import annotations
 
 CONTRACT_ORDER = [
-    "wordcount", "grep_filter", "inverted_index", "text_stats",
+    "wordcount", "grep_filter", "inverted_index",
     "text_quality", "lang_id", "tfidf",
     "pipeline_clean_corpus", "udtf_wordcount", "pandas_token_count",
     "streaming_tumbling", "streaming_sessionize", "mapreduce_wordcount",
@@ -20,6 +20,7 @@ CONTRACT_ORDER = [
     "tumbling_window", "sliding_window", "session_window", "events_json",
     "multimodal_features", "frame_sample", "zscore_outliers",
     "snapshot_timetravel", "snapshot_merge_into",
+    "streaming_table_pipeline",
 ]
 
 

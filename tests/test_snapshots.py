@@ -2343,6 +2343,7 @@ def test_table_layer_randomized_composition_vs_model(spark, tmp_path):
         optimize_snapshot,
         snap_append,
         snap_count,
+        snap_rename_column,
         snap_restore,
         update_where,
         verify_snapshot,
@@ -2351,6 +2352,7 @@ def test_table_layer_randomized_composition_vs_model(spark, tmp_path):
     rng = random.Random(0xC0FFEE)
     path = str(tmp_path / "snap")
     model = {k: f"v{k}" for k in range(200)}
+    vcol = "v"  # current LOGICAL name of the value column (renames flip it)
     snap_init(
         spark,
         spark.createDataFrame(
@@ -2360,15 +2362,18 @@ def test_table_layer_randomized_composition_vs_model(spark, tmp_path):
         stats_cols=["k"],
     )
 
-    def df_of(rows, schema="k bigint, v string"):
-        return spark.createDataFrame(rows, schema)
+    def df_of(rows, schema=None):
+        # default schema tracks the CURRENT logical value-column name
+        return spark.createDataFrame(
+            rows, schema or f"k bigint, {vcol} string"
+        )
 
-    history = {current_version(path): dict(model)}
+    history = {current_version(path): (dict(model), vcol)}
 
     for step in range(18):
         op = rng.choice(
             ["append", "merge", "cdc", "cdc_mor", "del_mor", "optimize",
-             "auto", "update", "m_into", "m_sync", "restore"]
+             "auto", "update", "m_into", "m_sync", "restore", "rename"]
         )
         if op == "append":
             # fresh keys only: append has no upsert semantics, so a key
@@ -2396,7 +2401,7 @@ def test_table_layer_randomized_composition_vs_model(spark, tmp_path):
             apply_cdc_cow(
                 spark,
                 path,
-                df_of(batch, "k bigint, v string, _op string"),
+                df_of(batch, f"k bigint, {vcol} string, _op string"),
                 ["k"],
                 mor_deletes=(op == "cdc_mor"),
             )
@@ -2418,7 +2423,7 @@ def test_table_layer_randomized_composition_vs_model(spark, tmp_path):
             update_where(
                 spark, path,
                 [("k", "between", lo, hi)],
-                {"v": "concat(v, '!')"},
+                {vcol: f"concat({vcol}, '!')"},
             )
             for k in list(model):
                 if lo <= k <= hi:
@@ -2433,8 +2438,8 @@ def test_table_layer_randomized_composition_vs_model(spark, tmp_path):
                 df_of([(k, v) for k, v in vals.items()]),
                 ["k"],
                 matched=[
-                    ("delete", "s.v like '%3'"),
-                    ("update", None, {"v": "s.v"}),
+                    ("delete", f"s.{vcol} like '%3'"),
+                    ("update", None, {vcol: f"s.{vcol}"}),
                 ],
                 not_matched=[("insert", "s.k % 2 = 0", None)],
             )
@@ -2458,11 +2463,15 @@ def test_table_layer_randomized_composition_vs_model(spark, tmp_path):
                 spark, path,
                 df_of([(k, v) for k, v in vals.items()]),
                 ["k"],
-                matched=[("update", None, {"v": "s.v"})],
+                matched=[("update", None, {vcol: f"s.{vcol}"})],
                 not_matched=[("insert", None, None)],
                 not_matched_by_source=[
                     ("delete", f"t.k >= {lo} and t.k < {hi}"),
-                    ("update", "t.k % 10 = 7", {"v": "concat(t.v, '~')"}),
+                    (
+                        "update",
+                        "t.k % 10 = 7",
+                        {vcol: f"concat(t.{vcol}, '~')"},
+                    ),
                 ],
             )
             for k in list(model):
@@ -2476,22 +2485,39 @@ def test_table_layer_randomized_composition_vs_model(spark, tmp_path):
         elif op == "restore":
             v = rng.choice(sorted(history))
             snap_restore(path, v)
-            model = dict(history[v])
+            model, vcol = dict(history[v][0]), history[v][1]
+        elif op == "rename":
+            # metadata-only evolution interleaved with every mutator:
+            # the column mapping must survive (and RESTORE must revert
+            # it with the rest of the version's data-defining metadata)
+            new_name = "vv" if vcol == "v" else "v"
+            snap_rename_column(path, vcol, new_name)
+            vcol = new_name
         elif op == "optimize":
             optimize_snapshot(spark, path, target_bytes=1 << 20)
         else:
             auto_compact(spark, path, max_files=6, target_bytes=1 << 20)
 
-        history[current_version(path)] = dict(model)
+        history[current_version(path)] = (dict(model), vcol)
         assert snap_count(path) == len(model), f"step {step} ({op})"
 
-    got = dict(_rows(snap_read(spark, path)))
+    # cold read: force reconstruction from the delta records alone —
+    # pins the mutators' EXPLICIT adds/removes against the cached full
+    # listings they handed _commit (a wrong delta diverges here)
+    from mapreduce_grpc_spark.sources import snapshots as _snap_mod
+
+    _snap_mod._RECON_CACHE.clear()
+    final = snap_read(spark, path)
+    assert final.columns == ["k", vcol]
+    got = {r["k"]: r[vcol] for r in final.collect()}
     assert got == model
     rep = verify_snapshot(path)
     assert rep["missing"] == [] and rep["mismatched"] == []
     # GC then re-check: current state survives, history collapses
     expire_snapshots(path, keep_last=1, orphan_grace_seconds=0)
-    assert dict(_rows(snap_read(spark, path))) == model
+    assert {
+        r["k"]: r[vcol] for r in snap_read(spark, path).collect()
+    } == model
     assert snap_count(path) == len(model)
 
 

@@ -651,15 +651,16 @@ def test_partition_binning_coalesces_small_files(spark, tmp_path):
 
 
 def test_streaming_table_pipeline_oracle_parity(spark, sf_dir):
-    """The benched AUX query: table -> readStream -> filter ->
-    writeStream -> table, hash-checked against the one-line SQL
-    equivalent (same comparator as the driver)."""
+    """table -> readStream -> filter -> writeStream -> table,
+    hash-checked against the one-line SQL equivalent (same comparator
+    as the driver).  Rotated INTO the 50-query contract in round 9, so
+    it resolves from the contract registry now."""
     from mapreduce_grpc_spark import registry
     from tests.oracle import assert_oracle_match
 
     name = "streaming_table_pipeline"
-    df = registry.AUX_QUERIES[name](spark, sf_dir)
-    assert_oracle_match(df, registry.AUX_ORACLES[name], sf_dir, name)
+    df = registry.QUERIES[name](spark, sf_dir)
+    assert_oracle_match(df, registry.ORACLES[name], sf_dir, name)
 
 
 def test_native_sink_enforces_check_constraints(spark, tmp_path):

@@ -375,3 +375,160 @@ def test_ivf_repair_reattaches_orphan_cells(spark, sf_dir, tmp_path):
     assert top[0].neighbor_id == probe.vec_id
 
     assert ivf_repair(spark, path)["repaired_cells"] == []
+
+
+def test_merge_cells_folds_sparse_cells_recall_held(spark, sf_dir, tmp_path):
+    """Churn leaves near-empty cells that waste probe slots; the
+    budgeted merge folds each into its nearest sibling: centroid count
+    drops, probing the old sparse region reads the merged REAL cell,
+    and recall does not regress."""
+    from mapreduce_grpc_spark.sources.vector_index import (
+        ivf_cell_stats,
+        ivf_index_delete,
+        ivf_index_init,
+        ivf_merge_cells,
+        ivf_repair,
+    )
+
+    path = str(tmp_path / "idx")
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ivf_index_init(spark, emb, path, n_cells=6, seed=42)
+    stats0 = {
+        r.cell: r.n_vectors for r in ivf_cell_stats(spark, path).collect()
+    }
+    # churn: delete ~90% of the two smallest cells' vectors
+    import statistics as _st
+
+    small = sorted(stats0, key=lambda c: stats0[c])[:2]
+    victims = (
+        snap_read(spark, _postings_path(path))
+        .filter(F.col("cell").isin([int(c) for c in small]))
+        .select("vec_id")
+        .withColumn("r", F.col("vec_id") % 10)
+        .filter(F.col("r") != 0)
+        .select("vec_id")
+    )
+    ivf_index_delete(spark, path, victims)
+    live = emb.join(victims, "vec_id", "left_anti")
+    recall_before = _recall(spark, path, live)
+    n_cents_before = snap_read(spark, path + "/centroids").count()
+
+    res = ivf_merge_cells(spark, path, sparse_factor=0.25, max_merges=2)
+    assert res["merged"], res
+    sources = {s for s, _t in res["merged"]}
+    targets = {t for _s, t in res["merged"]}
+    stats1 = {
+        r.cell: r.n_vectors for r in ivf_cell_stats(spark, path).collect()
+    }
+    # merged-away cells hold no postings and no centroid
+    assert not (sources & set(stats1))
+    cents_after = {
+        r.cell
+        for r in snap_read(spark, path + "/centroids").collect()
+    }
+    assert not (sources & cents_after)
+    assert targets <= cents_after
+    assert len(cents_after) == n_cents_before - len(res["merged"])
+    # probe cost: every remaining probed cell is a REAL cell — the
+    # index never spends a probe slot on a merged-away sparse cell
+    assert ivf_repair(spark, path)["repaired_cells"] == []
+    # recall over the live set does not regress
+    assert _recall(spark, path, live) >= recall_before - 0.05
+
+
+def test_merge_cells_removes_zero_posting_centroid(spark, sf_dir, tmp_path):
+    """A cell whose every vector died is pure quantizer litter: the
+    merge deletes its centroid without moving any postings."""
+    from mapreduce_grpc_spark.sources.vector_index import (
+        ivf_cell_stats,
+        ivf_index_delete,
+        ivf_index_init,
+        ivf_merge_cells,
+    )
+
+    path = str(tmp_path / "idx")
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ivf_index_init(spark, emb, path, n_cells=5, seed=42)
+    stats0 = {
+        r.cell: r.n_vectors for r in ivf_cell_stats(spark, path).collect()
+    }
+    dead = min(stats0, key=lambda c: stats0[c])
+    ivf_index_delete(
+        spark,
+        path,
+        snap_read(spark, _postings_path(path))
+        .filter(F.col("cell") == int(dead))
+        .select("vec_id"),
+    )
+    res = ivf_merge_cells(spark, path, sparse_factor=0.25, max_merges=1)
+    assert any(s == dead for s, _t in res["merged"]), res
+    cents = {
+        r.cell for r in snap_read(spark, path + "/centroids").collect()
+    }
+    assert dead not in cents
+
+
+def test_drift_trigger_and_refit(spark, tmp_path):
+    """The quantizer is frozen between re-trains; a distribution shift
+    in the inserts must surface as measurable drift, and the scheduled
+    refit must restore assignment quality (ratio back to ~1) with the
+    history time-travelable.  Controlled geometry: two tight clusters
+    at fit time, a third far cluster inserted after."""
+    from mapreduce_grpc_spark.sources.vector_index import (
+        ivf_drift_stats,
+        ivf_index_init,
+        ivf_index_insert,
+        ivf_refit,
+    )
+
+    path = str(tmp_path / "idx")
+
+    def _cluster(lo, n, axis, dim=8):
+        # tight blob along one axis with a small per-id wobble
+        comps = [
+            (
+                F.lit(10.0) + (F.col("id") % 7).cast("double") / 100.0
+                if i == axis
+                else (F.col("id") % (i + 3)).cast("double") / 100.0
+            )
+            for i in range(dim)
+        ]
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*comps).cast("array<float>").alias("embedding"),
+        )
+
+    fit_set = _cluster(0, 300, axis=0).unionByName(
+        _cluster(1000, 300, axis=1)
+    )
+    info = ivf_index_init(spark, fit_set, path, n_cells=2, seed=42)
+    assert info["drift_baseline"] < 0.05  # tight clusters: good fit
+    d0 = ivf_drift_stats(spark, path)
+    assert d0["drift_ratio"] == pytest.approx(1.0, abs=1e-6)
+    assert not d0["refit_recommended"]
+
+    # a far third cluster the fit never saw
+    blob = _cluster(2000, 300, axis=5)
+    ivf_index_insert(spark, path, blob)
+    d1 = ivf_drift_stats(spark, path, refit_threshold=1.25)
+    assert d1["drift_ratio"] > 1.25, d1
+    assert d1["refit_recommended"]
+
+    res = ivf_refit(spark, path, n_cells=3, seed=7)
+    assert res["cells"] == 3
+    d2 = ivf_drift_stats(spark, path)
+    assert d2["drift_ratio"] == pytest.approx(1.0, abs=1e-6)
+    assert not d2["refit_recommended"]
+    # refit quality: the new quantizer fits the shifted corpus better
+    assert res["drift_baseline"] < d1["mean_dist_now"]
+    # the live set is fully searchable post-refit
+    live = fit_set.unionByName(blob)
+    assert _recall(spark, path, live) >= 0.9
+    # pre-refit postings remain time-travelable (overwrite, not wipe)
+    from mapreduce_grpc_spark.sources.snapshots import current_version
+
+    pv = current_version(_postings_path(path))
+    assert (
+        snap_read(spark, _postings_path(path), version=pv - 1).count()
+        == snap_read(spark, _postings_path(path)).count()
+    )

@@ -5,13 +5,16 @@ one-full-JSON-listing-per-version format.
 
 Run from the repo root:  python tools/manifest_scale.py
 Prints one JSON line:
-  {"entries": {"1000": {...}, "10000": {...}, "100000": {...}}}
+  {"entries": {"1000": {...}, ..., "1000000": {...}}}
 per cell:
   {"legacy_roundtrip_sec":  parse+serialize of ONE full listing — the
                             old design's floor cost on EVERY read and
                             EVERY commit,
-   "commit_sec":            a 4-file append commit via _commit (delta
-                            record + O(N) dict diff, no full JSON),
+   "commit_sec":            a 4-file append commit via _commit with
+                            EXPLICIT adds/removes (the mutator path) —
+                            O(changed files), no diff,
+   "commit_diff_sec":       the same commit through the fallback O(N)
+                            dict-diff path (full-list-only callers),
    "read_cold_sec":         read_manifest with the process cache
                             cleared (checkpoint parse + delta replay),
    "read_warm_sec":         read_manifest again (cache hit),
@@ -24,9 +27,9 @@ delta commit records + compacted checkpoints, steady-state read cost is
 O(1) cached / O(checkpoint + recent deltas) cold, and commit I/O is
 O(changed files) — the old format paid the full-listing JSON round-trip
 on every single operation, which at 10^6 files is a multi-GB string on
-the driver.  (The commit still does an O(N) in-memory dict diff of
-already-parsed entries; that is ~100x cheaper than the JSON parse and
-is the next axis if it ever shows up.)
+the driver.  Since round 9 every mutator passes its EXPLICIT
+adds/removes, so the O(N) in-memory dict diff only runs for callers
+that hold nothing but the full list — both paths are measured here.
 
 No Spark needed: the layer under test is driver-side JSON + replay, so
 entries are synthesized with realistic stats envelopes.
@@ -51,7 +54,7 @@ from mapreduce_grpc_spark.sources.snapshots import (
     read_manifest,
 )
 
-SIZES = [1_000, 10_000, 100_000]
+SIZES = [1_000, 10_000, 100_000, 1_000_000]
 
 
 def _entry(i: int) -> dict:
@@ -88,6 +91,8 @@ def run_cell(n: int) -> dict:
         base = read_manifest(path)  # warm the cache like a real writer
 
         add = [_entry(n + j) for j in range(4)]
+        # the real mutator path: EXPLICIT adds/removes — commit cost is
+        # O(changed files), no in-memory diff of the full listing
         t0 = time.perf_counter()
         _commit(
             path,
@@ -95,8 +100,23 @@ def run_cell(n: int) -> dict:
             ["k", "ts"],
             base_version=base["version"],
             carry=base,
+            adds=add,
+            removes=[],
         )
         commit_sec = time.perf_counter() - t0
+        # the fallback path (callers holding only the full list): the
+        # residual O(N) dict diff the explicit path eliminates
+        base2 = read_manifest(path)
+        add2 = [_entry(2 * n + j) for j in range(4)]
+        t0 = time.perf_counter()
+        _commit(
+            path,
+            base2["files"] + add2,
+            ["k", "ts"],
+            base_version=base2["version"],
+            carry=base2,
+        )
+        commit_diff_sec = time.perf_counter() - t0
         v = current_version(path)
         delta_bytes = os.path.getsize(
             os.path.join(path, "_manifests", f"v{v}.json")
@@ -111,13 +131,14 @@ def run_cell(n: int) -> dict:
         t0 = time.perf_counter()
         m = read_manifest(path)
         read_cold = time.perf_counter() - t0
-        assert len(m["files"]) == n + 4
+        assert len(m["files"]) == n + 8
         t0 = time.perf_counter()
         read_manifest(path)
         read_warm = time.perf_counter() - t0
         return {
             "legacy_roundtrip_sec": round(legacy, 4),
             "commit_sec": round(commit_sec, 4),
+            "commit_diff_sec": round(commit_diff_sec, 4),
             "read_cold_sec": round(read_cold, 4),
             "read_warm_sec": round(read_warm, 5),
             "delta_bytes": delta_bytes,
