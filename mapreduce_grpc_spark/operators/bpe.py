@@ -200,10 +200,15 @@ def bpe_word_counts(
     hard cap truncates inside a count class.  See ``BPE_TAIL_EPS`` for
     the resulting argmax error bound."""
     docs = table(spark, sf_dir, "documents")
+    # the expensive tokenize+aggregate runs ONCE: the aggregated type
+    # relation (small — types, not tokens) is cached so the histogram
+    # probe and the caller's final consumption share it instead of
+    # re-scanning the corpus
     w = (
         docs.select(F.explode(tokens("text")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
+        .persist()
     )
     hist = sorted(
         w.groupBy("cnt").agg(F.count("*").alias("n_types")).collect(),
@@ -231,6 +236,21 @@ def bpe_word_counts(
         # the hard cap truncates inside a count class: deterministic
         # tie-break (count desc, word asc) over the BOUNDED kept set
         kept = kept.orderBy(F.desc("cnt"), "w").limit(max_types)
+        if acc_mass < target:
+            # the memory bound beat the mass target: the promised eps
+            # is NOT achieved — say so with the achieved number (the
+            # bound the trained model actually carries)
+            import warnings
+
+            achieved = 1.0 - acc_mass / total
+            warnings.warn(
+                f"bpe_word_counts: max_types={max_types} caps coverage "
+                f"before the eps={eps} mass target; achieved tail mass "
+                f"~{achieved:.4f} (argmax evidence bound is that, not "
+                f"eps). Raise max_types or eps.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return kept
 
 

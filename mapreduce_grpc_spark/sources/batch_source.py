@@ -441,6 +441,18 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         m = m0
         op = "batch_overwrite" if self._overwrite else "batch_append"
         for _attempt in range(COMMIT_RETRIES):
+            if _cm_of(m) != self._cm:
+                # same guard as the pre-loop check, re-applied per
+                # retry: a rename winning a commit race must not let
+                # old-physical-named files publish
+                for n in names:
+                    if f.exists(os.path.join(self._path, n)):
+                        f.remove(os.path.join(self._path, n))
+                raise CommitConflict(
+                    f"snapshot_table batch writer: column mapping of "
+                    f"{self._path!r} changed during the commit retries "
+                    "(a concurrent rename/drop); re-run the save()"
+                )
             cons = m.get("constraints") or {}
             if cons != validated_for:
                 _validate(cons)

@@ -1072,14 +1072,16 @@ def _cm_retired(m: dict) -> list[str]:
 
 
 def _constraints_referencing(m: dict, col: str) -> list[str]:
-    """Names of CHECK constraints whose expression mentions ``col`` as
-    a bare identifier — conservative word-boundary match; renaming or
-    dropping a referenced column would silently break (or worse,
-    re-bind) the stored SQL string, so those ops reject loudly."""
+    """Names of CHECK constraints whose expression mentions ``col`` —
+    bare (word-boundary) or backtick-quoted identifier; conservative
+    match.  Renaming or dropping a referenced column would silently
+    break (or worse, re-bind) the stored SQL string, so those ops
+    reject loudly."""
     import re
 
+    esc = re.escape(col)
     pat = re.compile(
-        rf"(?i)(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_])"
+        rf"(?i)(?:`{esc}`|(?<![A-Za-z0-9_]){esc}(?![A-Za-z0-9_]))"
     )
     return sorted(
         n

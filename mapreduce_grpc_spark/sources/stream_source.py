@@ -147,6 +147,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         with_commit_version: bool = False,
         fs_spec: str | None = None,
         cm: dict | None = None,
+        cm_version: int = 0,
     ):
         from .snapshots import load_fs
 
@@ -158,6 +159,11 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         self._max_versions = max_versions
         self._max_bytes = max_bytes
         self._cm = cm or {}
+        # the version whose mapping/schema the query planned against:
+        # spans at or below it replay safely under the plan-time cm
+        # (physical names are frozen), spans beyond it are checked for
+        # mapping drift in partitions()
+        self._cm_version = cm_version
         # all manifest/CURRENT access goes through the FS seam (a
         # stateless, picklable object — the reader is shipped to
         # executors for read(), which itself only touches data bytes)
@@ -270,6 +276,23 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         v0, v1 = int(start["version"]), int(end["version"])
         self._planned = max(self._planned or 0, v1)
+        if v1 > self._cm_version:
+            # a rename/drop landing MID-STREAM changes which physical
+            # name a logical column resolves to; files added after it
+            # would silently null-backfill under the stale plan-time
+            # mapping.  (Replay spans <= the plan version are safe:
+            # physical names are frozen, so the plan-time mapping
+            # resolves every older file.)  Rename commits add/remove
+            # no files, so the change-commit check cannot catch this.
+            raw1 = self._manifest(v1)
+            cm1 = (raw1.get("column_mapping") or {}).get("map") or {}
+            if cm1 != self._cm:
+                raise ChangeCommitError(
+                    f"column mapping of {self._path!r} changed at "
+                    f"v{v1} while the query was running (a rename/"
+                    "drop); restart the query to re-plan under the "
+                    "new schema"
+                )
         files: list[tuple[str, int, int]] = []  # (path, version, bytes)
         for v in range(v0 + 1, v1 + 1):
             added, removed = self._changes(v)
@@ -530,6 +553,19 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
 
         m = m0
         for _attempt in range(COMMIT_RETRIES):
+            if _cm_of(m) != self._cm:
+                # a rename/drop won a retry race: same guard as the
+                # pre-loop check — the files hold the OLD physical
+                # names and must never be published
+                for n in names:
+                    if f.exists(os.path.join(self._path, n)):
+                        f.remove(os.path.join(self._path, n))
+                raise CommitConflict(
+                    f"snapshot_table sink: column mapping of "
+                    f"{self._path!r} changed during the commit retries "
+                    "(a concurrent rename/drop); restart the query to "
+                    "re-plan"
+                )
             if _txn_already_applied(m, self._txn_app, batchId):
                 for n in names:
                     if f.exists(os.path.join(self._path, n)):
@@ -609,27 +645,22 @@ class SnapshotTableStreamSource(DataSource):
         v = self.options.get("versionasof")
         return int(v) if v is not None else None
 
-    def _column_mapping(self) -> dict:
-        """Logical->physical map of the planned version (same version
-        ``schema()`` declares) — {} on fresh/unmapped tables."""
+    def _column_mapping(self) -> tuple[dict, int]:
+        """``(logical->physical map, version)`` of the planned version
+        (same version ``schema()`` declares) — ``({}, 0)`` on
+        fresh/unmapped tables."""
+        from .snapshots import _current_path, _manifest_path
+
         path = self._path()
         fs = self._fs()
         v = self._version_as_of()
         try:
             if v is None:
-                v = int(
-                    fs.read_text(
-                        os.path.join(path, "_manifests", "CURRENT")
-                    ).strip()
-                )
-            raw = json.loads(
-                fs.read_text(
-                    os.path.join(path, "_manifests", f"v{v}.json")
-                )
-            )
+                v = int(fs.read_text(_current_path(path)).strip())
+            raw = json.loads(fs.read_text(_manifest_path(path, v)))
         except (FileNotFoundError, ValueError):
-            return {}
-        return (raw.get("column_mapping") or {}).get("map") or {}
+            return {}, 0
+        return (raw.get("column_mapping") or {}).get("map") or {}, v
 
     def schema(self) -> StructType:
         path = self._path()
@@ -698,6 +729,7 @@ class SnapshotTableStreamSource(DataSource):
                 )
             return val
 
+        cm, cm_version = self._column_mapping()
         return _SnapshotStreamReader(
             self._path(),
             starting,
@@ -709,7 +741,8 @@ class SnapshotTableStreamSource(DataSource):
             max_bytes=_positive("maxbytespertrigger", "maxBytesPerTrigger"),
             with_commit_version=self._flag("withcommitversion"),
             fs_spec=self.options.get("fsimpl"),
-            cm=self._column_mapping(),
+            cm=cm,
+            cm_version=cm_version,
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):
@@ -739,7 +772,7 @@ class SnapshotTableStreamSource(DataSource):
             schema,
             txn_app,
             fs_spec=self.options.get("fsimpl"),
-            cm=self._column_mapping(),
+            cm=self._column_mapping()[0],
         )
 
     # -- batch surface (same format string; see batch_source.py) ------

@@ -292,7 +292,59 @@ def ivf_repair(
     is what the interrupted split was converging to).  Idempotent; a
     healthy index is a no-op.  ``ivf_rebalance`` runs it first, so a
     crashed rebalance is healed by the next one (or by calling this
-    directly)."""
+    directly).
+
+    Also heals an INTERRUPTED REFIT (``ivf_refit`` crash between its
+    postings and centroids overwrites) — a window the orphan check
+    cannot see when the cell count is unchanged: the refit's shared
+    ``("ivf_refit", N)`` txn marker landing on the postings but not
+    the centroids identifies it, and the centroids table is rebuilt
+    as the per-cell means of the already-committed new assignments
+    (the k-means update the crashed refit was about to write)."""
+    from .snapshots import read_manifest
+
+    p_txn = read_manifest(_postings_path(path), fs=fs).get(
+        "txns", {}
+    ).get("ivf_refit")
+    c_txn = read_manifest(_centroids_path(path), fs=fs).get(
+        "txns", {}
+    ).get("ivf_refit")
+    if p_txn is not None and (c_txn is None or int(c_txn) < int(p_txn)):
+        post = snap_read(spark, _postings_path(path), fs=fs)
+        means = (
+            post.select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cell",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias(
+                    "centroid"
+                ),
+            )
+        )
+        cent_df = spark.createDataFrame(
+            [
+                (int(r["cell"]), [float(x) for x in r["centroid"]])
+                for r in means.collect()
+            ],
+            snap_read(spark, _centroids_path(path), fs=fs).schema,
+        )
+        snap_overwrite(
+            spark, _centroids_path(path), cent_df,
+            txn_app="ivf_refit", txn_batch=int(p_txn), fs=fs,
+        )
+        return {
+            "repaired_cells": sorted(
+                int(r["cell"]) for r in cent_df.collect()
+            ),
+            "refit_completed": True,
+        }
     post_cells = {
         r["cell"]
         for r in snap_read(spark, _postings_path(path), fs=fs)
@@ -564,13 +616,23 @@ def ivf_merge_cells(
             merge_upsert_cow(
                 spark, _postings_path(path), batch, keys=["vec_id"], fs=fs
             )
-        total = max(n_c + n_t, 1)
-        new_t = [
-            (n_c * a + n_t * b) / total
-            for a, b in zip(cent_rows[c], cent_rows[target])
-        ]
+        if n_c:
+            total = n_c + n_t
+            new_t = [
+                (n_c * a + n_t * b) / total
+                for a, b in zip(cent_rows[c], cent_rows[target])
+            ]
+            ops = [(int(c), None, "D"), (int(target), new_t, "U")]
+        else:
+            # zero-posting source: pure quantizer litter — deleting its
+            # centroid is the whole merge.  The target must NOT move
+            # (an empty-into-empty merge would otherwise write an
+            # all-zeros centroid: NaN cosine, silent quantizer
+            # corruption)
+            new_t = cent_rows[target]
+            ops = [(int(c), None, "D")]
         cent_batch = spark.createDataFrame(
-            [(int(c), None, "D"), (int(target), new_t, "U")],
+            ops,
             StructType(
                 list(cent_schema.fields)
                 + [StructField("_op", StringType())]
@@ -609,12 +671,21 @@ def ivf_drift_stats(
     )
     meta = _read_meta(spark, path, fs)
     baseline = meta.get("drift_baseline")
-    ratio = (now / baseline) if baseline else None
+    if baseline is None:
+        ratio = None  # pre-drift-tracking index: never recommend
+    elif baseline == 0.0:
+        # a perfect fit (every vector on its centroid) is a legal
+        # baseline: ANY positive drift is infinite relative drift
+        ratio = float("inf") if now > 0.0 else 1.0
+    else:
+        ratio = now / baseline
     return {
         "mean_dist_now": now,
         "baseline": baseline,
         "drift_ratio": ratio,
-        "refit_recommended": bool(ratio and ratio > refit_threshold),
+        "refit_recommended": bool(
+            ratio is not None and ratio > refit_threshold
+        ),
     }
 
 
@@ -660,8 +731,25 @@ def ivf_refit(
         .repartitionByRange(max(2, n_cells // 2), "cell")
         .sortWithinPartitions("cell", "vec_id")
     )
-    pv = snap_overwrite(spark, _postings_path(path), postings, fs=fs)
-    cv = snap_overwrite(spark, _centroids_path(path), cent_df, fs=fs)
+    # crash window: the two overwrites are separate commits on two
+    # tables, and (unlike an interrupted split) a crash between them
+    # leaves NO orphan cell when n_cells is unchanged — new assignments
+    # under old centroids, silent recall loss.  A shared txn marker
+    # makes the window DETECTABLE: postings commit first carrying
+    # ("ivf_refit", N); the centroid overwrite carries the same N, so
+    # marker inequality == interrupted refit, and ivf_repair finishes
+    # the job by rebuilding every centroid from its postings' means.
+    from .snapshots import current_version
+
+    marker = current_version(_postings_path(path), fs) + 1
+    pv = snap_overwrite(
+        spark, _postings_path(path), postings,
+        txn_app="ivf_refit", txn_batch=marker, fs=fs,
+    )
+    cv = snap_overwrite(
+        spark, _centroids_path(path), cent_df,
+        txn_app="ivf_refit", txn_batch=marker, fs=fs,
+    )
     baseline = _mean_assign_dist(
         snap_read(spark, _postings_path(path), fs=fs), cent_df
     )

@@ -532,3 +532,65 @@ def test_drift_trigger_and_refit(spark, tmp_path):
         snap_read(spark, _postings_path(path), version=pv - 1).count()
         == snap_read(spark, _postings_path(path)).count()
     )
+
+
+def test_repair_completes_interrupted_refit(spark, tmp_path):
+    """ivf_refit's crash window (postings overwritten, centroids not)
+    leaves NO orphan cell when n_cells is unchanged — the shared txn
+    marker is what identifies it, and repair rebuilds every centroid
+    from the committed new assignments."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        current_version,
+        snap_overwrite,
+    )
+    from mapreduce_grpc_spark.sources.vector_index import (
+        _centroids_path,
+        ivf_drift_stats,
+        ivf_index_init,
+        ivf_repair,
+    )
+
+    path = str(tmp_path / "idx")
+
+    def _cluster(lo, n, axis, dim=8):
+        comps = [
+            (
+                F.lit(10.0) + (F.col("id") % 7).cast("double") / 100.0
+                if i == axis
+                else (F.col("id") % (i + 3)).cast("double") / 100.0
+            )
+            for i in range(dim)
+        ]
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*comps).cast("array<float>").alias("embedding"),
+        )
+
+    fit = _cluster(0, 200, 0).unionByName(_cluster(1000, 200, 1))
+    ivf_index_init(spark, fit, path, n_cells=2, seed=42)
+
+    # simulate the crashed refit: swap the two clusters' cell labels
+    # and commit ONLY the postings (with the refit marker) — same cell
+    # ids, so the orphan check alone cannot see anything wrong
+    post = snap_read(spark, _postings_path(path))
+    flipped = post.select(
+        "vec_id",
+        (F.lit(1) - F.col("cell")).cast("int").alias("cell"),
+        "embedding",
+    )
+    marker = current_version(_postings_path(path)) + 1
+    snap_overwrite(
+        spark, _postings_path(path), flipped,
+        txn_app="ivf_refit", txn_batch=marker,
+    )
+    # the quantizer is now WRONG (centroids belong to the old labels):
+    # drift shows it, and repair detects the marker mismatch
+    assert ivf_drift_stats(spark, path)["drift_ratio"] > 5
+    res = ivf_repair(spark, path)
+    assert res.get("refit_completed"), res
+    # centroids rebuilt from the committed assignments: healthy again
+    d = ivf_drift_stats(spark, path)
+    assert d["mean_dist_now"] < 0.05
+    # idempotent: a second repair is a plain no-op
+    assert ivf_repair(spark, path) == {"repaired_cells": []}
+    assert _recall(spark, path, fit) >= 0.9
