@@ -239,6 +239,73 @@ WHERE c_custkey % 100 < 10
 """
 
 
+def snapshot_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column evolution end-to-end under the hash
+    comparator: init from ``customer``, RENAME two columns (zero data
+    bytes move — the mapping redirects logical names onto the frozen
+    physical ones), DROP the segment column (its physical name is
+    retired), RE-ADD the same logical name (fresh physical name — the
+    dropped values must NOT resurrect from the old files, so untouched
+    rows read NULL), then CoW-merge a deterministic refresh batch
+    THROUGH the renamed key column (file pruning translates
+    logical->physical against the manifest stats) and read the final
+    state back.
+
+    The oracle rebuilds the same final state in pure SQL from the
+    fixture; any resurrection of dropped values, a rename leaking into
+    the data path, or a merge mis-planned through the mapping flips
+    the hash."""
+    from pyspark.sql.types import StringType
+
+    from ..sources.snapshots import (
+        snap_add_column,
+        snap_drop_column,
+        snap_rename_column,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="snap-colmap-")
+    path = os.path.join(tmp, "t")
+    try:
+        cust = table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+        snap_init(
+            spark,
+            cust.repartitionByRange(4, "c_custkey"),
+            path,
+            stats_cols=["c_custkey"],
+        )
+        snap_rename_column(path, "c_custkey", "custkey")
+        snap_rename_column(path, "c_acctbal", "balance")
+        snap_drop_column(path, "c_mktsegment")
+        snap_add_column(path, "segment", StringType())
+        batch = (
+            snap_scan(spark, path, [("custkey", ">=", 0)])
+            .filter(F.col("custkey") % 50 < 5)
+            .select(
+                "custkey",
+                (F.col("balance") + F.lit(500.0)).alias("balance"),
+                F.lit("REFRESHED").alias("segment"),
+            )
+        )
+        merge_upsert_cow(spark, path, batch, keys=["custkey"])
+        out = snap_read(spark, path).select("custkey", "balance", "segment")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SNAPSHOT_COLUMN_EVOLUTION_SQL = """
+SELECT c_custkey AS custkey,
+       CASE WHEN c_custkey % 50 < 5 THEN c_acctbal + 500.0
+            ELSE c_acctbal END AS balance,
+       CASE WHEN c_custkey % 50 < 5 THEN 'REFRESHED'
+            ELSE NULL END AS segment
+FROM customer
+"""
+
+
 def streaming_table_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The native streaming loop, measured end to end: snapshot table
     --readStream ("snapshot_table" source)--> filter --writeStream
@@ -510,9 +577,11 @@ AUX_QUERIES = {
     "matview_orders": matview_orders,
     "snapshot_delete_scan": snapshot_delete_scan,
     "snapshot_update_restore": snapshot_update_restore,
+    "snapshot_column_evolution": snapshot_column_evolution,
 }
 AUX_ORACLES = {
     "matview_orders": MATVIEW_ORDERS_SQL,
     "snapshot_delete_scan": SNAPSHOT_DELETE_SCAN_SQL,
     "snapshot_update_restore": SNAPSHOT_UPDATE_RESTORE_SQL,
+    "snapshot_column_evolution": SNAPSHOT_COLUMN_EVOLUTION_SQL,
 }
