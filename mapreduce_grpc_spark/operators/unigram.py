@@ -5,16 +5,19 @@ The second tokenizer family next to BPE (``operators/bpe.py``), sharing
 its scale split exactly:
 
 - **The corpus is touched once** (``bpe_word_counts``): the same
-  wordcount-shaped collapse to the capped ``(word, count)`` type
-  relation — the only distributed stage, one shuffle at any corpus
-  size.
+  wordcount-shaped collapse to the ``(word, count)`` type relation —
+  the only distributed stage, one shuffle at any corpus size.  Since
+  round 9 the cut is MASS COVERAGE (``bpe.BPE_TAIL_EPS``: keep the
+  head covering 1-eps of tokens, ``bpe.MAX_WORD_TYPES`` as the memory
+  bound), so the likelihood evidence lost to the cut is bounded by
+  eps of the corpus — the unigram trainer inherits the same bound.
 - **Training is driver-local over the capped relation**: seed a large
   candidate vocabulary from frequent substrings, then alternate
   EM (forward-backward expected piece counts over each word's
   segmentation lattice, in log space) with pruning (drop the pieces
   whose removal costs the least likelihood, never dropping single
   characters) until the target vocabulary size — Kudo's algorithm on
-  a model-artifact-sized input (≤ ``bpe.MAX_WORD_TYPES`` rows).
+  a model-artifact-sized input (bounded by ``bpe.MAX_WORD_TYPES``).
 - **Applying a model is row-local and distributed**
   (``unigram_apply``): an Arrow-batched pandas UDF running the
   Viterbi segmentation with per-word memoization — O(|word| ·
