@@ -313,11 +313,49 @@ def _current_path(path: str) -> str:
 
 CHECKPOINT_INTERVAL = 16
 
+# tables past this many entries write MULTI-PART checkpoints (the
+# Delta multi-part checkpoint shape): each part serializes and lands
+# as its own bounded JSON file, and the pointer record
+# ``checkpoint-v{N}.json`` — written LAST, create-exclusive — names
+# the part count, so a checkpoint "exists" only when every part does
+# (readers and GC key on the pointer file alone).  Why: a single-blob
+# checkpoint at 10^6 entries is a 233 MB / 4.3 s serialized string on
+# the driver every 16 commits; parts bound the per-write memory and
+# let an interrupted writer leave no half-visible checkpoint.
+CHECKPOINT_SHARD_ENTRIES = 50_000
+
 _LAST_CKPT = "_last_checkpoint"
 
 
 def _ckpt_path(path: str, version: int) -> str:
     return os.path.join(path, _MANIFEST_DIR, f"checkpoint-v{version}.json")
+
+
+def _ckpt_part_path(path: str, version: int, i: int, of: int) -> str:
+    return os.path.join(
+        path,
+        _MANIFEST_DIR,
+        f"checkpoint-v{version}.part-{i:05d}-of-{of:05d}.json",
+    )
+
+
+def _load_checkpoint(
+    f: LocalSnapshotFS, path: str, version: int
+) -> list[dict]:
+    """Full file list of a checkpoint — single-file or multi-part.
+    A missing part is real corruption (the pointer is only written
+    after every part): fail loudly, never silently under-list."""
+    raw = json.loads(f.read_text(_ckpt_path(path, version)))
+    if "files" in raw:
+        return raw["files"]
+    files: list[dict] = []
+    of = int(raw["parts"])
+    for i in range(of):
+        part = json.loads(
+            f.read_text(_ckpt_part_path(path, version, i, of))
+        )
+        files.extend(part["files"])
+    return files
 
 
 def _last_ckpt_path(path: str) -> str:
@@ -415,7 +453,7 @@ def _reconstruct_files(
     start = _find_checkpoint(f, path, version)
     files: list[dict] = []
     if start:
-        files = json.loads(f.read_text(_ckpt_path(path, start)))["files"]
+        files = _load_checkpoint(f, path, start)
     # a cached neighbor below ``version`` beats the checkpoint; the
     # probe parses each candidate record to key on its uid (records the
     # forward replay would read anyway — ``parsed`` hands them over)
@@ -476,9 +514,43 @@ def _maybe_checkpoint(
     cp = _ckpt_path(path, version)
     try:
         if not f.exists(cp):
-            f.create_exclusive(
-                cp, json.dumps({"version": version, "files": files})
-            )
+            if len(files) > CHECKPOINT_SHARD_ENTRIES:
+                # multi-part: deterministic name order, so two racing
+                # checkpointers of the same (immutable) version write
+                # BYTE-IDENTICAL parts and can safely share them
+                ordered = sorted(files, key=lambda e: e["name"])
+                of = -(-len(ordered) // CHECKPOINT_SHARD_ENTRIES)
+                for i in range(of):
+                    pp = _ckpt_part_path(path, version, i, of)
+                    if f.exists(pp):
+                        continue
+                    try:
+                        f.create_exclusive(
+                            pp,
+                            json.dumps(
+                                {
+                                    "version": version,
+                                    "part": i,
+                                    "of": of,
+                                    "files": ordered[
+                                        i
+                                        * CHECKPOINT_SHARD_ENTRIES:(i + 1)
+                                        * CHECKPOINT_SHARD_ENTRIES
+                                    ],
+                                }
+                            ),
+                        )
+                    except CommitConflict:
+                        pass  # a racing writer's identical part
+                record = {"version": version, "parts": of}
+            else:
+                record = {"version": version, "files": files}
+            try:
+                # the pointer lands LAST: the checkpoint exists only
+                # when every part does
+                f.create_exclusive(cp, json.dumps(record))
+            except CommitConflict:
+                pass  # a racing writer completed the same checkpoint
         _CKPT_FAILURES.pop(path, None)
     except Exception as e:
         if force:
@@ -3464,11 +3536,12 @@ def expire_snapshots(
             f.remove(_manifest_path(path, v))
             deleted.append(f"v{v}.json")
     # checkpoints strictly below the retention floor serve no retained
-    # version (v_min has its own, just written above)
+    # version (v_min has its own, just written above); multi-part
+    # checkpoints' part files carry the version before the first dot
     for name in f.listdir(os.path.join(path, _MANIFEST_DIR)):
         if name.startswith("checkpoint-v") and name.endswith(".json"):
             try:
-                v = int(name[len("checkpoint-v"):-5])
+                v = int(name[len("checkpoint-v"):].split(".", 1)[0])
             except ValueError:
                 continue
             if v < v_min:

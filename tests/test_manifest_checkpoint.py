@@ -328,3 +328,74 @@ def test_recon_cache_keys_on_commit_uid(spark, tmp_path, snapshot_fs):
     assert names2 == {e["name"] for e in raw1b["adds"]}
     assert names2.isdisjoint(names1)
     assert snap_read(spark, path).agg({"k": "min"}).collect()[0][0] == 500
+
+
+def test_multipart_checkpoint_roundtrip_and_gc(
+    spark, tmp_path, small_interval, monkeypatch, snapshot_fs
+):
+    """Past CHECKPOINT_SHARD_ENTRIES the checkpoint lands as bounded
+    parts plus a pointer written LAST — cold reads load all parts, an
+    interrupted writer leaves no half-visible checkpoint, GC prunes
+    parts with their pointer, and a missing part fails LOUDLY."""
+    monkeypatch.setattr(snap, "CHECKPOINT_SHARD_ENTRIES", 3)
+    path = str(tmp_path / "t")
+    snap_init(spark, _df(spark, 0), path, stats_cols=["k"])
+    for i in range(1, 9):
+        snap_append(spark, path, _df(spark, i * 100))
+    mdir = os.path.join(path, "_manifests")
+    # v4 and v8 checkpoints (interval 4) hold 4 and 8 files: sharded
+    ptr = json.loads(open(os.path.join(mdir, "checkpoint-v8.json")).read())
+    assert "files" not in ptr and ptr["parts"] == 3
+    parts = sorted(
+        n for n in os.listdir(mdir) if ".part-" in n and "v8" in n
+    )
+    assert len(parts) == 3
+    # cold reconstruction from the sharded checkpoint == brute force
+    snap._RECON_CACHE.clear()
+    got = {e["name"]: e for e in read_manifest(path)["files"]}
+    assert got == _brute_force_files(path, current_version(path))
+    assert snap_read(spark, path).count() == 90
+
+    # interrupted writer: kill the pointer, keep the parts — the
+    # checkpoint must stop existing (pointer is the commit point),
+    # and the next checkpoint attempt completes it reusing the parts
+    os.remove(os.path.join(mdir, "checkpoint-v8.json"))
+    snap._RECON_CACHE.clear()
+    assert snap_read(spark, path).count() == 90  # replays fine
+    assert snap._maybe_checkpoint(
+        snapshot_fs.fs, path, 8, read_manifest(path, 8)["files"],
+        force=True,
+    )
+    snap._RECON_CACHE.clear()
+    assert snap_read(spark, path, version=8).count() == 80
+
+    # GC: the floor checkpoint (multi-part) is written and every part
+    # below the floor is pruned with its pointer
+    deleted = expire_snapshots(path, keep_last=2, orphan_grace_seconds=0)
+    v_min = current_version(path) - 1
+    assert os.path.exists(
+        os.path.join(mdir, f"checkpoint-v{v_min}.json")
+    )
+    left = sorted(
+        n for n in os.listdir(mdir) if n.startswith("checkpoint-v")
+    )
+    assert all(
+        int(n[len("checkpoint-v"):].split(".", 1)[0]) >= v_min
+        for n in left
+    ), left
+    assert any(".part-" in n for n in deleted) or all(
+        ".part-" not in n for n in os.listdir(mdir)
+        if int(n.split("-v")[1].split(".")[0]) < v_min
+    )
+    snap._RECON_CACHE.clear()
+    assert snap_read(spark, path).count() == 90
+
+    # a missing PART under an existing pointer is loud corruption
+    part_files = sorted(
+        n for n in os.listdir(mdir) if ".part-" in n
+    )
+    if part_files:
+        os.remove(os.path.join(mdir, part_files[0]))
+        snap._RECON_CACHE.clear()
+        with pytest.raises(FileNotFoundError):
+            read_manifest(path)

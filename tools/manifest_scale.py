@@ -123,10 +123,14 @@ def run_cell(n: int) -> dict:
         )
 
         # force a checkpoint at the head so the cold read measures the
-        # steady state (checkpoint + 0 deltas), not a replay from v1
+        # steady state (checkpoint + 0 deltas), not a replay from v1 —
+        # timed: past CHECKPOINT_SHARD_ENTRIES this is the multi-part
+        # write (bounded memory per part)
+        t0 = time.perf_counter()
         snap._maybe_checkpoint(
             snap._fs(None), path, v, read_manifest(path)["files"], force=True
         )
+        ckpt_sec = time.perf_counter() - t0
         snap._RECON_CACHE.clear()
         t0 = time.perf_counter()
         m = read_manifest(path)
@@ -141,6 +145,7 @@ def run_cell(n: int) -> dict:
             "commit_diff_sec": round(commit_diff_sec, 4),
             "read_cold_sec": round(read_cold, 4),
             "read_warm_sec": round(read_warm, 5),
+            "ckpt_sec": round(ckpt_sec, 4),
             "delta_bytes": delta_bytes,
             "full_bytes": full_bytes,
         }
