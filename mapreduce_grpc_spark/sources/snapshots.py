@@ -131,6 +131,58 @@ class CommitConflict(FileExistsError):
     """
 
 
+class UnsupportedTableFeature(RuntimeError):
+    """The table requires a protocol feature this build does not know.
+
+    The Delta table-features model: a manifest names the capabilities a
+    client MUST implement to read (``features``) or mutate
+    (``writer_features``) the table correctly — e.g. a reader that
+    ignores ``column_mapping`` returns all-NULL renamed columns, one
+    that ignores ``deletion_vectors`` resurrects deleted rows, a writer
+    that ignores ``check_constraints`` commits violating rows.  Rather
+    than corrupt silently, an older build refuses loudly and names the
+    missing feature."""
+
+
+# Reader-required features this build implements.  ``features`` in a
+# manifest outside this set makes the table unreadable here; outside
+# SUPPORTED_WRITER_FEATURES (a superset: writers must also satisfy
+# every reader feature) it is readable but immutable.  Feature flags
+# are attached by ``_commit`` the first time a capability is used and
+# deletion_vectors stays sticky (exact presence would cost O(table)).
+SUPPORTED_READER_FEATURES = frozenset(
+    {"column_mapping", "deletion_vectors"}
+)
+SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset(
+    {"check_constraints"}
+)
+
+
+def _check_reader_features(m: dict, path: str) -> None:
+    unknown = set(m.get("features") or ()) - SUPPORTED_READER_FEATURES
+    if unknown:
+        raise UnsupportedTableFeature(
+            f"table {path!r} (v{m.get('version')}) requires reader "
+            f"feature(s) {sorted(unknown)} this build does not "
+            "implement; reading it would return wrong rows — upgrade "
+            "the library"
+        )
+
+
+def _check_writer_features(m: dict, path: str) -> None:
+    unknown = (
+        set(m.get("features") or ())
+        | set(m.get("writer_features") or ())
+    ) - SUPPORTED_WRITER_FEATURES
+    if unknown:
+        raise UnsupportedTableFeature(
+            f"table {path!r} (v{m.get('version')}) requires writer "
+            f"feature(s) {sorted(unknown)} this build does not "
+            "implement; committing would break the table's invariants "
+            "— upgrade the library"
+        )
+
+
 class ConstraintViolation(ValueError):
     """A write batch contains rows that fail a table CHECK constraint.
 
@@ -941,6 +993,13 @@ def _write_data_files(
         f.rename(os.path.join(staging, name), os.path.join(path, final))
         entry = {"name": final}
         entry.update(_file_stats(os.path.join(path, final), stats_cols))
+        if not entry.get("rows"):
+            # an over-partitioned write emits zero-row part files; a
+            # manifested empty file is pure liability — a scheduler
+            # task per read and, having no stats, it defeats every
+            # pruning path (incl. conflict-rebase invisibility proofs)
+            f.remove(os.path.join(path, final))
+            continue
         entries.append(entry)
     f.rmtree(staging)
     _build_bloom_sidecar(path, entries, stats_cols, fs)
@@ -1021,9 +1080,29 @@ def _commit(
         "commit_info": commit_info or {},
     }
     if carry:
+        _check_writer_features(carry, path)
         for k in ("constraints", "column_mapping"):
             if carry.get(k):
                 manifest[k] = carry[k]
+    # protocol feature flags (see UnsupportedTableFeature): exact for
+    # capabilities visible in the outgoing manifest, sticky-from-base
+    # for deletion_vectors (exact presence would cost O(table))
+    feats = set((carry or {}).get("features") or ())
+    if manifest.get("column_mapping"):
+        feats.add("column_mapping")
+    else:
+        feats.discard("column_mapping")
+    if any(e.get("dv") for e in adds):
+        feats.add("deletion_vectors")
+    wfeats = set((carry or {}).get("writer_features") or ())
+    if manifest.get("constraints"):
+        wfeats.add("check_constraints")
+    else:
+        wfeats.discard("check_constraints")
+    if feats:
+        manifest["features"] = sorted(feats)
+    if wfeats - feats:
+        manifest["writer_features"] = sorted(wfeats - feats)
     f.create_exclusive(_manifest_path(path, version), json.dumps(manifest))
     f.replace_atomic(_current_path(path), str(version))
     # the committer already holds the full state: seed the cache so the
@@ -1054,12 +1133,34 @@ def read_manifest(
     if not f.exists(mp):
         raise FileNotFoundError(mp)
     raw = json.loads(f.read_text(mp))
+    _check_reader_features(raw, path)
     if "files" in raw:  # pre-delta full manifest: already materialized
         return raw
     files = _reconstruct_files(f, path, v, raw)
     m = {k: val for k, val in raw.items() if k not in ("adds", "removes")}
     m["files"] = list(files)  # fresh outer list; entries are immutable
     return m
+
+
+def table_features(
+    path: str,
+    version: int | None = None,
+    fs: LocalSnapshotFS | None = None,
+) -> dict:
+    """Inspect a version's protocol feature flags WITHOUT requiring
+    this build to support them (the one read path that skips the
+    reader-feature check — so an old build can still tell a user WHAT
+    its upgrade is missing).  Returns ``{"reader": [...], "writer":
+    [...]}``; writer features listed are those beyond the reader set."""
+    f = _fs(fs)
+    v = current_version(path, fs) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"no committed snapshot at {path!r}")
+    raw = json.loads(f.read_text(_manifest_path(path, v)))
+    return {
+        "reader": sorted(raw.get("features") or ()),
+        "writer": sorted(raw.get("writer_features") or ()),
+    }
 
 
 def _manifest_schema(m: dict) -> StructType | None:
@@ -1558,6 +1659,8 @@ def _entry_may_match(entry: dict, pred: tuple, bloom_of=None) -> bool:
     Missing stats, untracked columns, or incomparable types mean "may
     match" — pruning is an optimization, never a filter."""
     col, op = pred[0], pred[1]
+    if entry.get("rows") == 0:
+        return False  # a zero-row file matches nothing, stats or not
     stats = entry.get("stats", {})
     env = stats.get(col)
     if env is None or env["min"] is None or env["max"] is None:
@@ -1832,6 +1935,7 @@ def _delete_mor(
     txn_app: str | None,
     txn_batch: int | None,
     fs: LocalSnapshotFS | None,
+    isolation: str = "write_serializable",
 ) -> dict:
     """Shared merge-on-read DELETE core: find matching row POSITIONS in
     the candidate files, record them in a deletion-vector sidecar, and
@@ -1922,8 +2026,17 @@ def _delete_mor(
                 adds=adds, removes=removes,
             )
         except CommitConflict as e:
-            last_err = e
-            continue
+            version = _rebase_after_conflict(
+                path, m, fs,
+                adds=adds, removes=removes,
+                read_files=[c["name"] for c in candidates],
+                candidate_fn=candidate_fn, isolation=isolation,
+                txn_app=txn_app, txn_batch=txn_batch,
+                commit_info=info,
+            )
+            if version is None:
+                last_err = e
+                continue
         return {
             "version": version,
             "deleted": n_new,
@@ -1945,6 +2058,7 @@ def delete_where_mor(
     txn_app: str | None = None,
     txn_batch: int | None = None,
     fs: LocalSnapshotFS | None = None,
+    isolation: str = "write_serializable",
 ) -> dict:
     """Merge-on-read DELETE WHERE: rows matching the predicate
     conjunction (same grammar as ``snap_scan``) are masked by deletion
@@ -1963,8 +2077,17 @@ def delete_where_mor(
     usual base-version claim, retry loop, and optional txn marker.
     Returns ``{"version", "deleted", "dv_files", "dropped_files", ...}``
     (``dropped_files`` counts files whose every row died — their
-    entries leave the manifest entirely)."""
+    entries leave the manifest entirely).
+
+    ``isolation`` governs how a lost commit race against a concurrent
+    BLIND APPEND resolves (see ``_rebase_after_conflict``): under
+    ``"write_serializable"`` (the default, Delta's) the delete is
+    serialized BEFORE the append — concurrently appended rows survive
+    even when they match; ``"serializable"`` re-runs instead, so the
+    delete also sees them.  Winner-added files whose statistics prove
+    no match rebase without re-running under either level."""
     _check_predicates(predicates)
+    _check_isolation(isolation)
     cond = _predicates_to_column(predicates)
     return _delete_mor(
         spark, path,
@@ -1974,6 +2097,7 @@ def delete_where_mor(
         match_fn=lambda df: df.filter(cond),
         op_name="delete_where_mor",
         txn_app=txn_app, txn_batch=txn_batch, fs=fs,
+        isolation=isolation,
     )
 
 
@@ -1985,6 +2109,7 @@ def delete_keys_mor(
     txn_app: str | None = None,
     txn_batch: int | None = None,
     fs: LocalSnapshotFS | None = None,
+    isolation: str = "write_serializable",
 ) -> dict:
     """Merge-on-read DELETE by key set (the CDC-delete shape): every
     table row whose key appears in ``keys_df`` is masked by a deletion
@@ -1992,7 +2117,9 @@ def delete_keys_mor(
     same key-membership pruning as the CoW merge (exact row-group probe
     for bounded batches); matching is a broadcast LEFT SEMI join on the
     keys.  NULL keys are rejected loudly — a NULL key can never match
-    its target row (same rule as the CoW mutators)."""
+    its target row (same rule as the CoW mutators).  ``isolation`` as
+    in ``delete_where_mor``."""
+    _check_isolation(isolation)
     kdf = keys_df.select(*keys).distinct()
     null_pred = F.lit(False)
     for k in keys:
@@ -2028,6 +2155,7 @@ def delete_keys_mor(
         match_fn=lambda df: df.join(F.broadcast(kdf), keys, "left_semi"),
         op_name="delete_keys_mor",
         txn_app=txn_app, txn_batch=txn_batch, fs=fs,
+        isolation=isolation,
     )
 
 
@@ -2205,6 +2333,152 @@ def _skipped_result(m: dict) -> dict:
     }
 
 
+# --------------------------------------------------------------------------
+# Logical conflict resolution (rebase instead of re-run)
+# --------------------------------------------------------------------------
+# A lost commit race does not have to mean redoing the operation's
+# work.  Every commit record since round 8 stores its exact delta
+# (``adds``/``removes`` vs the base), so after ``CommitConflict`` a
+# mutator can examine what the winning commits actually changed and —
+# when those changes provably do not interact with what it read or
+# rewrote — re-commit its ALREADY-COMPUTED adds/removes against the
+# new table head.  This is the Delta Lake conflict-detection protocol
+# (Armbrust et al., VLDB 2020, §3.2): without it, an OPTIMIZE that
+# rewrote gigabytes repeats the whole rewrite because a 1-row append
+# won the race — at 1000-executor scale, background compaction on a
+# hot append stream would never converge.
+#
+# Serial-order argument (why a rebased commit is correct):
+#   the serial order is COMMIT order (winners first, us second).  Our
+#   outcome is valid in that order iff our reads were unaffected by
+#   the winners' writes: (a) no winner removed or re-pointed a file we
+#   read or rewrote, and (b) no winner ADDED a file our operation
+#   would have read.  (b) is decided by the operation's own candidate
+#   pruning run against the winner's added entries — if their stats
+#   prove the new files cannot hold a matching row, our candidate set
+#   is unchanged and the rebase is fully SERIALIZABLE.  Two special
+#   cases: a rearrangement (OPTIMIZE/cluster) reads nothing
+#   semantically — its claim is "these input files' rows, reorganized"
+#   — so winner adds never conflict; and under WRITE-SERIALIZABLE
+#   isolation (Delta's default) a winner's blind append is tolerated
+#   even when it might match, by serializing US first and the append
+#   second — the one permitted anomaly is that a predicate mutation
+#   does not see rows whose append committed concurrently.
+#   Any table-metadata drift (schema, column mapping, constraints,
+#   stats columns) always conflicts: our rewritten bytes were produced
+#   under the old metadata.
+
+_BLIND_APPEND_OPS = {"append", "stream_sink", "batch_append", "batch_create"}
+_ISOLATION_LEVELS = ("serializable", "write_serializable")
+
+
+def _check_isolation(level: str) -> None:
+    if level not in _ISOLATION_LEVELS:
+        raise ValueError(
+            f"isolation must be one of {_ISOLATION_LEVELS}, got {level!r}"
+        )
+
+
+def _rebase_after_conflict(
+    path: str,
+    base_m: dict,
+    fs: LocalSnapshotFS | None,
+    *,
+    adds: list[dict],
+    removes: list[str],
+    read_files,
+    candidate_fn=None,
+    rearrange_only: bool = False,
+    isolation: str = "write_serializable",
+    schema_json: str | None = None,
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
+    commit_info: dict | None = None,
+) -> int | None:
+    """Try to re-commit a conflicted operation's outcome on the new
+    head without redoing its work (see the block comment above).
+
+    ``base_m`` is the manifest the operation derived its outcome from;
+    ``adds``/``removes`` its explicit delta; ``read_files`` the names
+    of every file it read (its candidate set); ``candidate_fn`` the
+    operation's own pruning (``manifest -> candidate entries``), used
+    to prove winner-added files invisible; ``rearrange_only`` marks
+    data rearrangements for which winner adds never conflict.  Returns
+    the committed version, or ``None`` when the conflict is real and
+    the caller must re-run."""
+    f = _fs(fs)
+    touched = set(read_files) | set(removes)
+    for _ in range(COMMIT_RETRIES):
+        try:
+            m_now = read_manifest(path, fs=fs)
+        except FileNotFoundError:
+            return None
+        if m_now["version"] <= base_m["version"]:
+            return None  # stale CURRENT pointer mid-swap: re-run
+        for k in ("schema", "column_mapping", "constraints", "stats_cols"):
+            if base_m.get(k) != m_now.get(k):
+                return None
+        if _txn_already_applied(m_now, txn_app, txn_batch):
+            return None  # caller's loop owns the skip semantics
+        for v in range(base_m["version"] + 1, m_now["version"] + 1):
+            try:
+                rec = json.loads(f.read_text(_manifest_path(path, v)))
+            except FileNotFoundError:
+                return None
+            if "files" in rec:
+                return None  # legacy full-listing record: no delta
+            w_rm = set(rec.get("removes") or ())
+            w_add = rec.get("adds") or []
+            if w_rm & touched:
+                return None
+            if any(e["name"] in touched for e in w_add):
+                return None
+            if w_add and not rearrange_only:
+                invisible = False
+                if candidate_fn is not None:
+                    pseudo = {
+                        "files": list(w_add),
+                        "stats_cols": base_m["stats_cols"],
+                        "column_mapping": base_m.get("column_mapping"),
+                    }
+                    try:
+                        invisible = not candidate_fn(pseudo)
+                    except Exception:
+                        invisible = False
+                if not invisible:
+                    blind = (
+                        isolation == "write_serializable"
+                        and not w_rm
+                        and (rec.get("commit_info") or {}).get("op")
+                        in _BLIND_APPEND_OPS
+                    )
+                    if not blind:
+                        return None
+        rm_set = set(removes)
+        files2 = [
+            e for e in m_now["files"] if e["name"] not in rm_set
+        ] + list(adds)
+        txns2 = dict(m_now.get("txns", {}))
+        if txn_app is not None:
+            txns2[txn_app] = int(txn_batch)
+        info = dict(commit_info or {})
+        info["rebased_over"] = m_now["version"] - base_m["version"]
+        try:
+            return _commit(
+                path, files2, m_now["stats_cols"],
+                base_version=m_now["version"],
+                schema_json=(
+                    m_now.get("schema") if schema_json is None
+                    else schema_json
+                ),
+                txns=txns2, commit_info=info, fs=fs, carry=m_now,
+                adds=list(adds), removes=list(removes),
+            )
+        except CommitConflict:
+            continue  # a newer winner: re-validate against the new head
+    return None
+
+
 def _bad_key_rows(batch: DataFrame, keys: list[str]) -> list:
     """One action catching BOTH illegal key shapes: duplicate keys
     (MERGE's multiple-matches rule) and NULL keys (equi/anti joins never
@@ -2233,6 +2507,7 @@ def merge_upsert_cow(
     txn_app: str | None = None,
     txn_batch: int | None = None,
     fs: LocalSnapshotFS | None = None,
+    isolation: str = "write_serializable",
 ) -> dict:
     """File-level copy-on-write MERGE into a snapshot table.
 
@@ -2249,7 +2524,11 @@ def merge_upsert_cow(
     retries).  With ``txn_app``/``txn_batch`` the commit is idempotent:
     a marker already recorded in the manifest skips the batch.  Returns
     ``{"version", "rewritten", "carried", "added"}`` (+``skipped``).
+    ``isolation`` as in ``delete_where_mor`` — a lost race whose
+    winners provably don't overlap this batch's keys re-commits the
+    already-written files instead of re-deriving the merge.
     """
+    _check_isolation(isolation)
     bad = _bad_key_rows(updates, keys)
     if bad:
         row = bad[0]
@@ -2349,10 +2628,26 @@ def merge_upsert_cow(
                 removes=[e["name"] for e in overlapping],
             )
         except CommitConflict as e:
-            # the freshly written files become expirable orphans; the
-            # retry re-derives the merge from the winner's manifest
-            last_err = e
-            continue
+            version = _rebase_after_conflict(
+                path, m, fs,
+                adds=new_entries,
+                removes=[x["name"] for x in overlapping],
+                read_files=[x["name"] for x in overlapping],
+                candidate_fn=lambda mm: [
+                    x for x in mm["files"]
+                    if _overlaps(x, probe, keys, bl, _cm(mm))
+                ],
+                isolation=isolation,
+                schema_json=out_schema.json(),
+                txn_app=txn_app, txn_batch=txn_batch,
+                commit_info=info,
+            )
+            if version is None:
+                # the freshly written files become expirable orphans;
+                # the retry re-derives the merge from the winner's
+                # manifest
+                last_err = e
+                continue
         return {
             "version": version,
             "rewritten": len(overlapping),
@@ -2376,6 +2671,7 @@ def apply_cdc_cow(
     txn_batch: int | None = None,
     mor_deletes: bool = False,
     fs: LocalSnapshotFS | None = None,
+    isolation: str = "write_serializable",
 ) -> dict:
     """Apply one CDC batch (rows tagged I/U/D in ``op_col``) to a
     snapshot table with file-level copy-on-write.
@@ -2399,7 +2695,9 @@ def apply_cdc_cow(
     Files rewritten for upserts apply their deletes during the rewrite
     as before; a delete-heavy feed stops paying file-size rewrite costs
     for its deletes and ``auto_compact`` folds the accumulated vectors.
+    ``isolation`` as in ``delete_where_mor``.
     """
+    _check_isolation(isolation)
     op_counts = {
         r["o"]: r["n"]
         for r in batch.groupBy(F.upper(F.col(op_col)).alias("o"))
@@ -2612,8 +2910,24 @@ def apply_cdc_cow(
                 adds=adds, removes=removes,
             )
         except CommitConflict as e:
-            last_err = e
-            continue
+            version = _rebase_after_conflict(
+                path, m, fs,
+                adds=adds, removes=removes,
+                read_files=[
+                    x["name"] for x in overlapping
+                ] + [x["name"] for x in dv_cands],
+                candidate_fn=lambda mm: [
+                    x for x in mm["files"]
+                    if _overlaps(x, probe, keys, bl, _cm(mm))
+                ],
+                isolation=isolation,
+                schema_json=out_schema.json(),
+                txn_app=txn_app, txn_batch=txn_batch,
+                commit_info=info,
+            )
+            if version is None:
+                last_err = e
+                continue
         res = {
             "version": version,
             "rewritten": len(overlapping),
@@ -2648,8 +2962,11 @@ def snap_append(
     removed, append commits are exactly what ``snapshot_stream`` can
     replay as a Structured Streaming source.  Schema checks, txn
     idempotence markers, commit retries, and stats/bloom collection are
-    shared with the mutators.  Returns ``{"version", "added",
-    "carried"}`` (+``skipped``)."""
+    shared with the mutators.  A lost commit race re-commits the
+    already-written files on the new head (appends commute; see
+    ``_rebase_after_conflict``) instead of re-executing the write job —
+    only table-metadata drift forces a re-run.  Returns ``{"version",
+    "added", "carried"}`` (+``skipped``)."""
     if not batch.take(1):
         return _skipped_result(read_manifest(path, fs=fs))
     last_err: Exception | None = None
@@ -2690,8 +3007,22 @@ def snap_append(
                 adds=new_entries, removes=[],
             )
         except CommitConflict as e:
-            last_err = e
-            continue
+            # an append reads nothing and removes nothing, so like a
+            # rearrangement it can ALWAYS re-commit its already-written
+            # files on the new head (metadata drift aside) — without
+            # this, a lost race re-executes the whole Spark write job
+            version = _rebase_after_conflict(
+                path, m, fs,
+                adds=new_entries, removes=[],
+                read_files=[],
+                rearrange_only=True,
+                schema_json=out_schema.json(),
+                txn_app=txn_app, txn_batch=txn_batch,
+                commit_info=info,
+            )
+            if version is None:
+                last_err = e
+                continue
         return {
             "version": version,
             "added": len(new_entries),
@@ -2875,8 +3206,21 @@ def optimize_snapshot(
                 removes=[e["name"] for e in to_rewrite],
             )
         except CommitConflict as e:
-            last_err = e
-            continue
+            # compaction is a pure rearrangement: a winner's appends
+            # never conflict, only a winner touching OUR input files
+            # forces a re-run — so background OPTIMIZE converges on a
+            # hot append stream instead of redoing the rewrite forever
+            version = _rebase_after_conflict(
+                path, m, fs,
+                adds=new_entries,
+                removes=[x["name"] for x in to_rewrite],
+                read_files=[],
+                rearrange_only=True,
+                commit_info=info,
+            )
+            if version is None:
+                last_err = e
+                continue
         return {
             "version": version,
             "rewritten": len(to_rewrite),
@@ -3082,8 +3426,17 @@ def optimize_incremental(
                 removes=[e["name"] for e in to_rewrite],
             )
         except CommitConflict as e:
-            last_err = e
-            continue
+            version = _rebase_after_conflict(
+                path, m, fs,
+                adds=new_entries,
+                removes=[x["name"] for x in to_rewrite],
+                read_files=[],
+                rearrange_only=True,
+                commit_info=info,
+            )
+            if version is None:
+                last_err = e
+                continue
         return {
             "version": version,
             "rewritten": len(to_rewrite),
@@ -3751,6 +4104,7 @@ def update_where(
     txn_app: str | None = None,
     txn_batch: int | None = None,
     fs: LocalSnapshotFS | None = None,
+    isolation: str = "write_serializable",
 ) -> dict:
     """``UPDATE table SET col = expr, ... WHERE <predicates>`` with
     file-level copy-on-write.
@@ -3769,8 +4123,10 @@ def update_where(
     Post-update rows are validated against the table's CHECK
     constraints.  Commit retries, txn idempotence, and empty-match
     no-ops follow the merge path.  Returns ``{"version", "updated",
-    "rewritten", "carried", "added"}``."""
+    "rewritten", "carried", "added"}``.  ``isolation`` as in
+    ``delete_where_mor``."""
     cond = _predicates_to_column(predicates)  # _parse_dnf validates
+    _check_isolation(isolation)
     if not set_exprs:
         raise ValueError("update_where: empty set_exprs")
     last_err: Exception | None = None
@@ -3867,8 +4223,21 @@ def update_where(
                 removes=[e["name"] for e in candidates],
             )
         except CommitConflict as e:
-            last_err = e
-            continue
+            version = _rebase_after_conflict(
+                path, m, fs,
+                adds=new_entries,
+                removes=[x["name"] for x in candidates],
+                read_files=[x["name"] for x in candidates],
+                candidate_fn=lambda mm: prune_manifest(
+                    mm, predicates, _bloom_loader(path, fs)
+                )[0],
+                isolation=isolation,
+                txn_app=txn_app, txn_batch=txn_batch,
+                commit_info=info,
+            )
+            if version is None:
+                last_err = e
+                continue
         return {
             "version": version,
             "updated": n_updated,
@@ -3989,6 +4358,7 @@ def merge_into(
     txn_app: str | None = None,
     txn_batch: int | None = None,
     fs: LocalSnapshotFS | None = None,
+    isolation: str = "write_serializable",
 ) -> dict:
     """Full conditional ``MERGE INTO`` (the Delta/SQL:2003 grammar) with
     file-level copy-on-write.
@@ -4077,6 +4447,7 @@ def merge_into(
             f"{tuple(row[k] for k in keys)!r} (MERGE's multiple-matches "
             "rule); collapse the source first"
         )
+    _check_isolation(isolation)
     probe = _batch_key_probe(source.select(*keys), keys)
     if probe.get("empty") and not by_source:
         # an empty source with by-source clauses is NOT a no-op: every
@@ -4396,8 +4767,28 @@ def merge_into(
                 removes=[e["name"] for e in overlapping],
             )
         except CommitConflict as e:
-            last_err = e
-            continue
+            version = _rebase_after_conflict(
+                path, m, fs,
+                adds=new_entries,
+                removes=[x["name"] for x in overlapping],
+                read_files=[x["name"] for x in overlapping],
+                # BY SOURCE clauses read the WHOLE table (absence
+                # matters), so every winner-added file is a real read
+                # conflict; otherwise the source-key probe decides
+                candidate_fn=(
+                    (lambda mm: list(mm["files"])) if by_source
+                    else lambda mm: [
+                        x for x in mm["files"]
+                        if _overlaps(x, probe, keys, bl, _cm(mm))
+                    ]
+                ),
+                isolation=isolation,
+                txn_app=txn_app, txn_batch=txn_batch,
+                commit_info=info,
+            )
+            if version is None:
+                last_err = e
+                continue
         info["version"] = version
         return {k: v for k, v in info.items() if k != "op" and k != "txn"}
     raise CommitConflict(
