@@ -1819,6 +1819,7 @@ def snap_scan(
     predicates: list[tuple],
     version: int | None = None,
     fs: LocalSnapshotFS | None = None,
+    planner: str = "auto",
 ) -> DataFrame:
     """Predicate-pruned read of a snapshot table: files whose manifest
     statistics cannot satisfy the conjunction of ``predicates`` are
@@ -1837,7 +1838,44 @@ def snap_scan(
     O(table) tasks and O(matching files): on a key-clustered table
     (``zorder_write`` / ``optimize_snapshot(zorder=...)``) a point
     predicate touches one file.  Returns an empty DataFrame with the
-    table schema when every file is pruned."""
+    table schema when every file is pruned.
+
+    ``planner`` picks where the pruning loop runs: ``"driver"`` (the
+    in-memory listing), ``"distributed"`` (a Spark job over multi-part
+    checkpoint shards — see ``plan_distributed``), or ``"auto"`` (the
+    default: distributed exactly when a multi-part checkpoint exists
+    and no reconstruction is cached, i.e. when the listing is ≥ ~50k
+    entries and cold — the regime where the driver loop is the
+    planner's bottleneck)."""
+    if planner != "driver":
+        from .plan_distributed import plan_scan_entries
+
+        planned = plan_scan_entries(
+            spark, path, predicates, version, fs, planner
+        )
+        if planned is not None:
+            entries, raw = planned
+            meta = {
+                "files": entries,
+                "stats_cols": raw.get("stats_cols") or [],
+                "column_mapping": raw.get("column_mapping"),
+            }
+            kept, _ = prune_manifest(
+                meta, predicates, _bloom_loader(path, fs)
+            )
+            schema = _manifest_schema(raw)
+            cond = _predicates_to_column(predicates)
+            if not kept:
+                if schema is None:
+                    return (
+                        snap_read(spark, path, version, fs)
+                        .filter(cond)
+                        .limit(0)
+                    )
+                return spark.createDataFrame([], schema)
+            return _read_entries(
+                spark, path, kept, schema, _cm(raw)
+            ).filter(cond)
     m = read_manifest(path, version, fs)
     kept, _ = prune_manifest(m, predicates, _bloom_loader(path, fs))
     schema = _manifest_schema(m)
