@@ -77,6 +77,7 @@ def main() -> None:
     # "parsed": null.  Keep the printed line compact (minified, 2-decimal)
     # and write the full spread/samples detail to a side file instead.
     detail = {
+        "queries_full": times,
         "samples": samples,
         "spread": {
             name: {
@@ -95,17 +96,20 @@ def main() -> None:
             json.dump(detail, f, indent=1, sort_keys=True)
     except OSError:
         pass  # detail is best-effort; the contract line below is not
+    # The driver records only the LAST 2000 chars of stdout and parses the
+    # final line as JSON.  Round 9's line was ~2.3 KB (the old 2400 cap plus
+    # a trim loop that stopped at the first >=1s entry even while still over
+    # budget), so the captured tail was left-truncated and BENCH_r09 landed
+    # as "parsed": null.  Trim unconditionally, cheapest queries first, until
+    # the line fits with margin; every dropped timing is still in
+    # BENCH_DETAIL.json under "queries_full".
+    LINE_BUDGET = 1800
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 2400:
-        # stay far inside the capture window even as AUX queries grow:
-        # drop sub-second entries (still in BENCH_DETAIL.json) smallest-first
-        for name in sorted(times, key=times.get):
-            if times[name] >= 1.0:
-                break
-            del out["queries"][name]
-            line = json.dumps(out, separators=(",", ":"))
-            if len(line) <= 2400:
-                break
+    for name in sorted(times, key=times.get):
+        if len(line) <= LINE_BUDGET:
+            break
+        del out["queries"][name]
+        line = json.dumps(out, separators=(",", ":"))
     print(line)
     spark.stop()
 
