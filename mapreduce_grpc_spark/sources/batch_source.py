@@ -62,7 +62,11 @@ PARTITION_TARGET_BYTES = 128 * 1024 * 1024
 
 
 def write_arrow_parquet(
-    path: str, schema_json: str, iterator, cm: dict | None = None
+    path: str,
+    schema_json: str,
+    iterator,
+    cm: dict | None = None,
+    pspec: list[dict] | None = None,
 ) -> str | None:
     """One task's Arrow batches -> one immutable ``data-*.parquet``
     inside the table dir (invisible until a manifest references it).
@@ -71,7 +75,14 @@ def write_arrow_parquet(
 
     ``cm`` is the table's logical->physical column mapping: incoming
     batches carry LOGICAL names, the bytes land under the frozen
-    PHYSICAL names (snapshots.py column-mapping block)."""
+    PHYSICAL names (snapshots.py column-mapping block).
+
+    On a partitioned table (``pspec``, sources/partition.py) each
+    batch grows the derived partition-value columns (pandas twin of
+    the Spark expressions) and the file is sorted by the tuple, so
+    row-group ranges stay tight even though an executor task cannot
+    repartition — the library write path's clustering, minus the
+    shuffle the data source API doesn't own."""
     import uuid as _uuid
 
     import pyarrow as pa
@@ -85,6 +96,11 @@ def write_arrow_parquet(
     phys_target = pa.schema(
         [f.with_name(cm.get(f.name, f.name)) for f in target]
     )
+    pnames: list[str] = []
+    if pspec:
+        from .partition import partition_pandas  # noqa: F401
+
+        pnames = [s["name"] for s in pspec]
     name = f"data-sink-{_uuid.uuid4().hex[:16]}.parquet"
     full = os.path.join(path, name)
     writer = None
@@ -96,8 +112,11 @@ def write_arrow_parquet(
                 .cast(target)
                 .rename_columns(phys_target.names)
             )
+            if pspec:
+                table = _append_partition_values(table, pspec)
+                table = table.sort_by([(n, "ascending") for n in pnames])
             if writer is None:
-                writer = pq.ParquetWriter(full, phys_target)
+                writer = pq.ParquetWriter(full, table.schema)
             writer.write_table(table)
     finally:
         if writer is not None:
@@ -105,6 +124,30 @@ def write_arrow_parquet(
     if writer is None:
         return None
     return name
+
+
+def _append_partition_values(table, pspec: list[dict]):
+    """Grow an Arrow table (PHYSICAL names) by its derived partition
+    columns via the pandas twin — value-identical to the Spark
+    expressions (pinned by tests/test_partitioning.py)."""
+    import pyarrow as pa
+
+    from .partition import partition_pandas
+
+    src_cols = sorted({s["col"] for s in pspec})
+    pdf = table.select(src_cols).to_pandas()
+    pdf = partition_pandas(pspec, pdf)
+    for s in pspec:
+        vals = pdf[s["name"]]
+        if s["t"] == "identity" or (
+            s["t"] == "truncate" and s["src_type"] == "string"
+        ):
+            arr = pa.array(vals, from_pandas=True)
+        else:
+            typ = pa.int64() if s["t"] == "truncate" else pa.int32()
+            arr = pa.array(vals, type=typ, from_pandas=True)
+        table = table.append_column(s["name"], arr)
+    return table
 
 
 def align_to_schema(table, schema_json: str, cm: dict | None = None):
@@ -310,18 +353,22 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         # driver-side at plan time: write tasks land bytes under the
         # frozen physical names; commit() re-checks the mapping didn't
         # change underneath (a concurrent rename) before publishing
-        from .snapshots import _cm, load_fs, read_manifest
+        from .snapshots import _cm, _pspec, load_fs, read_manifest
 
         try:
-            self._cm = _cm(read_manifest(path, fs=load_fs(fs_spec)))
+            m = read_manifest(path, fs=load_fs(fs_spec))
+            self._cm = _cm(m)
+            self._pspec = _pspec(m)
         except FileNotFoundError:
             self._cm = {}
+            self._pspec = []
 
     def write(self, iterator) -> _BatchFileCommit:
         os.makedirs(self._path, exist_ok=True)
         return _BatchFileCommit(
             write_arrow_parquet(
-                self._path, self._schema_json, iterator, self._cm
+                self._path, self._schema_json, iterator, self._cm,
+                self._pspec,
             )
         )
 
@@ -429,14 +476,20 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
 
         validated_for = m0.get("constraints") or {}
         _validate(validated_for)
+        # on a partitioned table the written files carry derived
+        # partition-value columns: track their footer stats + blooms so
+        # partition pruning covers data-source-written files too
+        stat_names = list(m0["stats_cols"]) + [
+            s["name"] for s in self._pspec
+        ]
         entries = []
         for n in names:
             e = {"name": n}
             e.update(
-                _file_stats(os.path.join(self._path, n), m0["stats_cols"])
+                _file_stats(os.path.join(self._path, n), stat_names)
             )
             entries.append(e)
-        _build_bloom_sidecar(self._path, entries, m0["stats_cols"], f)
+        _build_bloom_sidecar(self._path, entries, stat_names, f)
 
         m = m0
         op = "batch_overwrite" if self._overwrite else "batch_append"

@@ -335,7 +335,7 @@ def rollup_refresh_snap(
     pointer swap, which closes the torn-reader race the
     dynamic-partition-overwrite refresh has.  Returns the number of
     touched days."""
-    from .snapshots import _commit, _write_data_files, read_manifest
+    from .snapshots import _commit, _pspec, _write_data_files, read_manifest
 
     batch = rollup_build(new_events)
     days_native = [r[0] for r in batch.select("d").distinct().collect()]
@@ -374,7 +374,8 @@ def rollup_refresh_snap(
             "window_start", "event_type", "d", "n_events", "sum_value_dec"
         )
     new_entries = _write_data_files(
-        spark, out.repartitionByRange(4, "d"), path, m["stats_cols"]
+        spark, out.repartitionByRange(4, "d"), path, m["stats_cols"],
+        pspec=_pspec(m),
     )
     _commit(
         path,

@@ -119,13 +119,9 @@ def plan_scan_entries(
     if parts is None:
         return None
 
-    branches = S._parse_dnf(predicates)
-    cm = S._cm(raw)
-    if cm:
-        branches = [
-            [(S._phys(cm, p[0]),) + tuple(p[1:]) for p in b]
-            for b in branches
-        ]
+    # physical-name translation + partition-spec derivation, shared
+    # with the driver planner so both prune with identical conjunctions
+    branches = S._physical_branches(raw, predicates)
     fs_cap = f  # stateless SnapshotFS: pickled into the tasks
 
     def prune_parts(batches):

@@ -962,6 +962,12 @@ def _build_bloom_sidecar(
             }
 
 
+def _pspec(m: dict | None) -> list[dict]:
+    """The manifest's partition spec (hidden partitioning — see
+    ``sources/partition.py``), or ``[]``."""
+    return (m or {}).get("partition_spec") or []
+
+
 def _write_data_files(
     spark: SparkSession,
     df: DataFrame,
@@ -969,6 +975,7 @@ def _write_data_files(
     stats_cols: list[str],
     fs: LocalSnapshotFS | None = None,
     cm: dict | None = None,
+    pspec: list[dict] | None = None,
 ) -> list[dict]:
     """Write ``df``'s rows as new immutable data files inside ``path``
     and return their manifest entries.  Files are written via a staging
@@ -978,9 +985,21 @@ def _write_data_files(
 
     ``df`` carries LOGICAL column names; under a column mapping the
     bytes land under the PHYSICAL names (``stats_cols`` are already
-    physical — they key the footer stats and bloom sidecars)."""
+    physical — they key the footer stats and bloom sidecars).
+
+    On a partitioned table (``pspec``) the batch additionally grows the
+    derived partition-value columns, is clustered by the tuple, and the
+    derived names join ``stats_cols`` for THIS write — footer
+    envelopes, row-group ranges, and bloom sidecars then cover the
+    partition values with no extra machinery (see
+    ``sources/partition.py``)."""
     if cm:
         df = _to_physical(df, cm)
+    if pspec:
+        from .partition import with_partition_columns
+
+        df = with_partition_columns(df, pspec)
+        stats_cols = list(stats_cols) + [s["name"] for s in pspec]
     f = _fs(fs)
     staging = os.path.join(path, f"_stage-{uuid.uuid4().hex[:12]}")
     df.write.mode("errorifexists").parquet(staging)
@@ -1081,7 +1100,7 @@ def _commit(
     }
     if carry:
         _check_writer_features(carry, path)
-        for k in ("constraints", "column_mapping"):
+        for k in ("constraints", "column_mapping", "partition_spec"):
             if carry.get(k):
                 manifest[k] = carry[k]
     # protocol feature flags (see UnsupportedTableFeature): exact for
@@ -1418,6 +1437,15 @@ def snap_drop_column(
             )
         cmap = dict(_cm(m))
         phys = cmap.pop(col, col)
+        part_refs = [
+            s for s in _pspec(m) if s["col"] == phys
+        ]
+        if part_refs:
+            raise ValueError(
+                f"snap_drop_column: column {col!r} is a partition "
+                f"source ({[s['t'] for s in part_refs]}); partitioned "
+                f"tables cannot drop their partition columns"
+            )
         retired = _cm_retired(m) + [phys]
         new_schema = StructType(
             [f for f in schema.fields if f.name != col]
@@ -1529,22 +1557,36 @@ def snap_init(
     stats_cols: list[str],
     txns: dict | None = None,
     fs: LocalSnapshotFS | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Create a snapshot table at ``path`` from ``df`` (version 1).
 
     ``stats_cols`` are the columns whose per-file envelopes and
     row-group ranges the manifest tracks — the merge keys and any
     pruning columns.  ``txns`` seeds the idempotence-marker map (e.g. a
-    materialized view recording the source version it was built from)."""
+    materialized view recording the source version it was built from).
+
+    ``partition_by`` declares hidden partitioning — transform specs
+    like ``["days(event_ts)", "bucket(16, user_id)", "country"]``
+    (see ``sources/partition.py``): every write path clusters batches
+    by the derived tuple and ``snap_scan`` prunes files from plain
+    predicates on the SOURCE columns; the user never references a
+    partition column."""
     f = _fs(fs)
     f.makedirs(path)
     if current_version(path, fs) != 0:
         raise FileExistsError(f"snapshot table already exists at {path!r}")
-    files = _write_data_files(spark, df, path, stats_cols, fs)
+    pspec: list[dict] = []
+    if partition_by:
+        from .partition import parse_partition_spec
+
+        pspec = parse_partition_spec(partition_by, df.schema)
+    files = _write_data_files(spark, df, path, stats_cols, fs, pspec=pspec)
     return _commit(
         path, files, stats_cols, base_version=0,
         schema_json=df.schema.json(), txns=txns, fs=fs,
         adds=files, removes=[],
+        carry={"partition_spec": pspec} if pspec else None,
     )
 
 
@@ -1750,6 +1792,27 @@ def _parse_dnf(predicates) -> list[list[tuple]]:
     return branches
 
 
+def _physical_branches(m: dict, predicates) -> list[list[tuple]]:
+    """DNF branches of a predicate tree translated to PHYSICAL column
+    names, each extended with the partition-value predicates the
+    table's hidden-partitioning spec implies (``sources/partition.py``)
+    — the one place scan planning (driver AND distributed) builds the
+    conjunctions ``_entry_may_match`` prunes with."""
+    branches = _parse_dnf(predicates)
+    cm = _cm(m)
+    if cm:
+        branches = [
+            [(_phys(cm, p[0]),) + tuple(p[1:]) for p in b]
+            for b in branches
+        ]
+    pspec = _pspec(m)
+    if pspec:
+        from .partition import derive_branch_preds
+
+        branches = [b + derive_branch_preds(pspec, b) for b in branches]
+    return branches
+
+
 def prune_manifest(
     m: dict, predicates, bloom_of=None
 ) -> tuple[list[dict], list[dict]]:
@@ -1761,14 +1824,12 @@ def prune_manifest(
     per-branch file sets), and skipped only when its footer statistics
     (or its bloom filter, for ``=``/``in``) PROVE no branch can
     match — still strictly conservative.  Predicate columns are
-    LOGICAL names; file stats are keyed physical — translated here."""
-    branches = _parse_dnf(predicates)
-    cm = _cm(m)
-    if cm:
-        branches = [
-            [(_phys(cm, p[0]),) + tuple(p[1:]) for p in b]
-            for b in branches
-        ]
+    LOGICAL names; file stats are keyed physical — translated here,
+    and on a partitioned table each branch also gains the implied
+    partition-value predicates (day range, bucket id, truncate
+    prefix), which is what makes partition pruning exact on clustered
+    files with zero extra manifest structure."""
+    branches = _physical_branches(m, predicates)
     kept, skipped = [], []
     for e in m["files"]:
         if any(
@@ -1859,6 +1920,7 @@ def snap_scan(
                 "files": entries,
                 "stats_cols": raw.get("stats_cols") or [],
                 "column_mapping": raw.get("column_mapping"),
+                "partition_spec": raw.get("partition_spec"),
             }
             kept, _ = prune_manifest(
                 meta, predicates, _bloom_loader(path, fs)
@@ -2643,7 +2705,7 @@ def merge_upsert_cow(
             *keys
         )
         new_entries = _write_data_files(
-            spark, out, path, stats_cols, fs, cm
+            spark, out, path, stats_cols, fs, cm, pspec=_pspec(m)
         )
         txns = dict(m.get("txns", {}))
         if txn_app is not None:
@@ -2850,7 +2912,7 @@ def apply_cdc_cow(
                 max(1, len(overlapping))
             ).sortWithinPartitions(*keys)
             new_entries = _write_data_files(
-                spark, out, path, stats_cols, fs, cm
+                spark, out, path, stats_cols, fs, cm, pspec=_pspec(m)
             )
         else:
             new_entries = []
@@ -3024,7 +3086,7 @@ def snap_append(
         _enforce_constraints(m, batch.select(*out_cols), "snap_append")
         new_entries = _write_data_files(
             spark, batch.select(*out_cols), path, m["stats_cols"], fs,
-            _cm(m),
+            _cm(m), pspec=_pspec(m),
         )
         txns = dict(m.get("txns", {}))
         if txn_app is not None:
@@ -3109,7 +3171,8 @@ def snap_overwrite(
         if written is None:  # files are commit-agnostic: write once
             written_cm = _cm(m)
             written = _write_data_files(
-                spark, df, path, m["stats_cols"], fs, written_cm
+                spark, df, path, m["stats_cols"], fs, written_cm,
+                pspec=_pspec(m),
             )
         txns = dict(m.get("txns", {}))
         if txn_app is not None:
@@ -3225,7 +3288,7 @@ def optimize_snapshot(
         else:
             out = df.coalesce(n_files)
         new_entries = _write_data_files(
-            spark, out, path, stats_cols, fs, cm
+            spark, out, path, stats_cols, fs, cm, pspec=_pspec(m)
         )
         info = {
             "op": "optimize",
@@ -3445,7 +3508,7 @@ def optimize_incremental(
                 n_files, F.col(col)
             ).sortWithinPartitions(col)
         new_entries = _write_data_files(
-            spark, out, path, m["stats_cols"], fs, cm
+            spark, out, path, m["stats_cols"], fs, cm, pspec=_pspec(m)
         )
         info = {
             "op": "optimize_incremental",
@@ -4237,7 +4300,8 @@ def update_where(
         if sort_cols:
             out = out.sortWithinPartitions(*sort_cols)
         new_entries = _write_data_files(
-            spark, out, path, m["stats_cols"], fs, _cm(m)
+            spark, out, path, m["stats_cols"], fs, _cm(m),
+            pspec=_pspec(m),
         )
         txns = dict(m.get("txns", {}))
         if txn_app is not None:
@@ -4775,7 +4839,7 @@ def merge_into(
                 )
             )
             new_entries = _write_data_files(
-                spark, out, path, stats_cols, fs, cm
+                spark, out, path, stats_cols, fs, cm, pspec=_pspec(m)
             )
         finally:
             tagged.unpersist()

@@ -436,6 +436,7 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
         txn_app: str,
         fs_spec: str | None = None,
         cm: dict | None = None,
+        pspec: list[dict] | None = None,
     ):
         self._path = path
         self._schema_json = schema.json()
@@ -444,6 +445,7 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
         # logical->physical mapping captured at query planning; each
         # micro-batch commit re-checks it (see commit())
         self._cm = cm or {}
+        self._pspec = pspec or []
 
     def write(self, iterator) -> _FileCommit:
         # iterator of pyarrow RecordBatch (DataSourceStreamArrowWriter):
@@ -454,7 +456,8 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
 
         return _FileCommit(
             write_arrow_parquet(
-                self._path, self._schema_json, iterator, self._cm
+                self._path, self._schema_json, iterator, self._cm,
+                self._pspec,
             )
         )
 
@@ -542,14 +545,19 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
             validated_for = m0["constraints"]
         # stats + blooms are a pure function of the immutable files:
         # compute ONCE, not per commit-race retry
+        # partitioned table: the files carry derived partition values —
+        # track their stats/blooms so the sink's files prune too
+        stat_names = list(m0["stats_cols"]) + [
+            s["name"] for s in self._pspec
+        ]
         entries = []
         for n in names:
             e = {"name": n}
             e.update(
-                _file_stats(os.path.join(self._path, n), m0["stats_cols"])
+                _file_stats(os.path.join(self._path, n), stat_names)
             )
             entries.append(e)
-        _build_bloom_sidecar(self._path, entries, m0["stats_cols"], f)
+        _build_bloom_sidecar(self._path, entries, stat_names, f)
 
         m = m0
         for _attempt in range(COMMIT_RETRIES):
@@ -662,6 +670,21 @@ class SnapshotTableStreamSource(DataSource):
             return {}, 0
         return (raw.get("column_mapping") or {}).get("map") or {}, v
 
+    def _partition_spec(self) -> list[dict]:
+        """The table's hidden-partitioning spec (sources/partition.py)
+        at CURRENT, or [] on fresh/unpartitioned tables — the sink
+        derives + tracks the partition values so its files prune."""
+        from .snapshots import _current_path, _manifest_path
+
+        path = self._path()
+        fs = self._fs()
+        try:
+            v = int(fs.read_text(_current_path(path)).strip())
+            raw = json.loads(fs.read_text(_manifest_path(path, v)))
+        except (FileNotFoundError, ValueError):
+            return []
+        return raw.get("partition_spec") or []
+
     def schema(self) -> StructType:
         path = self._path()
         fs = self._fs()
@@ -773,6 +796,7 @@ class SnapshotTableStreamSource(DataSource):
             txn_app,
             fs_spec=self.options.get("fsimpl"),
             cm=self._column_mapping()[0],
+            pspec=self._partition_spec(),
         )
 
     # -- batch surface (same format string; see batch_source.py) ------

@@ -1,0 +1,499 @@
+"""Hidden partitioning on snapshot tables (sources/partition.py).
+
+Iceberg-style partition transforms — ``days(ts)``, ``hours(ts)``,
+``bucket(N, col)``, ``truncate(N, col)``, identity — declared once at
+``snap_init`` and invisible afterwards: every write path clusters
+batches by the derived tuple and ``snap_scan`` prunes files from plain
+predicates on the SOURCE columns.  These tests pin:
+
+- the three derivation implementations agree value-for-value: the
+  Spark expression (library writes), the python twin (predicate
+  derivation on the driver), and the pandas twin (the Arrow
+  batch/stream sink write path);
+- scan answers are EXACTLY the plain filter's on every predicate shape
+  (pruning is advisory and the row filter exact);
+- pruning actually skips files on a clustered table: day ranges,
+  bucket point lookups, truncate prefixes;
+- every mutator preserves the spec and re-derives on rewrite: append,
+  merge_into, update_where, MoR delete + scan, optimize;
+- spec validation rejects unknown transforms / bad types / reserved
+  names, and ``snap_drop_column`` refuses to orphan a partition source;
+- a renamed source column (column mapping) still prunes — the spec
+  pins PHYSICAL names;
+- the batch DataSource writer and the streaming sink derive + track
+  partition values so their files prune too;
+- files from a pre-partitioning layout (no ``_sgp_*`` stats) are never
+  pruned — conservative, not wrong.
+
+Runs over both FS backends (``snapshot_fs``).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mapreduce_grpc_spark.sources import snapshots as snap
+from mapreduce_grpc_spark.sources.partition import (
+    derive_branch_preds,
+    parse_partition_spec,
+    partition_expr,
+    partition_pandas,
+    transform_value,
+)
+from mapreduce_grpc_spark.sources.snapshots import (
+    merge_into,
+    optimize_snapshot,
+    prune_manifest,
+    read_manifest,
+    snap_append,
+    snap_drop_column,
+    snap_init,
+    snap_read,
+    snap_rename_column,
+    snap_scan,
+    update_where,
+)
+
+pytestmark = pytest.mark.usefixtures("snapshot_fs")
+
+JAN = datetime.datetime(2024, 1, 1)
+
+
+def _events(spark, n=400, days=20):
+    """Deterministic events-shaped frame spanning ``days`` days."""
+    return spark.range(n).selectExpr(
+        "id AS event_id",
+        # 1704067200 = 2024-01-01T00:00:00Z; timestamp_seconds is
+        # timezone-free (an instant), unlike TIMESTAMP literals
+        f"timestamp_seconds(1704067200 + CAST(id * ({days} * 86400.0 "
+        f"/ {n}) AS BIGINT)) AS ts",
+        "CAST(id % 37 AS BIGINT) AS user_id",
+        "CASE WHEN id % 3 = 0 THEN 'click_view' WHEN id % 3 = 1 THEN "
+        "'page_load' ELSE 'api_call' END AS event_type",
+        "CAST(id AS DOUBLE) / 7.0 AS value",
+    )
+
+
+@pytest.fixture
+def no_coalesce(spark):
+    """Disable AQE partition coalescing so a 400-row fixture still
+    fans out into multiple files (at real scale AQE right-sizing is
+    exactly what we want; at test scale it folds everything into one
+    file and there is nothing to prune)."""
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    yield
+    spark.conf.set(key, prev)
+
+
+def _mk(spark, tmp_path, partition_by, df=None, stats=("event_id",)):
+    path = os.path.join(str(tmp_path), "t")
+    df = _events(spark) if df is None else df
+    snap_init(
+        spark, df, path, stats_cols=list(stats), partition_by=partition_by
+    )
+    return path, df
+
+
+def _counts_equal(spark, path, df, preds, cond):
+    got = sorted(
+        snap_scan(spark, path, preds).select("event_id").toPandas()[
+            "event_id"
+        ]
+    )
+    want = sorted(df.filter(cond).select("event_id").toPandas()["event_id"])
+    assert got == want
+    return len(got)
+
+
+# --- transform agreement ---------------------------------------------
+
+
+def test_three_implementations_agree(spark):
+    df = _events(spark, n=120, days=40)
+    pspec = parse_partition_spec(
+        [
+            "days(ts)",
+            "hours(ts)",
+            "bucket(8, user_id)",
+            "truncate(4, event_type)",
+            "bucket(5, event_type)",
+            "user_id",
+        ],
+        df.schema,
+    )
+    probe = df
+    for s in pspec:
+        probe = probe.withColumn(s["name"], partition_expr(s))
+    rows = probe.collect()
+    src = {s["name"]: s["col"] for s in pspec}
+    for r in rows:
+        for s in pspec:
+            assert r[s["name"]] == transform_value(s, r[src[s["name"]]]), (
+                s,
+                r[src[s["name"]]],
+            )
+    pdf = partition_pandas(pspec, df.toPandas())
+    names = [s["name"] for s in pspec]
+    got = sorted(map(tuple, pdf[["event_id"] + names].itertuples(False)))
+    want = sorted((r["event_id"], *[r[n] for n in names]) for r in rows)
+    assert got == want
+
+
+def test_truncate_int_negative_safe(spark):
+    df = spark.range(1).selectExpr("CAST(id AS BIGINT) AS k")
+    pspec = parse_partition_spec(["truncate(10, k)"], df.schema)
+    s = pspec[0]
+    probe = spark.createDataFrame(
+        [(-25,), (-20,), (-1,), (0,), (7,), (10,)], "k bigint"
+    ).withColumn("p", partition_expr(s))
+    for r in probe.collect():
+        assert r["p"] == transform_value(s, r["k"])
+        assert r["p"] % 10 == 0 and r["p"] <= r["k"] < r["p"] + 10
+
+
+# --- spec validation --------------------------------------------------
+
+
+def test_spec_validation(spark):
+    schema = _events(spark).schema
+    with pytest.raises(ValueError, match="unknown partition transform"):
+        parse_partition_spec(["months(ts)"], schema)
+    with pytest.raises(KeyError, match="no column"):
+        parse_partition_spec(["days(nope)"], schema)
+    with pytest.raises(TypeError, match="does not support"):
+        parse_partition_spec(["days(user_id)"], schema)
+    with pytest.raises(TypeError, match="does not support"):
+        parse_partition_spec(["bucket(4, value)"], schema)  # double
+    with pytest.raises(ValueError, match="positive integer"):
+        parse_partition_spec(["bucket(user_id)"], schema)
+    with pytest.raises(ValueError, match="takes no parameter"):
+        parse_partition_spec(["days(3, ts)"], schema)
+    clash = _events(spark).withColumnRenamed("value", "_sgp_0").schema
+    with pytest.raises(ValueError, match="reserved"):
+        parse_partition_spec(["days(ts)"], clash)
+
+
+# --- scan parity + real pruning ---------------------------------------
+
+
+def test_day_range_prunes_and_matches(spark, tmp_path, no_coalesce):
+    path, df = _mk(spark, tmp_path, ["days(ts)", "bucket(8, user_id)"])
+    m = read_manifest(path)
+    assert m["partition_spec"] and len(m["files"]) > 3
+    lo, hi = JAN + datetime.timedelta(days=3), JAN + datetime.timedelta(
+        days=5
+    )
+    preds = [("ts", "between", lo, hi)]
+    kept, skipped = prune_manifest(
+        m, preds, snap._bloom_loader(path, None)
+    )
+    assert skipped, "a 2-day scan of a 20-day table must skip files"
+    n = _counts_equal(
+        spark, path, df, preds,
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)),
+    )
+    assert n > 0
+
+
+def test_bucket_point_lookup_prunes(spark, tmp_path, no_coalesce):
+    path, df = _mk(spark, tmp_path, ["bucket(8, user_id)", "days(ts)"])
+    m = read_manifest(path)
+    preds = [("user_id", "=", 11)]
+    kept, skipped = prune_manifest(
+        m, preds, snap._bloom_loader(path, None)
+    )
+    assert skipped, "a bucket point lookup must skip files"
+    _counts_equal(spark, path, df, preds, F.col("user_id") == 11)
+    # IN probes derive too
+    preds = [("user_id", "in", [11, 23])]
+    _counts_equal(
+        spark, path, df, preds, F.col("user_id").isin([11, 23])
+    )
+
+
+def test_truncate_prefix_prunes(spark, tmp_path, no_coalesce):
+    path, df = _mk(spark, tmp_path, ["truncate(4, event_type)"])
+    m = read_manifest(path)
+    preds = [("event_type", "=", "click_view")]
+    kept, skipped = prune_manifest(
+        m, preds, snap._bloom_loader(path, None)
+    )
+    assert skipped
+    _counts_equal(
+        spark, path, df, preds, F.col("event_type") == "click_view"
+    )
+
+
+def test_every_predicate_shape_matches(spark, tmp_path, no_coalesce):
+    path, df = _mk(spark, tmp_path, ["days(ts)", "bucket(8, user_id)"])
+    d4 = JAN + datetime.timedelta(days=4)
+    cases = [
+        ([("ts", ">=", d4)], F.col("ts") >= F.lit(d4)),
+        ([("ts", "<", d4)], F.col("ts") < F.lit(d4)),
+        (
+            [("ts", ">", d4), ("user_id", "=", 3)],
+            (F.col("ts") > F.lit(d4)) & (F.col("user_id") == 3),
+        ),
+        (  # DNF OR-tree with derivations on both branches
+            [[("user_id", "=", 3)], "or", [("ts", "<=", JAN)]],
+            (F.col("user_id") == 3) | (F.col("ts") <= F.lit(JAN)),
+        ),
+    ]
+    for preds, cond in cases:
+        _counts_equal(spark, path, df, preds, cond)
+
+
+def test_unpartitioned_files_never_pruned(spark, tmp_path, no_coalesce):
+    """Entries without _sgp stats (pre-partitioning writers) must be
+    kept by derived predicates — pruning is advisory, never a filter."""
+    path, df = _mk(spark, tmp_path, ["days(ts)"])
+    m = read_manifest(path)
+    stripped = dict(m)
+    stripped["files"] = [
+        {
+            **e,
+            "stats": {
+                k: v for k, v in e["stats"].items() if k != "_sgp_0"
+            },
+            "rg": {k: v for k, v in e["rg"].items() if k != "_sgp_0"},
+        }
+        for e in m["files"]
+    ]
+    preds = [("ts", "between", JAN, JAN + datetime.timedelta(days=1))]
+    kept, skipped = prune_manifest(stripped, preds, None)
+    assert not skipped and len(kept) == len(m["files"])
+
+
+# --- mutators preserve the spec ---------------------------------------
+
+
+def test_append_clusters_and_prunes(spark, tmp_path, no_coalesce):
+    path, df = _mk(spark, tmp_path, ["days(ts)"])
+    extra = _events(spark, n=200, days=20).withColumn(
+        "event_id", F.col("event_id") + 10_000
+    )
+    snap_append(spark, path, extra)
+    m = read_manifest(path)
+    assert m["partition_spec"], "append must carry the spec forward"
+    new = [e for e in m["files"] if "_sgp_0" in e.get("stats", {})]
+    assert len(new) == len(m["files"]), "appended files must carry stats"
+    both = df.unionByName(extra)
+    lo, hi = JAN + datetime.timedelta(days=2), JAN + datetime.timedelta(
+        days=3
+    )
+    preds = [("ts", "between", lo, hi)]
+    kept, skipped = prune_manifest(m, preds, None)
+    assert skipped
+    _counts_equal(
+        spark, path, both, preds,
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)),
+    )
+
+
+def test_merge_update_rewrites_rederive(spark, tmp_path, no_coalesce):
+    path, df = _mk(spark, tmp_path, ["days(ts)"])
+    src = df.filter(F.col("event_id") % 5 == 0).withColumn(
+        "value", F.col("value") + 100.0
+    )
+    merge_into(
+        spark, path, src, keys=["event_id"],
+        matched=[("update", None, {"value": "s.value"})],
+        not_matched=[("insert", None, None)],
+    )
+    update_where(
+        spark, path, [("user_id", "=", 7)], {"value": "CAST(-1.0 AS DOUBLE)"}
+    )
+    m = read_manifest(path)
+    assert all("_sgp_0" in e.get("stats", {}) for e in m["files"]), (
+        "every rewritten file must re-derive partition stats"
+    )
+    mutated = df.withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") + 100.0)
+        .otherwise(F.col("value")),
+    ).withColumn(
+        "value",
+        F.when(F.col("user_id") == 7, F.lit(-1.0)).otherwise(
+            F.col("value")
+        ),
+    )
+    lo = JAN + datetime.timedelta(days=10)
+    got = (
+        snap_scan(spark, path, [("ts", ">=", lo)])
+        .select("event_id", "value")
+        .toPandas()
+        .sort_values("event_id")
+        .values.tolist()
+    )
+    want = (
+        mutated.filter(F.col("ts") >= F.lit(lo))
+        .select("event_id", "value")
+        .toPandas()
+        .sort_values("event_id")
+        .values.tolist()
+    )
+    assert got == want
+
+
+def test_optimize_preserves_spec_and_stats(spark, tmp_path, no_coalesce):
+    path, df = _mk(spark, tmp_path, ["days(ts)"])
+    optimize_snapshot(spark, path, target_bytes=1 << 30)
+    m = read_manifest(path)
+    assert m["partition_spec"]
+    assert all("_sgp_0" in e.get("stats", {}) for e in m["files"])
+    assert snap_read(spark, path).count() == df.count()
+
+
+# --- schema evolution interplay ---------------------------------------
+
+
+def test_drop_partition_source_refused(spark, tmp_path):
+    path, _ = _mk(spark, tmp_path, ["days(ts)"])
+    with pytest.raises(ValueError, match="partition source"):
+        snap_drop_column(path, "ts")
+
+
+def test_renamed_source_still_prunes(spark, tmp_path, no_coalesce):
+    path, df = _mk(spark, tmp_path, ["days(ts)"])
+    snap_rename_column(path, "ts", "event_time")
+    m = read_manifest(path)
+    lo, hi = JAN + datetime.timedelta(days=2), JAN + datetime.timedelta(
+        days=3
+    )
+    preds = [("event_time", "between", lo, hi)]
+    kept, skipped = prune_manifest(m, preds, None)
+    assert skipped, "pruning must survive a source-column rename"
+    got = snap_scan(spark, path, preds).count()
+    want = df.filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    ).count()
+    assert got == want > 0
+    # appends under the new logical name still derive
+    extra = _events(spark, n=40, days=20).withColumnRenamed(
+        "ts", "event_time"
+    )
+    snap_append(spark, path, extra)
+    m2 = read_manifest(path)
+    assert all("_sgp_0" in e.get("stats", {}) for e in m2["files"])
+
+
+# --- data source write paths ------------------------------------------
+
+
+def test_batch_writer_derives_and_prunes(
+    spark, tmp_path, no_coalesce, snapshot_fs
+):
+    from mapreduce_grpc_spark.sources.stream_source import (
+        SnapshotTableStreamSource,
+    )
+
+    spark.dataSource.register(SnapshotTableStreamSource)
+    path, df = _mk(spark, tmp_path, ["days(ts)"])
+    extra = _events(spark, n=100, days=20).withColumn(
+        "event_id", F.col("event_id") + 50_000
+    )
+    (
+        extra.write.format("snapshot_table")
+        .option("path", path)
+        .option("fsImpl", snapshot_fs.spec)
+        .mode("append")
+        .save()
+    )
+    m = read_manifest(path)
+    assert all("_sgp_0" in e.get("stats", {}) for e in m["files"]), (
+        "batch-DataSource-written files must carry partition stats"
+    )
+    both = df.unionByName(extra)
+    lo, hi = JAN + datetime.timedelta(days=1), JAN + datetime.timedelta(
+        days=2
+    )
+    preds = [("ts", "between", lo, hi)]
+    kept, skipped = prune_manifest(m, preds, None)
+    assert skipped
+    _counts_equal(
+        spark, path, both, preds,
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)),
+    )
+
+
+def test_stream_sink_derives_and_prunes(
+    spark, tmp_path, no_coalesce, snapshot_fs
+):
+    from mapreduce_grpc_spark.sources.stream_source import (
+        SnapshotTableStreamSource,
+    )
+
+    spark.dataSource.register(SnapshotTableStreamSource)
+    path, df = _mk(spark, tmp_path, ["days(ts)"])
+    extra = _events(spark, n=100, days=20).withColumn(
+        "event_id", F.col("event_id") + 90_000
+    )
+    src_dir = os.path.join(str(tmp_path), "src_parquet")
+    extra.write.parquet(src_dir)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    q = (
+        spark.readStream.schema(extra.schema)
+        .parquet(src_dir)
+        .writeStream.format("snapshot_table")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .option("txnAppId", "part-sink-test")
+        .option("fsImpl", snapshot_fs.spec)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    m = read_manifest(path)
+    assert all("_sgp_0" in e.get("stats", {}) for e in m["files"]), (
+        "sink-written files must carry partition stats"
+    )
+    both = df.unionByName(extra)
+    lo, hi = JAN + datetime.timedelta(days=1), JAN + datetime.timedelta(
+        days=2
+    )
+    _counts_equal(
+        spark, path, both, [("ts", "between", lo, hi)],
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)),
+    )
+
+
+# --- derivation unit checks -------------------------------------------
+
+
+def test_derive_branch_preds_shapes(spark):
+    df = _events(spark)
+    pspec = parse_partition_spec(
+        ["days(ts)", "bucket(8, user_id)"], df.schema
+    )
+    d = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    day = transform_value(pspec[0], d)
+    out = derive_branch_preds(pspec, [("ts", "=", d)])
+    # timestamp source: +-1 day slop -> a between, not an equality
+    assert out == [("_sgp_0", "between", day - 1, day + 1)]
+    out = derive_branch_preds(pspec, [("user_id", "=", 42)])
+    assert out == [("_sgp_1", "=", transform_value(pspec[1], 42))]
+    # bucket never derives ranges (hashing destroys order)
+    assert derive_branch_preds(pspec, [("user_id", ">", 42)]) == []
+    # untransformable value: skipped, not wrong
+    assert derive_branch_preds(pspec, [("ts", "=", object())]) == []
+
+
+# --- AUX oracle parity --------------------------------------------------
+
+
+def test_snapshot_partitioned_scan_oracle(spark, sf_dir):
+    from mapreduce_grpc_spark import registry
+    from tests.oracle import assert_oracle_match
+
+    name = "snapshot_partitioned_scan"
+    df = registry.AUX_QUERIES[name](spark, sf_dir)
+    assert df.count() > 0
+    assert_oracle_match(df, registry.AUX_ORACLES[name], sf_dir, name)

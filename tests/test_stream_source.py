@@ -605,8 +605,14 @@ def test_byte_pacing_rounds_to_commit_boundaries(spark, tmp_path):
     assert spans(1) == [(i, i + 1) for i in range(5)]
     # unbounded-ish budget: one catch-up batch
     assert spans(10**9) == [(0, 5)]
-    # budget of exactly commits v1+v2's added bytes: (0,2] then (2,4]
-    # (v3+v4 happen to fit the same budget) then the leftover v5
+    # budget of exactly commits v1+v2's added bytes: multi-commit
+    # batches whose boundaries mirror the documented pacing rule —
+    # accumulate added bytes, admit while total stays <= budget, always
+    # take at least one commit.  The expectation is SIMULATED from the
+    # measured per-commit sizes rather than hardcoded: parquet file
+    # bytes drift (a 1-byte footer-stat difference between identical-
+    # shape commits was observed between environments), and what this
+    # test pins is the rounding contract, not specific file sizes.
     added = {}
     prev: set = set()
     for v in range(1, 6):
@@ -616,7 +622,29 @@ def test_byte_pacing_rounds_to_commit_boundaries(spark, tmp_path):
             e["bytes"] for e in m["files"] if e["name"] not in prev
         )
         prev = names
-    assert spans(added[1] + added[2]) == [(0, 2), (2, 4), (4, 5)]
+
+    def expected(budget):
+        out, lo = [], 0
+        while lo < 5:
+            total, end = 0, lo
+            for v in range(lo + 1, 6):
+                b = added[v]
+                if end > lo and total + b > budget:
+                    break
+                total += b
+                end = v
+                if total >= budget:
+                    break
+            out.append((lo, end))
+            lo = end
+        return out
+
+    budget = added[1] + added[2]
+    want = expected(budget)
+    assert spans(budget) == want
+    # the budget spans v1+v2 exactly, so the first batch MUST be (0, 2]
+    # whatever the later commits' exact sizes are
+    assert want[0] == (0, 2) and len(want) >= 3
 
 
 def test_partition_binning_coalesces_small_files(spark, tmp_path):
