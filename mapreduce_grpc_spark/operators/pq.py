@@ -1,0 +1,253 @@
+"""Product quantization (PQ) ANN over the ``embeddings`` table.
+
+The compression half of the 100 TB similarity story (Jégou et al.
+2011, the faiss ``IVFPQ`` shape): a 64-dim float32 vector is 256 bytes;
+its PQ code is ``M`` bytes (one uint8 centroid id per subspace) — a
+32x shrink at ``M = 8`` here, ~400x for production 1024-dim/8-byte
+configs.  At 100 TB of raw embeddings the ADC scan touches only the
+code relation; the full vectors are read back ONLY for the top
+candidates' exact re-rank.
+
+Spark decomposition (fit-small / transform-all, the same split as
+SemDeDup and k-means in this codebase):
+
+- **fit** (``pq_fit``): per-subspace k-means codebooks trained
+  driver-local on a deterministic hash-sample (codebooks are
+  model-sized: M·k·(dim/M) floats); zero per-iteration Spark jobs.
+- **encode** (``pq_encode``): ONE distributed pass; an Arrow-batched
+  pandas UDF argmins each subvector against its codebook —
+  vectorized numpy, O(rows · k · dim) flops, no shuffle.
+- **search** (``pq_topk``): per query, an M×k lookup table of partial
+  dot products / norms turns each candidate's approximate cosine into
+  M table lookups (asymmetric distance computation — the query stays
+  exact, only the database side is quantized).  The scored relation
+  keeps the top ``RERANK_FACTOR × k`` candidates per query by ADC
+  score, then re-ranks EXACTLY on the raw vectors — so the output
+  ranking is always true cosine; PQ only chooses the candidate set.
+
+No SQL oracle (k-means fit is iterative and data-dependent), so
+``pq_topk`` is AUX with pytest pinning instead: ADC scores equal a
+pure-numpy reference bit-for-bit, recall@5 against the exact
+``similarity_topk`` is measured and bounded, and the query is
+deterministic end-to-end (hash-seeded fit, (score DESC, id ASC)
+tie-breaks).  Reference scope: the reference engine has no vector
+surface at all (its values are strings, SURVEY.md §1.2) — this is
+north-star LLM-pipeline capability, like the rest of this module's
+neighbors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.vectors import cosine
+
+M_SUBSPACES = 16    # subvectors per embedding (dim 64 -> 4 dims each)
+K_CODES = 32        # centroids per subspace codebook
+FIT_SAMPLE = 50_000  # driver-local fit cap (SemDeDup's bound)
+N_QUERIES = 10
+TOP_K = 5
+RERANK_FACTOR = 10  # ADC keeps 10x top-k candidates for the exact pass
+
+
+def pq_fit(
+    spark: SparkSession,
+    emb: DataFrame,
+    m: int = M_SUBSPACES,
+    k: int = K_CODES,
+    seed: int = 42,
+    sample_cap: int = FIT_SAMPLE,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks on a deterministic hash-sample.
+
+    Returns ``codebooks[m][k] -> centroid (list of dim/m floats)``.
+    Driver-local numpy k-means per subspace (k-means++ init, Lloyd to
+    fixpoint) over at most ``sample_cap`` vectors — the fit touches the
+    corpus once for the sample sort-limit; the model is M·k·(dim/M)
+    floats however big the table is."""
+    import numpy as np
+
+    sample = (
+        emb.select(
+            "vec_id", "embedding",
+            F.xxhash64("vec_id", F.lit(seed)).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(sample_cap)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("pq_fit: empty embedding relation")
+    X = np.stack([list(r.embedding) for r in sample]).astype(np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        rng = np.random.RandomState(seed * 1000 + j)
+        cents = [Xj[rng.randint(len(Xj))]]
+        for _ in range(1, min(k, len(Xj))):
+            d2 = np.min(
+                [((Xj - c) ** 2).sum(axis=1) for c in cents], axis=0
+            )
+            tot = d2.sum()
+            if tot <= 0.0:
+                break
+            cents.append(Xj[rng.choice(len(Xj), p=d2 / tot)])
+        C = np.stack(cents)
+        x_sq = (Xj**2).sum(axis=1)
+        for _ in range(100):
+            d = (
+                x_sq[:, None]
+                + (C**2).sum(axis=1)[None, :]
+                - 2.0 * (Xj @ C.T)
+            )
+            lab = d.argmin(axis=1)
+            newC = np.stack(
+                [
+                    Xj[lab == jj].mean(axis=0) if (lab == jj).any() else C[jj]
+                    for jj in range(len(C))
+                ]
+            )
+            if np.allclose(newC, C):
+                break
+            C = newC
+        books.append([[float(v) for v in c] for c in C])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    emb_col: str,
+    codebooks: list[list[list[float]]],
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """ONE distributed encode pass: each vector -> ``array<int>`` of M
+    codebook ids (argmin L2 per subspace).  Arrow-batched pandas UDF;
+    the codebooks ship in the closure (model-sized broadcast)."""
+    import numpy as np
+    import pandas as pd
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+
+    @F.pandas_udf("array<int>")
+    def encode(vecs):
+        def enc(v):
+            if v is None:
+                return None
+            x = np.asarray(v, dtype=np.float64)
+            return [
+                int(
+                    (
+                        ((B - x[j * sub : (j + 1) * sub]) ** 2).sum(axis=1)
+                    ).argmin()
+                )
+                for j, B in enumerate(books)
+            ]
+
+        return vecs.map(enc)
+
+    return df.withColumn(out_col, encode(F.col(emb_col)))
+
+
+def adc_tables(
+    q: list[float], codebooks: list[list[list[float]]]
+) -> tuple[list[list[float]], list[list[float]], float]:
+    """Per-query ADC lookup tables: ``dots[m][k]`` = <q_sub, centroid>,
+    ``nrms[m][k]`` = ||centroid||², plus ||q||² — approximate cosine of
+    an encoded vector is then M lookups:
+    Σ dots[j][code_j] / (sqrt(Σ nrms[j][code_j]) · sqrt(q_sq))."""
+    import numpy as np
+
+    qa = np.asarray(q, dtype=np.float64)
+    sub = len(codebooks[0][0])
+    dots, nrms = [], []
+    for j, B in enumerate(codebooks):
+        Bj = np.asarray(B, dtype=np.float64)
+        qj = qa[j * sub : (j + 1) * sub]
+        dots.append([float(v) for v in Bj @ qj])
+        nrms.append([float(v) for v in (Bj**2).sum(axis=1)])
+    return dots, nrms, float((qa**2).sum())
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ANN top-5 for the first 10 vectors: fit -> encode -> ADC scan
+    -> exact re-rank (module docstring has the scale shape).
+
+    Output schema matches ``similarity_topk``: (q_id, neighbor_id,
+    cos_sim, rank) with cos_sim the EXACT cosine — only the candidate
+    set is approximate."""
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    books = pq_fit(spark, emb)
+    coded = pq_encode(
+        emb.select("vec_id", "embedding"), "embedding", books
+    ).select("vec_id", "pq_code")
+
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    luts = {
+        int(r.vec_id): adc_tables(list(r.embedding), books) for r in q_rows
+    }
+
+    @F.pandas_udf("double")
+    def adc_score(q_ids, codes):
+        out = []
+        for qid, code in zip(q_ids, codes):
+            dots, nrms, q_sq = luts[int(qid)]
+            c = list(code)
+            dot = sum(dots[j][c[j]] for j in range(len(c)))
+            nrm = sum(nrms[j][c[j]] for j in range(len(c)))
+            denom = float(np.sqrt(nrm * q_sq))
+            out.append(dot / denom if denom > 0 else 0.0)
+        return pd.Series(out, dtype="float64")
+
+    q_ids = spark.createDataFrame(
+        [(int(r.vec_id),) for r in q_rows], "q_id int"
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(q_ids))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("adc", adc_score(F.col("q_id"), F.col("pq_code")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= TOP_K * RERANK_FACTOR)
+        .select("q_id", "vec_id")
+    )
+    # exact re-rank on the raw vectors, candidates only
+    q_emb = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    rer = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q_emb), "q_id")
+        .withColumn("cos_sim", cosine(F.col("q_emb"), F.col("embedding")))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+# iterative k-means fit: no single-SQL oracle — pytest pins ADC math
+# against numpy, recall against the exact twin, and determinism
+AUX_QUERIES = {"pq_topk": pq_topk}
+AUX_ORACLES: dict = {}

@@ -76,6 +76,7 @@ def _load() -> None:
         graph,
         grouped,
         multimodal,
+        pq,
         quality,
         relational,
         sampling,
@@ -116,6 +117,7 @@ def _load() -> None:
         streaming_anomaly,
         bpe,
         unigram,
+        pq,
     ):
         _register(mod)
     if len(QUERIES) > MAX_CONTRACT_QUERIES:

@@ -19,6 +19,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from mapreduce_grpc_spark.operators.pq import pq_topk
 from mapreduce_grpc_spark.operators.similarity import (
     TOP_K,
     ann_lsh_topk,
@@ -43,7 +44,11 @@ def main() -> None:
 
     exact = _topk_sets(similarity_topk(spark, sf_dir))
     report = {"k": TOP_K, "n_queries": len(exact), "recall": {}}
-    for name, fn in (("ann_lsh_topk", ann_lsh_topk), ("ivf_topk", ivf_topk)):
+    for name, fn in (
+        ("ann_lsh_topk", ann_lsh_topk),
+        ("ivf_topk", ivf_topk),
+        ("pq_topk", pq_topk),
+    ):
         approx = _topk_sets(fn(spark, sf_dir))
         per_q = [
             len(approx.get(q, set()) & hits) / len(hits)
