@@ -343,6 +343,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         overwrite: bool,
         fs_spec: str | None,
         stats_cols: list[str],
+        partition_by: list[str] | None = None,
     ):
         self._path = path
         self._schema_json = schema.json()
@@ -359,9 +360,42 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             m = read_manifest(path, fs=load_fs(fs_spec))
             self._cm = _cm(m)
             self._pspec = _pspec(m)
+            exists = True
         except FileNotFoundError:
             self._cm = {}
             self._pspec = []
+            exists = False
+        self._create_pspec: list[dict] = []
+        if partition_by:
+            from .partition import parse_partition_spec
+
+            want = parse_partition_spec(partition_by, schema)
+            if exists:
+                # idempotent scripts keep the option set: accept an
+                # option matching the live spec, refuse divergence
+                # (silently writing a different layout would be the
+                # worst outcome — unpruned forever, no error)
+                have = [
+                    (s["t"], s["col"], s["n"]) for s in self._pspec
+                ]
+                asked = [
+                    (
+                        s["t"],
+                        self._cm.get(s["col"], s["col"]),
+                        s["n"],
+                    )
+                    for s in want
+                ]
+                if have != asked:
+                    raise ValueError(
+                        f"snapshot_table writer: partitionBy option "
+                        f"{asked} does not match the table's declared "
+                        f"spec {have}; evolve it with "
+                        "snap_set_partition_spec instead"
+                    )
+            else:
+                self._pspec = want
+                self._create_pspec = want
 
     def write(self, iterator) -> _BatchFileCommit:
         os.makedirs(self._path, exist_ok=True)
@@ -396,16 +430,19 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             # manifest seeds stats/pruning columns from the option
             if not names and not self._overwrite:
                 return  # nothing written, nothing to create
+            create_stats = list(self._stats_cols) + [
+                sp["name"] for sp in self._create_pspec
+            ]
             entries = []
             for n in names:
                 e = {"name": n}
                 e.update(
                     _file_stats(
-                        os.path.join(self._path, n), self._stats_cols
+                        os.path.join(self._path, n), create_stats
                     )
                 )
                 entries.append(e)
-            _build_bloom_sidecar(self._path, entries, self._stats_cols, f)
+            _build_bloom_sidecar(self._path, entries, create_stats, f)
             try:
                 _commit(
                     self._path,
@@ -419,6 +456,16 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                         "op": "batch_create", "added": len(entries)
                     },
                     fs=f,
+                    carry=(
+                        {
+                            "partition_spec": self._create_pspec,
+                            "partition_field_seq": len(
+                                self._create_pspec
+                            ),
+                        }
+                        if self._create_pspec
+                        else None
+                    ),
                 )
                 return
             except CommitConflict:

@@ -83,11 +83,22 @@ _EPOCH_DATE = datetime.date(1970, 1, 1)
 _TZ_SLOP = {"days": 1, "hours": 15}
 
 
-def parse_partition_spec(specs: list[str], schema) -> list[dict]:
+def parse_partition_spec(
+    specs: list[str], schema, start_id: int = 0
+) -> list[dict]:
     """Validate spec strings against a (logical == physical at init
     time) schema and return the manifest form: a list of
     ``{"t": transform, "col": source_physical_name, "n": param|None,
-    "name": "_sgp_<i>", "src_type": simple_type}``."""
+    "name": "_sgp_<field_id>", "src_type": simple_type}``.
+
+    ``start_id`` seeds the per-field ids (Iceberg's partition field
+    ids): spec EVOLUTION (``snap_set_partition_spec``) must hand every
+    new field a NEVER-REUSED id, because a file written under an old
+    spec carries ``_sgp_<old_id>`` stats computed by the old transform
+    — if a new field reused the name with a different transform, its
+    derived predicates would prune those files WRONGLY.  Fresh ids make
+    old stats simply unreferenced: old files fall back to conservative
+    keep."""
     by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
     for name in by_name:
         if name.startswith(PART_COL_PREFIX):
@@ -140,7 +151,7 @@ def parse_partition_spec(specs: list[str], schema) -> list[dict]:
                 "t": t,
                 "col": col,
                 "n": n,
-                "name": f"{PART_COL_PREFIX}{i}",
+                "name": f"{PART_COL_PREFIX}{start_id + i}",
                 "src_type": base,
             }
         )
@@ -245,7 +256,12 @@ def transform_value(spec: dict, v):
     return v - ((v % n) + n) % n
 
 
-def with_partition_columns(df: DataFrame, pspec: list[dict]) -> DataFrame:
+def with_partition_columns(
+    df: DataFrame,
+    pspec: list[dict],
+    cluster: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """Append the derived partition-value columns to a PHYSICAL-named
     batch and RANGE-cluster it by the tuple (spec order = clustering
     order), sorting within tasks so row groups stay tuple-pure.
@@ -257,11 +273,23 @@ def with_partition_columns(df: DataFrame, pspec: list[dict]) -> DataFrame:
     0/8 files skipped hash vs 7/8 range on a day-range scan).  The
     range exchange costs one sampling pass on the batch — the price
     every clustered-write engine pays — and AQE still right-sizes the
-    output partitions."""
+    output partitions.
+
+    Callers that already shaped the output (OPTIMIZE's Z-order /
+    key-clustered compaction) pass ``cluster=False``: the derived
+    columns are still appended (stats stay tracked) but the layout is
+    theirs; ``num_partitions`` pins the exchange width when the caller
+    has a target file count (compaction's ``target_bytes`` math)."""
     names = []
     for spec in pspec:
         df = df.withColumn(spec["name"], partition_expr(spec))
         names.append(spec["name"])
+    if not cluster:
+        return df
+    if num_partitions:
+        return df.repartitionByRange(
+            num_partitions, *names
+        ).sortWithinPartitions(*names)
     return df.repartitionByRange(*names).sortWithinPartitions(*names)
 
 

@@ -976,6 +976,8 @@ def _write_data_files(
     fs: LocalSnapshotFS | None = None,
     cm: dict | None = None,
     pspec: list[dict] | None = None,
+    pcluster: bool = True,
+    pnum: int | None = None,
 ) -> list[dict]:
     """Write ``df``'s rows as new immutable data files inside ``path``
     and return their manifest entries.  Files are written via a staging
@@ -988,17 +990,19 @@ def _write_data_files(
     physical — they key the footer stats and bloom sidecars).
 
     On a partitioned table (``pspec``) the batch additionally grows the
-    derived partition-value columns, is clustered by the tuple, and the
-    derived names join ``stats_cols`` for THIS write — footer
-    envelopes, row-group ranges, and bloom sidecars then cover the
-    partition values with no extra machinery (see
-    ``sources/partition.py``)."""
+    derived partition-value columns, is clustered by the tuple
+    (``pcluster=False`` keeps a caller-shaped layout — OPTIMIZE's
+    Z-order must not be re-shuffled away; ``pnum`` pins the exchange
+    width to a target file count), and the derived names join
+    ``stats_cols`` for THIS write — footer envelopes, row-group
+    ranges, and bloom sidecars then cover the partition values with no
+    extra machinery (see ``sources/partition.py``)."""
     if cm:
         df = _to_physical(df, cm)
     if pspec:
         from .partition import with_partition_columns
 
-        df = with_partition_columns(df, pspec)
+        df = with_partition_columns(df, pspec, pcluster, pnum)
         stats_cols = list(stats_cols) + [s["name"] for s in pspec]
     f = _fs(fs)
     staging = os.path.join(path, f"_stage-{uuid.uuid4().hex[:12]}")
@@ -1100,7 +1104,10 @@ def _commit(
     }
     if carry:
         _check_writer_features(carry, path)
-        for k in ("constraints", "column_mapping", "partition_spec"):
+        for k in (
+            "constraints", "column_mapping", "partition_spec",
+            "partition_field_seq",
+        ):
             if carry.get(k):
                 manifest[k] = carry[k]
     # protocol feature flags (see UnsupportedTableFeature): exact for
@@ -1550,6 +1557,81 @@ def snap_add_column(
     ) from last_err
 
 
+
+def snap_set_partition_spec(
+    path: str,
+    partition_by: list[str] | None,
+    fs: LocalSnapshotFS | None = None,
+) -> int:
+    """Replace the table's hidden-partitioning spec (Iceberg partition
+    evolution) — metadata-only: zero bytes rewritten at any size.
+
+    The new spec governs FUTURE writes (they derive + cluster under
+    it); files written under previous specs keep their old
+    ``_sgp_<id>`` stats, which the new spec's derived predicates never
+    reference — so scans stay exactly correct and old files simply
+    fall back to conservative keep (their SOURCE-column stats, blooms,
+    and row-group ranges still prune where tracked).  Field ids are
+    drawn from a carried, never-reset sequence (``partition_field_seq``)
+    precisely so an old file's day-transform stats can never be probed
+    by a new bucket-transform predicate of the same name.  Pass
+    ``None``/``[]`` to unpartition (future writes stop deriving).
+    Compaction (``optimize_snapshot``) re-clusters everything it
+    rewrites under the CURRENT spec, so the layout converges after an
+    evolution without a dedicated rewrite."""
+    last_err: Exception | None = None
+    for _attempt in range(COMMIT_RETRIES):
+        m = read_manifest(path, fs=fs)
+        schema = _manifest_schema(m)
+        if schema is None:
+            raise ValueError(
+                "snap_set_partition_spec needs a manifest-recorded schema"
+            )
+        old = _pspec(m)
+        seq = int(
+            m.get("partition_field_seq")
+            or (
+                max(
+                    (int(s_["name"].rsplit("_", 1)[-1]) for s_ in old),
+                    default=-1,
+                )
+                + 1
+            )
+        )
+        pspec: list[dict] = []
+        if partition_by:
+            from .partition import parse_partition_spec
+
+            # validate against the LOGICAL schema (what users see),
+            # then pin the PHYSICAL source names like init does
+            pspec = parse_partition_spec(partition_by, schema, seq)
+            cm = _cm(m)
+            for s_ in pspec:
+                s_["col"] = _phys(cm, s_["col"])
+        carry = dict(m)
+        carry["partition_spec"] = pspec
+        carry["partition_field_seq"] = seq + len(pspec)
+        try:
+            return _commit(
+                path, m["files"], m["stats_cols"],
+                base_version=m["version"],
+                schema_json=m.get("schema"),
+                txns=dict(m.get("txns", {})),
+                commit_info={
+                    "op": "set_partition_spec",
+                    "fields": [s_["name"] for s_ in pspec],
+                },
+                fs=fs, carry=carry, adds=[], removes=[],
+            )
+        except CommitConflict as e:
+            last_err = e
+            continue
+    raise CommitConflict(
+        f"snap_set_partition_spec: lost the commit race "
+        f"{COMMIT_RETRIES} times at {path!r}"
+    ) from last_err
+
+
 def snap_init(
     spark: SparkSession,
     df: DataFrame,
@@ -1586,7 +1668,11 @@ def snap_init(
         path, files, stats_cols, base_version=0,
         schema_json=df.schema.json(), txns=txns, fs=fs,
         adds=files, removes=[],
-        carry={"partition_spec": pspec} if pspec else None,
+        carry=(
+            {"partition_spec": pspec, "partition_field_seq": len(pspec)}
+            if pspec
+            else None
+        ),
     )
 
 
@@ -3276,8 +3362,15 @@ def optimize_snapshot(
             f.getsize(os.path.join(path, e["name"])) for e in to_rewrite
         )
         n_files = max(1, -(-total // target_bytes))  # ceil
+        pspec = _pspec(m)
+        pcluster, pnum = True, None
         if zorder is not None:
+            # Z-order wins over partition re-clustering: the caller
+            # asked for THIS layout, and the derived columns keep the
+            # partition stats tracked either way (ranges may widen —
+            # pruning coarsens, stays correct)
             out = zorder_frame(df, zorder, n_files, equidepth)
+            pcluster = False
         elif cluster_by:
             # key-ordered compaction: merging small files must not
             # destroy clustering the incremental re-clusterer paid for
@@ -3285,10 +3378,18 @@ def optimize_snapshot(
             out = df.repartitionByRange(
                 n_files, F.col(cluster_by[0])
             ).sortWithinPartitions(*cluster_by)
+            pcluster = False
+        elif pspec:
+            # partitioned table: compaction re-clusters by the tuple at
+            # the target file count, so bin-packing never smears days
+            # across files and pruning stays tight after OPTIMIZE
+            out = df
+            pnum = n_files
         else:
             out = df.coalesce(n_files)
         new_entries = _write_data_files(
-            spark, out, path, stats_cols, fs, cm, pspec=_pspec(m)
+            spark, out, path, stats_cols, fs, cm,
+            pspec=pspec, pcluster=pcluster, pnum=pnum,
         )
         info = {
             "op": "optimize",
@@ -3508,7 +3609,10 @@ def optimize_incremental(
                 n_files, F.col(col)
             ).sortWithinPartitions(col)
         new_entries = _write_data_files(
-            spark, out, path, m["stats_cols"], fs, cm, pspec=_pspec(m)
+            spark, out, path, m["stats_cols"], fs, cm,
+            # the caller-requested key clustering IS the layout; the
+            # derived partition columns are still appended for stats
+            pspec=_pspec(m), pcluster=False,
         )
         info = {
             "op": "optimize_incremental",

@@ -816,10 +816,21 @@ class SnapshotTableStreamSource(DataSource):
 
         raw = self.options.get("statscols", "")
         stats_cols = [c.strip() for c in raw.split(",") if c.strip()]
+        import re as _re
+
+        raw_pb = self.options.get("partitionby", "")
+        # split on commas OUTSIDE parens: "days(ts), bucket(16, user_id)"
+        # is two specs, not three
+        partition_by = [
+            p.strip()
+            for p in _re.split(r",(?![^(]*\))", raw_pb)
+            if p.strip()
+        ]
         return SnapshotBatchWriter(
             self._path(),
             schema,
             overwrite,
             self.options.get("fsimpl"),
             stats_cols,
+            partition_by or None,
         )

@@ -497,3 +497,215 @@ def test_snapshot_partitioned_scan_oracle(spark, sf_dir):
     df = registry.AUX_QUERIES[name](spark, sf_dir)
     assert df.count() > 0
     assert_oracle_match(df, registry.AUX_ORACLES[name], sf_dir, name)
+
+
+def test_optimize_reclusters_partitioned_table(
+    spark, tmp_path, no_coalesce
+):
+    """Plain compaction on a partitioned table re-clusters by the
+    tuple at the target file count: bin-packing must not smear days
+    across files (pruning would silently degrade to full scans)."""
+    path, df = _mk(spark, tmp_path, ["days(ts)"])
+    parts = [df]
+    for i in (1, 2):
+        extra = _events(spark, n=120, days=20).withColumn(
+            "event_id", F.col("event_id") + 10_000 * i
+        )
+        snap_append(spark, path, extra)
+        parts.append(extra)
+    total_bytes = sum(
+        e["bytes"] for e in read_manifest(path)["files"]
+    )
+    res = optimize_snapshot(
+        spark, path, target_bytes=max(total_bytes // 4, 1)
+    )
+    assert res["rewritten"] > 0
+    m = read_manifest(path)
+    assert len(m["files"]) > 1, "target_bytes must yield several files"
+    assert all("_sgp_0" in e.get("stats", {}) for e in m["files"])
+    lo, hi = JAN + datetime.timedelta(days=2), JAN + datetime.timedelta(
+        days=3
+    )
+    preds = [("ts", "between", lo, hi)]
+    kept, skipped = prune_manifest(m, preds, None)
+    assert skipped, "compaction must keep the layout prunable"
+    both = parts[0]
+    for p in parts[1:]:
+        both = both.unionByName(p)
+    _counts_equal(
+        spark, path, both, preds,
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)),
+    )
+
+
+def test_zorder_on_partitioned_table_keeps_answers(
+    spark, tmp_path, no_coalesce
+):
+    """Z-order OPTIMIZE wins the layout on a partitioned table (the
+    caller asked for it); answers stay exact and the derived stats
+    stay tracked even though partition ranges may widen."""
+    path, df = _mk(spark, tmp_path, ["days(ts)"])
+    optimize_snapshot(
+        spark, path, target_bytes=1 << 30,
+        zorder=("user_id", "event_id"),
+    )
+    m = read_manifest(path)
+    assert all("_sgp_0" in e.get("stats", {}) for e in m["files"])
+    lo = JAN + datetime.timedelta(days=7)
+    _counts_equal(
+        spark, path, df, [("ts", ">=", lo)], F.col("ts") >= F.lit(lo)
+    )
+
+
+def test_partition_spec_evolution(spark, tmp_path, no_coalesce):
+    """snap_set_partition_spec: fresh field ids, old files never
+    mis-pruned, new writes cluster under the new spec, unpartition
+    stops deriving — and every scan stays exactly correct."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        snap_set_partition_spec,
+    )
+
+    path, df = _mk(spark, tmp_path, ["days(ts)"])
+    m0 = read_manifest(path)
+    assert m0["partition_spec"][0]["name"] == "_sgp_0"
+
+    # evolve to bucket-by-user: the new field MUST NOT reuse _sgp_0
+    snap_set_partition_spec(path, ["bucket(8, user_id)"])
+    m1 = read_manifest(path)
+    assert m1["partition_spec"][0]["name"] == "_sgp_1"
+    assert m1["partition_field_seq"] == 2
+
+    extra = _events(spark, n=200, days=20).withColumn(
+        "event_id", F.col("event_id") + 10_000
+    )
+    snap_append(spark, path, extra)
+    m2 = read_manifest(path)
+    new_files = [e for e in m2["files"] if "_sgp_1" in e.get("stats", {})]
+    old_files = [e for e in m2["files"] if "_sgp_0" in e.get("stats", {})]
+    assert new_files and old_files
+
+    both = df.unionByName(extra)
+    # bucket predicate: prunes among NEW files, keeps all OLD files
+    preds = [("user_id", "=", 11)]
+    kept, skipped = prune_manifest(m2, preds, None)
+    assert all(e in kept for e in old_files), (
+        "old-spec files must never be pruned by new-spec predicates"
+    )
+    assert skipped, "new-spec files must prune on the bucket"
+    _counts_equal(spark, path, both, preds, F.col("user_id") == 11)
+
+    # day predicate: the old spec's derived preds are gone (only
+    # current-spec derivations fire) but answers stay exact
+    lo, hi = JAN + datetime.timedelta(days=2), JAN + datetime.timedelta(
+        days=3
+    )
+    _counts_equal(
+        spark, path, both, [("ts", "between", lo, hi)],
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)),
+    )
+
+    # unpartition: future writes stop deriving
+    snap_set_partition_spec(path, None)
+    m3 = read_manifest(path)
+    assert not m3.get("partition_spec")
+    extra2 = _events(spark, n=50, days=20).withColumn(
+        "event_id", F.col("event_id") + 50_000
+    )
+    snap_append(spark, path, extra2)
+    m4 = read_manifest(path)
+    newest = [
+        e
+        for e in m4["files"]
+        if e["name"] not in {f["name"] for f in m3["files"]}
+    ]
+    assert newest and all(
+        not any(k.startswith("_sgp") for k in e.get("stats", {}))
+        for e in newest
+    )
+    all3 = both.unionByName(extra2)
+    _counts_equal(
+        spark, path, all3, [("user_id", "=", 11)], F.col("user_id") == 11
+    )
+
+
+def test_compaction_converges_layout_after_evolution(
+    spark, tmp_path, no_coalesce
+):
+    """OPTIMIZE rewrites everything under the CURRENT spec, so one
+    compaction after an evolution restores full pruning."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        snap_set_partition_spec,
+    )
+
+    path, df = _mk(spark, tmp_path, ["days(ts)"])
+    snap_set_partition_spec(path, ["bucket(8, user_id)"])
+    total = sum(e["bytes"] for e in read_manifest(path)["files"])
+    optimize_snapshot(spark, path, target_bytes=max(total // 4, 1))
+    m = read_manifest(path)
+    assert all("_sgp_1" in e.get("stats", {}) for e in m["files"])
+    preds = [("user_id", "=", 11)]
+    kept, skipped = prune_manifest(m, preds, None)
+    assert skipped, "post-compaction files must prune under the new spec"
+    _counts_equal(spark, path, df, preds, F.col("user_id") == 11)
+
+
+def test_batch_writer_creates_partitioned_table(
+    spark, tmp_path, no_coalesce, snapshot_fs
+):
+    """format("snapshot_table").option("partitionBy", ...) on a fresh
+    path creates a partitioned table: the spec lands in the manifest,
+    the create's own files carry derived stats, later library appends
+    cluster under it, and a divergent option on an existing table is
+    refused loudly."""
+    from mapreduce_grpc_spark.sources.stream_source import (
+        SnapshotTableStreamSource,
+    )
+
+    spark.dataSource.register(SnapshotTableStreamSource)
+    path = os.path.join(str(tmp_path), "t")
+    df = _events(spark)
+    (
+        df.write.format("snapshot_table")
+        .option("path", path)
+        .option("fsImpl", snapshot_fs.spec)
+        .option("statsCols", "event_id")
+        .option("partitionBy", "days(ts), bucket(8, user_id)")
+        .mode("append")
+        .save()
+    )
+    m = read_manifest(path)
+    assert [s["t"] for s in m["partition_spec"]] == ["days", "bucket"]
+    assert all("_sgp_0" in e.get("stats", {}) for e in m["files"])
+    lo, hi = JAN + datetime.timedelta(days=2), JAN + datetime.timedelta(
+        days=3
+    )
+    _counts_equal(
+        spark, path, df, [("ts", "between", lo, hi)],
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)),
+    )
+    # matching option on an existing table: accepted (idempotent script)
+    extra = _events(spark, n=40, days=20).withColumn(
+        "event_id", F.col("event_id") + 10_000
+    )
+    (
+        extra.write.format("snapshot_table")
+        .option("path", path)
+        .option("fsImpl", snapshot_fs.spec)
+        .option("partitionBy", "days(ts), bucket(8, user_id)")
+        .mode("append")
+        .save()
+    )
+    # divergent option: refused before anything publishes
+    with pytest.raises(Exception, match="does not match"):
+        (
+            extra.write.format("snapshot_table")
+            .option("path", path)
+            .option("fsImpl", snapshot_fs.spec)
+            .option("partitionBy", "days(ts)")
+            .mode("append")
+            .save()
+        )
+    both = df.unionByName(extra)
+    _counts_equal(
+        spark, path, both, [("user_id", "=", 5)], F.col("user_id") == 5
+    )
