@@ -186,6 +186,12 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = table(spark, sf_dir, "embeddings")
+    if not emb.take(1):
+        # empty relation: empty result with the contract schema (the
+        # robustness suite runs every query on zero-row fixtures)
+        return spark.createDataFrame(
+            [], "q_id long, neighbor_id long, cos_sim double, rank int"
+        )
     books = pq_fit(spark, emb)
     coded = pq_encode(
         emb.select("vec_id", "embedding"), "embedding", books

@@ -626,22 +626,26 @@ QUERIES = {
     # (offset pacing, Arrow write path, txn-marked commits) under the
     # driver's own comparator
     "streaming_table_pipeline": streaming_table_pipeline,
+    # rotated IN (round 10, replacing the redundant sliding_window
+    # row): hidden partitioning end-to-end — init with a declared
+    # spec, append, implied-predicate pruned scan — under the driver's
+    # own hash
+    "snapshot_partitioned_scan": snapshot_partitioned_scan,
 }
 ORACLES = {
     "snapshot_timetravel": SNAPSHOT_TIMETRAVEL_SQL,
     "snapshot_merge_into": SNAPSHOT_MERGE_INTO_SQL,
     "streaming_table_pipeline": STREAMING_TABLE_PIPELINE_SQL,
+    "snapshot_partitioned_scan": SNAPSHOT_PARTITIONED_SCAN_SQL,
 }
 AUX_QUERIES = {
     "matview_orders": matview_orders,
-    "snapshot_partitioned_scan": snapshot_partitioned_scan,
     "snapshot_delete_scan": snapshot_delete_scan,
     "snapshot_update_restore": snapshot_update_restore,
     "snapshot_column_evolution": snapshot_column_evolution,
 }
 AUX_ORACLES = {
     "matview_orders": MATVIEW_ORDERS_SQL,
-    "snapshot_partitioned_scan": SNAPSHOT_PARTITIONED_SCAN_SQL,
     "snapshot_delete_scan": SNAPSHOT_DELETE_SCAN_SQL,
     "snapshot_update_restore": SNAPSHOT_UPDATE_RESTORE_SQL,
     "snapshot_column_evolution": SNAPSHOT_COLUMN_EVOLUTION_SQL,

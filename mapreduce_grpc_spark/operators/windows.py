@@ -314,24 +314,29 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 
 QUERIES = {
     "tumbling_window": tumbling_window,
-    "sliding_window": sliding_window,
+    # sliding_window rotated OUT of the 50-query contract (round 10,
+    # making room for snapshot_partitioned_scan): it shares machinery
+    # and oracle discipline with tumbling_window, so the hash coverage
+    # it provided was largely redundant — it keeps the SAME comparator
+    # in pytest via AUX_ORACLES below
     "session_window": session_window_agg,
     "events_json": events_json_extract,
 }
 
 ORACLES = {
     "tumbling_window": TUMBLING_WINDOW_SQL,
-    "sliding_window": SLIDING_WINDOW_SQL,
     "session_window": SESSION_WINDOW_SQL,
     "events_json": EVENTS_JSON_SQL,
 }
 
 AUX_QUERIES = {
+    "sliding_window": sliding_window,
     "resample_events": resample_events,
     "rolling_activity": rolling_activity,
 }
 
 AUX_ORACLES = {
+    "sliding_window": SLIDING_WINDOW_SQL,
     "resample_events": RESAMPLE_EVENTS_SQL,
     "rolling_activity": ROLLING_ACTIVITY_SQL,
 }

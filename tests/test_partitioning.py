@@ -493,10 +493,10 @@ def test_snapshot_partitioned_scan_oracle(spark, sf_dir):
     from mapreduce_grpc_spark import registry
     from tests.oracle import assert_oracle_match
 
-    name = "snapshot_partitioned_scan"
-    df = registry.AUX_QUERIES[name](spark, sf_dir)
+    name = "snapshot_partitioned_scan"  # rotated into the contract r10
+    df = registry.QUERIES[name](spark, sf_dir)
     assert df.count() > 0
-    assert_oracle_match(df, registry.AUX_ORACLES[name], sf_dir, name)
+    assert_oracle_match(df, registry.ORACLES[name], sf_dir, name)
 
 
 def test_optimize_reclusters_partitioned_table(

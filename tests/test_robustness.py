@@ -87,3 +87,16 @@ def test_events_ntz_timestamps_joinable(spark, sf_dir, tmp_path):
     native = {tuple(r) for r in fn(spark, sf_dir).collect()}
     ntz = {tuple(r) for r in fn(spark, str(ntz_sf)).collect()}
     assert native == ntz and len(native) > 0
+
+
+def test_sliding_window_oracle_parity(spark, sf_dir):
+    """sliding_window rotated from the driver contract to AUX in round
+    10 (made room for snapshot_partitioned_scan) — it keeps the SAME
+    DuckDB hash comparator here."""
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["sliding_window"](spark, sf_dir)
+    assert_oracle_match(
+        df, registry.AUX_ORACLES["sliding_window"], sf_dir,
+        "sliding_window",
+    )
