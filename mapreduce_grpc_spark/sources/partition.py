@@ -62,13 +62,21 @@ _SPEC_RE = re.compile(
     r"(?P<c1>\w+)\s*\)|(?P<c2>\w+))\s*$"
 )
 
-_TRANSFORMS = {"identity", "days", "hours", "bucket", "truncate"}
+_TRANSFORMS = {
+    "identity", "years", "months", "days", "hours", "bucket", "truncate",
+}
 
 # source-column Spark type names each transform accepts (simpleString
 # prefixes); identity is restricted to types whose footer stats
 # round-trip exactly through _json_val's number/ISO-string convention
 _OK_TYPES = {
     "identity": ("string", "int", "bigint", "smallint", "date"),
+    # years/months are calendar transforms: DATE sources only (dates
+    # are timezone-free; a timestamp's calendar month depends on the
+    # session timezone, which the epoch-floor days/hours transforms
+    # deliberately avoid)
+    "years": ("date",),
+    "months": ("date",),
     "days": ("timestamp", "date"),
     "hours": ("timestamp",),
     "bucket": ("string", "int", "bigint", "smallint"),
@@ -181,6 +189,12 @@ def partition_expr(spec: dict) -> Column:
     t = spec["t"]
     if t == "identity":
         return c
+    if t == "years":
+        return (F.year(c) - F.lit(1970)).cast("int")
+    if t == "months":
+        return (
+            (F.year(c) - F.lit(1970)) * F.lit(12) + F.month(c) - F.lit(1)
+        ).cast("int")
     if t == "days":
         if spec["src_type"] == "date":
             return F.datediff(c, F.lit("1970-01-01").cast("date"))
@@ -230,6 +244,16 @@ def transform_value(spec: dict, v):
     t = spec["t"]
     if t == "identity":
         return v
+    if t in ("years", "months"):
+        if isinstance(v, datetime.datetime):
+            v = v.date()
+        if isinstance(v, str):
+            v = datetime.date.fromisoformat(v[:10])
+        if not isinstance(v, datetime.date):
+            raise TypeError(f"not a date: {v!r}")
+        if t == "years":
+            return v.year - 1970
+        return (v.year - 1970) * 12 + v.month - 1
     if t == "days":
         if spec["src_type"] == "date":
             if isinstance(v, datetime.datetime):
@@ -305,6 +329,14 @@ def partition_pandas(pspec: list[dict], pdf):
         t = spec["t"]
         if t == "identity":
             out = s
+        elif t in ("years", "months"):
+            dt = pd.to_datetime(s)
+            if t == "years":
+                out = (dt.dt.year - 1970).astype("Int64")
+            else:
+                out = (
+                    (dt.dt.year - 1970) * 12 + dt.dt.month - 1
+                ).astype("Int64")
         elif t in ("days", "hours"):
             unit = 86400 if t == "days" else 3600
             if spec["src_type"] == "date":
@@ -341,7 +373,7 @@ def partition_pandas(pspec: list[dict], pdf):
 
 # range-style ops where a monotonic transform lets bounds carry over;
 # bucket derives only =/in (hashing destroys order)
-_RANGE_DERIVE = {"identity", "days", "hours", "truncate"}
+_RANGE_DERIVE = {"identity", "years", "months", "days", "hours", "truncate"}
 
 
 def derive_branch_preds(

@@ -709,3 +709,49 @@ def test_batch_writer_creates_partitioned_table(
     _counts_equal(
         spark, path, both, [("user_id", "=", 5)], F.col("user_id") == 5
     )
+
+
+def test_years_months_transforms(spark, tmp_path, no_coalesce):
+    """years()/months() on DATE sources: three implementations agree,
+    and a month-window scan prunes + matches exactly."""
+    df = spark.range(400).selectExpr(
+        "id AS event_id",
+        "date_add(DATE '2022-01-01', CAST(id * 2 AS INT)) AS d",
+        "CAST(id AS DOUBLE) AS value",
+    )
+    pspec = parse_partition_spec(["months(d)", "years(d)"], df.schema)
+    probe = df
+    for s in pspec:
+        probe = probe.withColumn(s["name"], partition_expr(s))
+    rows = probe.collect()
+    for r in rows:
+        for s in pspec:
+            assert r[s["name"]] == transform_value(s, r["d"])
+    pdf = partition_pandas(pspec, df.toPandas())
+    got = sorted(
+        map(tuple, pdf[["event_id"] + [s["name"] for s in pspec]]
+            .itertuples(False))
+    )
+    want = sorted(
+        (r["event_id"], *[r[s["name"]] for s in pspec]) for r in rows
+    )
+    assert got == want
+    # timestamps are rejected for calendar transforms (TZ-dependent)
+    ev = _events(spark)
+    with pytest.raises(TypeError, match="does not support"):
+        parse_partition_spec(["months(ts)"], ev.schema)
+
+    path = os.path.join(str(tmp_path), "t")
+    snap_init(
+        spark, df, path, stats_cols=["event_id"],
+        partition_by=["months(d)"],
+    )
+    m = read_manifest(path)
+    lo, hi = datetime.date(2022, 7, 1), datetime.date(2022, 9, 30)
+    preds = [("d", "between", lo, hi)]
+    kept, skipped = prune_manifest(m, preds, None)
+    assert skipped, "a 3-month window over ~27 months must skip files"
+    _counts_equal(
+        spark, path, df, preds,
+        (F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi)),
+    )
