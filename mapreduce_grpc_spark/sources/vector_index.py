@@ -76,6 +76,10 @@ def _meta_path(path: str) -> str:
     return os.path.join(path, "meta")
 
 
+def _pq_books_path(path: str) -> str:
+    return os.path.join(path, "pq")
+
+
 def _mean_assign_dist(postings: DataFrame, cent: DataFrame) -> float:
     """Mean cosine DISTANCE (1 - cos) of each posting to its assigned
     centroid — the quantizer-quality scalar the drift trigger tracks.
@@ -100,12 +104,13 @@ def _write_meta(
     seed: int,
     fs: LocalSnapshotFS | None,
     create: bool,
+    extra: dict | None = None,
 ) -> None:
     rows = [
         ("drift_baseline", float(baseline)),
         ("n_cells", float(n_cells)),
         ("seed", float(seed)),
-    ]
+    ] + [(k, float(v)) for k, v in (extra or {}).items()]
     df = spark.createDataFrame(rows, "key string, value double")
     if create:
         snap_init(spark, df, _meta_path(path), stats_cols=["key"], fs=fs)
@@ -132,11 +137,25 @@ def ivf_index_init(
     n_cells: int = N_CELLS,
     seed: int = 42,
     fs: LocalSnapshotFS | None = None,
+    pq_m: int | None = None,
+    pq_k: int = 32,
 ) -> dict:
     """Train the coarse quantizer on ``emb`` (``vec_id``,
     ``embedding``) and persist the index: ``centroids`` (cell,
     centroid) and cell-clustered ``postings`` (vec_id, cell,
-    embedding) snapshot tables under ``path``."""
+    embedding) snapshot tables under ``path``.
+
+    ``pq_m`` turns the index into IVF-PQ (the faiss ``IVFPQ`` shape):
+    per-subspace codebooks (``pq_m`` subspaces x ``pq_k`` codes,
+    operators/pq.py) are fit on the same corpus and every posting
+    additionally stores its ``pq_code`` (M small ints — bytes, vs the
+    raw vector's KBs).  ``ivf_search(method="adc")`` then scans ONLY
+    the code column inside the probed cells (parquet column pruning)
+    and fetches raw vectors just for the re-rank candidates — at
+    100 TB the probe read drops from cell-vectors to cell-codes.  The
+    codebooks are a model artifact persisted as a third snapshot table
+    (``pq``), independent of the coarse quantizer: rebalance, merge,
+    and refit move postings between cells without re-encoding."""
     from ..operators.clustering import kmeans_pp_fit
 
     assign, _rounds, cent_rows = kmeans_pp_fit(
@@ -153,9 +172,16 @@ def ivf_index_init(
             assign.select("vec_id", F.col("cluster").alias("cell")), "vec_id"
         )
         .select("vec_id", "cell", "embedding")
-        .repartitionByRange(max(2, n_cells // 2), "cell")
-        .sortWithinPartitions("cell", "vec_id")
     )
+    books = None
+    if pq_m:
+        from ..operators.pq import pq_encode, pq_fit
+
+        books = pq_fit(spark, emb, m=pq_m, k=pq_k, seed=seed)
+        postings = pq_encode(postings, "embedding", books)
+    postings = postings.repartitionByRange(
+        max(2, n_cells // 2), "cell"
+    ).sortWithinPartitions("cell", "vec_id")
     cv = snap_init(
         spark, cent_df, _centroids_path(path), stats_cols=["cell"], fs=fs
     )
@@ -166,17 +192,54 @@ def ivf_index_init(
         stats_cols=["cell", "vec_id"],
         fs=fs,
     )
+    if books is not None:
+        book_rows = [
+            (j, c, vec)
+            for j, B in enumerate(books)
+            for c, vec in enumerate(B)
+        ]
+        snap_init(
+            spark,
+            spark.createDataFrame(
+                book_rows, "sub int, code int, centroid array<double>"
+            ),
+            _pq_books_path(path),
+            stats_cols=["sub"],
+            fs=fs,
+        )
     # fit-time assignment quality: the drift trigger's baseline
     baseline = _mean_assign_dist(
         snap_read(spark, _postings_path(path), fs=fs), cent_df
     )
-    _write_meta(spark, path, baseline, n_cells, seed, fs, create=True)
+    _write_meta(
+        spark, path, baseline, n_cells, seed, fs, create=True,
+        extra={"pq_m": pq_m, "pq_k": pq_k} if pq_m else None,
+    )
     return {
         "cells": n_cells,
         "centroids_version": cv,
         "postings_version": pv,
         "drift_baseline": baseline,
+        "pq": bool(pq_m),
     }
+
+
+def _load_pq_books(
+    spark: SparkSession, path: str, fs: LocalSnapshotFS | None
+) -> list[list[list[float]]] | None:
+    """The persisted PQ codebooks as the nested-list model (None on a
+    flat IVF index).  Model-sized: collect is M x k rows."""
+    try:
+        rows = snap_read(spark, _pq_books_path(path), fs=fs).collect()
+    except FileNotFoundError:
+        return None
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_sub.setdefault(int(r.sub), {})[int(r.code)] = list(r.centroid)
+    return [
+        [by_sub[j][c] for c in sorted(by_sub[j])]
+        for j in sorted(by_sub)
+    ]
 
 
 def _load_centroids(
@@ -216,6 +279,11 @@ def ivf_index_insert(
         )
         .select("vec_id", "cell", "embedding")
     )
+    books = _load_pq_books(spark, path, fs)
+    if books is not None:
+        from ..operators.pq import pq_encode
+
+        batch = pq_encode(batch, "embedding", books)
     return merge_upsert_cow(
         spark,
         _postings_path(path),
@@ -470,9 +538,10 @@ def ivf_rebalance(
     for c in skewed:
         cell_rows = snap_scan(
             spark, _postings_path(path), [("cell", "=", c)], fs=fs
-        ).select("vec_id", "embedding")
+        ).drop("cell")
         _assigned, _rounds, cents = kmeans_pp_fit(
-            spark, cell_rows, k=2, seed=seed, return_centroids=True
+            spark, cell_rows.select("vec_id", "embedding"), k=2,
+            seed=seed, return_centroids=True,
         )
         ids = {int(k): next_id + i for i, (k, _arr) in enumerate(cents)}
         labels = {
@@ -492,6 +561,7 @@ def ivf_rebalance(
             cell_expr = F.when(
                 F.col("_sub") == F.lit(k), F.lit(new_id)
             ).otherwise(cell_expr)
+        carry = [col for col in cell_rows.columns if col != "vec_id"]
         batch = (
             cell_rows.join(
                 _assigned.select(
@@ -502,7 +572,9 @@ def ivf_rebalance(
             .select(
                 "vec_id",
                 cell_expr.cast("int").alias("cell"),
-                "embedding",
+                # pq_code and any future posting payload carries along:
+                # moving a vector between cells never re-encodes it
+                *carry,
             )
         )
         merge_upsert_cow(
@@ -603,15 +675,17 @@ def ivf_merge_cells(
         )
         n_c, n_t = counts.get(c, 0), counts.get(target, 0)
         if n_c:
-            batch = (
-                snap_scan(
-                    spark, _postings_path(path), [("cell", "=", c)], fs=fs
-                )
-                .select(
-                    "vec_id",
-                    F.lit(int(target)).cast("int").alias("cell"),
-                    "embedding",
-                )
+            src_rows = snap_scan(
+                spark, _postings_path(path), [("cell", "=", c)], fs=fs
+            )
+            carry = [
+                col for col in src_rows.columns
+                if col not in ("vec_id", "cell")
+            ]
+            batch = src_rows.select(
+                "vec_id",
+                F.lit(int(target)).cast("int").alias("cell"),
+                *carry,
             )
             merge_upsert_cow(
                 spark, _postings_path(path), batch, keys=["vec_id"], fs=fs
@@ -710,11 +784,10 @@ def ivf_refit(
     meta = _read_meta(spark, path, fs)
     if n_cells is None:
         n_cells = int(meta.get("n_cells") or N_CELLS)
-    emb = snap_read(spark, _postings_path(path), fs=fs).select(
-        "vec_id", "embedding"
-    )
+    emb = snap_read(spark, _postings_path(path), fs=fs).drop("cell")
     assign, _rounds, cent_rows = kmeans_pp_fit(
-        spark, emb, k=n_cells, seed=seed, return_centroids=True
+        spark, emb.select("vec_id", "embedding"), k=n_cells, seed=seed,
+        return_centroids=True,
     )
     cent_df = spark.createDataFrame(
         cent_rows, "k long, carr array<double>"
@@ -722,12 +795,15 @@ def ivf_refit(
         F.col("k").cast("int").alias("cell"),
         F.col("carr").alias("centroid"),
     )
+    carry = [col for col in emb.columns if col != "vec_id"]
     postings = (
         emb.join(
             assign.select("vec_id", F.col("cluster").alias("cell")),
             "vec_id",
         )
-        .select("vec_id", F.col("cell").cast("int").alias("cell"), "embedding")
+        .select(
+            "vec_id", F.col("cell").cast("int").alias("cell"), *carry
+        )
         .repartitionByRange(max(2, n_cells // 2), "cell")
         .sortWithinPartitions("cell", "vec_id")
     )
@@ -765,6 +841,13 @@ def ivf_refit(
     }
 
 
+# ADC searches collect the query batch driver-side to build per-query
+# lookup tables (M x k floats each, ~8 KB at M=16/k=32): bounded here
+# so a huge batch cannot balloon the UDF closure — shard bigger
+# batches across calls, or use method="exact" which has no such bound
+ADC_QUERY_MAX = 1024
+
+
 def ivf_search(
     spark: SparkSession,
     path: str,
@@ -774,6 +857,8 @@ def ivf_search(
     version: int | None = None,
     broadcast_queries: bool | None = None,
     fs: LocalSnapshotFS | None = None,
+    method: str = "exact",
+    rerank_factor: int = 4,
 ) -> DataFrame:
     """Top-k cosine search: probe the ``nprobe`` nearest cells per
     query, read ONLY the probed cells' files (``snap_scan`` manifest
@@ -788,7 +873,20 @@ def ivf_search(
     candidate scan while it stays under ``QUERY_BROADCAST_MAX_ROWS``
     (one count of the small frame decides when ``None``); a huge query
     batch instead shuffle-joins on ``cell`` then ``q_id`` — shipping a
-    million queries to every scan task would invert the win."""
+    million queries to every scan task would invert the win.
+
+    ``method="adc"`` (IVF-PQ index only): the probed cells are scanned
+    reading ONLY the ``pq_code`` column (parquet column pruning — at
+    100 TB the probe read drops from cell-vectors to cell-codes, a
+    ~KB->bytes per row shrink), candidates are scored by PQ lookup
+    tables, the top ``rerank_factor * top_k`` per query fetch their
+    raw vectors through a bloom-pruned ``vec_id IN`` point scan, and
+    the emitted ranking is EXACT cosine over that candidate set —
+    quantization only chooses candidates, like operators/pq.py.
+    Query batches are capped at ``ADC_QUERY_MAX`` (the LUTs are
+    driver-built); shard bigger batches or use ``method="exact"``."""
+    if method not in ("exact", "adc"):
+        raise ValueError(f"unknown search method {method!r}")
     cent = _load_centroids(spark, path, None, fs)
     probes = (
         queries.crossJoin(F.broadcast(cent))
@@ -822,6 +920,11 @@ def ivf_search(
                 F.lit(None).cast("int").alias("rank"),
             )
         )
+    if method == "adc":
+        return _adc_search(
+            spark, path, queries, probes, probe_cells, top_k,
+            rerank_factor, version, fs,
+        )
     cand = snap_scan(
         spark,
         _postings_path(path),
@@ -841,6 +944,117 @@ def ivf_search(
     scored = (
         cand.join(probes, "cell")
         .join(queries, "q_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
+
+
+def _adc_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    probes: DataFrame,
+    probe_cells: list,
+    top_k: int,
+    rerank_factor: int,
+    version: int | None,
+    fs: LocalSnapshotFS | None,
+) -> DataFrame:
+    """The IVF-PQ scan half of ``ivf_search`` (see its docstring)."""
+    import pandas as pd
+
+    from ..operators.pq import adc_tables
+
+    books = _load_pq_books(spark, path, fs)
+    if books is None:
+        raise ValueError(
+            f"ivf_search(method='adc'): index at {path!r} has no PQ "
+            "codebooks — build it with ivf_index_init(..., pq_m=...)"
+        )
+    q_rows = queries.limit(ADC_QUERY_MAX + 1).collect()
+    if len(q_rows) > ADC_QUERY_MAX:
+        raise ValueError(
+            f"ivf_search(method='adc'): query batch exceeds "
+            f"ADC_QUERY_MAX={ADC_QUERY_MAX}; shard it or use "
+            "method='exact'"
+        )
+    luts = {
+        int(r.q_id): adc_tables(list(r.q_emb), books) for r in q_rows
+    }
+
+    @F.pandas_udf("double")
+    def adc_score(q_ids, codes):
+        import numpy as np
+
+        out = []
+        for qid, code in zip(q_ids, codes):
+            dots, nrms, q_sq = luts[int(qid)]
+            c = list(code)
+            dot = sum(dots[j][c[j]] for j in range(len(c)))
+            nrm = sum(nrms[j][c[j]] for j in range(len(c)))
+            denom = float(np.sqrt(nrm * q_sq))
+            out.append(dot / denom if denom > 0 else 0.0)
+        return pd.Series(out, dtype="float64")
+
+    # codes-only scan of the probed cells: the wide embedding column's
+    # bytes are never read here (parquet column pruning)
+    codes = snap_scan(
+        spark,
+        _postings_path(path),
+        [("cell", "in", probe_cells)],
+        version=version,
+        fs=fs,
+    ).select("vec_id", "cell", "pq_code")
+    wc = Window.partitionBy("q_id").orderBy(
+        F.desc("adc"), F.asc("vec_id")
+    )
+    cand = (
+        codes.join(F.broadcast(probes), "cell")
+        .withColumn("adc", adc_score(F.col("q_id"), F.col("pq_code")))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= top_k * rerank_factor)
+        .select("q_id", "vec_id")
+    )
+    # bounded by queries x rerank candidates: ONE materialization of
+    # the ADC scan (reused for the re-rank join), and a driver-held id
+    # list turning the vector fetch into a bloom/row-group-pruned
+    # point scan
+    pairs = cand.collect()
+    cand = spark.createDataFrame(
+        [(int(r.q_id), int(r.vec_id)) for r in pairs],
+        "q_id long, vec_id long",
+    )
+    ids = sorted({int(r.vec_id) for r in pairs})
+    if not ids:
+        return (
+            queries.select("q_id")
+            .limit(0)
+            .select(
+                "q_id",
+                F.lit(None).cast("long").alias("neighbor_id"),
+                F.lit(None).cast("double").alias("cos_sim"),
+                F.lit(None).cast("int").alias("rank"),
+            )
+        )
+    vecs = snap_scan(
+        spark,
+        _postings_path(path),
+        [("vec_id", "in", ids)],
+        version=version,
+        fs=fs,
+    ).select("vec_id", "embedding")
+    scored = (
+        cand.join(vecs, "vec_id")
+        .join(F.broadcast(queries), "q_id")
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
