@@ -67,7 +67,9 @@ def _bench(spark, n):
     d = tempfile.mkdtemp(prefix="vindex-")
     path = os.path.join(d, "idx")
     emb = _emb(spark, n)
-    ivf_index_init(spark, emb, path, n_cells=N_CELLS, seed=42)
+    ivf_index_init(
+        spark, emb, path, n_cells=N_CELLS, seed=42, pq_m=8, pq_k=32
+    )
     m = read_manifest(_postings_path(path))
 
     q = (
@@ -81,6 +83,14 @@ def _bench(spark, n):
     pruned = ivf_search(spark, path, q, nprobe=2, top_k=10)
     n_pruned = pruned.count()
     t_pruned = time.time() - t0
+
+    # IVF-PQ: same probes, candidate generation reads ONLY the code
+    # column (column pruning), exact re-rank on a bloom-pruned fetch
+    t0 = time.time()
+    n_adc = ivf_search(
+        spark, path, q, nprobe=2, top_k=10, method="adc"
+    ).count()
+    t_adc = time.time() - t0
 
     # full-read control: same probe logic but candidates come from an
     # unpruned read of every posting file
@@ -119,8 +129,9 @@ def _bench(spark, n):
         "rows": n,
         "files": len(m["files"]),
         "search_pruned_sec": round(t_pruned, 2),
+        "search_adc_sec": round(t_adc, 2),
         "search_full_sec": round(t_full, 2),
-        "search_rows": [n_pruned, n_full],
+        "search_rows": [n_pruned, n_adc, n_full],
         "files_kept_2cell": [len(kept), len(kept) + len(skipped)],
         "insert_sec": round(t_ins, 2),
         "insert_rewritten": ins["rewritten"],
