@@ -200,3 +200,76 @@ def test_fallback_without_checkpoint(spark, tmp_path):
         spark, path, [("k", "=", 1)], planner="distributed"
     ).collect()
     assert [(r.k, r.v) for r in got] == [(1, "x")]
+
+
+def test_partition_pruning_in_distributed_planner(
+    spark, tmp_path, small_shards
+):
+    """Hidden partitioning composes with distributed planning: the
+    derived partition predicates prune inside the checkpoint-part
+    tasks (shared _physical_branches), and distributed answers equal
+    the driver planner's exactly."""
+    import datetime
+
+    from mapreduce_grpc_spark.sources.snapshots import snap_scan
+
+    path = str(tmp_path / "t")
+    n, days = 200, 20
+    # fan each append into several files (AQE would fold a 200-row
+    # batch into one, leaving the checkpoint single-part)
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+
+    def ev(lo):
+        return spark.range(lo, lo + n).selectExpr(
+            "id AS k",
+            f"timestamp_seconds(1704067200 + CAST((id % {n}) * "
+            f"({days} * 86400.0 / {n}) AS BIGINT)) AS ts",
+            "CAST(id % 11 AS BIGINT) AS u",
+        )
+
+    try:
+        snap_init(
+            spark, ev(0), path, stats_cols=["k"],
+            partition_by=["days(ts)", "bucket(4, u)"],
+        )
+        for i in range(1, 8):
+            snap_append(spark, path, ev(1000 * i))
+    finally:
+        spark.conf.set(key, prev)
+    ckpt = S._find_checkpoint(S._fs(None), path, current_version(path))
+    assert ckpt > 0 and PD._checkpoint_parts(S._fs(None), path, ckpt)
+
+    lo = datetime.datetime(2024, 1, 3)
+    hi = datetime.datetime(2024, 1, 5)
+    for preds in (
+        [("ts", "between", lo, hi)],
+        [("u", "=", 7)],
+        [("ts", ">=", lo), ("u", "in", [1, 2])],
+    ):
+        drv = sorted(
+            map(tuple, snap_scan(
+                spark, path, preds, planner="driver"
+            ).collect())
+        )
+        dist = sorted(
+            map(tuple, snap_scan(
+                spark, path, preds, planner="distributed"
+            ).collect())
+        )
+        assert drv == dist and drv, preds
+    # and the derived predicates actually prune entries in the
+    # distributed plan (not just keep-everything conservatism)
+    planned = PD.plan_scan_entries(
+        spark, path, [("ts", "between", lo, hi)], None, None,
+        "distributed",
+    )
+    assert planned is not None
+    entries, raw = planned
+    total_files = len(
+        S.read_manifest(path)["files"]
+    )
+    assert len(entries) < total_files, (
+        f"distributed planner kept {len(entries)}/{total_files}"
+    )
