@@ -3063,9 +3063,21 @@ def apply_cdc_cow(
                 adds.append(e2)
         files_out += new_entries
 
-        if not new_entries and not dv_totals and txn_app is None:
+        if (
+            not new_entries
+            and not dv_totals
+            and not removes
+            and txn_app is None
+        ):
             # the batch changed nothing and there is no idempotence
-            # marker to record — don't grow the version chain
+            # marker to record — don't grow the version chain.  The
+            # ``removes`` check is load-bearing: a delete that kills
+            # EVERY row of its overlapping files produces zero new
+            # entries but must still drop those files — treating "no
+            # new files" as "no change" silently resurrected the
+            # deleted rows (caught by
+            # test_merge_cells_removes_zero_posting_centroid after the
+            # round-9 no-op-guard rework)
             res = _skipped_result(m)
             res["upserted"] = n_upserts
             res["deleted"] = 0

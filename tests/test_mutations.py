@@ -535,3 +535,42 @@ def test_partition_merge_rejects_null_key(spark, sf_dir, tmp_path):
     )
     with _pytest.raises(ValueError, match="NULL merge key"):
         merge_upsert(spark, path, bad, keys=["k"], partition_col="p")
+
+
+def test_cdc_delete_that_empties_files_still_commits(spark, tmp_path):
+    """Regression (round-10 find): a CDC delete wiping EVERY row of its
+    overlapping files produces zero new data files — the round-9 no-op
+    guard read that as "nothing changed" and silently skipped the
+    commit, resurrecting the deleted rows.  The guard must only skip
+    when nothing is added AND nothing is removed."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from mapreduce_grpc_spark.sources.snapshots import (
+        apply_cdc_cow,
+        current_version,
+        read_manifest,
+        snap_init,
+        snap_read,
+    )
+
+    path = str(tmp_path / "t")
+    # one row per file: a single-key delete empties a whole file
+    df = spark.range(5).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id * 2.0 AS DOUBLE) AS v"
+    ).repartitionByRange(5, "k")
+    snap_init(spark, df, path, stats_cols=["k"])
+    assert len(read_manifest(path)["files"]) == 5
+    schema = snap_read(spark, path).schema
+    batch = spark.createDataFrame(
+        [(2, None, "D")],
+        StructType(list(schema.fields) + [StructField("_op", StringType())]),
+    )
+    res = apply_cdc_cow(spark, path, batch, keys=["k"])
+    assert not res.get("skipped"), res
+    assert res["version"] == 2 and current_version(path) == 2
+    assert sorted(r.k for r in snap_read(spark, path).collect()) == [
+        0, 1, 3, 4,
+    ]
+    # and the double-delete of the same key IS a clean no-op
+    res2 = apply_cdc_cow(spark, path, batch, keys=["k"])
+    assert res2.get("skipped") and current_version(path) == 2
