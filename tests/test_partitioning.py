@@ -164,6 +164,10 @@ def test_truncate_int_negative_safe(spark):
 def test_spec_validation(spark):
     schema = _events(spark).schema
     with pytest.raises(ValueError, match="unknown partition transform"):
+        parse_partition_spec(["weeks(ts)"], schema)
+    # months/years exist but only for DATE sources (calendar math is
+    # session-TZ-dependent on timestamps)
+    with pytest.raises(TypeError, match="does not support"):
         parse_partition_spec(["months(ts)"], schema)
     with pytest.raises(KeyError, match="no column"):
         parse_partition_spec(["days(nope)"], schema)
