@@ -126,3 +126,31 @@ def test_rolling_activity_single_shuffle_no_join(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     (cols,) = read_schema_columns(df)
     assert set(cols) <= {"event_id", "user_id", "ts", "value"}
+
+
+def test_ivf_pq_adc_scan_reads_codes_not_vectors(spark, tmp_path):
+    """The IVF-PQ claim at 100 TB: candidate generation scans ONLY the
+    code column inside the probed cells.  Pin it in the physical plan —
+    ReadSchema must exclude `embedding`, and the cell probe must be a
+    pushed filter."""
+    from mapreduce_grpc_spark.catalog import table
+    from mapreduce_grpc_spark.sources.snapshots import snap_scan
+    from mapreduce_grpc_spark.sources.vector_index import (
+        _postings_path,
+        ivf_index_init,
+    )
+
+    path = str(tmp_path / "idx")
+    emb = table(
+        spark, "/root/testdata/sf0.001", "embeddings"
+    ).select("vec_id", "embedding")
+    ivf_index_init(spark, emb, path, n_cells=4, pq_m=16, pq_k=32)
+    codes = snap_scan(
+        spark, _postings_path(path), [("cell", "in", [0, 1])]
+    ).select("vec_id", "cell", "pq_code")
+    schemas = read_schema_columns(codes)
+    assert schemas and all("embedding" not in cols for cols in schemas), (
+        f"ADC scan must not read the vector column: {schemas}"
+    )
+    pushed = " ".join(pushed_filters(codes))
+    assert "cell" in pushed, f"cell probe not pushed: {pushed}"
