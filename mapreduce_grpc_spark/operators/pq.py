@@ -2,11 +2,12 @@
 
 The compression half of the 100 TB similarity story (Jégou et al.
 2011, the faiss ``IVFPQ`` shape): a 64-dim float32 vector is 256 bytes;
-its PQ code is ``M`` bytes (one uint8 centroid id per subspace) — a
-32x shrink at ``M = 8`` here, ~400x for production 1024-dim/8-byte
-configs.  At 100 TB of raw embeddings the ADC scan touches only the
-code relation; the full vectors are read back ONLY for the top
-candidates' exact re-rank.
+its PQ code is one centroid id per subspace — at the shipped
+``M = 16`` subspaces with ``k = 32``-entry codebooks that is an 80-bit
+(5 bit × 16) code, a ~25x shrink vs the raw vector, ~400x for
+production 1024-dim configs.  At 100 TB of raw embeddings the ADC scan
+touches only the code relation; the full vectors are read back ONLY
+for the top candidates' exact re-rank.
 
 Spark decomposition (fit-small / transform-all, the same split as
 SemDeDup and k-means in this codebase):
@@ -175,6 +176,58 @@ def adc_tables(
     return dots, nrms, float((qa**2).sum())
 
 
+def make_adc_scorer(luts: dict):
+    """Arrow-batched ADC scoring UDF over per-query lookup tables
+    (``luts[q_id] -> (dots, nrms, q_sq)`` as built by ``adc_tables``).
+
+    Fully vectorized inside the batch: the only Python loops run over
+    the ``M`` subspaces (16) and the distinct query ids present in the
+    batch — never over rows.  Per row the work is a numpy fancy-index
+    gather ``DOTS[j, C[:, j]]`` over the M×k LUT matrices.  The
+    subspace accumulation is a left-to-right ``+=`` chain (seeded with
+    ``0.0 +`` like Python's ``sum``), so scores are bit-identical to
+    the scalar ``sum(dots[j][c[j]] ...)`` loop this replaced — the
+    candidate sets, and hence the exact re-ranked output, cannot
+    drift."""
+    import numpy as np
+    import pandas as pd
+
+    np_luts = {
+        int(qid): (
+            np.asarray(dots, dtype=np.float64),
+            np.asarray(nrms, dtype=np.float64),
+            float(q_sq),
+        )
+        for qid, (dots, nrms, q_sq) in luts.items()
+    }
+
+    @F.pandas_udf("double")
+    def adc_score(q_ids, codes):
+        n = len(q_ids)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        C = np.stack([np.asarray(c, dtype=np.intp) for c in codes])
+        q = q_ids.to_numpy()
+        out = np.zeros(n, dtype=np.float64)
+        for qid in pd.unique(q):
+            DOTS, NRMS, q_sq = np_luts[int(qid)]
+            mask = q == qid
+            Cm = C[mask]
+            dot = 0.0 + DOTS[0, Cm[:, 0]]
+            nrm = 0.0 + NRMS[0, Cm[:, 0]]
+            for j in range(1, Cm.shape[1]):
+                dot += DOTS[j, Cm[:, j]]
+                nrm += NRMS[j, Cm[:, j]]
+            denom = np.sqrt(nrm * q_sq)
+            ok = denom > 0.0
+            res = np.zeros(len(dot), dtype=np.float64)
+            np.divide(dot, denom, out=res, where=ok)
+            out[mask] = res
+        return pd.Series(out, dtype="float64")
+
+    return adc_score
+
+
 def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ANN top-5 for the first 10 vectors: fit -> encode -> ADC scan
     -> exact re-rank (module docstring has the scale shape).
@@ -182,9 +235,6 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output schema matches ``similarity_topk``: (q_id, neighbor_id,
     cos_sim, rank) with cos_sim the EXACT cosine — only the candidate
     set is approximate."""
-    import numpy as np
-    import pandas as pd
-
     emb = table(spark, sf_dir, "embeddings")
     if not emb.take(1):
         # empty relation: empty result with the contract schema (the
@@ -205,18 +255,7 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     luts = {
         int(r.vec_id): adc_tables(list(r.embedding), books) for r in q_rows
     }
-
-    @F.pandas_udf("double")
-    def adc_score(q_ids, codes):
-        out = []
-        for qid, code in zip(q_ids, codes):
-            dots, nrms, q_sq = luts[int(qid)]
-            c = list(code)
-            dot = sum(dots[j][c[j]] for j in range(len(c)))
-            nrm = sum(nrms[j][c[j]] for j in range(len(c)))
-            denom = float(np.sqrt(nrm * q_sq))
-            out.append(dot / denom if denom > 0 else 0.0)
-        return pd.Series(out, dtype="float64")
+    adc_score = make_adc_scorer(luts)
 
     q_ids = spark.createDataFrame(
         [(int(r.vec_id),) for r in q_rows], "q_id int"

@@ -842,9 +842,14 @@ def ivf_refit(
 
 
 # ADC searches collect the query batch driver-side to build per-query
-# lookup tables (M x k floats each, ~8 KB at M=16/k=32): bounded here
-# so a huge batch cannot balloon the UDF closure — shard bigger
-# batches across calls, or use method="exact" which has no such bound
+# lookup tables (M x k floats each, ~8 KB at M=16/k=32): bigger
+# batches are sharded INTERNALLY into slices of this size, so no one
+# UDF closure ever carries more than ~8 MB of LUTs — the scan runs
+# once per slice against only that slice's probed cells, and the
+# exact re-rank happens once over the union of candidates.  The whole
+# batch is still driver-resident (LUTs are driver-built); a
+# million-query workload should use method="exact", which never
+# collects the query side.
 ADC_QUERY_MAX = 1024
 
 
@@ -883,8 +888,10 @@ def ivf_search(
     raw vectors through a bloom-pruned ``vec_id IN`` point scan, and
     the emitted ranking is EXACT cosine over that candidate set —
     quantization only chooses candidates, like operators/pq.py.
-    Query batches are capped at ``ADC_QUERY_MAX`` (the LUTs are
-    driver-built); shard bigger batches or use ``method="exact"``."""
+    Query batches bigger than ``ADC_QUERY_MAX`` are sharded internally
+    (one codes-only scan per slice, one union re-rank); the batch is
+    driver-resident either way because the LUTs are driver-built —
+    truly huge query sets belong on ``method="exact"``."""
     if method not in ("exact", "adc"):
         raise ValueError(f"unknown search method {method!r}")
     cent = _load_centroids(spark, path, None, fs)
@@ -922,7 +929,7 @@ def ivf_search(
         )
     if method == "adc":
         return _adc_search(
-            spark, path, queries, probes, probe_cells, top_k,
+            spark, path, queries, probes, top_k,
             rerank_factor, version, fs,
         )
     cand = snap_scan(
@@ -963,16 +970,21 @@ def _adc_search(
     path: str,
     queries: DataFrame,
     probes: DataFrame,
-    probe_cells: list,
     top_k: int,
     rerank_factor: int,
     version: int | None,
     fs: LocalSnapshotFS | None,
 ) -> DataFrame:
-    """The IVF-PQ scan half of ``ivf_search`` (see its docstring)."""
-    import pandas as pd
+    """The IVF-PQ scan half of ``ivf_search`` (see its docstring).
 
-    from ..operators.pq import adc_tables
+    Batches past ``ADC_QUERY_MAX`` are sharded here: each slice of
+    queries carries its own LUT closure and scans ONLY the cells that
+    slice probes (codes-only, column-pruned), the per-slice top
+    ``rerank_factor * top_k`` candidates accumulate driver-side
+    (bounded: queries × rerank candidates), and the exact re-rank
+    runs once over the union — answers are identical to running the
+    slices as separate calls, minus the duplicate vector fetches."""
+    from ..operators.pq import adc_tables, make_adc_scorer
 
     books = _load_pq_books(spark, path, fs)
     if books is None:
@@ -980,55 +992,58 @@ def _adc_search(
             f"ivf_search(method='adc'): index at {path!r} has no PQ "
             "codebooks — build it with ivf_index_init(..., pq_m=...)"
         )
-    q_rows = queries.limit(ADC_QUERY_MAX + 1).collect()
-    if len(q_rows) > ADC_QUERY_MAX:
-        raise ValueError(
-            f"ivf_search(method='adc'): query batch exceeds "
-            f"ADC_QUERY_MAX={ADC_QUERY_MAX}; shard it or use "
-            "method='exact'"
-        )
-    luts = {
-        int(r.q_id): adc_tables(list(r.q_emb), books) for r in q_rows
-    }
-
-    @F.pandas_udf("double")
-    def adc_score(q_ids, codes):
-        import numpy as np
-
-        out = []
-        for qid, code in zip(q_ids, codes):
-            dots, nrms, q_sq = luts[int(qid)]
-            c = list(code)
-            dot = sum(dots[j][c[j]] for j in range(len(c)))
-            nrm = sum(nrms[j][c[j]] for j in range(len(c)))
-            denom = float(np.sqrt(nrm * q_sq))
-            out.append(dot / denom if denom > 0 else 0.0)
-        return pd.Series(out, dtype="float64")
-
-    # codes-only scan of the probed cells: the wide embedding column's
-    # bytes are never read here (parquet column pruning)
-    codes = snap_scan(
-        spark,
-        _postings_path(path),
-        [("cell", "in", probe_cells)],
-        version=version,
-        fs=fs,
-    ).select("vec_id", "cell", "pq_code")
+    q_rows = queries.collect()
+    probe_rows = probes.collect()
+    cells_by_q: dict = {}
+    for r in probe_rows:
+        cells_by_q.setdefault(int(r.q_id), []).append(r.cell)
     wc = Window.partitionBy("q_id").orderBy(
         F.desc("adc"), F.asc("vec_id")
     )
-    cand = (
-        codes.join(F.broadcast(probes), "cell")
-        .withColumn("adc", adc_score(F.col("q_id"), F.col("pq_code")))
-        .withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") <= top_k * rerank_factor)
-        .select("q_id", "vec_id")
-    )
-    # bounded by queries x rerank candidates: ONE materialization of
-    # the ADC scan (reused for the re-rank join), and a driver-held id
-    # list turning the vector fetch into a bloom/row-group-pruned
-    # point scan
-    pairs = cand.collect()
+    pairs = []
+    for lo in range(0, len(q_rows), ADC_QUERY_MAX):
+        chunk = q_rows[lo : lo + ADC_QUERY_MAX]
+        luts = {
+            int(r.q_id): adc_tables(list(r.q_emb), books) for r in chunk
+        }
+        chunk_cells = sorted(
+            {c for qid in luts for c in cells_by_q.get(qid, [])}
+        )
+        if not chunk_cells:
+            continue
+        chunk_probes = spark.createDataFrame(
+            [
+                (int(r.q_id), r.cell)
+                for r in probe_rows
+                if int(r.q_id) in luts
+            ],
+            probes.schema,
+        )
+        adc_score = make_adc_scorer(luts)
+        # codes-only scan of this slice's probed cells: the wide
+        # embedding column's bytes are never read here (parquet
+        # column pruning)
+        codes = snap_scan(
+            spark,
+            _postings_path(path),
+            [("cell", "in", chunk_cells)],
+            version=version,
+            fs=fs,
+        ).select("vec_id", "cell", "pq_code")
+        cand = (
+            codes.join(F.broadcast(chunk_probes), "cell")
+            .withColumn(
+                "adc", adc_score(F.col("q_id"), F.col("pq_code"))
+            )
+            .withColumn("crank", F.row_number().over(wc))
+            .filter(F.col("crank") <= top_k * rerank_factor)
+            .select("q_id", "vec_id")
+        )
+        # bounded by queries x rerank candidates: ONE materialization
+        # of each slice's ADC scan (reused for the re-rank join), and
+        # a driver-held id list turning the vector fetch into a
+        # bloom/row-group-pruned point scan
+        pairs.extend(cand.collect())
     cand = spark.createDataFrame(
         [(int(r.q_id), int(r.vec_id)) for r in pairs],
         "q_id long, vec_id long",

@@ -679,17 +679,33 @@ def test_adc_on_flat_index_refused(spark, index):
         ivf_search(spark, path, q, method="adc").collect()
 
 
-def test_adc_query_batch_cap(spark, pq_index):
+def test_adc_query_batch_sharded(spark, pq_index):
+    """Batches past ADC_QUERY_MAX shard internally (2 x max + 1
+    queries -> 3 slices here) and the union answers equal
+    method='exact' when the candidate set is exhaustive: all cells
+    probed + rerank_factor big enough that every scanned row is a
+    candidate, so the exact re-rank sees exactly what exact sees."""
     from mapreduce_grpc_spark.sources import vector_index as vi
 
     path, emb, _ = pq_index
-    q = emb.limit(3).select(
+    n_q = 2 * 2 + 1
+    q = emb.orderBy("vec_id").limit(n_q).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     orig = vi.ADC_QUERY_MAX
     vi.ADC_QUERY_MAX = 2
     try:
-        with pytest.raises(ValueError, match="ADC_QUERY_MAX"):
-            ivf_search(spark, path, q, method="adc")
+        adc = ivf_search(
+            spark, path, q, nprobe=8, top_k=5, method="adc",
+            rerank_factor=400,
+        ).collect()
     finally:
         vi.ADC_QUERY_MAX = orig
+    exact = ivf_search(spark, path, q, nprobe=8, top_k=5).collect()
+    assert sorted(
+        (r.q_id, r.neighbor_id, r.rank) for r in adc
+    ) == sorted((r.q_id, r.neighbor_id, r.rank) for r in exact)
+    ex_scores = {(r.q_id, r.neighbor_id): r.cos_sim for r in exact}
+    for r in adc:
+        assert r.cos_sim == ex_scores[(r.q_id, r.neighbor_id)]
+    assert len({r.q_id for r in adc}) == n_q
