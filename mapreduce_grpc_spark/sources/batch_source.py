@@ -139,13 +139,22 @@ def _append_partition_values(table, pspec: list[dict]):
     pdf = partition_pandas(pspec, pdf)
     for s in pspec:
         vals = pdf[s["name"]]
-        if s["t"] == "identity" or (
-            s["t"] == "truncate" and s["src_type"] == "string"
-        ):
-            arr = pa.array(vals, from_pandas=True)
+        # the arrow type is always pinned explicitly: letting pyarrow
+        # infer per batch would make an int64 batch containing nulls
+        # (float64 after the pandas round-trip) come back as double,
+        # and an all-null batch as the null type — the ParquetWriter's
+        # schema is frozen from the FIRST batch, so a later batch with
+        # a different inferred type fails the write, and a double _sgp
+        # column would fall outside bloom tracking
+        if s["t"] == "identity":
+            typ = table.schema.field(s["col"]).type
+        elif s["t"] == "truncate" and s["src_type"] == "string":
+            typ = pa.string()
+        elif s["t"] == "truncate":
+            typ = pa.int64()
         else:
-            typ = pa.int64() if s["t"] == "truncate" else pa.int32()
-            arr = pa.array(vals, type=typ, from_pandas=True)
+            typ = pa.int32()
+        arr = pa.array(vals, type=typ, from_pandas=True)
         table = table.append_column(s["name"], arr)
     return table
 
@@ -477,6 +486,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                 pass
         m0 = read_manifest(self._path, fs=f)
         from .snapshots import _cm as _cm_of
+        from .snapshots import _pspec as _pspec_of
 
         if _cm_of(m0) != self._cm:
             # the table's column mapping changed between plan time (the
@@ -490,6 +500,26 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                 f"snapshot_table batch writer: column mapping of "
                 f"{self._path!r} changed during the write (a concurrent "
                 "rename/drop); re-run the save()"
+            )
+        if _pspec_of(m0) != self._pspec:
+            # same shape of guard for the partition spec: the written
+            # files' derived _sgp_<id> columns/stats were computed under
+            # THIS writer's spec.  Two racing first-writers with
+            # divergent partitionBy both seed field ids at 0, so the
+            # loser's _sgp_0 stats could mean days(ts) while the
+            # winner's manifest binds _sgp_0 to bucket(16, user_id) —
+            # later scans would derive predicates under the winner's
+            # transform, probe the mismatched stats, and WRONGLY PRUNE
+            # these files (silent row loss).  Refuse and make the
+            # caller re-run under the live spec.
+            for n in names:
+                if f.exists(os.path.join(self._path, n)):
+                    f.remove(os.path.join(self._path, n))
+            raise CommitConflict(
+                f"snapshot_table batch writer: partition spec of "
+                f"{self._path!r} changed during the write (a create "
+                "race with a different partitionBy, or a concurrent "
+                "spec evolution); re-run the save()"
             )
         target_schema = _manifest_schema(m0)
         if target_schema is not None:
@@ -552,6 +582,18 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                     f"snapshot_table batch writer: column mapping of "
                     f"{self._path!r} changed during the commit retries "
                     "(a concurrent rename/drop); re-run the save()"
+                )
+            if _pspec_of(m) != self._pspec:
+                # per-retry twin of the pre-loop spec guard: a spec
+                # evolution winning a commit race must not let files
+                # with old-spec-derived stats publish under it
+                for n in names:
+                    if f.exists(os.path.join(self._path, n)):
+                        f.remove(os.path.join(self._path, n))
+                raise CommitConflict(
+                    f"snapshot_table batch writer: partition spec of "
+                    f"{self._path!r} changed during the commit retries "
+                    "(a concurrent spec evolution); re-run the save()"
                 )
             cons = m.get("constraints") or {}
             if cons != validated_for:

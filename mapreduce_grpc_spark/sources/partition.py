@@ -29,8 +29,15 @@ stats machinery instead of inventing a second pruning path:
   the ordinary ``_entry_may_match`` stats/bloom checks prune files.
   Pruning stays strictly advisory: files written before the spec
   existed (or by a writer that ignores it) simply have no ``_sgp``
-  stats and are never pruned — correct, just unpruned — which is also
-  why the spec needs no reader/writer protocol feature flag.
+  stats and are never pruned — correct, just unpruned — which is why
+  READERS need no protocol feature flag.  Writers are different: a
+  legacy build's ``_commit`` carry loop would silently DROP the
+  ``partition_spec`` key from the manifest, permanently unpartitioning
+  the table (answers stay right, clustering and pruning are gone, no
+  error) — so a committed spec raises the ``partition_spec`` WRITER
+  feature flag, making pre-partitioning builds refuse loudly
+  (``UnsupportedTableFeature``) instead, the same precedent as
+  ``check_constraints``.
 - **Readers never see the derived columns**: ``_read_entries`` scans
   with the recorded logical schema, so the extra physical columns in
   the files are simply not projected.

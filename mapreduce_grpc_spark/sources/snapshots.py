@@ -154,7 +154,7 @@ SUPPORTED_READER_FEATURES = frozenset(
     {"column_mapping", "deletion_vectors"}
 )
 SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset(
-    {"check_constraints"}
+    {"check_constraints", "partition_spec"}
 )
 
 
@@ -1125,6 +1125,16 @@ def _commit(
         wfeats.add("check_constraints")
     else:
         wfeats.discard("check_constraints")
+    # a committed partition spec must flag WRITERS (not readers): a
+    # pre-partitioning build whose carry loop only copies constraints/
+    # column_mapping would otherwise silently strip the spec from the
+    # manifest, permanently unpartitioning the table (sources/
+    # partition.py module docstring) — readers stay unflagged because
+    # un-pruned scans of _sgp-less files are merely slower, never wrong
+    if manifest.get("partition_spec"):
+        wfeats.add("partition_spec")
+    else:
+        wfeats.discard("partition_spec")
     if feats:
         manifest["features"] = sorted(feats)
     if wfeats - feats:
@@ -3306,6 +3316,137 @@ def snap_overwrite(
     ) from last_err
 
 
+def _compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    candidates: list[dict],
+    target_bytes: int,
+    f: LocalSnapshotFS,
+    fs: LocalSnapshotFS | None,
+    cm: dict,
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """Partition-aware bin-packing for ``optimize_snapshot`` (the
+    Delta/Iceberg OPTIMIZE shape: compact WITHIN partitions, never
+    across them).
+
+    The manifest's per-file ``_sgp_*`` envelopes tell us each file's
+    partition tuple for free: a file whose min == max on EVERY spec
+    field is tuple-PURE, and merging pure files of the same tuple can
+    never widen an envelope.  So:
+
+    - pure files group by tuple; each group bin-packs to its own
+      ``ceil(group_bytes / target_bytes)`` file count (``coalesce`` —
+      no shuffle; within one tuple layout cannot affect pruning);
+    - a group that is already optimal (one file, or at most one output
+      per input, with no deletion-vector debt) is DEMOTED to carry —
+      so OPTIMIZE on a well-compacted partitioned table is a no-op
+      instead of a re-smear, and a one-file-per-day table never merges
+      days just because the global budget said ``n_files < n_days``;
+    - impure / stats-less files (pre-spec history, Arrow-writer files
+      that sort within the file but span tuples) form one RESIDUAL
+      group, range-clustered by the tuple at
+      ``max(ceil(bytes/target), exact tuple count)`` — the distinct
+      count costs one extra agg over only those files (they are being
+      rewritten anyway) and guarantees at least one output slot per
+      tuple, so residual envelopes stay 1-2 tuples tight instead of
+      spanning the batch.
+
+    Group writes are independent Spark jobs and run on a small thread
+    pool (the scheduler interleaves them; this is how OPTIMIZE keeps
+    1000 partitions from serializing into 1000 sequential jobs).
+    Returns ``(new_entries, rewritten, demoted)``; nothing is written
+    when every group demotes."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .partition import partition_expr
+
+    pspec = _pspec(m)
+    names = [s["name"] for s in pspec]
+    schema = _manifest_schema(m)
+    stats_cols = m["stats_cols"]
+    groups: dict[tuple, list[dict]] = {}
+    residual: list[dict] = []
+    for e in candidates:
+        st = e.get("stats") or {}
+        key: list | None = []
+        for n in names:
+            env = st.get(n)
+            if (
+                key is None
+                or not env
+                or env.get("min") is None
+                or env["min"] != env["max"]
+            ):
+                key = None
+            else:
+                key.append(env["min"])
+        if key is None:
+            residual.append(e)
+        else:
+            groups.setdefault(tuple(key), []).append(e)
+
+    def _dv(files: list[dict]) -> bool:
+        return any(e.get("dv") for e in files)
+
+    def _bytes(files: list[dict]) -> int:
+        return sum(
+            f.getsize(os.path.join(path, e["name"])) for e in files
+        )
+
+    jobs: list[tuple[list[dict], int, bool]] = []
+    demoted: list[dict] = []
+    for key in sorted(groups, key=lambda k: tuple(map(str, k))):
+        files = groups[key]
+        n_out = max(1, -(-_bytes(files) // target_bytes))  # ceil
+        if n_out >= len(files) and not _dv(files):
+            demoted.extend(files)  # already optimal for this tuple
+            continue
+        jobs.append((files, n_out, False))
+    if residual:
+        if len(residual) >= 2 or _dv(residual):
+            n_out = max(1, -(-_bytes(residual) // target_bytes))
+            jobs.append((residual, n_out, True))
+        else:
+            demoted.extend(residual)
+    if not jobs:
+        return [], [], demoted
+
+    def _run(job: tuple[list[dict], int, bool]) -> list[dict]:
+        files, n_out, cluster = job
+        dfg = _read_entries(spark, path, files, schema, cm)
+        if cluster:
+            n_t = (
+                dfg.select(
+                    *[
+                        partition_expr(s).alias(s["name"])
+                        for s in pspec
+                    ]
+                )
+                .distinct()
+                .count()
+            )
+            return _write_data_files(
+                spark, dfg, path, stats_cols, fs, cm,
+                pspec=pspec, pcluster=True, pnum=max(n_out, n_t, 1),
+            )
+        return _write_data_files(
+            spark, dfg.coalesce(n_out), path, stats_cols, fs, cm,
+            pspec=pspec, pcluster=False,
+        )
+
+    if len(jobs) == 1:
+        results = [_run(jobs[0])]
+    else:
+        with ThreadPoolExecutor(
+            max_workers=min(4, len(jobs))
+        ) as pool:
+            results = list(pool.map(_run, jobs))
+    new_entries = [e for r in results for e in r]
+    rewritten = [e for job in jobs for e in job[0]]
+    return new_entries, rewritten, demoted
+
+
 def optimize_snapshot(
     spark: SparkSession,
     path: str,
@@ -3322,7 +3463,10 @@ def optimize_snapshot(
     ``target_bytes`` into ~target-sized rewrites and carries full-sized
     files by reference — the Delta ``OPTIMIZE`` shape, fixing the
     small-file accretion of streaming/merge writers without touching
-    healthy files.  With ``zorder``: rewrites the WHOLE table through
+    healthy files.  On a partitioned table the packing is PER
+    PARTITION TUPLE (``_compact_partitioned``): a tight budget can
+    never merge two days into one file, and partitions that are
+    already one-file stay carried.  With ``zorder``: rewrites the WHOLE table through
     ``layout.zorder_frame`` (clustered layout is a global property), so
     subsequent ``merge_upsert_cow`` batches overlap fewer files — the
     clustering is precisely what keeps CoW merge cost small.  Readers
@@ -3367,42 +3511,57 @@ def optimize_snapshot(
                     "added": 0,
                 }
         cm = _cm(m)
-        df = _read_entries(
-            spark, path, to_rewrite, _manifest_schema(m), cm
-        )
-        total = sum(
-            f.getsize(os.path.join(path, e["name"])) for e in to_rewrite
-        )
-        n_files = max(1, -(-total // target_bytes))  # ceil
         pspec = _pspec(m)
-        pcluster, pnum = True, None
-        if zorder is not None:
-            # Z-order wins over partition re-clustering: the caller
-            # asked for THIS layout, and the derived columns keep the
-            # partition stats tracked either way (ranges may widen —
-            # pruning coarsens, stays correct)
-            out = zorder_frame(df, zorder, n_files, equidepth)
-            pcluster = False
-        elif cluster_by:
-            # key-ordered compaction: merging small files must not
-            # destroy clustering the incremental re-clusterer paid for
-            # (a bare coalesce mixes ranges and recreates overlap debt)
-            out = df.repartitionByRange(
-                n_files, F.col(cluster_by[0])
-            ).sortWithinPartitions(*cluster_by)
-            pcluster = False
-        elif pspec:
-            # partitioned table: compaction re-clusters by the tuple at
-            # the target file count, so bin-packing never smears days
-            # across files and pruning stays tight after OPTIMIZE
-            out = df
-            pnum = n_files
+        if zorder is None and not cluster_by and pspec:
+            # partitioned table: bin-pack WITHIN partition tuples (the
+            # Delta/Iceberg shape) — a tight target_bytes budget must
+            # never merge two days into one file, or the very next
+            # hot-day scan loses the pruning the user partitioned for
+            new_entries, to_rewrite, _demoted = _compact_partitioned(
+                spark, path, m, to_rewrite, target_bytes, f, fs, cm,
+            )
+            carried = [
+                e for e in m["files"] if e not in to_rewrite
+            ]
+            if not to_rewrite:
+                return {
+                    "version": m["version"],
+                    "rewritten": 0,
+                    "carried": len(m["files"]),
+                    "added": 0,
+                }
         else:
-            out = df.coalesce(n_files)
-        new_entries = _write_data_files(
-            spark, out, path, stats_cols, fs, cm,
-            pspec=pspec, pcluster=pcluster, pnum=pnum,
-        )
+            df = _read_entries(
+                spark, path, to_rewrite, _manifest_schema(m), cm
+            )
+            total = sum(
+                f.getsize(os.path.join(path, e["name"]))
+                for e in to_rewrite
+            )
+            n_files = max(1, -(-total // target_bytes))  # ceil
+            pcluster = True
+            if zorder is not None:
+                # Z-order wins over partition re-clustering: the caller
+                # asked for THIS layout, and the derived columns keep
+                # the partition stats tracked either way (ranges may
+                # widen — pruning coarsens, stays correct)
+                out = zorder_frame(df, zorder, n_files, equidepth)
+                pcluster = False
+            elif cluster_by:
+                # key-ordered compaction: merging small files must not
+                # destroy clustering the incremental re-clusterer paid
+                # for (a bare coalesce mixes ranges and recreates
+                # overlap debt)
+                out = df.repartitionByRange(
+                    n_files, F.col(cluster_by[0])
+                ).sortWithinPartitions(*cluster_by)
+                pcluster = False
+            else:
+                out = df.coalesce(n_files)
+            new_entries = _write_data_files(
+                spark, out, path, stats_cols, fs, cm,
+                pspec=pspec, pcluster=pcluster,
+            )
         info = {
             "op": "optimize",
             "rewritten": len(to_rewrite),

@@ -542,6 +542,111 @@ def test_optimize_reclusters_partitioned_table(
     )
 
 
+def test_optimize_binpacks_within_partitions(
+    spark, tmp_path, no_coalesce
+):
+    """A tight target_bytes budget (global file count 1 < n_days)
+    must never merge two days into one file: compaction groups the
+    rewrite set by partition tuple and bin-packs WITHIN groups, so
+    the one-day-scan kept-file ratio survives OPTIMIZE — and a table
+    already at one file per day demotes every group to carry (no-op)
+    instead of re-smearing."""
+    days, reps = 8, 2
+    path = os.path.join(str(tmp_path), "t")
+    frames = []
+    for d in range(days):
+        for rep in range(reps):
+            fd = (
+                _events(spark, n=25, days=1)
+                .withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {d} DAYS")
+                )
+                .withColumn(
+                    "event_id",
+                    F.col("event_id") + 1000 * d + 100 * rep,
+                )
+                .coalesce(1)
+            )
+            if not frames:
+                snap_init(
+                    spark, fd, path, stats_cols=["event_id"],
+                    partition_by=["days(ts)"],
+                )
+            else:
+                snap_append(spark, path, fd)
+            frames.append(fd)
+    m0 = read_manifest(path)
+    assert len(m0["files"]) == days * reps
+    res = optimize_snapshot(spark, path, target_bytes=1 << 30)
+    assert res["rewritten"] == days * reps
+    assert res["added"] == days, "one output file per day, never fewer"
+    m = read_manifest(path)
+    assert len(m["files"]) == days
+    for e in m["files"]:
+        env = e["stats"]["_sgp_0"]
+        assert env["min"] == env["max"], "outputs must stay tuple-pure"
+    # one-day scan after the tight-budget OPTIMIZE: the derived day
+    # pred widens by +-1 (timezone slop), so exactly 3 of 8 kept
+    lo = JAN + datetime.timedelta(days=3)
+    hi = JAN + datetime.timedelta(days=3, hours=23)
+    preds = [("ts", "between", lo, hi)]
+    kept, skipped = prune_manifest(m, preds, None)
+    assert len(kept) == 3 and len(skipped) == days - 3
+    both = frames[0]
+    for p in frames[1:]:
+        both = both.unionByName(p)
+    _counts_equal(
+        spark, path, both, preds,
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)),
+    )
+    # idempotent: every group already one file -> no commit at all
+    v = m["version"]
+    res2 = optimize_snapshot(spark, path, target_bytes=1 << 30)
+    assert res2["rewritten"] == 0 and res2["added"] == 0
+    assert read_manifest(path)["version"] == v
+
+
+def test_optimize_partitioned_rewrites_residual_files(
+    spark, tmp_path, no_coalesce
+):
+    """Files WITHOUT per-file _sgp stats (written before the spec
+    existed) can't be tuple-grouped: they form the residual group,
+    range-clustered at >= their exact tuple count so the rewrite
+    comes out day-tight instead of day-smeared."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        snap_set_partition_spec,
+    )
+
+    df = _events(spark, n=200, days=5)
+    path = os.path.join(str(tmp_path), "t")
+    # pre-spec history: two appends with NO partition columns at all
+    half = df.filter(F.col("event_id") % 2 == 0)
+    other = df.filter(F.col("event_id") % 2 == 1)
+    snap_init(spark, half.coalesce(2), path, stats_cols=["event_id"])
+    snap_append(spark, path, other.coalesce(2))
+    snap_set_partition_spec(path, ["days(ts)"])
+    assert all(
+        "_sgp_0" not in (e.get("stats") or {})
+        for e in read_manifest(path)["files"]
+    )
+    res = optimize_snapshot(spark, path, target_bytes=1 << 30)
+    assert res["rewritten"] == 4
+    m = read_manifest(path)
+    # every rewritten file now carries tracked partition stats and the
+    # exchange width >= tuple count keeps envelopes tight: a one-day
+    # scan must skip at least one file
+    assert all("_sgp_0" in e["stats"] for e in m["files"])
+    lo = JAN + datetime.timedelta(days=1)
+    hi = JAN + datetime.timedelta(days=1, hours=23)
+    preds = [("ts", "between", lo, hi)]
+    kept, skipped = prune_manifest(m, preds, None)
+    assert skipped, "residual rewrite must restore prunability"
+    _counts_equal(
+        spark, path, df, preds,
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)),
+    )
+
+
 def test_zorder_on_partitioned_table_keeps_answers(
     spark, tmp_path, no_coalesce
 ):

@@ -137,3 +137,37 @@ def test_flags_survive_unrelated_commits(spark, tmp_path):
     m = read_manifest(path)
     assert sorted(m["features"]) == ["column_mapping", "deletion_vectors"]
     assert snap_read(spark, path).count() == 52
+
+
+def test_partition_spec_raises_writer_flag(spark, tmp_path):
+    """A committed partition spec flags WRITERS: a pre-partitioning
+    build's carry loop (constraints/column_mapping only) would
+    silently strip the spec from the manifest, permanently
+    unpartitioning the table — the flag makes it refuse loudly.
+    Readers stay unflagged: unpruned scans are slower, never wrong."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        snap_set_partition_spec,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    snap_init(
+        spark, df, path, stats_cols=["k"], partition_by=["bucket(4, k)"]
+    )
+    ft = table_features(path)
+    assert ft["writer"] == ["partition_spec"]
+    assert ft["reader"] == []
+    # carried forward by unrelated commits (exact, like constraints)
+    snap_append(
+        spark, path,
+        spark.range(100, 103).select(
+            F.col("id").alias("k"), F.lit("a").alias("v")
+        ),
+    )
+    assert table_features(path)["writer"] == ["partition_spec"]
+    # dropping the spec clears the flag: legacy writers are safe again
+    snap_set_partition_spec(path, None)
+    assert table_features(path)["writer"] == []
