@@ -631,21 +631,26 @@ QUERIES = {
     # spec, append, implied-predicate pruned scan — under the driver's
     # own hash
     "snapshot_partitioned_scan": snapshot_partitioned_scan,
+    # rotated IN (round 11, replacing the redundant events_json row):
+    # the incremental materialized-view composition (base commits ->
+    # delta-fold refresh -> serving read) is the most algorithmically
+    # delicate thing in the repo and deserves the driver's own
+    # comparator, not just the pytest mirror
+    "matview_orders": matview_orders,
 }
 ORACLES = {
     "snapshot_timetravel": SNAPSHOT_TIMETRAVEL_SQL,
     "snapshot_merge_into": SNAPSHOT_MERGE_INTO_SQL,
     "streaming_table_pipeline": STREAMING_TABLE_PIPELINE_SQL,
     "snapshot_partitioned_scan": SNAPSHOT_PARTITIONED_SCAN_SQL,
+    "matview_orders": MATVIEW_ORDERS_SQL,
 }
 AUX_QUERIES = {
-    "matview_orders": matview_orders,
     "snapshot_delete_scan": snapshot_delete_scan,
     "snapshot_update_restore": snapshot_update_restore,
     "snapshot_column_evolution": snapshot_column_evolution,
 }
 AUX_ORACLES = {
-    "matview_orders": MATVIEW_ORDERS_SQL,
     "snapshot_delete_scan": SNAPSHOT_DELETE_SCAN_SQL,
     "snapshot_update_restore": SNAPSHOT_UPDATE_RESTORE_SQL,
     "snapshot_column_evolution": SNAPSHOT_COLUMN_EVOLUTION_SQL,

@@ -318,25 +318,28 @@ QUERIES = {
     # making room for snapshot_partitioned_scan): it shares machinery
     # and oracle discipline with tumbling_window, so the hash coverage
     # it provided was largely redundant — it keeps the SAME comparator
-    # in pytest via AUX_ORACLES below
+    # in pytest via AUX_ORACLES below.  events_json rotated OUT round
+    # 11 (making room for matview_orders — the incremental-MV
+    # composition is far more delicate than a from_json projection);
+    # same AUX parity check in tests/test_robustness.py
     "session_window": session_window_agg,
-    "events_json": events_json_extract,
 }
 
 ORACLES = {
     "tumbling_window": TUMBLING_WINDOW_SQL,
     "session_window": SESSION_WINDOW_SQL,
-    "events_json": EVENTS_JSON_SQL,
 }
 
 AUX_QUERIES = {
     "sliding_window": sliding_window,
+    "events_json": events_json_extract,
     "resample_events": resample_events,
     "rolling_activity": rolling_activity,
 }
 
 AUX_ORACLES = {
     "sliding_window": SLIDING_WINDOW_SQL,
+    "events_json": EVENTS_JSON_SQL,
     "resample_events": RESAMPLE_EVENTS_SQL,
     "rolling_activity": ROLLING_ACTIVITY_SQL,
 }

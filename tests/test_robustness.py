@@ -100,3 +100,16 @@ def test_sliding_window_oracle_parity(spark, sf_dir):
         df, registry.AUX_ORACLES["sliding_window"], sf_dir,
         "sliding_window",
     )
+
+
+def test_events_json_oracle_parity(spark, sf_dir):
+    """events_json rotated from the driver contract to AUX in round
+    11 (made room for matview_orders) — it keeps the SAME DuckDB hash
+    comparator here."""
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["events_json"](spark, sf_dir)
+    assert_oracle_match(
+        df, registry.AUX_ORACLES["events_json"], sf_dir,
+        "events_json",
+    )

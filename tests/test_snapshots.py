@@ -865,10 +865,12 @@ def test_matview_orders_oracle_parity(spark, sf_dir):
     from mapreduce_grpc_spark import registry
     from tests.oracle import assert_oracle_match
 
-    df = registry.AUX_QUERIES["matview_orders"](spark, sf_dir)
+    # rotated INTO the driver contract round 11: same check, now from
+    # the contract dicts (the driver re-hashes it independently)
+    df = registry.QUERIES["matview_orders"](spark, sf_dir)
     assert_oracle_match(
         df,
-        registry.AUX_ORACLES["matview_orders"],
+        registry.ORACLES["matview_orders"],
         sf_dir,
         "matview_orders",
     )
