@@ -3,11 +3,16 @@
 The compression half of the 100 TB similarity story (Jégou et al.
 2011, the faiss ``IVFPQ`` shape): a 64-dim float32 vector is 256 bytes;
 its PQ code is one centroid id per subspace — at the shipped
-``M = 16`` subspaces with ``k = 32``-entry codebooks that is an 80-bit
-(5 bit × 16) code, a ~25x shrink vs the raw vector, ~400x for
-production 1024-dim configs.  At 100 TB of raw embeddings the ADC scan
-touches only the code relation; the full vectors are read back ONLY
-for the top candidates' exact re-rank.
+``M = 32`` subspaces with ``k = 64``-entry codebooks that is a 192-bit
+(6 bit × 32) code, a ~10.7x shrink vs the raw vector, far larger for
+production 1024-dim configs.  The config sits on a measured
+recall-vs-bits curve (``tools/pq_recall_curve.py``, PLANS.md r11):
+the round-10 80-bit default's recall@5 declined 1.0/0.98/0.92 across
+sf 0.001/0.01/0.1, while 192-bit codes hold 1.0 at sf0.1 for ~2.4x
+the code bytes — still bytes per row where the raw vector is a
+quarter KB.  At 100 TB of raw embeddings the ADC scan touches only
+the code relation; the full vectors are read back ONLY for the top
+candidates' exact re-rank.
 
 Spark decomposition (fit-small / transform-all, the same split as
 SemDeDup and k-means in this codebase):
@@ -45,8 +50,10 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions.vectors import cosine
 
-M_SUBSPACES = 16    # subvectors per embedding (dim 64 -> 4 dims each)
-K_CODES = 32        # centroids per subspace codebook
+# shipped config = the cheapest point holding recall@5 >= 0.95 at
+# sf0.1 on the measured curve (tools/pq_recall_curve.py; PLANS.md r11)
+M_SUBSPACES = 32    # subvectors per embedding (dim 64 -> 2 dims each)
+K_CODES = 64        # centroids per subspace codebook
 FIT_SAMPLE = 50_000  # driver-local fit cap (SemDeDup's bound)
 N_QUERIES = 10
 TOP_K = 5
@@ -228,13 +235,21 @@ def make_adc_scorer(luts: dict):
     return adc_score
 
 
-def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = M_SUBSPACES,
+    k: int = K_CODES,
+    rerank_factor: int = RERANK_FACTOR,
+) -> DataFrame:
     """PQ-ANN top-5 for the first 10 vectors: fit -> encode -> ADC scan
     -> exact re-rank (module docstring has the scale shape).
 
     Output schema matches ``similarity_topk``: (q_id, neighbor_id,
     cos_sim, rank) with cos_sim the EXACT cosine — only the candidate
-    set is approximate."""
+    set is approximate.  ``m``/``k``/``rerank_factor`` default to the
+    shipped config; ``tools/pq_recall_curve.py`` sweeps them to place
+    the recall-vs-bits trade on a measured curve."""
     emb = table(spark, sf_dir, "embeddings")
     if not emb.take(1):
         # empty relation: empty result with the contract schema (the
@@ -242,7 +257,7 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "q_id long, neighbor_id long, cos_sim double, rank int"
         )
-    books = pq_fit(spark, emb)
+    books = pq_fit(spark, emb, m=m, k=k)
     coded = pq_encode(
         emb.select("vec_id", "embedding"), "embedding", books
     ).select("vec_id", "pq_code")
@@ -268,7 +283,7 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("vec_id"))
     cand = (
         scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= TOP_K * RERANK_FACTOR)
+        .filter(F.col("crank") <= TOP_K * rerank_factor)
         .select("q_id", "vec_id")
     )
     # exact re-rank on the raw vectors, candidates only

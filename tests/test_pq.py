@@ -102,11 +102,12 @@ def test_fit_deterministic(spark, sf_dir):
 
 
 def test_recall_vs_exact_bounded(spark, sf_dir):
-    """Measured recall@5 against the exact twin.  M=16 subspaces of 4
-    dims with 32-entry codebooks (80-bit codes, 25x vs raw float32)
-    measure 1.0 / 0.98 / 0.92 at sf 0.001 / 0.01 / 0.1 — the gate
-    asserts a floor with headroom for fixture regeneration, not the
-    point estimate."""
+    """Measured recall@5 against the exact twin.  The shipped M=32
+    subspaces of 2 dims with 64-entry codebooks (192-bit codes,
+    ~10.7x vs raw float32) measure 1.0 at sf0.1 on the r11 curve
+    (tools/pq_recall_curve.py; the r10 80-bit config had declined to
+    0.92 there) — the gate asserts a floor with headroom for fixture
+    regeneration, not the point estimate."""
     exact = {}
     for r in similarity_topk(spark, sf_dir).collect():
         exact.setdefault(r.q_id, set()).add(r.neighbor_id)
