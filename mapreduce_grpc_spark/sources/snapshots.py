@@ -1095,6 +1095,11 @@ def _commit(
         # random commit identity: what makes the reconstruction cache
         # safe against same-path table re-creation (see _RECON_CACHE)
         "uid": uuid.uuid4().hex,
+        # committer wall clock (epoch seconds): what timestamp time
+        # travel resolves against (``version_at_timestamp`` — raw
+        # stamps may be non-monotone under clock skew; resolution
+        # adjusts, commit never rewrites history)
+        "ts": time.time(),
         "stats_cols": stats_cols,
         "adds": adds,
         "removes": removes,
@@ -1759,11 +1764,106 @@ def _read_entries(
     return _to_logical(out, cm)
 
 
+def _to_epoch(ts) -> float:
+    """Epoch seconds from a timestamp query value: float/int epoch,
+    ``datetime`` (NAIVE means UTC — matching the stats/partition
+    convention everywhere else in this layer), or a string (numeric
+    epoch — what a stringly-typed DataSource option carries — or
+    ISO-8601)."""
+    import datetime as _dt
+
+    if isinstance(ts, str):
+        try:
+            return float(ts)
+        except ValueError:
+            ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return ts.timestamp()
+    return float(ts)
+
+
+def version_at_timestamp(
+    path: str,
+    ts,
+    fs: LocalSnapshotFS | None = None,
+) -> int:
+    """Delta-style timestamp time travel resolution: the LAST version
+    committed at-or-before ``ts`` (the table's state at that instant).
+
+    Every ``_commit`` stamps its manifest with the committer's wall
+    clock (``"ts"``, epoch seconds).  Raw stamps can be non-monotone
+    under clock skew between committers, so resolution adjusts each
+    version's effective timestamp to ``max(stamp, predecessors')`` —
+    the Delta file-modification-time rule, applied at READ time
+    because commits never rewrite history.  Versions from builds
+    predating the stamp inherit their predecessor's adjusted value
+    (the earliest defaults to 0.0, keeping pre-feature history
+    reachable by any query timestamp).  Raises ``ValueError`` when
+    ``ts`` precedes the earliest readable commit; a ``ts`` after the
+    latest commit resolves to CURRENT (the state at that time — note
+    it is only stable until the next commit).  O(readable versions)
+    driver-side manifest-record reads, the ``snapshot_audit`` cost
+    class."""
+    qts = _to_epoch(ts)
+    best: int | None = None
+    earliest: float | None = None
+    for v, adj in _adjusted_commit_times(path, fs):
+        if earliest is None:
+            earliest = adj
+        if adj <= qts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts!r} precedes the earliest readable commit "
+            f"of {path!r} (its adjusted commit time is {earliest}); "
+            "older history is expired or was never committed"
+        )
+    return best
+
+
+def _adjusted_commit_times(path: str, fs: LocalSnapshotFS | None):
+    """Yield ``(version, adjusted_ts)`` over readable manifests in
+    version order — the monotone timeline both timestamp-travel
+    resolvers share (``version_at_timestamp`` has the rules)."""
+    f = _fs(fs)
+    cur = current_version(path, fs)
+    if cur == 0:
+        raise FileNotFoundError(f"no committed snapshot at {path!r}")
+    adj = 0.0
+    for v in range(1, cur + 1):
+        mp = _manifest_path(path, v)
+        if not f.exists(mp):
+            continue  # expired history: unreadable either way
+        raw = json.loads(f.read_text(mp))
+        adj = max(adj, float(raw.get("ts") or 0.0))
+        yield v, adj
+
+
+def version_before_timestamp(
+    path: str,
+    ts,
+    fs: LocalSnapshotFS | None = None,
+) -> int:
+    """The LAST version whose adjusted commit time is strictly BEFORE
+    ``ts`` (0 when none) — the exclusive streaming start offset behind
+    ``startingTimestamp``: every commit at-or-after the instant
+    streams, a future instant streams only commits yet to land."""
+    qts = _to_epoch(ts)
+    best = 0
+    for v, adj in _adjusted_commit_times(path, fs):
+        if adj < qts:
+            best = v
+    return best
+
+
 def snap_read(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     fs: LocalSnapshotFS | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """Read the table at a committed version (default: CURRENT).
 
@@ -1774,7 +1874,18 @@ def snap_read(
     sweep), so it stays consistent even if commits land while it
     executes.  Rows masked by a file's deletion vector (merge-on-read
     deletes, ``delete_where_mor``/``delete_keys_mor``) are filtered at
-    read time."""
+    read time.
+
+    ``timestamp`` (exclusive with ``version``) time-travels by commit
+    time instead of version number — epoch seconds, ``datetime``
+    (naive = UTC), or ISO-8601 string (``version_at_timestamp`` has
+    the resolution rules)."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "snap_read: pass version OR timestamp, not both"
+            )
+        version = version_at_timestamp(path, timestamp, fs)
     m = read_manifest(path, version, fs)
     schema = _manifest_schema(m)
     if not m["files"]:
@@ -3316,58 +3427,21 @@ def snap_overwrite(
     ) from last_err
 
 
-def _compact_partitioned(
-    spark: SparkSession,
-    path: str,
-    m: dict,
-    candidates: list[dict],
-    target_bytes: int,
-    f: LocalSnapshotFS,
-    fs: LocalSnapshotFS | None,
-    cm: dict,
-) -> tuple[list[dict], list[dict], list[dict]]:
-    """Partition-aware bin-packing for ``optimize_snapshot`` (the
-    Delta/Iceberg OPTIMIZE shape: compact WITHIN partitions, never
-    across them).
+def _group_by_tuple(
+    entries: list[dict], pspec: list[dict]
+) -> tuple[dict[tuple, list[dict]], list[dict]]:
+    """Split manifest entries into tuple-PURE groups and a residual.
 
-    The manifest's per-file ``_sgp_*`` envelopes tell us each file's
-    partition tuple for free: a file whose min == max on EVERY spec
-    field is tuple-PURE, and merging pure files of the same tuple can
-    never widen an envelope.  So:
-
-    - pure files group by tuple; each group bin-packs to its own
-      ``ceil(group_bytes / target_bytes)`` file count (``coalesce`` —
-      no shuffle; within one tuple layout cannot affect pruning);
-    - a group that is already optimal (one file, or at most one output
-      per input, with no deletion-vector debt) is DEMOTED to carry —
-      so OPTIMIZE on a well-compacted partitioned table is a no-op
-      instead of a re-smear, and a one-file-per-day table never merges
-      days just because the global budget said ``n_files < n_days``;
-    - impure / stats-less files (pre-spec history, Arrow-writer files
-      that sort within the file but span tuples) form one RESIDUAL
-      group, range-clustered by the tuple at
-      ``max(ceil(bytes/target), exact tuple count)`` — the distinct
-      count costs one extra agg over only those files (they are being
-      rewritten anyway) and guarantees at least one output slot per
-      tuple, so residual envelopes stay 1-2 tuples tight instead of
-      spanning the batch.
-
-    Group writes are independent Spark jobs and run on a small thread
-    pool (the scheduler interleaves them; this is how OPTIMIZE keeps
-    1000 partitions from serializing into 1000 sequential jobs).
-    Returns ``(new_entries, rewritten, demoted)``; nothing is written
-    when every group demotes."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    from .partition import partition_expr
-
-    pspec = _pspec(m)
+    The manifest's per-file ``_sgp_*`` envelopes identify each file's
+    partition tuple for free: min == max on EVERY spec field means the
+    file holds exactly one tuple, so merging same-tuple files can
+    never widen an envelope.  Impure or stats-less files (pre-spec
+    history, Arrow-writer files that sort within the file but span
+    tuples) land in the residual."""
     names = [s["name"] for s in pspec]
-    schema = _manifest_schema(m)
-    stats_cols = m["stats_cols"]
     groups: dict[tuple, list[dict]] = {}
     residual: list[dict] = []
-    for e in candidates:
+    for e in entries:
         st = e.get("stats") or {}
         key: list | None = []
         for n in names:
@@ -3385,6 +3459,64 @@ def _compact_partitioned(
             residual.append(e)
         else:
             groups.setdefault(tuple(key), []).append(e)
+    return groups, residual
+
+
+def _compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    candidates: list[dict],
+    target_bytes: int,
+    f: LocalSnapshotFS,
+    fs: LocalSnapshotFS | None,
+    cm: dict,
+    zorder: tuple[str, str] | None = None,
+    equidepth: bool = False,
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """Partition-aware rewrite for ``optimize_snapshot`` (the
+    Delta/Iceberg OPTIMIZE shape: compact — and Z-order — WITHIN
+    partitions, never across them).
+
+    Plain compaction (``zorder is None``):
+
+    - tuple-pure files group by tuple (``_group_by_tuple``); each
+      group bin-packs to its own ``ceil(group_bytes / target_bytes)``
+      file count (``coalesce`` — no shuffle; within one tuple layout
+      cannot affect pruning);
+    - a group that is already optimal (at most one output per input,
+      no deletion-vector debt) is DEMOTED to carry — OPTIMIZE on a
+      well-compacted partitioned table is a no-op instead of a
+      re-smear, and a one-file-per-day table never merges days just
+      because the global budget said ``n_files < n_days``;
+    - the residual is range-clustered by the tuple at
+      ``max(ceil(bytes/target), exact tuple count)`` — the distinct
+      count costs one extra agg over only those files (being
+      rewritten anyway) and buys at least one output slot per tuple,
+      so residual envelopes stay 1-2 tuples tight.
+
+    Z-order (``zorder=(colA, colB)``): the Delta semantic — the curve
+    is applied PER PARTITION tuple, so the user keeps partition
+    pruning AND gets key locality inside each partition; nothing
+    demotes (an explicit re-layout request rewrites everything asked
+    of it), and the residual is Z-ordered as one group with its
+    derived columns still tracked (those envelopes may span tuples —
+    exactly what the files already were).
+
+    Group writes are independent Spark jobs and run on a small thread
+    pool (the scheduler interleaves them; this is how OPTIMIZE keeps
+    1000 partitions from serializing into 1000 sequential jobs).
+    Returns ``(new_entries, rewritten, demoted)``; nothing is written
+    when every group demotes."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .layout import zorder_frame
+    from .partition import partition_expr
+
+    pspec = _pspec(m)
+    schema = _manifest_schema(m)
+    stats_cols = m["stats_cols"]
+    groups, residual = _group_by_tuple(candidates, pspec)
 
     def _dv(files: list[dict]) -> bool:
         return any(e.get("dv") for e in files)
@@ -3394,28 +3526,37 @@ def _compact_partitioned(
             f.getsize(os.path.join(path, e["name"])) for e in files
         )
 
-    jobs: list[tuple[list[dict], int, bool]] = []
+    jobs: list[tuple[list[dict], int, str]] = []
     demoted: list[dict] = []
     for key in sorted(groups, key=lambda k: tuple(map(str, k))):
         files = groups[key]
         n_out = max(1, -(-_bytes(files) // target_bytes))  # ceil
-        if n_out >= len(files) and not _dv(files):
+        if zorder is not None:
+            jobs.append((files, n_out, "zorder"))
+        elif n_out >= len(files) and not _dv(files):
             demoted.extend(files)  # already optimal for this tuple
-            continue
-        jobs.append((files, n_out, False))
+        else:
+            jobs.append((files, n_out, "coalesce"))
     if residual:
-        if len(residual) >= 2 or _dv(residual):
-            n_out = max(1, -(-_bytes(residual) // target_bytes))
-            jobs.append((residual, n_out, True))
+        n_out = max(1, -(-_bytes(residual) // target_bytes))
+        if zorder is not None:
+            jobs.append((residual, n_out, "zorder"))
+        elif len(residual) >= 2 or _dv(residual):
+            jobs.append((residual, n_out, "recluster"))
         else:
             demoted.extend(residual)
     if not jobs:
         return [], [], demoted
 
-    def _run(job: tuple[list[dict], int, bool]) -> list[dict]:
-        files, n_out, cluster = job
+    def _run(job: tuple[list[dict], int, str]) -> list[dict]:
+        files, n_out, mode = job
         dfg = _read_entries(spark, path, files, schema, cm)
-        if cluster:
+        if mode == "zorder":
+            return _write_data_files(
+                spark, zorder_frame(dfg, zorder, n_out, equidepth),
+                path, stats_cols, fs, cm, pspec=pspec, pcluster=False,
+            )
+        if mode == "recluster":
             n_t = (
                 dfg.select(
                     *[
@@ -3466,10 +3607,13 @@ def optimize_snapshot(
     healthy files.  On a partitioned table the packing is PER
     PARTITION TUPLE (``_compact_partitioned``): a tight budget can
     never merge two days into one file, and partitions that are
-    already one-file stay carried.  With ``zorder``: rewrites the WHOLE table through
-    ``layout.zorder_frame`` (clustered layout is a global property), so
-    subsequent ``merge_upsert_cow`` batches overlap fewer files — the
-    clustering is precisely what keeps CoW merge cost small.  Readers
+    already one-file stay carried.  With ``zorder``: rewrites the
+    WHOLE table through ``layout.zorder_frame`` so subsequent
+    ``merge_upsert_cow`` batches overlap fewer files — the clustering
+    is precisely what keeps CoW merge cost small; on a partitioned
+    table the curve is applied WITHIN each partition tuple (the Delta
+    ``ZORDER BY`` semantic — key locality inside partitions with
+    partition pruning intact).  Readers
     racing the optimize keep their resolved version (same isolation as
     every commit); old files survive until ``expire_snapshots``; txn
     markers and schema are carried forward (a compaction must never
@@ -3512,13 +3656,16 @@ def optimize_snapshot(
                 }
         cm = _cm(m)
         pspec = _pspec(m)
-        if zorder is None and not cluster_by and pspec:
-            # partitioned table: bin-pack WITHIN partition tuples (the
-            # Delta/Iceberg shape) — a tight target_bytes budget must
-            # never merge two days into one file, or the very next
-            # hot-day scan loses the pruning the user partitioned for
+        if not cluster_by and pspec:
+            # partitioned table: bin-pack (or Z-order) WITHIN
+            # partition tuples, the Delta/Iceberg shape — a tight
+            # target_bytes budget must never merge two days into one
+            # file (the next hot-day scan would lose the pruning the
+            # user partitioned for), and ZORDER BY gives key locality
+            # inside each partition while keeping partition pruning
             new_entries, to_rewrite, _demoted = _compact_partitioned(
                 spark, path, m, to_rewrite, target_bytes, f, fs, cm,
+                zorder=zorder, equidepth=equidepth,
             )
             carried = [
                 e for e in m["files"] if e not in to_rewrite
@@ -4103,6 +4250,7 @@ def snapshot_audit(path: str, fs: LocalSnapshotFS | None = None) -> list[dict]:
         out.append(
             {
                 "version": m["version"],
+                "ts": m.get("ts"),  # committer clock; None pre-r11
                 "txns": m.get("txns", {}),
                 "commit_info": m.get("commit_info", {}),
                 "files": len(m["files"]),

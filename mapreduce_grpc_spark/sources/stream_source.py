@@ -651,6 +651,18 @@ class SnapshotTableStreamSource(DataSource):
 
     def _version_as_of(self) -> int | None:
         v = self.options.get("versionasof")
+        t = self.options.get("timestampasof")
+        if t is not None:
+            # Delta-style timestamp time travel (epoch seconds or ISO
+            # string; snapshots.version_at_timestamp has the rules)
+            if v is not None:
+                raise ValueError(
+                    "snapshot_table: pass versionAsOf OR timestampAsOf,"
+                    " not both"
+                )
+            from .snapshots import version_at_timestamp
+
+            return version_at_timestamp(self._path(), t, self._fs())
         return int(v) if v is not None else None
 
     def _column_mapping(self) -> tuple[dict, int]:
@@ -725,7 +737,23 @@ class SnapshotTableStreamSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         sv = self.options.get("startingversion")
-        if sv is None:
+        st = self.options.get("startingtimestamp")
+        if st is not None:
+            # Delta parity: stream every commit at-or-after the
+            # instant (adjusted-monotone clock — see snapshots.
+            # version_at_timestamp); a future instant streams only
+            # commits yet to land instead of erroring
+            if sv is not None:
+                raise ValueError(
+                    "snapshot_table stream: pass startingVersion OR "
+                    "startingTimestamp, not both"
+                )
+            from .snapshots import version_before_timestamp
+
+            starting = version_before_timestamp(
+                self._path(), st, self._fs()
+            )
+        elif sv is None:
             starting = 0
         elif str(sv).lower() == "latest":
             # only commits AFTER the table's current version stream

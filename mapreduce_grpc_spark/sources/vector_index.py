@@ -138,7 +138,7 @@ def ivf_index_init(
     seed: int = 42,
     fs: LocalSnapshotFS | None = None,
     pq_m: int | None = None,
-    pq_k: int = 32,
+    pq_k: int = 64,
 ) -> dict:
     """Train the coarse quantizer on ``emb`` (``vec_id``,
     ``embedding``) and persist the index: ``centroids`` (cell,
@@ -147,7 +147,11 @@ def ivf_index_init(
 
     ``pq_m`` turns the index into IVF-PQ (the faiss ``IVFPQ`` shape):
     per-subspace codebooks (``pq_m`` subspaces x ``pq_k`` codes,
-    operators/pq.py) are fit on the same corpus and every posting
+    operators/pq.py; the ``pq_k`` default follows the measured
+    recall-vs-bits curve in ``tools/pq_recall_curve.py`` — more
+    subspaces with 64-entry books beat bigger codebooks, so pass
+    ``pq_m = dim/2`` where recall matters most) are fit on the same
+    corpus and every posting
     additionally stores its ``pq_code`` (M small ints — bytes, vs the
     raw vector's KBs).  ``ivf_search(method="adc")`` then scans ONLY
     the code column inside the probed cells (parquet column pruning)

@@ -295,6 +295,29 @@ def test_create_race_divergent_partition_spec_refused(
     assert name not in live
 
 
+def test_timestamp_as_of_option(spark, tmp_path, fs_opt):
+    """``option("timestampAsOf", ...)`` time-travels by commit time
+    through the DataSource, equal to the version-resolved read; it is
+    exclusive with ``versionAsOf``."""
+    from mapreduce_grpc_spark.sources.snapshots import snapshot_audit
+
+    path = str(tmp_path / "t")
+    _write(_df(spark, 0), path, "append", fs_opt, statsCols="k")
+    _write(_df(spark, 100), path, "append", fs_opt)
+    ts = [a["ts"] for a in snapshot_audit(path)]
+    got = _read(
+        spark, path, fs_opt, timestampAsOf=(ts[0] + ts[1]) / 2
+    )
+    assert sorted(got.collect()) == sorted(
+        _read(spark, path, fs_opt, versionAsOf=1).collect()
+    )
+    assert _read(spark, path, fs_opt, timestampAsOf=ts[1]).count() == 40
+    with pytest.raises(Exception, match="not both"):
+        _read(
+            spark, path, fs_opt, versionAsOf=1, timestampAsOf=ts[0]
+        ).collect()
+
+
 def test_pure_sql_ingest_and_query_story(spark, tmp_path, fs_opt):
     """The end-to-end SQL story, no library imports beyond the
     one-time source registration a cluster does at session setup:

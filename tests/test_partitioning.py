@@ -647,12 +647,84 @@ def test_optimize_partitioned_rewrites_residual_files(
     )
 
 
+def test_zorder_within_partitions(spark, tmp_path, no_coalesce):
+    """ZORDER on a partitioned table applies the curve WITHIN each
+    partition tuple (the Delta semantic): outputs stay tuple-pure, so
+    the user keeps partition pruning AND gains key locality inside
+    each day — user_id envelopes of a day's files narrow instead of
+    spanning the domain."""
+    days, reps = 4, 2
+    path = os.path.join(str(tmp_path), "t")
+    frames = []
+    for d in range(days):
+        for rep in range(reps):
+            fd = (
+                _events(spark, n=200, days=1)
+                .withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {d} DAYS")
+                )
+                .withColumn(
+                    "event_id",
+                    F.col("event_id") + 10_000 * d + 1000 * rep,
+                )
+                .coalesce(1)
+            )
+            if not frames:
+                snap_init(
+                    spark, fd, path,
+                    stats_cols=["event_id", "user_id"],
+                    partition_by=["days(ts)"],
+                )
+            else:
+                snap_append(spark, path, fd)
+            frames.append(fd)
+    res = optimize_snapshot(
+        spark, path, target_bytes=8 * 1024,
+        zorder=("user_id", "event_id"),
+    )
+    assert res["rewritten"] == days * reps
+    m = read_manifest(path)
+    assert len(m["files"]) > days, "budget should split each day"
+    by_day: dict = {}
+    for e in m["files"]:
+        env = e["stats"]["_sgp_0"]
+        assert env["min"] == env["max"], "zorder must stay tuple-pure"
+        by_day.setdefault(env["min"], []).append(e)
+    assert len(by_day) == days
+    # key locality inside a day: with >1 file per day, at least one
+    # file's user_id envelope must be a strict subrange of the domain
+    # (0..36) — the pre-zorder layout had every file spanning it
+    narrowed = 0
+    for day, files in by_day.items():
+        if len(files) < 2:
+            continue
+        for e in files:
+            u = e["stats"]["user_id"]
+            if u["max"] - u["min"] < 36:
+                narrowed += 1
+    assert narrowed > 0, "zorder produced no locality inside days"
+    # pruning + answers exact
+    lo = JAN + datetime.timedelta(days=1)
+    hi = JAN + datetime.timedelta(days=1, hours=23)
+    preds = [("ts", "between", lo, hi)]
+    kept, skipped = prune_manifest(m, preds, None)
+    assert skipped, "partition pruning must survive zorder"
+    both = frames[0]
+    for p in frames[1:]:
+        both = both.unionByName(p)
+    _counts_equal(
+        spark, path, both, preds,
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)),
+    )
+
+
 def test_zorder_on_partitioned_table_keeps_answers(
     spark, tmp_path, no_coalesce
 ):
-    """Z-order OPTIMIZE wins the layout on a partitioned table (the
-    caller asked for it); answers stay exact and the derived stats
-    stay tracked even though partition ranges may widen."""
+    """Z-order OPTIMIZE on a partitioned table whose files are NOT
+    tuple-pure (the residual path): answers stay exact and the
+    derived stats stay tracked; those rewritten envelopes may still
+    span tuples — exactly what the inputs already were."""
     path, df = _mk(spark, tmp_path, ["days(ts)"])
     optimize_snapshot(
         spark, path, target_bytes=1 << 30,

@@ -3895,3 +3895,109 @@ def test_mv_mass_extremum_death_distributed_recompute(spark, tmp_path):
     )
     assert canon(mv_read(spark, mv_d)) == expect
     assert canon(mv_read(spark, mv_c)) == expect
+
+
+# --- timestamp time travel (Delta timestampAsOf parity) ----------------
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """snap_read(timestamp=...) resolves the LAST commit at-or-before
+    the instant: exact stamps hit their own versions, mid-gap
+    timestamps hit the earlier one, after-latest resolves CURRENT,
+    before-first raises, and datetime/ISO inputs mean UTC."""
+    import datetime as dt
+    import time as _time
+
+    from mapreduce_grpc_spark.sources.snapshots import (
+        snap_append,
+        snapshot_audit,
+        version_at_timestamp,
+    )
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=20, n_files=1)
+    for lo in (100, 200):
+        _time.sleep(0.05)
+        snap_append(
+            spark, path,
+            spark.range(lo, lo + 10).select(
+                F.col("id").alias("k"),
+                F.concat(F.lit("v"), F.col("id")).alias("v"),
+            ),
+        )
+    aud = snapshot_audit(path)
+    ts = [a["ts"] for a in aud]
+    assert all(ts) and ts == sorted(ts) and len(ts) == 3
+
+    assert version_at_timestamp(path, ts[0]) == 1
+    assert version_at_timestamp(path, (ts[0] + ts[1]) / 2) == 1
+    assert version_at_timestamp(path, ts[1]) == 2
+    assert version_at_timestamp(path, ts[2] + 3600) == 3
+    with pytest.raises(ValueError, match="precedes"):
+        version_at_timestamp(path, ts[0] - 10)
+
+    mid = snap_read(spark, path, timestamp=(ts[1] + ts[2]) / 2)
+    assert sorted(_rows(mid)) == sorted(
+        _rows(snap_read(spark, path, version=2))
+    )
+    # datetime (aware) and ISO-string forms; +1ms absorbs the float
+    # -> microsecond truncation of the datetime round-trip
+    q = dt.datetime.fromtimestamp(
+        ts[2] + 0.001, dt.timezone.utc
+    )
+    assert version_at_timestamp(path, q) == 3
+    assert version_at_timestamp(path, q.isoformat()) == 3
+    with pytest.raises(ValueError, match="not both"):
+        snap_read(spark, path, version=1, timestamp=ts[0])
+
+
+def test_timestamp_travel_skew_and_prefeature(spark, tmp_path):
+    """Resolution is monotone under committer clock skew (a later
+    version stamped EARLIER inherits its predecessor's adjusted time,
+    the Delta modification-time rule) and versions committed by
+    pre-stamp builds inherit backwards instead of vanishing."""
+    import json as _json
+
+    from mapreduce_grpc_spark.sources import snapshots as S
+    from mapreduce_grpc_spark.sources.snapshots import (
+        snap_append,
+        snapshot_audit,
+        version_at_timestamp,
+    )
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=20, n_files=1)
+    snap_append(
+        spark, path,
+        spark.range(100, 110).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ),
+    )
+    f = S._fs(None)
+    ts = [a["ts"] for a in snapshot_audit(path)]
+
+    def _inject(mutate):
+        v = current_version(path)
+        raw = _json.loads(f.read_text(S._manifest_path(path, v)))
+        raw["version"] = v + 1
+        raw.setdefault("adds", [])
+        raw.setdefault("removes", [])
+        raw.pop("files", None)
+        mutate(raw)
+        f.create_exclusive(
+            S._manifest_path(path, v + 1), _json.dumps(raw)
+        )
+        f.replace_atomic(S._current_path(path), str(v + 1))
+
+    # v3: a committer whose clock runs 100 s BEHIND — adjusted time
+    # inherits v2's, so any instant reaching v2 reaches v3 too (the
+    # later version is never hidden behind the earlier one)
+    _inject(lambda r: r.update(ts=ts[1] - 100.0))
+    assert version_at_timestamp(path, ts[1]) == 3
+    assert version_at_timestamp(path, (ts[0] + ts[1]) / 2) == 1
+    # v4: a pre-stamp build's commit (no ts at all) — same inheritance
+    _inject(lambda r: r.pop("ts", None))
+    assert version_at_timestamp(path, ts[1]) == 4
+    assert version_at_timestamp(path, ts[0]) == 1
+    assert snapshot_audit(path)[-1]["ts"] is None

@@ -186,6 +186,64 @@ def test_stream_starting_version_skips_history(spark, tmp_path):
     assert gotl == []
 
 
+def test_stream_starting_timestamp(spark, tmp_path):
+    """startingTimestamp streams every commit at-or-after the instant
+    (Delta parity, adjusted-monotone commit clock); a future instant
+    streams only commits yet to land; exclusive with
+    startingVersion."""
+    from mapreduce_grpc_spark.sources.snapshots import snapshot_audit
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, [(1, "a")])
+    snap_append(
+        spark, path, spark.createDataFrame([(2, "b")], "k bigint, v string")
+    )
+    snap_append(
+        spark, path, spark.createDataFrame([(3, "c")], "k bigint, v string")
+    )
+    ts = [a["ts"] for a in snapshot_audit(path)]
+    # exactly v2's stamp: v2 and v3 stream (at-or-after)
+    got = _drain(
+        spark,
+        _read_stream(spark, path, startingTimestamp=repr(ts[1])),
+        str(tmp_path / "ck_t2"),
+    )
+    assert sorted(got) == [(2, "b"), (3, "c")]
+    # mid-gap instant: only v3
+    got3 = _drain(
+        spark,
+        _read_stream(
+            spark, path, startingTimestamp=repr((ts[1] + ts[2]) / 2)
+        ),
+        str(tmp_path / "ck_t3"),
+    )
+    assert sorted(got3) == [(3, "c")]
+    # a future instant: nothing yet — then a new commit streams
+    ckf = str(tmp_path / "ck_tf")
+    stream_f = _read_stream(
+        spark, path, startingTimestamp=repr(ts[2] + 3600)
+    )
+    assert _drain(spark, stream_f, ckf) == []
+    snap_append(
+        spark, path, spark.createDataFrame([(4, "d")], "k bigint, v string")
+    )
+    got4 = _drain(
+        spark,
+        _read_stream(spark, path, startingTimestamp=repr(ts[2] + 3600)),
+        ckf,
+    )
+    assert sorted(got4) == [(4, "d")]
+    with pytest.raises(Exception, match="not both"):
+        _drain(
+            spark,
+            _read_stream(
+                spark, path,
+                startingVersion="2", startingTimestamp=repr(ts[1]),
+            ),
+            str(tmp_path / "ck_both"),
+        )
+
+
 def test_stream_refuses_change_commits_unless_skipped(spark, tmp_path):
     path = str(tmp_path / "t")
     _mk(spark, path, [(1, "a"), (2, "b")])
