@@ -3462,6 +3462,29 @@ def _group_by_tuple(
     return groups, residual
 
 
+def _quasi_disjoint(entries: list[dict], col: str) -> bool:
+    """True when every entry has a ``col`` envelope and the envelopes
+    are pairwise non-overlapping except possibly at shared boundary
+    values (range-clustered outputs legitimately split one leading
+    value across two files).  The residual-demotion test: such a
+    layout already prunes a point scan to ~1-2 files, so rewriting it
+    at the same width buys nothing."""
+    ivals = []
+    for e in entries:
+        env = (e.get("stats") or {}).get(col)
+        if not env or env.get("min") is None or env.get("max") is None:
+            return False
+        ivals.append((env["min"], env["max"]))
+    try:
+        ivals.sort(key=lambda t: (t[0], t[1]))
+    except TypeError:
+        return False  # mixed-type envelopes: cannot prove anything
+    for (_lo1, hi1), (lo2, _hi2) in zip(ivals, ivals[1:]):
+        if _lt(lo2, hi1) is True:  # next starts INSIDE the previous
+            return False
+    return True
+
+
 def _compact_partitioned(
     spark: SparkSession,
     path: str,
@@ -3489,11 +3512,15 @@ def _compact_partitioned(
       well-compacted partitioned table is a no-op instead of a
       re-smear, and a one-file-per-day table never merges days just
       because the global budget said ``n_files < n_days``;
-    - the residual is range-clustered by the tuple at
-      ``max(ceil(bytes/target), exact tuple count)`` — the distinct
-      count costs one extra agg over only those files (being
-      rewritten anyway) and buys at least one output slot per tuple,
-      so residual envelopes stay 1-2 tuples tight.
+    - the residual is range-clustered by the tuple: one output slot
+      per tuple when purity is affordable (tuple count within what
+      bytes or the input count already demand — compaction must never
+      emit more files than it consumed), else at the plain byte
+      budget, producing range-CONTIGUOUS tuple spans a point scan
+      still prunes to ~1-2 outputs; a residual already quasi-disjoint
+      on the leading field that the rewrite could not shrink by at
+      least a quarter DEMOTES instead (``_quasi_disjoint`` — OPTIMIZE
+      is idempotent, not a perpetual rewriter of contiguous layouts).
 
     Z-order (``zorder=(colA, colB)``): the Delta semantic — the curve
     is applied PER PARTITION tuple, so the user keeps partition
@@ -3542,7 +3569,46 @@ def _compact_partitioned(
         if zorder is not None:
             jobs.append((residual, n_out, "zorder"))
         elif len(residual) >= 2 or _dv(residual):
-            jobs.append((residual, n_out, "recluster"))
+            # width: one output slot per tuple when purity is
+            # AFFORDABLE — n_t within what bytes or the input count
+            # already demand (compaction must never emit more files
+            # than it consumed; a days x bucket(16) spec can have
+            # 100x more tuples than files, and exploding 10 files
+            # into 480 would be the opposite of OPTIMIZE).  Otherwise
+            # fall back to the byte budget: range-contiguous tuple
+            # spans, which a point scan still prunes to ~1-2 outputs
+            # of whatever width.  The distinct count is one agg over
+            # only the files being rewritten anyway.
+            n_t = (
+                _read_entries(spark, path, residual, schema, cm)
+                .select(
+                    *[
+                        partition_expr(s).alias(s["name"])
+                        for s in pspec
+                    ]
+                )
+                .distinct()
+                .count()
+            )
+            if n_t <= max(n_out, len(residual)):
+                width = max(n_out, n_t, 1)
+            else:
+                width = max(n_out, 1)
+            # demote when the files already sit on non-overlapping
+            # leading-field ranges and the rewrite wouldn't shrink
+            # the count by at least a quarter (min 1): this is what
+            # makes OPTIMIZE idempotent instead of perpetually
+            # rewriting a contiguous residual over parquet-size
+            # rounding noise
+            shrink_floor = len(residual) - max(1, len(residual) // 4)
+            if (
+                not _dv(residual)
+                and width > shrink_floor
+                and _quasi_disjoint(residual, pspec[0]["name"])
+            ):
+                demoted.extend(residual)
+            else:
+                jobs.append((residual, width, "recluster"))
         else:
             demoted.extend(residual)
     if not jobs:
@@ -3557,19 +3623,9 @@ def _compact_partitioned(
                 path, stats_cols, fs, cm, pspec=pspec, pcluster=False,
             )
         if mode == "recluster":
-            n_t = (
-                dfg.select(
-                    *[
-                        partition_expr(s).alias(s["name"])
-                        for s in pspec
-                    ]
-                )
-                .distinct()
-                .count()
-            )
             return _write_data_files(
                 spark, dfg, path, stats_cols, fs, cm,
-                pspec=pspec, pcluster=True, pnum=max(n_out, n_t, 1),
+                pspec=pspec, pcluster=True, pnum=n_out,
             )
         return _write_data_files(
             spark, dfg.coalesce(n_out), path, stats_cols, fs, cm,

@@ -611,13 +611,14 @@ def test_optimize_partitioned_rewrites_residual_files(
 ):
     """Files WITHOUT per-file _sgp stats (written before the spec
     existed) can't be tuple-grouped: they form the residual group,
-    range-clustered at >= their exact tuple count so the rewrite
-    comes out day-tight instead of day-smeared."""
+    range-clustered at the exact tuple count (affordable here: 4 days
+    within 4 input files) so the rewrite comes out day-PURE instead
+    of day-smeared — and the second OPTIMIZE demotes everything."""
     from mapreduce_grpc_spark.sources.snapshots import (
         snap_set_partition_spec,
     )
 
-    df = _events(spark, n=200, days=5)
+    df = _events(spark, n=200, days=4)
     path = os.path.join(str(tmp_path), "t")
     # pre-spec history: two appends with NO partition columns at all
     half = df.filter(F.col("event_id") % 2 == 0)
@@ -632,10 +633,13 @@ def test_optimize_partitioned_rewrites_residual_files(
     res = optimize_snapshot(spark, path, target_bytes=1 << 30)
     assert res["rewritten"] == 4
     m = read_manifest(path)
-    # every rewritten file now carries tracked partition stats and the
-    # exchange width >= tuple count keeps envelopes tight: a one-day
-    # scan must skip at least one file
+    # every rewritten file now carries tracked partition stats, one
+    # tuple-pure file per day: a one-day scan must skip files
     assert all("_sgp_0" in e["stats"] for e in m["files"])
+    assert len(m["files"]) == 4
+    for e in m["files"]:
+        env = e["stats"]["_sgp_0"]
+        assert env["min"] == env["max"]
     lo = JAN + datetime.timedelta(days=1)
     hi = JAN + datetime.timedelta(days=1, hours=23)
     preds = [("ts", "between", lo, hi)]
@@ -645,6 +649,12 @@ def test_optimize_partitioned_rewrites_residual_files(
         spark, path, df, preds,
         (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)),
     )
+    # idempotent: the rewritten residual is quasi-disjoint at a width
+    # a re-run could not shrink — it must DEMOTE, not churn forever
+    v = m["version"]
+    res2 = optimize_snapshot(spark, path, target_bytes=1 << 30)
+    assert res2["rewritten"] == 0
+    assert read_manifest(path)["version"] == v
 
 
 def test_zorder_within_partitions(spark, tmp_path, no_coalesce):

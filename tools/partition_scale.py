@@ -30,8 +30,10 @@ from mapreduce_grpc_spark.catalog import table
 from mapreduce_grpc_spark.session import get_spark, tune_session
 from mapreduce_grpc_spark.sources.snapshots import (
     _bloom_loader,
+    optimize_snapshot,
     prune_manifest,
     read_manifest,
+    snap_append,
     snap_init,
     snap_scan,
 )
@@ -105,6 +107,51 @@ def main() -> None:
                     f"{len(kept) + len(skipped):3d} files, {c} rows, "
                     f"{dt:.2f}s"
                 )
+
+        # partition-aware OPTIMIZE (r11 _compact_partitioned): first,
+        # simulate streaming small-file accretion — two tiny single-day
+        # appends per day for 8 days — then compact under a budget
+        # implying ONE global output file.  Small files must merge
+        # WITHIN their day, the already-clustered bulk must demote to
+        # carry (not re-smear), and the one-day kept ratio must hold.
+        day0 = datetime.datetime(2024, 1, 1)
+        one = datetime.timedelta(days=1)
+        for d in range(8):
+            lo = day0 + one * d
+            sl = (
+                big.filter(
+                    (F.col("ts") >= lo) & (F.col("ts") < lo + one)
+                )
+                .limit(4000)
+                .coalesce(1)
+            )
+            for _rep in range(2):
+                snap_append(spark, part, sl)
+        m0 = read_manifest(part)
+        t0 = time.perf_counter()
+        res = optimize_snapshot(spark, part, target_bytes=4 << 20)
+        t_opt = time.perf_counter() - t0
+        m1 = read_manifest(part)
+        preds = cases["one-day scan"]
+        kept, skipped = prune_manifest(
+            m1, preds, _bloom_loader(part, None)
+        )
+        t0 = time.perf_counter()
+        c = snap_scan(spark, part, preds).count()
+        dt = time.perf_counter() - t0
+        print(
+            f"optimize(4MB):    {len(m0['files'])} -> "
+            f"{len(m1['files'])} files in {t_opt:.2f}s (rewritten "
+            f"{res['rewritten']}, carried {res['carried']}); one-day "
+            f"scan after: kept {len(kept)}/{len(kept) + len(skipped)} "
+            f"files, {c} rows, {dt:.2f}s"
+        )
+        # idempotence: nothing left to gain, nothing rewritten
+        res2 = optimize_snapshot(spark, part, target_bytes=4 << 20)
+        print(
+            f"optimize again:   rewritten {res2['rewritten']} "
+            f"(idempotent no-op)"
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
