@@ -98,14 +98,19 @@ def pq_fit(
         Xj = X[:, j * sub : (j + 1) * sub]
         rng = np.random.RandomState(seed * 1000 + j)
         cents = [Xj[rng.randint(len(Xj))]]
+        # k-means++ with the standard incremental trick: keep the
+        # running min-distance and fold in ONLY the newest center —
+        # O(k·n) instead of the O(k²·n) recompute-all loop this
+        # replaced.  min is exact in floating point, so d2 (and hence
+        # every rng draw and the final books) is bit-identical.
+        d2 = ((Xj - cents[0]) ** 2).sum(axis=1)
         for _ in range(1, min(k, len(Xj))):
-            d2 = np.min(
-                [((Xj - c) ** 2).sum(axis=1) for c in cents], axis=0
-            )
             tot = d2.sum()
             if tot <= 0.0:
                 break
-            cents.append(Xj[rng.choice(len(Xj), p=d2 / tot)])
+            c = Xj[rng.choice(len(Xj), p=d2 / tot)]
+            cents.append(c)
+            d2 = np.minimum(d2, ((Xj - c) ** 2).sum(axis=1))
         C = np.stack(cents)
         x_sq = (Xj**2).sum(axis=1)
         for _ in range(100):
@@ -115,11 +120,23 @@ def pq_fit(
                 - 2.0 * (Xj @ C.T)
             )
             lab = d.argmin(axis=1)
-            newC = np.stack(
-                [
-                    Xj[lab == jj].mean(axis=0) if (lab == jj).any() else C[jj]
-                    for jj in range(len(C))
-                ]
+            # centroid update via per-dim bincount sums — O(n·sub)
+            # per iteration with no Python loop over the k centroids.
+            # bincount accumulates sequentially where the old masked
+            # .mean used pairwise summation, so centroids can move in
+            # their LAST BITS vs the old build: fine — fit is still
+            # deterministic run-to-run, and every downstream gate
+            # (ADC identity, recall, agreement) is a floor, not a
+            # bit-pin on the codebooks
+            kk = len(C)
+            counts = np.bincount(lab, minlength=kk).astype(np.float64)
+            sums = np.empty((kk, Xj.shape[1]), dtype=np.float64)
+            for dd in range(Xj.shape[1]):
+                sums[:, dd] = np.bincount(
+                    lab, weights=Xj[:, dd], minlength=kk
+                )
+            newC = np.where(
+                (counts > 0)[:, None], sums / np.maximum(counts, 1.0)[:, None], C
             )
             if np.allclose(newC, C):
                 break
@@ -136,29 +153,42 @@ def pq_encode(
 ) -> DataFrame:
     """ONE distributed encode pass: each vector -> ``array<int>`` of M
     codebook ids (argmin L2 per subspace).  Arrow-batched pandas UDF;
-    the codebooks ship in the closure (model-sized broadcast)."""
+    the codebooks ship in the closure (model-sized broadcast).
+
+    Vectorized like ``make_adc_scorer``: the only Python loop runs
+    over the M subspaces — per batch each subspace is ONE broadcast
+    ``(rows × k × sub)`` squared-difference + argmin (kept in the same
+    ``(B - x)²`` formulation as the scalar code it replaced, so codes
+    are bit-identical — the dot-product expansion would perturb
+    distance values and could flip near-tie assignments).  This is
+    the hottest distributed stage of PQ at 100 TB: every row of the
+    corpus passes through it exactly once."""
     import numpy as np
     import pandas as pd
 
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
     sub = books[0].shape[1]
+    m = len(books)
 
     @F.pandas_udf("array<int>")
     def encode(vecs):
-        def enc(v):
-            if v is None:
-                return None
-            x = np.asarray(v, dtype=np.float64)
-            return [
-                int(
-                    (
-                        ((B - x[j * sub : (j + 1) * sub]) ** 2).sum(axis=1)
-                    ).argmin()
-                )
-                for j, B in enumerate(books)
-            ]
-
-        return vecs.map(enc)
+        n = len(vecs)
+        if n == 0:
+            return pd.Series([], dtype="object")
+        mask = vecs.notna().to_numpy()
+        out = np.empty(n, dtype=object)
+        if mask.any():
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
+            )
+            codes = np.empty((X.shape[0], m), dtype=np.int32)
+            for j, B in enumerate(books):
+                Xj = X[:, j * sub : (j + 1) * sub]
+                d = ((B[None, :, :] - Xj[:, None, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            rows = pd.Series(codes.tolist(), dtype="object")
+            out[np.flatnonzero(mask)] = rows.to_numpy()
+        return pd.Series(out, index=vecs.index)
 
     return df.withColumn(out_col, encode(F.col(emb_col)))
 
