@@ -218,7 +218,7 @@ def make_adc_scorer(luts: dict):
     (``luts[q_id] -> (dots, nrms, q_sq)`` as built by ``adc_tables``).
 
     Fully vectorized inside the batch: the only Python loops run over
-    the ``M`` subspaces (16) and the distinct query ids present in the
+    the ``M`` subspaces (32 by default) and the distinct query ids present in the
     batch — never over rows.  Per row the work is a numpy fancy-index
     gather ``DOTS[j, C[:, j]]`` over the M×k LUT matrices.  The
     subspace accumulation is a left-to-right ``+=`` chain (seeded with

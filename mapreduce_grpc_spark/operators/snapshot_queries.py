@@ -49,7 +49,14 @@ def snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded diff (O(batch), ~1% of customers), not the table, so
     nothing leaks into temp space across bench runs.  At 100 TB the
     same diff stays a broadcast-or-shuffle join of two manifest-resolved
-    file lists; only the demo's cleanup step is fixture-specific."""
+    file lists; only the demo's cleanup step is fixture-specific.
+
+    Numerics: ``c_acctbal`` is DOUBLE in the parquet and this query
+    deliberately stays double END-TO-END (``+ F.lit(1000.0)`` is the
+    same IEEE-754 add DuckDB performs, bit-identical) — unlike
+    ``matview_orders`` there is no decimal cast anywhere in the
+    lineage, so introducing one here would ADD a cross-engine rounding
+    boundary, not remove one."""
     tmp = tempfile.mkdtemp(prefix="snap-tt-")
     path = os.path.join(tmp, "t")
     try:
@@ -107,13 +114,28 @@ def matview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL delta drifts from the full recompute by one micro-unit,
     the hash mismatches.  Refresh work is O(changed rows + touched
     groups), independent of source and MV size — the cost model that
-    makes a 100 TB MV maintainable."""
+    makes a 100 TB MV maintainable.
+
+    Numerics (the r11 hash-flake hardening): ``o_totalprice`` is
+    DOUBLE in the parquet, and Spark and DuckDB round double->decimal
+    casts DIFFERENTLY near a half-unit boundary (Spark HALF_UPs the
+    shortest decimal repr, DuckDB scales the exact binary value — a
+    measured 126/134 one-micro-unit divergence on adversarial doubles
+    at DECIMAL(38,6), ``tools/mv_flake.py --probe``).  So the pipeline
+    casts to DECIMAL(15,2) ONCE at ingest — where the boundary margin
+    is 5e-3, 10^4 wider than at scale 6, and identical across the
+    whole fixture in both engines — and every mutation, CDC image,
+    delta fold, and sum after that point is exact decimal arithmetic
+    in BOTH engines.  No double ever re-enters the lineage."""
     tmp = tempfile.mkdtemp(prefix="snap-mv-")
     src_path = os.path.join(tmp, "src")
     mv_path = os.path.join(tmp, "mv")
     try:
+        dec = "decimal(15,2)"
         ords = table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderpriority", "o_totalprice"
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast(dec).alias("o_totalprice"),
         )
         snap_init(
             spark,
@@ -130,14 +152,16 @@ def matview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         upd = ords.filter(k % 10 == 0).select(
             k.alias("o_orderkey"),
             F.lit("RUSH").alias("o_orderpriority"),
-            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            (F.col("o_totalprice") + F.lit("1000.00").cast(dec))
+            .cast(dec)
+            .alias("o_totalprice"),
             F.lit("U").alias("_op"),
         )
         dele = ords.filter(k % 10 == 1).withColumn("_op", F.lit("D"))
         ins = ords.filter(k % 10 == 2).select(
             (k + F.lit(10_000_000)).alias("o_orderkey"),
             F.lit("SYNTH").alias("o_orderpriority"),
-            F.lit(42.0).alias("o_totalprice"),
+            F.lit("42.00").cast(dec).alias("o_totalprice"),
             F.lit("I").alias("_op"),
         )
         batch = upd.unionByName(dele).unionByName(ins)
@@ -206,18 +230,29 @@ WHERE c_custkey BETWEEN 1 AND 750
 """
 
 
+# Mirrors the Spark pipeline's numerics exactly: ONE double->decimal
+# cast at DECIMAL(15,2) (boundary margin 5e-3; Spark/DuckDB agree on
+# the whole fixture), then pure decimal arithmetic — see the
+# matview_orders docstring for the measured (38,6) divergence this
+# layout avoids.
 MATVIEW_ORDERS_SQL = """
-WITH mut AS (
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(15,2)) AS o_totalprice
+  FROM orders
+), mut AS (
   SELECT o_orderkey,
          CASE WHEN o_orderkey % 10 = 0 THEN 'RUSH'
               ELSE o_orderpriority END AS o_orderpriority,
-         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+         CASE WHEN o_orderkey % 10 = 0
+              THEN CAST(o_totalprice + CAST('1000.00' AS DECIMAL(15,2))
+                        AS DECIMAL(15,2))
               ELSE o_totalprice END AS o_totalprice
-  FROM orders
+  FROM base
   WHERE o_orderkey % 10 <> 1
   UNION ALL
-  SELECT o_orderkey + 10000000, 'SYNTH', 42.0
-  FROM orders
+  SELECT o_orderkey + 10000000, 'SYNTH', CAST('42.00' AS DECIMAL(15,2))
+  FROM base
   WHERE o_orderkey % 10 = 2
 )
 SELECT o_orderpriority,

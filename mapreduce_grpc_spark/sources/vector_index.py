@@ -846,9 +846,9 @@ def ivf_refit(
 
 
 # ADC searches collect the query batch driver-side to build per-query
-# lookup tables (M x k floats each, ~8 KB at M=16/k=32): bigger
-# batches are sharded INTERNALLY into slices of this size, so no one
-# UDF closure ever carries more than ~8 MB of LUTs — the scan runs
+# lookup tables (M x k floats each, ~16 KB at the default M=32/k=64):
+# bigger batches are sharded INTERNALLY into slices of this size, so no
+# one UDF closure ever carries more than ~16 MB of LUTs — the scan runs
 # once per slice against only that slice's probed cells, and the
 # exact re-rank happens once over the union of candidates.  The whole
 # batch is still driver-resident (LUTs are driver-built); a

@@ -24,7 +24,17 @@ SF = "/root/testdata/sf0.01"
 qs, os_ = e.queries(), e.oracle_sql()
 def norm(v):
     if v is None: return "<null>"
-    if isinstance(v, decimal.Decimal): return repr(float(v))
+    if isinstance(v, decimal.Decimal):
+        # Exact when it matters: if the decimal round-trips through float
+        # losslessly, emit repr(float) (cross-type compatible with a float
+        # column on the other side); otherwise compare the EXACT decimal
+        # string — a last-micro-digit mismatch at DECIMAL(38,6) x 1e9
+        # magnitude must not be masked by float normalization (r11
+        # matview_orders hash flake; the real driver may hash exactly).
+        f = float(v)
+        if not math.isinf(f) and decimal.Decimal(repr(f)) == v:
+            return repr(f)
+        return format(v, "f")
     if isinstance(v, float): return "<nan>" if math.isnan(v) else repr(v)
     if isinstance(v, (datetime.datetime, datetime.date)): return v.isoformat()
     if isinstance(v, (list, tuple)): return "[" + ",".join(norm(x) for x in v) + "]"
