@@ -1801,17 +1801,21 @@ def version_at_timestamp(
     predating the stamp inherit their predecessor's adjusted value
     (the earliest defaults to 0.0, keeping pre-feature history
     reachable by any query timestamp).  Raises ``ValueError`` when
-    ``ts`` precedes the earliest readable commit; a ``ts`` after the
-    latest commit resolves to CURRENT (the state at that time — note
-    it is only stable until the next commit).  O(readable versions)
+    ``ts`` precedes the earliest readable commit AND — Delta parity —
+    when ``ts`` is after the latest adjusted commit time (resolving a
+    future instant to CURRENT would silently mean different data
+    after every new commit; ask for ``version=None`` / the latest
+    commit's own timestamp instead).  O(readable versions)
     driver-side manifest-record reads, the ``snapshot_audit`` cost
     class."""
     qts = _to_epoch(ts)
     best: int | None = None
     earliest: float | None = None
+    latest: float | None = None
     for v, adj in _adjusted_commit_times(path, fs):
         if earliest is None:
             earliest = adj
+        latest = adj
         if adj <= qts:
             best = v
     if best is None:
@@ -1819,6 +1823,13 @@ def version_at_timestamp(
             f"timestamp {ts!r} precedes the earliest readable commit "
             f"of {path!r} (its adjusted commit time is {earliest}); "
             "older history is expired or was never committed"
+        )
+    if latest is not None and qts > latest:
+        raise ValueError(
+            f"timestamp {ts!r} is after the latest commit of {path!r} "
+            f"(adjusted commit time {latest}); read CURRENT (no "
+            "version/timestamp) or pass a timestamp at-or-before the "
+            "latest commit"
         )
     return best
 
@@ -1849,12 +1860,18 @@ def version_before_timestamp(
     """The LAST version whose adjusted commit time is strictly BEFORE
     ``ts`` (0 when none) — the exclusive streaming start offset behind
     ``startingTimestamp``: every commit at-or-after the instant
-    streams, a future instant streams only commits yet to land."""
+    streams, a future instant streams only commits yet to land.  A
+    created-but-empty table (no commits yet) returns 0 — the stream
+    plans and picks up commits as they land, exactly like
+    ``startingVersion=0``."""
     qts = _to_epoch(ts)
     best = 0
-    for v, adj in _adjusted_commit_times(path, fs):
-        if adj < qts:
-            best = v
+    try:
+        for v, adj in _adjusted_commit_times(path, fs):
+            if adj < qts:
+                best = v
+    except FileNotFoundError:
+        return 0
     return best
 
 

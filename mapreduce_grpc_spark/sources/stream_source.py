@@ -654,15 +654,24 @@ class SnapshotTableStreamSource(DataSource):
         t = self.options.get("timestampasof")
         if t is not None:
             # Delta-style timestamp time travel (epoch seconds or ISO
-            # string; snapshots.version_at_timestamp has the rules)
+            # string; snapshots.version_at_timestamp has the rules).
+            # Resolved ONCE per DataSource instance and cached:
+            # schema(), _column_mapping(), and reader() each consult
+            # the as-of version, and a commit landing between those
+            # plan calls must not let them resolve DIFFERENT versions
+            # (a schema/data mismatch within one read).
             if v is not None:
                 raise ValueError(
                     "snapshot_table: pass versionAsOf OR timestampAsOf,"
                     " not both"
                 )
-            from .snapshots import version_at_timestamp
+            cached = getattr(self, "_ts_resolved_version", None)
+            if cached is None:
+                from .snapshots import version_at_timestamp
 
-            return version_at_timestamp(self._path(), t, self._fs())
+                cached = version_at_timestamp(self._path(), t, self._fs())
+                self._ts_resolved_version = cached
+            return cached
         return int(v) if v is not None else None
 
     def _column_mapping(self) -> tuple[dict, int]:

@@ -856,6 +856,14 @@ def ivf_refit(
 # collects the query side.
 ADC_QUERY_MAX = 1024
 
+# ... and that driver residency needs a HARD ceiling: past it the
+# accumulated candidate pairs (queries x rerank_factor x top_k rows)
+# plus the query rows themselves stop being "driver-held bounded
+# state" and become an OOM (16384 queries x a typical 4x50 re-rank is
+# ~3.3M pair rows — the sane upper end).  Oversized batches fail fast
+# with a pointer at method="exact" instead of killing the driver.
+ADC_BATCH_HARD_MAX = 16384
+
 
 def ivf_search(
     spark: SparkSession,
@@ -995,6 +1003,19 @@ def _adc_search(
         raise ValueError(
             f"ivf_search(method='adc'): index at {path!r} has no PQ "
             "codebooks — build it with ivf_index_init(..., pq_m=...)"
+        )
+    # fail fast BEFORE any collect: a bounded limit(n+1).count() probe,
+    # never a full count of an arbitrarily large query set
+    if (
+        queries.limit(ADC_BATCH_HARD_MAX + 1).count()
+        > ADC_BATCH_HARD_MAX
+    ):
+        raise ValueError(
+            f"ivf_search(method='adc'): query batch exceeds "
+            f"ADC_BATCH_HARD_MAX={ADC_BATCH_HARD_MAX} (LUTs and "
+            "candidate pairs are driver-built/driver-held); use "
+            "method='exact' for huge batches — it never collects the "
+            "query side"
         )
     q_rows = queries.collect()
     probe_rows = probes.collect()

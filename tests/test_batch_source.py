@@ -316,6 +316,12 @@ def test_timestamp_as_of_option(spark, tmp_path, fs_opt):
         _read(
             spark, path, fs_opt, versionAsOf=1, timestampAsOf=ts[0]
         ).collect()
+    # Delta parity: an instant AFTER the latest commit raises instead
+    # of silently meaning "whatever is CURRENT right now"
+    with pytest.raises(Exception, match="after the latest"):
+        _read(
+            spark, path, fs_opt, timestampAsOf=ts[1] + 3600
+        ).collect()
 
 
 def test_pure_sql_ingest_and_query_story(spark, tmp_path, fs_opt):

@@ -3903,7 +3903,8 @@ def test_mv_mass_extremum_death_distributed_recompute(spark, tmp_path):
 def test_timestamp_time_travel(spark, tmp_path):
     """snap_read(timestamp=...) resolves the LAST commit at-or-before
     the instant: exact stamps hit their own versions, mid-gap
-    timestamps hit the earlier one, after-latest resolves CURRENT,
+    timestamps hit the earlier one, after-latest raises (Delta parity
+    — a future instant must not silently mean "whatever is CURRENT"),
     before-first raises, and datetime/ISO inputs mean UTC."""
     import datetime as dt
     import time as _time
@@ -3932,7 +3933,9 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert version_at_timestamp(path, ts[0]) == 1
     assert version_at_timestamp(path, (ts[0] + ts[1]) / 2) == 1
     assert version_at_timestamp(path, ts[1]) == 2
-    assert version_at_timestamp(path, ts[2] + 3600) == 3
+    assert version_at_timestamp(path, ts[2]) == 3
+    with pytest.raises(ValueError, match="after the latest"):
+        version_at_timestamp(path, ts[2] + 3600)
     with pytest.raises(ValueError, match="precedes"):
         version_at_timestamp(path, ts[0] - 10)
 
@@ -3940,13 +3943,13 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert sorted(_rows(mid)) == sorted(
         _rows(snap_read(spark, path, version=2))
     )
-    # datetime (aware) and ISO-string forms; +1ms absorbs the float
-    # -> microsecond truncation of the datetime round-trip
+    # datetime (aware) and ISO-string forms resolve like the epoch
+    # float (a mid-gap instant, immune to microsecond truncation)
     q = dt.datetime.fromtimestamp(
-        ts[2] + 0.001, dt.timezone.utc
+        (ts[1] + ts[2]) / 2, dt.timezone.utc
     )
-    assert version_at_timestamp(path, q) == 3
-    assert version_at_timestamp(path, q.isoformat()) == 3
+    assert version_at_timestamp(path, q) == 2
+    assert version_at_timestamp(path, q.isoformat()) == 2
     with pytest.raises(ValueError, match="not both"):
         snap_read(spark, path, version=1, timestamp=ts[0])
 

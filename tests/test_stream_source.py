@@ -851,3 +851,71 @@ def test_native_sink_constraint_end_to_end_streaming(spark, tmp_path):
     # a clean stream into the same constrained table works
     run("ck-good", F.col("k") >= 0)
     assert snap_count(dst) == 5
+
+
+def test_timestamp_as_of_resolved_once_per_instance(
+    spark, tmp_path, monkeypatch
+):
+    """timestampAsOf is resolved to a version ONCE per DataSource
+    instance: schema(), _column_mapping(), and reader() all plan
+    against that same version, and a commit landing between their
+    calls cannot shift what any of them sees (the narrow race ADVICE
+    r11 flagged)."""
+    from mapreduce_grpc_spark.sources import snapshots as S
+    from mapreduce_grpc_spark.sources.stream_source import (
+        SnapshotTableStreamSource,
+    )
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, [(1, "a")])
+    snap_append(
+        spark, path, spark.createDataFrame([(2, "b")], "k bigint, v string")
+    )
+    ts = [a["ts"] for a in S.snapshot_audit(path)]
+
+    calls = {"n": 0}
+    real = S.version_at_timestamp
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(S, "version_at_timestamp", counting)
+    ds = SnapshotTableStreamSource(
+        options={"path": path, "timestampasof": repr(ts[1])}
+    )
+    v_first = ds._version_as_of()
+    ds.schema()
+    _, v_map = ds._column_mapping()
+    assert ds._version_as_of() == v_first == v_map == 2
+    assert calls["n"] == 1, "resolution must happen exactly once"
+    # a commit landing after planning must not shift the plan — even a
+    # clock-skewed one whose ADJUSTED time ties the queried instant
+    # (an uncached re-resolution would now return 3)
+    import json as _json
+
+    raw = _json.loads(S._fs(None).read_text(S._manifest_path(path, 2)))
+    raw.update(version=3, ts=ts[1] - 100.0, adds=[], removes=[])
+    raw.pop("files", None)
+    S._fs(None).create_exclusive(
+        S._manifest_path(path, 3), _json.dumps(raw)
+    )
+    S._fs(None).replace_atomic(S._current_path(path), "3")
+    assert ds._version_as_of() == 2
+    assert S.version_at_timestamp(path, ts[1]) == 3  # fresh instance would
+
+
+def test_starting_timestamp_on_commitless_table(spark, tmp_path):
+    """startingTimestamp on a created-but-empty table (no commits yet)
+    plans like startingVersion=0 — version_before_timestamp returns 0
+    instead of crashing, so the stream picks up commits as they land."""
+    import os as _os
+
+    from mapreduce_grpc_spark.sources.snapshots import (
+        version_before_timestamp,
+    )
+
+    path = str(tmp_path / "t")
+    _os.makedirs(path, exist_ok=True)
+    assert version_before_timestamp(path, 1.0) == 0
+    assert version_before_timestamp(str(tmp_path / "absent"), 1.0) == 0

@@ -709,3 +709,29 @@ def test_adc_query_batch_sharded(spark, pq_index):
     for r in adc:
         assert r.cos_sim == ex_scores[(r.q_id, r.neighbor_id)]
     assert len({r.q_id for r in adc}) == n_q
+
+
+def test_adc_query_batch_over_hard_cap_refused(spark, pq_index):
+    """Batches past ADC_BATCH_HARD_MAX fail FAST (a bounded
+    limit(n+1).count() probe, before any driver-side collect) with a
+    pointer at method='exact' — the LUTs and candidate pairs are
+    driver-held, so an unbounded batch must not be allowed to OOM the
+    driver."""
+    from mapreduce_grpc_spark.sources import vector_index as vi
+
+    path, emb, _ = pq_index
+    q = emb.orderBy("vec_id").limit(9).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    orig = vi.ADC_BATCH_HARD_MAX
+    vi.ADC_BATCH_HARD_MAX = 8
+    try:
+        with pytest.raises(ValueError, match="method='exact'"):
+            ivf_search(spark, path, q, nprobe=2, method="adc").collect()
+        # exactly at the cap still runs
+        ok = ivf_search(
+            spark, path, q.limit(8), nprobe=2, top_k=3, method="adc"
+        ).collect()
+        assert len({r.q_id for r in ok}) == 8
+    finally:
+        vi.ADC_BATCH_HARD_MAX = orig
