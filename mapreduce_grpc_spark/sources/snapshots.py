@@ -3668,10 +3668,24 @@ def optimize_snapshot(
     zorder: tuple[str, str] | None = None,
     equidepth: bool = False,
     cluster_by: list[str] | None = None,
+    where: list | None = None,
     fs: LocalSnapshotFS | None = None,
 ) -> dict:
     """OPTIMIZE for snapshot tables: compaction (and optionally Z-order
     re-clustering) as one copy-on-write manifest commit.
+
+    ``where`` scopes the rewrite (Delta's ``OPTIMIZE ... WHERE``): the
+    same predicate grammar as ``snap_scan`` — a conjunction list or
+    DNF OR form — filters the CANDIDATE files through
+    ``prune_manifest`` (stats envelopes + implied partition-value
+    predicates) before any grouping, so compacting (or Z-ordering) the
+    one hot day a streaming writer just fragmented touches only that
+    day's files; everything outside the scope is carried by reference,
+    byte-untouched.  Files that MAY hold matching rows rewrite wholly
+    (compaction moves bytes, never changes rows — conservative scope
+    is correct, just possibly wider on unclustered files).  Unlike
+    Delta the predicate is not restricted to partition columns: any
+    stats-covered column prunes.
 
     Without ``zorder``: bin-packs only the files smaller than
     ``target_bytes`` into ~target-sized rewrites and carries full-sized
@@ -3702,19 +3716,31 @@ def optimize_snapshot(
     for _attempt in range(COMMIT_RETRIES):
         m = read_manifest(path, fs=fs)
         stats_cols = m["stats_cols"]
+        scope = list(m["files"])
+        if where:
+            # OPTIMIZE ... WHERE: out-of-scope files never qualify —
+            # they are carried by reference below whatever happens
+            scope, _out = prune_manifest(m, where)
+            if not scope:
+                return {
+                    "version": m["version"],
+                    "rewritten": 0,
+                    "carried": len(m["files"]),
+                    "added": 0,
+                }
         if zorder is not None:
-            to_rewrite = list(m["files"])
-            carried: list[dict] = []
+            to_rewrite = list(scope)
+            carried = [e for e in m["files"] if e not in to_rewrite]
         else:
             sizes = {
                 e["name"]: f.getsize(os.path.join(path, e["name"]))
-                for e in m["files"]
+                for e in scope
             }
             # a file qualifies when undersized OR carrying a deletion
             # vector — compaction is where merge-on-read debt is paid
             to_rewrite = [
                 e
-                for e in m["files"]
+                for e in scope
                 if sizes[e["name"]] < target_bytes or e.get("dv")
             ]
             carried = [e for e in m["files"] if e not in to_rewrite]
@@ -3871,9 +3897,10 @@ def optimize_incremental(
     clustering shape): rewrite only the worst-overlapping group of
     files, clustered on ``cluster_by``, carrying everything else.
 
-    ``optimize_snapshot(zorder=...)`` rewrites the WHOLE table because
-    global clustering is a global property — correct, but at 100 TB a
-    full rewrite per re-cluster is untenable.  This picks, from the
+    ``optimize_snapshot(zorder=...)`` rewrites the whole table (or the
+    whole ``where=`` scope) because global clustering is a global
+    property — correct, but at 100 TB a full rewrite per re-cluster is
+    untenable.  This picks, from the
     manifest's envelopes alone (driver-side interval sweep, no data
     read), the largest group of mutually range-overlapping files on
     the primary cluster column, trims it to ``max_rewrite_bytes``, and

@@ -946,3 +946,134 @@ def test_years_months_transforms(spark, tmp_path, no_coalesce):
         spark, path, df, preds,
         (F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi)),
     )
+
+
+def test_optimize_where_scopes_rewrite(spark, tmp_path, no_coalesce):
+    """OPTIMIZE ... WHERE (r12): the predicate prunes the CANDIDATE
+    set before grouping, so compacting the one hot day a streaming
+    writer fragmented rewrites only that day's files — every other
+    day is carried byte-identically (same manifest names) — and the
+    scoped OPTIMIZE is idempotent like the global one."""
+    days, reps = 8, 2
+    path = os.path.join(str(tmp_path), "t")
+    frames = []
+    for d in range(days):
+        for rep in range(reps):
+            fd = (
+                _events(spark, n=25, days=1)
+                .withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {d} DAYS")
+                )
+                .withColumn(
+                    "event_id",
+                    F.col("event_id") + 1000 * d + 100 * rep,
+                )
+                .coalesce(1)
+            )
+            if not frames:
+                snap_init(
+                    spark, fd, path, stats_cols=["event_id"],
+                    partition_by=["days(ts)"],
+                )
+            else:
+                snap_append(spark, path, fd)
+            frames.append(fd)
+    m0 = read_manifest(path)
+    assert len(m0["files"]) == days * reps
+    lo = JAN + datetime.timedelta(days=3)
+    hi = JAN + datetime.timedelta(days=3, hours=23)
+    where = [("ts", "between", lo, hi)]
+    in_scope, out_scope = prune_manifest(m0, where, None)
+    assert len(in_scope) == 3 * reps  # day pred widens +-1 (tz slop)
+    before = {e["name"] for e in out_scope}
+
+    res = optimize_snapshot(
+        spark, path, target_bytes=1 << 30, where=where
+    )
+    assert res["rewritten"] == 3 * reps
+    assert res["added"] == 3, "one output per in-scope day"
+    assert res["carried"] == (days - 3) * reps
+    m = read_manifest(path)
+    names = {e["name"] for e in m["files"]}
+    assert before <= names, "out-of-scope files carried by NAME"
+    # outputs stay tuple-pure: the scoped rewrite keeps pruning exact
+    for e in m["files"]:
+        env = e["stats"]["_sgp_0"]
+        assert env["min"] == env["max"]
+    both = frames[0]
+    for p in frames[1:]:
+        both = both.unionByName(p)
+    _counts_equal(
+        spark, path, both, where,
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)),
+    )
+    # full-table answer intact too
+    assert snap_read(spark, path).count() == both.count()
+    # scoped idempotence: the 3 in-scope days are now one file each
+    v = m["version"]
+    res2 = optimize_snapshot(
+        spark, path, target_bytes=1 << 30, where=where
+    )
+    assert res2["rewritten"] == 0 and res2["added"] == 0
+    assert read_manifest(path)["version"] == v
+    # a predicate matching nothing is a no-op without a commit
+    far = JAN + datetime.timedelta(days=400)
+    res3 = optimize_snapshot(
+        spark, path, target_bytes=1 << 30,
+        where=[("ts", ">=", far)],
+    )
+    assert res3["rewritten"] == 0 and res3["added"] == 0
+
+
+def test_optimize_where_zorder_scopes_rewrite(
+    spark, tmp_path, no_coalesce
+):
+    """ZORDER ... WHERE: the curve rewrite applies only to matching
+    files (per partition tuple, as always); the rest of the table is
+    carried untouched."""
+    days, reps = 4, 2
+    path = os.path.join(str(tmp_path), "t")
+    frames = []
+    for d in range(days):
+        for rep in range(reps):
+            fd = (
+                _events(spark, n=30, days=1)
+                .withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {d} DAYS")
+                )
+                .withColumn(
+                    "event_id",
+                    F.col("event_id") + 1000 * d + 100 * rep,
+                )
+                .coalesce(1)
+            )
+            if not frames:
+                snap_init(
+                    spark, fd, path,
+                    stats_cols=["event_id", "user_id"],
+                    partition_by=["days(ts)"],
+                )
+            else:
+                snap_append(spark, path, fd)
+            frames.append(fd)
+    m0 = read_manifest(path)
+    lo = JAN + datetime.timedelta(days=1)
+    hi = JAN + datetime.timedelta(days=1, hours=23)
+    where = [("ts", "between", lo, hi)]
+    in_scope, out_scope = prune_manifest(m0, where, None)
+    before = {e["name"] for e in out_scope}
+    res = optimize_snapshot(
+        spark, path, zorder=("event_id", "user_id"), where=where
+    )
+    assert res["rewritten"] == len(in_scope)
+    assert res["carried"] == len(out_scope)
+    m = read_manifest(path)
+    assert before <= {e["name"] for e in m["files"]}
+    both = frames[0]
+    for p in frames[1:]:
+        both = both.unionByName(p)
+    assert snap_read(spark, path).count() == both.count()
+    _counts_equal(
+        spark, path, both, where,
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)),
+    )
