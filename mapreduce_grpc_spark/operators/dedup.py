@@ -1189,12 +1189,146 @@ FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id
 """
 
 
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup as a TRANSFORM: remove every token covered
+    by a ``SPAN_K``-token window that also occurs verbatim in another
+    document, and reassemble the surviving tokens — the removal step of
+    Lee et al. 2021's suffix-array dedup, re-expressed as the gram
+    shuffle ``span_dup_stats`` (operators/quality.py) already does.
+
+    Plan: windows explode WITH their start position (``posexplode`` —
+    the only addition over the profile query's gram relation); grams
+    seen in >= 2 distinct docs come from the same two-level map-side
+    agg; the shared windows' start positions fold back per doc as ONE
+    ``collect_set`` (bounded by the doc's own window count); and the
+    rebuild is entirely row-local — expand starts to covered token
+    indices (``sequence``/``flatten``/``array_distinct``), keep the
+    uncovered tokens (``filter`` with index), ``concat_ws`` back to
+    text.  No per-row Python, no token-level shuffle: only grams and
+    per-doc start-sets move.  The per-doc rebuild is O(tokens x
+    covered) array scans — fine for real documents; a pathological
+    fully-boilerplate doc degrades to O(n^2) row-local work, never a
+    shuffle.
+
+    Contract notes: (1) whitespace/punctuation normalize to single
+    spaces (the transform is defined over the token stream — same as
+    ``clean_segments``); (2) spans shared between documents are
+    removed from BOTH — run ``dedup_exact`` FIRST so identical clones
+    do not erase each other (the Lee et al. pipeline also removes
+    exact duplicates before the substring pass; this operator targets
+    cross-page boilerplate, not whole-document copies).
+
+    Returns ``doc_id, n_tokens, removed_tokens, clean_text``."""
+    from .quality import SPAN_K
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("tk"))
+    grams = F.expr(
+        f"transform(slice(tk, 1, greatest(size(tk) - {SPAN_K - 1}, 0)), "
+        f"(x, i) -> concat_ws(' ', "
+        + ", ".join(["x"] + [f"tk[i+{j}]" for j in range(1, SPAN_K)])
+        + "))"
+    )
+    win = base.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    )
+    shared = (
+        win.groupBy("gram", "doc_id")
+        .agg(F.count("*").alias("c"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    starts = (
+        win.join(shared, "gram")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("starts"))
+    )
+    return (
+        base.join(starts, "doc_id", "left")
+        .withColumn(
+            "cov",
+            F.expr(
+                "array_distinct(flatten(transform("
+                "coalesce(starts, CAST(array() AS ARRAY<INT>)), "
+                f"s -> sequence(s, s + {SPAN_K - 1}))))"
+            ),
+        )
+        .withColumn(
+            "kept", F.expr("filter(tk, (x, i) -> NOT array_contains(cov, i))")
+        )
+        .select(
+            "doc_id",
+            F.size("tk").cast("long").alias("n_tokens"),
+            (F.size("tk") - F.size("kept")).cast("long").alias(
+                "removed_tokens"
+            ),
+            F.concat_ws(" ", F.col("kept")).alias("clean_text"),
+        )
+    )
+
+
+def _dedup_spans_sql() -> str:
+    from .quality import SPAN_K
+
+    gram_cols = ", ".join(f"w[u.i + {j}]" for j in range(1, SPAN_K + 1))
+    return f"""
+WITH base AS (
+  SELECT doc_id, {tokens_sql('text')} AS w FROM documents
+),
+win AS (
+  SELECT doc_id, u.i AS pos, concat_ws(' ', {gram_cols}) AS gram
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(0, len(w) - {SPAN_K})) AS i
+  ) u
+  WHERE len(w) >= {SPAN_K}
+),
+shared AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS nd FROM win GROUP BY gram
+  ) s WHERE nd >= 2
+),
+cov AS (
+  SELECT DISTINCT d.doc_id, d.pos + g.j AS cp
+  FROM (SELECT w2.doc_id, w2.pos FROM win w2 JOIN shared USING (gram)) d,
+       LATERAL (
+         SELECT unnest(generate_series(0, {SPAN_K - 1})) AS j
+       ) g
+),
+tok AS (
+  SELECT doc_id, u.j AS p0, w[u.j + 1] AS tkn
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(0, len(w) - 1)) AS j
+  ) u
+  WHERE len(w) > 0
+),
+ka AS (
+  SELECT t.doc_id, count(*) AS n_kept,
+         string_agg(t.tkn, ' ' ORDER BY t.p0) AS clean_text
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p0 = c.cp
+  WHERE c.cp IS NULL
+  GROUP BY t.doc_id
+),
+ns AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM base)
+SELECT ns.doc_id, ns.n_tokens,
+       CAST(ns.n_tokens - coalesce(ka.n_kept, 0) AS BIGINT)
+         AS removed_tokens,
+       coalesce(ka.clean_text, '') AS clean_text
+FROM ns LEFT JOIN ka USING (doc_id)
+"""
+
+
+DEDUP_SPANS_SQL = _dedup_spans_sql()
+
+
 AUX_QUERIES = {
     "dedup_components": dedup_components,
     "dedup_incremental": dedup_incremental,
     "dedup_editdistance": dedup_editdistance,
     "dedup_segments": dedup_segments,
     "clean_segments": clean_segments,
+    "dedup_spans": dedup_spans,
 }
 
 AUX_ORACLES = {
@@ -1203,6 +1337,7 @@ AUX_ORACLES = {
     "dedup_editdistance": DEDUP_EDITDISTANCE_SQL,
     "dedup_segments": DEDUP_SEGMENTS_SQL,
     "clean_segments": CLEAN_SEGMENTS_SQL,
+    "dedup_spans": DEDUP_SPANS_SQL,
 }
 
 ORACLES = {

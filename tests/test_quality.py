@@ -282,3 +282,68 @@ def test_compression_stats_covers_fixture(spark, sf_dir):
 
     out = compression_stats(spark, sf_dir)
     assert out.count() == table(spark, sf_dir, "documents").count()
+
+
+def test_dedup_spans_planted_boilerplate(spark, tmp_path, sf_dir):
+    """The TRANSFORM companion to span_dup_stats: a verbatim 10-token
+    boilerplate block shared by two docs is removed from both (all 10
+    tokens — the union of its 3 shared 8-windows), the unique prose
+    survives token-for-token, a distinct doc and a too-short doc pass
+    through untouched — and the output hash-matches the DuckDB
+    oracle."""
+    from mapreduce_grpc_spark.operators.dedup import dedup_spans
+    from mapreduce_grpc_spark.operators.quality import SPAN_K
+
+    assert SPAN_K == 8, "planted expectations assume 8-token windows"
+    boiler = "a b c d e f g h i j"  # 10 tokens -> 3 shared 8-grams
+    fake_sf = _fake_docs_dir(
+        tmp_path,
+        sf_dir,
+        f"""
+        SELECT 1 AS doc_id, '{boiler} unique1 text1 here1' AS text,
+               'en' AS lang, 's' AS source, 10 AS n_chars
+        UNION ALL SELECT 2, 'other2 words2 {boiler} tail2', 'en', 's', 10
+        UNION ALL SELECT 3, 'totally different content with no shared blocks at all ok', 'en', 's', 10
+        UNION ALL SELECT 4, 'short doc', 'en', 's', 9
+        """,
+    )
+    rows = {r.doc_id: r for r in dedup_spans(spark, fake_sf).collect()}
+    assert rows[1].removed_tokens == 10
+    assert rows[1].clean_text == "unique1 text1 here1"
+    assert rows[2].removed_tokens == 10
+    assert rows[2].clean_text == "other2 words2 tail2"
+    assert rows[3].removed_tokens == 0
+    assert rows[3].clean_text.startswith("totally different")
+    assert rows[4].removed_tokens == 0 and rows[4].clean_text == "short doc"
+    assert_oracle_match(
+        dedup_spans(spark, fake_sf),
+        registry.AUX_ORACLES["dedup_spans"],
+        fake_sf,
+        "dedup_spans_planted",
+    )
+
+
+def test_dedup_spans_matches_span_profile(spark, sf_dir):
+    """Removal is consistent with the PROFILE query on the real fixture:
+    a doc loses tokens iff span_dup_stats counts shared windows for it,
+    and the removed count is bounded by the window geometry — d >= 1
+    distinct K-windows cover between K + d - 1 (all consecutive) and
+    K * d (all disjoint) tokens.  Plus fixture-level oracle parity."""
+    from mapreduce_grpc_spark.operators.dedup import dedup_spans
+    from mapreduce_grpc_spark.operators.quality import SPAN_K, span_dup_stats
+
+    prof = {r.doc_id: r for r in span_dup_stats(spark, sf_dir).collect()}
+    outs = {r.doc_id: r for r in dedup_spans(spark, sf_dir).collect()}
+    assert set(prof) == set(outs)
+    for doc_id, r in outs.items():
+        d = prof[doc_id].dup_spans
+        if d == 0:
+            assert r.removed_tokens == 0, doc_id
+        else:
+            assert SPAN_K + d - 1 <= r.removed_tokens <= SPAN_K * d, doc_id
+    assert_oracle_match(
+        dedup_spans(spark, sf_dir),
+        registry.AUX_ORACLES["dedup_spans"],
+        sf_dir,
+        "dedup_spans_fixture",
+    )
