@@ -274,10 +274,11 @@ class SnapshotBatchReader(DataSourceReader):
         files: list[tuple[str, str | None, int]] = []
         for e in entries:
             dv = e.get("dv")
+            base = e.get("base") or self._path
             files.append(
                 (
-                    os.path.join(self._path, e["name"]),
-                    os.path.join(self._path, dv["file"]) if dv else None,
+                    os.path.join(base, e["name"]),
+                    os.path.join(base, dv["file"]) if dv else None,
                     int(e.get("bytes") or 0),
                 )
             )

@@ -110,6 +110,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "_manifests"
+# shallow-clone markers INSIDE the source table dir (``snap_clone``):
+# the source's GC discovers its clones here with no global catalog
+_CLONES_DIR = "_clones"
 
 # retries for a mutator that loses the commit race (each retry re-reads
 # the winner's manifest and re-derives the change from current state)
@@ -344,6 +347,20 @@ def _manifest_path(path: str, version: int) -> str:
 
 def _current_path(path: str) -> str:
     return os.path.join(path, _MANIFEST_DIR, "CURRENT")
+
+
+def _entry_path(path: str, e: dict) -> str:
+    """Resolve a manifest entry's data file.  Entries born in this
+    table resolve against the table dir; entries referenced by a
+    SHALLOW CLONE carry ``"base"`` — the dir of the table that owns
+    the bytes (``snap_clone``) — and resolve there, zero-copy."""
+    return os.path.join(e.get("base") or path, e["name"])
+
+
+def _sidecar_path(path: str, e: dict, name: str) -> str:
+    """Resolve a dv/bloom sidecar file recorded on entry ``e`` — the
+    sidecar lives wherever the entry's data file lives."""
+    return os.path.join(e.get("base") or path, name)
 
 
 # --------------------------------------------------------------------------
@@ -912,7 +929,7 @@ def _build_bloom_sidecar(
     sidecar: dict[str, dict] = {}
     for e in entries:
         cols: dict[str, dict] = {}
-        full = os.path.join(path, e["name"])
+        full = _entry_path(path, e)
         try:
             pf = pq.ParquetFile(full)
         except Exception:
@@ -1111,7 +1128,7 @@ def _commit(
         _check_writer_features(carry, path)
         for k in (
             "constraints", "column_mapping", "partition_spec",
-            "partition_field_seq",
+            "partition_field_seq", "clone_of",
         ):
             if carry.get(k):
                 manifest[k] = carry[k]
@@ -1729,11 +1746,11 @@ def _read_entries(
     parts: list[DataFrame] = []
     if clean:
         parts.append(
-            reader.parquet(*[os.path.join(path, e["name"]) for e in clean])
+            reader.parquet(*[_entry_path(path, e) for e in clean])
         )
     if dved:
         df = reader.parquet(
-            *[os.path.join(path, e["name"]) for e in dved]
+            *[_entry_path(path, e) for e in dved]
         ).withColumns(
             {
                 "_sg_file": F.col("_metadata.file_name"),
@@ -1741,9 +1758,11 @@ def _read_entries(
             }
         )
         names = [e["name"] for e in dved]
-        sidecars = sorted({e["dv"]["file"] for e in dved})
+        sidecars = sorted(
+            {_sidecar_path(path, e, e["dv"]["file"]) for e in dved}
+        )
         dv = (
-            spark.read.parquet(*[os.path.join(path, s) for s in sidecars])
+            spark.read.parquet(*sidecars)
             .filter(F.col("file_name").isin(names))
             .select(
                 F.col("file_name").alias("_sg_file"),
@@ -2192,7 +2211,7 @@ def _read_entries_pos(
     else:
         reader = spark.read
     df = reader.parquet(
-        *[os.path.join(path, e["name"]) for e in entries]
+        *[_entry_path(path, e) for e in entries]
     ).withColumns(
         {
             "_sg_file": F.col("_metadata.file_name"),
@@ -2201,9 +2220,11 @@ def _read_entries_pos(
     )
     dved = [e for e in entries if e.get("dv")]
     if dved:
-        sidecars = sorted({e["dv"]["file"] for e in dved})
+        sidecars = sorted(
+            {_sidecar_path(path, e, e["dv"]["file"]) for e in dved}
+        )
         dv = (
-            spark.read.parquet(*[os.path.join(path, s) for s in sidecars])
+            spark.read.parquet(*sidecars)
             .filter(F.col("file_name").isin([e["name"] for e in dved]))
             .select(
                 F.col("file_name").alias("_sg_file"),
@@ -2289,11 +2310,14 @@ def _delete_mor(
         # files so each affected entry points at ONE complete sidecar
         old_dved = [e for e in candidates if e.get("dv")]
         if old_dved:
-            old_sidecars = sorted({e["dv"]["file"] for e in old_dved})
+            old_sidecars = sorted(
+                {
+                    _sidecar_path(path, e, e["dv"]["file"])
+                    for e in old_dved
+                }
+            )
             old_pos = (
-                spark.read.parquet(
-                    *[os.path.join(path, s) for s in old_sidecars]
-                )
+                spark.read.parquet(*old_sidecars)
                 .filter(
                     F.col("file_name").isin([e["name"] for e in old_dved])
                 )
@@ -3157,12 +3181,12 @@ def apply_cdc_cow(
             if old_dved:
                 old_pos = (
                     spark.read.parquet(
-                        *[
-                            os.path.join(path, s)
-                            for s in sorted(
-                                {e["dv"]["file"] for e in old_dved}
-                            )
-                        ]
+                        *sorted(
+                            {
+                                _sidecar_path(path, e, e["dv"]["file"])
+                                for e in old_dved
+                            }
+                        )
                     )
                     .filter(
                         F.col("file_name").isin(
@@ -3567,7 +3591,7 @@ def _compact_partitioned(
 
     def _bytes(files: list[dict]) -> int:
         return sum(
-            f.getsize(os.path.join(path, e["name"])) for e in files
+            f.getsize(_entry_path(path, e)) for e in files
         )
 
     jobs: list[tuple[list[dict], int, str]] = []
@@ -3733,7 +3757,7 @@ def optimize_snapshot(
             carried = [e for e in m["files"] if e not in to_rewrite]
         else:
             sizes = {
-                e["name"]: f.getsize(os.path.join(path, e["name"]))
+                e["name"]: f.getsize(_entry_path(path, e))
                 for e in scope
             }
             # a file qualifies when undersized OR carrying a deletion
@@ -3781,7 +3805,7 @@ def optimize_snapshot(
                 spark, path, to_rewrite, _manifest_schema(m), cm
             )
             total = sum(
-                f.getsize(os.path.join(path, e["name"]))
+                f.getsize(_entry_path(path, e))
                 for e in to_rewrite
             )
             n_files = max(1, -(-total // target_bytes))  # ceil
@@ -4384,7 +4408,7 @@ def verify_snapshot(
     total_rows = 0
     dv_rows = 0
     for e in m["files"]:
-        full = os.path.join(path, e["name"])
+        full = _entry_path(path, e)
         if not f.exists(full):
             missing.append(e["name"])
             continue
@@ -4399,11 +4423,11 @@ def verify_snapshot(
             )
         total_rows += actual
         bloom = e.get("bloom")
-        if bloom and not f.exists(os.path.join(path, bloom["file"])):
+        if bloom and not f.exists(_sidecar_path(path, e, bloom["file"])):
             missing.append(bloom["file"])
         dv = e.get("dv")
         if dv:
-            if not f.exists(os.path.join(path, dv["file"])):
+            if not f.exists(_sidecar_path(path, e, dv["file"])):
                 missing.append(dv["file"])
                 continue
             if dv["rows"] > e["rows"]:
@@ -4423,6 +4447,155 @@ def verify_snapshot(
         "missing": missing,
         "mismatched": mismatched,
     }
+
+
+def snap_clone(
+    src: str,
+    dst: str,
+    version: int | None = None,
+    timestamp=None,
+    fs: LocalSnapshotFS | None = None,
+) -> int:
+    """SHALLOW clone: create table ``dst`` whose v1 manifest references
+    ``src``'s data files (at ``version``/``timestamp``, default
+    CURRENT) — zero bytes copied, the Delta ``CLONE`` / Iceberg-ref
+    shape.  A 100 TB table becomes a dev/test sandbox in one manifest
+    write.
+
+    Mechanics: every cloned entry gains ``"base"`` — the dir that OWNS
+    the bytes (``_entry_path`` resolves reads there; a clone of a
+    clone keeps the ORIGINAL base, so chains never indirect).  Schema,
+    stats columns, column mapping, partition spec, and CHECK
+    constraints carry over; txn markers do NOT (the clone is a new
+    ingest surface).  Mutations diverge naturally: CoW rewrites write
+    new files into ``dst`` and drop the borrowed references.
+
+    GC safety (the interesting half): before the manifest commit, a
+    marker lands under each referenced base's ``_clones/`` dir, and
+    the source's ``expire_snapshots`` protects every file any live
+    clone manifest still references (see ``_clone_protected``) — so a
+    source vacuum can never break a clone, unlike Delta, where VACUUM
+    on the source is documented to do exactly that.  The clone's own
+    GC only ever lists its own dir, so it cannot touch source bytes.
+
+    Returns the clone's version (1)."""
+    f = _fs(fs)
+    if current_version(dst, fs) != 0:
+        raise ValueError(f"snap_clone: {dst!r} already exists")
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("snap_clone: pass version OR timestamp")
+        version = version_at_timestamp(src, timestamp, fs)
+    m = read_manifest(src, version, fs)
+    src_abs = os.path.abspath(src)
+    entries: list[dict] = []
+    bases: set[str] = set()
+    for e in m["files"]:
+        ce = dict(e)
+        ce["base"] = os.path.abspath(e.get("base") or src_abs)
+        bases.add(ce["base"])
+        entries.append(ce)
+    # markers BEFORE the commit: GC must never miss a just-born clone
+    # (a dangling marker for a never-committed dst is retired by the
+    # next GC pass — it protects nothing once dst has no manifests)
+    rec = json.dumps(
+        {
+            "dst": os.path.abspath(dst),
+            "src_version": m["version"],
+            "ts": time.time(),
+        }
+    )
+    for b in sorted(bases):
+        cdir = os.path.join(b, _CLONES_DIR)
+        f.makedirs(cdir)
+        f.create_exclusive(
+            os.path.join(cdir, f"clone-{uuid.uuid4().hex[:12]}.json"),
+            rec,
+        )
+    carry = {
+        k: m[k]
+        for k in (
+            "constraints",
+            "column_mapping",
+            "partition_spec",
+            "partition_field_seq",
+            "features",
+            "writer_features",
+        )
+        if m.get(k)
+    }
+    carry["clone_of"] = {"path": src_abs, "version": m["version"]}
+    return _commit(
+        dst,
+        entries,
+        m["stats_cols"],
+        base_version=0,
+        schema_json=m.get("schema"),
+        txns={},
+        commit_info={
+            "op": "clone",
+            "source": src_abs,
+            "source_version": m["version"],
+        },
+        fs=fs,
+        carry=carry,
+        adds=entries,
+        removes=[],
+    )
+
+
+def _clone_protected(
+    path: str, f: LocalSnapshotFS, fs: LocalSnapshotFS | None
+) -> set[str]:
+    """File names of ``path`` that some live clone still references —
+    the source GC's do-not-delete set.  Walks every readable manifest
+    of every registered clone (O(clones x versions x files) driver
+    JSON reads — the ``snapshot_audit`` cost class; clones are
+    sandboxes, not fleets).  Markers whose clone is gone, or whose
+    clone no longer references this table from ANY readable version
+    (fully diverged — a restore past its own GC floor is impossible,
+    so dropped references can never come back), are retired here."""
+    cdir = os.path.join(path, _CLONES_DIR)
+    if not f.exists(cdir):
+        return set()
+    src_abs = os.path.abspath(path)
+    protected: set[str] = set()
+    for name in f.listdir(cdir):
+        if not name.endswith(".json"):
+            continue
+        marker = os.path.join(cdir, name)
+        try:
+            rec = json.loads(f.read_text(marker))
+        except (ValueError, FileNotFoundError):
+            continue
+        dst = rec.get("dst")
+        refs: set[str] = set()
+        if dst and f.exists(_current_path(dst)):
+            mdir = os.path.join(dst, _MANIFEST_DIR)
+            for mn in f.listdir(mdir):
+                if not (mn.startswith("v") and mn.endswith(".json")):
+                    continue
+                try:
+                    entries = read_manifest(dst, int(mn[1:-5]), fs)[
+                        "files"
+                    ]
+                except (FileNotFoundError, ValueError):
+                    continue
+                for e in entries:
+                    if (
+                        os.path.abspath(e.get("base") or dst)
+                        == src_abs
+                    ):
+                        refs.add(e["name"])
+                        if e.get("dv"):
+                            refs.add(e["dv"]["file"])
+                        if e.get("bloom"):
+                            refs.add(e["bloom"]["file"])
+        if refs:
+            protected |= refs
+        else:
+            f.remove(marker)
+    return protected
 
 
 def expire_snapshots(
@@ -4463,6 +4636,9 @@ def expire_snapshots(
         referenced |= names
         if v in keep_versions:
             live |= names
+    # files a live shallow clone still references must survive this
+    # table's GC no matter which versions HERE retained them
+    live |= _clone_protected(path, f, fs)
     # delta commit records below the retention floor are about to be
     # deleted, so the oldest retained version must become reconstructible
     # on its own: force a compacted checkpoint at exactly v_min BEFORE
@@ -4913,10 +5089,10 @@ def snap_restore(
         ) from e
     missing = []
     for e in target["files"]:
-        if not f.exists(os.path.join(path, e["name"])):
+        if not f.exists(_entry_path(path, e)):
             missing.append(e["name"])
         dv = e.get("dv")
-        if dv and not f.exists(os.path.join(path, dv["file"])):
+        if dv and not f.exists(_sidecar_path(path, e, dv["file"])):
             missing.append(dv["file"])
     if missing:
         raise FileNotFoundError(

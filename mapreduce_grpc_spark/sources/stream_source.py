@@ -205,7 +205,9 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         if b is not None:
             return int(b)
         try:
-            return self._fs.getsize(os.path.join(self._path, e["name"]))
+            return self._fs.getsize(
+                os.path.join(e.get("base") or self._path, e["name"])
+            )
         except FileNotFoundError:
             return 0
 
@@ -307,7 +309,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 )
             files += [
                 (
-                    os.path.join(self._path, e["name"]),
+                    os.path.join(e.get("base") or self._path, e["name"]),
                     v,
                     self._entry_bytes(e),
                 )

@@ -4004,3 +4004,116 @@ def test_timestamp_travel_skew_and_prefeature(spark, tmp_path):
     assert version_at_timestamp(path, ts[1]) == 4
     assert version_at_timestamp(path, ts[0]) == 1
     assert snapshot_audit(path)[-1]["ts"] is None
+
+
+# --- shallow clone (zero-copy table branch) + GC safety ------------------
+
+
+def test_shallow_clone_reads_and_diverges(spark, tmp_path):
+    """snap_clone creates a zero-copy branch: the clone's v1 reads the
+    source's bytes (no data files in the clone dir), carries schema/
+    stats, and mutations diverge — a CoW merge on the clone writes its
+    OWN files without touching the source, and a source append after
+    the clone never leaks in."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        snap_append,
+        snap_clone,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = _mk_table(spark, src, n=200, n_files=2)
+    assert snap_clone(src, dst) == 1
+    # zero copy: no data files landed in dst
+    assert not [
+        n for n in os.listdir(dst) if n.startswith("data-")
+    ]
+    assert _rows(snap_read(spark, dst)) == _rows(df)
+    # entries resolve against the source dir
+    m = read_manifest(dst)
+    assert all(e.get("base") for e in m["files"])
+    assert m["clone_of"]["path"] == os.path.abspath(src)
+    # source-side mutation after the clone: invisible to the clone
+    snap_append(
+        spark, src,
+        spark.createDataFrame([(9000, "vnew")], "k bigint, v string"),
+    )
+    assert snap_read(spark, dst).count() == 200
+    # clone-side mutation: CoW writes new files INTO dst, source intact
+    batch = spark.createDataFrame(
+        [(0, "patched"), (7777, "born")], "k bigint, v string"
+    )
+    merge_upsert_cow(spark, dst, batch, keys=["k"])
+    got = dict(_rows(snap_read(spark, dst)))
+    assert got[0] == "patched" and got[7777] == "born"
+    assert snap_read(spark, src).filter("k = 0").first().v == "v0"
+    assert [n for n in os.listdir(dst) if n.startswith("data-")]
+    # prunable through the borrowed entries' stats too
+    from mapreduce_grpc_spark.sources.snapshots import prune_manifest
+
+    kept, skipped = prune_manifest(
+        read_manifest(dst), [("k", "between", 0, 10)], None
+    )
+    assert skipped, "clone keeps the source's envelope pruning"
+
+
+def test_clone_of_clone_keeps_original_base(spark, tmp_path):
+    from mapreduce_grpc_spark.sources.snapshots import snap_clone
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    c = str(tmp_path / "c")
+    df = _mk_table(spark, a, n=50, n_files=1)
+    snap_clone(a, b)
+    snap_clone(b, c)
+    m = read_manifest(c)
+    assert all(
+        e["base"] == os.path.abspath(a) for e in m["files"]
+    ), "chains must not indirect through b"
+    assert _rows(snap_read(spark, c)) == _rows(df)
+    # and A knows about BOTH clones
+    markers = os.listdir(os.path.join(a, "_clones"))
+    assert len(markers) == 2
+
+
+def test_source_gc_protects_clone_references(spark, tmp_path):
+    """The GC-safety half: after the source rewrites itself (so ITS
+    retained versions no longer reference the original files), a
+    source expire_snapshots must still keep every file a live clone
+    references; once the clone fully diverges (or is deleted), the
+    marker retires and the next GC reclaims the bytes."""
+    import shutil as _sh
+
+    from mapreduce_grpc_spark.sources.snapshots import (
+        snap_clone,
+        update_where,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = _mk_table(spark, src, n=200, n_files=2)
+    orig_files = {e["name"] for e in read_manifest(src)["files"]}
+    snap_clone(src, dst)
+    # source rewrites EVERY row -> original files leave src's manifest
+    update_where(
+        spark, src, [("k", ">=", 0)], {"v": "'rewritten'"}
+    )
+    deleted = expire_snapshots(src, keep_last=1, orphan_grace_seconds=0)
+    assert not (orig_files & set(deleted)), (
+        "source GC deleted files a live clone references"
+    )
+    assert _rows(snap_read(spark, dst)) == _rows(df), (
+        "clone must read its pinned bytes after source GC"
+    )
+    # clone's own GC never touches source bytes either
+    expire_snapshots(dst, keep_last=1, orphan_grace_seconds=0)
+    assert _rows(snap_read(spark, dst)) == _rows(df)
+    # clone deleted -> marker retires -> bytes reclaimed
+    _sh.rmtree(dst)
+    deleted2 = expire_snapshots(
+        src, keep_last=1, orphan_grace_seconds=0
+    )
+    assert orig_files <= set(deleted2), (
+        "dead clone must stop protecting the source's bytes"
+    )
+    assert os.listdir(os.path.join(src, "_clones")) == []
