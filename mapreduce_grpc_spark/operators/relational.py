@@ -976,7 +976,6 @@ QUERIES = {
     "join_asof": join_asof,
     "join_range": join_range,
     "cube_agg": cube_agg,
-    "nl_join": nl_join,
     "above_avg_orders": above_avg_orders,
     "pivot_agg": pivot_agg,
     "group_percentiles": group_percentiles,
@@ -997,7 +996,6 @@ ORACLES = {
     "join_asof": JOIN_ASOF_SQL,
     "join_range": JOIN_RANGE_SQL,
     "cube_agg": CUBE_AGG_SQL,
-    "nl_join": NL_JOIN_SQL,
     "above_avg_orders": ABOVE_AVG_ORDERS_SQL,
     "pivot_agg": PIVOT_AGG_SQL,
     "group_percentiles": GROUP_PERCENTILES_SQL,
@@ -1332,6 +1330,11 @@ GROUP BY l_suppkey
 # would record a permanent no-oracle err row).  Correctness is bounded in
 # tests/test_properties.py against the exact twins instead.
 AUX_QUERIES = {
+    # rotated OUT of the contract r12 (made room for
+    # snapshot_delete_scan; same DuckDB hash comparator in
+    # tests/test_robustness.py) — the broadcast nested-loop join was
+    # the contract's most redundant row next to join_range
+    "nl_join": nl_join,
     "distinct_count_approx": distinct_count_approx,
     "group_percentiles_approx": group_percentiles_approx,
     "numeric_histogram": numeric_histogram,
@@ -1346,6 +1349,7 @@ AUX_QUERIES = {
 }
 
 AUX_ORACLES = {
+    "nl_join": NL_JOIN_SQL,
     "salted_group_sum": SALTED_GROUP_SUM_SQL,
     "numeric_histogram": NUMERIC_HISTOGRAM_SQL,
     "table_stats": _table_stats_sql(),

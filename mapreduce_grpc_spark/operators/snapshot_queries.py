@@ -672,6 +672,12 @@ QUERIES = {
     # delicate thing in the repo and deserves the driver's own
     # comparator, not just the pytest mirror
     "matview_orders": matview_orders,
+    # rotated IN (round 12, replacing the redundant nl_join row): the
+    # merge-on-read deletion-vector path (predicate + key-set deletes,
+    # DV anti-join at read, manifest-pruned scan) under the driver's
+    # own hash — the last AUX-only table-layer composition next to
+    # column evolution
+    "snapshot_delete_scan": snapshot_delete_scan,
 }
 ORACLES = {
     "snapshot_timetravel": SNAPSHOT_TIMETRAVEL_SQL,
@@ -679,14 +685,13 @@ ORACLES = {
     "streaming_table_pipeline": STREAMING_TABLE_PIPELINE_SQL,
     "snapshot_partitioned_scan": SNAPSHOT_PARTITIONED_SCAN_SQL,
     "matview_orders": MATVIEW_ORDERS_SQL,
+    "snapshot_delete_scan": SNAPSHOT_DELETE_SCAN_SQL,
 }
 AUX_QUERIES = {
-    "snapshot_delete_scan": snapshot_delete_scan,
     "snapshot_update_restore": snapshot_update_restore,
     "snapshot_column_evolution": snapshot_column_evolution,
 }
 AUX_ORACLES = {
-    "snapshot_delete_scan": SNAPSHOT_DELETE_SCAN_SQL,
     "snapshot_update_restore": SNAPSHOT_UPDATE_RESTORE_SQL,
     "snapshot_column_evolution": SNAPSHOT_COLUMN_EVOLUTION_SQL,
 }

@@ -12,7 +12,7 @@ CONTRACT_ORDER = [
     "streaming_tumbling", "streaming_sessionize", "mapreduce_wordcount",
     "per_key_agg", "distinct_count", "rollup_agg", "reduce_side_join",
     "join_semi", "join_anti", "join_asof", "join_range", "cube_agg",
-    "nl_join", "above_avg_orders", "pivot_agg", "group_percentiles",
+    "above_avg_orders", "pivot_agg", "group_percentiles",
     "orders_by_month", "topk", "partitioned_sorted_output", "set_ops",
     "window_analytic", "dedup_exact", "minhash_signatures", "dedup_near",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
@@ -21,7 +21,7 @@ CONTRACT_ORDER = [
     "multimodal_features", "frame_sample", "zscore_outliers",
     "snapshot_timetravel", "snapshot_merge_into",
     "streaming_table_pipeline", "snapshot_partitioned_scan",
-    "matview_orders",
+    "matview_orders", "snapshot_delete_scan",
 ]
 
 

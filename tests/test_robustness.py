@@ -102,6 +102,18 @@ def test_sliding_window_oracle_parity(spark, sf_dir):
     )
 
 
+def test_nl_join_oracle_parity(spark, sf_dir):
+    """nl_join rotated from the driver contract to AUX in round 12
+    (made room for snapshot_delete_scan) — it keeps the SAME DuckDB
+    hash comparator here."""
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["nl_join"](spark, sf_dir)
+    assert_oracle_match(
+        df, registry.AUX_ORACLES["nl_join"], sf_dir, "nl_join",
+    )
+
+
 def test_events_json_oracle_parity(spark, sf_dir):
     """events_json rotated from the driver contract to AUX in round
     11 (made room for matview_orders) — it keeps the SAME DuckDB hash

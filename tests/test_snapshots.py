@@ -1767,10 +1767,10 @@ def test_snapshot_delete_scan_oracle_parity(spark, sf_dir):
     from mapreduce_grpc_spark import registry
     from tests.oracle import assert_oracle_match
 
-    df = registry.AUX_QUERIES["snapshot_delete_scan"](spark, sf_dir)
+    df = registry.QUERIES["snapshot_delete_scan"](spark, sf_dir)
     assert_oracle_match(
         df,
-        registry.AUX_ORACLES["snapshot_delete_scan"],
+        registry.ORACLES["snapshot_delete_scan"],
         sf_dir,
         "snapshot_delete_scan",
     )
