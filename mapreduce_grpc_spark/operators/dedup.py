@@ -1269,6 +1269,134 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_spans_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_spans`` with Lee et al.'s keep-one-copy policy: each
+    shared gram has an OWNER (the smallest doc_id containing it), and
+    the covering windows are removed only from NON-owner documents —
+    so boilerplate text always survives somewhere in the corpus, and
+    two identical documents come out as one intact copy plus one empty
+    shell instead of two empty shells (no dedup_exact prerequisite).
+
+    Same plan as ``dedup_spans`` plus one column: the gram agg also
+    takes ``min(doc_id)`` (free — same shuffle), and the start-set
+    join filters ``doc_id != owner``.  Simplification vs the paper:
+    the owner keeps ALL its occurrences of the span, not exactly one
+    (intra-document repetition is ``repetition_stats``' signal).
+
+    Returns ``doc_id, n_tokens, removed_tokens, clean_text``."""
+    from .quality import SPAN_K
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("tk"))
+    grams = F.expr(
+        f"transform(slice(tk, 1, greatest(size(tk) - {SPAN_K - 1}, 0)), "
+        f"(x, i) -> concat_ws(' ', "
+        + ", ".join(["x"] + [f"tk[i+{j}]" for j in range(1, SPAN_K)])
+        + "))"
+    )
+    win = base.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    )
+    shared = (
+        win.groupBy("gram", "doc_id")
+        .agg(F.count("*").alias("c"))
+        .groupBy("gram")
+        .agg(
+            F.count("*").alias("nd"),
+            F.min("doc_id").alias("owner"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("gram", "owner")
+    )
+    starts = (
+        win.join(shared, "gram")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("starts"))
+    )
+    return (
+        base.join(starts, "doc_id", "left")
+        .withColumn(
+            "cov",
+            F.expr(
+                "array_distinct(flatten(transform("
+                "coalesce(starts, CAST(array() AS ARRAY<INT>)), "
+                f"s -> sequence(s, s + {SPAN_K - 1}))))"
+            ),
+        )
+        .withColumn(
+            "kept", F.expr("filter(tk, (x, i) -> NOT array_contains(cov, i))")
+        )
+        .select(
+            "doc_id",
+            F.size("tk").cast("long").alias("n_tokens"),
+            (F.size("tk") - F.size("kept")).cast("long").alias(
+                "removed_tokens"
+            ),
+            F.concat_ws(" ", F.col("kept")).alias("clean_text"),
+        )
+    )
+
+
+def _dedup_spans_keepfirst_sql() -> str:
+    from .quality import SPAN_K
+
+    gram_cols = ", ".join(f"w[u.i + {j}]" for j in range(1, SPAN_K + 1))
+    return f"""
+WITH base AS (
+  SELECT doc_id, {tokens_sql('text')} AS w FROM documents
+),
+win AS (
+  SELECT doc_id, u.i AS pos, concat_ws(' ', {gram_cols}) AS gram
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(0, len(w) - {SPAN_K})) AS i
+  ) u
+  WHERE len(w) >= {SPAN_K}
+),
+shared AS (
+  SELECT gram, owner FROM (
+    SELECT gram, count(DISTINCT doc_id) AS nd,
+           min(doc_id) AS owner
+    FROM win GROUP BY gram
+  ) s WHERE nd >= 2
+),
+cov AS (
+  SELECT DISTINCT d.doc_id, d.pos + g.j AS cp
+  FROM (
+    SELECT w2.doc_id, w2.pos
+    FROM win w2 JOIN shared sh USING (gram)
+    WHERE w2.doc_id <> sh.owner
+  ) d,
+       LATERAL (
+         SELECT unnest(generate_series(0, {SPAN_K - 1})) AS j
+       ) g
+),
+tok AS (
+  SELECT doc_id, u.j AS p0, w[u.j + 1] AS tkn
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(0, len(w) - 1)) AS j
+  ) u
+  WHERE len(w) > 0
+),
+ka AS (
+  SELECT t.doc_id, count(*) AS n_kept,
+         string_agg(t.tkn, ' ' ORDER BY t.p0) AS clean_text
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p0 = c.cp
+  WHERE c.cp IS NULL
+  GROUP BY t.doc_id
+),
+ns AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM base)
+SELECT ns.doc_id, ns.n_tokens,
+       CAST(ns.n_tokens - coalesce(ka.n_kept, 0) AS BIGINT)
+         AS removed_tokens,
+       coalesce(ka.clean_text, '') AS clean_text
+FROM ns LEFT JOIN ka USING (doc_id)
+"""
+
+
+DEDUP_SPANS_KEEPFIRST_SQL = _dedup_spans_keepfirst_sql()
+
+
 def _dedup_spans_sql() -> str:
     from .quality import SPAN_K
 
@@ -1329,6 +1457,7 @@ AUX_QUERIES = {
     "dedup_segments": dedup_segments,
     "clean_segments": clean_segments,
     "dedup_spans": dedup_spans,
+    "dedup_spans_keepfirst": dedup_spans_keepfirst,
 }
 
 AUX_ORACLES = {
@@ -1338,6 +1467,7 @@ AUX_ORACLES = {
     "dedup_segments": DEDUP_SEGMENTS_SQL,
     "clean_segments": CLEAN_SEGMENTS_SQL,
     "dedup_spans": DEDUP_SPANS_SQL,
+    "dedup_spans_keepfirst": DEDUP_SPANS_KEEPFIRST_SQL,
 }
 
 ORACLES = {

@@ -347,3 +347,75 @@ def test_dedup_spans_matches_span_profile(spark, sf_dir):
         sf_dir,
         "dedup_spans_fixture",
     )
+
+
+def test_dedup_spans_keepfirst_owner_keeps_copy(spark, tmp_path, sf_dir):
+    """The keep-one-copy policy: the owner doc (smallest doc_id per
+    shared gram) keeps the boilerplate verbatim, non-owners lose it —
+    and two IDENTICAL documents come out as one intact copy + one
+    empty shell (no dedup_exact prerequisite), unlike plain
+    dedup_spans which empties both."""
+    from mapreduce_grpc_spark.operators.dedup import (
+        dedup_spans,
+        dedup_spans_keepfirst,
+    )
+
+    boiler = "a b c d e f g h i j"
+    clone = "x1 y1 z1 w1 q1 r1 s1 t1 u1 v1 extra1 tail1"  # 12 tokens
+    fake_sf = _fake_docs_dir(
+        tmp_path,
+        sf_dir,
+        f"""
+        SELECT 1 AS doc_id, '{boiler} unique1 text1 here1' AS text,
+               'en' AS lang, 's' AS source, 10 AS n_chars
+        UNION ALL SELECT 2, 'other2 words2 {boiler} tail2', 'en', 's', 10
+        UNION ALL SELECT 3, '{clone}', 'en', 's', 12
+        UNION ALL SELECT 4, '{clone}', 'en', 's', 12
+        """,
+    )
+    rows = {
+        r.doc_id: r for r in dedup_spans_keepfirst(spark, fake_sf).collect()
+    }
+    # doc1 owns every shared boilerplate gram (smallest id): intact
+    assert rows[1].removed_tokens == 0
+    assert rows[1].clean_text.startswith("a b c d e f g h i j")
+    # doc2 loses exactly the shared block
+    assert rows[2].removed_tokens == 10
+    assert rows[2].clean_text == "other2 words2 tail2"
+    # identical clones: first survives verbatim, second empties
+    assert rows[3].removed_tokens == 0 and rows[3].clean_text == clone
+    assert rows[4].removed_tokens == 12 and rows[4].clean_text == ""
+    # contrast: plain dedup_spans empties BOTH clones
+    plain = {r.doc_id: r for r in dedup_spans(spark, fake_sf).collect()}
+    assert plain[3].clean_text == "" and plain[4].clean_text == ""
+    assert_oracle_match(
+        dedup_spans_keepfirst(spark, fake_sf),
+        registry.AUX_ORACLES["dedup_spans_keepfirst"],
+        fake_sf,
+        "dedup_spans_keepfirst_planted",
+    )
+
+
+def test_dedup_spans_keepfirst_fixture_invariants(spark, sf_dir):
+    """Fixture-level: keepfirst removes a subset of what dedup_spans
+    removes (owners are spared), total corpus token loss is strictly
+    smaller when anything was shared, and the oracle hash matches."""
+    from mapreduce_grpc_spark.operators.dedup import (
+        dedup_spans,
+        dedup_spans_keepfirst,
+    )
+
+    plain = {r.doc_id: r.removed_tokens
+             for r in dedup_spans(spark, sf_dir).collect()}
+    kf = {r.doc_id: r.removed_tokens
+          for r in dedup_spans_keepfirst(spark, sf_dir).collect()}
+    assert set(plain) == set(kf)
+    assert all(kf[d] <= plain[d] for d in kf)
+    if sum(plain.values()) > 0:
+        assert sum(kf.values()) < sum(plain.values())
+    assert_oracle_match(
+        dedup_spans_keepfirst(spark, sf_dir),
+        registry.AUX_ORACLES["dedup_spans_keepfirst"],
+        sf_dir,
+        "dedup_spans_keepfirst_fixture",
+    )
