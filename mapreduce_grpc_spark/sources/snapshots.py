@@ -5054,13 +5054,16 @@ def update_where(
 
 def snap_restore(
     path: str,
-    version: int,
+    version: int | None = None,
     fs: LocalSnapshotFS | None = None,
     spark: SparkSession | None = None,
+    timestamp=None,
 ) -> int:
-    """``RESTORE TABLE ... TO VERSION AS OF n`` — roll the table back
-    (or forward) to an earlier version's exact file set as a NEW
-    commit.
+    """``RESTORE TABLE ... TO VERSION AS OF n`` (or ``TO TIMESTAMP AS
+    OF t`` — pass ``timestamp``, exclusive with ``version``, resolved
+    on the skew-adjusted commit timeline like every other time-travel
+    read) — roll the table back (or forward) to an earlier version's
+    exact file set as a NEW commit.
 
     Metadata-only on unconstrained tables: no data file is read or
     written; the new manifest simply references version ``n``'s files
@@ -5078,6 +5081,14 @@ def snap_restore(
     case) so a rollback cannot resurface rows a later constraint
     outlawed."""
     f = _fs(fs)
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "snap_restore: pass version OR timestamp, not both"
+            )
+        version = version_at_timestamp(path, timestamp, fs)
+    if version is None:
+        raise ValueError("snap_restore: pass version or timestamp")
     try:
         target = read_manifest(path, version, fs)
     except FileNotFoundError as e:

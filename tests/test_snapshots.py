@@ -3185,6 +3185,38 @@ def test_snap_restore_round_trip(spark, tmp_path):
     assert snap_restore(path, 5) == 5
 
 
+def test_snap_restore_by_timestamp(spark, tmp_path):
+    """RESTORE ... TO TIMESTAMP AS OF: resolves on the same adjusted
+    commit timeline as every other time-travel read (exact stamp = that
+    version, mid-gap = earlier version); exclusive with version; a
+    version-or-timestamp argument is required."""
+    import time as _time
+
+    from mapreduce_grpc_spark.sources.snapshots import (
+        snap_append,
+        snap_restore,
+        snapshot_audit,
+    )
+
+    path = str(tmp_path / "snap")
+    df = _mk_table(spark, path, n=60, n_files=1)  # v1
+    _time.sleep(0.05)
+    snap_append(
+        spark, path,
+        spark.range(100, 110).select(
+            F.col("id").alias("k"), F.lit("late").alias("v")
+        ),
+    )  # v2
+    ts = [a["ts"] for a in snapshot_audit(path)]
+    v = snap_restore(path, timestamp=(ts[0] + ts[1]) / 2)  # -> v1 state
+    assert v == 3
+    assert _rows(snap_read(spark, path)) == _rows(df)
+    with pytest.raises(ValueError, match="not both"):
+        snap_restore(path, 1, timestamp=ts[0])
+    with pytest.raises(ValueError, match="version or timestamp"):
+        snap_restore(path)
+
+
 def test_snap_restore_carries_current_txns(spark, tmp_path):
     """A streaming writer's high-water mark survives a rollback —
     otherwise replayed batches double-apply after a restore."""
