@@ -4161,9 +4161,11 @@ def table_changes(
     spark: SparkSession,
     path: str,
     keys: list[str],
-    from_version: int,
+    from_version: int | None = None,
     to_version: int | None = None,
     fs: LocalSnapshotFS | None = None,
+    from_timestamp=None,
+    to_timestamp=None,
 ) -> DataFrame:
     """Row-level CHANGE DATA FEED between committed versions (the Delta
     CDF / Iceberg changelog surface), derived purely from the manifests
@@ -4187,10 +4189,35 @@ def table_changes(
     materialized-view maintenance possible without rescanning the table.
 
     ``from_version`` is EXCLUSIVE (the state you already have);
-    ``to_version`` inclusive, default CURRENT.  Cost at 100 TB:
+    ``to_version`` inclusive, default CURRENT.  The Delta CDF
+    timestamp forms compose on the same adjusted commit timeline:
+    ``from_timestamp`` (exclusive with ``from_version``) means "every
+    change AT or AFTER the instant" — resolved like the streaming
+    ``startingTimestamp`` (the version strictly before it becomes the
+    exclusive floor; 0 on a pre-history instant) — and
+    ``to_timestamp`` (exclusive with ``to_version``) pins the
+    inclusive end via ``version_at_timestamp``.  Cost at 100 TB:
     O(rewritten files across the range + join of their rows) — for a
     clustered table that is the update slice, not the table.
     """
+    if from_timestamp is not None:
+        if from_version is not None:
+            raise ValueError(
+                "table_changes: pass from_version OR from_timestamp,"
+                " not both"
+            )
+        from_version = version_before_timestamp(path, from_timestamp, fs)
+    if from_version is None:
+        raise ValueError(
+            "table_changes: pass from_version or from_timestamp"
+        )
+    if to_timestamp is not None:
+        if to_version is not None:
+            raise ValueError(
+                "table_changes: pass to_version OR to_timestamp,"
+                " not both"
+            )
+        to_version = version_at_timestamp(path, to_timestamp, fs)
     to_v = current_version(path, fs) if to_version is None else to_version
     if from_version >= to_v:
         raise ValueError(
@@ -4545,7 +4572,10 @@ def snap_clone(
 
 
 def _clone_protected(
-    path: str, f: LocalSnapshotFS, fs: LocalSnapshotFS | None
+    path: str,
+    f: LocalSnapshotFS,
+    fs: LocalSnapshotFS | None,
+    retire: bool = True,
 ) -> set[str]:
     """File names of ``path`` that some live clone still references —
     the source GC's do-not-delete set.  Walks every readable manifest
@@ -4593,7 +4623,7 @@ def _clone_protected(
                             refs.add(e["bloom"]["file"])
         if refs:
             protected |= refs
-        else:
+        elif retire:
             f.remove(marker)
     return protected
 
@@ -4603,9 +4633,15 @@ def expire_snapshots(
     keep_last: int = 1,
     orphan_grace_seconds: float = 600.0,
     fs: LocalSnapshotFS | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Delete data files referenced only by expired versions (and the
     expired manifests).  Keeps the most recent ``keep_last`` versions.
+
+    ``dry_run=True`` (the Delta ``VACUUM ... DRY RUN`` shape) returns
+    the same name list WITHOUT touching anything: no file or manifest
+    deletion, no retention-floor checkpoint write, and no clone-marker
+    retirement — a pure preview of what the real run would reclaim.
 
     Orphaned ``data-*`` files and ``_stage-*`` dirs (crashed or
     in-flight writers) are removed only when OLDER than
@@ -4638,7 +4674,7 @@ def expire_snapshots(
             live |= names
     # files a live shallow clone still references must survive this
     # table's GC no matter which versions HERE retained them
-    live |= _clone_protected(path, f, fs)
+    live |= _clone_protected(path, f, fs, retire=not dry_run)
     # delta commit records below the retention floor are about to be
     # deleted, so the oldest retained version must become reconstructible
     # on its own: force a compacted checkpoint at exactly v_min BEFORE
@@ -4647,7 +4683,7 @@ def expire_snapshots(
     # re-verified independently — GC must NEVER delete the only
     # reconstruction path of the retained versions (permanent table
     # loss); aborting here leaves the table fully intact.
-    if any(v < v_min for v in all_versions):
+    if any(v < v_min for v in all_versions) and not dry_run:
         _maybe_checkpoint(
             f, path, v_min, read_manifest(path, v_min, fs)["files"],
             force=True,
@@ -4665,7 +4701,8 @@ def expire_snapshots(
         full = os.path.join(path, name)
         if name.startswith("_stage-"):
             if now - f.getmtime(full) >= orphan_grace_seconds:
-                f.rmtree(full)
+                if not dry_run:
+                    f.rmtree(full)
                 deleted.append(name)
             continue
         if not (
@@ -4679,14 +4716,17 @@ def expire_snapshots(
         if name in live:
             continue
         if name in referenced:  # expired-version file: safe, no grace
-            f.remove(full)
+            if not dry_run:
+                f.remove(full)
             deleted.append(name)
         elif now - f.getmtime(full) >= orphan_grace_seconds:
-            f.remove(full)
+            if not dry_run:
+                f.remove(full)
             deleted.append(name)
     for v in all_versions:
         if v not in keep_versions:
-            f.remove(_manifest_path(path, v))
+            if not dry_run:
+                f.remove(_manifest_path(path, v))
             deleted.append(f"v{v}.json")
     # checkpoints strictly below the retention floor serve no retained
     # version (v_min has its own, just written above); multi-part
@@ -4698,7 +4738,8 @@ def expire_snapshots(
             except ValueError:
                 continue
             if v < v_min:
-                f.remove(os.path.join(path, _MANIFEST_DIR, name))
+                if not dry_run:
+                    f.remove(os.path.join(path, _MANIFEST_DIR, name))
                 deleted.append(name)
     return deleted
 

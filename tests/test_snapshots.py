@@ -4149,3 +4149,98 @@ def test_source_gc_protects_clone_references(spark, tmp_path):
         "dead clone must stop protecting the source's bytes"
     )
     assert os.listdir(os.path.join(src, "_clones")) == []
+
+
+def test_table_changes_timestamp_bounds(spark, tmp_path):
+    """CDF timestamp forms: from_timestamp means every change
+    at-or-after the instant (exclusive floor = the version strictly
+    before it), to_timestamp pins the inclusive end; both compose on
+    the adjusted commit timeline and are exclusive with their version
+    twins."""
+    import time as _time
+
+    from mapreduce_grpc_spark.sources.snapshots import (
+        snap_append,
+        snapshot_audit,
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=20, n_files=1)  # v1
+    for lo in (100, 200):
+        _time.sleep(0.05)
+        snap_append(
+            spark, path,
+            spark.range(lo, lo + 5).select(
+                F.col("id").alias("k"),
+                F.concat(F.lit("v"), F.col("id")).alias("v"),
+            ),
+        )  # v2, v3
+    ts = [a["ts"] for a in snapshot_audit(path)]
+    # from v2's own stamp: v2 and v3 stream (at-or-after)
+    feed = table_changes(
+        spark, path, keys=["k"], from_timestamp=ts[1]
+    )
+    assert sorted(
+        {r["_commit_version"] for r in feed.collect()}
+    ) == [2, 3]
+    # mid-gap start + exact end stamp: only v3
+    feed = table_changes(
+        spark, path, keys=["k"],
+        from_timestamp=(ts[1] + ts[2]) / 2, to_timestamp=ts[2],
+    )
+    rows = feed.collect()
+    assert {r["_commit_version"] for r in rows} == {3}
+    assert sorted(r.k for r in rows) == list(range(200, 205))
+    # version/timestamp forms are mutually exclusive, and one floor
+    # argument is required
+    with pytest.raises(ValueError, match="not both"):
+        table_changes(
+            spark, path, keys=["k"],
+            from_version=1, from_timestamp=ts[1],
+        )
+    with pytest.raises(ValueError, match="not both"):
+        table_changes(
+            spark, path, keys=["k"],
+            from_version=1, to_version=3, to_timestamp=ts[2],
+        )
+    with pytest.raises(ValueError, match="from_version or from_timestamp"):
+        table_changes(spark, path, keys=["k"])
+
+
+def test_expire_snapshots_dry_run(spark, tmp_path):
+    """VACUUM DRY RUN: the same reclaim list as the real run, with
+    NOTHING touched — files, manifests, and clone markers all stay."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        expire_snapshots,
+        snap_clone,
+        update_where,
+    )
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path, n=100, n_files=2)
+    dead_clone = str(tmp_path / "dead")
+    snap_clone(path, dead_clone)
+    import shutil as _sh
+
+    _sh.rmtree(dead_clone)  # dead clone: its marker WOULD retire
+    update_where(spark, path, [("k", ">=", 0)], {"v": "'x'"})  # v2
+    before_files = sorted(os.listdir(path))
+    before_manifests = sorted(
+        os.listdir(os.path.join(path, "_manifests"))
+    )
+    preview = expire_snapshots(
+        path, keep_last=1, orphan_grace_seconds=0, dry_run=True
+    )
+    assert preview, "v1's rewritten files must be reclaimable"
+    # nothing moved: files, manifests, AND the dead clone's marker
+    assert sorted(os.listdir(path)) == before_files
+    assert sorted(
+        os.listdir(os.path.join(path, "_manifests"))
+    ) == before_manifests
+    assert os.listdir(os.path.join(path, "_clones"))
+    # the real run deletes exactly what the preview promised
+    real = expire_snapshots(path, keep_last=1, orphan_grace_seconds=0)
+    assert sorted(real) == sorted(preview)
+    assert os.listdir(os.path.join(path, "_clones")) == []
+    assert snap_read(spark, path).count() == 100
