@@ -70,57 +70,88 @@ def _bucket_equidepth(col: str, bounds: list[float]) -> F.Column:
     )
 
 
-def _morton2(a: F.Column, b: F.Column) -> F.Column:
-    """Interleave two BITS-bit values: a's bit i -> position 2i+1, b's ->
-    2i.  Pure shift/mask arithmetic, whole-stage-codegen friendly."""
+def _morton(buckets: list) -> F.Column:
+    """Interleave K BITS-bit values into a K*BITS-bit Morton key: column
+    j's bit i lands at position ``i*K + (K-1-j)`` (for K=2 exactly the
+    classic a->2i+1 / b->2i interleave, so 2-column keys are
+    bit-identical to the original implementation).  Buckets are cast to
+    BIGINT before shifting so the key stays exact up to K*BITS <= 63
+    bits (K <= 7 at 8 bits/column).  Pure shift/mask arithmetic,
+    whole-stage-codegen friendly."""
+    k = len(buckets)
+    if k * BITS > 63:
+        raise ValueError(
+            f"zorder: at most {63 // BITS} columns at {BITS} bits each"
+        )
     terms = []
-    for i in range(BITS):
-        terms.append(
-            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-        terms.append(
-            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
-        )
+    for j, b in enumerate(buckets):
+        bl = b.cast("long")
+        for i in range(BITS):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(bl, i).bitwiseAND(F.lit(1)),
+                    i * k + (k - 1 - j),
+                )
+            )
     return reduce(lambda x, y: x.bitwiseOR(y), terms)
+
+
+def _morton2(a: F.Column, b: F.Column) -> F.Column:
+    """The classic two-column interleave — kept as the K=2 special case
+    of :func:`_morton` (bit-identical by construction)."""
+    return _morton([a, b])
 
 
 def zorder_frame(
     df: DataFrame,
-    cols: tuple[str, str],
+    cols,
     n_files: int,
     equidepth: bool = False,
 ) -> DataFrame:
-    """``df`` re-clustered along the Z-order curve of two numeric
-    columns into ``n_files`` range partitions — the transform behind
+    """``df`` re-clustered along the Z-order curve of 2..7 numeric
+    columns (the Delta ``ZORDER BY (a, b, ...)`` arity) into
+    ``n_files`` range partitions — the transform behind
     ``zorder_write``, exposed so manifest-committed writers
     (``sources/snapshots.optimize_snapshot``) can cluster without the
-    directory-write step.
+    directory-write step.  Two-column keys are bit-identical to the
+    original pairwise implementation, so existing layouts re-optimize
+    to the same order.
 
     ``equidepth=True`` derives bucket boundaries from ``approxQuantile``
     (equal row mass per bucket) instead of the min-max affine scale —
     required for skewed columns, where equi-width buckets collapse and
     the curve degenerates (measured in tests/test_layout.py)."""
-    ca, cb = cols
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("zorder needs at least two columns")
     if equidepth:
         qs = [i / (1 << BITS) for i in range(1, 1 << BITS)]
         dfq = df.select(
-            F.col(ca).cast("double").alias("_qa"),
-            F.col(cb).cast("double").alias("_qb"),
+            *[
+                F.col(c).cast("double").alias(f"_q{j}")
+                for j, c in enumerate(cols)
+            ]
         )
-        bounds_a, bounds_b = dfq.approxQuantile(["_qa", "_qb"], qs, 0.001)
-        z = _morton2(
-            _bucket_equidepth(ca, bounds_a), _bucket_equidepth(cb, bounds_b)
+        bounds = dfq.approxQuantile(
+            [f"_q{j}" for j in range(len(cols))], qs, 0.001
+        )
+        z = _morton(
+            [
+                _bucket_equidepth(c, bs)
+                for c, bs in zip(cols, bounds)
+            ]
         )
     else:
-        stats = df.agg(
-            F.min(F.col(ca).cast("double")).alias("a_lo"),
-            F.max(F.col(ca).cast("double")).alias("a_hi"),
-            F.min(F.col(cb).cast("double")).alias("b_lo"),
-            F.max(F.col(cb).cast("double")).alias("b_hi"),
-        ).collect()[0]
-        z = _morton2(
-            _bucket(ca, stats.a_lo, stats.a_hi),
-            _bucket(cb, stats.b_lo, stats.b_hi),
+        aggs = []
+        for j, c in enumerate(cols):
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"_lo{j}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"_hi{j}"))
+        stats = df.agg(*aggs).collect()[0]
+        z = _morton(
+            [
+                _bucket(c, stats[f"_lo{j}"], stats[f"_hi{j}"])
+                for j, c in enumerate(cols)
+            ]
         )
     return (
         df.withColumn("_z", z)
@@ -133,13 +164,13 @@ def zorder_frame(
 def zorder_write(
     spark: SparkSession,
     df: DataFrame,
-    cols: tuple[str, str],
+    cols,
     path: str,
     n_files: int,
     equidepth: bool = False,
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files clustered on the Z-order
-    curve of two numeric columns (see :func:`zorder_frame`)."""
+    curve of 2..7 numeric columns (see :func:`zorder_frame`)."""
     zorder_frame(df, cols, n_files, equidepth).write.mode(
         "errorifexists"
     ).parquet(path)

@@ -3535,7 +3535,7 @@ def _compact_partitioned(
     f: LocalSnapshotFS,
     fs: LocalSnapshotFS | None,
     cm: dict,
-    zorder: tuple[str, str] | None = None,
+    zorder: tuple | None = None,
     equidepth: bool = False,
 ) -> tuple[list[dict], list[dict], list[dict]]:
     """Partition-aware rewrite for ``optimize_snapshot`` (the
@@ -3689,7 +3689,7 @@ def optimize_snapshot(
     spark: SparkSession,
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
-    zorder: tuple[str, str] | None = None,
+    zorder: tuple | None = None,
     equidepth: bool = False,
     cluster_by: list[str] | None = None,
     where: list | None = None,

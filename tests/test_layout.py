@@ -151,3 +151,89 @@ def test_zorder_single_filter_prunes_files(spark, sf_dir, tmp_path):
     ]
     assert len(hit_a) <= N_FILES // 2, f"user filter hits {len(hit_a)} files"
     assert len(hit_b) <= N_FILES // 2, f"value filter hits {len(hit_b)} files"
+
+
+def test_morton_key_bit_layout_pinned(spark):
+    """The Morton key is pinned against an independent Python
+    interleave for K=2 (bit-compatibility with every layout written by
+    earlier rounds) and K=3; >7 columns at 8 bits refuses (key would
+    overflow BIGINT)."""
+    import pytest
+
+    from mapreduce_grpc_spark.sources.layout import BITS, _morton
+
+    def py_morton(vals):
+        k = len(vals)
+        out = 0
+        for j, v in enumerate(vals):
+            for i in range(BITS):
+                out |= ((v >> i) & 1) << (i * k + (k - 1 - j))
+        return out
+
+    rows = [(5, 200, 31), (255, 0, 128), (1, 2, 3), (170, 85, 204)]
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+    got2 = [
+        r.z
+        for r in df.select(
+            _morton([F.col("a"), F.col("b")]).alias("z")
+        ).collect()
+    ]
+    assert got2 == [py_morton([a, b]) for a, b, _ in rows]
+    got3 = [
+        r.z
+        for r in df.select(
+            _morton([F.col("a"), F.col("b"), F.col("c")]).alias("z")
+        ).collect()
+    ]
+    assert got3 == [py_morton([a, b, c]) for a, b, c in rows]
+    with pytest.raises(ValueError, match="at most"):
+        _morton([F.col("a")] * 8)
+
+
+def test_zorder_three_columns_prunes_each(spark, tmp_path):
+    """ZORDER BY (x, y, w): 64 files tile the 3-D curve 4x4x4, so
+    per-file envelopes cover a fraction of EACH column, while an
+    x-only sort leaves y and w unpruned (~full extent)."""
+    import os
+
+    df = spark.range(200_000).select(
+        F.col("id"),
+        (F.col("id") % 10_000).alias("x"),
+        ((F.col("id") * 2654435761) % 10_000).alias("y"),
+        ((F.col("id") * 40503 + 7) % 10_000).alias("w"),
+    )
+    z_path = str(tmp_path / "z3")
+    s_path = str(tmp_path / "s1")
+    zorder_write(spark, df, ("x", "y", "w"), z_path, 64)
+    (
+        df.repartitionByRange(64, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(s_path)
+    )
+
+    def extents(path, col):
+        vals = []
+        for fn in sorted(os.listdir(path)):
+            if not (fn.startswith("part-") and fn.endswith(".parquet")):
+                continue
+            r = (
+                spark.read.parquet(os.path.join(path, fn))
+                .agg(
+                    F.min(col).alias("lo"), F.max(col).alias("hi")
+                )
+                .collect()[0]
+            )
+            vals.append((r.hi - r.lo) / 9999.0)
+        return sum(vals) / len(vals)
+
+    for col in ("x", "y", "w"):
+        z_ext = extents(z_path, col)
+        assert z_ext < 0.55, (col, z_ext)
+    # the single-column sort cannot prune the other two
+    assert extents(s_path, "y") > 0.8
+    assert extents(s_path, "w") > 0.8
+    # lossless
+    assert (
+        spark.read.parquet(z_path).orderBy("id").collect()
+        == df.orderBy("id").collect()
+    )
