@@ -1216,7 +1216,20 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed from BOTH — run ``dedup_exact`` FIRST so identical clones
     do not erase each other (the Lee et al. pipeline also removes
     exact duplicates before the substring pass; this operator targets
-    cross-page boilerplate, not whole-document copies).
+    cross-page boilerplate, not whole-document copies), or use
+    ``dedup_spans_keepfirst``.
+
+    Plan audit (``.explain``): the gram explode runs TWICE (the
+    shared-gram agg branch and the position-join branch; 2 Generate
+    nodes, no exchange reuse) — deliberate.  The one-pass alternative
+    (``collect_list((doc_id, pos))`` per gram, filter, re-explode)
+    saves the second corpus scan but holds one gram's ENTIRE posting
+    list in a single aggregation buffer — unbounded for a stop-phrase
+    gram at corpus scale, the same hot-key hazard the LSH operators
+    cap.  Re-scanning trades bounded wall time for bounded memory,
+    the scale-safe direction; staging the hashed gram relation
+    (``sources/staging.py``, as ``shingle_hashes`` does) is the
+    documented lever if the double scan ever dominates.
 
     Returns ``doc_id, n_tokens, removed_tokens, clean_text``."""
     from .quality import SPAN_K
