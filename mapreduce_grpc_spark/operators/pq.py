@@ -60,21 +60,10 @@ TOP_K = 5
 RERANK_FACTOR = 10  # ADC keeps 10x top-k candidates for the exact pass
 
 
-def pq_fit(
-    spark: SparkSession,
-    emb: DataFrame,
-    m: int = M_SUBSPACES,
-    k: int = K_CODES,
-    seed: int = 42,
-    sample_cap: int = FIT_SAMPLE,
-) -> list[list[list[float]]]:
-    """Train per-subspace codebooks on a deterministic hash-sample.
-
-    Returns ``codebooks[m][k] -> centroid (list of dim/m floats)``.
-    Driver-local numpy k-means per subspace (k-means++ init, Lloyd to
-    fixpoint) over at most ``sample_cap`` vectors — the fit touches the
-    corpus once for the sample sort-limit; the model is M·k·(dim/M)
-    floats however big the table is."""
+def _sample_matrix(emb: DataFrame, seed: int, sample_cap: int):
+    """Deterministic hash-sample of the embedding relation as a
+    float64 matrix (rows = vectors).  One distributed sort-limit; the
+    result is model-fit-sized regardless of corpus size."""
     import numpy as np
 
     sample = (
@@ -88,12 +77,56 @@ def pq_fit(
     )
     if not sample:
         raise ValueError("pq_fit: empty embedding relation")
-    X = np.stack([list(r.embedding) for r in sample]).astype(np.float64)
+    return np.stack([list(r.embedding) for r in sample]).astype(np.float64)
+
+
+def _lloyd(Xj, C, iters: int):
+    """Lloyd's algorithm from the given centroids, at most ``iters``
+    rounds.  Centroid update via per-dim bincount sums — O(n·sub) per
+    iteration with no Python loop over the k centroids.  bincount
+    accumulates sequentially where a masked ``.mean`` would use
+    pairwise summation, so centroids can move in their LAST BITS vs
+    older builds: fine — fit is deterministic run-to-run, and every
+    downstream gate (ADC identity, recall, agreement) is a floor, not
+    a bit-pin on the codebooks."""
+    import numpy as np
+
+    x_sq = (Xj**2).sum(axis=1)
+    for _ in range(iters):
+        d = (
+            x_sq[:, None]
+            + (C**2).sum(axis=1)[None, :]
+            - 2.0 * (Xj @ C.T)
+        )
+        lab = d.argmin(axis=1)
+        kk = len(C)
+        counts = np.bincount(lab, minlength=kk).astype(np.float64)
+        sums = np.empty((kk, Xj.shape[1]), dtype=np.float64)
+        for dd in range(Xj.shape[1]):
+            sums[:, dd] = np.bincount(
+                lab, weights=Xj[:, dd], minlength=kk
+            )
+        newC = np.where(
+            (counts > 0)[:, None], sums / np.maximum(counts, 1.0)[:, None], C
+        )
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
+def _fit_books_np(X, m: int, k: int, seed: int) -> list:
+    """Per-subspace k-means++ init + Lloyd on a sample matrix.
+    Returns ``list[np.ndarray (k × dim/m)]`` — the numpy core shared
+    by ``pq_fit`` and ``opq_fit`` (same arithmetic, bit-identical to
+    the pre-refactor inline loop)."""
+    import numpy as np
+
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
     sub = dim // m
-    books: list[list[list[float]]] = []
+    books = []
     for j in range(m):
         Xj = X[:, j * sub : (j + 1) * sub]
         rng = np.random.RandomState(seed * 1000 + j)
@@ -111,38 +144,119 @@ def pq_fit(
             c = Xj[rng.choice(len(Xj), p=d2 / tot)]
             cents.append(c)
             d2 = np.minimum(d2, ((Xj - c) ** 2).sum(axis=1))
-        C = np.stack(cents)
-        x_sq = (Xj**2).sum(axis=1)
-        for _ in range(100):
-            d = (
-                x_sq[:, None]
-                + (C**2).sum(axis=1)[None, :]
-                - 2.0 * (Xj @ C.T)
-            )
-            lab = d.argmin(axis=1)
-            # centroid update via per-dim bincount sums — O(n·sub)
-            # per iteration with no Python loop over the k centroids.
-            # bincount accumulates sequentially where the old masked
-            # .mean used pairwise summation, so centroids can move in
-            # their LAST BITS vs the old build: fine — fit is still
-            # deterministic run-to-run, and every downstream gate
-            # (ADC identity, recall, agreement) is a floor, not a
-            # bit-pin on the codebooks
-            kk = len(C)
-            counts = np.bincount(lab, minlength=kk).astype(np.float64)
-            sums = np.empty((kk, Xj.shape[1]), dtype=np.float64)
-            for dd in range(Xj.shape[1]):
-                sums[:, dd] = np.bincount(
-                    lab, weights=Xj[:, dd], minlength=kk
-                )
-            newC = np.where(
-                (counts > 0)[:, None], sums / np.maximum(counts, 1.0)[:, None], C
-            )
-            if np.allclose(newC, C):
-                break
-            C = newC
-        books.append([[float(v) for v in c] for c in C])
+        books.append(_lloyd(Xj, np.stack(cents), 100))
     return books
+
+
+def pq_fit(
+    spark: SparkSession,
+    emb: DataFrame,
+    m: int = M_SUBSPACES,
+    k: int = K_CODES,
+    seed: int = 42,
+    sample_cap: int = FIT_SAMPLE,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks on a deterministic hash-sample.
+
+    Returns ``codebooks[m][k] -> centroid (list of dim/m floats)``.
+    Driver-local numpy k-means per subspace (k-means++ init, Lloyd to
+    fixpoint) over at most ``sample_cap`` vectors — the fit touches the
+    corpus once for the sample sort-limit; the model is M·k·(dim/M)
+    floats however big the table is."""
+    X = _sample_matrix(emb, seed, sample_cap)
+    return [
+        [[float(v) for v in c] for c in C]
+        for C in _fit_books_np(X, m, k, seed)
+    ]
+
+
+def _reconstruct(Xr, books, sub: int):
+    """Quantize-then-decode ``Xr`` against the per-subspace books:
+    returns the reconstruction matrix Y (same shape).  The OPQ inner
+    step — assignments are the argmin-L2 codes, Y is their decoded
+    concatenation."""
+    import numpy as np
+
+    Y = np.empty_like(Xr)
+    for j, C in enumerate(books):
+        Xj = Xr[:, j * sub : (j + 1) * sub]
+        d = (
+            (Xj**2).sum(axis=1)[:, None]
+            + (C**2).sum(axis=1)[None, :]
+            - 2.0 * (Xj @ C.T)
+        )
+        lab = d.argmin(axis=1)
+        Y[:, j * sub : (j + 1) * sub] = C[lab]
+    return Y
+
+
+def opq_fit(
+    spark: SparkSession,
+    emb: DataFrame,
+    m: int = M_SUBSPACES,
+    k: int = K_CODES,
+    seed: int = 42,
+    sample_cap: int = FIT_SAMPLE,
+    outer_iters: int = 8,
+    lloyd_iters: int = 25,
+    history_out: list | None = None,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Optimized PQ (Ge et al. 2013, CVPR — the non-parametric OPQ):
+    learn an ORTHOGONAL rotation R that redistributes variance across
+    the M subspaces before quantization, by alternating (a) PQ fit in
+    the rotated space and (b) the orthogonal-Procrustes update
+    ``R = UVᵀ where X ᵀY = UΣVᵀ`` (Y = the quantized reconstruction).
+    Each step is non-increasing in ``‖XR − Y‖²``, so the recorded
+    distortion history is monotone (pinned in tests).
+
+    Returns ``(rotation, codebooks)`` — rotation as a dim×dim nested
+    list (JSON-able, model-sized: 64² floats here, 8 MB at dim 1024).
+    Because R is orthogonal it preserves inner products and norms:
+    cosine in the rotated space IS cosine in the original, so OPQ
+    changes only candidate quality, never the exact re-rank contract.
+    Driver-local numpy like ``pq_fit`` (fit-small / transform-all);
+    the first outer round does the full k-means++ fit, later rounds
+    warm-start Lloyd from the previous books (standard OPQ practice —
+    the codebooks track the rotation instead of refitting from
+    scratch).  ``history_out`` (optional) receives the per-round
+    distortion ``‖XR − Y‖²`` for curve tools and tests."""
+    import numpy as np
+
+    X = _sample_matrix(emb, seed, sample_cap)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"opq_fit: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    R = np.eye(dim)
+    books = None
+    Y = None
+    prev = None
+    for t in range(outer_iters):
+        if t > 0:
+            # Procrustes update FIRST (so the returned books are
+            # always the ones fit against the returned R):
+            # R ← argmin_{RᵀR=I} ‖XR − Y‖² = UVᵀ where XᵀY = UΣVᵀ
+            U, _, Vt = np.linalg.svd(X.T @ Y)
+            R = U @ Vt
+        Xr = X @ R
+        if books is None:
+            books = _fit_books_np(Xr, m, k, seed)
+        else:
+            books = [
+                _lloyd(Xr[:, j * sub : (j + 1) * sub], C, lloyd_iters)
+                for j, C in enumerate(books)
+            ]
+        Y = _reconstruct(Xr, books, sub)
+        dist = float(((Xr - Y) ** 2).sum())
+        if history_out is not None:
+            history_out.append(dist)
+        if prev is not None and prev - dist <= 1e-9 * max(prev, 1.0):
+            break
+        prev = dist
+    rotation = [[float(v) for v in row] for row in R]
+    return rotation, [
+        [[float(v) for v in c] for c in C] for C in books
+    ]
 
 
 def pq_encode(
@@ -150,6 +264,7 @@ def pq_encode(
     emb_col: str,
     codebooks: list[list[list[float]]],
     out_col: str = "pq_code",
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """ONE distributed encode pass: each vector -> ``array<int>`` of M
     codebook ids (argmin L2 per subspace).  Arrow-batched pandas UDF;
@@ -162,13 +277,24 @@ def pq_encode(
     are bit-identical — the dot-product expansion would perturb
     distance values and could flip near-tie assignments).  This is
     the hottest distributed stage of PQ at 100 TB: every row of the
-    corpus passes through it exactly once."""
+    corpus passes through it exactly once.
+
+    ``rotation`` (OPQ, from ``opq_fit``): an orthogonal dim×dim
+    matrix applied to each vector BEFORE subspace argmin.  It ships
+    in the closure beside the books (dim² floats — 32 KB at the
+    fixture's 64 dims, ~8 MB at 1024; still a model-sized broadcast)
+    and adds one ``(rows × dim) @ (dim × dim)`` matmul per batch."""
     import numpy as np
     import pandas as pd
 
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
     sub = books[0].shape[1]
     m = len(books)
+    R = (
+        np.asarray(rotation, dtype=np.float64)
+        if rotation is not None
+        else None
+    )
 
     @F.pandas_udf("array<int>")
     def encode(vecs):
@@ -181,6 +307,8 @@ def pq_encode(
             X = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
             )
+            if R is not None:
+                X = X @ R
             codes = np.empty((X.shape[0], m), dtype=np.int32)
             for j, B in enumerate(books):
                 Xj = X[:, j * sub : (j + 1) * sub]
@@ -194,15 +322,23 @@ def pq_encode(
 
 
 def adc_tables(
-    q: list[float], codebooks: list[list[list[float]]]
+    q: list[float],
+    codebooks: list[list[list[float]]],
+    rotation: list[list[float]] | None = None,
 ) -> tuple[list[list[float]], list[list[float]], float]:
     """Per-query ADC lookup tables: ``dots[m][k]`` = <q_sub, centroid>,
     ``nrms[m][k]`` = ||centroid||², plus ||q||² — approximate cosine of
     an encoded vector is then M lookups:
-    Σ dots[j][code_j] / (sqrt(Σ nrms[j][code_j]) · sqrt(q_sq))."""
+    Σ dots[j][code_j] / (sqrt(Σ nrms[j][code_j]) · sqrt(q_sq)).
+
+    With an OPQ ``rotation`` the query is rotated into the codebook
+    space first; R is orthogonal, so <qR, xR> = <q, x> and ‖qR‖ = ‖q‖
+    — the ADC score still approximates the ORIGINAL-space cosine."""
     import numpy as np
 
     qa = np.asarray(q, dtype=np.float64)
+    if rotation is not None:
+        qa = qa @ np.asarray(rotation, dtype=np.float64)
     sub = len(codebooks[0][0])
     dots, nrms = [], []
     for j, B in enumerate(codebooks):
@@ -265,21 +401,16 @@ def make_adc_scorer(luts: dict):
     return adc_score
 
 
-def pq_topk(
+def _pq_topk_impl(
     spark: SparkSession,
     sf_dir: str,
-    m: int = M_SUBSPACES,
-    k: int = K_CODES,
-    rerank_factor: int = RERANK_FACTOR,
+    m: int,
+    k: int,
+    rerank_factor: int,
+    rotate: bool,
 ) -> DataFrame:
-    """PQ-ANN top-5 for the first 10 vectors: fit -> encode -> ADC scan
-    -> exact re-rank (module docstring has the scale shape).
-
-    Output schema matches ``similarity_topk``: (q_id, neighbor_id,
-    cos_sim, rank) with cos_sim the EXACT cosine — only the candidate
-    set is approximate.  ``m``/``k``/``rerank_factor`` default to the
-    shipped config; ``tools/pq_recall_curve.py`` sweeps them to place
-    the recall-vs-bits trade on a measured curve."""
+    """Shared fit -> encode -> ADC scan -> exact re-rank body behind
+    ``pq_topk`` (rotate=False) and ``opq_topk`` (rotate=True)."""
     emb = table(spark, sf_dir, "embeddings")
     if not emb.take(1):
         # empty relation: empty result with the contract schema (the
@@ -287,9 +418,13 @@ def pq_topk(
         return spark.createDataFrame(
             [], "q_id long, neighbor_id long, cos_sim double, rank int"
         )
-    books = pq_fit(spark, emb, m=m, k=k)
+    if rotate:
+        rotation, books = opq_fit(spark, emb, m=m, k=k)
+    else:
+        rotation, books = None, pq_fit(spark, emb, m=m, k=k)
     coded = pq_encode(
-        emb.select("vec_id", "embedding"), "embedding", books
+        emb.select("vec_id", "embedding"), "embedding", books,
+        rotation=rotation,
     ).select("vec_id", "pq_code")
 
     q_rows = (
@@ -298,7 +433,8 @@ def pq_topk(
         .collect()
     )
     luts = {
-        int(r.vec_id): adc_tables(list(r.embedding), books) for r in q_rows
+        int(r.vec_id): adc_tables(list(r.embedding), books, rotation)
+        for r in q_rows
     }
     adc_score = make_adc_scorer(luts)
 
@@ -335,9 +471,46 @@ def pq_topk(
     )
 
 
+def pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = M_SUBSPACES,
+    k: int = K_CODES,
+    rerank_factor: int = RERANK_FACTOR,
+) -> DataFrame:
+    """PQ-ANN top-5 for the first 10 vectors: fit -> encode -> ADC scan
+    -> exact re-rank (module docstring has the scale shape).
+
+    Output schema matches ``similarity_topk``: (q_id, neighbor_id,
+    cos_sim, rank) with cos_sim the EXACT cosine — only the candidate
+    set is approximate.  ``m``/``k``/``rerank_factor`` default to the
+    shipped config; ``tools/pq_recall_curve.py`` sweeps them to place
+    the recall-vs-bits trade on a measured curve."""
+    return _pq_topk_impl(spark, sf_dir, m, k, rerank_factor, rotate=False)
+
+
+def opq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = M_SUBSPACES,
+    k: int = K_CODES,
+    rerank_factor: int = RERANK_FACTOR,
+) -> DataFrame:
+    """``pq_topk`` with the OPQ learned rotation (``opq_fit``) — same
+    schema, same exact-cosine re-rank contract; only the quantizer
+    changes.  PLANS.md r12 records the measured trigger conditions
+    (dim ≳ 256 with correlated blocks, or recall@5 < 0.95 on the
+    curve) under which the rotation earns its extra matmul; this
+    query keeps the lever exercised end-to-end on the fixture, and
+    ``tools/opq_gain.py`` measures the distortion/recall gain on a
+    correlated synthetic where plain PQ's subspace split is
+    deliberately misaligned."""
+    return _pq_topk_impl(spark, sf_dir, m, k, rerank_factor, rotate=True)
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 # iterative k-means fit: no single-SQL oracle — pytest pins ADC math
 # against numpy, recall against the exact twin, and determinism
-AUX_QUERIES = {"pq_topk": pq_topk}
+AUX_QUERIES = {"pq_topk": pq_topk, "opq_topk": opq_topk}
 AUX_ORACLES: dict = {}

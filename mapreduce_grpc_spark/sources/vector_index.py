@@ -139,11 +139,21 @@ def ivf_index_init(
     fs: LocalSnapshotFS | None = None,
     pq_m: int | None = None,
     pq_k: int = 64,
+    opq: bool = False,
 ) -> dict:
     """Train the coarse quantizer on ``emb`` (``vec_id``,
     ``embedding``) and persist the index: ``centroids`` (cell,
     centroid) and cell-clustered ``postings`` (vec_id, cell,
     embedding) snapshot tables under ``path``.
+
+    ``opq=True`` (requires ``pq_m``) trains the OPQ learned rotation
+    (``operators/pq.py:opq_fit`` — Ge et al. 2013) before the
+    codebooks and persists it in the same model table as ``sub = -1``
+    rows, one per rotation row; every posting encode and every ADC
+    query LUT then rotates first.  R is orthogonal, so ADC still
+    approximates the ORIGINAL-space cosine and the exact re-rank is
+    untouched — the lever PLANS.md r12 prescribes when dims grow
+    correlated or the recall curve sags.
 
     ``pq_m`` turns the index into IVF-PQ (the faiss ``IVFPQ`` shape):
     per-subspace codebooks (``pq_m`` subspaces x ``pq_k`` codes,
@@ -178,11 +188,19 @@ def ivf_index_init(
         .select("vec_id", "cell", "embedding")
     )
     books = None
+    rotation = None
+    if opq and not pq_m:
+        raise ValueError("ivf_index_init: opq=True requires pq_m")
     if pq_m:
-        from ..operators.pq import pq_encode, pq_fit
+        from ..operators.pq import opq_fit, pq_encode, pq_fit
 
-        books = pq_fit(spark, emb, m=pq_m, k=pq_k, seed=seed)
-        postings = pq_encode(postings, "embedding", books)
+        if opq:
+            rotation, books = opq_fit(spark, emb, m=pq_m, k=pq_k, seed=seed)
+        else:
+            books = pq_fit(spark, emb, m=pq_m, k=pq_k, seed=seed)
+        postings = pq_encode(
+            postings, "embedding", books, rotation=rotation
+        )
     postings = postings.repartitionByRange(
         max(2, n_cells // 2), "cell"
     ).sortWithinPartitions("cell", "vec_id")
@@ -202,6 +220,11 @@ def ivf_index_init(
             for j, B in enumerate(books)
             for c, vec in enumerate(B)
         ]
+        if rotation is not None:
+            # the rotation rides in the same model table as sub = -1
+            # rows (code = row index): one table, one loader, and a
+            # plain-PQ index stays byte-identical to pre-OPQ builds
+            book_rows += [(-1, i, row) for i, row in enumerate(rotation)]
         snap_init(
             spark,
             spark.createDataFrame(
@@ -217,7 +240,9 @@ def ivf_index_init(
     )
     _write_meta(
         spark, path, baseline, n_cells, seed, fs, create=True,
-        extra={"pq_m": pq_m, "pq_k": pq_k} if pq_m else None,
+        extra=(
+            {"pq_m": pq_m, "pq_k": pq_k, "opq": opq} if pq_m else None
+        ),
     )
     return {
         "cells": n_cells,
@@ -225,25 +250,38 @@ def ivf_index_init(
         "postings_version": pv,
         "drift_baseline": baseline,
         "pq": bool(pq_m),
+        "opq": bool(pq_m and opq),
     }
 
 
-def _load_pq_books(
+def _load_pq_model(
     spark: SparkSession, path: str, fs: LocalSnapshotFS | None
-) -> list[list[list[float]]] | None:
-    """The persisted PQ codebooks as the nested-list model (None on a
-    flat IVF index).  Model-sized: collect is M x k rows."""
+) -> tuple[
+    list[list[list[float]]] | None, list[list[float]] | None
+]:
+    """The persisted ``(codebooks, rotation)`` model — ``(None,
+    None)`` on a flat IVF index, rotation ``None`` on plain PQ.
+    ``sub = -1`` rows are the OPQ rotation (code = row index).
+    Model-sized: collect is M x k (+ dim) rows."""
     try:
         rows = snap_read(spark, _pq_books_path(path), fs=fs).collect()
     except FileNotFoundError:
-        return None
+        return None, None
     by_sub: dict[int, dict[int, list[float]]] = {}
+    rot_rows: dict[int, list[float]] = {}
     for r in rows:
-        by_sub.setdefault(int(r.sub), {})[int(r.code)] = list(r.centroid)
-    return [
+        if int(r.sub) < 0:
+            rot_rows[int(r.code)] = list(r.centroid)
+        else:
+            by_sub.setdefault(int(r.sub), {})[int(r.code)] = list(r.centroid)
+    books = [
         [by_sub[j][c] for c in sorted(by_sub[j])]
         for j in sorted(by_sub)
     ]
+    rotation = (
+        [rot_rows[i] for i in sorted(rot_rows)] if rot_rows else None
+    )
+    return books, rotation
 
 
 def _load_centroids(
@@ -283,11 +321,11 @@ def ivf_index_insert(
         )
         .select("vec_id", "cell", "embedding")
     )
-    books = _load_pq_books(spark, path, fs)
+    books, rotation = _load_pq_model(spark, path, fs)
     if books is not None:
         from ..operators.pq import pq_encode
 
-        batch = pq_encode(batch, "embedding", books)
+        batch = pq_encode(batch, "embedding", books, rotation=rotation)
     return merge_upsert_cow(
         spark,
         _postings_path(path),
@@ -998,7 +1036,7 @@ def _adc_search(
     slices as separate calls, minus the duplicate vector fetches."""
     from ..operators.pq import adc_tables, make_adc_scorer
 
-    books = _load_pq_books(spark, path, fs)
+    books, rotation = _load_pq_model(spark, path, fs)
     if books is None:
         raise ValueError(
             f"ivf_search(method='adc'): index at {path!r} has no PQ "
@@ -1029,7 +1067,8 @@ def _adc_search(
     for lo in range(0, len(q_rows), ADC_QUERY_MAX):
         chunk = q_rows[lo : lo + ADC_QUERY_MAX]
         luts = {
-            int(r.q_id): adc_tables(list(r.q_emb), books) for r in chunk
+            int(r.q_id): adc_tables(list(r.q_emb), books, rotation)
+            for r in chunk
         }
         chunk_cells = sorted(
             {c for qid in luts for c in cells_by_q.get(qid, [])}

@@ -25,7 +25,11 @@ from mapreduce_grpc_spark.catalog import table
 from mapreduce_grpc_spark.operators.pq import (
     K_CODES,
     M_SUBSPACES,
+    _reconstruct,
+    _sample_matrix,
     adc_tables,
+    opq_fit,
+    opq_topk,
     pq_encode,
     pq_fit,
     pq_topk,
@@ -120,6 +124,110 @@ def test_recall_vs_exact_bounded(spark, sf_dir):
     ]
     recall = sum(per_q) / len(per_q)
     assert recall >= 0.8, f"pq recall@5 collapsed: {recall}"
+
+
+def test_opq_rotation_orthogonal_and_monotone(spark, sf_dir):
+    """The learned rotation is orthogonal (so cosine is preserved —
+    the invariant the exact re-rank contract rides on), and the
+    alternating optimization's distortion history is non-increasing
+    (each step — Lloyd, assignment, Procrustes — can only lower
+    ‖XR − Y‖²)."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    hist: list = []
+    R, books = opq_fit(spark, emb, history_out=hist)
+    Rn = np.asarray(R, dtype=np.float64)
+    assert Rn.shape == (64, 64)
+    assert float(np.abs(Rn @ Rn.T - np.eye(64)).max()) < 1e-10
+    assert len(books) == M_SUBSPACES
+    assert len(hist) >= 2
+    assert all(
+        a >= b - 1e-9 * max(abs(a), 1.0) for a, b in zip(hist, hist[1:])
+    ), f"distortion history not monotone: {hist}"
+    # the rotation must actually help vs round 0 (identity rotation =
+    # plain PQ's distortion on the same sample)
+    assert hist[-1] < hist[0]
+
+
+def test_opq_identity_rotation_is_plain_pq(spark, sf_dir, fitted):
+    """rotation=identity is a no-op: codes bit-identical to the
+    unrotated encode, ADC tables bit-identical — so the OPQ code path
+    can never drift from plain PQ where R = I."""
+    import numpy as np
+
+    emb, books, coded = fitted
+    eye = [[float(v) for v in row] for row in np.eye(64)]
+    rot = pq_encode(
+        emb.select("vec_id", "embedding"), "embedding", books,
+        rotation=eye,
+    ).collect()
+    assert sorted((r.vec_id, tuple(r.pq_code)) for r in coded) == sorted(
+        (r.vec_id, tuple(r.pq_code)) for r in rot
+    )
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]
+    assert adc_tables(list(q.embedding), books) == adc_tables(
+        list(q.embedding), books, rotation=eye
+    )
+
+
+def test_opq_beats_pq_on_correlated_synthetic(spark):
+    """The case OPQ exists for: anisotropic data whose variance is
+    smeared across the natural subspace split by a random rotation.
+    Plain PQ quantizes each raw-dim pair independently and pays for
+    the misalignment; OPQ learns the rotation back.  Gate: OPQ sample
+    distortion strictly below plain PQ's on the same sample."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n, dim, m, k = (2000, 16, 8, 16)
+    scales = np.exp(-np.arange(dim) / 2.0)  # sharply decaying spectrum
+    Q, _ = np.linalg.qr(rng.randn(dim, dim))
+    Z = rng.randn(n, dim) * scales
+    X = Z @ Q  # variance now smeared across all raw dims
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    sample = _sample_matrix(df, 42, 50_000)
+    pq_books = [
+        np.asarray(b, dtype=np.float64)
+        for b in pq_fit(spark, df, m=m, k=k)
+    ]
+    pq_dist = float(
+        ((sample - _reconstruct(sample, pq_books, dim // m)) ** 2).sum()
+    )
+    hist: list = []
+    opq_fit(spark, df, m=m, k=k, history_out=hist)
+    assert hist[-1] < 0.9 * pq_dist, (
+        f"OPQ gained <10% on correlated data: opq={hist[-1]} pq={pq_dist}"
+    )
+
+
+def test_opq_topk_recall_and_determinism(spark, sf_dir):
+    """opq_topk holds the same contract as pq_topk: exact-cosine
+    ranks, 5 rows per query, deterministic, recall@5 vs the exact
+    twin at least as bounded."""
+    exact = {}
+    for r in similarity_topk(spark, sf_dir).collect():
+        exact.setdefault(r.q_id, set()).add(r.neighbor_id)
+    rows1 = opq_topk(spark, sf_dir).collect()
+    rows2 = opq_topk(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    approx = {}
+    by_q = {}
+    for r in rows1:
+        approx.setdefault(r.q_id, set()).add(r.neighbor_id)
+        by_q.setdefault(r.q_id, []).append(r)
+    per_q = [
+        len(approx.get(q, set()) & hits) / len(hits)
+        for q, hits in exact.items()
+    ]
+    recall = sum(per_q) / len(per_q)
+    assert recall >= 0.8, f"opq recall@5 collapsed: {recall}"
+    assert len(by_q) == 10
+    for q, rs in by_q.items():
+        assert sorted(r.rank for r in rs) == [1, 2, 3, 4, 5]
 
 
 def test_pq_topk_deterministic_and_exactly_ranked(spark, sf_dir):

@@ -670,6 +670,72 @@ def test_pq_code_survives_insert_and_refit(spark, pq_index):
     assert len(rows) == 25
 
 
+def test_opq_index_end_to_end(spark, sf_dir, tmp_path_factory):
+    """IVF-PQ with the OPQ learned rotation (opq=True): the rotation
+    persists as sub = -1 model rows and is orthogonal; ADC search
+    still emits EXACT cosine and overlaps the exact in-cell ranking;
+    inserts encode through the SAME rotation (codes for re-inserted
+    vectors equal their original postings' codes)."""
+    import numpy as np
+
+    from mapreduce_grpc_spark.sources.vector_index import (
+        _load_pq_model,
+        _pq_books_path,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfopq") / "idx")
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    info = ivf_index_init(
+        spark, emb, path, n_cells=8, seed=42, pq_m=16, pq_k=32, opq=True
+    )
+    assert info["opq"] is True
+    books, rotation = _load_pq_model(spark, path, None)
+    assert books is not None and rotation is not None
+    R = np.asarray(rotation, dtype=np.float64)
+    assert R.shape == (64, 64)
+    assert float(np.abs(R @ R.T - np.eye(64)).max()) < 1e-10
+    # persisted as sub = -1 rows in the one model table
+    model = snap_read(spark, _pq_books_path(path))
+    assert model.filter(F.col("sub") == -1).count() == 64
+    # search: exact-cosine scores, bounded overlap with exact ranking
+    q = (
+        emb.orderBy("vec_id")
+        .limit(10)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    exact = ivf_search(spark, path, q, nprobe=2, top_k=5).collect()
+    adc = ivf_search(
+        spark, path, q, nprobe=2, top_k=5, method="adc"
+    ).collect()
+    assert len(adc) == len(exact)
+    overlap = len(_pairs(adc) & _pairs(exact)) / len(_pairs(exact))
+    assert overlap >= 0.7, overlap
+    ex_scores = {(r.q_id, r.neighbor_id): r.cos_sim for r in exact}
+    for r in adc:
+        if (r.q_id, r.neighbor_id) in ex_scores:
+            assert abs(r.cos_sim - ex_scores[(r.q_id, r.neighbor_id)]) < 1e-12
+    # insert path rotates too: re-insert existing vectors under fresh
+    # ids; their codes must equal the original postings' codes
+    sample_ids = [r.vec_id for r in emb.orderBy("vec_id").limit(20).collect()]
+    new = emb.filter(F.col("vec_id").isin(sample_ids)).select(
+        (F.col("vec_id") + 700_000).alias("vec_id"), "embedding"
+    )
+    ivf_index_insert(spark, path, new)
+    post = snap_read(spark, _postings_path(path))
+    orig_codes = {
+        r.vec_id: tuple(r.pq_code)
+        for r in post.filter(F.col("vec_id").isin(sample_ids)).collect()
+    }
+    ins_codes = {
+        r.vec_id - 700_000: tuple(r.pq_code)
+        for r in post.filter(F.col("vec_id") >= 700_000).collect()
+    }
+    assert ins_codes == orig_codes
+
+
 def test_adc_on_flat_index_refused(spark, index):
     path, emb, _ = index
     q = emb.limit(1).select(
