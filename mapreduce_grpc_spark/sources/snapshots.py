@@ -1590,6 +1590,126 @@ def snap_add_column(
 
 
 
+# Lossless type widenings (the Delta ``typeWidening`` matrix, minus
+# date->timestampNTZ): integer chain, float->double, the sub-long
+# integers into double (<= 32 significant bits fits double's 53-bit
+# mantissa exactly; long does NOT and is refused), and decimal growth
+# that never shrinks scale or integer digits.  Integer->decimal needs
+# enough integer digits for the source's full range.
+_INT_WIDTH = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+_INT_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 19}
+
+
+def _is_widening(old, new) -> bool:
+    """True iff every value of ``old`` is exactly representable in
+    ``new`` (so a metadata-only type change can never corrupt data)."""
+    from pyspark.sql.types import DecimalType
+
+    if old == new:
+        return False
+    o, n = old.typeName(), new.typeName()
+    if o in _INT_WIDTH and n in _INT_WIDTH:
+        return _INT_WIDTH[n] > _INT_WIDTH[o]
+    if n == "double" and o in ("float", "byte", "short", "integer"):
+        return True
+    if isinstance(new, DecimalType):
+        if isinstance(old, DecimalType):
+            return (
+                new.scale >= old.scale
+                and new.precision - new.scale >= old.precision - old.scale
+            )
+        digits = _INT_DIGITS.get(o)
+        return digits is not None and new.precision - new.scale >= digits
+    return False
+
+
+def snap_widen_column(
+    path: str,
+    name: str,
+    dtype,
+    fs: LocalSnapshotFS | None = None,
+) -> int:
+    """``ALTER TABLE ... ALTER COLUMN ... TYPE`` (the Delta type-
+    widening shape) — metadata-only: the manifest's recorded schema
+    changes to the wider type and ZERO bytes rewrite at any table
+    size.  Only lossless widenings are accepted (``_is_widening``:
+    byte->short->int->long, float->double, byte/short/int->double,
+    decimal growth that shrinks neither scale nor integer digits,
+    integer->decimal with room for the full source range) — anything
+    else would silently corrupt rows and is refused.
+
+    No protocol feature flag, deliberately (unlike Delta): every read
+    path in this protocol — ``_read_entries``' schema-pinned parquet
+    scan, the Arrow sources' per-column ``cast(field.type)``, stats
+    pruning's float-normalized envelopes — derives types from the
+    MANIFEST schema, never from file footers, and Spark 4's parquet
+    reader upcasts narrow physical types under a wider read schema.
+    An older build of this library therefore reads and mutates a
+    widened table correctly with no new code, and a flag would only
+    lock it out for nothing.  Time travel to pre-widening versions
+    returns the narrow types (the schema rides the manifest).
+
+    ``dtype`` is a ``pyspark.sql.types.DataType`` or DDL string
+    (``"bigint"``; string form needs an active SparkSession)."""
+    from pyspark.sql.types import DataType, StructField
+
+    if isinstance(dtype, DataType):
+        dt = dtype
+    else:
+        dt = StructType.fromDDL(f"`{name}` {dtype}").fields[0].dataType
+    last_err: Exception | None = None
+    for _attempt in range(COMMIT_RETRIES):
+        m = read_manifest(path, fs=fs)
+        schema = _manifest_schema(m)
+        if schema is None:
+            raise ValueError(
+                "snap_widen_column needs a manifest-recorded schema"
+            )
+        by_name = {f.name: f for f in schema.fields}
+        if name not in by_name:
+            raise ValueError(
+                f"snap_widen_column: no column {name!r} in "
+                f"{sorted(by_name)}"
+            )
+        old = by_name[name].dataType
+        if not _is_widening(old, dt):
+            raise ValueError(
+                f"snap_widen_column: {old.simpleString()} -> "
+                f"{dt.simpleString()} is not a lossless widening "
+                "(allowed: byte->short->int->long, float->double, "
+                "byte/short/int->double, decimal growth keeping scale "
+                "and integer digits, integer->decimal with room)"
+            )
+        new_schema = StructType(
+            [
+                StructField(name, dt, f.nullable, f.metadata)
+                if f.name == name
+                else f
+                for f in schema.fields
+            ]
+        )
+        carry = dict(m)
+        try:
+            return _commit(
+                path, m["files"], m["stats_cols"],
+                base_version=m["version"],
+                schema_json=new_schema.json(),
+                txns=dict(m.get("txns", {})),
+                commit_info={
+                    "op": "widen_column", "column": name,
+                    "from": old.simpleString(), "to": dt.simpleString(),
+                },
+                fs=fs, carry=carry, adds=[], removes=[],
+            )
+        except CommitConflict as e:
+            last_err = e
+            continue
+    raise CommitConflict(
+        f"snap_widen_column: lost the commit race {COMMIT_RETRIES} "
+        f"times at {path!r}"
+    ) from last_err
+
+
 def snap_set_partition_spec(
     path: str,
     partition_by: list[str] | None,
@@ -2646,10 +2766,20 @@ def _check_batch_schema(
         if bat[n] != tgt[n]
     ]
     if mismatched:
+        hint = ""
+        if all(_is_widening(tgt[n], bat[n]) for n, _, _ in mismatched):
+            # every mismatch is a lossless widening of the TABLE type:
+            # the user probably wants the table widened, not the batch
+            # narrowed — point at the metadata-only DDL
+            hint = (
+                "; these are lossless widenings of the table's types — "
+                "run snap_widen_column first if the TABLE should widen "
+                "(metadata-only), or cast the batch down"
+            )
         raise ValueError(
             f"{op_name}: batch column types differ from table: "
             f"{mismatched}; cast the batch explicitly — a silent cast "
-            "would write a divergent physical schema"
+            f"would write a divergent physical schema{hint}"
         )
     new = [f for f in batch_fields if f.name not in tgt]
     if new and not allow_schema_evolution:
