@@ -52,6 +52,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 
@@ -187,7 +188,7 @@ def align_to_schema(table, schema_json: str, cm: dict | None = None):
 def translate_filters(filters) -> list[tuple]:
     """Map the data source API's leaf filters onto the manifest
     predicate grammar (``snap_scan`` tuples) — FILE PRUNING only.
-    Unsupported shapes (nested columns, string predicates, IsNull...)
+    Unsupported shapes (nested columns, IsNull, contains/endswith...)
     are simply not translated; since every filter is also handed back
     to Spark for exact row filtering, skipping one is always safe."""
     preds: list[tuple] = []
@@ -208,6 +209,12 @@ def translate_filters(filters) -> list[tuple]:
             preds.append((col, ">=", flt.value))
         elif isinstance(flt, In):
             preds.append((col, "in", list(flt.value)))
+        elif isinstance(flt, StringStartsWith) and isinstance(
+            flt.value, str
+        ):
+            # Catalyst rewrites LIKE 'p%' to StartsWith: prefix
+            # pruning via the [p, next_prefix(p)) stats range
+            preds.append((col, "startswith", flt.value))
     return preds
 
 

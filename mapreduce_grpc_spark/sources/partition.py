@@ -433,6 +433,21 @@ def derive_branch_preds(
                         )
                     else:
                         out.append((spec["name"], "in", tvs))
+                elif op == "startswith" and isinstance(p[2], str):
+                    if t == "identity":
+                        # s startswith p => identity(s) startswith p
+                        out.append((spec["name"], "startswith", p[2]))
+                    elif t == "truncate" and spec["src_type"] == "string":
+                        w = spec["n"]
+                        if len(p[2]) >= w:
+                            # the whole truncation width is pinned
+                            out.append((spec["name"], "=", p[2][:w]))
+                        else:
+                            # shorter prefix: the truncated value
+                            # still starts with it
+                            out.append(
+                                (spec["name"], "startswith", p[2])
+                            )
                 elif t in _RANGE_DERIVE:
                     if op == "between":
                         lo = transform_value(spec, p[2])

@@ -2052,7 +2052,20 @@ def snap_read(
     return _read_entries(spark, path, m["files"], schema, _cm(m))
 
 
-_PRED_OPS = {"=", "<", "<=", ">", ">=", "in", "between"}
+_PRED_OPS = {"=", "<", "<=", ">", ">=", "in", "between", "startswith"}
+
+
+def _next_prefix(p: str) -> str | None:
+    """The smallest string strictly greater than EVERY string with
+    prefix ``p`` (increment the last incrementable char, drop the
+    maxed tail); ``None`` when no upper bound exists.  Strings with
+    prefix p are exactly the range ``[p, _next_prefix(p))`` in code-
+    point order — what turns a LIKE-prefix into min/max pruning."""
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i])
+        if c < 0x10FFFF:
+            return p[:i] + chr(c + 1)
+    return None
 
 
 def _entry_may_match(entry: dict, pred: tuple, bloom_of=None) -> bool:
@@ -2086,6 +2099,20 @@ def _entry_may_match(entry: dict, pred: tuple, bloom_of=None) -> bool:
         below = _lt(hi, plo)
         above = _lt(phi, lo)
         return not (below is True or above is True)
+    if op == "startswith":
+        pfx = pred[2]
+        if not (
+            isinstance(pfx, str)
+            and isinstance(lo, str)
+            and isinstance(hi, str)
+        ):
+            return True  # non-string stats or value: conservative keep
+        # prefixed strings occupy [pfx, _next_prefix(pfx)): the file
+        # may match iff its [lo, hi] envelope intersects that range
+        if hi < pfx:
+            return False
+        np_ = _next_prefix(pfx)
+        return np_ is None or lo < np_
     v = _json_val(pred[2])
     if op == "<":  # file may hold a row < v iff its min < v
         return _lt(lo, v) is not False
@@ -2221,6 +2248,8 @@ def _conjunction_to_column(preds: list[tuple]):
             c = col <= F.lit(p[2])
         elif op == ">":
             c = col > F.lit(p[2])
+        elif op == "startswith":
+            c = col.startswith(F.lit(p[2]))
         else:
             c = col >= F.lit(p[2])
         cond = cond & c
@@ -2251,8 +2280,10 @@ def snap_scan(
     tasks), and the surviving files still get the exact row filter —
     manifest-level data skipping layered UNDER Spark's own row-group
     pushdown, exactly Delta/Iceberg's scan planning.  Predicates are
-    tuples ``(col, op, value)`` with op in ``= < <= > >= in between``
-    (``between`` takes two values, ``in`` a list), AND-ed together —
+    tuples ``(col, op, value)`` with op in ``= < <= > >= in between
+    startswith`` (``between`` takes two values, ``in`` a list,
+    ``startswith`` a string prefix — LIKE 'p%' pruned as the range
+    ``[p, next_prefix(p))``), AND-ed together —
     or the DNF OR form ``[branch, "or", branch, ...]`` (each branch a
     tuple or a conjunction list), pruned with the UNION of the
     branches' file sets, so an OR-of-ranges audit scan is one pruned
