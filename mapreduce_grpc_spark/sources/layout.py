@@ -102,11 +102,83 @@ def _morton2(a: F.Column, b: F.Column) -> F.Column:
     return _morton([a, b])
 
 
+def _hilbert_np(X, bits: int = BITS):
+    """Axes -> Hilbert index over an ``(n, k)`` bucket matrix — the
+    Skilling 2004 transpose algorithm (public domain, "Programming the
+    Hilbert curve", AIP Conf. Proc. 707), vectorized over rows with
+    boolean masks.  Returns ``(n,)`` int64 keys in ``[0, 2^(k*bits))``.
+    Pinned in tests as a BIJECTION with the defining unit-step
+    property: consecutive Hilbert indices differ by exactly 1 in
+    exactly one coordinate — the locality guarantee Morton lacks (a
+    Z-curve jumps across the space at bucket-boundary carries, which
+    is precisely what widens file envelopes)."""
+    import numpy as np
+
+    X = X.astype(np.int64).copy()
+    n, k = X.shape
+    M = 1 << (bits - 1)
+    Q = M
+    while Q > 1:  # inverse-undo excess work
+        P = Q - 1
+        for i in range(k):
+            hit = (X[:, i] & Q) != 0
+            X[hit, 0] ^= P
+            nh = ~hit
+            t = (X[nh, 0] ^ X[nh, i]) & P
+            X[nh, 0] ^= t
+            X[nh, i] ^= t
+        Q >>= 1
+    for i in range(1, k):  # Gray encode
+        X[:, i] ^= X[:, i - 1]
+    t = np.zeros(n, dtype=np.int64)
+    Q = M
+    while Q > 1:
+        hit = (X[:, k - 1] & Q) != 0
+        t[hit] ^= Q - 1
+        Q >>= 1
+    X ^= t[:, None]
+    # transpose -> flat index: bit q of coord i lands at q*k + (k-1-i)
+    key = np.zeros(n, dtype=np.int64)
+    for i in range(k):
+        for q in range(bits):
+            key |= ((X[:, i] >> q) & 1) << (q * k + (k - 1 - i))
+    return key
+
+
+def _hilbert(buckets: list) -> F.Column:
+    """Hilbert key over K bucket expressions.  The state-dependent bit
+    loops don't decompose into shift/mask expressions the way Morton
+    does, so this is the one Arrow-batched UDF in the layout path —
+    write-time only (keys are computed once per rewrite, never at
+    read), numpy-vectorized inside the batch via ``_hilbert_np``."""
+    import numpy as np
+    import pandas as pd
+
+    k = len(buckets)
+    if k * BITS > 63:
+        raise ValueError(
+            f"zorder: at most {63 // BITS} columns at {BITS} bits each"
+        )
+
+    @F.pandas_udf("long")
+    def hkey(*cols):
+        n = len(cols[0])
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        X = np.stack(
+            [c.to_numpy(dtype=np.int64, na_value=0) for c in cols], axis=1
+        )
+        return pd.Series(_hilbert_np(X), dtype="int64")
+
+    return hkey(*[b.cast("long") for b in buckets])
+
+
 def zorder_frame(
     df: DataFrame,
     cols,
     n_files: int,
     equidepth: bool = False,
+    curve: str = "morton",
 ) -> DataFrame:
     """``df`` re-clustered along the Z-order curve of 2..7 numeric
     columns (the Delta ``ZORDER BY (a, b, ...)`` arity) into
@@ -120,10 +192,22 @@ def zorder_frame(
     ``equidepth=True`` derives bucket boundaries from ``approxQuantile``
     (equal row mass per bucket) instead of the min-max affine scale —
     required for skewed columns, where equi-width buckets collapse and
-    the curve degenerates (measured in tests/test_layout.py)."""
+    the curve degenerates (measured in tests/test_layout.py).
+
+    ``curve="hilbert"`` swaps the Morton interleave for the Hilbert
+    index (the Databricks liquid-clustering choice; Moon et al., TKDE
+    1996 for why it prunes better): Hilbert's unit-step property
+    removes the Z-curve's boundary jumps, so per-file envelopes are
+    tighter at the same file count — measured in tests.  Bucketing,
+    shuffle shape, and write path are identical; only the key
+    changes, and Morton stays the default so existing layouts
+    re-optimize to the same order."""
     cols = list(cols)
     if len(cols) < 2:
         raise ValueError("zorder needs at least two columns")
+    if curve not in ("morton", "hilbert"):
+        raise ValueError(f"zorder: unknown curve {curve!r}")
+    _key = _morton if curve == "morton" else _hilbert
     if equidepth:
         qs = [i / (1 << BITS) for i in range(1, 1 << BITS)]
         dfq = df.select(
@@ -135,7 +219,7 @@ def zorder_frame(
         bounds = dfq.approxQuantile(
             [f"_q{j}" for j in range(len(cols))], qs, 0.001
         )
-        z = _morton(
+        z = _key(
             [
                 _bucket_equidepth(c, bs)
                 for c, bs in zip(cols, bounds)
@@ -147,7 +231,7 @@ def zorder_frame(
             aggs.append(F.min(F.col(c).cast("double")).alias(f"_lo{j}"))
             aggs.append(F.max(F.col(c).cast("double")).alias(f"_hi{j}"))
         stats = df.agg(*aggs).collect()[0]
-        z = _morton(
+        z = _key(
             [
                 _bucket(c, stats[f"_lo{j}"], stats[f"_hi{j}"])
                 for j, c in enumerate(cols)
@@ -168,10 +252,11 @@ def zorder_write(
     path: str,
     n_files: int,
     equidepth: bool = False,
+    curve: str = "morton",
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files clustered on the Z-order
     curve of 2..7 numeric columns (see :func:`zorder_frame`)."""
-    zorder_frame(df, cols, n_files, equidepth).write.mode(
+    zorder_frame(df, cols, n_files, equidepth, curve).write.mode(
         "errorifexists"
     ).parquet(path)
 

@@ -3698,6 +3698,7 @@ def _compact_partitioned(
     cm: dict,
     zorder: tuple | None = None,
     equidepth: bool = False,
+    curve: str = "morton",
 ) -> tuple[list[dict], list[dict], list[dict]]:
     """Partition-aware rewrite for ``optimize_snapshot`` (the
     Delta/Iceberg OPTIMIZE shape: compact — and Z-order — WITHIN
@@ -3821,7 +3822,7 @@ def _compact_partitioned(
         dfg = _read_entries(spark, path, files, schema, cm)
         if mode == "zorder":
             return _write_data_files(
-                spark, zorder_frame(dfg, zorder, n_out, equidepth),
+                spark, zorder_frame(dfg, zorder, n_out, equidepth, curve),
                 path, stats_cols, fs, cm, pspec=pspec, pcluster=False,
             )
         if mode == "recluster":
@@ -3855,9 +3856,16 @@ def optimize_snapshot(
     cluster_by: list[str] | None = None,
     where: list | None = None,
     fs: LocalSnapshotFS | None = None,
+    curve: str = "morton",
 ) -> dict:
     """OPTIMIZE for snapshot tables: compaction (and optionally Z-order
     re-clustering) as one copy-on-write manifest commit.
+
+    ``curve="hilbert"`` (with ``zorder=``) swaps the Morton interleave
+    for the Hilbert index — tighter per-file envelopes at the same
+    file count (``layout.zorder_frame`` has the why; measured in
+    tests/test_layout.py).  Morton stays the default so existing
+    layouts re-optimize to the same order.
 
     ``where`` scopes the rewrite (Delta's ``OPTIMIZE ... WHERE``): the
     same predicate grammar as ``snap_scan`` — a conjunction list or
@@ -3949,7 +3957,7 @@ def optimize_snapshot(
             # inside each partition while keeping partition pruning
             new_entries, to_rewrite, _demoted = _compact_partitioned(
                 spark, path, m, to_rewrite, target_bytes, f, fs, cm,
-                zorder=zorder, equidepth=equidepth,
+                zorder=zorder, equidepth=equidepth, curve=curve,
             )
             carried = [
                 e for e in m["files"] if e not in to_rewrite
@@ -3976,7 +3984,7 @@ def optimize_snapshot(
                 # asked for THIS layout, and the derived columns keep
                 # the partition stats tracked either way (ranges may
                 # widen — pruning coarsens, stays correct)
-                out = zorder_frame(df, zorder, n_files, equidepth)
+                out = zorder_frame(df, zorder, n_files, equidepth, curve)
                 pcluster = False
             elif cluster_by:
                 # key-ordered compaction: merging small files must not

@@ -237,3 +237,106 @@ def test_zorder_three_columns_prunes_each(spark, tmp_path):
         spark.read.parquet(z_path).orderBy("id").collect()
         == df.orderBy("id").collect()
     )
+
+
+def test_hilbert_bijection_and_unit_step():
+    """The defining Hilbert properties at full production width (k=2,
+    8 bits) and a 3-D check: `_hilbert_np` is a BIJECTION onto
+    [0, 2^(k*bits)) and consecutive indices differ by exactly 1 in
+    exactly one coordinate — the locality guarantee a Morton curve
+    lacks (its boundary carries jump across the space)."""
+    import numpy as np
+
+    from mapreduce_grpc_spark.sources.layout import _hilbert_np
+
+    for k, bits in [(2, 8), (3, 3)]:
+        side = 1 << bits
+        grid = (
+            np.array(np.meshgrid(*[np.arange(side)] * k))
+            .reshape(k, -1)
+            .T
+        )
+        keys = _hilbert_np(grid, bits)
+        assert sorted(keys) == list(range(side**k))
+        order = np.argsort(keys)
+        d = np.abs(np.diff(grid[order], axis=0))
+        assert (d.sum(axis=1) == 1).all()
+
+
+def test_hilbert_layout_prunes_at_least_as_well_as_morton(
+    spark, tmp_path
+):
+    """Same data, same bucketing, same file count — only the curve
+    changes.  Hilbert's unit-step locality should give envelopes no
+    wider than Morton's (Moon et al. 1996's clustering result), and
+    both must decisively beat a single-column sort.  The gate allows
+    5% noise from repartitionByRange boundary sampling."""
+    df = spark.range(100_000).select(
+        F.col("id"),
+        (F.col("id") % 10_000).alias("x"),
+        ((F.col("id") * 2654435761) % 10_000).alias("y"),
+    )
+    h_path = str(tmp_path / "hilbert")
+    z_path = str(tmp_path / "morton")
+    zorder_write(spark, df, ("x", "y"), h_path, N_FILES, curve="hilbert")
+    zorder_write(spark, df, ("x", "y"), z_path, N_FILES)
+    h_ext = mean_envelope_extent(
+        bounding_stats(spark, h_path, ("x", "y")), 9999.0, 9999.0
+    )
+    z_ext = mean_envelope_extent(
+        bounding_stats(spark, z_path, ("x", "y")), 9999.0, 9999.0
+    )
+    assert h_ext < 0.42, h_ext
+    assert h_ext <= z_ext * 1.05, (h_ext, z_ext)
+    # lossless: same multiset of rows
+    orig = df.orderBy("id").collect()
+    back = spark.read.parquet(h_path).orderBy("id").collect()
+    assert orig == back
+
+
+def test_optimize_snapshot_hilbert_curve(spark, tmp_path):
+    """optimize_snapshot(zorder=..., curve='hilbert') rewrites to the
+    Hilbert layout: values lossless, scans prune, and the commit is a
+    normal CoW rewrite."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        optimize_snapshot,
+        prune_manifest,
+        read_manifest,
+        snap_init,
+        snap_scan,
+    )
+
+    df = spark.range(20_000).select(
+        F.col("id"),
+        (F.col("id") % 1_000).alias("x"),
+        ((F.col("id") * 2654435761) % 1_000).alias("y"),
+    ).repartition(8)
+    path = str(tmp_path / "t")
+    snap_init(spark, df, path, stats_cols=["x", "y"])
+    info = optimize_snapshot(
+        spark, path, target_bytes=64 * 1024,
+        zorder=("x", "y"), curve="hilbert",
+    )
+    assert info["rewritten"] > 0
+    m = read_manifest(path)
+    kept, skipped = prune_manifest(m, [("x", "between", 10, 20)])
+    assert skipped, "a selective x-range must skip files after Hilbert"
+    got = sorted(
+        r.id for r in snap_scan(
+            spark, path, [("x", "between", 10, 20)]
+        ).collect()
+    )
+    want = sorted(
+        r.id for r in df.filter("x between 10 and 20").collect()
+    )
+    assert got == want
+
+
+def test_unknown_curve_rejected(spark):
+    import pytest as _pytest
+
+    from mapreduce_grpc_spark.sources.layout import zorder_frame
+
+    df = spark.range(10).selectExpr("id AS x", "id AS y")
+    with _pytest.raises(ValueError, match="unknown curve"):
+        zorder_frame(df, ("x", "y"), 2, curve="peano")
