@@ -651,6 +651,51 @@ WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
 # round 7, replacing the redundant doc_fingerprint text query): the
 # table layer is the engine's centerpiece and deserves the driver's
 # own hash check, not just the pytest mirror.
+def snapshot_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-prefix data skipping end-to-end under the hash
+    comparator: init a snapshot table from ``documents`` partitioned
+    by ``truncate(4, source)``, then ``snap_scan`` with a
+    ``startswith`` predicate (``source LIKE 'src1%'`` — matches src1
+    plus src10..src19, deliberately NOT equality-expressible).  The
+    prefix prunes twice: the ``[p, next_prefix(p))`` range against
+    per-file source envelopes, and the implied partition probe
+    (prefix length == the truncate width pins the whole tuple value).
+    If the boundary algebra, the derivation, or the exact row filter
+    drops or leaks one row, the hash mismatches against the plain
+    LIKE oracle.  At 100 TB this is the ``WHERE url LIKE
+    'https://host/%'`` shape every web-corpus pipeline runs —
+    O(matching files) tasks instead of O(table)."""
+    tmp = tempfile.mkdtemp(prefix="snap-prefix-")
+    path = os.path.join(tmp, "t")
+    try:
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "n_chars"
+        )
+        snap_init(
+            spark,
+            docs,
+            path,
+            stats_cols=["doc_id", "source"],
+            partition_by=["truncate(4, source)"],
+        )
+        out = snap_scan(
+            spark,
+            path,
+            [("source", "startswith", "src1"), ("n_chars", ">=", 100)],
+        ).select("doc_id", "source", "lang", "n_chars")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SNAPSHOT_PREFIX_SCAN_SQL = """
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE source LIKE 'src1%' AND n_chars >= 100
+"""
+
+
 QUERIES = {
     "snapshot_timetravel": snapshot_timetravel,
     # rotated IN (round 7, replacing the redundant ngrams text query):
@@ -690,8 +735,10 @@ ORACLES = {
 AUX_QUERIES = {
     "snapshot_update_restore": snapshot_update_restore,
     "snapshot_column_evolution": snapshot_column_evolution,
+    "snapshot_prefix_scan": snapshot_prefix_scan,
 }
 AUX_ORACLES = {
     "snapshot_update_restore": SNAPSHOT_UPDATE_RESTORE_SQL,
     "snapshot_column_evolution": SNAPSHOT_COLUMN_EVOLUTION_SQL,
+    "snapshot_prefix_scan": SNAPSHOT_PREFIX_SCAN_SQL,
 }

@@ -193,3 +193,15 @@ def test_partitioned_prefix_scan_exact(spark, tmp_path):
         r.k for r in df.filter(F.col("s").startswith("page_load")).collect()
     )
     assert got == want and len(got) == 100
+
+
+def test_snapshot_prefix_scan_oracle_parity(spark, sf_dir):
+    """The AUX query putting prefix data skipping (boundary algebra +
+    truncate-partition derivation + exact row filter) under the
+    driver's own hash comparator against the plain LIKE oracle."""
+    from mapreduce_grpc_spark import registry
+    from tests.oracle import assert_oracle_match
+
+    name = "snapshot_prefix_scan"
+    df = registry.AUX_QUERIES[name](spark, sf_dir)
+    assert_oracle_match(df, registry.AUX_ORACLES[name], sf_dir, name)
