@@ -50,6 +50,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
@@ -188,9 +190,9 @@ def align_to_schema(table, schema_json: str, cm: dict | None = None):
 def translate_filters(filters) -> list[tuple]:
     """Map the data source API's leaf filters onto the manifest
     predicate grammar (``snap_scan`` tuples) — FILE PRUNING only.
-    Unsupported shapes (nested columns, IsNull, contains/endswith...)
-    are simply not translated; since every filter is also handed back
-    to Spark for exact row filtering, skipping one is always safe."""
+    Unsupported shapes (nested columns, contains/endswith...) are
+    simply not translated; since every filter is also handed back to
+    Spark for exact row filtering, skipping one is always safe."""
     preds: list[tuple] = []
     for flt in filters:
         attr = getattr(flt, "attribute", None)
@@ -215,6 +217,12 @@ def translate_filters(filters) -> list[tuple]:
             # Catalyst rewrites LIKE 'p%' to StartsWith: prefix
             # pruning via the [p, next_prefix(p)) stats range
             preds.append((col, "startswith", flt.value))
+        elif isinstance(flt, IsNull):
+            preds.append((col, "isnull"))
+        elif isinstance(flt, IsNotNull):
+            # Spark pushes IsNotNull with almost every filter — on a
+            # stats column this skips all-null files for free
+            preds.append((col, "notnull"))
     return preds
 
 

@@ -713,6 +713,8 @@ def _file_stats(file_path: str, stats_cols: list[str]) -> dict:
     mins: dict = {}
     maxs: dict = {}
     rg_ranges: dict[str, list[list]] = {}
+    nulls: dict[str, int] = {}
+    null_unknown: set[str] = set()
     rows = pf.metadata.num_rows
     for rg in range(pf.metadata.num_row_groups):
         g = pf.metadata.row_group(rg)
@@ -721,7 +723,18 @@ def _file_stats(file_path: str, stats_cols: list[str]) -> dict:
             name = col.path_in_schema
             if name not in stats_cols:
                 continue
-            mm = _stat_minmax(col.statistics)
+            # null counts accumulate independently of min/max (an
+            # all-null row group has no envelope but a definite null
+            # count); any row group without one marks the column
+            # unknown — conservative, the file is then never
+            # null-pruned
+            st = col.statistics
+            nc = getattr(st, "null_count", None) if st is not None else None
+            if nc is None:
+                null_unknown.add(name)
+            else:
+                nulls[name] = nulls.get(name, 0) + int(nc)
+            mm = _stat_minmax(st)
             if mm is None:
                 continue
             lo, hi = mm
@@ -738,6 +751,9 @@ def _file_stats(file_path: str, stats_cols: list[str]) -> dict:
         "bytes": os.path.getsize(file_path),
         "stats": envelopes,
         "rg": rg_ranges,
+        "nulls": {
+            c: n for c, n in nulls.items() if c not in null_unknown
+        },
     }
 
 
@@ -2052,7 +2068,10 @@ def snap_read(
     return _read_entries(spark, path, m["files"], schema, _cm(m))
 
 
-_PRED_OPS = {"=", "<", "<=", ">", ">=", "in", "between", "startswith"}
+_PRED_OPS = {
+    "=", "<", "<=", ">", ">=", "in", "between", "startswith",
+    "isnull", "notnull",
+}
 
 
 def _next_prefix(p: str) -> str | None:
@@ -2079,6 +2098,16 @@ def _entry_may_match(entry: dict, pred: tuple, bloom_of=None) -> bool:
     col, op = pred[0], pred[1]
     if entry.get("rows") == 0:
         return False  # a zero-row file matches nothing, stats or not
+    if op in ("isnull", "notnull"):
+        # null-count skipping needs no min/max envelope — an all-null
+        # file has none yet prunes a NOT NULL scan; unknown counts
+        # (legacy manifests, footer without null_count) keep the file
+        nulls = entry.get("nulls", {}).get(col)
+        if nulls is None:
+            return True
+        if op == "isnull":
+            return nulls > 0
+        return nulls < entry["rows"]
     stats = entry.get("stats", {})
     env = stats.get(col)
     if env is None or env["min"] is None or env["max"] is None:
@@ -2132,7 +2161,11 @@ def _check_predicates(predicates: list[tuple]) -> None:
                 f"bad predicate {p!r}; expected (col, op, value...) with "
                 f"op in {sorted(_PRED_OPS)}"
             )
-        want = 4 if p[1] == "between" else 3
+        want = (
+            4 if p[1] == "between"
+            else 2 if p[1] in ("isnull", "notnull")
+            else 3
+        )
         if len(p) != want:
             raise ValueError(f"predicate {p!r} needs {want - 2} value(s)")
 
@@ -2250,6 +2283,10 @@ def _conjunction_to_column(preds: list[tuple]):
             c = col > F.lit(p[2])
         elif op == "startswith":
             c = col.startswith(F.lit(p[2]))
+        elif op == "isnull":
+            c = col.isNull()
+        elif op == "notnull":
+            c = col.isNotNull()
         else:
             c = col >= F.lit(p[2])
         cond = cond & c
