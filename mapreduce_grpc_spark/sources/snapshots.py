@@ -701,12 +701,42 @@ def _stat_minmax(st) -> tuple | None:
     return None
 
 
+# manifest string stats are truncated to this many chars (the Delta
+# dataSkippingStringPrefixLength shape): a 500-char URL stats column
+# would otherwise cost ~1 KB per (file, column) in the manifest — a
+# GB of metadata at 1M files.  Parquet itself omits footer stats past
+# ~1-2 KB values, so this governs exactly the 100-1000 char band where
+# verbatim stats are stored but wasteful.
+STR_STAT_MAX = 64
+
+
+def _trunc_lo(v):
+    """Truncate a string MIN to STR_STAT_MAX chars — a prefix of the
+    min is still a valid lower bound."""
+    if isinstance(v, str) and len(v) > STR_STAT_MAX:
+        return v[:STR_STAT_MAX]
+    return v
+
+
+def _trunc_hi(v):
+    """Truncate a string MAX to STR_STAT_MAX chars and round UP
+    (``_next_prefix``) so it stays a valid upper bound; an
+    unroundable all-U+10FFFF prefix keeps the full value."""
+    if isinstance(v, str) and len(v) > STR_STAT_MAX:
+        up = _next_prefix(v[:STR_STAT_MAX])
+        return up if up is not None else v
+    return v
+
+
 def _file_stats(file_path: str, stats_cols: list[str]) -> dict:
     """Per-file min-max envelopes AND per-row-group ranges from the
     parquet FOOTER (row-group statistics) — no data pages are read.
     This is the scale-critical property: commit cost is O(files), not
     O(rows); the row-group ranges are what let a sparse batch's key set
-    prune files its bounding box would spuriously overlap."""
+    prune files its bounding box would spuriously overlap.  Long
+    string stats are truncated to ``STR_STAT_MAX`` chars (min down,
+    max up via ``_next_prefix``) — the envelope widens to a superset,
+    so every pruning decision stays conservative."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(file_path)
@@ -737,7 +767,7 @@ def _file_stats(file_path: str, stats_cols: list[str]) -> dict:
             mm = _stat_minmax(st)
             if mm is None:
                 continue
-            lo, hi = mm
+            lo, hi = _trunc_lo(mm[0]), _trunc_hi(mm[1])
             rg_ranges.setdefault(name, []).append([lo, hi])
             if name not in mins or _lt(lo, mins[name]):
                 mins[name] = lo

@@ -205,3 +205,47 @@ def test_snapshot_prefix_scan_oracle_parity(spark, sf_dir):
     name = "snapshot_prefix_scan"
     df = registry.AUX_QUERIES[name](spark, sf_dir)
     assert_oracle_match(df, registry.AUX_ORACLES[name], sf_dir, name)
+
+
+def test_string_stat_truncation_bounds_and_pruning(spark, tmp_path):
+    """Long string stats truncate in the manifest (min down, max UP
+    via _next_prefix) so metadata stays O(64 chars) per (file, column)
+    while every decision stays conservative: scans on long-string
+    columns answer exactly and disjoint-stem files still prune."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        STR_STAT_MAX,
+        _trunc_hi,
+        _trunc_lo,
+        snap_append,
+    )
+
+    long = "x" * 100
+    assert _trunc_lo(long) == "x" * STR_STAT_MAX
+    assert _trunc_hi(long) == "x" * (STR_STAT_MAX - 1) + "y"
+    assert _trunc_lo(long) <= long <= _trunc_hi(long)
+    assert _trunc_lo("short") == "short" and _trunc_hi("short") == "short"
+    assert _trunc_lo(42) == 42 and _trunc_hi(42) == 42
+
+    path = os.path.join(str(tmp_path), "t")
+    mk = lambda stem, lo: spark.range(lo, lo + 5).selectExpr(  # noqa: E731
+        "id AS k", f"concat('{stem}', repeat('pad', 100), id) AS s"
+    ).coalesce(1)
+    snap_init(spark, mk("alpha_", 0), path, stats_cols=["k", "s"])
+    snap_append(spark, path, mk("omega_", 100))
+    m = read_manifest(path)
+    for e in m["files"]:
+        env = e["stats"]["s"]
+        assert len(env["min"]) <= STR_STAT_MAX
+        assert len(env["max"]) <= STR_STAT_MAX
+    # disjoint stems still prune through the truncated envelopes
+    kept, skipped = prune_manifest(m, [("s", "startswith", "omega")])
+    assert len(kept) == 1 and len(skipped) == 1
+    # exact answers on equality over the FULL (340-char) value
+    probe = f"alpha_{'pad' * 100}3"
+    rows = snap_scan(spark, path, [("s", "=", probe)]).collect()
+    assert [r.k for r in rows] == [3]
+    # a range predicate wholly inside one stem prunes the other
+    kept, skipped = prune_manifest(
+        m, [("s", "between", "omega_", "omega`")]
+    )
+    assert len(kept) == 1 and len(skipped) == 1
