@@ -4152,10 +4152,13 @@ def optimize_incremental(
     target_bytes: int = 128 * 1024 * 1024,
     max_rewrite_bytes: int = 512 * 1024 * 1024,
     fs: LocalSnapshotFS | None = None,
+    curve: str = "morton",
 ) -> dict:
     """Budget-bounded INCREMENTAL re-clustering (the Delta liquid-
     clustering shape): rewrite only the worst-overlapping group of
     files, clustered on ``cluster_by``, carrying everything else.
+    ``curve="hilbert"`` applies to the 2-column path (the actual
+    liquid-clustering curve choice — ``layout.zorder_frame``).
 
     ``optimize_snapshot(zorder=...)`` rewrites the whole table (or the
     whole ``where=`` scope) because global clustering is a global
@@ -4280,7 +4283,8 @@ def optimize_incremental(
         n_files = max(1, -(-total // target_bytes))  # ceil
         if len(cluster_by) == 2:
             out = zorder_frame(
-                df, tuple(cluster_by), n_files, equidepth=True
+                df, tuple(cluster_by), n_files, equidepth=True,
+                curve=curve,
             )
         else:
             out = df.repartitionByRange(

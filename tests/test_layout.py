@@ -340,3 +340,33 @@ def test_unknown_curve_rejected(spark):
     df = spark.range(10).selectExpr("id AS x", "id AS y")
     with _pytest.raises(ValueError, match="unknown curve"):
         zorder_frame(df, ("x", "y"), 2, curve="peano")
+
+
+def test_optimize_incremental_hilbert(spark, tmp_path):
+    """The incremental re-clusterer accepts curve='hilbert' on its
+    2-column path: lossless, and the rewritten group is clustered."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        optimize_incremental,
+        snap_append,
+        snap_init,
+        snap_read,
+    )
+
+    df = spark.range(5_000).select(
+        F.col("id"),
+        (F.col("id") % 500).alias("x"),
+        ((F.col("id") * 2654435761) % 500).alias("y"),
+    )
+    path = str(tmp_path / "t")
+    snap_init(
+        spark, df.filter("id % 2 = 0").repartition(4), path,
+        stats_cols=["x", "y"],
+    )
+    snap_append(spark, path, df.filter("id % 2 = 1").repartition(4))
+    info = optimize_incremental(
+        spark, path, ["x", "y"], target_bytes=64 * 1024,
+        curve="hilbert",
+    )
+    assert info["rewritten"] > 0
+    got = sorted(r.id for r in snap_read(spark, path).collect())
+    assert got == list(range(5_000))
