@@ -2133,11 +2133,12 @@ def _entry_may_match(entry: dict, pred: tuple, bloom_of=None) -> bool:
         # file has none yet prunes a NOT NULL scan; unknown counts
         # (legacy manifests, footer without null_count) keep the file
         nulls = entry.get("nulls", {}).get(col)
-        if nulls is None:
+        rows = entry.get("rows")
+        if nulls is None or rows is None:
             return True
         if op == "isnull":
             return nulls > 0
-        return nulls < entry["rows"]
+        return nulls < rows
     stats = entry.get("stats", {})
     env = stats.get(col)
     if env is None or env["min"] is None or env["max"] is None:

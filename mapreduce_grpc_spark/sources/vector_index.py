@@ -281,7 +281,10 @@ def _load_pq_model(
     rotation = (
         [rot_rows[i] for i in sorted(rot_rows)] if rot_rows else None
     )
-    return books, rotation
+    # a model table holding only rotation rows (cannot be produced by
+    # ivf_index_init, which always writes books with a rotation) must
+    # not masquerade as a PQ model
+    return (books or None), rotation
 
 
 def _load_centroids(
