@@ -55,19 +55,53 @@ def _bucket(col: str, lo: float, hi: float) -> F.Column:
     )
 
 
-def _bucket_equidepth(col: str, bounds: list[float]) -> F.Column:
+def _bucket_equidepth(col: str, bounds: list) -> F.Column:
     """Bucket id = number of quantile boundaries strictly below the
     value — equal row mass per bucket regardless of skew.  One fold over
     a (2^BITS - 1)-element literal array per row; duplicate boundaries
     (heavy single values) simply merge buckets, which is the correct
-    degeneration."""
-    arr = F.array(*[F.lit(float(b)) for b in bounds])
-    v = F.col(col).cast("double")
+    degeneration.  Works for numeric boundaries (value cast to double)
+    and STRING boundaries (plain lexicographic compare) — the fold is
+    the same, only the literals' type changes."""
+    if not bounds:
+        return F.lit(0)  # all-null column: one bucket, curve unaffected
+    if isinstance(bounds[0], str):
+        arr = F.array(*[F.lit(b) for b in bounds])
+        v = F.col(col)
+    else:
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        v = F.col(col).cast("double")
     return F.aggregate(
         arr,
         F.lit(0),
         lambda acc, b: acc + F.when(v > b, F.lit(1)).otherwise(F.lit(0)),
     )
+
+
+def _string_bounds(df: DataFrame, col: str, n_bounds: int) -> list[str]:
+    """Equi-depth boundaries for a STRING column from a deterministic
+    hash-sample (``approxQuantile`` is numeric-only): sort a bounded
+    sample, read the boundary at each quantile position.  Sample-based
+    quantiles are approximate — bucket masses wobble with the sample —
+    which is the same contract approxQuantile's epsilon already gives
+    the numeric path."""
+    rows = (
+        df.select(
+            F.col(col).alias("_v"),
+            F.xxhash64(col, F.lit(7)).alias("_h"),
+        )
+        .filter(F.col("_v").isNotNull())
+        .orderBy("_h", "_v")
+        .limit(50_000)
+        .collect()
+    )
+    vals = sorted(r._v for r in rows)
+    if not vals:
+        return []
+    return [
+        vals[min(len(vals) - 1, (i * len(vals)) // (n_bounds + 1))]
+        for i in range(1, n_bounds + 1)
+    ]
 
 
 def _morton(buckets: list) -> F.Column:
@@ -208,23 +242,32 @@ def zorder_frame(
     if curve not in ("morton", "hilbert"):
         raise ValueError(f"zorder: unknown curve {curve!r}")
     _key = _morton if curve == "morton" else _hilbert
+    dtypes = dict(df.dtypes)
+    str_cols = {c for c in cols if dtypes.get(c) == "string"}
+    if str_cols and not equidepth:
+        raise ValueError(
+            f"zorder: string column(s) {sorted(str_cols)} need "
+            "equidepth=True (no affine scale exists for strings; "
+            "sample-quantile boundaries do the bucketing)"
+        )
     if equidepth:
         qs = [i / (1 << BITS) for i in range(1, 1 << BITS)]
-        dfq = df.select(
-            *[
-                F.col(c).cast("double").alias(f"_q{j}")
-                for j, c in enumerate(cols)
-            ]
-        )
-        bounds = dfq.approxQuantile(
-            [f"_q{j}" for j in range(len(cols))], qs, 0.001
-        )
-        z = _key(
-            [
-                _bucket_equidepth(c, bs)
-                for c, bs in zip(cols, bounds)
-            ]
-        )
+        num = [c for c in cols if c not in str_cols]
+        by_col: dict = {}
+        if num:
+            dfq = df.select(
+                *[
+                    F.col(c).cast("double").alias(f"_q{j}")
+                    for j, c in enumerate(num)
+                ]
+            )
+            res = dfq.approxQuantile(
+                [f"_q{j}" for j in range(len(num))], qs, 0.001
+            )
+            by_col.update(zip(num, res))
+        for c in str_cols:
+            by_col[c] = _string_bounds(df, c, len(qs))
+        z = _key([_bucket_equidepth(c, by_col[c]) for c in cols])
     else:
         aggs = []
         for j, c in enumerate(cols):

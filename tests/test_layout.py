@@ -370,3 +370,58 @@ def test_optimize_incremental_hilbert(spark, tmp_path):
     assert info["rewritten"] > 0
     got = sorted(r.id for r in snap_read(spark, path).collect())
     assert got == list(range(5_000))
+
+
+def test_zorder_string_column_equidepth(spark, tmp_path):
+    """Z-order over a STRING column (URLs/doc-ids — the common layout
+    key in data pipelines): sample-quantile boundaries bucket strings
+    lexicographically, so both the string and the numeric column get
+    a share of the locality; equi-width on strings is refused with a
+    pointer at equidepth."""
+    import pytest as _pytest
+
+    from mapreduce_grpc_spark.sources.layout import zorder_frame
+
+    df = spark.range(50_000).selectExpr(
+        "id",
+        "concat('https://host', CAST(id % 200 AS STRING), '/path/', id) AS url",
+        "CAST((id * 2654435761) % 10000 AS LONG) AS score",
+    )
+    with _pytest.raises(ValueError, match="equidepth"):
+        zorder_frame(df, ("url", "score"), 8)
+    z_path = str(tmp_path / "z")
+    zorder_write(
+        spark, df, ("url", "score"), z_path, N_FILES, equidepth=True
+    )
+    back = spark.read.parquet(z_path)
+    assert back.count() == 50_000
+    assert sorted(r.id for r in back.collect()) == list(range(50_000))
+    # the string column's per-file envelopes must be sub-ranges: a
+    # point lookup on one url stem overlaps only a fraction of files
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    stems_hit = 0
+    probe = "https://host42/"
+    for fn in sorted(_os.listdir(z_path)):
+        if not fn.endswith(".parquet"):
+            continue
+        pf = _pq.ParquetFile(_os.path.join(z_path, fn))
+        lo = hi = None
+        for rg in range(pf.metadata.num_row_groups):
+            for ci in range(pf.metadata.row_group(rg).num_columns):
+                col = pf.metadata.row_group(rg).column(ci)
+                if col.path_in_schema != "url":
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+        if lo is not None and lo <= probe + "￿" and hi >= probe:
+            stems_hit += 1
+    assert 0 < stems_hit <= N_FILES // 2, (
+        f"url envelopes don't prune: {stems_hit}/{N_FILES} files overlap"
+    )
