@@ -1174,7 +1174,7 @@ def _commit(
         _check_writer_features(carry, path)
         for k in (
             "constraints", "column_mapping", "partition_spec",
-            "partition_field_seq", "clone_of",
+            "partition_field_seq", "clone_of", "defaults",
         ):
             if carry.get(k):
                 manifest[k] = carry[k]
@@ -1463,6 +1463,10 @@ def snap_rename_column(
         )
         carry = dict(m)
         carry["column_mapping"] = _pack_cm(cmap, _cm_retired(m))
+        dflts = dict(m.get("defaults") or {})
+        if old in dflts:
+            dflts[new] = dflts.pop(old)
+            carry["defaults"] = dflts
         try:
             return _commit(
                 path, m["files"], m["stats_cols"],
@@ -1538,6 +1542,11 @@ def snap_drop_column(
         stats_cols = [c for c in m["stats_cols"] if c != phys]
         carry = dict(m)
         carry["column_mapping"] = _pack_cm(cmap, retired)
+        # the dropped column's DEFAULT dies with it (a re-add gets a
+        # fresh physical name and no default unless declared again)
+        carry["defaults"] = {
+            k: v for k, v in (m.get("defaults") or {}).items() if k != col
+        }
         try:
             return _commit(
                 path, m["files"], stats_cols,
@@ -1564,6 +1573,7 @@ def snap_add_column(
     dtype,
     nullable: bool = True,
     fs: LocalSnapshotFS | None = None,
+    default=None,
 ) -> int:
     """``ALTER TABLE ... ADD COLUMN`` — metadata-only; existing files
     are null-backfilled at read (the reader scans under the manifest's
@@ -1573,12 +1583,28 @@ def snap_add_column(
     name's default physical identity is already taken — it was dropped
     earlier (retired) or another column's frozen storage name uses it —
     the column gets a FRESH physical name via the mapping, which is
-    what makes drop-then-re-add safe against resurrection."""
+    what makes drop-then-re-add safe against resurrection.
+
+    ``default`` (a JSON scalar) records a COLUMN DEFAULT in the
+    manifest: subsequent ``snap_append`` batches may omit the column
+    and have it filled at WRITE time (cast to the column type).  The
+    Delta default-values semantic exactly: existing rows still read
+    NULL (defaults never backfill history), and only the append/ingest
+    path fills — keyed mutators (merge/CDC/UPDATE) keep requiring
+    explicit columns, where an implicit fill could silently corrupt a
+    keyed rewrite.  Renames carry the default, drops remove it."""
     from pyspark.sql.types import DataType, StructField
 
     if not name or not name.isidentifier():
         raise ValueError(
             f"snap_add_column: name {name!r} must be a bare identifier"
+        )
+    if default is not None and not isinstance(
+        default, (int, float, str, bool)
+    ):
+        raise ValueError(
+            "snap_add_column: default must be a JSON scalar "
+            f"(int/float/str/bool), got {type(default).__name__}"
         )
     if not nullable:
         raise ValueError(
@@ -1615,6 +1641,10 @@ def snap_add_column(
         )
         carry = dict(m)
         carry["column_mapping"] = _pack_cm(cmap, retired)
+        if default is not None:
+            carry["defaults"] = {
+                **(m.get("defaults") or {}), name: default,
+            }
         try:
             return _commit(
                 path, m["files"], m["stats_cols"],
@@ -3566,6 +3596,19 @@ def snap_append(
         target_schema = _manifest_schema(m) or snap_read(
             spark, path, m["version"], fs
         ).schema
+        # COLUMN DEFAULTS (snap_add_column(default=...)): a batch may
+        # omit a defaulted column; it is filled at WRITE time, before
+        # validation and constraint checks.  Append/ingest only —
+        # keyed mutators keep requiring explicit columns.
+        defaults = m.get("defaults") or {}
+        if defaults:
+            have = set(batch.columns)
+            for fld in target_schema.fields:
+                if fld.name in defaults and fld.name not in have:
+                    batch = batch.withColumn(
+                        fld.name,
+                        F.lit(defaults[fld.name]).cast(fld.dataType),
+                    )
         out_schema = _check_batch_schema(
             target_schema, batch.schema, set(), allow_schema_evolution,
             "snap_append",
