@@ -263,3 +263,39 @@ def test_widened_table_through_batch_and_stream_sources(
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, lib.collect())
     )
+
+
+def test_change_feed_and_restore_across_widening(spark, tmp_path):
+    """Compositions: a change feed spanning a widening commit surfaces
+    rows at the WIDE head schema; RESTORE to a pre-widening version
+    reverts the declared types (the schema rides the manifest)."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        current_version,
+        snap_restore,
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    snap_init(spark, _narrow_df(spark, 0), path, stats_cols=["k"])
+    v1 = current_version(path)
+    snap_widen_column(path, "k", "bigint")
+    snap_widen_column(path, "v", "double")
+    snap_append(
+        spark, path,
+        spark.range(100, 105).selectExpr(
+            "id AS k", "CAST(id / 4 AS DOUBLE) AS v",
+            "CAST(id % 100 AS DECIMAL(5, 2)) AS d",
+        ),
+    )
+    ch = table_changes(spark, path, keys=["k"], from_version=v1)
+    rows = ch.collect()
+    assert {r["_change_type"] for r in rows} == {"insert"}
+    assert sorted(r["k"] for r in rows) == list(range(100, 105))
+    types = {f.name: f.dataType for f in ch.schema.fields}
+    assert types["k"] == LongType() and types["v"] == DoubleType()
+    snap_restore(path, v1)
+    old = snap_read(spark, path)
+    old_types = {f.name: f.dataType for f in old.schema.fields}
+    assert old_types["k"] == IntegerType()
+    assert old_types["v"] == FloatType()
+    assert old.count() == 10
