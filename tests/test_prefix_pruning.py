@@ -249,3 +249,57 @@ def test_string_stat_truncation_bounds_and_pruning(spark, tmp_path):
         m, [("s", "between", "omega_", "omega`")]
     )
     assert len(kept) == 1 and len(skipped) == 1
+
+
+def test_prefix_through_mutators_and_scoped_hilbert(spark, tmp_path):
+    """The new grammar ops flow through the shared predicate plumbing
+    into the mutators and scoped OPTIMIZE: a prefix-scoped MoR delete,
+    a prefix-scoped UPDATE, and OPTIMIZE ... WHERE <prefix> with the
+    Hilbert curve — three r12 features composing on one table."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        delete_where_mor,
+        optimize_snapshot,
+        snap_append,
+        update_where,
+    )
+
+    path = _words_table(spark, tmp_path)  # apple_/banana_/cherry_ files
+    # MoR delete by prefix: only banana rows go
+    delete_where_mor(spark, path, [("s", "startswith", "banana")])
+    left = sorted(r.s for r in snap_scan(
+        spark, path, [("s", "startswith", "")]
+    ).collect())
+    assert len(left) == 10 and not any(s.startswith("banana") for s in left)
+    # UPDATE by prefix: cherry rows get flagged via k += 1000
+    update_where(
+        spark, path, [("s", "startswith", "cherry")],
+        {"k": "k + 1000"},
+    )
+    ks = {r.s: r.k for r in snap_scan(
+        spark, path, [("s", "startswith", "cherry")]
+    ).collect()}
+    assert all(v >= 1000 for v in ks.values()) and len(ks) == 5
+    # fragment the apple stem, then scoped Hilbert OPTIMIZE touches
+    # only in-scope files
+    for i in range(2):
+        snap_append(
+            spark, path,
+            spark.range(50 + i, 51 + i).selectExpr(
+                "id AS k", "concat('apple_x', id) AS s"
+            ).coalesce(1),
+        )
+    before = {e["name"] for e in read_manifest(path)["files"]}
+    info = optimize_snapshot(
+        spark, path, target_bytes=64 * 1024 * 1024,
+        zorder=("k", "s"), equidepth=True, curve="hilbert",
+        where=[("s", "startswith", "apple")],
+    )
+    assert info["rewritten"] >= 2
+    after = {e["name"] for e in read_manifest(path)["files"]}
+    # the out-of-scope cherry file carried BY NAME (banana's file was
+    # legitimately dropped by the full-file MoR delete earlier)
+    assert len(after & before) == 1
+    rows = sorted(r.s for r in snap_scan(
+        spark, path, [("s", "startswith", "apple")]
+    ).collect())
+    assert len(rows) == 7  # 5 originals + 2 fragments
