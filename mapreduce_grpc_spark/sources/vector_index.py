@@ -140,6 +140,7 @@ def ivf_index_init(
     pq_m: int | None = None,
     pq_k: int = 64,
     opq: bool = False,
+    payload_cols: list[str] | None = None,
 ) -> dict:
     """Train the coarse quantizer on ``emb`` (``vec_id``,
     ``embedding``) and persist the index: ``centroids`` (cell,
@@ -169,9 +170,27 @@ def ivf_index_init(
     100 TB the probe read drops from cell-vectors to cell-codes.  The
     codebooks are a model artifact persisted as a third snapshot table
     (``pq``), independent of the coarse quantizer: rebalance, merge,
-    and refit move postings between cells without re-encoding."""
+    and refit move postings between cells without re-encoding.
+
+    ``payload_cols`` stores extra attribute columns from ``emb`` on
+    every posting (label, source, timestamp...) and tracks their
+    stats, enabling FILTERED vector search — ``ivf_search(where=...)``
+    restricts candidates to matching rows BEFORE scoring (pre-filter
+    semantics: the top-k is the true top-k of the filtered set, not a
+    post-filtered top-k that can come back short).  Inserts must then
+    carry the payload columns too."""
     from ..operators.clustering import kmeans_pp_fit
 
+    payload_cols = list(payload_cols or [])
+    reserved = {"vec_id", "cell", "embedding", "pq_code"}
+    bad = [c for c in payload_cols if c in reserved]
+    if bad:
+        raise ValueError(f"ivf_index_init: reserved payload name {bad}")
+    missing = [c for c in payload_cols if c not in emb.columns]
+    if missing:
+        raise ValueError(
+            f"ivf_index_init: payload column(s) {missing} not in emb"
+        )
     assign, _rounds, cent_rows = kmeans_pp_fit(
         spark, emb, k=n_cells, seed=seed, return_centroids=True
     )
@@ -181,11 +200,11 @@ def ivf_index_init(
         F.col("k").cast("int").alias("cell"), F.col("carr").alias("centroid")
     )
     postings = (
-        emb.select("vec_id", "embedding")
+        emb.select("vec_id", "embedding", *payload_cols)
         .join(
             assign.select("vec_id", F.col("cluster").alias("cell")), "vec_id"
         )
-        .select("vec_id", "cell", "embedding")
+        .select("vec_id", "cell", "embedding", *payload_cols)
     )
     books = None
     rotation = None
@@ -211,7 +230,7 @@ def ivf_index_init(
         spark,
         postings,
         _postings_path(path),
-        stats_cols=["cell", "vec_id"],
+        stats_cols=["cell", "vec_id"] + payload_cols,
         fs=fs,
     )
     if books is not None:
@@ -296,6 +315,34 @@ def _load_centroids(
     return snap_read(spark, _centroids_path(path), version, fs)
 
 
+def _postings_columns(path: str, fs: LocalSnapshotFS | None) -> list[str]:
+    """The postings table's declared column names (one manifest JSON
+    read — no data touched)."""
+    from .snapshots import _manifest_schema, read_manifest
+
+    schema = _manifest_schema(read_manifest(_postings_path(path), fs=fs))
+    return [f.name for f in schema.fields] if schema is not None else []
+
+
+def _and_where(base: list[tuple], where) -> list:
+    """AND the ``base`` conjunction onto a user predicate tree —
+    distributing over DNF branches when ``where`` is the OR form, so
+    the probed-cells restriction applies to every branch."""
+    if not where:
+        return list(base)
+    parts = list(where)
+    if "or" in parts:
+        out: list = []
+        for part in parts:
+            if part == "or":
+                out.append("or")
+            else:
+                branch = part if isinstance(part, list) else [part]
+                out.append(list(base) + list(branch))
+        return out
+    return list(base) + parts
+
+
 def ivf_index_insert(
     spark: SparkSession,
     path: str,
@@ -308,21 +355,35 @@ def ivf_index_insert(
     centroid (broadcast K x dim scoring, no shuffle) and CoW-merge into
     the postings by ``vec_id``.  Fresh ids rewrite nothing (bloom-
     proven inserts); re-used ids replace their old posting wherever it
-    lives.  Returns the merge stats."""
+    lives.  On a payload-carrying index (``payload_cols`` at init) the
+    batch must bring the same attribute columns — a posting without
+    its payload would silently fall out of every filtered search.
+    Returns the merge stats."""
     cent = _load_centroids(spark, path, None, fs).select(
         F.col("cell").cast("long").alias("k"),
         F.col("centroid").alias("carr"),
     )
     from ..operators.clustering import _assign
 
+    payload = [
+        c
+        for c in _postings_columns(path, fs)
+        if c not in ("vec_id", "cell", "embedding", "pq_code")
+    ]
+    missing = [c for c in payload if c not in new_emb.columns]
+    if missing:
+        raise ValueError(
+            f"ivf_index_insert: index stores payload column(s) "
+            f"{payload}; the batch is missing {missing}"
+        )
     assigned = _assign(new_emb.select("vec_id", "embedding"), cent)
     batch = (
-        new_emb.select("vec_id", "embedding")
+        new_emb.select("vec_id", "embedding", *payload)
         .join(
             assigned.select("vec_id", F.col("k").cast("int").alias("cell")),
             "vec_id",
         )
-        .select("vec_id", "cell", "embedding")
+        .select("vec_id", "cell", "embedding", *payload)
     )
     books, rotation = _load_pq_model(spark, path, fs)
     if books is not None:
@@ -917,10 +978,20 @@ def ivf_search(
     fs: LocalSnapshotFS | None = None,
     method: str = "exact",
     rerank_factor: int = 4,
+    where: list | None = None,
 ) -> DataFrame:
     """Top-k cosine search: probe the ``nprobe`` nearest cells per
     query, read ONLY the probed cells' files (``snap_scan`` manifest
     pruning on the cell-clustered postings), exact re-rank inside.
+
+    ``where`` (the ``snap_scan`` grammar, over payload columns stored
+    at init via ``payload_cols``) makes the search FILTERED with
+    pre-filter semantics: candidates are restricted to matching rows
+    BEFORE any scoring, so the result is the true top-k of the
+    filtered set — never a post-filtered top-k that comes back short.
+    Works on both methods (the ADC codes scan carries the filter too);
+    payload stats on the postings files let selective filters prune
+    beyond the probed-cell pruning.
 
     ``queries`` is ``(q_id, q_emb)``; returns ``q_id, neighbor_id,
     cos_sim, rank`` (the query's own id is not excluded — filter
@@ -947,6 +1018,24 @@ def ivf_search(
     truly huge query sets belong on ``method="exact"``."""
     if method not in ("exact", "adc"):
         raise ValueError(f"unknown search method {method!r}")
+    if where:
+        from .snapshots import _parse_dnf
+
+        post_cols = set(_postings_columns(path, fs))
+        bad = sorted(
+            {
+                p[0]
+                for b in _parse_dnf(where)
+                for p in b
+                if p[0] not in post_cols
+            }
+        )
+        if bad:
+            raise ValueError(
+                f"ivf_search: filter column(s) {bad} not stored on the "
+                "postings — build the index with ivf_index_init(..., "
+                f"payload_cols={bad})"
+            )
     cent = _load_centroids(spark, path, None, fs)
     probes = (
         queries.crossJoin(F.broadcast(cent))
@@ -983,15 +1072,15 @@ def ivf_search(
     if method == "adc":
         return _adc_search(
             spark, path, queries, probes, top_k,
-            rerank_factor, version, fs,
+            rerank_factor, version, fs, where,
         )
     cand = snap_scan(
         spark,
         _postings_path(path),
-        [("cell", "in", probe_cells)],
+        _and_where([("cell", "in", probe_cells)], where),
         version=version,
         fs=fs,
-    )
+    ).select("vec_id", "cell", "embedding")
     if broadcast_queries is None:
         # bounded probe, not a full count: deciding "over the
         # threshold?" must not scan an arbitrarily large query set
@@ -1027,8 +1116,12 @@ def _adc_search(
     rerank_factor: int,
     version: int | None,
     fs: LocalSnapshotFS | None,
+    where: list | None = None,
 ) -> DataFrame:
     """The IVF-PQ scan half of ``ivf_search`` (see its docstring).
+    ``where`` rides the codes scan (pre-filter: non-matching rows are
+    never scored), so filtered ADC keeps the exact-cosine contract
+    over the FILTERED candidate set.
 
     Batches past ``ADC_QUERY_MAX`` are sharded here: each slice of
     queries carries its own LUT closure and scans ONLY the cells that
@@ -1093,7 +1186,7 @@ def _adc_search(
         codes = snap_scan(
             spark,
             _postings_path(path),
-            [("cell", "in", chunk_cells)],
+            _and_where([("cell", "in", chunk_cells)], where),
             version=version,
             fs=fs,
         ).select("vec_id", "cell", "pq_code")

@@ -801,3 +801,92 @@ def test_adc_query_batch_over_hard_cap_refused(spark, pq_index):
         assert len({r.q_id for r in ok}) == 8
     finally:
         vi.ADC_BATCH_HARD_MAX = orig
+
+
+def test_filtered_search_prefilter_semantics(
+    spark, sf_dir, tmp_path_factory
+):
+    """FILTERED vector search (payload_cols at init + where= at
+    search): with nprobe == all cells the filtered exact search must
+    equal the brute-force top-k over ONLY the matching rows — the
+    pre-filter contract (a post-filter would come back short whenever
+    the unfiltered top-k had few matching rows).  The ADC path holds
+    the same contract with an exhaustive rerank; filters on unstored
+    columns are refused; inserts must carry the payload."""
+    import numpy as np
+
+    path = str(tmp_path_factory.mktemp("ivfflt") / "idx")
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    ivf_index_init(
+        spark, emb, path, n_cells=8, seed=42, pq_m=16, pq_k=32,
+        payload_cols=["label"],
+    )
+    q = (
+        emb.orderBy("vec_id")
+        .limit(6)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    flt = [("label", "=", 3)]
+    got = ivf_search(
+        spark, path, q, nprobe=8, top_k=5, where=flt
+    ).collect()
+    # brute-force oracle over the label==3 subset
+    all_rows = emb.collect()
+    sub = [(r.vec_id, np.asarray(list(r.embedding))) for r in all_rows
+           if r.label == 3]
+    q_rows = [(r.vec_id, np.asarray(list(r.embedding)))
+              for r in sorted(all_rows, key=lambda r: r.vec_id)[:6]]
+
+    def _top5(qv):
+        sims = sorted(
+            (
+                (float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), i)
+                for i, v in sub
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        return [(i, s) for s, i in sims[:5]]
+
+    want = {
+        (qid, nid, rank + 1)
+        for qid, qv in q_rows
+        for rank, (nid, _s) in enumerate(_top5(qv))
+    }
+    assert {(r.q_id, r.neighbor_id, r.rank) for r in got} == want
+    labels = {r.vec_id: r.label for r in all_rows}
+    assert all(labels[r.neighbor_id] == 3 for r in got)
+    # ADC path: exhaustive rerank over all cells == the exact answers
+    adc = ivf_search(
+        spark, path, q, nprobe=8, top_k=5, method="adc",
+        rerank_factor=400, where=flt,
+    ).collect()
+    assert sorted((r.q_id, r.neighbor_id, r.rank) for r in adc) == sorted(
+        (r.q_id, r.neighbor_id, r.rank) for r in got
+    )
+    # unstored filter column: refused with a pointer at payload_cols
+    with pytest.raises(ValueError, match="payload_cols"):
+        ivf_search(spark, path, q, where=[("source", "=", "x")]).collect()
+    # inserts must carry the payload...
+    fresh = emb.limit(4).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="missing"):
+        ivf_index_insert(spark, path, fresh)
+    # ...and carried payloads are immediately filterable
+    ivf_index_insert(
+        spark, path,
+        emb.filter(F.col("label") == 3).limit(2).select(
+            (F.col("vec_id") + 900_000).alias("vec_id"),
+            "embedding", "label",
+        ),
+    )
+    got2 = ivf_search(
+        spark, path, q, nprobe=8, top_k=1000, where=flt
+    ).collect()
+    inserted = {r.neighbor_id for r in got2 if r.neighbor_id >= 900_000}
+    assert len(inserted) == 2
