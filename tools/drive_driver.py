@@ -13,6 +13,11 @@ spark = (SparkSession.builder.master("local[8]")
 
 import __spark_entry__ as e
 
+# Oracle-side version stamp (matview_orders r11/r12 driver-red theory:
+# a DuckDB double->decimal rounding change between our version and the
+# grading driver's).  Recorded here AND in MV_TRACE.jsonl consumers.
+print(f"duckdb=={duckdb.__version__}")
+
 # 1. smoke: entry()
 df = e.entry(spark)
 rows = df.collect()
