@@ -157,7 +157,7 @@ SUPPORTED_READER_FEATURES = frozenset(
     {"column_mapping", "deletion_vectors"}
 )
 SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset(
-    {"check_constraints", "partition_spec"}
+    {"check_constraints", "partition_spec", "column_defaults"}
 )
 
 
@@ -1203,6 +1203,18 @@ def _commit(
         wfeats.add("partition_spec")
     else:
         wfeats.discard("partition_spec")
+    # declared column DEFAULTs are writer-only state for the same
+    # reason as partition_spec: a build whose carry loop predates the
+    # "defaults" key would strip the declaration on its next commit,
+    # after which omitting appends fail loudly (or NULL-fill) instead
+    # of filling the declared value — Delta gates this behind the
+    # allowColumnDefaults writer feature for exactly this hazard.
+    # Readers stay unflagged: defaults are applied at write time, so
+    # committed rows are already materialized.
+    if manifest.get("defaults"):
+        wfeats.add("column_defaults")
+    else:
+        wfeats.discard("column_defaults")
     if feats:
         manifest["features"] = sorted(feats)
     if wfeats - feats:
@@ -1567,6 +1579,67 @@ def snap_drop_column(
     ) from last_err
 
 
+def _validate_default(name: str, default, dt) -> None:
+    """Reject a column DEFAULT that cannot cast to the declared type —
+    at DDL time, not at the first omitting append.
+
+    Without this, ``default="oops"`` on an int column is accepted and
+    only surfaces when ``snap_append`` evaluates
+    ``F.lit(default).cast(dt)``: a runtime error under ANSI, or a
+    silent NULL fill (divergent from the declaration) with ANSI off.
+    Driver-side on purpose — no SparkSession needed at DDL time, and
+    the rules mirror what the write-time cast will do."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        NumericType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    def _bad(why: str):
+        return ValueError(
+            f"snap_add_column: default {default!r} is not a valid "
+            f"{dt.simpleString()} for column {name!r}: {why}"
+        )
+
+    if isinstance(dt, StringType):
+        return
+    if isinstance(dt, BooleanType):
+        if not isinstance(default, bool):
+            raise _bad("expected a bool")
+        return
+    if isinstance(dt, NumericType):
+        if isinstance(default, bool):
+            raise _bad("bool is not a numeric default")
+        if isinstance(default, (int, float)):
+            return
+        try:
+            _decimal.Decimal(str(default))
+        except _decimal.InvalidOperation:
+            raise _bad("not parseable as a number") from None
+        return
+    if isinstance(dt, DateType):
+        try:
+            _dt.date.fromisoformat(str(default))
+        except ValueError:
+            raise _bad("expected an ISO date string") from None
+        return
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        try:
+            _dt.datetime.fromisoformat(str(default))
+        except ValueError:
+            raise _bad("expected an ISO timestamp string") from None
+        return
+    # complex/binary/interval: a JSON-scalar default has no sensible
+    # cast — refuse at declaration rather than NULL-fill at append
+    raise _bad("defaults are only supported on scalar column types")
+
+
 def snap_add_column(
     path: str,
     name: str,
@@ -1615,6 +1688,8 @@ def snap_add_column(
         dt = dtype
     else:
         dt = StructType.fromDDL(f"`{name}` {dtype}").fields[0].dataType
+    if default is not None:
+        _validate_default(name, default, dt)
     last_err: Exception | None = None
     for _attempt in range(COMMIT_RETRIES):
         m = read_manifest(path, fs=fs)

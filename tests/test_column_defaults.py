@@ -107,3 +107,72 @@ def test_non_scalar_default_rejected(spark, tmp_path):
     path = _mk(spark, tmp_path)
     with pytest.raises(ValueError, match="JSON scalar"):
         snap_add_column(path, "tags", "string", default=["a", "b"])
+
+
+def test_type_incompatible_default_rejected_at_ddl(spark, tmp_path):
+    """default='oops' on an int column must fail at DECLARATION, not
+    at the first omitting append (where it would be a runtime cast
+    error under ANSI, or a silent NULL fill — divergent from the
+    declared default — with ANSI off)."""
+    path = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="not a valid bigint"):
+        snap_add_column(path, "n", "bigint", default="oops")
+    with pytest.raises(ValueError, match="not a valid boolean"):
+        snap_add_column(path, "flag", "boolean", default="yes")
+    with pytest.raises(ValueError, match="not a valid date"):
+        snap_add_column(path, "d", "date", default="not-a-date")
+    with pytest.raises(ValueError, match="not a valid decimal"):
+        snap_add_column(
+            path, "amt", "decimal(10,2)", default=True,
+        )
+    with pytest.raises(ValueError, match="scalar column types"):
+        snap_add_column(
+            path, "tags", "array<string>", default="a",
+        )
+    # a failed declaration must not commit anything
+    assert "defaults" not in read_manifest(path)
+
+    # the compatible shapes all still declare fine
+    snap_add_column(path, "n", "bigint", default=7)
+    snap_add_column(path, "amt", "decimal(10,2)", default="19.99")
+    snap_add_column(path, "d", "date", default="2026-01-01")
+    snap_add_column(path, "flag", "boolean", default=False)
+    snap_append(
+        spark, path,
+        spark.range(300, 301).selectExpr(
+            "id AS k", "CAST(3 AS DOUBLE) AS v"
+        ),
+    )
+    row = [r for r in snap_read(spark, path).collect() if r.k == 300][0]
+    assert (row.n, str(row.amt), str(row.d), row.flag) == (
+        7, "19.99", "2026-01-01", False,
+    )
+
+
+def test_defaults_flag_writer_feature(spark, tmp_path):
+    """A declared default must flag ``column_defaults`` in
+    writer_features: a build whose carry loop predates the "defaults"
+    manifest key would otherwise silently strip the declaration on its
+    next commit (the partition_spec hazard, same fix).  Dropping the
+    defaulted column clears the flag."""
+    from mapreduce_grpc_spark.sources.snapshots import table_features
+
+    path = _mk(spark, tmp_path)
+    assert table_features(path)["writer"] == []
+    snap_add_column(path, "quality", "string", default="unreviewed")
+    assert table_features(path)["writer"] == ["column_defaults"]
+    # the flag survives unrelated commits (carry loop keeps it)
+    snap_append(
+        spark, path,
+        spark.range(50, 52).selectExpr(
+            "id AS k", "CAST(9 AS DOUBLE) AS v"
+        ),
+    )
+    assert table_features(path)["writer"] == ["column_defaults"]
+    # exact (not sticky): dropping the only defaulted column clears it
+    snap_drop_column(path, "quality")
+    assert table_features(path)["writer"] == []
+    # history keeps its own flags
+    assert table_features(path, version=2)["writer"] == [
+        "column_defaults"
+    ]
