@@ -774,6 +774,121 @@ WHERE source LIKE 'src1%' AND n_chars >= 100
 """
 
 
+def streaming_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming change-feed SOURCE under the hash comparator:
+    ``readStream.format("snapshot_table").option("readChangeFeed",
+    "true")`` — a continuous consumer of row-level deltas, the
+    MV-maintenance shape as a real Structured Streaming query instead
+    of a ``consume_changes`` poll loop.
+
+    Pipeline: ``customer`` → snapshot table → one deterministic CDC
+    commit (keys %10==0 re-segmented to VIP, %10==1 deleted, %10==2
+    cloned as SYNTH inserts under shifted keys) → the change feed is
+    STREAMED (startingVersion pinned past the initial load, memory
+    sink, availableNow) and summarized per (change type, segment).
+    The oracle reconstructs the expected feed rows in pure SQL — if
+    the executor-side per-commit diff misclassifies one row, emits a
+    carried row, or drops a preimage, a count flips and the hash
+    mismatches.  Scale shape: the streamed micro-batch reads only the
+    commit's rewritten slice (one task per commit today; the row-ID
+    design note in PLANS.md is the lever that removes the per-commit
+    join)."""
+    import uuid as _uuid
+
+    from ..sources.stream_source import SnapshotTableStreamSource
+
+    tmp = tempfile.mkdtemp(prefix="snap-cdf-")
+    path = os.path.join(tmp, "t")
+    try:
+        cust = table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        snap_init(
+            spark,
+            cust.repartitionByRange(4, "c_custkey"),
+            path,
+            stats_cols=["c_custkey"],
+        )
+        k = F.col("c_custkey")
+        batch = (
+            cust.filter(k % 10 == 0)
+            .select(k.alias("c_custkey"),
+                    F.lit("VIP").alias("c_mktsegment"),
+                    F.lit("U").alias("_op"))
+            .unionByName(
+                cust.filter(k % 10 == 1).select(
+                    "c_custkey", "c_mktsegment", F.lit("D").alias("_op")
+                )
+            )
+            .unionByName(
+                cust.filter(k % 10 == 2).select(
+                    (k + 10_000_000).alias("c_custkey"),
+                    F.lit("SYNTH").alias("c_mktsegment"),
+                    F.lit("I").alias("_op"),
+                )
+            )
+        )
+        apply_cdc_cow(spark, path, batch, keys=["c_custkey"])
+
+        spark.dataSource.register(SnapshotTableStreamSource)
+        qn = f"cdf_{_uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .option("keys", "c_custkey")
+            .option("startingVersion", "2")
+            .load()
+            .writeStream.format("memory")
+            .queryName(qn)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_cdf_feed: availableNow drain exceeded 300s"
+                " — partial feed must not be hash-compared"
+            )
+        out = (
+            spark.table(qn)
+            .groupBy(
+                F.col("_change_type").alias("change_type"),
+                F.col("c_mktsegment").alias("seg"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# Mirrors the streamed feed's classification exactly: every %10==0 key
+# yields a pre/post pair (fixture segments are TPC-H names, never VIP,
+# so the update always differs), %10==1 keys delete, %10==2 keys insert
+# under shifted identity.
+STREAMING_CDF_FEED_SQL = """
+WITH changes AS (
+  SELECT 'update_preimage' AS change_type, c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT 'update_postimage', 'VIP'
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT 'delete', c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 1
+  UNION ALL
+  SELECT 'insert', 'SYNTH'
+  FROM customer WHERE c_custkey % 10 = 2
+)
+SELECT change_type, seg, COUNT(*) AS cnt
+FROM changes
+GROUP BY change_type, seg
+"""
+
+
 QUERIES = {
     "snapshot_timetravel": snapshot_timetravel,
     # rotated IN (round 7, replacing the redundant ngrams text query):
@@ -814,9 +929,11 @@ AUX_QUERIES = {
     "snapshot_update_restore": snapshot_update_restore,
     "snapshot_column_evolution": snapshot_column_evolution,
     "snapshot_prefix_scan": snapshot_prefix_scan,
+    "streaming_cdf_feed": streaming_cdf_feed,
 }
 AUX_ORACLES = {
     "snapshot_update_restore": SNAPSHOT_UPDATE_RESTORE_SQL,
     "snapshot_column_evolution": SNAPSHOT_COLUMN_EVOLUTION_SQL,
     "snapshot_prefix_scan": SNAPSHOT_PREFIX_SCAN_SQL,
+    "streaming_cdf_feed": STREAMING_CDF_FEED_SQL,
 }

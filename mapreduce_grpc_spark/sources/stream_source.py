@@ -406,6 +406,313 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         pass
 
 
+class _CDFPartition(InputPartition):
+    """One commit step of a change-feed read: the step's REMOVED and
+    ADDED files (each with its optional DV sidecar), each side's
+    schema/column-mapping, and the plan-time output schema."""
+
+    def __init__(
+        self,
+        version: int,
+        old_files: list,
+        new_files: list,
+        old_schema_json: str,
+        new_schema_json: str,
+        old_cm: dict,
+        new_cm: dict,
+        keys: list,
+        out_schema_json: str,
+    ):
+        self.version = version
+        self.old_files = old_files  # [(data_path, dv_path|None), ...]
+        self.new_files = new_files
+        self.old_schema_json = old_schema_json
+        self.new_schema_json = new_schema_json
+        self.old_cm = old_cm
+        self.new_cm = new_cm
+        self.keys = keys
+        self.out_schema_json = out_schema_json
+
+
+class _SnapshotCDFStreamReader(_SnapshotStreamReader):
+    """``readChangeFeed=true`` — stream ROW-LEVEL deltas instead of
+    appended rows (Delta's streaming CDF mode).
+
+    Same offset/pacing machinery as the append reader (offsets are
+    versions, spans replay exactly), different batch contents: a
+    micro-batch is the ``table_changes`` slice for ``(start, end]``,
+    with ``_change_type`` (insert / delete / update_preimage /
+    update_postimage) and ``_commit_version`` columns.  Semantics
+    mirror ``snapshots.table_changes`` (the parity test pins streamed
+    == batch): per commit, only the step's removed/added files can
+    hold changed rows (CoW carries are byte-identical), a full-outer
+    join on ``keys`` classifies each key, and carried-through rows
+    inside rewritten files compare null-safe-equal and drop out.
+
+    Execution shape: the diff needs all of one commit's rewritten
+    slice co-located, so each commit is ONE input partition whose
+    executor task joins the slice with pyarrow (vectorized kernels;
+    per-column Python only as a fallback for types pyarrow cannot
+    compare).  That bounds a task at the commit's rewritten slice —
+    the update slice on a clustered table, never the table.  The 100x
+    lever when single commits rewrite huge slices is row tracking
+    (PLANS.md row-ID note): stable row IDs would let rearrangement
+    commits emit nothing and keyed commits emit exact per-file deltas
+    without the join."""
+
+    def __init__(self, *args, keys: list | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._keys = list(keys or [])
+
+    def partitions(self, start: dict, end: dict):
+        from .snapshots import read_manifest
+
+        v0, v1 = int(start["version"]), int(end["version"])
+        self._planned = max(self._planned or 0, v1)
+        if v1 > self._cm_version:
+            # a rename/drop mid-stream changes logical->physical
+            # resolution AND the logical output shape; aligning new
+            # files under the stale plan-time schema would silently
+            # null-backfill (same hazard as the append reader)
+            raw1 = self._manifest(v1)
+            cm1 = (raw1.get("column_mapping") or {}).get("map") or {}
+            if cm1 != self._cm:
+                raise ChangeCommitError(
+                    f"column mapping of {self._path!r} changed at "
+                    f"v{v1} while the change-feed query was running; "
+                    "restart the query to re-plan under the new schema"
+                )
+
+        def _sig(e: dict) -> tuple:
+            d = e.get("dv") or {}
+            return (e["name"], d.get("file"), d.get("rows"))
+
+        def _files(entries: list[dict]) -> list:
+            out = []
+            for e in entries:
+                base = e.get("base") or self._path
+                dv = e.get("dv")
+                out.append(
+                    (
+                        os.path.join(base, e["name"]),
+                        os.path.join(base, dv["file"]) if dv else None,
+                    )
+                )
+            return out
+
+        parts: list[_CDFPartition] = []
+        prev_m = (
+            read_manifest(self._path, v0, self._fs) if v0 > 0 else None
+        )
+        for v in range(v0 + 1, v1 + 1):
+            cur_m = read_manifest(self._path, v, self._fs)
+            prev_files = prev_m["files"] if prev_m else []
+            prev_sigs = {_sig(e) for e in prev_files}
+            cur_sigs = {_sig(e) for e in cur_m["files"]}
+            removed = [
+                e for e in prev_files if _sig(e) not in cur_sigs
+            ]
+            added = [
+                e for e in cur_m["files"] if _sig(e) not in prev_sigs
+            ]
+            old_schema = prev_m.get("schema") if prev_m else None
+            new_schema = cur_m.get("schema")
+            old_cm = (
+                ((prev_m.get("column_mapping") or {}).get("map") or {})
+                if prev_m
+                else {}
+            )
+            new_cm = (cur_m.get("column_mapping") or {}).get("map") or {}
+            prev_m = cur_m
+            if not removed and not added:
+                continue  # metadata-only commit: no row changes
+            parts.append(
+                _CDFPartition(
+                    v,
+                    _files(removed),
+                    _files(added),
+                    old_schema or "",
+                    new_schema or "",
+                    old_cm,
+                    new_cm,
+                    self._keys,
+                    self._schema_json,
+                )
+            )
+        return parts or [
+            _CDFPartition(0, [], [], "", "", {}, {}, self._keys, "")
+        ]
+
+    # -- executor side -------------------------------------------------
+
+    def _load_side(self, files: list, schema_json: str, cm: dict):
+        """One side of a commit step as a pyarrow table aligned to its
+        OWN version's logical schema (DV-masked), or None if empty."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .batch_source import align_to_schema
+
+        tabs = []
+        for file_path, dv_path in files:
+            table = pq.read_table(file_path)
+            if dv_path:
+                dv = pq.read_table(dv_path, columns=["file_name", "pos"])
+                fname = os.path.basename(file_path)
+                mask = np.asarray(dv.column("file_name")) == fname
+                pos = np.asarray(dv.column("pos"))[mask].astype(np.int64)
+                if pos.size:
+                    keep = np.ones(table.num_rows, dtype=bool)
+                    keep[pos] = False
+                    table = table.filter(pa.array(keep))
+            if schema_json:
+                table = align_to_schema(table, schema_json, cm)
+            if table.num_rows:
+                tabs.append(table)
+        if not tabs:
+            return None
+        return pa.concat_tables(tabs, promote_options="permissive")
+
+    def _project(self, table, target):
+        """Project a side onto the OUTPUT logical schema: evolved-away
+        columns null-backfill, types cast exactly (table_changes'
+        out_cols alignment)."""
+        import pyarrow as pa
+
+        have = set(table.schema.names)
+        arrays = []
+        for field in target:
+            if field.name in have:
+                arrays.append(table.column(field.name).cast(field.type))
+            else:
+                arrays.append(pa.nulls(table.num_rows, field.type))
+        return pa.table(arrays, schema=target)
+
+    def read(self, partition: _CDFPartition):
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        if not partition.out_schema_json:
+            return
+        full = to_arrow_schema(
+            StructType.fromJson(_json.loads(partition.out_schema_json))
+        )
+        # last two fields are the synthesized _change_type /
+        # _commit_version; data alignment targets the table columns
+        target = pa.schema(list(full)[:-2])
+        keys = partition.keys
+        attrs = [f.name for f in target if f.name not in keys]
+        v = partition.version
+
+        old = self._load_side(
+            partition.old_files, partition.old_schema_json,
+            partition.old_cm,
+        )
+        new = self._load_side(
+            partition.new_files, partition.new_schema_json,
+            partition.new_cm,
+        )
+        if old is not None:
+            old = self._project(old, target)
+        if new is not None:
+            new = self._project(new, target)
+
+        def _emit(table, kind: str):
+            n = table.num_rows
+            if not n:
+                return None
+            cols = [table.column(f.name) for f in target]
+            cols.append(pa.array([kind] * n, type=pa.string()))
+            cols.append(pa.array([v] * n, type=pa.int64()))
+            return pa.table(cols, schema=full)
+
+        outs = []
+        if old is None and new is None:
+            return
+        elif old is None:
+            outs.append(_emit(new, "insert"))
+        elif new is None:
+            outs.append(_emit(old, "delete"))
+        else:
+            # full-outer join on keys, pyarrow kernels end to end —
+            # the exact shape of table_changes' Spark join
+            o = old.rename_columns(
+                [
+                    c if c in keys else f"__old_{c}"
+                    for c in old.schema.names
+                ]
+            ).append_column("__in_old", pa.array([True] * old.num_rows))
+            nw = new.rename_columns(
+                [
+                    c if c in keys else f"__new_{c}"
+                    for c in new.schema.names
+                ]
+            ).append_column("__in_new", pa.array([True] * new.num_rows))
+            j = o.join(nw, keys=keys, join_type="full outer")
+            in_old = pc.fill_null(j.column("__in_old"), False)
+            in_new = pc.fill_null(j.column("__in_new"), False)
+
+            def _take(table, side: str, kind: str):
+                cols = []
+                for f in target:
+                    name = (
+                        f.name
+                        if f.name in keys
+                        else f"__{side}_{f.name}"
+                    )
+                    cols.append(table.column(name).cast(f.type))
+                n = table.num_rows
+                if not n:
+                    return None
+                cols.append(pa.array([kind] * n, type=pa.string()))
+                cols.append(pa.array([v] * n, type=pa.int64()))
+                return pa.table(cols, schema=full)
+
+            ins = j.filter(pc.and_(in_new, pc.invert(in_old)))
+            dele = j.filter(pc.and_(in_old, pc.invert(in_new)))
+            both = j.filter(pc.and_(in_old, in_new))
+            if both.num_rows and attrs:
+                differ = None
+                for a in attrs:
+                    ca, cb = (
+                        both.column(f"__old_{a}"),
+                        both.column(f"__new_{a}"),
+                    )
+                    try:
+                        eq = pc.fill_null(pc.equal(ca, cb), False)
+                        same = pc.or_(
+                            eq,
+                            pc.and_(pc.is_null(ca), pc.is_null(cb)),
+                        )
+                        d = pc.invert(same)
+                    except pa.ArrowNotImplementedError:
+                        # types without an equality kernel (nested):
+                        # exact python compare, this column only
+                        la, lb = ca.to_pylist(), cb.to_pylist()
+                        d = pa.array(
+                            [x != y for x, y in zip(la, lb)],
+                            type=pa.bool_(),
+                        )
+                    differ = d if differ is None else pc.or_(differ, d)
+                changed = both.filter(differ)
+            else:
+                changed = both.slice(0, 0)
+            outs += [
+                _take(ins, "new", "insert"),
+                _take(dele, "old", "delete"),
+                _take(changed, "old", "update_preimage"),
+                _take(changed, "new", "update_postimage"),
+            ]
+        for t in outs:
+            if t is not None and t.num_rows:
+                yield from t.to_batches()
+
+
 class _FileCommit(WriterCommitMessage):
     def __init__(self, name: str | None):
         self.name = name
@@ -728,6 +1035,27 @@ class SnapshotTableStreamSource(DataSource):
                 "snapshot_table source needs a manifest-recorded schema"
             )
         schema = StructType.fromJson(json.loads(m["schema"]))
+        if self._flag("readchangefeed"):
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            if self._flag("withcommitversion"):
+                raise ValueError(
+                    "readChangeFeed=true already emits _commit_version"
+                    " — drop withCommitVersion"
+                )
+            for c in ("_change_type", "_commit_version"):
+                if c in schema.fieldNames():
+                    raise ValueError(
+                        f"readChangeFeed=true but the table schema "
+                        f"already has a `{c}` column"
+                    )
+            return StructType(
+                list(schema.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
         if self._flag("withcommitversion"):
             from pyspark.sql.types import LongType, StructField
 
@@ -792,6 +1120,44 @@ class SnapshotTableStreamSource(DataSource):
             return val
 
         cm, cm_version = self._column_mapping()
+        if self._flag("readchangefeed"):
+            if skip:
+                raise ValueError(
+                    "readChangeFeed=true streams change commits as "
+                    "row deltas — skipChangeCommits does not compose"
+                )
+            raw_keys = self.options.get("keys", "")
+            keys = [k.strip() for k in raw_keys.split(",") if k.strip()]
+            if not keys:
+                raise ValueError(
+                    "readChangeFeed=true requires .option('keys', "
+                    "'k1,k2'): the logical key the per-commit diff "
+                    "classifies rows by (same contract as "
+                    "table_changes)"
+                )
+            fields = set(schema.fieldNames())
+            missing = [k for k in keys if k not in fields]
+            if missing:
+                raise ValueError(
+                    f"readChangeFeed keys {missing} not in table "
+                    f"schema {sorted(fields)}"
+                )
+            return _SnapshotCDFStreamReader(
+                self._path(),
+                starting,
+                False,
+                schema.json(),
+                max_versions=_positive(
+                    "maxversionspertrigger", "maxVersionsPerTrigger"
+                ),
+                max_bytes=_positive(
+                    "maxbytespertrigger", "maxBytesPerTrigger"
+                ),
+                fs_spec=self.options.get("fsimpl"),
+                cm=cm,
+                cm_version=cm_version,
+                keys=keys,
+            )
         return _SnapshotStreamReader(
             self._path(),
             starting,
