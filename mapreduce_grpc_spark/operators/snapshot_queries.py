@@ -916,6 +916,11 @@ QUERIES = {
     # own hash — the last AUX-only table-layer composition next to
     # column evolution
     "snapshot_delete_scan": snapshot_delete_scan,
+    # rotated IN (round 13, replacing the redundant tumbling_window
+    # row): column mapping (rename/drop/re-add + merge through the
+    # mapping) is the biggest table-layer path that was still
+    # AUX-only — now under the driver's own hash
+    "snapshot_column_evolution": snapshot_column_evolution,
 }
 ORACLES = {
     "snapshot_timetravel": SNAPSHOT_TIMETRAVEL_SQL,
@@ -924,16 +929,15 @@ ORACLES = {
     "snapshot_partitioned_scan": SNAPSHOT_PARTITIONED_SCAN_SQL,
     "matview_orders": MATVIEW_ORDERS_SQL,
     "snapshot_delete_scan": SNAPSHOT_DELETE_SCAN_SQL,
+    "snapshot_column_evolution": SNAPSHOT_COLUMN_EVOLUTION_SQL,
 }
 AUX_QUERIES = {
     "snapshot_update_restore": snapshot_update_restore,
-    "snapshot_column_evolution": snapshot_column_evolution,
     "snapshot_prefix_scan": snapshot_prefix_scan,
     "streaming_cdf_feed": streaming_cdf_feed,
 }
 AUX_ORACLES = {
     "snapshot_update_restore": SNAPSHOT_UPDATE_RESTORE_SQL,
-    "snapshot_column_evolution": SNAPSHOT_COLUMN_EVOLUTION_SQL,
     "snapshot_prefix_scan": SNAPSHOT_PREFIX_SCAN_SQL,
     "streaming_cdf_feed": STREAMING_CDF_FEED_SQL,
 }

@@ -313,7 +313,6 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 
 
 QUERIES = {
-    "tumbling_window": tumbling_window,
     # sliding_window rotated OUT of the 50-query contract (round 10,
     # making room for snapshot_partitioned_scan): it shares machinery
     # and oracle discipline with tumbling_window, so the hash coverage
@@ -321,16 +320,21 @@ QUERIES = {
     # in pytest via AUX_ORACLES below.  events_json rotated OUT round
     # 11 (making room for matview_orders — the incremental-MV
     # composition is far more delicate than a from_json projection);
-    # same AUX parity check in tests/test_robustness.py
+    # same AUX parity check in tests/test_robustness.py.
+    # tumbling_window rotated OUT round 13 (making room for
+    # snapshot_column_evolution): it duplicates streaming_tumbling's
+    # aggregation through the batch path — the most redundant
+    # remaining contract row; same comparator in
+    # tests/test_robustness.py.
     "session_window": session_window_agg,
 }
 
 ORACLES = {
-    "tumbling_window": TUMBLING_WINDOW_SQL,
     "session_window": SESSION_WINDOW_SQL,
 }
 
 AUX_QUERIES = {
+    "tumbling_window": tumbling_window,
     "sliding_window": sliding_window,
     "events_json": events_json_extract,
     "resample_events": resample_events,
@@ -338,6 +342,7 @@ AUX_QUERIES = {
 }
 
 AUX_ORACLES = {
+    "tumbling_window": TUMBLING_WINDOW_SQL,
     "sliding_window": SLIDING_WINDOW_SQL,
     "events_json": EVENTS_JSON_SQL,
     "resample_events": RESAMPLE_EVENTS_SQL,

@@ -456,12 +456,13 @@ def test_snap_overwrite_on_mapped_table(spark, tmp_path):
 
 
 def test_snapshot_column_evolution_oracle_parity(spark, sf_dir):
-    """The AUX query putting the whole evolution pipeline (rename x2,
-    drop, re-add, CoW merge through the mapping) under the driver's
-    own hash comparator."""
+    """The whole evolution pipeline (rename x2, drop, re-add, CoW
+    merge through the mapping) under the driver's own hash comparator
+    — rotated INTO the 50-query contract round 13 (the driver
+    re-hashes it independently)."""
     from mapreduce_grpc_spark import registry
     from tests.oracle import assert_oracle_match
 
     name = "snapshot_column_evolution"
-    df = registry.AUX_QUERIES[name](spark, sf_dir)
-    assert_oracle_match(df, registry.AUX_ORACLES[name], sf_dir, name)
+    df = registry.QUERIES[name](spark, sf_dir)
+    assert_oracle_match(df, registry.ORACLES[name], sf_dir, name)

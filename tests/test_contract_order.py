@@ -17,11 +17,12 @@ CONTRACT_ORDER = [
     "window_analytic", "dedup_exact", "minhash_signatures", "dedup_near",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
     "similarity_topk", "ann_lsh_topk", "ivf_topk", "dedup_embedding",
-    "tumbling_window", "session_window",
+    "session_window",
     "multimodal_features", "frame_sample", "zscore_outliers",
     "snapshot_timetravel", "snapshot_merge_into",
     "streaming_table_pipeline", "snapshot_partitioned_scan",
     "matview_orders", "snapshot_delete_scan",
+    "snapshot_column_evolution",
 ]
 
 

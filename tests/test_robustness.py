@@ -114,6 +114,21 @@ def test_nl_join_oracle_parity(spark, sf_dir):
     )
 
 
+def test_tumbling_window_oracle_parity(spark, sf_dir):
+    """tumbling_window rotated from the driver contract to AUX in
+    round 13 (made room for snapshot_column_evolution) — it keeps the
+    SAME DuckDB hash comparator here."""
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["tumbling_window"](spark, sf_dir)
+    assert_oracle_match(
+        df,
+        registry.AUX_ORACLES["tumbling_window"],
+        sf_dir,
+        "tumbling_window",
+    )
+
+
 def test_events_json_oracle_parity(spark, sf_dir):
     """events_json rotated from the driver contract to AUX in round
     11 (made room for matview_orders) — it keeps the SAME DuckDB hash
