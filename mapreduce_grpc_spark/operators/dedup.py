@@ -1189,6 +1189,47 @@ FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id
 """
 
 
+def span_gram_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``(doc_id, pos, gh)`` hashed SPAN_K-token-window relation,
+    STAGED (the ``shingle_hashes`` pattern).
+
+    Both span consumers (``dedup_spans``, ``dedup_spans_keepfirst``)
+    scan this relation twice — once for the shared-gram aggregate,
+    once for the position join — so staging it turns their double
+    CORPUS scan (tokenize + posexplode, the dominant cost) into two
+    reads of one materialized ids+positions+hashes table, tiny
+    relative to the corpus.  Grams travel as ``xxhash64`` of the
+    window text (64-bit — the same grammar the profile query
+    ``span_dup_stats`` hashes with; a cross-doc collision at corpus
+    scale is ~n^2/2^64 and only ever over-removes one window).  With
+    ``SPARK_GRAFT_STAGING=off`` it degrades to the in-plan
+    computation — identical rows either way, exactly like the other
+    staged relations; staleness is keyed by fixture fingerprint +
+    SPAN_K."""
+    from .quality import SPAN_K
+
+    def build() -> DataFrame:
+        docs = table(spark, sf_dir, "documents")
+        base = docs.select("doc_id", tokens("text").alias("tk"))
+        grams = F.expr(
+            f"transform(slice(tk, 1, greatest(size(tk) - {SPAN_K - 1}, 0)), "
+            f"(x, i) -> concat_ws(' ', "
+            + ", ".join(["x"] + [f"tk[i+{j}]" for j in range(1, SPAN_K)])
+            + "))"
+        )
+        return base.select(
+            "doc_id", F.posexplode(grams).alias("pos", "gram")
+        ).select("doc_id", "pos", F.xxhash64("gram").alias("gh"))
+
+    return staged_parquet(
+        spark,
+        sf_dir,
+        "span_grams",
+        build,
+        params=f"v1-k{SPAN_K}",
+    )
+
+
 def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup as a TRANSFORM: remove every token covered
     by a ``SPAN_K``-token window that also occurs verbatim in another
@@ -1219,42 +1260,36 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-page boilerplate, not whole-document copies), or use
     ``dedup_spans_keepfirst``.
 
-    Plan audit (``.explain``): the gram explode runs TWICE (the
-    shared-gram agg branch and the position-join branch; 2 Generate
-    nodes, no exchange reuse) — deliberate.  The one-pass alternative
-    (``collect_list((doc_id, pos))`` per gram, filter, re-explode)
-    saves the second corpus scan but holds one gram's ENTIRE posting
-    list in a single aggregation buffer — unbounded for a stop-phrase
-    gram at corpus scale, the same hot-key hazard the LSH operators
-    cap.  Re-scanning trades bounded wall time for bounded memory,
-    the scale-safe direction; staging the hashed gram relation
-    (``sources/staging.py``, as ``shingle_hashes`` does) is the
-    documented lever if the double scan ever dominates.
+    Plan audit (``.explain``): the gram relation is consumed TWICE
+    (the shared-gram agg branch and the position-join branch) —
+    deliberate.  The one-pass alternative (``collect_list((doc_id,
+    pos))`` per gram, filter, re-explode) saves the second pass but
+    holds one gram's ENTIRE posting list in a single aggregation
+    buffer — unbounded for a stop-phrase gram at corpus scale, the
+    same hot-key hazard the LSH operators cap.  Since r13 the
+    relation is STAGED (``span_gram_windows`` via
+    ``sources/staging.py``): both passes read one materialized
+    ids+positions+hashes parquet instead of re-tokenizing the corpus,
+    so the double scan costs two cheap reads; with staging off the
+    two in-plan scans remain — bounded memory either way, the
+    scale-safe direction.
 
     Returns ``doc_id, n_tokens, removed_tokens, clean_text``."""
     from .quality import SPAN_K
 
     docs = table(spark, sf_dir, "documents")
     base = docs.select("doc_id", tokens("text").alias("tk"))
-    grams = F.expr(
-        f"transform(slice(tk, 1, greatest(size(tk) - {SPAN_K - 1}, 0)), "
-        f"(x, i) -> concat_ws(' ', "
-        + ", ".join(["x"] + [f"tk[i+{j}]" for j in range(1, SPAN_K)])
-        + "))"
-    )
-    win = base.select(
-        "doc_id", F.posexplode(grams).alias("pos", "gram")
-    )
+    win = span_gram_windows(spark, sf_dir)
     shared = (
-        win.groupBy("gram", "doc_id")
+        win.groupBy("gh", "doc_id")
         .agg(F.count("*").alias("c"))
-        .groupBy("gram")
+        .groupBy("gh")
         .agg(F.count("*").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("gram")
+        .select("gh")
     )
     starts = (
-        win.join(shared, "gram")
+        win.join(shared, "gh")
         .groupBy("doc_id")
         .agg(F.collect_set("pos").alias("starts"))
     )
@@ -1301,28 +1336,20 @@ def dedup_spans_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     base = docs.select("doc_id", tokens("text").alias("tk"))
-    grams = F.expr(
-        f"transform(slice(tk, 1, greatest(size(tk) - {SPAN_K - 1}, 0)), "
-        f"(x, i) -> concat_ws(' ', "
-        + ", ".join(["x"] + [f"tk[i+{j}]" for j in range(1, SPAN_K)])
-        + "))"
-    )
-    win = base.select(
-        "doc_id", F.posexplode(grams).alias("pos", "gram")
-    )
+    win = span_gram_windows(spark, sf_dir)
     shared = (
-        win.groupBy("gram", "doc_id")
+        win.groupBy("gh", "doc_id")
         .agg(F.count("*").alias("c"))
-        .groupBy("gram")
+        .groupBy("gh")
         .agg(
             F.count("*").alias("nd"),
             F.min("doc_id").alias("owner"),
         )
         .filter(F.col("nd") >= 2)
-        .select("gram", "owner")
+        .select("gh", "owner")
     )
     starts = (
-        win.join(shared, "gram")
+        win.join(shared, "gh")
         .filter(F.col("doc_id") != F.col("owner"))
         .groupBy("doc_id")
         .agg(F.collect_set("pos").alias("starts"))

@@ -426,3 +426,50 @@ def test_partition_identity_type_pinned_with_nulls(spark, tmp_path):
     assert part.type == pa.int64()
     assert got.num_rows == 4
     assert part.null_count == 3
+
+
+def test_storage_partitioned_join_blocked_upstream(spark, tmp_path, fs_opt):
+    """Storage-partitioned joins (SPJ) on bucket-partitioned snapshot
+    tables are blocked UPSTREAM, pinned here the same way as catalog
+    ``CREATE TABLE`` (see test_pure_sql_ingest_and_query_story):
+
+    - The Python Data Source API (pyspark 4.1.2) exposes no
+      partitioning-report channel: ``DataSourceReader`` has only
+      partitions/pushFilters/read, nothing like the JVM
+      ``SupportsReportPartitioning``/``KeyGroupedPartitioning``
+      surface, and the Python worker protocol carries no partition
+      values per InputPartition (probed: the module exports no
+      partitioning symbol at all).
+    - Consequently two snapshot tables bucketed IDENTICALLY
+      (``bucket(4, k)``) still plan a shuffle on both sides of an
+      equi-join.  This test pins the Exchange's presence: if a Spark
+      upgrade ever starts eliding it, this fails loudly and the
+      hidden-partitioning layer should start reporting its spec.
+
+    Until then, the engine's answer for co-located big-big joins at
+    scale stays the documented bucketing pattern over plain parquet
+    (``sources/writers.py`` bucketed sink + ``spark.table`` reads).
+    """
+    import pyspark.sql.datasource as ds
+
+    assert not any("Partitioning" in n for n in dir(ds))
+    from pyspark.sql.datasource import DataSourceReader, InputPartition
+
+    assert not hasattr(DataSourceReader, "outputPartitioning")
+    assert not hasattr(InputPartition, "partitionKey")
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _write(_df(spark, 0, 40), a, "append", fs_opt,
+           partitionBy="bucket(4, k)", statsCols="k")
+    _write(_df(spark, 20, 40), b, "append", fs_opt,
+           partitionBy="bucket(4, k)", statsCols="k")
+    df = _read(spark, a, fs_opt).join(
+        _read(spark, b, fs_opt).withColumnRenamed("v", "v2"), "k"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan, (
+        "shuffle disappeared: upstream may now support SPJ for "
+        "Python data sources — wire partition reporting"
+    )
+    # correctness unaffected: the join itself is exact
+    assert df.count() == 20

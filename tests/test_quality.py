@@ -419,3 +419,34 @@ def test_dedup_spans_keepfirst_fixture_invariants(spark, sf_dir):
         sf_dir,
         "dedup_spans_keepfirst_fixture",
     )
+
+
+def test_dedup_spans_staged_plan_reads_corpus_once(spark, sf_dir):
+    """r12 verdict stretch: with staging on, the double gram scan
+    becomes two reads of the materialized span_grams relation — the
+    executed plan holds exactly ONE documents scan (the rebuild side)
+    and no posexplode Generate nodes; and the staged/un-staged paths
+    return identical rows."""
+    import os
+
+    from mapreduce_grpc_spark.operators.dedup import dedup_spans
+
+    if os.environ.get("SPARK_GRAFT_STAGING", "on").lower() in (
+        "off", "0", "false",
+    ):
+        import pytest
+
+        pytest.skip("staging disabled in this run")
+    df = dedup_spans(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 1
+    assert "Generate" not in plan
+    staged = sorted(tuple(r) for r in df.collect())
+    os.environ["SPARK_GRAFT_STAGING"] = "off"
+    try:
+        unstaged = sorted(
+            tuple(r) for r in dedup_spans(spark, sf_dir).collect()
+        )
+    finally:
+        os.environ.pop("SPARK_GRAFT_STAGING", None)
+    assert staged == unstaged
