@@ -889,6 +889,70 @@ GROUP BY change_type, seg
 """
 
 
+def snapshot_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking (Delta row IDs) under the hash comparator: init a
+    TRACKED snapshot table from ``customer``, capture every row's
+    ``_row_id``, compact the whole table (``optimize_snapshot`` — an
+    id-PRESERVING rewrite that materializes the ids as a physical
+    column), and verify in-query that (a) ids are unique (distinct
+    ids == rows per segment) and (b) no row's id changed across the
+    rewrite (pre/post join on the key counts differing ids).  The
+    oracle pins the invariant shape: per-segment row count, the same
+    count again as the distinct-id count, and a zero changed column —
+    if assignment duplicates an id, the rewrite drops or renumbers
+    one row, or the materialized column diverges from the synthesized
+    metadata ids, a count flips and the hash mismatches."""
+    from ..sources.snapshots import optimize_snapshot
+
+    tmp = tempfile.mkdtemp(prefix="snap-rowid-")
+    path = os.path.join(tmp, "t")
+    try:
+        cust = table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        snap_init(
+            spark,
+            cust.repartitionByRange(4, "c_custkey"),
+            path,
+            stats_cols=["c_custkey"],
+            row_tracking=True,
+        )
+        pre = snap_read(spark, path, with_row_ids=True).select(
+            "c_custkey", F.col("_row_id").alias("_pre_id")
+        )
+        pre_rows = pre.collect()
+        pre_df = spark.createDataFrame(pre_rows, pre.schema)
+        optimize_snapshot(spark, path, target_bytes=10**12)
+        post = snap_read(spark, path, with_row_ids=True)
+        out = (
+            post.join(pre_df, "c_custkey")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.countDistinct("_row_id").alias("n_ids"),
+                F.sum(
+                    F.when(
+                        F.col("_row_id") != F.col("_pre_id"), 1
+                    ).otherwise(0)
+                ).alias("changed"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SNAPSHOT_ROW_IDS_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS cnt,
+       COUNT(*) AS n_ids,
+       CAST(0 AS BIGINT) AS changed
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "snapshot_timetravel": snapshot_timetravel,
     # rotated IN (round 7, replacing the redundant ngrams text query):
@@ -935,9 +999,11 @@ AUX_QUERIES = {
     "snapshot_update_restore": snapshot_update_restore,
     "snapshot_prefix_scan": snapshot_prefix_scan,
     "streaming_cdf_feed": streaming_cdf_feed,
+    "snapshot_row_ids": snapshot_row_ids,
 }
 AUX_ORACLES = {
     "snapshot_update_restore": SNAPSHOT_UPDATE_RESTORE_SQL,
     "snapshot_prefix_scan": SNAPSHOT_PREFIX_SCAN_SQL,
     "streaming_cdf_feed": STREAMING_CDF_FEED_SQL,
+    "snapshot_row_ids": SNAPSHOT_ROW_IDS_SQL,
 }

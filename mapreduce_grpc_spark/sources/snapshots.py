@@ -157,7 +157,12 @@ SUPPORTED_READER_FEATURES = frozenset(
     {"column_mapping", "deletion_vectors"}
 )
 SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset(
-    {"check_constraints", "partition_spec", "column_defaults"}
+    {
+        "check_constraints",
+        "partition_spec",
+        "column_defaults",
+        "row_tracking",
+    }
 )
 
 
@@ -1104,8 +1109,14 @@ def _commit(
     carry: dict | None = None,
     adds: list[dict] | None = None,
     removes: list[str] | None = None,
+    keep_row_ids: bool = False,
 ) -> int:
     """Write manifest v(base+1) and atomically swap CURRENT to it.
+
+    ``keep_row_ids=True`` (snap_restore): adds that already carry a
+    ``row_id_base`` re-publish a COMMITTED assignment verbatim instead
+    of drawing fresh ids — the watermark carried from CURRENT is
+    monotone, so historical bases can never collide forward.
 
     ``base_version`` MUST be the version of the manifest the caller
     actually read to derive ``files`` — claiming the version with a
@@ -1175,9 +1186,34 @@ def _commit(
         for k in (
             "constraints", "column_mapping", "partition_spec",
             "partition_field_seq", "clone_of", "defaults",
+            "row_tracking",
         ):
             if carry.get(k):
                 manifest[k] = carry[k]
+    # row tracking (the Delta row-ID model, fresh-assignment phase):
+    # every NEW data file gets a ``row_id_base`` watermark slice; its
+    # rows are implicitly numbered base..base+rows-1 (no physical
+    # column at ingest).  Assignment is deliberately here, at the one
+    # commit choke point: a retried/rebased commit re-assigns against
+    # the fresh watermark (entries are re-based, never left stale).
+    # An add whose NAME is also in ``removes`` is a rewrite-in-place
+    # (a MoR deletion vector grew) — same bytes, ids preserved, its
+    # carried base stays.  Entries marked ``row_id_col`` materialized
+    # their ids as a physical column during a CoW rewrite (OPTIMIZE
+    # preservation) and are never re-assigned.
+    if manifest.get("row_tracking"):
+        next_id = int((carry or {}).get("next_row_id") or 0)
+        rewritten = set(removes)
+        for e in adds:
+            if keep_row_ids and "row_id_base" in e:
+                continue  # committed base re-published (snap_restore)
+            if e.get("row_id_col"):
+                continue
+            if e["name"] in rewritten and "row_id_base" in e:
+                continue
+            e["row_id_base"] = next_id
+            next_id += int(e.get("rows") or 0)
+        manifest["next_row_id"] = next_id
     # protocol feature flags (see UnsupportedTableFeature): exact for
     # capabilities visible in the outgoing manifest, sticky-from-base
     # for deletion_vectors (exact presence would cost O(table))
@@ -1215,6 +1251,14 @@ def _commit(
         wfeats.add("column_defaults")
     else:
         wfeats.discard("column_defaults")
+    # row tracking is writer-only state too: a build that ignored the
+    # watermark would assign colliding ids (or strip the flag), so
+    # legacy writers must refuse; readers stay unflagged — a reader
+    # that ignores row IDs just doesn't surface them.
+    if manifest.get("row_tracking"):
+        wfeats.add("row_tracking")
+    else:
+        wfeats.discard("row_tracking")
     if feats:
         manifest["features"] = sorted(feats)
     if wfeats - feats:
@@ -1935,6 +1979,67 @@ def snap_set_partition_spec(
     ) from last_err
 
 
+def snap_enable_row_tracking(
+    path: str,
+    fs: LocalSnapshotFS | None = None,
+) -> int:
+    """Enable ROW TRACKING (the Delta row-ID model) on an existing
+    table — one metadata-only commit, zero bytes rewritten.
+
+    Every current data file gets a ``row_id_base`` watermark slice in
+    manifest order (its rows are implicitly ``base..base+rows-1``),
+    the manifest records the ``next_row_id`` high-water mark, and the
+    ``row_tracking`` WRITER feature flags the table so a legacy build
+    cannot assign colliding ids.  From then on every commit's fresh
+    files extend the watermark (``_commit``), CoW rewrites that
+    preserve ids materialize them as a physical ``_row_id`` column
+    (``optimize_snapshot``), and ``snap_read(..., with_row_ids=True)``
+    surfaces the id.
+
+    What ids buy (PLANS.md round-13 design note, now built): a
+    compaction's output rows carry the SAME ids as its input rows, so
+    the streaming change feed can prove "rearrangement, no data
+    change" and emit nothing instead of read-and-cancel.
+
+    Caveat: to an APPEND-mode stream this commit looks like a change
+    commit (every entry is republished with its base) — set
+    ``skipChangeCommits`` or re-bootstrap; no data file changed.
+    Idempotent: enabling twice is a no-op."""
+    last_err: Exception | None = None
+    for _attempt in range(COMMIT_RETRIES):
+        m = read_manifest(path, fs=fs)
+        if m.get("row_tracking"):
+            return m["version"]
+        nxt = int(m.get("next_row_id") or 0)
+        updated = []
+        for e in m["files"]:
+            e2 = dict(e)
+            e2["row_id_base"] = nxt
+            nxt += int(e.get("rows") or 0)
+            updated.append(e2)
+        carry = dict(m)
+        carry["row_tracking"] = True
+        carry["next_row_id"] = nxt
+        try:
+            return _commit(
+                path, updated, m["stats_cols"],
+                base_version=m["version"],
+                schema_json=m.get("schema"),
+                txns=dict(m.get("txns", {})),
+                commit_info={"op": "enable_row_tracking"},
+                fs=fs, carry=carry,
+                adds=updated,
+                removes=[e["name"] for e in m["files"]],
+            )
+        except CommitConflict as e:
+            last_err = e
+            continue
+    raise CommitConflict(
+        f"snap_enable_row_tracking: lost the commit race "
+        f"{COMMIT_RETRIES} times at {path!r}"
+    ) from last_err
+
+
 def snap_init(
     spark: SparkSession,
     df: DataFrame,
@@ -1943,8 +2048,14 @@ def snap_init(
     txns: dict | None = None,
     fs: LocalSnapshotFS | None = None,
     partition_by: list[str] | None = None,
+    row_tracking: bool = False,
 ) -> int:
     """Create a snapshot table at ``path`` from ``df`` (version 1).
+
+    ``row_tracking=True`` enables stable row IDs from birth (see
+    ``snap_enable_row_tracking`` for the model — fresh files get
+    watermark slices, rewrites preserve, ``snap_read(...,
+    with_row_ids=True)`` surfaces ``_row_id``).
 
     ``stats_cols`` are the columns whose per-file envelopes and
     row-group ranges the manifest tracks — the merge keys and any
@@ -1967,15 +2078,19 @@ def snap_init(
 
         pspec = parse_partition_spec(partition_by, df.schema)
     files = _write_data_files(spark, df, path, stats_cols, fs, pspec=pspec)
+    carry: dict = {}
+    if pspec:
+        carry = {
+            "partition_spec": pspec,
+            "partition_field_seq": len(pspec),
+        }
+    if row_tracking:
+        carry["row_tracking"] = True
     return _commit(
         path, files, stats_cols, base_version=0,
         schema_json=df.schema.json(), txns=txns, fs=fs,
         adds=files, removes=[],
-        carry=(
-            {"partition_spec": pspec, "partition_field_seq": len(pspec)}
-            if pspec
-            else None
-        ),
+        carry=carry or None,
     )
 
 
@@ -2052,6 +2167,106 @@ def _read_entries(
     for p in parts[1:]:
         out = out.unionByName(p)
     return _to_logical(out, cm)
+
+
+#: The surfaced / materialized row-ID column name (Delta's).
+ROW_ID_COL = "_row_id"
+
+
+def _read_entries_with_ids(
+    spark: SparkSession,
+    path: str,
+    entries: list[dict],
+    schema: StructType | None,
+    cm: dict | None = None,
+) -> DataFrame:
+    """``_read_entries`` plus a stable ``_row_id`` column.
+
+    Two id sources, the Delta row-tracking shape: fresh files
+    synthesize ``row_id_base + row_index`` (ids are metadata, no bytes
+    paid at ingest); files rewritten by an id-preserving CoW
+    (``optimize_snapshot`` on a tracked table) MATERIALIZED the id as
+    a physical ``_row_id`` column and are read from it
+    (``row_id_col`` marker).  One scan serves both: the read schema
+    appends a nullable ``_row_id`` (absent in fresh files -> null),
+    and a broadcast (file_name -> base) map fills the synthesized
+    side via ``coalesce``.  Deletion vectors apply exactly as in
+    ``_read_entries`` — a masked row's id simply never surfaces, and
+    never gets reused (the watermark only grows)."""
+    from pyspark.sql.types import LongType, StructField
+
+    if not entries:
+        raise FileNotFoundError("snapshot version has no files")
+    cm = cm or {}
+    missing = [
+        e["name"]
+        for e in entries
+        if not e.get("row_id_col") and "row_id_base" not in e
+    ]
+    if missing:
+        raise ValueError(
+            "with_row_ids=True needs row tracking enabled at or before"
+            f" this version (entries without bases: {missing[:3]}...) —"
+            " snap_enable_row_tracking(path)"
+        )
+    if schema is not None and ROW_ID_COL in schema.fieldNames():
+        raise ValueError(
+            f"table schema already has a `{ROW_ID_COL}` column — "
+            "rename it before reading with row ids"
+        )
+    reader = spark.read
+    if schema is not None:
+        phys = _phys_schema(schema, cm)
+        reader = spark.read.schema(
+            StructType(
+                list(phys.fields)
+                + [StructField(ROW_ID_COL, LongType())]
+            )
+        )
+    df = reader.parquet(
+        *[_entry_path(path, e) for e in entries]
+    ).withColumns(
+        {
+            "_sg_file": F.col("_metadata.file_name"),
+            "_sg_pos": F.col("_metadata.row_index"),
+        }
+    )
+    bmap = spark.createDataFrame(
+        [
+            (
+                e["name"],
+                None if e.get("row_id_col") else int(e["row_id_base"]),
+            )
+            for e in entries
+        ],
+        "_sg_file string, _sg_base long",
+    )
+    df = df.join(F.broadcast(bmap), "_sg_file", "left").withColumn(
+        ROW_ID_COL,
+        F.coalesce(
+            F.col(ROW_ID_COL), F.col("_sg_base") + F.col("_sg_pos")
+        ),
+    )
+    dved = [e for e in entries if e.get("dv")]
+    if dved:
+        names = [e["name"] for e in dved]
+        sidecars = sorted(
+            {_sidecar_path(path, e, e["dv"]["file"]) for e in dved}
+        )
+        dv = (
+            spark.read.parquet(*sidecars)
+            .filter(F.col("file_name").isin(names))
+            .select(
+                F.col("file_name").alias("_sg_file"),
+                F.col("pos").alias("_sg_pos"),
+            )
+        )
+        total_dv = sum(e["dv"]["rows"] for e in dved)
+        if total_dv <= DV_BROADCAST_MAX_ROWS:
+            dv = F.broadcast(dv)
+        df = df.join(dv, ["_sg_file", "_sg_pos"], "left_anti")
+    df = df.drop("_sg_file", "_sg_pos", "_sg_base")
+    return _to_logical(df, cm)
 
 
 def _to_epoch(ts) -> float:
@@ -2171,8 +2386,14 @@ def snap_read(
     version: int | None = None,
     fs: LocalSnapshotFS | None = None,
     timestamp=None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Read the table at a committed version (default: CURRENT).
+
+    ``with_row_ids=True`` (on a row-tracked table — see
+    ``snap_enable_row_tracking``) appends the stable ``_row_id``
+    column: metadata-synthesized for fresh files, read from the
+    materialized column in id-preserving rewrites.
 
     The returned plan holds the resolved version's exact file list and
     that version's RECORDED schema (columns added by later evolution are
@@ -2198,8 +2419,19 @@ def snap_read(
     if not m["files"]:
         # legitimate after a delete that killed every row
         if schema is not None:
+            if with_row_ids:
+                from pyspark.sql.types import LongType, StructField
+
+                schema = StructType(
+                    list(schema.fields)
+                    + [StructField(ROW_ID_COL, LongType())]
+                )
             return spark.createDataFrame([], schema)
         raise FileNotFoundError(f"snapshot v{m['version']} has no files")
+    if with_row_ids:
+        return _read_entries_with_ids(
+            spark, path, m["files"], schema, _cm(m)
+        )
     return _read_entries(spark, path, m["files"], schema, _cm(m))
 
 
@@ -3932,6 +4164,7 @@ def _compact_partitioned(
     pspec = _pspec(m)
     schema = _manifest_schema(m)
     stats_cols = m["stats_cols"]
+    track_ids = bool(m.get("row_tracking"))
     groups, residual = _group_by_tuple(candidates, pspec)
 
     def _dv(files: list[dict]) -> bool:
@@ -4005,21 +4238,32 @@ def _compact_partitioned(
 
     def _run(job: tuple[list[dict], int, str]) -> list[dict]:
         files, n_out, mode = job
-        dfg = _read_entries(spark, path, files, schema, cm)
+        # on a row-tracked table the rewrite PRESERVES ids: read them
+        # (synthesized or materialized), write them as a physical
+        # column, and mark the entries so _commit never re-assigns
+        if track_ids:
+            dfg = _read_entries_with_ids(spark, path, files, schema, cm)
+        else:
+            dfg = _read_entries(spark, path, files, schema, cm)
         if mode == "zorder":
-            return _write_data_files(
+            out = _write_data_files(
                 spark, zorder_frame(dfg, zorder, n_out, equidepth, curve),
                 path, stats_cols, fs, cm, pspec=pspec, pcluster=False,
             )
-        if mode == "recluster":
-            return _write_data_files(
+        elif mode == "recluster":
+            out = _write_data_files(
                 spark, dfg, path, stats_cols, fs, cm,
                 pspec=pspec, pcluster=True, pnum=n_out,
             )
-        return _write_data_files(
-            spark, dfg.coalesce(n_out), path, stats_cols, fs, cm,
-            pspec=pspec, pcluster=False,
-        )
+        else:
+            out = _write_data_files(
+                spark, dfg.coalesce(n_out), path, stats_cols, fs, cm,
+                pspec=pspec, pcluster=False,
+            )
+        if track_ids:
+            for e in out:
+                e["row_id_col"] = True
+        return out
 
     if len(jobs) == 1:
         results = [_run(jobs[0])]
@@ -4156,9 +4400,17 @@ def optimize_snapshot(
                     "added": 0,
                 }
         else:
-            df = _read_entries(
-                spark, path, to_rewrite, _manifest_schema(m), cm
-            )
+            track_ids = bool(m.get("row_tracking"))
+            if track_ids:
+                # id-preserving rewrite: carry _row_id through the
+                # compaction/Z-order write as a physical column
+                df = _read_entries_with_ids(
+                    spark, path, to_rewrite, _manifest_schema(m), cm
+                )
+            else:
+                df = _read_entries(
+                    spark, path, to_rewrite, _manifest_schema(m), cm
+                )
             total = sum(
                 f.getsize(_entry_path(path, e))
                 for e in to_rewrite
@@ -4187,6 +4439,9 @@ def optimize_snapshot(
                 spark, out, path, stats_cols, fs, cm,
                 pspec=pspec, pcluster=pcluster,
             )
+            if track_ids:
+                for e in new_entries:
+                    e["row_id_col"] = True
         info = {
             "op": "optimize",
             "rewritten": len(to_rewrite),
@@ -4605,6 +4860,19 @@ def table_changes(
         cur_sigs = {_sig(e) for e in cur_m["files"]}
         removed = [e for e in prev_m["files"] if _sig(e) not in cur_sigs]
         added = [e for e in cur_m["files"] if _sig(e) not in prev_sigs]
+        if (
+            (cur_m.get("commit_info") or {}).get("op") == "optimize"
+            and cur_m.get("row_tracking")
+            and not any(e.get("dv") for e in removed)
+            and added
+            and all(e.get("row_id_col") for e in added)
+        ):
+            # row tracking proves this OPTIMIZE is a pure
+            # rearrangement (ids preserved, no DV debt on inputs):
+            # the diff would read the whole rewritten slice only to
+            # cancel every row — skip it (same emitted rows: none)
+            prev_m = cur_m
+            continue
 
         def _read(entries: list[dict], m: dict) -> DataFrame | None:
             if not entries:
@@ -4824,6 +5092,41 @@ def verify_snapshot(
                     }
                 )
             dv_rows += dv["rows"]
+    if m.get("row_tracking"):
+        # row-ID invariants, same footer-free cost class: every
+        # fresh-file slice [base, base+rows) must sit below the
+        # watermark and never overlap another (materialized-column
+        # entries own their ids by content, not by slice)
+        nxt = int(m.get("next_row_id") or 0)
+        slices = sorted(
+            (int(e["row_id_base"]), int(e["rows"]))
+            for e in m["files"]
+            if not e.get("row_id_col") and "row_id_base" in e
+        )
+        for (b1, r1), (b2, _r2) in zip(slices, slices[1:]):
+            if b2 < b1 + r1:
+                mismatched.append(
+                    {"error": f"row-id slices overlap at {b2}"}
+                )
+        if slices and slices[-1][0] + slices[-1][1] > nxt:
+            mismatched.append(
+                {
+                    "error": "row-id slice exceeds next_row_id "
+                    f"watermark {nxt}"
+                }
+            )
+        untagged = [
+            e["name"]
+            for e in m["files"]
+            if not e.get("row_id_col") and "row_id_base" not in e
+        ]
+        if untagged:
+            mismatched.append(
+                {
+                    "error": "tracked table has entries without row-id"
+                    f" state: {untagged[:3]}"
+                }
+            )
     return {
         "version": m["version"],
         "files": len(m["files"]),
@@ -4907,10 +5210,23 @@ def snap_clone(
             "partition_field_seq",
             "features",
             "writer_features",
+            # schema-level declarations travel with the schema: a
+            # clone silently dropping column DEFAULTs would be the
+            # carry-loop strip hazard all over again
+            "defaults",
+            # row tracking carries as a property; the clone's entries
+            # get FRESH bases from _commit (it is a new table — ids
+            # are not shared with the source)
+            "row_tracking",
         )
         if m.get(k)
     }
     carry["clone_of"] = {"path": src_abs, "version": m["version"]}
+    if m.get("row_tracking"):
+        # start the clone's watermark at the source's: entries with a
+        # MATERIALIZED _row_id column keep those ids (the bytes are
+        # shared), so fresh bases must begin above every source id
+        carry["next_row_id"] = int(m.get("next_row_id") or 0)
     return _commit(
         dst,
         entries,
@@ -5540,15 +5856,26 @@ def snap_restore(
         # names, not whatever renames landed after it
         carry = dict(m)
         carry["column_mapping"] = target.get("column_mapping")
+        restored_files = target["files"]
+        if m.get("row_tracking"):
+            # restored entries keep their HISTORICAL row-id bases (ids
+            # are stable across a rollback; the watermark carried from
+            # CURRENT is monotone, so no future assignment collides).
+            # Copies, not the originals: _commit assigns bases to
+            # entries from a PRE-tracking target version, and that
+            # bookkeeping must never touch dicts the reconstruction
+            # cache shares.
+            restored_files = [dict(e) for e in target["files"]]
         try:
             return _commit(
-                path, target["files"], target["stats_cols"],
+                path, restored_files, target["stats_cols"],
                 base_version=m["version"],
                 schema_json=target.get("schema"),
                 txns=dict(m.get("txns", {})),
                 commit_info={"op": "restore",
                              "restored_version": int(version)},
                 fs=fs, carry=carry,
+                keep_row_ids=True,
             )
         except CommitConflict as e:
             last_err = e

@@ -526,6 +526,19 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
             prev_m = cur_m
             if not removed and not added:
                 continue  # metadata-only commit: no row changes
+            if (
+                (cur_m.get("commit_info") or {}).get("op") == "optimize"
+                and cur_m.get("row_tracking")
+                and not any(e.get("dv") for e in removed)
+                and added
+                and all(e.get("row_id_col") for e in added)
+            ):
+                # provable pure rearrangement (row tracking): an
+                # OPTIMIZE on a tracked table preserves every id and,
+                # with no deletion-vector debt on the inputs, every
+                # row — skip the read-and-cancel diff entirely.  This
+                # is what row IDs buy the feed (PLANS.md round 13).
+                continue
             parts.append(
                 _CDFPartition(
                     v,

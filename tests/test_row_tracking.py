@@ -1,0 +1,419 @@
+"""Row tracking (the Delta row-ID model): stable row identities as
+table metadata — fresh files get ``row_id_base`` watermark slices at
+commit, id-preserving rewrites (OPTIMIZE) materialize a physical
+``_row_id`` column, ``snap_read(..., with_row_ids=True)`` surfaces the
+id, and the change feed uses the proof to skip pure-rearrangement
+commits instead of read-and-cancelling them.
+
+Held invariants: ids are unique per table version, never reused
+(watermark only grows), stable under append / MoR delete / OPTIMIZE /
+RESTORE, and a legacy build refuses to write a tracked table
+(``row_tracking`` writer feature).  Phase-1 limitation, pinned here:
+keyed CoW rewrites (merge/CDC/update) re-assign ids for rewritten
+files.  Runs under BOTH commit-protocol FS backends."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mapreduce_grpc_spark.sources.snapshots import (
+    apply_cdc_cow,
+    delete_where_mor,
+    merge_upsert_cow,
+    optimize_snapshot,
+    read_manifest,
+    snap_append,
+    snap_clone,
+    snap_enable_row_tracking,
+    snap_init,
+    snap_read,
+    snap_restore,
+    table_changes,
+    table_features,
+)
+
+pytestmark = pytest.mark.usefixtures("snapshot_fs")
+
+
+def _mk(spark, path, n=100, n_files=4, tracking=True):
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        )
+        .repartitionByRange(n_files, "k")
+    )
+    snap_init(spark, df, path, stats_cols=["k"], row_tracking=tracking)
+
+
+def _ids(spark, path, version=None):
+    return {
+        r.k: r._row_id
+        for r in snap_read(
+            spark, path, version=version, with_row_ids=True
+        ).collect()
+    }
+
+
+def test_init_assigns_bases_and_flags_writer_feature(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    m = read_manifest(path)
+    assert m["row_tracking"] is True
+    assert m["next_row_id"] == 100
+    bases = sorted(e["row_id_base"] for e in m["files"])
+    # disjoint contiguous slices covering [0, 100)
+    rows = {e["row_id_base"]: e["rows"] for e in m["files"]}
+    covered = sorted(
+        i for b in bases for i in range(b, b + rows[b])
+    )
+    assert covered == list(range(100))
+    assert table_features(path)["writer"] == ["row_tracking"]
+
+    ids = _ids(spark, path)
+    assert sorted(ids.values()) == list(range(100))
+
+
+def test_enable_on_existing_table_is_retroactive_and_idempotent(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    _mk(spark, path, tracking=False)
+    assert "row_tracking" not in read_manifest(path)
+    with pytest.raises(ValueError, match="row tracking"):
+        snap_read(spark, path, with_row_ids=True).collect()
+    v = snap_enable_row_tracking(path)
+    assert v == 2
+    assert snap_enable_row_tracking(path) == 2  # no-op
+    ids = _ids(spark, path)
+    assert sorted(ids.values()) == list(range(100))
+    # rows themselves untouched (metadata-only)
+    assert snap_read(spark, path).count() == 100
+
+
+def test_ids_stable_under_append_and_mor_delete(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    before = _ids(spark, path)
+    snap_append(
+        spark, path,
+        spark.range(100, 130).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ),
+    )
+    after = _ids(spark, path)
+    assert all(after[k] == before[k] for k in before)
+    assert len(set(after.values())) == 130
+    assert read_manifest(path)["next_row_id"] == 130
+
+    delete_where_mor(spark, path, [("k", "<", 20)])
+    surv = _ids(spark, path)
+    assert set(surv) == set(range(20, 130))
+    assert all(surv[k] == after[k] for k in surv)
+    # a masked id is gone, never reassigned
+    assert read_manifest(path)["next_row_id"] == 130
+
+
+def test_optimize_preserves_ids_exactly(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    snap_append(
+        spark, path,
+        spark.range(100, 120).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ),
+    )
+    delete_where_mor(spark, path, [("k", "between", 40, 49)])
+    before = _ids(spark, path)
+    res = optimize_snapshot(spark, path, target_bytes=10**9)
+    assert res["added"] >= 1
+    m = read_manifest(path)
+    assert all(e.get("row_id_col") for e in m["files"])
+    after = _ids(spark, path)
+    assert after == before, "OPTIMIZE must preserve every id"
+    # appends after an id-materializing rewrite keep extending the
+    # watermark with no collision
+    snap_append(
+        spark, path,
+        spark.range(200, 210).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ),
+    )
+    final = _ids(spark, path)
+    assert len(set(final.values())) == len(final)
+    assert all(final[k] == before[k] for k in before)
+
+
+def test_zorder_optimize_preserves_ids(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    before = _ids(spark, path)
+    optimize_snapshot(spark, path, zorder=("k", "v"), equidepth=True)
+    assert _ids(spark, path) == before
+
+
+def test_restore_keeps_historical_ids(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path)                      # v1
+    ids_v1 = _ids(spark, path)
+    snap_append(                          # v2
+        spark, path,
+        spark.range(100, 110).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ),
+    )
+    optimize_snapshot(spark, path, target_bytes=10**9)  # v3
+    snap_restore(path, 1, spark=spark)    # v4 = v1's files
+    assert _ids(spark, path) == ids_v1
+    # watermark carried from CURRENT, not the restored version: new
+    # rows never reuse the rolled-back slice
+    m = read_manifest(path)
+    assert m["next_row_id"] == 110
+    snap_append(
+        spark, path,
+        spark.range(300, 305).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ),
+    )
+    final = _ids(spark, path)
+    assert len(set(final.values())) == len(final)
+    assert min(v for k, v in final.items() if k >= 300) >= 110
+
+
+def test_cow_rewrite_reassigns_rewritten_files_only(spark, tmp_path):
+    """Phase-1 contract: a keyed CoW rewrite re-assigns ids for the
+    files it rewrites (preservation through merge/CDC is future work,
+    PLANS.md round 13); untouched files stay stable and ids stay
+    unique."""
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=100, n_files=4)
+    before = _ids(spark, path)
+    m0 = {e["name"]: e["row_id_base"] for e in read_manifest(path)["files"]}
+    merge_upsert_cow(
+        spark, path,
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit("upd").alias("v")
+        ),
+        keys=["k"],
+    )
+    m1 = read_manifest(path)
+    untouched = [e for e in m1["files"] if e["name"] in m0]
+    assert untouched, "merge must not rewrite every file"
+    assert all(e["row_id_base"] == m0[e["name"]] for e in untouched)
+    after = _ids(spark, path)
+    assert len(set(after.values())) == 100
+    # rows in untouched files keep their ids
+    touched_names = {e["name"] for e in m1["files"] if e["name"] not in m0}
+    assert touched_names
+    assert m1["next_row_id"] > 100
+
+
+def test_change_feed_skips_provable_rearrangement(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    snap_append(
+        spark, path,
+        spark.range(100, 110).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ),
+    )  # v2
+    optimize_snapshot(spark, path, target_bytes=10**9)  # v3: pure
+    feed = table_changes(spark, path, keys=["k"], from_version=2)
+    assert feed.count() == 0
+    # the plan proves the skip: a pure-rearrangement span reads no
+    # data files at all (metadata-only empty feed)
+    assert "parquet" not in feed._jdf.queryExecution().executedPlan().toString().lower()
+
+    # with DV debt the optimize DELETES rows' files and must NOT be
+    # skipped blindly — the diff still runs (and still nets zero rows,
+    # because the deletes surfaced at the DV commit itself)
+    delete_where_mor(spark, path, [("k", "<", 5)])  # v4
+    optimize_snapshot(spark, path, target_bytes=10**9)  # v5 pays debt
+    feed2 = table_changes(spark, path, keys=["k"], from_version=3)
+    got = [
+        (r.k, r._change_type, r._commit_version) for r in feed2.collect()
+    ]
+    assert sorted(got) == [
+        (k, "delete", 4) for k in range(5)
+    ]
+
+
+def test_streaming_cdf_skips_rearrangement_commit(spark, tmp_path):
+    import os
+
+    from mapreduce_grpc_spark.sources.stream_source import (
+        SnapshotTableStreamSource,
+    )
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=40, n_files=2)
+    snap_append(
+        spark, path,
+        spark.range(40, 50).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ),
+    )  # v2
+    optimize_snapshot(spark, path, target_bytes=10**9)  # v3
+    apply_cdc_cow(
+        spark, path,
+        spark.createDataFrame(
+            [(1, "x", "U")], "k bigint, v string, _op string"
+        ),
+        keys=["k"],
+    )  # v4
+    spark.dataSource.register(SnapshotTableStreamSource)
+    got: list[tuple] = []
+
+    def sink(bdf, _bid):
+        got.extend(tuple(r) for r in bdf.collect())
+
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("keys", "k")
+        .option("startingVersion", "3")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # v3 (rearrangement) contributes nothing; v4's update pair arrives
+    assert {t[3] for t in got} == {4}
+    assert sorted(t[2] for t in got) == [
+        "update_postimage", "update_preimage",
+    ]
+
+
+def test_clone_gets_fresh_ids_above_source_watermark(spark, tmp_path):
+    path = str(tmp_path / "t")
+    dst = str(tmp_path / "c")
+    _mk(spark, path)
+    optimize_snapshot(spark, path, target_bytes=10**9)  # materialize
+    snap_append(
+        spark, path,
+        spark.range(100, 120).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ),
+    )
+    src_next = read_manifest(path)["next_row_id"]
+    snap_clone(path, dst)
+    mc = read_manifest(dst)
+    assert mc["row_tracking"] is True
+    clone_ids = _ids(spark, dst)
+    assert len(set(clone_ids.values())) == 120
+    # fresh (non-materialized) clone entries sit above the source
+    # watermark so they can never collide with materialized ids
+    fresh = [e for e in mc["files"] if not e.get("row_id_col")]
+    assert all(e["row_id_base"] >= src_next for e in fresh)
+
+
+def test_with_row_ids_guards(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(5).select(
+        F.col("id").alias("k"), F.col("id").alias("_row_id")
+    )
+    snap_init(spark, df, path, stats_cols=["k"], row_tracking=True)
+    with pytest.raises(ValueError, match="_row_id"):
+        snap_read(spark, path, with_row_ids=True).collect()
+
+
+def test_concurrent_appends_get_disjoint_id_ranges(spark, tmp_path):
+    import threading
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=10, n_files=1)
+    errs: list[Exception] = []
+
+    def add(lo):
+        try:
+            snap_append(
+                spark, path,
+                spark.range(lo, lo + 20).select(
+                    F.col("id").alias("k"),
+                    F.concat(F.lit("v"), F.col("id")).alias("v"),
+                ),
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=add, args=(lo,))
+        for lo in (100, 200, 300)
+    ]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    ids = _ids(spark, path)
+    assert len(ids) == 70
+    assert len(set(ids.values())) == 70, "racing appends must not collide"
+    assert read_manifest(path)["next_row_id"] == 70
+
+
+def test_snapshot_row_ids_oracle_parity(spark, sf_dir):
+    """The AUX query putting row-ID assignment + OPTIMIZE preservation
+    under the DuckDB hash comparator (invariant form: distinct ids ==
+    rows, zero ids changed across the rewrite)."""
+    from mapreduce_grpc_spark import registry
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["snapshot_row_ids"](spark, sf_dir)
+    assert_oracle_match(
+        df,
+        registry.AUX_ORACLES["snapshot_row_ids"],
+        sf_dir,
+        "snapshot_row_ids",
+    )
+
+
+def test_verify_snapshot_checks_row_id_invariants(spark, tmp_path):
+    """fsck on a tracked table validates the id slices: clean after a
+    real workload; a hand-corrupted overlapping base is reported."""
+    import json as _json
+    import os as _os
+
+    from mapreduce_grpc_spark.sources import snapshots as S
+    from mapreduce_grpc_spark.sources.snapshots import verify_snapshot
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=40, n_files=2)
+    snap_append(
+        spark, path,
+        spark.range(40, 50).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ),
+    )
+    rep = verify_snapshot(path)
+    assert rep["missing"] == [] and rep["mismatched"] == []
+
+    # corrupt: duplicate a base out-of-band (mutation outside the
+    # commit protocol, exactly what fsck exists to catch)
+    f = S._fs(None)
+    v = S.current_version(path)
+    raw = _json.loads(f.read_text(S._manifest_path(path, v)))
+    raw["version"] = v + 1
+    ent = [dict(e) for e in S.read_manifest(path)["files"]]
+    ent[1]["row_id_base"] = ent[0]["row_id_base"]
+    raw["adds"], raw["removes"] = ent, [e["name"] for e in ent]
+    raw.pop("files", None)
+    f.create_exclusive(
+        S._manifest_path(path, v + 1), _json.dumps(raw)
+    )
+    f.replace_atomic(_os.path.join(path, "_manifests", "CURRENT"),
+                     str(v + 1))
+    bad = verify_snapshot(path)
+    assert any("overlap" in m.get("error", "") for m in bad["mismatched"])
