@@ -3496,17 +3496,53 @@ def merge_upsert_cow(
             (overlapping if _overlaps(f_entry, probe, keys, bl, cm)
              else carried).append(f_entry)
 
+        track = bool(m.get("row_tracking"))
+        ins_out = None  # tracked tables: true inserts, fresh ids
         if overlapping:
             # reading with the POST-commit schema null-backfills any
             # newly added columns in the old files; _read_entries
             # applies deletion vectors, so a rewrite folds them away
-            old = _read_entries(spark, path, overlapping, out_schema, cm)
-            remaining = old.join(
-                F.broadcast(updates.select(*keys).distinct()),
-                keys,
-                "left_anti",
-            )
-            out = remaining.unionByName(updates.select(*out_cols))
+            if track:
+                # id preservation (row-tracking phase 2): surviving
+                # rows keep their ids; an UPDATED row keeps the OLD
+                # row's id under its new values (it is the same
+                # logical row — the Delta preserved-row-ID semantic);
+                # true inserts split into their own files so the
+                # watermark assigns them fresh ids as metadata
+                old = _read_entries_with_ids(
+                    spark, path, overlapping, out_schema, cm
+                )
+                remaining = old.join(
+                    F.broadcast(updates.select(*keys).distinct()),
+                    keys,
+                    "left_anti",
+                )
+                # one id per key even if the target held duplicate
+                # keys (the merge replaces the whole set with ONE
+                # row): the surviving identity is the smallest id
+                old_ids = (
+                    old.select(*keys, ROW_ID_COL)
+                    .groupBy(*keys)
+                    .agg(F.min(ROW_ID_COL).alias(ROW_ID_COL))
+                )
+                updated = (
+                    updates.select(*out_cols)
+                    .join(old_ids, keys, "inner")
+                )
+                out = remaining.unionByName(updated)
+                ins_out = updates.select(*out_cols).join(
+                    old_ids.select(*keys), keys, "left_anti"
+                )
+            else:
+                old = _read_entries(
+                    spark, path, overlapping, out_schema, cm
+                )
+                remaining = old.join(
+                    F.broadcast(updates.select(*keys).distinct()),
+                    keys,
+                    "left_anti",
+                )
+                out = remaining.unionByName(updates.select(*out_cols))
         else:
             out = updates.select(*out_cols)
         # keep file count ≈ rewritten count: without this the union
@@ -3521,6 +3557,15 @@ def merge_upsert_cow(
         new_entries = _write_data_files(
             spark, out, path, stats_cols, fs, cm, pspec=_pspec(m)
         )
+        if track and overlapping:
+            for e in new_entries:
+                e["row_id_col"] = True
+            ins_entries = _write_data_files(
+                spark,
+                ins_out.coalesce(1).sortWithinPartitions(*keys),
+                path, stats_cols, fs, cm, pspec=_pspec(m),
+            )
+            new_entries = new_entries + ins_entries
         txns = dict(m.get("txns", {}))
         if txn_app is not None:
             txns[txn_app] = int(txn_batch)
@@ -3710,15 +3755,43 @@ def apply_cdc_cow(
             ]
             dv_cands = []
 
+        track = bool(m.get("row_tracking"))
         if overlapping or n_upserts:
+            ins_out = None
             if overlapping:
-                old = _read_entries(
-                    spark, path, overlapping, out_schema, cm
-                )
-                remaining = old.join(
-                    F.broadcast(all_keys), keys, "left_anti"
-                )
-                out = remaining.unionByName(upserts.select(*out_cols))
+                if track:
+                    # row-tracking phase 2, same shape as
+                    # merge_upsert_cow: survivors and U-rows keep
+                    # their ids (materialized), I-rows split into
+                    # fresh files for watermark assignment
+                    old = _read_entries_with_ids(
+                        spark, path, overlapping, out_schema, cm
+                    )
+                    remaining = old.join(
+                        F.broadcast(all_keys), keys, "left_anti"
+                    )
+                    old_ids = (
+                        old.select(*keys, ROW_ID_COL)
+                        .groupBy(*keys)
+                        .agg(F.min(ROW_ID_COL).alias(ROW_ID_COL))
+                    )
+                    updated = upserts.select(*out_cols).join(
+                        old_ids, keys, "inner"
+                    )
+                    out = remaining.unionByName(updated)
+                    ins_out = upserts.select(*out_cols).join(
+                        old_ids.select(*keys), keys, "left_anti"
+                    )
+                else:
+                    old = _read_entries(
+                        spark, path, overlapping, out_schema, cm
+                    )
+                    remaining = old.join(
+                        F.broadcast(all_keys), keys, "left_anti"
+                    )
+                    out = remaining.unionByName(
+                        upserts.select(*out_cols)
+                    )
             else:
                 out = upserts.select(*out_cols)
             # see merge_upsert_cow: bounded file count + key-sorted rows
@@ -3728,6 +3801,15 @@ def apply_cdc_cow(
             new_entries = _write_data_files(
                 spark, out, path, stats_cols, fs, cm, pspec=_pspec(m)
             )
+            if track and overlapping:
+                for e in new_entries:
+                    e["row_id_col"] = True
+                ins_entries = _write_data_files(
+                    spark,
+                    ins_out.coalesce(1).sortWithinPartitions(*keys),
+                    path, stats_cols, fs, cm, pspec=_pspec(m),
+                )
+                new_entries = new_entries + ins_entries
         else:
             new_entries = []
 
@@ -5666,9 +5748,18 @@ def update_where(
             res = _skipped_result(m)
             res["updated"] = 0
             return res
-        old = _read_entries(
-            spark, path, candidates, schema, _cm(m)
-        )
+        track = bool(m.get("row_tracking"))
+        if track:
+            # an UPDATE preserves every row's identity: carry _row_id
+            # through the rewrite and materialize it (phase-2 of row
+            # tracking — same mechanism as OPTIMIZE preservation)
+            old = _read_entries_with_ids(
+                spark, path, candidates, schema, _cm(m)
+            )
+        else:
+            old = _read_entries(
+                spark, path, candidates, schema, _cm(m)
+            )
         if schema is not None:
             # UPDATE never evolves the schema: each assignment must
             # already be the column's declared type (loud reject beats
@@ -5718,6 +5809,9 @@ def update_where(
             spark, out, path, m["stats_cols"], fs, _cm(m),
             pspec=_pspec(m),
         )
+        if track:
+            for e in new_entries:
+                e["row_id_col"] = True
         txns = dict(m.get("txns", {}))
         if txn_app is not None:
             txns[txn_app] = int(txn_batch)
@@ -6056,13 +6150,27 @@ def merge_into(
                 (overlapping if _overlaps(f_entry, probe, keys, bl, cm)
                  else carried).append(f_entry)
 
+        track = bool(m.get("row_tracking"))
         if overlapping:
-            t = _read_entries(spark, path, overlapping, schema, cm)
+            # row-tracking phase 2: matched updates / by-source
+            # updates / carried rows all keep their ids (threaded as a
+            # t.* column through the clause engine and materialized);
+            # inserts ride with a NULL id and split into fresh files
+            if track:
+                t = _read_entries_with_ids(
+                    spark, path, overlapping, schema, cm
+                )
+            else:
+                t = _read_entries(spark, path, overlapping, schema, cm)
         else:
             # no file can hold a matching key (e.g. an insert-only
             # merge of a brand-new key range): an empty target side —
             # every source row is NOT MATCHED
             t = spark.createDataFrame([], schema)
+            if track:
+                t = t.withColumn(
+                    ROW_ID_COL, F.lit(None).cast("long")
+                )
         t = t.alias("t")
         s = source.alias("s")
         join_cond = F.lit(True)
@@ -6164,11 +6272,22 @@ def merge_into(
             # so 3 cheap scans beat one scan plus a full shuffle (full
             # outer join cannot broadcast).
             sb = F.broadcast(s)
+            id_keep = (
+                [F.col(f"t.{ROW_ID_COL}").alias(ROW_ID_COL)]
+                if track
+                else []
+            )
+            id_null = (
+                [F.lit(None).cast("long").alias(ROW_ID_COL)]
+                if track
+                else []
+            )
             matched_tagged = (
                 t.join(sb, join_cond, "inner")
                 .withColumn("_clause", clause_idx)
                 .select(
                     *[_matched_col(c).alias(c) for c in tcols],
+                    *id_keep,
                     matched_action.alias("_action"),
                 )
             )
@@ -6177,6 +6296,7 @@ def merge_into(
                 .withColumn("_bysrc", bysrc_idx)
                 .select(
                     *[_bysrc_col(c).alias(c) for c in tcols],
+                    *id_keep,
                     bysrc_action.alias("_action"),
                 )
             )
@@ -6184,7 +6304,10 @@ def merge_into(
                 s.join(t, join_cond, "left_anti")
                 .withColumn("_ins", ins_idx)
                 .filter(F.col("_ins") >= 0)
-                .select(*[_insert_col(c).alias(c) for c in tcols])
+                .select(
+                    *[_insert_col(c).alias(c) for c in tcols],
+                    *id_null,
+                )
                 .withColumn("_action", F.lit("insert"))
             )
             tagged = matched_tagged.unionByName(untouched).unionByName(
@@ -6232,6 +6355,12 @@ def merge_into(
                 .alias(col)
                 for col in tcols
             ]
+            if track:
+                out_cols.append(
+                    F.when(t_here, F.col(f"t.{ROW_ID_COL}"))
+                    .otherwise(F.lit(None).cast("long"))
+                    .alias(ROW_ID_COL)
+                )
             action = (
                 F.when(t_here & s_here, matched_action)
                 .when(t_here, bysrc_action)
@@ -6261,23 +6390,48 @@ def merge_into(
                 F.col("_action").isin("update", "insert", "update_bysrc")
             )
             _enforce_constraints(m, changed.drop("_action"), "merge_into")
-            out = (
-                tagged.filter(
-                    ~F.col("_action").isin("delete", "delete_bysrc")
+            keep = tagged.filter(
+                ~F.col("_action").isin("delete", "delete_bysrc")
+            ).drop("_action")
+            sort_cols = [
+                k
+                for k in _logical_sort_cols(stats_cols, cm)
+                if k in tcols
+            ]
+            if track:
+                # id-preserving split: surviving/updated rows carry
+                # their ids into marked files; inserted rows (NULL id)
+                # go to fresh files for watermark assignment
+                out = (
+                    keep.filter(F.col(ROW_ID_COL).isNotNull())
+                    .coalesce(max(1, len(overlapping)))
+                    .sortWithinPartitions(*sort_cols)
                 )
-                .drop("_action")
-                .coalesce(max(1, len(overlapping)))
-                .sortWithinPartitions(
-                    *[
-                        k
-                        for k in _logical_sort_cols(stats_cols, cm)
-                        if k in tcols
-                    ]
+                new_entries = _write_data_files(
+                    spark, out, path, stats_cols, fs, cm,
+                    pspec=_pspec(m),
                 )
-            )
-            new_entries = _write_data_files(
-                spark, out, path, stats_cols, fs, cm, pspec=_pspec(m)
-            )
+                for e in new_entries:
+                    e["row_id_col"] = True
+                ins = (
+                    keep.filter(F.col(ROW_ID_COL).isNull())
+                    .drop(ROW_ID_COL)
+                    .coalesce(1)
+                    .sortWithinPartitions(*sort_cols)
+                )
+                new_entries = new_entries + _write_data_files(
+                    spark, ins, path, stats_cols, fs, cm,
+                    pspec=_pspec(m),
+                )
+            else:
+                out = (
+                    keep.coalesce(max(1, len(overlapping)))
+                    .sortWithinPartitions(*sort_cols)
+                )
+                new_entries = _write_data_files(
+                    spark, out, path, stats_cols, fs, cm,
+                    pspec=_pspec(m),
+                )
         finally:
             tagged.unpersist()
         txns = dict(m.get("txns", {}))

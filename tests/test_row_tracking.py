@@ -8,9 +8,11 @@ commits instead of read-and-cancelling them.
 Held invariants: ids are unique per table version, never reused
 (watermark only grows), stable under append / MoR delete / OPTIMIZE /
 RESTORE, and a legacy build refuses to write a tracked table
-(``row_tracking`` writer feature).  Phase-1 limitation, pinned here:
-keyed CoW rewrites (merge/CDC/update) re-assign ids for rewritten
-files.  Runs under BOTH commit-protocol FS backends."""
+(``row_tracking`` writer feature).  Phase 2 (same round): keyed CoW
+rewrites (merge/CDC/update_where/merge_into) PRESERVE identity —
+updated rows keep their old row's id, inserts draw fresh watermark
+ids in their own files.  Runs under BOTH commit-protocol FS
+backends."""
 
 from __future__ import annotations
 
@@ -188,32 +190,104 @@ def test_restore_keeps_historical_ids(spark, tmp_path):
     assert min(v for k, v in final.items() if k >= 300) >= 110
 
 
-def test_cow_rewrite_reassigns_rewritten_files_only(spark, tmp_path):
-    """Phase-1 contract: a keyed CoW rewrite re-assigns ids for the
-    files it rewrites (preservation through merge/CDC is future work,
-    PLANS.md round 13); untouched files stay stable and ids stay
-    unique."""
+def test_merge_upsert_preserves_ids(spark, tmp_path):
+    """Phase 2: a keyed CoW merge PRESERVES row identity — an updated
+    row keeps the old row's id under its new values, survivors inside
+    rewritten files keep theirs, true inserts draw fresh watermark
+    ids."""
     path = str(tmp_path / "t")
     _mk(spark, path, n=100, n_files=4)
     before = _ids(spark, path)
-    m0 = {e["name"]: e["row_id_base"] for e in read_manifest(path)["files"]}
     merge_upsert_cow(
         spark, path,
         spark.range(5).select(
             F.col("id").alias("k"), F.lit("upd").alias("v")
+        ).unionByName(
+            spark.range(500, 503).select(
+                F.col("id").alias("k"), F.lit("new").alias("v")
+            )
         ),
         keys=["k"],
     )
-    m1 = read_manifest(path)
-    untouched = [e for e in m1["files"] if e["name"] in m0]
-    assert untouched, "merge must not rewrite every file"
-    assert all(e["row_id_base"] == m0[e["name"]] for e in untouched)
     after = _ids(spark, path)
-    assert len(set(after.values())) == 100
-    # rows in untouched files keep their ids
-    touched_names = {e["name"] for e in m1["files"] if e["name"] not in m0}
-    assert touched_names
-    assert m1["next_row_id"] > 100
+    assert len(set(after.values())) == 103
+    assert all(after[k] == before[k] for k in before), (
+        "updates and survivors must keep their ids"
+    )
+    fresh = [after[k] for k in (500, 501, 502)]
+    assert all(i >= 100 for i in fresh)
+    assert read_manifest(path)["next_row_id"] == 103
+    # the updated values really landed
+    vals = {
+        r.k: r.v for r in snap_read(spark, path).collect() if r.k < 5
+    }
+    assert all(v == "upd" for v in vals.values())
+
+
+def test_cdc_preserves_ids(spark, tmp_path):
+    """apply_cdc_cow: U keeps the id, D retires it forever, I draws
+    fresh — the identity semantics an incremental MV consumer needs."""
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=60, n_files=2)
+    before = _ids(spark, path)
+    apply_cdc_cow(
+        spark, path,
+        spark.createDataFrame(
+            [(3, "u3", "U"), (7, None, "D"), (500, "i", "I")],
+            "k bigint, v string, _op string",
+        ),
+        keys=["k"],
+    )
+    after = _ids(spark, path)
+    assert set(after) == (set(range(60)) - {7}) | {500}
+    assert all(after[k] == before[k] for k in after if k != 500)
+    assert after[500] >= 60
+    assert before[7] not in set(after.values()), "a deleted id is retired"
+
+
+def test_merge_into_full_grammar_preserves_ids(spark, tmp_path):
+    """merge_into: matched update keeps the id, matched delete retires
+    it, not-matched insert draws fresh, not-matched-by-source update
+    keeps — across both the broadcast and full-outer plans."""
+    from mapreduce_grpc_spark.sources.snapshots import merge_into
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=40, n_files=2)
+    before = _ids(spark, path)
+    src = spark.createDataFrame(
+        [(1, "u"), (2, "d"), (900, "i")], "k bigint, s_v string"
+    )
+    merge_into(
+        spark, path, src, keys=["k"],
+        matched=[
+            ("delete", "s.s_v = 'd'"),
+            ("update", None, {"v": "s.s_v"}),
+        ],
+        not_matched=[("insert", None, {"k": "s.k", "v": "s.s_v"})],
+        not_matched_by_source=[
+            ("update", "t.k = 5", {"v": "'bysrc'"}),
+        ],
+    )
+    after = _ids(spark, path)
+    assert set(after) == (set(range(40)) - {2}) | {900}
+    assert all(after[k] == before[k] for k in after if k != 900)
+    assert after[900] >= 40
+    rows = {r.k: r.v for r in snap_read(spark, path).collect()}
+    assert rows[1] == "u" and rows[5] == "bysrc" and rows[900] == "i"
+
+
+def test_update_where_preserves_ids(spark, tmp_path):
+    from mapreduce_grpc_spark.sources.snapshots import update_where
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=50, n_files=2)
+    before = _ids(spark, path)
+    update_where(
+        spark, path, [("k", "<", 10)], {"v": "concat(v, '!')"}
+    )
+    assert _ids(spark, path) == before
+    m = read_manifest(path)
+    assert any(e.get("row_id_col") for e in m["files"])
 
 
 def test_change_feed_skips_provable_rearrangement(spark, tmp_path):
