@@ -236,6 +236,43 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         added = [e for e in raw["files"] if _dv_sig(e) not in prev_sigs]
         return added, bool(prev_sigs - cur_sigs)
 
+    def _is_pure_rearrangement(self, version: int) -> bool:
+        """True when row tracking PROVES commit v moved bytes but no
+        rows: an OPTIMIZE on a tracked table whose inputs carried no
+        deletion-vector debt and whose outputs all materialized their
+        preserved ids.  Such a commit's added files hold ONLY rows
+        already emitted by earlier commits, so an append stream skips
+        it silently instead of refusing — this is "streaming reads
+        that survive compaction" (PLANS.md round-13 row-ID note).
+        Cost: two manifest reconstructions, paid only on commits whose
+        record says op=optimize."""
+        from .snapshots import read_manifest
+
+        raw = self._manifest(version)
+        if (raw.get("commit_info") or {}).get("op") != "optimize":
+            return False
+        if not raw.get("row_tracking"):
+            return False
+        cur = (
+            raw["files"]
+            if "files" in raw
+            else read_manifest(self._path, version, self._fs)["files"]
+        )
+        prev = (
+            read_manifest(self._path, version - 1, self._fs)["files"]
+            if version > 1
+            else []
+        )
+        prev_sigs = {_dv_sig(e) for e in prev}
+        cur_sigs = {_dv_sig(e) for e in cur}
+        removed = [e for e in prev if _dv_sig(e) not in cur_sigs]
+        added = [e for e in cur if _dv_sig(e) not in prev_sigs]
+        return (
+            bool(added)
+            and all(e.get("row_id_col") for e in added)
+            and not any(e.get("dv") for e in removed)
+        )
+
     # -- streaming contract -------------------------------------------
 
     def initialOffset(self) -> dict:
@@ -299,13 +336,15 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         for v in range(v0 + 1, v1 + 1):
             added, removed = self._changes(v)
             if removed:
-                if self._skip_changes:
+                if self._skip_changes or self._is_pure_rearrangement(v):
                     continue
                 raise ChangeCommitError(
                     f"commit v{v} of {self._path!r} removed/rewrote "
                     "file(s) — the span is not append-only. Set "
                     "skipChangeCommits=true or consume the change "
-                    "feed (sources/feed.py)."
+                    "feed (sources/feed.py). (OPTIMIZE commits on a "
+                    "row-tracked table are proven rearrangements and "
+                    "skipped automatically.)"
                 )
             files += [
                 (

@@ -491,3 +491,81 @@ def test_verify_snapshot_checks_row_id_invariants(spark, tmp_path):
                      str(v + 1))
     bad = verify_snapshot(path)
     assert any("overlap" in m.get("error", "") for m in bad["mismatched"])
+
+
+def test_append_stream_survives_compaction_on_tracked_table(
+    spark, tmp_path, snapshot_fs
+):
+    """The design note's headline payoff: an APPEND-mode stream (no
+    skipChangeCommits) rides straight over an OPTIMIZE commit on a
+    tracked table — row tracking proves the rearrangement, so the
+    stream skips it silently instead of refusing, and no row is
+    re-emitted or lost.  The same stream on an UNTRACKED table still
+    refuses."""
+    from mapreduce_grpc_spark.sources.stream_source import (
+        SnapshotTableStreamSource,
+    )
+
+    spark.dataSource.register(SnapshotTableStreamSource)
+
+    def stream(path, ck):
+        r = (
+            spark.readStream.format("snapshot_table")
+            .option("path", path)
+        )
+        if snapshot_fs.spec:
+            r = r.option("fsImpl", snapshot_fs.spec)
+        got: list[tuple] = []
+
+        def sink(bdf, _bid):
+            got.extend((r.k, r.v) for r in bdf.collect())
+
+        q = (
+            r.load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got, q
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=30, n_files=2)          # v1
+    snap_append(                                # v2
+        spark, path,
+        spark.range(30, 40).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ),
+    )
+    optimize_snapshot(spark, path, target_bytes=10**9)  # v3: rearrange
+    snap_append(                                # v4
+        spark, path,
+        spark.range(40, 45).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ),
+    )
+    got, _ = stream(path, str(tmp_path / "ck"))
+    assert sorted(k for k, _v in got) == list(range(45)), (
+        "exactly the appended rows, once each — the optimize commit "
+        "contributes nothing"
+    )
+
+    # untracked control: same shape still refuses
+    path2 = str(tmp_path / "u")
+    _mk(spark, path2, n=10, n_files=2, tracking=False)
+    snap_append(
+        spark, path2,
+        spark.range(10, 15).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ),
+    )
+    optimize_snapshot(spark, path2, target_bytes=10**9)
+    with pytest.raises(Exception, match="append-only"):
+        got2, q2 = stream(path2, str(tmp_path / "ck2"))
+        raise RuntimeError(
+            f"stream should have refused, emitted {len(got2)} rows"
+        )
