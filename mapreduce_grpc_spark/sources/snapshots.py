@@ -4856,7 +4856,7 @@ def auto_compact(
 def table_changes(
     spark: SparkSession,
     path: str,
-    keys: list[str],
+    keys: list[str] | None = None,
     from_version: int | None = None,
     to_version: int | None = None,
     fs: LocalSnapshotFS | None = None,
@@ -4919,12 +4919,30 @@ def table_changes(
         raise ValueError(
             f"table_changes: empty range ({from_version}, {to_v}]"
         )
-    out_schema = _manifest_schema(read_manifest(path, to_v, fs))
+    to_m = read_manifest(path, to_v, fs)
+    out_schema = _manifest_schema(to_m)
     out_cols = (
         [f.name for f in out_schema.fields]
         if out_schema is not None
         else snap_read(spark, path, to_v, fs).columns
     )
+    by_id = keys is None
+    if by_id:
+        # keys-less CDF (Delta's shape): diff by IDENTITY on a
+        # row-tracked table — same id on both sides of a step with
+        # differing content is an update pair, id only on the old
+        # side a delete, only on the new an insert.  Sound because
+        # phase-2 preservation makes every keyed mutator keep the
+        # updated row's id; the feed exposes ``_row_id`` so a
+        # consumer can fold by identity with no key declaration.
+        if not to_m.get("row_tracking"):
+            raise ValueError(
+                "table_changes: keys=None needs row tracking — "
+                "snap_enable_row_tracking(path), or pass the logical"
+                " keys"
+            )
+        out_cols = out_cols + [ROW_ID_COL]
+        keys = [ROW_ID_COL]
     attrs = [c for c in out_cols if c not in keys]
 
     def _sig(e: dict) -> tuple:
@@ -4959,7 +4977,8 @@ def table_changes(
         def _read(entries: list[dict], m: dict) -> DataFrame | None:
             if not entries:
                 return None
-            df = _read_entries(
+            reader = _read_entries_with_ids if by_id else _read_entries
+            df = reader(
                 spark, path, entries, _manifest_schema(m), _cm(m)
             )
             # align to the output schema (null-backfill evolved columns)
@@ -5045,7 +5064,9 @@ def table_changes(
         steps.append(ins.unionByName(dele).unionByName(pre).unionByName(post))
 
     if not steps:
-        empty = snap_read(spark, path, to_v, fs).limit(0)
+        empty = snap_read(
+            spark, path, to_v, fs, with_row_ids=by_id
+        ).limit(0)
         return empty.select(
             *out_cols,
             F.lit("insert").alias("_change_type"),

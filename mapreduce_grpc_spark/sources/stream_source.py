@@ -447,8 +447,9 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
 class _CDFPartition(InputPartition):
     """One commit step of a change-feed read: the step's REMOVED and
-    ADDED files (each with its optional DV sidecar), each side's
-    schema/column-mapping, and the plan-time output schema."""
+    ADDED files (each with its optional DV sidecar and row-id base),
+    each side's schema/column-mapping, and the plan-time output
+    schema."""
 
     def __init__(
         self,
@@ -461,9 +462,12 @@ class _CDFPartition(InputPartition):
         new_cm: dict,
         keys: list,
         out_schema_json: str,
+        by_id: bool = False,
     ):
         self.version = version
-        self.old_files = old_files  # [(data_path, dv_path|None), ...]
+        # [(data_path, dv_path|None, row_id_base|None), ...] — base
+        # None means the file materialized its own _row_id column
+        self.old_files = old_files
         self.new_files = new_files
         self.old_schema_json = old_schema_json
         self.new_schema_json = new_schema_json
@@ -471,6 +475,7 @@ class _CDFPartition(InputPartition):
         self.new_cm = new_cm
         self.keys = keys
         self.out_schema_json = out_schema_json
+        self.by_id = by_id
 
 
 class _SnapshotCDFStreamReader(_SnapshotStreamReader):
@@ -499,9 +504,19 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
     commits emit nothing and keyed commits emit exact per-file deltas
     without the join."""
 
-    def __init__(self, *args, keys: list | None = None, **kwargs):
+    def __init__(
+        self,
+        *args,
+        keys: list | None = None,
+        by_id: bool = False,
+        **kwargs,
+    ):
         super().__init__(*args, **kwargs)
         self._keys = list(keys or [])
+        # keys-less mode on a row-tracked table: diff by _row_id (the
+        # batch table_changes(keys=None) semantic); the feed schema
+        # then carries _row_id so consumers fold by identity
+        self._by_id = by_id
 
     def partitions(self, start: dict, end: dict):
         from .snapshots import read_manifest
@@ -531,10 +546,23 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
             for e in entries:
                 base = e.get("base") or self._path
                 dv = e.get("dv")
+                rid = None
+                if self._by_id and not e.get("row_id_col"):
+                    if "row_id_base" not in e:
+                        raise ChangeCommitError(
+                            f"change-feed by identity needs row "
+                            f"tracking at every commit in the span — "
+                            f"entry {e['name']!r} has no row-id state "
+                            "(enable_row_tracking landed later?); "
+                            "restart from a tracked version or pass "
+                            ".option('keys', ...)"
+                        )
+                    rid = int(e["row_id_base"])
                 out.append(
                     (
                         os.path.join(base, e["name"]),
                         os.path.join(base, dv["file"]) if dv else None,
+                        rid,
                     )
                 )
             return out
@@ -607,8 +635,17 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
         from .batch_source import align_to_schema
 
         tabs = []
-        for file_path, dv_path in files:
+        for file_path, dv_path, rid in files:
             table = pq.read_table(file_path)
+            ids = None
+            if self._by_id:
+                # identity BEFORE the DV mask: positions are physical
+                if rid is not None:
+                    ids = pa.array(
+                        rid + np.arange(table.num_rows, dtype=np.int64)
+                    )
+                else:  # id-materializing rewrite: read the column
+                    ids = table.column("_row_id").combine_chunks()
             if dv_path:
                 dv = pq.read_table(dv_path, columns=["file_name", "pos"])
                 fname = os.path.basename(file_path)
@@ -617,9 +654,17 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
                 if pos.size:
                     keep = np.ones(table.num_rows, dtype=bool)
                     keep[pos] = False
-                    table = table.filter(pa.array(keep))
+                    keep_arr = pa.array(keep)
+                    table = table.filter(keep_arr)
+                    if ids is not None:
+                        ids = ids.filter(keep_arr)
             if schema_json:
                 table = align_to_schema(table, schema_json, cm)
+            if ids is not None:
+                table = table.append_column(
+                    pa.field("_row_id", pa.int64()),
+                    ids.cast(pa.int64()),
+                )
             if table.num_rows:
                 tabs.append(table)
         if not tabs:
@@ -1010,6 +1055,13 @@ class SnapshotTableStreamSource(DataSource):
     def _flag(self, opt: str) -> bool:
         return str(self.options.get(opt, "false")).lower() in ("true", "1")
 
+    def _cdf_by_id(self, m: dict) -> bool:
+        """True when a readChangeFeed query runs in keys-less IDENTITY
+        mode: no ``keys`` option and the table is row-tracked (the
+        batch ``table_changes(keys=None)`` semantic)."""
+        raw_keys = str(self.options.get("keys", "") or "")
+        return not raw_keys.strip() and bool(m.get("row_tracking"))
+
     def _version_as_of(self) -> int | None:
         v = self.options.get("versionasof")
         t = self.options.get("timestampasof")
@@ -1095,14 +1147,22 @@ class SnapshotTableStreamSource(DataSource):
                     "readChangeFeed=true already emits _commit_version"
                     " — drop withCommitVersion"
                 )
-            for c in ("_change_type", "_commit_version"):
+            clash = ["_change_type", "_commit_version"]
+            if self._cdf_by_id(m):
+                clash.append("_row_id")
+            for c in clash:
                 if c in schema.fieldNames():
                     raise ValueError(
                         f"readChangeFeed=true but the table schema "
                         f"already has a `{c}` column"
                     )
+            fields = list(schema.fields)
+            if self._cdf_by_id(m):
+                # keys-less identity mode surfaces the row id (same
+                # shape as batch table_changes(keys=None))
+                fields.append(StructField("_row_id", LongType()))
             return StructType(
-                list(schema.fields)
+                fields
                 + [
                     StructField("_change_type", StringType()),
                     StructField("_commit_version", LongType()),
@@ -1178,22 +1238,27 @@ class SnapshotTableStreamSource(DataSource):
                     "readChangeFeed=true streams change commits as "
                     "row deltas — skipChangeCommits does not compose"
                 )
-            raw_keys = self.options.get("keys", "")
+            by_id = "_row_id" in schema.fieldNames()
+            raw_keys = str(self.options.get("keys", "") or "")
             keys = [k.strip() for k in raw_keys.split(",") if k.strip()]
-            if not keys:
+            if by_id:
+                keys = ["_row_id"]
+            elif not keys:
                 raise ValueError(
                     "readChangeFeed=true requires .option('keys', "
-                    "'k1,k2'): the logical key the per-commit diff "
+                    "'k1,k2') — the logical key the per-commit diff "
                     "classifies rows by (same contract as "
-                    "table_changes)"
+                    "table_changes) — unless the table has row "
+                    "tracking, where omitting keys diffs by identity"
                 )
-            fields = set(schema.fieldNames())
-            missing = [k for k in keys if k not in fields]
-            if missing:
-                raise ValueError(
-                    f"readChangeFeed keys {missing} not in table "
-                    f"schema {sorted(fields)}"
-                )
+            else:
+                fields = set(schema.fieldNames())
+                missing = [k for k in keys if k not in fields]
+                if missing:
+                    raise ValueError(
+                        f"readChangeFeed keys {missing} not in table "
+                        f"schema {sorted(fields)}"
+                    )
             return _SnapshotCDFStreamReader(
                 self._path(),
                 starting,
@@ -1209,6 +1274,7 @@ class SnapshotTableStreamSource(DataSource):
                 cm=cm,
                 cm_version=cm_version,
                 keys=keys,
+                by_id=by_id,
             )
         return _SnapshotStreamReader(
             self._path(),

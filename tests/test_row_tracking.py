@@ -569,3 +569,129 @@ def test_append_stream_survives_compaction_on_tracked_table(
         raise RuntimeError(
             f"stream should have refused, emitted {len(got2)} rows"
         )
+
+
+def test_keyless_identity_feed_matches_keyed(spark, tmp_path):
+    """table_changes(keys=None) on a tracked table diffs by _row_id:
+    same classification as the keyed feed (phase-2 preservation makes
+    the two agree), plus the _row_id column for identity folds; an
+    untracked table refuses with a pointer at enable."""
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=40, n_files=2)
+    apply_cdc_cow(
+        spark, path,
+        spark.createDataFrame(
+            [(3, "u", "U"), (7, None, "D"), (900, "i", "I")],
+            "k bigint, v string, _op string",
+        ),
+        keys=["k"],
+    )
+    delete_where_mor(spark, path, [("k", "<", 2)])
+    optimize_snapshot(spark, path, target_bytes=10**9)
+    merge_upsert_cow(
+        spark, path,
+        spark.createDataFrame([(4, "m")], "k bigint, v string"),
+        keys=["k"],
+    )
+    fid = table_changes(spark, path, from_version=1)
+    assert "_row_id" in fid.columns
+    a = sorted(
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in fid.collect()
+    )
+    b = sorted(
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in table_changes(
+            spark, path, keys=["k"], from_version=1
+        ).collect()
+    )
+    assert a == b
+    # identity is coherent: every update pair shares one id
+    pairs = {}
+    for r in fid.collect():
+        if r._change_type.startswith("update"):
+            pairs.setdefault((r._commit_version, r.k), set()).add(
+                r._row_id
+            )
+    assert pairs and all(len(ids) == 1 for ids in pairs.values())
+
+    path2 = str(tmp_path / "u")
+    _mk(spark, path2, n=10, n_files=1, tracking=False)
+    snap_append(
+        spark, path2,
+        spark.range(10, 12).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ),
+    )
+    with pytest.raises(ValueError, match="row tracking"):
+        table_changes(spark, path2, from_version=1).collect()
+
+
+def test_streaming_identity_feed(spark, tmp_path, snapshot_fs):
+    """readChangeFeed WITHOUT keys on a tracked table streams by
+    identity: schema carries _row_id, rows match the batch id-feed,
+    rearrangement commits skipped; an untracked table still demands
+    keys."""
+    from mapreduce_grpc_spark.sources.stream_source import (
+        SnapshotTableStreamSource,
+    )
+
+    spark.dataSource.register(SnapshotTableStreamSource)
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=30, n_files=2)
+    apply_cdc_cow(
+        spark, path,
+        spark.createDataFrame(
+            [(3, "u", "U"), (7, None, "D")],
+            "k bigint, v string, _op string",
+        ),
+        keys=["k"],
+    )
+    optimize_snapshot(spark, path, target_bytes=10**9)
+
+    def rs(p):
+        r = (
+            spark.readStream.format("snapshot_table")
+            .option("path", p)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "2")
+        )
+        if snapshot_fs.spec:
+            r = r.option("fsImpl", snapshot_fs.spec)
+        return r.load()
+
+    df = rs(path)
+    assert df.columns == [
+        "k", "v", "_row_id", "_change_type", "_commit_version",
+    ]
+    got: list[tuple] = []
+
+    def sink(bdf, _bid):
+        got.extend(tuple(r) for r in bdf.collect())
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    exp = sorted(
+        tuple(r)[:2] + (r._row_id, r._change_type, r._commit_version)
+        for r in table_changes(spark, path, from_version=1).select(
+            "k", "v", "_row_id", "_change_type", "_commit_version"
+        ).collect()
+    )
+    assert sorted(got) == exp
+
+    path2 = str(tmp_path / "u")
+    _mk(spark, path2, n=5, n_files=1, tracking=False)
+    with pytest.raises(Exception, match="keys"):
+        (
+            rs(path2)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .start()
+            .awaitTermination(30)
+        )
