@@ -227,6 +227,9 @@ def translate_filters(filters) -> list[tuple]:
 
 
 class _BatchFilePartition(InputPartition):
+    # files: [(data_path, dv_path|None, row_id_base|None), ...] —
+    # base None means either row ids are off for this read or the
+    # file materialized its own _row_id column (align picks it up)
     def __init__(
         self,
         files: list[tuple[str, str | None]],
@@ -251,11 +254,13 @@ class SnapshotBatchReader(DataSourceReader):
         schema_json: str,
         version: int | None,
         fs_spec: str | None,
+        with_row_ids: bool = False,
     ):
         self._path = path
         self._schema_json = schema_json
         self._version = version
         self._fs_spec = fs_spec
+        self._with_row_ids = with_row_ids
         self._preds: list[tuple] = []
 
     def pushFilters(self, filters):
@@ -286,28 +291,43 @@ class SnapshotBatchReader(DataSourceReader):
                 )
             except Exception:
                 entries = m["files"]  # unprunable value shapes: keep all
-        files: list[tuple[str, str | None, int]] = []
+        if self._with_row_ids and not m.get("row_tracking"):
+            raise ValueError(
+                "withRowIds=true needs row tracking — "
+                "snap_enable_row_tracking(path)"
+            )
+        files: list[tuple[str, str | None, int, int | None]] = []
         for e in entries:
             dv = e.get("dv")
             base = e.get("base") or self._path
+            rid = None
+            if self._with_row_ids and not e.get("row_id_col"):
+                if "row_id_base" not in e:
+                    raise ValueError(
+                        f"withRowIds=true but entry {e['name']!r} has "
+                        "no row-id state (version predates "
+                        "enable_row_tracking?)"
+                    )
+                rid = int(e["row_id_base"])
             files.append(
                 (
                     os.path.join(base, e["name"]),
                     os.path.join(base, dv["file"]) if dv else None,
                     int(e.get("bytes") or 0),
+                    rid,
                 )
             )
         parts: list[_BatchFilePartition] = []
-        bin_files: list[tuple[str, str | None]] = []
+        bin_files: list[tuple[str, str | None, int | None]] = []
         bin_cost = 0
-        for p, dvp, b in files:
+        for p, dvp, b, rid in files:
             cost = max(b, OPEN_COST_BYTES)
             if bin_files and bin_cost + cost > PARTITION_TARGET_BYTES:
                 parts.append(
                     _BatchFilePartition(bin_files, self._schema_json, cm)
                 )
                 bin_files, bin_cost = [], 0
-            bin_files.append((p, dvp))
+            bin_files.append((p, dvp, rid))
             bin_cost += cost
         if bin_files:
             parts.append(
@@ -317,9 +337,10 @@ class SnapshotBatchReader(DataSourceReader):
 
     def read(self, partition: _BatchFilePartition):
         import numpy as np
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        for file_path, dv_path in partition.files:
+        for file_path, dv_path, rid in partition.files:
             dv_pos = None
             if dv_path:
                 dv = pq.read_table(dv_path, columns=["file_name", "pos"])
@@ -333,10 +354,15 @@ class SnapshotBatchReader(DataSourceReader):
             pf = pq.ParquetFile(file_path)
             offset = 0
             for batch in pf.iter_batches():
-                import pyarrow as pa
-
                 table = pa.Table.from_batches([batch])
                 n = table.num_rows
+                ids = None
+                if rid is not None:
+                    # synthesized ids track PHYSICAL positions: built
+                    # before the DV mask, filtered alongside the rows
+                    ids = pa.array(
+                        rid + offset + np.arange(n, dtype=np.int64)
+                    )
                 if dv_pos is not None:
                     lo = np.searchsorted(dv_pos, offset)
                     hi = np.searchsorted(dv_pos, offset + n)
@@ -344,12 +370,24 @@ class SnapshotBatchReader(DataSourceReader):
                     if dead.size:
                         keep = np.ones(n, dtype=bool)
                         keep[dead] = False
-                        table = table.filter(pa.array(keep))
+                        keep_arr = pa.array(keep)
+                        table = table.filter(keep_arr)
+                        if ids is not None:
+                            ids = ids.filter(keep_arr)
                 offset += n
                 if table.num_rows:
-                    yield from align_to_schema(
+                    aligned = align_to_schema(
                         table, partition.schema_json, partition.cm
-                    ).to_batches()
+                    )
+                    if ids is not None:
+                        # fresh file: replace the null-backfilled
+                        # _row_id column (materialized files got the
+                        # real column from align itself)
+                        i = aligned.schema.get_field_index("_row_id")
+                        aligned = aligned.set_column(
+                            i, pa.field("_row_id", pa.int64()), ids
+                        )
+                    yield from aligned.to_batches()
 
 
 class _BatchFileCommit(WriterCommitMessage):

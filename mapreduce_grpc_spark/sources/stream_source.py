@@ -1168,6 +1168,23 @@ class SnapshotTableStreamSource(DataSource):
                     StructField("_commit_version", LongType()),
                 ]
             )
+        if self._flag("withrowids"):
+            from pyspark.sql.types import LongType, StructField
+
+            if not m.get("row_tracking"):
+                raise ValueError(
+                    "withRowIds=true needs row tracking — "
+                    "snap_enable_row_tracking(path)"
+                )
+            if "_row_id" in schema.fieldNames():
+                raise ValueError(
+                    "withRowIds=true but the table schema already has"
+                    " a `_row_id` column"
+                )
+            schema = StructType(
+                list(schema.fields)
+                + [StructField("_row_id", LongType())]
+            )
         if self._flag("withcommitversion"):
             from pyspark.sql.types import LongType, StructField
 
@@ -1187,6 +1204,12 @@ class SnapshotTableStreamSource(DataSource):
         return schema
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        if self._flag("withrowids") and not self._flag("readchangefeed"):
+            raise ValueError(
+                "withRowIds is a batch-read option (spark.read); the "
+                "append stream plans partitions without id state — "
+                "use readChangeFeed (identity mode) for streamed ids"
+            )
         sv = self.options.get("startingversion")
         st = self.options.get("startingtimestamp")
         if st is not None:
@@ -1332,6 +1355,7 @@ class SnapshotTableStreamSource(DataSource):
             schema.json(),
             self._version_as_of(),
             self.options.get("fsimpl"),
+            with_row_ids=self._flag("withrowids"),
         )
 
     def writer(self, schema: StructType, overwrite: bool):

@@ -695,3 +695,59 @@ def test_streaming_identity_feed(spark, tmp_path, snapshot_fs):
             .start()
             .awaitTermination(30)
         )
+
+
+def test_batch_datasource_with_row_ids(spark, tmp_path, snapshot_fs):
+    """spark.read.format("snapshot_table").option("withRowIds","true")
+    surfaces _row_id through the Python DataSource: synthesized for
+    fresh files, read from the materialized column after OPTIMIZE,
+    DV-masked ids absent, equal to the library read; untracked tables
+    and append-stream use are refused."""
+    from mapreduce_grpc_spark.sources.stream_source import (
+        SnapshotTableStreamSource,
+    )
+
+    spark.dataSource.register(SnapshotTableStreamSource)
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=50, n_files=2)
+    delete_where_mor(spark, path, [("k", "<", 5)])
+    optimize_snapshot(
+        spark, path, target_bytes=10**9, where=[("k", "<", 30)]
+    )
+
+    def rd(p, **opts):
+        r = (
+            spark.read.format("snapshot_table")
+            .option("path", p)
+            .option("withRowIds", "true")
+        )
+        if snapshot_fs.spec:
+            r = r.option("fsImpl", snapshot_fs.spec)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    got = {r.k: r._row_id for r in rd(path).collect()}
+    lib = _ids(spark, path)
+    assert got == lib
+    # time travel composes: v1 ids == the enable-time assignment
+    got_v1 = {
+        r.k: r._row_id for r in rd(path, versionAsOf="1").collect()
+    }
+    assert got_v1 == _ids(spark, path, version=1)
+
+    path2 = str(tmp_path / "u")
+    _mk(spark, path2, n=5, n_files=1, tracking=False)
+    with pytest.raises(Exception, match="row tracking"):
+        rd(path2).collect()
+    with pytest.raises(Exception, match="batch-read option"):
+        (
+            spark.readStream.format("snapshot_table")
+            .option("path", path)
+            .option("withRowIds", "true")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+            .awaitTermination(30)
+        )
