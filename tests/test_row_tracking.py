@@ -751,3 +751,127 @@ def test_batch_datasource_with_row_ids(spark, tmp_path, snapshot_fs):
             .start()
             .awaitTermination(30)
         )
+
+
+def test_randomized_identity_soak(spark, tmp_path):
+    """Seeded random op soak (the composition-fuzz convention of
+    test_snapshots): across appends, merges, CDC batches, MoR deletes,
+    predicate updates, and OPTIMIZE in random order, the identity
+    invariants hold at every step — untouched rows keep id AND value,
+    updated rows keep id under the new value, deleted ids are retired
+    forever, inserted ids are fresh (>= the pre-op watermark), ids
+    stay globally unique, and fsck's slice checks stay clean."""
+    import random
+
+    from mapreduce_grpc_spark.sources.snapshots import (
+        update_where,
+        verify_snapshot,
+    )
+
+    rng = random.Random(0xB0B1D)
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=80, n_files=3)
+    next_key = 1000
+    retired: set[int] = set()
+
+    def snap():
+        return {
+            r.k: (r.v, r._row_id)
+            for r in snap_read(
+                spark, path, with_row_ids=True
+            ).collect()
+        }
+
+    state = snap()
+    for step in range(8):
+        wm = read_manifest(path)["next_row_id"]
+        op = rng.choice(["append", "merge", "cdc", "delmor", "update",
+                         "optimize"])
+        live = sorted(state)
+        updated: set[int] = set()
+        deleted: set[int] = set()
+        inserted: set[int] = set()
+        val = f"s{step}"
+        if op == "append":
+            ks = list(range(next_key, next_key + rng.randint(1, 5)))
+            next_key += 5
+            inserted = set(ks)
+            snap_append(
+                spark, path,
+                spark.createDataFrame(
+                    [(k, val) for k in ks], "k bigint, v string"
+                ),
+            )
+        elif op == "merge":
+            upd = rng.sample(live, min(4, len(live)))
+            ins = [next_key]
+            next_key += 1
+            updated, inserted = set(upd), set(ins)
+            merge_upsert_cow(
+                spark, path,
+                spark.createDataFrame(
+                    [(k, val) for k in upd + ins],
+                    "k bigint, v string",
+                ),
+                keys=["k"],
+            )
+        elif op == "cdc":
+            upd = rng.sample(live, min(3, len(live)))
+            dels = [
+                k for k in rng.sample(live, min(2, len(live)))
+                if k not in upd
+            ]
+            ins = [next_key]
+            next_key += 1
+            updated, deleted, inserted = set(upd), set(dels), set(ins)
+            apply_cdc_cow(
+                spark, path,
+                spark.createDataFrame(
+                    [(k, val, "U") for k in upd]
+                    + [(k, None, "D") for k in dels]
+                    + [(k, val, "I") for k in ins],
+                    "k bigint, v string, _op string",
+                ),
+                keys=["k"],
+            )
+        elif op == "delmor":
+            lo = rng.choice(live)
+            deleted = {k for k in live if lo <= k <= lo + 3}
+            delete_where_mor(
+                spark, path, [("k", "between", lo, lo + 3)]
+            )
+        elif op == "update":
+            lo = rng.choice(live)
+            updated = {k for k in live if lo <= k <= lo + 5}
+            update_where(
+                spark, path,
+                [("k", "between", lo, lo + 5)],
+                {"v": f"'{val}'"},
+            )
+        else:
+            optimize_snapshot(spark, path, target_bytes=10**9)
+
+        post = snap()
+        assert set(post) == (set(state) - deleted) | inserted, (
+            step, op,
+        )
+        ids = [i for _v, i in post.values()]
+        assert len(set(ids)) == len(ids), (step, op, "id collision")
+        for k, (v, i) in post.items():
+            if k in inserted:
+                assert i >= wm, (step, op, k, "insert id not fresh")
+                assert i not in retired, (step, op, k, "id reuse")
+                assert v == val
+            elif k in updated:
+                assert i == state[k][1], (step, op, k, "update id")
+                assert v == val
+            else:
+                assert (v, i) == state[k], (step, op, k, "untouched")
+        retired |= {state[k][1] for k in deleted}
+        assert not (set(ids) & retired), (step, op, "retired id back")
+        rep = verify_snapshot(path)
+        assert rep["missing"] == [] and rep["mismatched"] == [], (
+            step, op, rep,
+        )
+        assert read_manifest(path)["next_row_id"] >= wm
+        state = post
