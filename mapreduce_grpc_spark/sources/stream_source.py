@@ -519,7 +519,21 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
         self._by_id = by_id
 
     def partitions(self, start: dict, end: dict):
-        from .snapshots import read_manifest
+        from .snapshots import read_manifest as _rm
+
+        def read_manifest(path, version, fs):
+            # reconstruction of an expired version must surface the
+            # same remediation the append reader gives, not a bare
+            # FileNotFoundError from deep inside the replay
+            try:
+                return _rm(path, version, fs)
+            except FileNotFoundError:
+                raise ChangeCommitError(
+                    f"manifest v{version} of {path!r} is expired — the"
+                    " change-feed offset predates the retention window"
+                    " (expire_snapshots keep_last). Re-bootstrap with"
+                    " a new checkpoint and startingVersion."
+                ) from None
 
         v0, v1 = int(start["version"]), int(end["version"])
         self._planned = max(self._planned or 0, v1)

@@ -303,3 +303,32 @@ def test_cdf_option_validation(spark, tmp_path):
         rs(keys="k", withCommitVersion="true")
     with pytest.raises(Exception, match="not in table"):
         rs(keys="nope").writeStream.format("noop").start().awaitTermination(30)
+
+
+def test_cdf_expired_span_raises_remediation(spark, tmp_path):
+    """A change-feed offset below the GC floor must fail with the
+    re-bootstrap remediation, not a bare FileNotFoundError from the
+    manifest replay."""
+    from mapreduce_grpc_spark.sources.snapshots import expire_snapshots
+    from mapreduce_grpc_spark.sources.stream_source import (
+        ChangeCommitError,
+        _SnapshotCDFStreamReader,
+    )
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=10, n_files=1)
+    for i in range(4):
+        apply_cdc_cow(
+            spark, path,
+            spark.createDataFrame(
+                [(i, f"u{i}", "U")], "k bigint, v string, _op string"
+            ),
+            keys=["k"],
+        )
+    expire_snapshots(path, keep_last=2, orphan_grace_seconds=0)
+    r = _SnapshotCDFStreamReader(
+        path, 0, False, "", keys=["k"],
+        fs_spec=_ACTIVE_FS["spec"],
+    )
+    with pytest.raises(ChangeCommitError, match="Re-bootstrap"):
+        r.partitions({"version": 1}, {"version": 5})
