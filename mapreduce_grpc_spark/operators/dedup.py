@@ -918,7 +918,12 @@ FROM reach GROUP BY src
 
 QUERIES = {
     "dedup_exact": dedup_exact,
-    "minhash_signatures": minhash_signatures,
+    # minhash_signatures rotated OUT to AUX in round 14: it is an
+    # intermediate of dedup_near (which stays), so it was the most
+    # redundant contract row — the pytest DuckDB-hash check keeps it
+    # verified (tests/test_robustness.py::
+    # test_minhash_signatures_oracle_parity); snapshot_row_ids took
+    # the freed slot.
     "dedup_near": dedup_near,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
@@ -1498,9 +1503,11 @@ AUX_QUERIES = {
     "clean_segments": clean_segments,
     "dedup_spans": dedup_spans,
     "dedup_spans_keepfirst": dedup_spans_keepfirst,
+    "minhash_signatures": minhash_signatures,
 }
 
 AUX_ORACLES = {
+    "minhash_signatures": MINHASH_SIGNATURES_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_editdistance": DEDUP_EDITDISTANCE_SQL,
@@ -1512,7 +1519,6 @@ AUX_ORACLES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
-    "minhash_signatures": MINHASH_SIGNATURES_SQL,
     "dedup_near": DEDUP_NEAR_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,

@@ -184,7 +184,21 @@ def matview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     is 5e-3, 10^4 wider than at scale 6, and identical across the
     whole fixture in both engines — and every mutation, CDC image,
     delta fold, and sum after that point is exact decimal arithmetic
-    in BOTH engines.  No double ever re-enters the lineage."""
+    in BOTH engines.  No double ever re-enters the lineage.
+
+    Hashed surface (the r13->r14 driver-red fix): the r13 trace proved
+    the Spark rows equal both an independent Spark recompute AND the
+    DuckDB-1.0.0 oracle output in the driver's own process, so the
+    remaining red was a driver-environment DECIMAL canonicalization
+    (or DuckDB-version) artifact — matview_orders was the only
+    contract query with a DECIMAL output column.  The final SELECT
+    therefore projects the sum to exact integer cents
+    (``sum_cents BIGINT = CAST(sum_val * 100 AS BIGINT)``, exact: the
+    lineage is scale-2 decimal end-to-end so ``* 100`` is an integer)
+    in BOTH the query and the oracle; integers hash identically under
+    any canonicalizer and any DuckDB version.  All MV internals stay
+    decimal — the CDF fold, touched-group recompute, and exactly-once
+    marker remain fully under the hash."""
     tmp = tempfile.mkdtemp(prefix="snap-mv-")
     src_path = os.path.join(tmp, "src")
     mv_path = os.path.join(tmp, "mv")
@@ -230,28 +244,45 @@ def matview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             dims=["o_orderpriority"], agg_col="o_totalprice",
         )
 
-        mv = mv_read(spark, mv_path)
+        # Hashed surface: integer cents, no DECIMAL column (see the
+        # docstring).  sum_val is decimal(38,6) with an exact scale-2
+        # value, so cast-to-(20,2) then *100 is exact integer math in
+        # both engines; the bigint cast cannot round.
+        mv = mv_read(spark, mv_path).select(
+            "o_orderpriority",
+            "cnt",
+            (F.col("sum_val").cast("decimal(20,2)") * F.lit(100))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
         rows = mv.collect()
         # In-run evidence (see _mv_trace): independent recompute of the
-        # post-CDC source per-group (cnt, sum) — if the MV rows diverge
-        # from the oracle, this shows whether the source state or the
-        # CDF fold is the side that drifted.
-        try:
-            src_fp = sorted(
-                [str(v) for v in r]
-                for r in snap_read(spark, src_path)
-                .groupBy("o_orderpriority")
-                .agg(
-                    F.count(F.lit(1)).alias("cnt"),
-                    F.sum(
-                        F.col("o_totalprice").cast("decimal(38,6)")
-                    ).alias("sum_val"),
+        # post-CDC source per-group (cnt, sum) — gated so grading /
+        # production runs can switch the telemetry (and its extra
+        # collect) off; default ON for one confirming round after the
+        # r14 integer-cents fix, then slated for removal.
+        if os.environ.get("SPARK_GRAFT_MV_TRACE", "1") == "1":
+            try:
+                src_fp = sorted(
+                    [str(v) for v in r]
+                    for r in snap_read(spark, src_path)
+                    .groupBy("o_orderpriority")
+                    .agg(
+                        F.count(F.lit(1)).alias("cnt"),
+                        (
+                            F.sum(
+                                F.col("o_totalprice").cast("decimal(20,2)")
+                            ).cast("decimal(20,2)")
+                            * F.lit(100)
+                        )
+                        .cast("bigint")
+                        .alias("sum_cents"),
+                    )
+                    .collect()
                 )
-                .collect()
-            )
-        except Exception:
-            src_fp = None
-        _mv_trace(spark, rows, mv.schema, refresh_stats, src_fp)
+            except Exception:
+                src_fp = None
+            _mv_trace(spark, rows, mv.schema, refresh_stats, src_fp)
         return spark.createDataFrame(rows, mv.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -312,7 +343,9 @@ WHERE c_custkey BETWEEN 1 AND 750
 # cast at DECIMAL(15,2) (boundary margin 5e-3; Spark/DuckDB agree on
 # the whole fixture), then pure decimal arithmetic — see the
 # matview_orders docstring for the measured (38,6) divergence this
-# layout avoids.
+# layout avoids.  The hashed surface is integer cents (r14): the
+# scale-2 sum times 100 is an exact integer in both engines, so no
+# DECIMAL ever reaches the driver's canonicalizer.
 MATVIEW_ORDERS_SQL = """
 WITH base AS (
   SELECT o_orderkey, o_orderpriority,
@@ -335,8 +368,8 @@ WITH base AS (
 )
 SELECT o_orderpriority,
        COUNT(*) AS cnt,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6))
-         AS sum_val
+       CAST(CAST(SUM(o_totalprice) AS DECIMAL(20,2)) * 100 AS BIGINT)
+         AS sum_cents
 FROM mut
 GROUP BY o_orderpriority
 """
@@ -985,6 +1018,11 @@ QUERIES = {
     # mapping) is the biggest table-layer path that was still
     # AUX-only — now under the driver's own hash
     "snapshot_column_evolution": snapshot_column_evolution,
+    # rotated IN (round 14, replacing the redundant minhash_signatures
+    # row — an intermediate of dedup_near, which stays): row tracking
+    # is r13's flagship and the most algorithmically delicate surface
+    # that was still outside the driver's comparator
+    "snapshot_row_ids": snapshot_row_ids,
 }
 ORACLES = {
     "snapshot_timetravel": SNAPSHOT_TIMETRAVEL_SQL,
@@ -994,16 +1032,15 @@ ORACLES = {
     "matview_orders": MATVIEW_ORDERS_SQL,
     "snapshot_delete_scan": SNAPSHOT_DELETE_SCAN_SQL,
     "snapshot_column_evolution": SNAPSHOT_COLUMN_EVOLUTION_SQL,
+    "snapshot_row_ids": SNAPSHOT_ROW_IDS_SQL,
 }
 AUX_QUERIES = {
     "snapshot_update_restore": snapshot_update_restore,
     "snapshot_prefix_scan": snapshot_prefix_scan,
     "streaming_cdf_feed": streaming_cdf_feed,
-    "snapshot_row_ids": snapshot_row_ids,
 }
 AUX_ORACLES = {
     "snapshot_update_restore": SNAPSHOT_UPDATE_RESTORE_SQL,
     "snapshot_prefix_scan": SNAPSHOT_PREFIX_SCAN_SQL,
     "streaming_cdf_feed": STREAMING_CDF_FEED_SQL,
-    "snapshot_row_ids": SNAPSHOT_ROW_IDS_SQL,
 }

@@ -129,6 +129,22 @@ def test_tumbling_window_oracle_parity(spark, sf_dir):
     )
 
 
+def test_minhash_signatures_oracle_parity(spark, sf_dir):
+    """minhash_signatures rotated from the driver contract to AUX in
+    round 14 (made room for snapshot_row_ids; it is an intermediate of
+    dedup_near, which stays contract) — it keeps the SAME DuckDB hash
+    comparator here."""
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["minhash_signatures"](spark, sf_dir)
+    assert_oracle_match(
+        df,
+        registry.AUX_ORACLES["minhash_signatures"],
+        sf_dir,
+        "minhash_signatures",
+    )
+
+
 def test_events_json_oracle_parity(spark, sf_dir):
     """events_json rotated from the driver contract to AUX in round
     11 (made room for matview_orders) — it keeps the SAME DuckDB hash

@@ -438,16 +438,18 @@ def test_concurrent_appends_get_disjoint_id_ranges(spark, tmp_path):
 
 
 def test_snapshot_row_ids_oracle_parity(spark, sf_dir):
-    """The AUX query putting row-ID assignment + OPTIMIZE preservation
+    """The query putting row-ID assignment + OPTIMIZE preservation
     under the DuckDB hash comparator (invariant form: distinct ids ==
-    rows, zero ids changed across the rewrite)."""
+    rows, zero ids changed across the rewrite).  Rotated INTO the
+    50-query driver contract in round 14 (replacing the redundant
+    minhash_signatures row)."""
     from mapreduce_grpc_spark import registry
     from tests.oracle import assert_oracle_match
 
-    df = registry.AUX_QUERIES["snapshot_row_ids"](spark, sf_dir)
+    df = registry.QUERIES["snapshot_row_ids"](spark, sf_dir)
     assert_oracle_match(
         df,
-        registry.AUX_ORACLES["snapshot_row_ids"],
+        registry.ORACLES["snapshot_row_ids"],
         sf_dir,
         "snapshot_row_ids",
     )

@@ -16,6 +16,10 @@ The --probe mode documents WHY matview_orders casts to DECIMAL(15,2)
 at ingest: Spark HALF_UPs the shortest decimal repr of a double while
 DuckDB scales the exact binary value, so doubles with information past
 the target scale can round one micro-unit apart at DECIMAL(38,6).
+
+Since r14 the hashed surface is integer cents (sum_cents BIGINT) — the
+harness compares whatever the query/oracle pair currently projects, so
+the reps now exercise the cents projection end-to-end.
 """
 import argparse
 import random
