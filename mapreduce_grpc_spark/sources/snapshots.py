@@ -4733,9 +4733,21 @@ def optimize_incremental(
         to_rewrite = [m["files"][i] for i in budgeted]
         names = {e["name"] for e in to_rewrite}
         carried = [e for e in m["files"] if e["name"] not in names]
-        df = _read_entries(
-            spark, path, to_rewrite, _manifest_schema(m), cm
-        )
+        track_ids = bool(m.get("row_tracking"))
+        if track_ids:
+            # id-preserving rewrite (mirrors optimize_snapshot): a
+            # re-cluster is a pure rearrangement, so every row must
+            # keep its _row_id — reading without ids would let _commit
+            # fresh-assign new ones, breaking stable identity and
+            # making keys-less CDF see a mass delete+insert for a
+            # layout-only commit
+            df = _read_entries_with_ids(
+                spark, path, to_rewrite, _manifest_schema(m), cm
+            )
+        else:
+            df = _read_entries(
+                spark, path, to_rewrite, _manifest_schema(m), cm
+            )
         n_files = max(1, -(-total // target_bytes))  # ceil
         if len(cluster_by) == 2:
             out = zorder_frame(
@@ -4752,6 +4764,11 @@ def optimize_incremental(
             # derived partition columns are still appended for stats
             pspec=_pspec(m), pcluster=False,
         )
+        if track_ids:
+            # marked before commit so the conflict-rebase path reuses
+            # the same id-bearing entries
+            for e in new_entries:
+                e["row_id_col"] = True
         info = {
             "op": "optimize_incremental",
             "rewritten": len(to_rewrite),
@@ -5147,6 +5164,8 @@ def verify_snapshot(
     path: str,
     version: int | None = None,
     fs: LocalSnapshotFS | None = None,
+    check_ids: bool = False,
+    spark: SparkSession | None = None,
 ) -> dict:
     """fsck for a snapshot version: every manifest entry must exist on
     disk with a readable footer whose row count matches the manifest.
@@ -5155,7 +5174,17 @@ def verify_snapshot(
     class as commit.  Returns ``{"version", "files", "rows", "missing",
     "mismatched"}``; a non-empty ``missing``/``mismatched`` means the
     table dir was mutated outside the commit protocol (or a GC raced a
-    pinned reader past its ``keep_last``)."""
+    pinned reader past its ``keep_last``).
+
+    ``check_ids=True`` (tracked tables; needs ``spark``) adds the DEEP
+    row-id audit the footer-free invariants cannot see: slice checks
+    prove fresh-file ranges are disjoint, but ``row_id_col`` entries
+    own their ids BY CONTENT, so a writer bug could only surface as
+    duplicate ids inside the materialized column.  The audit is one
+    distributed ``groupBy(_row_id)`` over the live view (DVs applied)
+    — a shuffle of the id column, never a driver materialization, so
+    it scales to any table size; run it at maintenance cadence, not
+    per commit."""
     import pyarrow.parquet as pq
 
     f = _fs(fs)
@@ -5230,6 +5259,33 @@ def verify_snapshot(
                     f" state: {untagged[:3]}"
                 }
             )
+        if check_ids:
+            if spark is None:
+                raise ValueError(
+                    "verify_snapshot(check_ids=True) needs a "
+                    "SparkSession — the distinct-id audit is a "
+                    "distributed groupBy, never driver-side"
+                )
+            dup = (
+                snap_read(
+                    spark, path, version=m["version"], fs=fs,
+                    with_row_ids=True,
+                )
+                .groupBy(ROW_ID_COL)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(5)
+                .collect()
+            )
+            if dup:
+                mismatched.append(
+                    {
+                        "error": "duplicate live row ids (materialized "
+                        "id column diverged from the slice "
+                        "invariants): "
+                        f"{sorted(int(r[0]) for r in dup)}"
+                    }
+                )
     return {
         "version": m["version"],
         "files": len(m["files"]),

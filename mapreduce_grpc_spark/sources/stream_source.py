@@ -462,11 +462,13 @@ class _CDFPartition(InputPartition):
         new_cm: dict,
         keys: list,
         out_schema_json: str,
-        by_id: bool = False,
     ):
         self.version = version
         # [(data_path, dv_path|None, row_id_base|None), ...] — base
-        # None means the file materialized its own _row_id column
+        # None means the file materialized its own _row_id column.
+        # Identity mode is NOT carried per-partition: the pickled
+        # reader's own _by_id drives read()/_load_side, so a partition
+        # field would be dead state inviting drift.
         self.old_files = old_files
         self.new_files = new_files
         self.old_schema_json = old_schema_json
@@ -475,7 +477,6 @@ class _CDFPartition(InputPartition):
         self.new_cm = new_cm
         self.keys = keys
         self.out_schema_json = out_schema_json
-        self.by_id = by_id
 
 
 class _SnapshotCDFStreamReader(_SnapshotStreamReader):

@@ -160,6 +160,98 @@ def test_zorder_optimize_preserves_ids(spark, tmp_path):
     assert _ids(spark, path) == before
 
 
+def _mk_overlapping(spark, path, tag_batches=("a", "b", "c"), n=100):
+    """Tracked table whose files all overlap on ``k``: every batch
+    spans the full key range, so the incremental re-clusterer always
+    finds a multi-file overlap group."""
+
+    def batch(tag):
+        return spark.range(n).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit(tag), F.col("id")).alias("v"),
+        ).repartitionByRange(2, "k")
+
+    snap_init(
+        spark, batch(tag_batches[0]), path,
+        stats_cols=["k"], row_tracking=True,
+    )
+    for tag in tag_batches[1:]:
+        snap_append(spark, path, batch(tag))
+
+
+def _ids_by_v(spark, path):
+    """k duplicates across overlapping batches — key identity by the
+    unique v payload instead."""
+    return {
+        r.v: r._row_id
+        for r in snap_read(spark, path, with_row_ids=True).collect()
+    }
+
+
+def test_optimize_incremental_preserves_ids(spark, tmp_path):
+    """The budgeted re-clusterer is a pure rearrangement and must keep
+    every row's id — reading without ids would let _commit fresh-assign
+    new ones (the r13 ADVICE-high gap), renumbering rewritten rows and
+    making the keys-less change feed see a mass delete+insert for a
+    layout-only commit."""
+    from mapreduce_grpc_spark.sources.snapshots import optimize_incremental
+
+    path = str(tmp_path / "t")
+    _mk_overlapping(spark, path)
+    before = _ids_by_v(spark, path)
+    assert len(set(before.values())) == 300
+    res = optimize_incremental(
+        spark, path, ["k"], target_bytes=10**9
+    )
+    assert res["rewritten"] >= 2 and res["added"] >= 1
+    m = read_manifest(path)
+    # every rewritten file materializes the id column; untouched
+    # carried files keep their watermark slices
+    assert sum(1 for e in m["files"] if e.get("row_id_col")) == res["added"]
+    assert _ids_by_v(spark, path) == before
+
+    # the identity change feed proves the commit is a rearrangement:
+    # zero rows for the optimize span
+    feed = table_changes(spark, path, from_version=res["version"] - 1)
+    assert feed.count() == 0
+
+
+def test_optimize_incremental_zorder_preserves_ids(spark, tmp_path):
+    """Same invariant through the 2-column (Z-order) incremental
+    path."""
+    from mapreduce_grpc_spark.sources.snapshots import optimize_incremental
+
+    path = str(tmp_path / "t")
+    _mk_overlapping(spark, path)
+    before = _ids_by_v(spark, path)
+    res = optimize_incremental(
+        spark, path, ["k", "v"], target_bytes=10**9
+    )
+    assert res["rewritten"] >= 2
+    assert _ids_by_v(spark, path) == before
+
+
+def test_auto_compact_cluster_by_preserves_ids(spark, tmp_path):
+    """auto_compact(cluster_by=...) — the maintenance hook
+    run_streaming_cdc recommends — reaches optimize_incremental when
+    only clustering debt fires; ids must survive that path too."""
+    from mapreduce_grpc_spark.sources.snapshots import auto_compact
+
+    path = str(tmp_path / "t")
+    _mk_overlapping(spark, path, tag_batches=("a", "b", "c", "d", "e"))
+    before = _ids_by_v(spark, path)
+    # max_files high so the file-count policy does NOT fire; the
+    # overlap policy does (10 files all overlapping on k > 4)
+    res = auto_compact(
+        spark, path, max_files=100, cluster_by=["k"],
+        max_overlap_group=4, target_bytes=10**9,
+    )
+    assert res is not None and res["rewritten"] >= 2
+    assert _ids_by_v(spark, path) == before
+    feed = table_changes(spark, path, from_version=res["version"] - 1)
+    assert feed.count() == 0
+
+
 def test_restore_keeps_historical_ids(spark, tmp_path):
     path = str(tmp_path / "t")
     _mk(spark, path)                      # v1
@@ -493,6 +585,56 @@ def test_verify_snapshot_checks_row_id_invariants(spark, tmp_path):
                      str(v + 1))
     bad = verify_snapshot(path)
     assert any("overlap" in m.get("error", "") for m in bad["mismatched"])
+
+
+def test_verify_snapshot_deep_id_audit(spark, tmp_path):
+    """check_ids=True: the slice invariants cannot see inside
+    materialized-column (row_id_col) entries — duplicate ids BY CONTENT
+    need the distributed audit.  Clean table: no findings; a forged
+    manifest referencing the same id-bearing file twice: reported;
+    without a SparkSession the deep check refuses loudly."""
+    import json as _json
+    import os as _os
+    import shutil as _sh
+
+    from mapreduce_grpc_spark.sources import snapshots as S
+    from mapreduce_grpc_spark.sources.snapshots import verify_snapshot
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=40, n_files=2)
+    optimize_snapshot(spark, path, target_bytes=10**9)  # materialize ids
+    rep = verify_snapshot(path, check_ids=True, spark=spark)
+    assert rep["mismatched"] == []
+    with pytest.raises(ValueError, match="SparkSession"):
+        verify_snapshot(path, check_ids=True)
+
+    # corrupt: duplicate a materialized entry under a new file name
+    # (same ids by content — invisible to every footer/slice check)
+    f = S._fs(None)
+    v = S.current_version(path)
+    ent = [dict(e) for e in S.read_manifest(path)["files"]]
+    src = next(e for e in ent if e.get("row_id_col"))
+    clone = dict(src)
+    clone["name"] = "dup-" + src["name"]
+    _sh.copyfile(
+        _os.path.join(path, src["name"]),
+        _os.path.join(path, clone["name"]),
+    )
+    raw = _json.loads(f.read_text(S._manifest_path(path, v)))
+    raw["version"] = v + 1
+    raw["adds"], raw["removes"] = ent + [clone], []
+    raw.pop("files", None)
+    f.create_exclusive(
+        S._manifest_path(path, v + 1), _json.dumps(raw)
+    )
+    f.replace_atomic(
+        _os.path.join(path, "_manifests", "CURRENT"), str(v + 1)
+    )
+    bad = verify_snapshot(path, check_ids=True, spark=spark)
+    assert any(
+        "duplicate live row ids" in m.get("error", "")
+        for m in bad["mismatched"]
+    )
 
 
 def test_append_stream_survives_compaction_on_tracked_table(
