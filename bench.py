@@ -97,14 +97,26 @@ def main() -> None:
     sf_tag = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf_tag) if sf_tag else SF_DIR
     baseline = _load_baseline(here, sf_val)
-    RETRY_FACTOR, RETRY_PAD, MAX_RETRIES = 1.5, 0.3, 2
+    # r13 blind spot: opq_topk landed at 1.54x its 3.6 s min — just
+    # under 1.5x + 0.3 s — so pure load noise shipped in the driver
+    # artifact anyway.  For queries with min > 2 s the absolute pad is
+    # already generous, so the trigger tightens to 1.3x + 0.2 s there;
+    # short queries keep the looser bound (startup jitter dominates
+    # them and would retry forever under 1.3x).
+    MAX_RETRIES = 2
+
+    def _retry_bound(base: float) -> float:
+        if base > 2.0:
+            return 1.3 * base + 0.2
+        return 1.5 * base + 0.3
+
     for name in sorted(all_queries):
         base = baseline.get(name)
         if base is None:
             continue  # new query this round: no anchor yet
         tries = 0
         while (
-            min(samples[name]) > RETRY_FACTOR * base + RETRY_PAD
+            min(samples[name]) > _retry_bound(base)
             and tries < MAX_RETRIES
         ):
             spark.catalog.clearCache()

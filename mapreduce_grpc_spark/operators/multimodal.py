@@ -72,14 +72,38 @@ def decode_media(payload: bytes, media_type: str, codec: str = "fake"):
     - ``fake``: deterministic bytes-only codec (md5/length arithmetic) —
       always available, and the path the DuckDB oracle can reproduce, so
       the contract queries pin it.
-    - ``auto``: dispatch by availability — the real decoder when one is
-      installed for this media type, else ``fake``.
+    - ``auto``: dispatch by availability — a REAL decoder when one can
+      handle this payload (Pillow for any image when installed, the
+      stdlib PNG codec when the bytes carry the PNG signature), else
+      ``fake``.
+    - ``png``: real stdlib decode (zlib IDAT + unfilter, ``pngcodec``)
+      — no dependencies, always available.
     - ``pil``: real image decode via Pillow (guarded import; raises
       NotImplementedError when not installed).  ffmpeg/soundfile plug in
       the same way for video/audio.
     """
+    from .pngcodec import decode_png, is_png
+
     if codec == "auto":
-        codec = "pil" if media_type == "image" and _load_pil() is not None else "fake"
+        if media_type == "image" and _load_pil() is not None:
+            codec = "pil"
+        elif media_type == "image" and is_png(payload):
+            codec = "png"
+        else:
+            codec = "fake"
+    if codec == "png":
+        d = decode_png(payload)
+        return {
+            "n_bytes": len(payload),
+            "checksum": hashlib.md5(payload).hexdigest(),
+            "width": d["width"],
+            "height": d["height"],
+            "channels": d["channels"],
+            "bit_depth": d["bit_depth"],
+            "pixel_sum": d["pixel_sum"],
+            "pixel_min": d["pixel_min"],
+            "pixel_max": d["pixel_max"],
+        }
     if codec == "fake":
         digest = hashlib.md5(payload).hexdigest()
         return {
@@ -204,6 +228,101 @@ WHERE doc_id % 3 = 2
 """
 
 
+PNG_DECODE_SCHEMA = (
+    "doc_id long, width int, height int, channels int, bit_depth int, "
+    "pixel_sum long, pixel_min int, pixel_max int, n_pixels long, "
+    "pixels_ok boolean"
+)
+
+
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the hash comparator: synthesize a
+    deterministic RGB PNG per document (gradient pixels, closed-form
+    in doc_id; scanline filter = doc_id % 5, so every one of the five
+    PNG unfilter paths is under the hash), round-trip it through the
+    stdlib codec (`pngcodec`: chunk walk + CRC + zlib inflate +
+    unfilter), and emit the decoded dimensions and pixel statistics.
+    The DuckDB oracle recomputes the same stats from the closed form —
+    if the encoder, the inflate, any unfilter, or the stats drift by
+    one byte, the hash mismatches.  ``pixels_ok`` additionally pins
+    byte-exact pixel recovery (sum/min/max alone could alias).
+
+    Scale shape: pure ``mapInPandas`` over a projected one-column
+    scan — decode work is row-local, no shuffle; at 100 TB the same
+    plan holds with a native codec swapped in at the seam
+    (``decode_media``).  The reference engine has no media decode at
+    all — north-star capability."""
+    import numpy as np
+
+    from .pngcodec import decode_png, encode_png
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                xs = np.arange(w, dtype=np.int64)[None, :, None] * 7
+                ys = np.arange(h, dtype=np.int64)[:, None, None] * 11
+                cs = np.arange(3, dtype=np.int64)[None, None, :] * 13
+                px = ((d + xs + ys + cs) % 256).astype(np.uint8)
+                raw = px.tobytes()  # row-major (y, x, c) — PNG order
+                blob = encode_png(w, h, raw, color_type=2,
+                                  filter_type=d % 5)
+                dec = decode_png(blob)
+                rows.append((
+                    d, dec["width"], dec["height"], dec["channels"],
+                    dec["bit_depth"], dec["pixel_sum"],
+                    dec["pixel_min"], dec["pixel_max"],
+                    dec["n_pixels"], dec["pixels"] == raw,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "bit_depth", "pixel_sum", "pixel_min",
+                    "pixel_max", "n_pixels", "pixels_ok",
+                ],
+            )
+
+    return docs.mapInPandas(work, PNG_DECODE_SCHEMA)
+
+
+# Closed-form mirror of the synthesized gradient: every pixel value is
+# (doc_id + 7x + 11y + 13c) % 256, so the stats are pure SQL over the
+# lateral pixel grid; HUGEINT sums cast back to BIGINT for the hash.
+MULTIMODAL_PNG_DECODE_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INTEGER) AS width,
+         CAST(3 + doc_id % 4 AS INTEGER) AS height
+  FROM documents
+), px AS (
+  SELECT d.doc_id, d.width, d.height,
+         CAST(SUM((d.doc_id + 7 * x.i + 11 * y.j + 13 * c.k) % 256)
+              AS BIGINT) AS pixel_sum,
+         CAST(MIN((d.doc_id + 7 * x.i + 11 * y.j + 13 * c.k) % 256)
+              AS INTEGER) AS pixel_min,
+         CAST(MAX((d.doc_id + 7 * x.i + 11 * y.j + 13 * c.k) % 256)
+              AS INTEGER) AS pixel_max
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS i) x,
+       LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS j) y,
+       LATERAL (SELECT unnest(generate_series(0, 2)) AS k) c
+  GROUP BY d.doc_id, d.width, d.height
+)
+SELECT doc_id, width, height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(8 AS INTEGER) AS bit_depth,
+       pixel_sum, pixel_min, pixel_max,
+       CAST(width AS BIGINT) * height AS n_pixels,
+       TRUE AS pixels_ok
+FROM px
+"""
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "frame_sample": frame_sample,
@@ -212,4 +331,12 @@ QUERIES = {
 ORACLES = {
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "frame_sample": FRAME_SAMPLE_SQL,
+}
+
+AUX_QUERIES = {
+    "multimodal_png_decode": multimodal_png_decode,
+}
+
+AUX_ORACLES = {
+    "multimodal_png_decode": MULTIMODAL_PNG_DECODE_SQL,
 }
