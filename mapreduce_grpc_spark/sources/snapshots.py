@@ -162,6 +162,7 @@ SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset(
         "partition_spec",
         "column_defaults",
         "row_tracking",
+        "clustering",
     }
 )
 
@@ -1186,7 +1187,7 @@ def _commit(
         for k in (
             "constraints", "column_mapping", "partition_spec",
             "partition_field_seq", "clone_of", "defaults",
-            "row_tracking",
+            "row_tracking", "clustering",
         ):
             if carry.get(k):
                 manifest[k] = carry[k]
@@ -1259,6 +1260,16 @@ def _commit(
         wfeats.add("row_tracking")
     else:
         wfeats.discard("row_tracking")
+    # declared clustering (liquid-clustering declaration) is writer-only
+    # state like defaults/partition_spec: a carry loop that predates the
+    # "clustering" key would silently strip the declaration, after which
+    # auto_compact/optimize stop maintaining the layout the user asked
+    # for — legacy writers must refuse.  Readers stay unflagged: the
+    # declaration only steers maintenance, never read correctness.
+    if manifest.get("clustering"):
+        wfeats.add("clustering")
+    else:
+        wfeats.discard("clustering")
     if feats:
         manifest["features"] = sorted(feats)
     if wfeats - feats:
@@ -1523,6 +1534,15 @@ def snap_rename_column(
         if old in dflts:
             dflts[new] = dflts.pop(old)
             carry["defaults"] = dflts
+        decl = m.get("clustering")
+        if decl and old in decl.get("cols", []):
+            # the declaration names LOGICAL columns; it follows the
+            # rename (same rule as defaults — stats/envelopes stay
+            # keyed by the frozen physical name underneath)
+            carry["clustering"] = {
+                **decl,
+                "cols": [new if c == old else c for c in decl["cols"]],
+            }
         try:
             return _commit(
                 path, m["files"], m["stats_cols"],
@@ -1590,6 +1610,12 @@ def snap_drop_column(
                 f"snap_drop_column: column {col!r} is a partition "
                 f"source ({[s['t'] for s in part_refs]}); partitioned "
                 f"tables cannot drop their partition columns"
+            )
+        if col in (m.get("clustering") or {}).get("cols", []):
+            raise ValueError(
+                f"snap_drop_column: column {col!r} is a declared "
+                "clustering column; run snap_set_clustering(path, "
+                "None) (or re-declare without it) first"
             )
         retired = _cm_retired(m) + [phys]
         new_schema = StructType(
@@ -4359,6 +4385,100 @@ def _compact_partitioned(
     return new_entries, rewritten, demoted
 
 
+def snap_set_clustering(
+    path: str,
+    cols: list[str] | tuple[str, ...] | None,
+    curve: str = "morton",
+    fs: LocalSnapshotFS | None = None,
+) -> int:
+    """Declare the table's clustering columns in the MANIFEST — the
+    Delta liquid-clustering ``CLUSTER BY`` declaration (``ALTER TABLE
+    ... CLUSTER BY (cols)``; ``cols=None`` is ``CLUSTER BY NONE``).
+
+    Before this, the clustering key lived only in each maintenance
+    CALL's arguments (``optimize_snapshot(cluster_by=...)``,
+    ``auto_compact(cluster_by=...)``) — every scheduler invocation had
+    to repeat it, and two jobs disagreeing would thrash the layout.
+    The declaration makes maintenance self-driving:
+    ``optimize_snapshot`` / ``optimize_incremental`` / ``auto_compact``
+    default to the declared columns (and curve) when the caller passes
+    none.  1 column clusters by range; 2 columns by the declared
+    space-filling curve (``morton``/``hilbert``, equi-depth).
+
+    Stored like constraints/defaults (carried by every commit) and
+    writer-feature-gated as ``clustering``: a legacy build whose carry
+    loop predates the key must refuse to write rather than silently
+    strip the declaration (the `partition_spec` hazard,
+    ``_commit``).  Metadata-only commit; returns the new version.
+
+    Validation is DECLARATION-time so maintenance never fails at
+    3 a.m.: columns must exist in the schema and the primary column
+    must be stats-tracked (``optimize_incremental`` picks rewrite
+    groups from its envelopes).  Renaming a clustered column follows
+    the declaration; dropping one is rejected until it is undeclared.
+    """
+    if curve not in ("morton", "hilbert"):
+        raise ValueError(f"curve {curve!r}: use 'morton' or 'hilbert'")
+    cols = list(cols) if cols else []
+    if cols and not 1 <= len(cols) <= 2:
+        raise ValueError(
+            "clustering takes 1 (range) or 2 (curve) columns; for "
+            "wider keys cluster on the two highest-selectivity ones"
+        )
+    last_err: Exception | None = None
+    for _attempt in range(COMMIT_RETRIES):
+        m = read_manifest(path, fs=fs)
+        if cols:
+            schema = _manifest_schema(m)
+            if schema is not None:
+                names = [f.name for f in schema.fields]
+                missing = [c for c in cols if c not in names]
+                if missing:
+                    raise KeyError(
+                        f"snap_set_clustering: no column(s) {missing} "
+                        f"in {names}"
+                    )
+            pcol = _phys(_cm(m), cols[0])
+            if pcol not in m["stats_cols"]:
+                raise ValueError(
+                    f"snap_set_clustering: primary column {cols[0]!r} "
+                    f"not tracked in manifest stats_cols "
+                    f"{m['stats_cols']} — incremental re-clustering "
+                    "picks its rewrite groups from the stats envelopes"
+                )
+        carry = dict(m)
+        if cols:
+            carry["clustering"] = {"cols": cols, "curve": curve}
+        else:
+            carry.pop("clustering", None)
+        info = {
+            "op": "set_clustering",
+            "cols": cols,
+            "curve": curve if cols else None,
+        }
+        try:
+            return _commit(
+                path, m["files"], m["stats_cols"],
+                base_version=m["version"],
+                schema_json=m.get("schema"),
+                txns=dict(m.get("txns", {})),
+                commit_info=info, fs=fs, carry=carry,
+                adds=[], removes=[],
+            )
+        except CommitConflict as e:
+            last_err = e
+            continue
+    raise CommitConflict(
+        f"snap_set_clustering: lost the commit race {COMMIT_RETRIES} "
+        f"times at {path!r}"
+    ) from last_err
+
+
+def _declared_clustering(m: dict) -> tuple[list[str], str | None]:
+    decl = m.get("clustering") or {}
+    return list(decl.get("cols") or []), decl.get("curve")
+
+
 def optimize_snapshot(
     spark: SparkSession,
     path: str,
@@ -4421,6 +4541,17 @@ def optimize_snapshot(
     for _attempt in range(COMMIT_RETRIES):
         m = read_manifest(path, fs=fs)
         stats_cols = m["stats_cols"]
+        # declared clustering: when the caller names no layout, the
+        # manifest's CLUSTER BY declaration drives the rewrite order
+        # (and curve) — compaction must not destroy the layout the
+        # table itself asked for
+        eff_cluster, eff_curve = list(cluster_by or []), curve
+        if zorder is None and not eff_cluster:
+            dcols, dcurve = _declared_clustering(m)
+            if dcols:
+                eff_cluster = dcols
+                if dcurve:
+                    eff_curve = dcurve
         scope = list(m["files"])
         if where:
             # OPTIMIZE ... WHERE: out-of-scope files never qualify —
@@ -4460,7 +4591,7 @@ def optimize_snapshot(
                 }
         cm = _cm(m)
         pspec = _pspec(m)
-        if not cluster_by and pspec:
+        if not eff_cluster and pspec:
             # partitioned table: bin-pack (or Z-order) WITHIN
             # partition tuples, the Delta/Iceberg shape — a tight
             # target_bytes budget must never merge two days into one
@@ -4506,14 +4637,22 @@ def optimize_snapshot(
                 # widen — pruning coarsens, stays correct)
                 out = zorder_frame(df, zorder, n_files, equidepth, curve)
                 pcluster = False
-            elif cluster_by:
+            elif eff_cluster:
                 # key-ordered compaction: merging small files must not
                 # destroy clustering the incremental re-clusterer paid
                 # for (a bare coalesce mixes ranges and recreates
-                # overlap debt)
-                out = df.repartitionByRange(
-                    n_files, F.col(cluster_by[0])
-                ).sortWithinPartitions(*cluster_by)
+                # overlap debt).  Two columns take the (declared or
+                # default) space-filling curve over just the rewrite
+                # set — unlike zorder=, never a whole-table rewrite.
+                if len(eff_cluster) == 2:
+                    out = zorder_frame(
+                        df, tuple(eff_cluster), n_files,
+                        equidepth=True, curve=eff_curve,
+                    )
+                else:
+                    out = df.repartitionByRange(
+                        n_files, F.col(eff_cluster[0])
+                    ).sortWithinPartitions(*eff_cluster)
                 pcluster = False
             else:
                 out = df.coalesce(n_files)
@@ -4604,11 +4743,11 @@ def _overlap_groups(entries: list[dict], col: str) -> list[list[int]]:
 def optimize_incremental(
     spark: SparkSession,
     path: str,
-    cluster_by: list[str] | tuple[str, ...],
+    cluster_by: list[str] | tuple[str, ...] | None = None,
     target_bytes: int = 128 * 1024 * 1024,
     max_rewrite_bytes: int = 512 * 1024 * 1024,
     fs: LocalSnapshotFS | None = None,
-    curve: str = "morton",
+    curve: str | None = None,
 ) -> dict:
     """Budget-bounded INCREMENTAL re-clustering (the Delta liquid-
     clustering shape): rewrite only the worst-overlapping group of
@@ -4630,18 +4769,36 @@ def optimize_incremental(
     bounded by the budget, never the table.  Returns ``{"version",
     "rewritten", "carried", "added", "groups_remaining"}``; a table
     with no overlapping group (already clustered, or nothing within
-    budget) is a version-chain no-op."""
+    budget) is a version-chain no-op.
+
+    ``cluster_by=None`` uses the table's DECLARED clustering
+    (``snap_set_clustering``) — the self-driving maintenance shape;
+    with neither a declaration nor an argument the call fails loudly.
+    ``curve=None`` likewise resolves declared > 'morton'."""
     from .layout import zorder_frame
 
-    cluster_by = list(cluster_by)
-    if not 1 <= len(cluster_by) <= 2:
+    cluster_by = list(cluster_by or [])
+    if cluster_by and not 1 <= len(cluster_by) <= 2:
         raise ValueError("cluster_by takes 1 or 2 columns")
     f = _fs(fs)
     last_err: Exception | None = None
     for _attempt in range(COMMIT_RETRIES):
         m = read_manifest(path, fs=fs)
         cm = _cm(m)
-        col = cluster_by[0]
+        eff_cluster, eff_curve = list(cluster_by), curve
+        if not eff_cluster:
+            dcols, dcurve = _declared_clustering(m)
+            if not dcols:
+                raise ValueError(
+                    f"optimize_incremental: no cluster_by argument and "
+                    f"no declared clustering on {path!r} — declare one "
+                    "with snap_set_clustering or pass cluster_by"
+                )
+            eff_cluster = dcols
+            if eff_curve is None:
+                eff_curve = dcurve
+        eff_curve = eff_curve or "morton"
+        col = eff_cluster[0]
         # envelopes/row-group ranges are keyed by the frozen PHYSICAL
         # name; the caller clusters on the logical one
         pcol = _phys(cm, col)
@@ -4749,10 +4906,10 @@ def optimize_incremental(
                 spark, path, to_rewrite, _manifest_schema(m), cm
             )
         n_files = max(1, -(-total // target_bytes))  # ceil
-        if len(cluster_by) == 2:
+        if len(eff_cluster) == 2:
             out = zorder_frame(
-                df, tuple(cluster_by), n_files, equidepth=True,
-                curve=curve,
+                df, tuple(eff_cluster), n_files, equidepth=True,
+                curve=eff_curve,
             )
         else:
             out = df.repartitionByRange(
@@ -4837,8 +4994,19 @@ def auto_compact(
     this after every Kth ingest batch (see ``run_streaming_cdc``) keeps
     the file count AND the layout bounded without paying a rewrite on
     every batch.  Returns the optimize stats, or ``None`` when no
-    policy fired."""
+    policy fired.
+
+    With ``cluster_by=None`` the table's DECLARED clustering
+    (``snap_set_clustering``) drives both policies — schedulers stop
+    repeating the key on every invocation (and can't disagree with
+    each other about it)."""
     m = read_manifest(path, fs=fs)
+    curve = "morton"
+    if not cluster_by:
+        dcols, dcurve = _declared_clustering(m)
+        cluster_by = dcols or None
+        if dcurve:
+            curve = dcurve
     if cluster_by and _phys(_cm(m), cluster_by[0]) not in m["stats_cols"]:
         # silently never firing would let clustering debt grow
         # unbounded; fail as loudly as optimize_incremental does
@@ -4854,7 +5022,7 @@ def auto_compact(
         # policies converge instead of undoing each other's work
         return optimize_snapshot(
             spark, path, target_bytes=target_bytes,
-            cluster_by=cluster_by, fs=fs,
+            cluster_by=cluster_by, fs=fs, curve=curve,
         )
     if cluster_by:
         col = _phys(_cm(m), cluster_by[0])
@@ -4866,6 +5034,7 @@ def auto_compact(
                 spark, path, cluster_by,
                 target_bytes=target_bytes,
                 max_rewrite_bytes=max_rewrite_bytes, fs=fs,
+                curve=curve,
             )
     return None
 
