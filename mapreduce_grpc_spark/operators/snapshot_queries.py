@@ -986,6 +986,75 @@ GROUP BY c_mktsegment
 """
 
 
+def snapshot_generated_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns (``GENERATED ALWAYS AS``) end-to-end under the
+    hash comparator: init a snapshot table from the EVEN ``orders``
+    keys, declare two generated columns (a CASE band over the price
+    and a modulo bucket over the key), then append the ODD keys
+    OMITTING both — the write path must compute them.  The read-back
+    sample therefore splits exactly on parity: pre-declaration rows
+    read NULL (declarations never backfill history), appended rows
+    carry the computed values.  If the fill, the no-backfill rule, or
+    the declaration carry drifts by one row, the hash mismatches
+    against the plain CASE oracle.  Validation (divergent supplied
+    values rejected on every write path incl. the session-free
+    sink/batch validators) is pinned by tests/test_generated_columns.py.
+    """
+    from ..sources.snapshots import snap_add_column
+
+    tmp = tempfile.mkdtemp(prefix="snap-gen-")
+    path = os.path.join(tmp, "t")
+    try:
+        ords = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        k = F.col("o_orderkey")
+        snap_init(
+            spark,
+            ords.filter(k % 2 == 0).repartitionByRange(4, "o_orderkey"),
+            path,
+            stats_cols=["o_orderkey"],
+        )
+        snap_add_column(
+            path, "price_band", "string",
+            generated_as=(
+                "CASE WHEN o_totalprice >= 150000.0 THEN 'HIGH' "
+                "ELSE 'LOW' END"
+            ),
+            spark=spark,
+        )
+        snap_add_column(
+            path, "key_bucket", "int",
+            generated_as="CAST(o_orderkey % 7 AS INT)",
+            spark=spark,
+        )
+        snap_append(spark, path, ords.filter(k % 2 == 1))
+        out = (
+            snap_read(spark, path)
+            .filter(F.col("o_orderkey") % 5 == 0)
+            .select("o_orderkey", "o_totalprice", "price_band",
+                    "key_bucket")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SNAPSHOT_GENERATED_COLS_SQL = """
+SELECT o_orderkey,
+       o_totalprice,
+       CASE WHEN o_orderkey % 2 = 1 THEN
+            CASE WHEN o_totalprice >= 150000.0 THEN 'HIGH'
+                 ELSE 'LOW' END
+       END AS price_band,
+       CASE WHEN o_orderkey % 2 = 1 THEN CAST(o_orderkey % 7 AS INTEGER)
+       END AS key_bucket
+FROM orders
+WHERE o_orderkey % 5 = 0
+"""
+
+
 QUERIES = {
     "snapshot_timetravel": snapshot_timetravel,
     # rotated IN (round 7, replacing the redundant ngrams text query):
@@ -1038,9 +1107,11 @@ AUX_QUERIES = {
     "snapshot_update_restore": snapshot_update_restore,
     "snapshot_prefix_scan": snapshot_prefix_scan,
     "streaming_cdf_feed": streaming_cdf_feed,
+    "snapshot_generated_cols": snapshot_generated_cols,
 }
 AUX_ORACLES = {
     "snapshot_update_restore": SNAPSHOT_UPDATE_RESTORE_SQL,
     "snapshot_prefix_scan": SNAPSHOT_PREFIX_SCAN_SQL,
     "streaming_cdf_feed": STREAMING_CDF_FEED_SQL,
+    "snapshot_generated_cols": SNAPSHOT_GENERATED_COLS_SQL,
 }

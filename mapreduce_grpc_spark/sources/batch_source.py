@@ -605,7 +605,15 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                         f.remove(os.path.join(self._path, n))
                 raise
 
-        validated_for = m0.get("constraints") or {}
+        # generated columns validate like CHECK constraints (the
+        # synthetic IS-NOT-DISTINCT-FROM checks): the batch writer has
+        # no fill path — a DataSource batch must SUPPLY generated
+        # values, and divergent ones must not commit
+        from .snapshots import _generated_checks
+
+        validated_for = {
+            **(m0.get("constraints") or {}), **_generated_checks(m0)
+        }
         _validate(validated_for)
         # on a partitioned table the written files carry derived
         # partition-value columns: track their footer stats + blooms so
@@ -649,7 +657,9 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                     f"{self._path!r} changed during the commit retries "
                     "(a concurrent spec evolution); re-run the save()"
                 )
-            cons = m.get("constraints") or {}
+            cons = {
+                **(m.get("constraints") or {}), **_generated_checks(m)
+            }
             if cons != validated_for:
                 _validate(cons)
                 validated_for = cons

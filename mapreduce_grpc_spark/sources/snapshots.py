@@ -163,6 +163,7 @@ SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset(
         "column_defaults",
         "row_tracking",
         "clustering",
+        "generated_columns",
     }
 )
 
@@ -1187,7 +1188,7 @@ def _commit(
         for k in (
             "constraints", "column_mapping", "partition_spec",
             "partition_field_seq", "clone_of", "defaults",
-            "row_tracking", "clustering",
+            "row_tracking", "clustering", "generated",
         ):
             if carry.get(k):
                 manifest[k] = carry[k]
@@ -1270,6 +1271,15 @@ def _commit(
         wfeats.add("clustering")
     else:
         wfeats.discard("clustering")
+    # generated columns (GENERATED ALWAYS AS expr) are writer-only
+    # state with TWO failure modes for a legacy writer: its carry loop
+    # strips the declaration, and its append path neither fills an
+    # omitted column nor validates a supplied one — so it must refuse.
+    # Readers stay unflagged: committed rows are already materialized.
+    if manifest.get("generated"):
+        wfeats.add("generated_columns")
+    else:
+        wfeats.discard("generated_columns")
     if feats:
         manifest["features"] = sorted(feats)
     if wfeats - feats:
@@ -1434,6 +1444,24 @@ def _constraints_referencing(m: dict, col: str) -> list[str]:
     )
 
 
+def _generated_referencing(m: dict, col: str) -> list[str]:
+    """Generated columns whose expression mentions ``col`` — same
+    conservative word-boundary match as ``_constraints_referencing``,
+    same reason: renaming/dropping a referenced column would silently
+    break (or re-bind) the stored SQL string."""
+    import re
+
+    esc = re.escape(col)
+    pat = re.compile(
+        rf"(?i)(?:`{esc}`|(?<![A-Za-z0-9_]){esc}(?![A-Za-z0-9_]))"
+    )
+    return sorted(
+        n
+        for n, e in (m.get("generated") or {}).items()
+        if n != col and pat.search(e)
+    )
+
+
 def _pack_cm(cmap: dict, retired: list[str]) -> dict | None:
     return {"map": cmap, "retired": retired} if (cmap or retired) else None
 
@@ -1514,6 +1542,13 @@ def snap_rename_column(
                 f"CHECK constraint(s) {refs}; drop them first and "
                 "re-add against the new name"
             )
+        grefs = _generated_referencing(m, old)
+        if grefs:
+            raise ValueError(
+                f"snap_rename_column: column {old!r} is referenced by "
+                f"GENERATED column expression(s) {grefs}; drop those "
+                "columns first and re-declare against the new name"
+            )
         cmap = dict(_cm(m))
         phys = cmap.pop(old, old)
         if phys != new:
@@ -1534,6 +1569,13 @@ def snap_rename_column(
         if old in dflts:
             dflts[new] = dflts.pop(old)
             carry["defaults"] = dflts
+        gens = dict(m.get("generated") or {})
+        if old in gens:
+            # renaming the generated column itself: the declaration
+            # follows (its expression references OTHER columns — self
+            # references are impossible by DDL-time construction)
+            gens[new] = gens.pop(old)
+            carry["generated"] = gens
         decl = m.get("clustering")
         if decl and old in decl.get("cols", []):
             # the declaration names LOGICAL columns; it follows the
@@ -1600,6 +1642,13 @@ def snap_drop_column(
                 f"snap_drop_column: column {col!r} is referenced by "
                 f"CHECK constraint(s) {refs}; drop them first"
             )
+        grefs = _generated_referencing(m, col)
+        if grefs:
+            raise ValueError(
+                f"snap_drop_column: column {col!r} is referenced by "
+                f"GENERATED column expression(s) {grefs}; drop those "
+                "columns first"
+            )
         cmap = dict(_cm(m))
         phys = cmap.pop(col, col)
         part_refs = [
@@ -1625,9 +1674,15 @@ def snap_drop_column(
         carry = dict(m)
         carry["column_mapping"] = _pack_cm(cmap, retired)
         # the dropped column's DEFAULT dies with it (a re-add gets a
-        # fresh physical name and no default unless declared again)
+        # fresh physical name and no default unless declared again);
+        # so does its GENERATED declaration
         carry["defaults"] = {
             k: v for k, v in (m.get("defaults") or {}).items() if k != col
+        }
+        carry["generated"] = {
+            k: v
+            for k, v in (m.get("generated") or {}).items()
+            if k != col
         }
         try:
             return _commit(
@@ -1717,6 +1772,8 @@ def snap_add_column(
     nullable: bool = True,
     fs: LocalSnapshotFS | None = None,
     default=None,
+    generated_as: str | None = None,
+    spark: SparkSession | None = None,
 ) -> int:
     """``ALTER TABLE ... ADD COLUMN`` — metadata-only; existing files
     are null-backfilled at read (the reader scans under the manifest's
@@ -1735,12 +1792,35 @@ def snap_add_column(
     NULL (defaults never backfill history), and only the append/ingest
     path fills — keyed mutators (merge/CDC/UPDATE) keep requiring
     explicit columns, where an implicit fill could silently corrupt a
-    keyed rewrite.  Renames carry the default, drops remove it."""
+    keyed rewrite.  Renames carry the default, drops remove it.
+
+    ``generated_as`` (a SQL expression over the table's OTHER columns)
+    declares a ``GENERATED ALWAYS AS (expr)`` column instead: appends
+    that omit it get it computed at WRITE time; every write path that
+    carries the column — append, merge, CDC, UPDATE, the streaming
+    sink — validates supplied values null-safely EQUAL the expression
+    and rejects the batch otherwise (Delta's generated-column
+    contract; enforcement rides the CHECK machinery, see
+    ``_generated_checks``, so keep expressions ANSI-portable on tables
+    fed by the native sink).  Existing rows read NULL (declarations
+    never backfill history — same rule as defaults).  Requires
+    ``spark`` for DDL-time validation: the expression must resolve
+    against the current schema and cast to ``dtype``, so a typo fails
+    at declaration, not at 3 a.m. in an ingest job.  Mutually
+    exclusive with ``default``.  Renames of the generated column
+    follow; renaming/dropping a column its expression references is
+    rejected (same rule as CHECK constraints)."""
     from pyspark.sql.types import DataType, StructField
 
     if not name or not name.isidentifier():
         raise ValueError(
             f"snap_add_column: name {name!r} must be a bare identifier"
+        )
+    if default is not None and generated_as is not None:
+        raise ValueError(
+            "snap_add_column: default and generated_as are mutually "
+            "exclusive — a GENERATED column's value is always the "
+            "expression"
         )
     if default is not None and not isinstance(
         default, (int, float, str, bool)
@@ -1760,6 +1840,11 @@ def snap_add_column(
         dt = StructType.fromDDL(f"`{name}` {dtype}").fields[0].dataType
     if default is not None:
         _validate_default(name, default, dt)
+    if generated_as is not None and spark is None:
+        raise ValueError(
+            "snap_add_column: generated_as needs spark= — the "
+            "expression is validated against the schema at DDL time"
+        )
     last_err: Exception | None = None
     for _attempt in range(COMMIT_RETRIES):
         m = read_manifest(path, fs=fs)
@@ -1773,6 +1858,22 @@ def snap_add_column(
             raise ValueError(
                 f"snap_add_column: column {name!r} already exists"
             )
+        if generated_as is not None:
+            # DDL-time validation: the expression must resolve against
+            # the PRE-add schema (it may not reference itself) and the
+            # result must cast to the declared type — analysis errors
+            # surface here with the declaration's stack, not an ingest
+            # job's
+            try:
+                spark.createDataFrame([], schema).select(
+                    F.expr(generated_as).cast(dt).alias(name)
+                ).schema
+            except Exception as e:
+                raise ValueError(
+                    f"snap_add_column: generated_as {generated_as!r} "
+                    f"does not resolve against schema {names} / cast "
+                    f"to {dt.simpleString()}: {e}"
+                ) from e
         cmap = dict(_cm(m))
         retired = _cm_retired(m)
         used = {_phys(cmap, c) for c in names} | set(retired)
@@ -1789,6 +1890,10 @@ def snap_add_column(
         if default is not None:
             carry["defaults"] = {
                 **(m.get("defaults") or {}), name: default,
+            }
+        if generated_as is not None:
+            carry["generated"] = {
+                **(m.get("generated") or {}), name: generated_as,
             }
         try:
             return _commit(
@@ -4024,6 +4129,20 @@ def snap_append(
                         fld.name,
                         F.lit(defaults[fld.name]).cast(fld.dataType),
                     )
+        # GENERATED ALWAYS AS (snap_add_column(generated_as=...)): an
+        # omitted generated column is COMPUTED at write time from the
+        # batch's other columns; a supplied one is validated against
+        # the expression by _enforce_constraints below — either way no
+        # divergent value can commit.
+        gens = m.get("generated") or {}
+        if gens:
+            have = set(batch.columns)
+            for fld in target_schema.fields:
+                if fld.name in gens and fld.name not in have:
+                    batch = batch.withColumn(
+                        fld.name,
+                        F.expr(gens[fld.name]).cast(fld.dataType),
+                    )
         out_schema = _check_batch_schema(
             target_schema, batch.schema, set(), allow_schema_evolution,
             "snap_append",
@@ -5759,6 +5878,22 @@ def expire_snapshots(
 _CONSTRAINT_SAMPLE_ROWS = 3
 
 
+def _generated_checks(m: dict) -> dict[str, str]:
+    """Synthetic CHECK constraints enforcing GENERATED ALWAYS AS: a
+    writer-supplied value must null-safely equal the declared
+    expression.  ``IS NOT DISTINCT FROM`` evaluates identically in
+    Spark (the batch writers' validator) and DuckDB (the streaming
+    sink's session-free validator), so generated columns ride the
+    existing constraint machinery on every write path."""
+    # bare identifiers by construction (snap_add_column validates
+    # ``name.isidentifier()``) — no quoting, because the sink's DuckDB
+    # validator rejects backticks and Spark rejects double quotes here
+    return {
+        f"__generated_{c}": f"({c} IS NOT DISTINCT FROM ({e}))"
+        for c, e in sorted((m.get("generated") or {}).items())
+    }
+
+
 def _enforce_constraints(m: dict, df: DataFrame, op: str) -> None:
     """Raise ``ConstraintViolation`` if any row of ``df`` FAILS a CHECK
     constraint recorded in manifest ``m``.
@@ -5767,8 +5902,11 @@ def _enforce_constraints(m: dict, df: DataFrame, op: str) -> None:
     evaluates to FALSE — NULL passes (declare ``col IS NOT NULL`` to
     reject nulls).  One filter+limit job per constraint, and only on
     write paths of tables that declare constraints; the scan is over
-    the incoming batch, never the table."""
-    cons = m.get("constraints") or {}
+    the incoming batch, never the table.  GENERATED ALWAYS AS columns
+    validate here too (``_generated_checks``): a batch carrying a
+    generated column with values that diverge from the declared
+    expression is rejected before commit."""
+    cons = {**(m.get("constraints") or {}), **_generated_checks(m)}
     for name, expr in sorted(cons.items()):
         bad = df.filter(
             ~F.coalesce(F.expr(expr), F.lit(True))
@@ -6022,20 +6160,68 @@ def update_where(
                         f"{got.simpleString()}, column is "
                         f"{by_name[col].simpleString()}; cast explicitly"
                     )
+        gens = m.get("generated") or {}
+        gset = sorted(set(set_exprs) & set(gens))
+        if gset:
+            raise ValueError(
+                f"update_where: column(s) {gset} are GENERATED ALWAYS "
+                "AS — their value is recomputed automatically; SET the "
+                "referenced columns instead"
+            )
         # pre-update images feed every RHS (simultaneous-assignment
         # semantics), then the predicate picks which rows change
         assigned = {
             col: F.when(cond, F.expr(expr)).otherwise(F.col(col))
             for col, expr in set_exprs.items()
         }
-        out = old.withColumns(assigned)
+        if gens:
+            # GENERATED ALWAYS AS: recompute from the POST-update row
+            # images, but only for rows the predicate CHANGES —
+            # untouched rows keep their stored value (pre-declaration
+            # history legally reads NULL and must not be "repaired" by
+            # an unrelated update).  The change marker is computed on
+            # the PRE-update images: re-evaluating the predicate after
+            # assignment would mis-select when the update rewrites its
+            # own predicate columns.
+            by_name2 = {f.name: f.dataType for f in schema.fields} if schema else {}
+            marked = old.withColumn(
+                "_sg_chg", F.coalesce(cond, F.lit(False))
+            )
+            assigned_m = {
+                col: F.when(F.col("_sg_chg"), F.expr(expr)).otherwise(
+                    F.col(col)
+                )
+                for col, expr in set_exprs.items()
+            }
+            regen = {
+                g: F.when(
+                    F.col("_sg_chg"),
+                    F.expr(e).cast(by_name2[g]) if g in by_name2
+                    else F.expr(e),
+                ).otherwise(F.col(g))
+                for g, e in gens.items()
+            }
+            out = (
+                marked.withColumns(assigned_m)
+                .withColumns(regen)
+                .drop("_sg_chg")
+            )
+        else:
+            out = old.withColumns(assigned)
         # one bounded action over ONLY the candidate files for the
         # updated-row count (and it doubles as the constraint scan
         # input); the unchanged-row bulk is never counted row-by-row
         changed = old.filter(cond)
-        _enforce_constraints(
-            m, changed.withColumns(assigned), "update_where"
-        )
+        post_changed = changed.withColumns(assigned)
+        if gens:
+            post_changed = post_changed.withColumns(
+                {
+                    g: F.expr(e).cast(by_name2[g]) if g in by_name2
+                    else F.expr(e)
+                    for g, e in gens.items()
+                }
+            )
+        _enforce_constraints(m, post_changed, "update_where")
         n_updated = changed.count()
         if n_updated == 0:
             # conservative pruning kept files the rows dodge: nothing
@@ -6186,8 +6372,15 @@ def snap_restore(
                     f"{sorted(cons)}; restoring a constrained table "
                     "re-validates the restored rows — pass spark="
                 )
+            # generated-column checks are deliberately EXCLUDED here:
+            # pre-declaration history legally reads NULL for a
+            # generated column (declarations never backfill), and a
+            # version below the add-column commit has no such column
+            # at all — only user CHECK constraints gate the rollback
             _enforce_constraints(
-                m, snap_read(spark, path, version, fs), "snap_restore"
+                {**m, "generated": {}},
+                snap_read(spark, path, version, fs),
+                "snap_restore",
             )
             validated_for = cons
         # data-defining metadata (the column mapping) travels with the

@@ -937,7 +937,7 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
                 False,
                 "snapshot_table sink",
             )
-        from .snapshots import _enforce_constraints_files
+        from .snapshots import _enforce_constraints_files, _generated_checks
 
         def _validate(cons: dict) -> None:
             # CHECK constraints: validate the batch's freshly written
@@ -960,10 +960,17 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
                         f.remove(os.path.join(self._path, n))
                 raise
 
+        # GENERATED ALWAYS AS columns validate through the same
+        # session-free DuckDB path as CHECK constraints (the synthetic
+        # IS-NOT-DISTINCT-FROM checks) — a sink batch carrying
+        # divergent generated values must not commit
         validated_for: dict = {}
-        if m0.get("constraints"):
-            _validate(m0["constraints"])
-            validated_for = m0["constraints"]
+        cons0 = {
+            **(m0.get("constraints") or {}), **_generated_checks(m0)
+        }
+        if cons0:
+            _validate(cons0)
+            validated_for = cons0
         # stats + blooms are a pure function of the immutable files:
         # compute ONCE, not per commit-race retry
         # partitioned table: the files carry derived partition values —
@@ -1000,7 +1007,9 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
                     if f.exists(os.path.join(self._path, n)):
                         f.remove(os.path.join(self._path, n))
                 return
-            cons = m.get("constraints") or {}
+            cons = {
+                **(m.get("constraints") or {}), **_generated_checks(m)
+            }
             if cons != validated_for:
                 # a retried commit must honor constraints added by the
                 # writer that beat us — re-validate against what THIS
