@@ -1,5 +1,7 @@
 """Corpus-quality scoring beyond row-local signals: n-gram repetition
-statistics (Gopher-style) and unigram-LM log-probability scoring.
+statistics (Gopher-style), unigram-LM log-probability scoring, and
+Kneser-Ney-smoothed bigram-LM scoring (the CCNet-grade perplexity
+gate).
 
 These are the two classic pre-training quality gates the row-local
 ``text_quality`` signals can't express: repetition needs within-document
@@ -264,6 +266,151 @@ GROUP BY doc_id
 """
 
 
+#: Kneser-Ney absolute discount.  Fixed (the textbook 0.75) rather than
+#: estimated from n1/(n1+2*n2) so the model is a pure function of the
+#: corpus counts — deterministic across engines and rounds.
+KN_DISCOUNT = 0.75
+
+
+def bigram_logprob_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document log-probability under an interpolated KNESER-NEY
+    bigram LM trained on the corpus itself — the CCNet-grade
+    perplexity gate (`unigram_logprob` is the cheap stand-in; real
+    pipelines filter on an n-gram LM with smoothing, Wenzek et al.
+    2020).
+
+    Model (interpolated KN, Chen & Goodman 1999 eq. 4.25, fixed
+    discount D=0.75):
+
+        P(v|u) = (c(u,v) - D)/c(u)  +  (D * N1+(u,*)/c(u)) * Pcont(v)
+        Pcont(v) = N1+(*,v) / N1+(*,*)
+
+    Every count relation is exact-integer and keyed (bigram-type /
+    context / continuation group-bys over the Zipf-compact bigram-type
+    relation — partial agg before each shuffle, no windows, no driver
+    state); the LM is trained on the same corpus it scores, so every
+    document bigram has c(u,v) >= 1 > D and no OOV/backoff branch is
+    ever taken.  Each bigram type's log-probability is quantized to
+    integer micro-nats BEFORE the per-doc sum (the module's
+    determinism playbook: integer sums are order-independent; the
+    double math producing each lp is the identical IEEE expression
+    tree in both engines).  Documents need >= 2 tokens to score.
+
+    Returns ``doc_id, n_bigrams, sum_lp_micro (exact BIGINT
+    micro-nats), avg_logprob_kn, min_logprob_kn``.  Perplexity is the
+    monotone display transform ``exp(-avg_logprob_kn)`` and is
+    deliberately NOT on the hashed surface: ``exp`` is not correctly
+    rounded, and Spark's JVM and DuckDB's libm were measured 1 ulp
+    apart on this very query — the log-domain stats carry the full
+    information exactly."""
+    docs = table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens("text").alias("tk"))
+    grams = F.expr(
+        "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), "
+        "(x, i) -> named_struct('u', x, 'v', tk[i + 1]))"
+    )
+    doc_b = (
+        tk.select("doc_id", F.explode(grams).alias("b"))
+        .select("doc_id", F.col("b.u").alias("u"), F.col("b.v").alias("v"))
+        .groupBy("doc_id", "u", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    big = doc_b.groupBy("u", "v").agg(F.sum("c").alias("c_uv"))
+    ctx = big.groupBy("u").agg(
+        F.sum("c_uv").alias("c_u"), F.count("*").alias("n1p_u")
+    )
+    cont = big.groupBy("v").agg(F.count("*").alias("nc_v"))
+    nb = big.agg(F.count("*").alias("nb"))
+    d = F.lit(KN_DISCOUNT)
+    p = (
+        (F.col("c_uv").cast("double") - d) / F.col("c_u").cast("double")
+        + ((d * F.col("n1p_u").cast("double")) / F.col("c_u").cast("double"))
+        * (F.col("nc_v").cast("double") / F.col("nb").cast("double"))
+    )
+    lp = (
+        big.join(ctx, "u")
+        .join(cont, "v")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "u", "v",
+            F.round(F.log(p) * F.lit(1e8), 0).cast("long").alias("lp_b"),
+        )
+    )
+    per_doc = (
+        doc_b.join(lp, ["u", "v"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("lp_b")).alias("sum_lp"),
+            F.min("lp_b").alias("min_lp"),
+        )
+    )
+    avg = (
+        F.col("sum_lp").cast("double") / F.lit(1e8) / F.col("n_bigrams")
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("sum_lp").cast("long").alias("sum_lp_micro"),
+        avg.alias("avg_logprob_kn"),
+        (F.col("min_lp").cast("double") / F.lit(1e8)).alias(
+            "min_logprob_kn"
+        ),
+    )
+
+
+BIGRAM_LOGPROB_KN_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {tokens_sql('text')} AS w FROM documents
+),
+db AS (
+  SELECT doc_id, gram, count(*) AS c FROM (
+    SELECT doc_id,
+           unnest(list_transform(w[1:greatest(len(w) - 1, 0)],
+                  (x, i) -> concat(x, ' ', w[i + 1]))) AS gram
+    FROM base
+  ) t GROUP BY doc_id, gram
+),
+db2 AS (
+  SELECT doc_id, split_part(gram, ' ', 1) AS u,
+         split_part(gram, ' ', 2) AS v, c
+  FROM db
+),
+big AS (
+  SELECT u, v, CAST(sum(c) AS BIGINT) AS c_uv FROM db2 GROUP BY u, v
+),
+ctx AS (
+  SELECT u, CAST(sum(c_uv) AS BIGINT) AS c_u,
+         CAST(count(*) AS BIGINT) AS n1p_u
+  FROM big GROUP BY u
+),
+cont AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS nc_v FROM big GROUP BY v
+),
+nbt AS (
+  SELECT CAST(count(*) AS BIGINT) AS nb FROM big
+),
+lp AS (
+  SELECT u, v,
+         CAST(round(ln(
+           (CAST(c_uv AS DOUBLE) - {KN_DISCOUNT}) / CAST(c_u AS DOUBLE)
+           + (({KN_DISCOUNT} * CAST(n1p_u AS DOUBLE))
+              / CAST(c_u AS DOUBLE))
+             * (CAST(nc_v AS DOUBLE) / CAST(nb AS DOUBLE))
+         ) * 1e8, 0) AS BIGINT) AS lp_b
+  FROM big JOIN ctx USING (u) JOIN cont USING (v) CROSS JOIN nbt
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(sum(c * lp_b) AS BIGINT) AS sum_lp_micro,
+       CAST(sum(c * lp_b) AS DOUBLE) / 1e8 / CAST(sum(c) AS BIGINT)
+         AS avg_logprob_kn,
+       CAST(min(lp_b) AS DOUBLE) / 1e8 AS min_logprob_kn
+FROM db2 JOIN lp USING (u, v)
+GROUP BY doc_id
+"""
+
+
 # exact duplicated-span coverage (cross-document): span length in
 # tokens, and the coverage threshold above which a document is mostly
 # boilerplate shared with other documents
@@ -466,6 +613,7 @@ ORACLES: dict = {}
 AUX_QUERIES = {
     "repetition_stats": repetition_stats,
     "unigram_logprob": unigram_logprob,
+    "bigram_logprob_kn": bigram_logprob_kn,
     "span_dup_stats": span_dup_stats,
     "compression_stats": compression_stats,
 }
@@ -473,5 +621,6 @@ AUX_QUERIES = {
 AUX_ORACLES = {
     "repetition_stats": REPETITION_STATS_SQL,
     "unigram_logprob": UNIGRAM_LOGPROB_SQL,
+    "bigram_logprob_kn": BIGRAM_LOGPROB_KN_SQL,
     "span_dup_stats": SPAN_DUP_STATS_SQL,
 }

@@ -23,7 +23,10 @@ from mapreduce_grpc_spark.operators.quality import (
 )
 from tests.oracle import assert_oracle_match
 
-QUALITY = ["repetition_stats", "unigram_logprob", "span_dup_stats"]
+QUALITY = [
+    "repetition_stats", "unigram_logprob", "bigram_logprob_kn",
+    "span_dup_stats",
+]
 
 
 @pytest.mark.parametrize("name", QUALITY)
@@ -139,6 +142,108 @@ def test_unigram_logprob_planted(spark, tmp_path, sf_dir):
         fake_sf,
         "unigram_logprob_synthetic",
     )
+
+
+def _kn_reference(docs: dict[int, str]):
+    """Pure-Python interpolated-KN bigram scorer (Chen & Goodman eq.
+    4.25, D=0.75) with the module's micro-nat quantization — the
+    independent twin the Spark pipeline must reproduce."""
+    import re
+    from collections import Counter
+
+    from mapreduce_grpc_spark.operators.quality import KN_DISCOUNT
+
+    tok = lambda t: [w for w in re.split(r"[ ,.\"']+", t) if w]
+    doc_bi = {
+        d: list(zip(tok(t), tok(t)[1:])) for d, t in docs.items()
+    }
+    big = Counter(b for bs in doc_bi.values() for b in bs)
+    c_u = Counter()
+    n1p_u = Counter()
+    nc_v = Counter()
+    for (u, v), c in big.items():
+        c_u[u] += c
+        n1p_u[u] += 1
+        nc_v[v] += 1
+    nb = len(big)
+
+    def lp(u, v):
+        p = (big[(u, v)] - KN_DISCOUNT) / c_u[u] + (
+            (KN_DISCOUNT * n1p_u[u]) / c_u[u]
+        ) * (nc_v[v] / nb)
+        return round(math.log(p) * 1e8) / 1e8
+
+    out = {}
+    for d, bs in doc_bi.items():
+        if not bs:
+            continue
+        s = sum(lp(u, v) for u, v in bs)
+        out[d] = (len(bs), s / len(bs))
+    return out
+
+
+def test_bigram_kn_planted(spark, tmp_path, sf_dir):
+    """Hand-checkable KN corpus: a fluent doc made of the corpus's
+    dominant phrase scores near-zero perplexity gap; a doc of one-off
+    bigrams lands far lower, and every value matches the independent
+    pure-Python KN scorer exactly (micro-nat quantized)."""
+    from mapreduce_grpc_spark.operators.quality import bigram_logprob_kn
+
+    docs = {
+        1: "the cat sat on the mat and the cat sat on the mat",
+        2: "the cat sat on the mat",
+        3: "quantum marmalade debugging felicity oscilloscope raisin",
+        4: "tiny",
+    }
+    fake_sf = _fake_docs_dir(
+        tmp_path,
+        sf_dir,
+        " UNION ALL ".join(
+            f"SELECT {d} AS doc_id, '{t}' AS text, 'en' AS lang, "
+            f"'s' AS source, {len(t)} AS n_chars"
+            for d, t in docs.items()
+        ),
+    )
+    ref = _kn_reference(docs)
+    rows = {r.doc_id: r for r in bigram_logprob_kn(spark, fake_sf).collect()}
+    # one-token doc has no bigram and is not scored
+    assert set(rows) == {1, 2, 3}
+    for d, (n, avg) in ref.items():
+        assert rows[d].n_bigrams == n, d
+        assert rows[d].avg_logprob_kn == pytest.approx(avg, abs=1e-9), d
+        assert rows[d].sum_lp_micro == round(avg * n * 1e8), d
+    # the common-phrase doc is far more probable than the one-off doc
+    # (equivalently: its perplexity exp(-avg) is lower)
+    assert rows[2].avg_logprob_kn > rows[3].avg_logprob_kn
+    assert math.exp(-rows[3].avg_logprob_kn) > math.exp(
+        -rows[2].avg_logprob_kn
+    )
+    assert_oracle_match(
+        bigram_logprob_kn(spark, fake_sf),
+        registry.AUX_ORACLES["bigram_logprob_kn"],
+        fake_sf,
+        "bigram_logprob_kn_synthetic",
+    )
+
+
+def test_bigram_kn_invariants(spark, sf_dir):
+    """Probabilities are proper: avg log-prob <= 0, min <= avg, the
+    exact integer sum reproduces the double avg, and implied
+    perplexity exp(-avg) >= 1."""
+    import math as _m
+
+    from mapreduce_grpc_spark.operators.quality import bigram_logprob_kn
+
+    rows = bigram_logprob_kn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bigrams >= 1
+        assert r.avg_logprob_kn <= 1e-12, r
+        assert r.min_logprob_kn <= r.avg_logprob_kn + 1e-12, r
+        assert r.avg_logprob_kn == pytest.approx(
+            r.sum_lp_micro / 1e8 / r.n_bigrams
+        ), r
+        assert _m.exp(-r.avg_logprob_kn) >= 1.0 - 1e-9, r
 
 
 # -- cross-engine fuzz: arbitrary printable text through both quality ops --
