@@ -76,21 +76,39 @@ def decode_media(payload: bytes, media_type: str, codec: str = "fake"):
       handle this payload (Pillow for any image when installed, the
       stdlib PNG codec when the bytes carry the PNG signature), else
       ``fake``.
-    - ``png``: real stdlib decode (zlib IDAT + unfilter, ``pngcodec``)
-      — no dependencies, always available.
+    - ``png``: real stdlib image decode (zlib IDAT + unfilter,
+      ``pngcodec``) — no dependencies, always available.
+    - ``wav``: real stdlib audio decode (RIFF/PCM, ``wavcodec``) —
+      exact integer sample statistics, no dependencies.
     - ``pil``: real image decode via Pillow (guarded import; raises
       NotImplementedError when not installed).  ffmpeg/soundfile plug in
-      the same way for video/audio.
+      the same way for video/float-audio.
     """
     from .pngcodec import decode_png, is_png
+    from .wavcodec import decode_wav, is_wav
 
     if codec == "auto":
         if media_type == "image" and _load_pil() is not None:
             codec = "pil"
         elif media_type == "image" and is_png(payload):
             codec = "png"
+        elif media_type == "audio" and is_wav(payload):
+            codec = "wav"
         else:
             codec = "fake"
+    if codec == "wav":
+        d = decode_wav(payload)
+        return {
+            "n_bytes": len(payload),
+            "checksum": hashlib.md5(payload).hexdigest(),
+            "sample_rate": d["sample_rate"],
+            "channels": d["channels"],
+            "bit_depth": d["bit_depth"],
+            "n_frames": d["n_frames"],
+            "duration_ms": d["duration_ms"],
+            "peak_abs": d["peak_abs"],
+            "sumsq": d["sumsq"],
+        }
     if codec == "png":
         d = decode_png(payload)
         return {
@@ -323,6 +341,95 @@ FROM px
 """
 
 
+WAV_DECODE_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, bit_depth int, "
+    "n_frames long, duration_ms long, peak_abs int, sumsq long, "
+    "samples_ok boolean"
+)
+
+
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the hash comparator — the WAV twin of
+    ``multimodal_png_decode``: synthesize a deterministic PCM signal
+    per document (sample values closed-form in doc_id; mono/stereo
+    alternating by parity), round-trip it through the stdlib RIFF
+    codec (``wavcodec``: chunk walk, fmt validation, int16 decode),
+    and emit exact integer statistics.  The DuckDB oracle recomputes
+    the same stats from the closed form over the lateral
+    frame x channel grid — if the encoder layout, the chunk parsing,
+    the interleave order, or a stat drifts by one sample, the hash
+    mismatches.  ``samples_ok`` pins byte-exact sample recovery.
+
+    Scale shape: identical to the PNG path — ``mapInPandas`` over a
+    one-column scan, row-local decode, no shuffle; a native audio
+    codec swaps in at the ``decode_media`` seam."""
+    import numpy as np
+
+    from .wavcodec import decode_wav, encode_wav
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nch = 1 + d % 2
+                nf = 50 + d % 50
+                i = np.arange(nf, dtype=np.int64)[:, None] * 7
+                ch = np.arange(nch, dtype=np.int64)[None, :] * 13
+                v = ((d * 31 + i + ch) % 65536) - 32768
+                flat = v.reshape(-1)  # frame-major interleaved
+                blob = encode_wav(flat, 8000, nch, bits=16)
+                dec = decode_wav(blob)
+                rows.append((
+                    d, dec["sample_rate"], dec["channels"],
+                    dec["bit_depth"], dec["n_frames"],
+                    dec["duration_ms"], dec["peak_abs"], dec["sumsq"],
+                    bool(np.array_equal(dec["samples"], flat)),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "bit_depth",
+                    "n_frames", "duration_ms", "peak_abs", "sumsq",
+                    "samples_ok",
+                ],
+            )
+
+    return docs.mapInPandas(work, WAV_DECODE_SCHEMA)
+
+
+# Closed-form mirror of the synthesized PCM: sample value at
+# (frame i, channel ch) is ((doc_id*31 + 7i + 13ch) % 65536) - 32768.
+MULTIMODAL_WAV_DECODE_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+         CAST(50 + doc_id % 50 AS INTEGER) AS n_frames
+  FROM documents
+), sm AS (
+  SELECT d.doc_id, d.channels, d.n_frames,
+         CAST(SUM(s.v * s.v) AS BIGINT) AS sumsq,
+         CAST(MAX(ABS(s.v)) AS INTEGER) AS peak_abs
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.n_frames - 1)) AS i) fr,
+       LATERAL (SELECT unnest(generate_series(0, d.channels - 1)) AS c) ch,
+       LATERAL (SELECT ((d.doc_id * 31 + fr.i * 7 + ch.c * 13) % 65536)
+                       - 32768 AS v) s
+  GROUP BY d.doc_id, d.channels, d.n_frames
+)
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       channels,
+       CAST(16 AS INTEGER) AS bit_depth,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_frames AS BIGINT) * 1000 // 8000 AS duration_ms,
+       peak_abs, sumsq, TRUE AS samples_ok
+FROM sm
+"""
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "frame_sample": frame_sample,
@@ -335,8 +442,10 @@ ORACLES = {
 
 AUX_QUERIES = {
     "multimodal_png_decode": multimodal_png_decode,
+    "multimodal_wav_decode": multimodal_wav_decode,
 }
 
 AUX_ORACLES = {
     "multimodal_png_decode": MULTIMODAL_PNG_DECODE_SQL,
+    "multimodal_wav_decode": MULTIMODAL_WAV_DECODE_SQL,
 }
