@@ -6,13 +6,18 @@ resize / frame-sample run as Arrow-batched Pandas functions via
 ``mapInPandas`` (one Python worker per partition, columnar transfer — never
 row-at-a-time UDFs).
 
-The container has no image/audio codecs, so the actual decode is stubbed
-(`decode_media`, raising NotImplementedError unless a known deterministic
-fake codec is requested) — but everything Spark-side is real and tested:
-the binary schema, the mapInPandas batch iteration, the output schema, the
-frame explosion, and partition behavior.  The fake codec is byte-exact
-deterministic (md5/length arithmetic), which makes even the Python-side
-path value-hash-checkable against a DuckDB oracle over the same bytes.
+The decode seam (`decode_media`) carries REAL stdlib decoders for all
+three modalities — PNG images (``pngcodec``: zlib IDAT + unfilter),
+WAV/PCM audio (``wavcodec``: RIFF chunk walk, exact integer sample
+stats), and YUV4MPEG2 video (``y4mcodec``: offset-indexed frames, so
+sampling reads only sampled frames) — plus a feature-detected Pillow
+hook; compressed formats raise NotImplementedError naming the gap
+(ffmpeg-class codecs slot in at the same seam).  The deterministic
+fake codec (md5/length arithmetic) remains the CONTRACT path: it is
+reproducible in pure SQL over the same bytes, which keeps the driver's
+multimodal queries value-hash-checkable; the real codecs get their own
+closed-form-oracle AUX queries (`multimodal_png_decode`,
+`multimodal_wav_decode`, `multimodal_y4m_frames`).
 
 The fixture has no binary table; ``media_table`` manufactures one from
 ``documents`` (payload = utf8 bytes of text, media_type cycled by doc_id)
@@ -80,12 +85,15 @@ def decode_media(payload: bytes, media_type: str, codec: str = "fake"):
       ``pngcodec``) — no dependencies, always available.
     - ``wav``: real stdlib audio decode (RIFF/PCM, ``wavcodec``) —
       exact integer sample statistics, no dependencies.
+    - ``y4m``: real stdlib video decode (YUV4MPEG2, ``y4mcodec``) —
+      header + frame index; frame sampling reads only sampled frames.
     - ``pil``: real image decode via Pillow (guarded import; raises
-      NotImplementedError when not installed).  ffmpeg/soundfile plug in
-      the same way for video/float-audio.
+      NotImplementedError when not installed).  ffmpeg plugs in the
+      same way for compressed video/float-audio.
     """
     from .pngcodec import decode_png, is_png
     from .wavcodec import decode_wav, is_wav
+    from .y4mcodec import decode_y4m, is_y4m
 
     if codec == "auto":
         if media_type == "image" and _load_pil() is not None:
@@ -94,8 +102,22 @@ def decode_media(payload: bytes, media_type: str, codec: str = "fake"):
             codec = "png"
         elif media_type == "audio" and is_wav(payload):
             codec = "wav"
+        elif media_type == "video" and is_y4m(payload):
+            codec = "y4m"
         else:
             codec = "fake"
+    if codec == "y4m":
+        d = decode_y4m(payload)
+        return {
+            "n_bytes": len(payload),
+            "checksum": hashlib.md5(payload).hexdigest(),
+            "width": d["width"],
+            "height": d["height"],
+            "n_frames": d["n_frames"],
+            "fps_num": d["fps_num"],
+            "fps_den": d["fps_den"],
+            "colorspace": d["colorspace"],
+        }
     if codec == "wav":
         d = decode_wav(payload)
         return {
@@ -440,12 +462,101 @@ ORACLES = {
     "frame_sample": FRAME_SAMPLE_SQL,
 }
 
+Y4M_FRAMES_SCHEMA = (
+    "doc_id long, frame_no int, n_px int, y_sum long, y_min int, "
+    "y_max int"
+)
+
+
+def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling under the hash comparator — the
+    third modality leg: synthesize a deterministic YUV4MPEG2 clip per
+    document (luma closed-form in doc_id; dimensions and frame count
+    parity-cycled), decode it with the stdlib codec, and sample EVERY
+    SECOND frame's luma statistics — a 1->N frame explosion whose
+    per-frame reads touch only the sampled frames' bytes (the
+    offset-indexed decode).  The DuckDB oracle recomputes the stats
+    from the closed form over the lateral frame x pixel grid; one
+    wrong offset, plane size, or sampled index flips the hash.
+
+    Scale shape: ``mapInPandas`` over a one-column scan, row-local
+    decode, no shuffle; compressed codecs swap in at the
+    ``decode_media`` seam with the same sampling contract."""
+    import numpy as np
+
+    from .y4mcodec import decode_y4m, encode_y4m, frame_luma
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 4 + (d % 3) * 2
+                h = 2 + (d % 2) * 2
+                nf = 3 + d % 4
+                i = np.arange(w * h, dtype=np.int64) * 3
+                frames = [
+                    ((d + 5 * f + i) % 256).astype(np.uint8)
+                    for f in range(nf)
+                ]
+                blob = encode_y4m(frames, w, h)
+                meta = decode_y4m(blob)
+                for f in range(0, meta["n_frames"], 2):
+                    y = frame_luma(blob, meta, f).astype(np.int64)
+                    rows.append((
+                        d, f, w * h, int(y.sum()), int(y.min()),
+                        int(y.max()),
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_no", "n_px", "y_sum", "y_min",
+                    "y_max",
+                ],
+            )
+
+    return docs.mapInPandas(work, Y4M_FRAMES_SCHEMA)
+
+
+# Closed-form mirror: luma at (frame f, pixel i) is
+# (doc_id + 5f + 3i) % 256; sampled frames are 0, 2, 4, ...
+MULTIMODAL_Y4M_FRAMES_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(4 + (doc_id % 3) * 2 AS INTEGER) AS w,
+         CAST(2 + (doc_id % 2) * 2 AS INTEGER) AS h,
+         CAST(3 + doc_id % 4 AS INTEGER) AS nf
+  FROM documents
+), fr AS (
+  SELECT d.doc_id, d.w, d.h, f.f
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.nf - 1, 2)) AS f) f
+)
+SELECT fr.doc_id,
+       CAST(fr.f AS INTEGER) AS frame_no,
+       CAST(fr.w * fr.h AS INTEGER) AS n_px,
+       CAST(SUM((fr.doc_id + 5 * fr.f + 3 * px.i) % 256) AS BIGINT)
+         AS y_sum,
+       CAST(MIN((fr.doc_id + 5 * fr.f + 3 * px.i) % 256) AS INTEGER)
+         AS y_min,
+       CAST(MAX((fr.doc_id + 5 * fr.f + 3 * px.i) % 256) AS INTEGER)
+         AS y_max
+FROM fr,
+     LATERAL (SELECT unnest(generate_series(0, fr.w * fr.h - 1)) AS i) px
+GROUP BY fr.doc_id, fr.f, fr.w, fr.h
+"""
+
+
 AUX_QUERIES = {
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
+    "multimodal_y4m_frames": multimodal_y4m_frames,
 }
 
 AUX_ORACLES = {
     "multimodal_png_decode": MULTIMODAL_PNG_DECODE_SQL,
     "multimodal_wav_decode": MULTIMODAL_WAV_DECODE_SQL,
+    "multimodal_y4m_frames": MULTIMODAL_Y4M_FRAMES_SQL,
 }

@@ -2180,6 +2180,8 @@ def snap_init(
     fs: LocalSnapshotFS | None = None,
     partition_by: list[str] | None = None,
     row_tracking: bool = False,
+    cluster_by: list[str] | None = None,
+    curve: str = "morton",
 ) -> int:
     """Create a snapshot table at ``path`` from ``df`` (version 1).
 
@@ -2198,8 +2200,50 @@ def snap_init(
     (see ``sources/partition.py``): every write path clusters batches
     by the derived tuple and ``snap_scan`` prunes files from plain
     predicates on the SOURCE columns; the user never references a
-    partition column."""
+    partition column.
+
+    ``cluster_by`` declares CLUSTER BY at creation (the Delta
+    ``CREATE TABLE ... CLUSTER BY`` shape): the declaration lands in
+    the v1 manifest exactly as ``snap_set_clustering`` would record it
+    (maintenance defaults to it from the first OPTIMIZE), and the
+    initial write itself is range-clustered on the primary column so
+    the table is born with tight envelopes instead of earning them at
+    its first rewrite.  Validation matches ``snap_set_clustering``
+    (1-2 columns, primary column stats-tracked, morton/hilbert)."""
     f = _fs(fs)
+    if cluster_by:
+        cluster_by = list(cluster_by)
+        if curve not in ("morton", "hilbert"):
+            raise ValueError(
+                f"curve {curve!r}: use 'morton' or 'hilbert'"
+            )
+        if not 1 <= len(cluster_by) <= 2:
+            raise ValueError(
+                "cluster_by takes 1 (range) or 2 (curve) columns"
+            )
+        names = [fld.name for fld in df.schema.fields]
+        missing = [c for c in cluster_by if c not in names]
+        if missing:
+            raise KeyError(
+                f"snap_init: cluster_by column(s) {missing} not in "
+                f"schema {names}"
+            )
+        if cluster_by[0] not in stats_cols:
+            raise ValueError(
+                f"snap_init: primary clustering column "
+                f"{cluster_by[0]!r} must be in stats_cols "
+                f"{stats_cols} — incremental re-clustering picks its "
+                "rewrite groups from the stats envelopes"
+            )
+        # born clustered: range on the primary key (a one-column sort
+        # is what keeps the very first envelopes disjoint; the curve
+        # only matters once OPTIMIZE rewrites multi-column regions).
+        # Partition count is left to the session default + AQE
+        # coalescing — the declaration owns the layout now, not the
+        # caller's incoming partitioning.
+        df = df.repartitionByRange(
+            F.col(cluster_by[0])
+        ).sortWithinPartitions(*cluster_by)
     f.makedirs(path)
     if current_version(path, fs) != 0:
         raise FileExistsError(f"snapshot table already exists at {path!r}")
@@ -2217,6 +2261,8 @@ def snap_init(
         }
     if row_tracking:
         carry["row_tracking"] = True
+    if cluster_by:
+        carry["clustering"] = {"cols": cluster_by, "curve": curve}
     return _commit(
         path, files, stats_cols, base_version=0,
         schema_json=df.schema.json(), txns=txns, fs=fs,

@@ -182,6 +182,47 @@ def test_rename_follows_and_drop_rejected(spark, tmp_path):
     assert read_manifest(path)["clustering"]["cols"] == ["key"]
 
 
+def test_snap_init_cluster_by(spark, tmp_path):
+    """CREATE TABLE ... CLUSTER BY: the declaration lands in the v1
+    manifest, the initial write is born range-clustered (disjoint
+    envelopes from version 1), and maintenance picks the declaration
+    up with no arguments."""
+    path = str(tmp_path / "t")
+    # deliberately shuffled input — the declaration must own the layout
+    df = spark.range(600).select(
+        (F.col("id") * 7919 % 600).alias("k"),
+        F.col("id").alias("v"),
+    )
+    snap_init(
+        spark, df, path, stats_cols=["k"], cluster_by=["k"],
+        curve="hilbert",
+    )
+    m = read_manifest(path)
+    assert m["clustering"] == {"cols": ["k"], "curve": "hilbert"}
+    assert "clustering" in (m.get("writer_features") or [])
+    if len(m["files"]) > 1:
+        assert _disjoint(_k_envelopes(path))
+    assert snap_read(spark, path).count() == 600
+    # maintenance needs no arguments from birth
+    for t in ("a", "b"):
+        snap_append(spark, path, _batch(spark, t, n=600).select(
+            F.col("k"), F.col("v").cast("bigint").alias("v")
+        ))
+    res = optimize_incremental(spark, path, target_bytes=10**9)
+    assert res["rewritten"] >= 2
+    # validation parity with snap_set_clustering
+    with pytest.raises(ValueError, match="stats_cols"):
+        snap_init(
+            spark, df, str(tmp_path / "t2"), stats_cols=["v"],
+            cluster_by=["k"],
+        )
+    with pytest.raises(KeyError, match="nope"):
+        snap_init(
+            spark, df, str(tmp_path / "t3"), stats_cols=["k"],
+            cluster_by=["nope"],
+        )
+
+
 def test_legacy_writer_refuses_declared_table(spark, tmp_path, monkeypatch):
     """A build that predates the `clustering` key must refuse to COMMIT
     (its carry loop would strip the declaration) — simulated by
