@@ -4988,9 +4988,11 @@ def optimize_incremental(
         # contract is O(candidates), never O(table)
         cand = {i for g in groups for i in g}
         try:
+            # _entry_path, not path-join: a shallow clone's entries
+            # live under their owning base dir
             sizes = {
                 m["files"][i]["name"]: f.getsize(
-                    os.path.join(path, m["files"][i]["name"])
+                    _entry_path(path, m["files"][i])
                 )
                 for i in cand
             }
@@ -5647,10 +5649,11 @@ def snap_clone(
     Mechanics: every cloned entry gains ``"base"`` — the dir that OWNS
     the bytes (``_entry_path`` resolves reads there; a clone of a
     clone keeps the ORIGINAL base, so chains never indirect).  Schema,
-    stats columns, column mapping, partition spec, and CHECK
-    constraints carry over; txn markers do NOT (the clone is a new
-    ingest surface).  Mutations diverge naturally: CoW rewrites write
-    new files into ``dst`` and drop the borrowed references.
+    stats columns, column mapping, partition spec, CHECK constraints,
+    column defaults, GENERATED declarations, and declared clustering
+    carry over; txn markers do NOT (the clone is a new ingest
+    surface).  Mutations diverge naturally: CoW rewrites write new
+    files into ``dst`` and drop the borrowed references.
 
     GC safety (the interesting half): before the manifest commit, a
     marker lands under each referenced base's ``_clones/`` dir, and
@@ -5705,8 +5708,14 @@ def snap_clone(
             "writer_features",
             # schema-level declarations travel with the schema: a
             # clone silently dropping column DEFAULTs would be the
-            # carry-loop strip hazard all over again
+            # carry-loop strip hazard all over again — and a clone
+            # dropping GENERATED declarations would be worse (writes
+            # to the clone would skip fill AND validation); declared
+            # clustering likewise keeps the clone's maintenance
+            # self-driving
             "defaults",
+            "generated",
+            "clustering",
             # row tracking carries as a property; the clone's entries
             # get FRESH bases from _commit (it is a new table — ids
             # are not shared with the source)

@@ -223,6 +223,25 @@ def test_snap_init_cluster_by(spark, tmp_path):
         )
 
 
+def test_clone_carries_clustering_declaration(spark, tmp_path):
+    """A shallow clone stays self-driving: the declaration carries and
+    the clone's own maintenance uses it with no arguments."""
+    from mapreduce_grpc_spark.sources.snapshots import snap_clone
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _mk_overlapping(spark, src)
+    snap_set_clustering(src, ["k"], curve="hilbert")
+    snap_clone(src, dst)
+    m = read_manifest(dst)
+    assert m["clustering"] == {"cols": ["k"], "curve": "hilbert"}
+    assert "clustering" in (m.get("writer_features") or [])
+    res = optimize_incremental(spark, dst, target_bytes=10**9)
+    assert res["rewritten"] >= 2
+    # the source's layout is untouched by the clone's rewrite
+    assert len(read_manifest(src)["files"]) == 6
+
+
 def test_legacy_writer_refuses_declared_table(spark, tmp_path, monkeypatch):
     """A build that predates the `clustering` key must refuse to COMMIT
     (its carry loop would strip the declaration) — simulated by

@@ -304,6 +304,41 @@ def test_snapshot_generated_cols_oracle_parity(spark, sf_dir):
     )
 
 
+def test_clone_carries_generated_declaration(spark, tmp_path):
+    """A shallow clone keeps GENERATED enforcement: writes to the
+    clone fill omitted columns and reject divergent values — a clone
+    silently dropping the declaration would be the carry-strip hazard
+    with data corruption on top."""
+    from mapreduce_grpc_spark.sources.snapshots import snap_clone
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _mk(spark, src)
+    snap_add_column(src, "band", "string", generated_as=GEN, spark=spark)
+    snap_clone(src, dst)
+    m = read_manifest(dst)
+    assert m["generated"] == {"band": GEN}
+    assert "generated_columns" in (m.get("writer_features") or [])
+    snap_append(
+        spark, dst,
+        spark.range(100, 102).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).cast("double").alias("amount"),
+        ),
+    )
+    assert _rows(spark, dst)[100] == (1000.0, "HIGH")
+    with pytest.raises(ConstraintViolation, match="__generated_band"):
+        snap_append(
+            spark, dst,
+            spark.createDataFrame(
+                [(200, 5.0, "HIGH")],
+                "k bigint, amount double, band string",
+            ),
+        )
+    # the source is untouched by the clone's writes
+    assert snap_read(spark, src).count() == 40
+
+
 def test_legacy_writer_refuses_generated_table(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "t")
     _mk(spark, path)
