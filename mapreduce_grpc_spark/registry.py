@@ -85,6 +85,7 @@ def _load() -> None:
         text,
         udfs,
         unigram,
+        webtext,
         windows,
     )
     from .streaming import anomaly as streaming_anomaly
@@ -118,6 +119,7 @@ def _load() -> None:
         bpe,
         unigram,
         pq,
+        webtext,
     ):
         _register(mod)
     if len(QUERIES) > MAX_CONTRACT_QUERIES:
