@@ -202,13 +202,69 @@ FROM documents
 """
 
 
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization under the hash comparator — the dedup key
+    every web pipeline computes before anything else.  Synthesizes a
+    deterministic messy URL per document (uppercase scheme/host,
+    default port, tracking params, unsorted query, fragment; http/https
+    and fbclid presence cycled by doc parity), canonicalizes it with
+    the BUILT-IN column expression (``functions/urls.canonical_url`` —
+    the whole transform stays inside whole-stage codegen, the
+    deliberate JVM contrast to the procedural HTML extractor), and
+    emits the canonical form + host.  The oracle rebuilds the expected
+    canonical string closed-form — scheme/host lowering, port strip,
+    fragment drop, tracking-param removal, bytewise param sort, and
+    trailing-slash trim are each load-bearing in the hash."""
+    from pyspark.sql import functions as F
+
+    from ..functions.urls import canonical_url, url_host
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 4 == 0, F.lit("HTTP://")).otherwise(F.lit("HTTPS://")),
+        F.lit("WWW.Site"), (d % 5).cast("string"), F.lit(".COM"),
+        F.when(d % 4 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        F.lit("/Path"), (d % 7).cast("string"), F.lit("/"),
+        F.lit("?utm_source=s&b="), (d % 3).cast("string"), F.lit("&a=1"),
+        F.when(d % 2 == 0, F.lit("&fbclid=xx")).otherwise(F.lit("")),
+        F.lit("#frag"), d.cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        canonical_url(url).alias("canon"),
+        url_host(url).alias("host"),
+    )
+
+
+URL_CANONICALIZE_SQL = """
+SELECT doc_id,
+       (CASE WHEN doc_id % 4 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END)
+         || 'WWW.Site' || (doc_id % 5) || '.COM'
+         || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE ':443' END)
+         || '/Path' || (doc_id % 7) || '/'
+         || '?utm_source=s&b=' || (doc_id % 3) || '&a=1'
+         || (CASE WHEN doc_id % 2 = 0 THEN '&fbclid=xx' ELSE '' END)
+         || '#frag' || doc_id AS url,
+       (CASE WHEN doc_id % 4 = 0 THEN 'http' ELSE 'https' END)
+         || '://www.site' || (doc_id % 5) || '.com'
+         || '/Path' || (doc_id % 7)
+         || '?a=1&b=' || (doc_id % 3) AS canon,
+       'www.site' || (doc_id % 5) || '.com' AS host
+FROM documents
+"""
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
 AUX_QUERIES = {
     "html_extract": html_extract,
+    "url_canonicalize": url_canonicalize,
 }
 
 AUX_ORACLES = {
     "html_extract": HTML_EXTRACT_SQL,
+    "url_canonicalize": URL_CANONICALIZE_SQL,
 }
