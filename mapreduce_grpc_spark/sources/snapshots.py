@@ -4913,6 +4913,7 @@ def optimize_incremental(
     max_rewrite_bytes: int = 512 * 1024 * 1024,
     fs: LocalSnapshotFS | None = None,
     curve: str | None = None,
+    where: list | None = None,
 ) -> dict:
     """Budget-bounded INCREMENTAL re-clustering (the Delta liquid-
     clustering shape): rewrite only the worst-overlapping group of
@@ -4939,7 +4940,15 @@ def optimize_incremental(
     ``cluster_by=None`` uses the table's DECLARED clustering
     (``snap_set_clustering``) — the self-driving maintenance shape;
     with neither a declaration nor an argument the call fails loudly.
-    ``curve=None`` likewise resolves declared > 'morton'."""
+    ``curve=None`` likewise resolves declared > 'morton'.
+
+    ``where`` scopes the overlap sweep (the ``OPTIMIZE ... WHERE``
+    grammar of ``optimize_snapshot``, same ``snap_scan`` predicate
+    forms): only files whose envelopes can match the predicate are
+    candidates for grouping/rewriting, so re-clustering the one hot
+    region a streaming writer just fragmented never pays attention to
+    the rest of the table — out-of-scope overlap debt stays for a
+    later pass and is NOT counted in ``groups_remaining``."""
     from .layout import zorder_frame
 
     cluster_by = list(cluster_by or [])
@@ -4972,8 +4981,13 @@ def optimize_incremental(
                 f"cluster column {col!r} not tracked in manifest "
                 f"stats_cols {m['stats_cols']}"
             )
+        pool = m["files"]
+        if where:
+            # OPTIMIZE ... WHERE: the sweep only ever sees in-scope
+            # files; everything else is carried by reference below
+            pool, _out = prune_manifest(m, where)
         groups = [
-            g for g in _overlap_groups(m["files"], pcol) if len(g) >= 2
+            g for g in _overlap_groups(pool, pcol) if len(g) >= 2
         ]
         if not groups:
             return {
@@ -4991,9 +5005,7 @@ def optimize_incremental(
             # _entry_path, not path-join: a shallow clone's entries
             # live under their owning base dir
             sizes = {
-                m["files"][i]["name"]: f.getsize(
-                    _entry_path(path, m["files"][i])
-                )
+                pool[i]["name"]: f.getsize(_entry_path(path, pool[i]))
                 for i in cand
             }
         except FileNotFoundError as e:
@@ -5011,7 +5023,7 @@ def optimize_incremental(
         groups.sort(
             key=lambda g: (
                 len(g),
-                sum(sizes[m["files"][i]["name"]] for i in g),
+                sum(sizes[pool[i]["name"]] for i in g),
             ),
             reverse=True,
         )
@@ -5023,7 +5035,7 @@ def optimize_incremental(
         if len(chosen) <= 2048:
 
             def _env(i):
-                s = m["files"][i]["stats"][pcol]
+                s = pool[i]["stats"][pcol]
                 return s["min"], s["max"]
 
             def _degree(i):
@@ -5043,7 +5055,7 @@ def optimize_incremental(
         budgeted: list[int] = []
         total = 0
         for i in chosen:
-            sz = sizes[m["files"][i]["name"]]
+            sz = sizes[pool[i]["name"]]
             # the budget is a target, not a straitjacket: a run must
             # always make progress, and the minimum useful re-cluster
             # is one PAIR of overlapping files
@@ -5054,7 +5066,7 @@ def optimize_incremental(
         # the trimmed group's leftover still mutually overlaps: it
         # remains clustering debt the NEXT run must see
         leftover_group = len(chosen) - len(budgeted) >= 2
-        to_rewrite = [m["files"][i] for i in budgeted]
+        to_rewrite = [pool[i] for i in budgeted]
         names = {e["name"] for e in to_rewrite}
         carried = [e for e in m["files"] if e["name"] not in names]
         track_ids = bool(m.get("row_tracking"))

@@ -223,6 +223,52 @@ def test_snap_init_cluster_by(spark, tmp_path):
         )
 
 
+def test_optimize_incremental_where_scopes_the_sweep(spark, tmp_path):
+    """OPTIMIZE ... WHERE for the budgeted re-clusterer: two
+    fragmented key regions; a scoped run may only touch in-scope
+    files, leaving the other region's overlap debt (and bytes)
+    untouched for a later pass."""
+    path = str(tmp_path / "t")
+
+    def region(lo, tag):
+        return spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit(tag), F.col("id")).alias("v")
+            .cast("string").alias("v"),
+        )
+
+    snap_init(
+        spark, region(0, "a").repartitionByRange(2, "k"), path,
+        stats_cols=["k"],
+    )
+    # fragment BOTH regions: 3 overlapping files each in [0,100) and
+    # [10000, 10100)
+    for tag in ("b", "c"):
+        snap_append(spark, path, region(0, tag))
+    for tag in ("x", "y", "z"):
+        snap_append(spark, path, region(10_000, tag))
+    m0 = read_manifest(path)
+    hi_names = {
+        e["name"] for e in m0["files"]
+        if e["stats"]["k"]["min"] >= 10_000
+    }
+    assert len(hi_names) >= 3
+    res = optimize_incremental(
+        spark, path, ["k"], target_bytes=10**9,
+        where=[("k", "<", 5_000)],
+    )
+    assert res["rewritten"] >= 2
+    m1 = read_manifest(path)
+    # every high-region file is still there, byte-untouched
+    assert hi_names <= {e["name"] for e in m1["files"]}
+    # and no rewritten file came from the high region
+    assert snap_read(spark, path).count() == 600
+    # the scoped pass left the high region's debt: an unscoped run
+    # still finds it
+    res2 = optimize_incremental(spark, path, ["k"], target_bytes=10**9)
+    assert res2["rewritten"] >= 2
+
+
 def test_clone_carries_clustering_declaration(spark, tmp_path):
     """A shallow clone stays self-driving: the declaration carries and
     the clone's own maintenance uses it with no arguments."""
