@@ -1055,6 +1055,65 @@ WHERE o_orderkey % 5 = 0
 """
 
 
+def snapshot_identity_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity columns (``GENERATED ALWAYS AS IDENTITY``) under the
+    hash comparator: init from the EVEN ``orders`` keys, declare a
+    surrogate-key column (start 10, step 2), then append the ODD keys
+    as a range-partitioned, key-sorted batch — the allocator reserves
+    the exact range and ``zipWithIndex`` numbers rows in partition
+    order, so for a key-sorted batch the assigned value is a pure
+    function of the key's rank.  The oracle reproduces the assignment
+    with ``ROW_NUMBER() OVER (ORDER BY key)``; pre-declaration rows
+    must read NULL.  If the allocator double-assigns, skips, or the
+    ordering contract drifts, the hash mismatches.  Uniqueness under
+    CONCURRENT appends (where assignment is unique but not a rank
+    function) is pinned by tests/test_identity_columns.py."""
+    from ..sources.snapshots import snap_add_column
+
+    tmp = tempfile.mkdtemp(prefix="snap-ident-")
+    path = os.path.join(tmp, "t")
+    try:
+        ords = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        k = F.col("o_orderkey")
+        snap_init(
+            spark,
+            ords.filter(k % 2 == 0).repartitionByRange(4, "o_orderkey"),
+            path,
+            stats_cols=["o_orderkey"],
+        )
+        snap_add_column(path, "sid", "bigint", identity=(10, 2))
+        snap_append(
+            spark,
+            path,
+            ords.filter(k % 2 == 1)
+            .repartitionByRange(4, "o_orderkey")
+            .sortWithinPartitions("o_orderkey"),
+        )
+        out = (
+            snap_read(spark, path)
+            .filter(F.col("o_orderkey") % 9 == 0)
+            .select("o_orderkey", "o_orderpriority", "sid")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SNAPSHOT_IDENTITY_COLS_SQL = """
+WITH odd AS (
+  SELECT o_orderkey,
+         10 + 2 * (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) AS sid
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT o.o_orderkey, o.o_orderpriority, odd.sid
+FROM orders o LEFT JOIN odd USING (o_orderkey)
+WHERE o.o_orderkey % 9 = 0
+"""
+
+
 QUERIES = {
     "snapshot_timetravel": snapshot_timetravel,
     # rotated IN (round 7, replacing the redundant ngrams text query):
@@ -1108,8 +1167,10 @@ AUX_QUERIES = {
     "snapshot_prefix_scan": snapshot_prefix_scan,
     "streaming_cdf_feed": streaming_cdf_feed,
     "snapshot_generated_cols": snapshot_generated_cols,
+    "snapshot_identity_cols": snapshot_identity_cols,
 }
 AUX_ORACLES = {
+    "snapshot_identity_cols": SNAPSHOT_IDENTITY_COLS_SQL,
     "snapshot_update_restore": SNAPSHOT_UPDATE_RESTORE_SQL,
     "snapshot_prefix_scan": SNAPSHOT_PREFIX_SCAN_SQL,
     "streaming_cdf_feed": STREAMING_CDF_FEED_SQL,

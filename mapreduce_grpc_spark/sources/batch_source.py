@@ -575,6 +575,17 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                 "race with a different partitionBy, or a concurrent "
                 "spec evolution); re-run the save()"
             )
+        if m0.get("identity"):
+            # identity values are allocator-assigned on snap_append;
+            # a DataSource write can't reserve a range — refuse loudly
+            for n in names:
+                if f.exists(os.path.join(self._path, n)):
+                    f.remove(os.path.join(self._path, n))
+            raise ValueError(
+                f"snapshot_table batch writer: {self._path!r} declares"
+                f" IDENTITY column(s) {sorted(m0['identity'])} — write"
+                " via snap_append, which assigns the values"
+            )
         target_schema = _manifest_schema(m0)
         if target_schema is not None:
             _check_batch_schema(

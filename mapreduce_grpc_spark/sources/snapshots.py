@@ -164,6 +164,7 @@ SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset(
         "row_tracking",
         "clustering",
         "generated_columns",
+        "identity_columns",
     }
 )
 
@@ -1188,7 +1189,7 @@ def _commit(
         for k in (
             "constraints", "column_mapping", "partition_spec",
             "partition_field_seq", "clone_of", "defaults",
-            "row_tracking", "clustering", "generated",
+            "row_tracking", "clustering", "generated", "identity",
         ):
             if carry.get(k):
                 manifest[k] = carry[k]
@@ -1280,6 +1281,14 @@ def _commit(
         wfeats.add("generated_columns")
     else:
         wfeats.discard("generated_columns")
+    # identity columns are writer-only state with the hardest failure
+    # mode of all: a legacy writer neither fills the column nor bumps
+    # the high-water mark, so its next append would either fail the
+    # schema check or (worse) duplicate surrogate keys — refuse.
+    if manifest.get("identity"):
+        wfeats.add("identity_columns")
+    else:
+        wfeats.discard("identity_columns")
     if feats:
         manifest["features"] = sorted(feats)
     if wfeats - feats:
@@ -1569,6 +1578,10 @@ def snap_rename_column(
         if old in dflts:
             dflts[new] = dflts.pop(old)
             carry["defaults"] = dflts
+        idd = dict(m.get("identity") or {})
+        if old in idd:
+            idd[new] = idd.pop(old)
+            carry["identity"] = idd
         gens = dict(m.get("generated") or {})
         if old in gens:
             # renaming the generated column itself: the declaration
@@ -1684,6 +1697,11 @@ def snap_drop_column(
             for k, v in (m.get("generated") or {}).items()
             if k != col
         }
+        carry["identity"] = {
+            k: v
+            for k, v in (m.get("identity") or {}).items()
+            if k != col
+        }
         try:
             return _commit(
                 path, m["files"], stats_cols,
@@ -1774,6 +1792,7 @@ def snap_add_column(
     default=None,
     generated_as: str | None = None,
     spark: SparkSession | None = None,
+    identity: tuple[int, int] | bool | None = None,
 ) -> int:
     """``ALTER TABLE ... ADD COLUMN`` — metadata-only; existing files
     are null-backfilled at read (the reader scans under the manifest's
@@ -1809,18 +1828,33 @@ def snap_add_column(
     at declaration, not at 3 a.m. in an ingest job.  Mutually
     exclusive with ``default``.  Renames of the generated column
     follow; renaming/dropping a column its expression references is
-    rejected (same rule as CHECK constraints)."""
+    rejected (same rule as CHECK constraints).
+
+    ``identity=(start, step)`` (or ``True`` for ``(1, 1)``) declares a
+    ``GENERATED ALWAYS AS IDENTITY`` surrogate-key column (bigint
+    only): ``snap_append`` assigns values from the manifest's
+    allocator — one count job reserves the exact range, zipWithIndex
+    numbers rows, and a lost commit race re-RUNS against the new
+    high-water mark, so values are UNIQUE under any concurrency (gaps
+    possible, the standard identity contract).  Writers may never
+    supply the column; keyed mutators, overwrite, and the
+    DataSource/streaming sinks refuse identity tables loudly (the
+    allocator lives on the append path); deletes, UPDATE of other
+    columns, OPTIMIZE, RESTORE, and CLONE carry assigned values
+    untouched."""
     from pyspark.sql.types import DataType, StructField
 
     if not name or not name.isidentifier():
         raise ValueError(
             f"snap_add_column: name {name!r} must be a bare identifier"
         )
-    if default is not None and generated_as is not None:
+    if sum(x is not None for x in (default, generated_as)) + (
+        identity is not None and identity is not False
+    ) > 1:
         raise ValueError(
-            "snap_add_column: default and generated_as are mutually "
-            "exclusive — a GENERATED column's value is always the "
-            "expression"
+            "snap_add_column: default, generated_as, and identity are "
+            "mutually exclusive — a GENERATED column's value is always "
+            "the expression / the identity allocator"
         )
     if default is not None and not isinstance(
         default, (int, float, str, bool)
@@ -1845,6 +1879,21 @@ def snap_add_column(
             "snap_add_column: generated_as needs spark= — the "
             "expression is validated against the schema at DDL time"
         )
+    id_spec = None
+    if identity is not None and identity is not False:
+        start, step = (1, 1) if identity is True else identity
+        start, step = int(start), int(step)
+        if step == 0:
+            raise ValueError("snap_add_column: identity step must be nonzero")
+        from pyspark.sql.types import LongType as _Long
+
+        if not isinstance(dt, _Long):
+            raise ValueError(
+                "snap_add_column: identity columns must be bigint "
+                f"(got {dt.simpleString()}) — surrogate keys need the "
+                "full 64-bit range"
+            )
+        id_spec = {"start": start, "step": step, "high": 0}
     last_err: Exception | None = None
     for _attempt in range(COMMIT_RETRIES):
         m = read_manifest(path, fs=fs)
@@ -1894,6 +1943,10 @@ def snap_add_column(
         if generated_as is not None:
             carry["generated"] = {
                 **(m.get("generated") or {}), name: generated_as,
+            }
+        if id_spec is not None:
+            carry["identity"] = {
+                **(m.get("identity") or {}), name: id_spec,
             }
         try:
             return _commit(
@@ -3648,6 +3701,7 @@ def merge_upsert_cow(
             return _skipped_result(m)
         stats_cols = m["stats_cols"]
         cm = _cm(m)
+        _reject_identity(m, "merge_upsert_cow")
         missing = [k for k in keys if _phys(cm, k) not in stats_cols]
         if missing:
             raise ValueError(
@@ -3889,6 +3943,7 @@ def apply_cdc_cow(
             return res
         stats_cols = m["stats_cols"]
         cm = _cm(m)
+        _reject_identity(m, "apply_cdc_cow")
         target_schema = _manifest_schema(m) or snap_read(
             spark, path, m["version"], fs
         ).schema
@@ -4154,8 +4209,12 @@ def snap_append(
     "added", "carried"}`` (+``skipped``)."""
     if not batch.take(1):
         return _skipped_result(read_manifest(path, fs=fs))
+    _orig_batch = batch
     last_err: Exception | None = None
     for _attempt in range(COMMIT_RETRIES):
+        # retries re-derive every fill (defaults / generated /
+        # identity) from the ORIGINAL batch against the fresh manifest
+        batch = _orig_batch
         m = read_manifest(path, fs=fs)
         if _txn_already_applied(m, txn_app, txn_batch):
             return _skipped_result(m)
@@ -4189,6 +4248,47 @@ def snap_append(
                         fld.name,
                         F.expr(gens[fld.name]).cast(fld.dataType),
                     )
+        # GENERATED ALWAYS AS IDENTITY: values come from the table's
+        # allocator, never the writer.  One count job reserves the
+        # exact range from the manifest high-water mark; zipWithIndex
+        # numbers rows by (partition, position) — deterministic for a
+        # deterministic batch plan, contiguous, no global shuffle.  A
+        # lost commit race re-RUNS the loop (see the conflict handler):
+        # the winner may have consumed our range, so already-written
+        # values can never be re-published blindly.
+        idcols = m.get("identity") or {}
+        n_new = 0
+        if idcols:
+            supplied = sorted(set(idcols) & set(batch.columns))
+            if supplied:
+                raise ValueError(
+                    f"snap_append: column(s) {supplied} are GENERATED "
+                    "ALWAYS AS IDENTITY — values are assigned by the "
+                    "table; drop them from the batch"
+                )
+            from pyspark.sql.types import LongType as _Long
+            from pyspark.sql.types import StructField as _SF
+
+            n_new = batch.count()
+            idx_schema = StructType(
+                list(batch.schema.fields) + [_SF("_sg_idx", _Long())]
+            )
+            indexed = spark.createDataFrame(
+                batch.rdd.zipWithIndex().map(
+                    lambda t: tuple(t[0]) + (t[1],)
+                ),
+                idx_schema,
+            )
+            for cname, spec in sorted(idcols.items()):
+                indexed = indexed.withColumn(
+                    cname,
+                    (
+                        F.lit(int(spec["start"]))
+                        + F.lit(int(spec["step"]))
+                        * (F.lit(int(spec["high"])) + F.col("_sg_idx"))
+                    ).cast("long"),
+                )
+            batch = indexed.drop("_sg_idx")
         out_schema = _check_batch_schema(
             target_schema, batch.schema, set(), allow_schema_evolution,
             "snap_append",
@@ -4210,15 +4310,31 @@ def snap_append(
         }
         if txn_app is not None:
             info["txn"] = {"app": txn_app, "batch": int(txn_batch)}
+        carry_m = m
+        if idcols:
+            carry_m = {
+                **m,
+                "identity": {
+                    c: {**spec, "high": int(spec["high"]) + n_new}
+                    for c, spec in idcols.items()
+                },
+            }
         try:
             version = _commit(
                 path, m["files"] + new_entries, m["stats_cols"],
                 base_version=m["version"],
                 schema_json=out_schema.json(),
-                txns=txns, commit_info=info, fs=fs, carry=m,
+                txns=txns, commit_info=info, fs=fs, carry=carry_m,
                 adds=new_entries, removes=[],
             )
         except CommitConflict as e:
+            if idcols:
+                # the winner may have consumed our reserved identity
+                # range — re-publishing these files could duplicate
+                # surrogate keys.  Re-run the loop: re-read, re-reserve
+                # from the new high-water mark, re-fill, re-write.
+                last_err = e
+                continue
             # an append reads nothing and removes nothing, so like a
             # rearrangement it can ALWAYS re-commit its already-written
             # files on the new head (metadata drift aside) — without
@@ -4277,6 +4393,7 @@ def snap_overwrite(
             _check_batch_schema(
                 target_schema, df.schema, set(), False, "snap_overwrite"
             )
+        _reject_identity(m, "snap_overwrite")
         _enforce_constraints(m, df, "snap_overwrite")
         if written is not None and _cm(m) != written_cm:
             written = None  # a racing rename moved the physical names
@@ -5728,6 +5845,7 @@ def snap_clone(
             "defaults",
             "generated",
             "clustering",
+            "identity",
             # row tracking carries as a property; the clone's entries
             # get FRESH bases from _commit (it is a new table — ids
             # are not shared with the source)
@@ -5959,6 +6077,23 @@ def _generated_checks(m: dict) -> dict[str, str]:
         f"__generated_{c}": f"({c} IS NOT DISTINCT FROM ({e}))"
         for c, e in sorted((m.get("generated") or {}).items())
     }
+
+
+def _reject_identity(m: dict, op: str) -> None:
+    """Keyed/replacing mutators refuse tables with IDENTITY columns:
+    this build's allocator lives on the append path only, so a merge
+    INSERT (or overwrite) would have to invent surrogate keys — better
+    loud than duplicated.  Rewrite-only maintenance (OPTIMIZE, deletes,
+    UPDATE not touching the column) stays allowed: it carries the
+    already-assigned physical values."""
+    ids = m.get("identity") or {}
+    if ids:
+        raise ValueError(
+            f"{op}: table declares IDENTITY column(s) {sorted(ids)} — "
+            "identity tables are append-ingest surfaces in this build "
+            "(snap_append assigns values); drop the declaration for "
+            "keyed mutation"
+        )
 
 
 def _enforce_constraints(m: dict, df: DataFrame, op: str) -> None:
@@ -6227,6 +6362,13 @@ def update_where(
                         f"{got.simpleString()}, column is "
                         f"{by_name[col].simpleString()}; cast explicitly"
                     )
+        iset = sorted(set(set_exprs) & set(m.get("identity") or {}))
+        if iset:
+            raise ValueError(
+                f"update_where: column(s) {iset} are GENERATED ALWAYS "
+                "AS IDENTITY — their values are immutable surrogate "
+                "keys"
+            )
         gens = m.get("generated") or {}
         gset = sorted(set(set_exprs) & set(gens))
         if gset:
@@ -6610,6 +6752,7 @@ def merge_into(
             return res
         stats_cols = m["stats_cols"]
         cm = _cm(m)
+        _reject_identity(m, "merge_into")
         missing = [k for k in keys if _phys(cm, k) not in stats_cols]
         if missing:
             raise ValueError(

@@ -926,6 +926,18 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
                 "changed while the query was running (a concurrent "
                 "rename/drop); restart the query to re-plan"
             )
+        if m0.get("identity"):
+            # the identity allocator lives on snap_append; a sink batch
+            # can neither omit the column (schema check) nor safely
+            # supply values — refuse before any manifest references
+            for n in names:
+                if f.exists(os.path.join(self._path, n)):
+                    f.remove(os.path.join(self._path, n))
+            raise ValueError(
+                f"snapshot_table sink: {self._path!r} declares IDENTITY"
+                f" column(s) {sorted(m0['identity'])} — stream into a"
+                " staging table and snap_append into the identity table"
+            )
         target_schema = _manifest_schema(m0)
         if target_schema is not None:
             # same validator as the batch writers: (name, type) match,
