@@ -256,15 +256,73 @@ FROM documents
 """
 
 
+def host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-site corpus statistics over CANONICAL hosts — the report
+    every web pipeline runs before capping domains: documents, bytes,
+    and mean document length per host, plus the corpus share.  Uses
+    the same synthesized messy URLs as ``url_canonicalize`` so the
+    host key exercises the real normalizer; one hash-partial groupBy,
+    host cardinality is tiny next to the corpus (Zipf), so the shuffle
+    is negligible at any scale."""
+    from pyspark.sql import functions as F
+
+    from ..functions.urls import url_host
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 4 == 0, F.lit("HTTP://")).otherwise(F.lit("HTTPS://")),
+        F.lit("WWW.Site"), (d % 5).cast("string"), F.lit(".COM"),
+        F.when(d % 4 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        F.lit("/Path"), (d % 7).cast("string"),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        docs.select(url_host(url).alias("host"), "n_chars")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            (F.sum("n_chars") / F.count(F.lit(1))).alias("mean_chars"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "host", "n_docs", "total_chars", "mean_chars",
+            (F.col("n_docs").cast("double") / F.col("n_total"))
+            .alias("corpus_share"),
+        )
+    )
+
+
+HOST_STATS_SQL = """
+WITH h AS (
+  SELECT 'www.site' || (doc_id % 5) || '.com' AS host, n_chars
+  FROM documents
+), t AS (
+  SELECT COUNT(*) AS n_total FROM documents
+)
+SELECT host,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT n_total FROM t)
+         AS corpus_share
+FROM h
+GROUP BY host
+"""
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
 AUX_QUERIES = {
     "html_extract": html_extract,
     "url_canonicalize": url_canonicalize,
+    "host_stats": host_stats,
 }
 
 AUX_ORACLES = {
     "html_extract": HTML_EXTRACT_SQL,
     "url_canonicalize": URL_CANONICALIZE_SQL,
+    "host_stats": HOST_STATS_SQL,
 }

@@ -163,6 +163,19 @@ def test_url_canonicalize_oracle_parity(spark, sf_dir):
     assert "Python" not in plan, plan
 
 
+def test_host_stats_oracle_parity(spark, sf_dir):
+    from mapreduce_grpc_spark import registry
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["host_stats"](spark, sf_dir)
+    assert_oracle_match(
+        df, registry.AUX_ORACLES["host_stats"], sf_dir, "host_stats"
+    )
+    rows = df.collect()
+    assert len(rows) == 5  # doc_id % 5 host cycle
+    assert abs(sum(r.corpus_share for r in rows) - 1.0) < 1e-9
+
+
 def test_html_extract_oracle_parity(spark, sf_dir):
     """The AUX query's DuckDB hash: fixture text wrapped in the HTML
     template must extract back verbatim — entity decode, skip
