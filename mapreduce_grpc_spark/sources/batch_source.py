@@ -312,7 +312,11 @@ class SnapshotBatchReader(DataSourceReader):
             files.append(
                 (
                     os.path.join(base, e["name"]),
-                    os.path.join(base, dv["file"]) if dv else None,
+                    # a dv recorded by a borrowing table (clone/branch)
+                    # carries its own dir — see snapshots._dv_path
+                    os.path.join(dv.get("base") or base, dv["file"])
+                    if dv
+                    else None,
                     int(e.get("bytes") or 0),
                     rid,
                 )

@@ -366,9 +366,23 @@ def _entry_path(path: str, e: dict) -> str:
 
 
 def _sidecar_path(path: str, e: dict, name: str) -> str:
-    """Resolve a dv/bloom sidecar file recorded on entry ``e`` — the
-    sidecar lives wherever the entry's data file lives."""
+    """Resolve a BLOOM sidecar file recorded on entry ``e`` — blooms
+    are built only when the data file is born, so they always live
+    where the entry's data file lives."""
     return os.path.join(e.get("base") or path, name)
+
+
+def _dv_path(path: str, e: dict) -> str:
+    """Resolve entry ``e``'s deletion-vector sidecar.  Unlike blooms,
+    a DV is written by the table that RECORDS the delete — which for
+    a BORROWED entry (shallow clone / branch) is not the dir that
+    owns the data bytes — so ``_delete_mor`` stamps the dv record
+    with its own ``"base"`` whenever the two dirs differ.  A dv
+    without a base lives with the data file (the common case)."""
+    dv = e["dv"]
+    return os.path.join(
+        dv.get("base") or e.get("base") or path, dv["file"]
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2375,7 +2389,7 @@ def _read_entries(
         )
         names = [e["name"] for e in dved]
         sidecars = sorted(
-            {_sidecar_path(path, e, e["dv"]["file"]) for e in dved}
+            {_dv_path(path, e) for e in dved}
         )
         dv = (
             spark.read.parquet(*sidecars)
@@ -2481,7 +2495,7 @@ def _read_entries_with_ids(
     if dved:
         names = [e["name"] for e in dved]
         sidecars = sorted(
-            {_sidecar_path(path, e, e["dv"]["file"]) for e in dved}
+            {_dv_path(path, e) for e in dved}
         )
         dv = (
             spark.read.parquet(*sidecars)
@@ -3007,7 +3021,7 @@ def _read_entries_pos(
     dved = [e for e in entries if e.get("dv")]
     if dved:
         sidecars = sorted(
-            {_sidecar_path(path, e, e["dv"]["file"]) for e in dved}
+            {_dv_path(path, e) for e in dved}
         )
         dv = (
             spark.read.parquet(*sidecars)
@@ -3098,7 +3112,7 @@ def _delete_mor(
         if old_dved:
             old_sidecars = sorted(
                 {
-                    _sidecar_path(path, e, e["dv"]["file"])
+                    _dv_path(path, e)
                     for e in old_dved
                 }
             )
@@ -3136,6 +3150,13 @@ def _delete_mor(
             else:
                 e2 = {k: v for k, v in e.items() if k != "dv"}
                 e2["dv"] = {"file": sidecar, "rows": t}
+                # the sidecar landed in THIS table's dir; a borrowed
+                # entry's data bytes live elsewhere, so the dv record
+                # must carry its own resolution dir (_dv_path)
+                if e2.get("base") and os.path.abspath(
+                    e2["base"]
+                ) != os.path.abspath(path):
+                    e2["dv"]["base"] = os.path.abspath(path)
                 files.append(e2)
                 removes.append(e["name"])
                 adds.append(e2)
@@ -4063,7 +4084,7 @@ def apply_cdc_cow(
                     spark.read.parquet(
                         *sorted(
                             {
-                                _sidecar_path(path, e, e["dv"]["file"])
+                                _dv_path(path, e)
                                 for e in old_dved
                             }
                         )
@@ -5678,7 +5699,7 @@ def verify_snapshot(
             missing.append(bloom["file"])
         dv = e.get("dv")
         if dv:
-            if not f.exists(_sidecar_path(path, e, dv["file"])):
+            if not f.exists(_dv_path(path, e)):
                 missing.append(dv["file"])
                 continue
             if dv["rows"] > e["rows"]:
@@ -5808,6 +5829,12 @@ def snap_clone(
         ce = dict(e)
         ce["base"] = os.path.abspath(e.get("base") or src_abs)
         bases.add(ce["base"])
+        # a dv recorded by a BORROWING table lives in that table's
+        # dir (dv["base"], see _dv_path) — its owner needs a marker
+        # too, or ITS GC could reclaim a sidecar this clone reads
+        dv = e.get("dv")
+        if dv and dv.get("base"):
+            bases.add(os.path.abspath(dv["base"]))
         entries.append(ce)
     # markers BEFORE the commit: GC must never miss a just-born clone
     # (a dangling marker for a never-committed dst is retired by the
@@ -5919,15 +5946,20 @@ def _clone_protected(
                 except (FileNotFoundError, ValueError):
                     continue
                 for e in entries:
-                    if (
-                        os.path.abspath(e.get("base") or dst)
-                        == src_abs
-                    ):
+                    ebase = os.path.abspath(e.get("base") or dst)
+                    if ebase == src_abs:
                         refs.add(e["name"])
-                        if e.get("dv"):
-                            refs.add(e["dv"]["file"])
                         if e.get("bloom"):
                             refs.add(e["bloom"]["file"])
+                    # the dv sidecar may live in a DIFFERENT table's
+                    # dir than the data bytes (_dv_path): protect it
+                    # in whichever table owns it
+                    dv = e.get("dv")
+                    if dv and (
+                        os.path.abspath(dv.get("base") or ebase)
+                        == src_abs
+                    ):
+                        refs.add(dv["file"])
         if refs:
             protected |= refs
         elif retire:
@@ -6554,7 +6586,7 @@ def snap_restore(
         if not f.exists(_entry_path(path, e)):
             missing.append(e["name"])
         dv = e.get("dv")
-        if dv and not f.exists(_sidecar_path(path, e, dv["file"])):
+        if dv and not f.exists(_dv_path(path, e)):
             missing.append(dv["file"])
     if missing:
         raise FileNotFoundError(

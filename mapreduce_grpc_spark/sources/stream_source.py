@@ -576,7 +576,11 @@ class _SnapshotCDFStreamReader(_SnapshotStreamReader):
                 out.append(
                     (
                         os.path.join(base, e["name"]),
-                        os.path.join(base, dv["file"]) if dv else None,
+                        # a dv recorded by a borrowing table carries
+                        # its own dir — see snapshots._dv_path
+                        os.path.join(dv.get("base") or base, dv["file"])
+                        if dv
+                        else None,
                         rid,
                     )
                 )

@@ -4185,6 +4185,54 @@ def test_source_gc_protects_clone_references(spark, tmp_path):
     assert os.listdir(os.path.join(src, "_clones")) == []
 
 
+def test_mor_delete_on_clone_borrowed_entries(spark, tmp_path):
+    """A MoR delete on a clone writes its DV sidecar into the CLONE's
+    dir while the borrowed entry's data bytes stay in the source — the
+    dv record must carry its own resolution dir (``_dv_path``) or the
+    clone becomes unreadable (the read resolves the sidecar against
+    the source dir, PATH_NOT_FOUND).  Covers read-back, sidecar
+    carry-forward on a second delete, fsck, both tables' GC, and a
+    clone-of-clone protecting the middle table's sidecar."""
+    from mapreduce_grpc_spark.sources.snapshots import (
+        delete_where_mor,
+        snap_clone,
+        verify_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    c2 = str(tmp_path / "c2")
+    _mk_table(spark, src, n=100, n_files=2)
+    snap_clone(src, dst)
+    r = delete_where_mor(spark, dst, [("k", "<", 10)])
+    assert r["deleted"] == 10
+    m = read_manifest(dst)
+    dved = [e for e in m["files"] if e.get("dv")]
+    assert dved and all(
+        os.path.abspath(e["dv"]["base"]) == os.path.abspath(dst)
+        for e in dved
+    ), "borrowed entry's dv must record the clone dir as its base"
+    assert snap_read(spark, dst).count() == 90
+    # second MoR delete carries the old positions into ONE new sidecar
+    delete_where_mor(spark, dst, [("k", ">=", 95)])
+    assert snap_read(spark, dst).count() == 85
+    v = verify_snapshot(dst)
+    assert v["missing"] == [] and v["rows"] == 100
+    # neither table's GC may break the clone's read
+    expire_snapshots(src, keep_last=1, orphan_grace_seconds=0)
+    expire_snapshots(dst, keep_last=1, orphan_grace_seconds=0)
+    assert snap_read(spark, dst).count() == 85
+    # clone-of-clone: data resolves to src, the dv to dst — dst gets
+    # a marker so ITS GC protects the sidecar the grandchild reads
+    snap_clone(dst, c2)
+    assert snap_read(spark, c2).count() == 85
+    assert len(os.listdir(os.path.join(dst, "_clones"))) == 1
+    expire_snapshots(dst, keep_last=1, orphan_grace_seconds=0)
+    assert snap_read(spark, c2).count() == 85
+    # source delete state is untouched throughout
+    assert snap_read(spark, src).count() == 100
+
+
 def test_table_changes_timestamp_bounds(spark, tmp_path):
     """CDF timestamp forms: from_timestamp means every change
     at-or-after the instant (exclusive floor = the version strictly
