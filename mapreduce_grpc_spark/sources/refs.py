@@ -1,0 +1,542 @@
+"""Named refs over snapshot tables: TAGS, BRANCHES, and zero-copy
+PUBLISH — the Iceberg ref model (tags/branches) plus the
+write-audit-publish (WAP) pattern, built on machinery the table layer
+already has.
+
+Why this exists at 100 TB: a pipeline that ingests straight into the
+table its consumers read has no audit gate — a bad batch is visible
+the instant it commits.  The WAP shape fixes that with ZERO data
+movement: write to a **branch** (an isolated, fully mutable lineage
+that shares the table's bytes), run audits against the branch, then
+**publish** — one manifest commit on main that adopts the branch's
+files by reference.  A 10 TB branch publish moves no data; a failed
+audit costs main nothing.
+
+Design (each piece reuses an existing invariant):
+
+- A **tag** is an immutable named pointer to a committed version —
+  one create-exclusive JSON under ``_refs/`` (the commit-claim
+  primitive, so two racing creators of the same name cannot both
+  win).  GC integration: ``expire_snapshots`` pins tagged versions
+  outside ``keep_last`` and writes each its own retention checkpoint,
+  so a tag keeps its version readable indefinitely (the Iceberg
+  tag-retention contract).
+
+- A **branch** is a SHALLOW CLONE living inside the table at
+  ``_branches/<name>`` — so every existing mutator (append, CoW
+  merge, MoR delete, OPTIMIZE, DDL) works on a branch unchanged, via
+  ``snap_branch_path``.  Clone markers under the parent's
+  ``_clones/`` make the parent's GC protect every file the branch
+  still references (nothing new to build); the branch runs its own
+  ``expire_snapshots`` for its private files.
+
+- **Publish** (``snap_publish_branch``) folds the branch's state back
+  into main as ONE optimistic-concurrency commit:
+
+  * **fast-forward** — main hasn't moved past the fork point: main
+    adopts the branch head verbatim.  Branch-born files are carried
+    by reference (entry ``base`` = the branch dir, the shallow-clone
+    mechanism in reverse), files main already owned are restored from
+    the fork manifest so their row IDs and DV state stay main's, and
+    branch DDL (schema evolution, new constraints) publishes with the
+    data.  CDF sees the branch's NET change as one commit — squash
+    semantics, exactly Iceberg's fast-forward.
+  * **rebase** — main moved, but the branch only APPENDED files and
+    neither side changed table metadata: the branch's new files are
+    appended onto main's current state.  Refused on row-tracked or
+    identity tables (both sides allocated from the same fork
+    watermark — publishing would collide ids), and refused when the
+    branch rewrote or deleted shared files (the user must re-branch
+    and replay).
+
+  Before committing, publish registers main as a clone of the BRANCH
+  (a ``_clones`` marker inside the branch dir), so the branch's own
+  GC — and ``snap_drop_branch`` — can never reclaim bytes main now
+  reads.  Dropped-branch remnants whose files main still references
+  are swept incrementally by main's ``expire_snapshots`` as its
+  retention lets go of them.
+
+The reference has no refs/branching story at all — its tables are
+write-once text buckets (/root/reference/src/worker.cc); this module
+is north-star table-layer surface, shaped after the PUBLIC Iceberg
+ref spec and Delta's CLONE semantics, implemented on this engine's
+own commit protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+
+from .snapshots import (
+    _BRANCHES_DIR,
+    _CLONES_DIR,
+    _REFS_DIR,
+    COMMIT_RETRIES,
+    CommitConflict,
+    LocalSnapshotFS,
+    _clone_protected,
+    _commit,
+    _current_path,
+    _fs,
+    _manifest_path,
+    _tagged_versions,
+    current_version,
+    read_manifest,
+    snap_clone,
+    version_at_timestamp,
+)
+
+_REF_NAME = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+# table metadata that publish treats as "DDL state": fast-forward
+# carries the branch's, rebase requires NEITHER side changed it
+_META_KEYS = (
+    "schema",
+    "constraints",
+    "column_mapping",
+    "partition_spec",
+    "partition_field_seq",
+    "defaults",
+    "generated",
+    "clustering",
+    "identity",
+    "row_tracking",
+)
+
+# manifest keys _commit carries forward (its carry loop) — publish
+# hands it the branch head's values, with clone_of restored to main's
+_CARRY_KEYS = (
+    "constraints",
+    "column_mapping",
+    "partition_spec",
+    "partition_field_seq",
+    "defaults",
+    "row_tracking",
+    "clustering",
+    "generated",
+    "identity",
+    "features",
+    "writer_features",
+    "next_row_id",
+)
+
+
+class PublishConflict(RuntimeError):
+    """Publish could not fold the branch into main — main diverged in
+    a way fast-forward/rebase cannot reconcile.  Re-branch from
+    CURRENT and replay the change."""
+
+
+def _check_ref_name(name: str) -> str:
+    if not isinstance(name, str) or not _REF_NAME.match(name):
+        raise ValueError(
+            f"ref name {name!r} is invalid: use 1-64 chars of "
+            "[A-Za-z0-9._-], starting alphanumeric"
+        )
+    return name
+
+
+def _tag_path(path: str, name: str) -> str:
+    return os.path.join(path, _REFS_DIR, f"tag-{name}.json")
+
+
+def snap_branch_path(path: str, name: str) -> str:
+    """The branch's table dir — hand it to ANY existing operation
+    (``snap_append``, ``merge_upsert_cow``, ``optimize_snapshot``,
+    ``snap_add_column``, streams, ...) to mutate the branch."""
+    return os.path.join(path, _BRANCHES_DIR, _check_ref_name(name))
+
+
+def _branch_exists(f: LocalSnapshotFS, path: str, name: str) -> bool:
+    return f.exists(_current_path(os.path.join(path, _BRANCHES_DIR, name)))
+
+
+def snap_create_tag(
+    path: str,
+    name: str,
+    version: int | None = None,
+    timestamp=None,
+    fs: LocalSnapshotFS | None = None,
+) -> int:
+    """Pin ``version`` (default CURRENT; or resolve ``timestamp``)
+    under an immutable name.  The tagged version survives
+    ``expire_snapshots`` regardless of ``keep_last`` until the tag is
+    dropped.  Returns the pinned version."""
+    _check_ref_name(name)
+    f = _fs(fs)
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("snap_create_tag: pass version OR timestamp")
+        version = version_at_timestamp(path, timestamp, fs)
+    m = read_manifest(path, version, fs)  # validates readability
+    if _branch_exists(f, path, name):
+        raise ValueError(
+            f"ref {name!r} already names a branch at {path!r}"
+        )
+    rec = json.dumps(
+        {
+            "name": name,
+            "version": m["version"],
+            "uid": m.get("uid"),
+            "ts": time.time(),
+        }
+    )
+    f.makedirs(os.path.join(path, _REFS_DIR))
+    try:
+        f.create_exclusive(_tag_path(path, name), rec)
+    except (CommitConflict, FileExistsError):
+        raise ValueError(
+            f"tag {name!r} already exists at {path!r} — tags are "
+            "immutable; drop it first to retarget"
+        ) from None
+    return m["version"]
+
+
+def snap_drop_tag(
+    path: str, name: str, fs: LocalSnapshotFS | None = None
+) -> None:
+    _check_ref_name(name)
+    f = _fs(fs)
+    tp = _tag_path(path, name)
+    if not f.exists(tp):
+        raise ValueError(f"no tag {name!r} at {path!r}")
+    f.remove(tp)
+
+
+def snap_create_branch(
+    path: str,
+    name: str,
+    version: int | None = None,
+    timestamp=None,
+    fs: LocalSnapshotFS | None = None,
+) -> str:
+    """Fork a writable branch from ``version`` (default CURRENT).
+    Zero-copy: the branch is a shallow clone under
+    ``_branches/<name>`` sharing the table's bytes; the parent's GC
+    protects whatever the branch references (clone markers).  Returns
+    the branch's table dir (``snap_branch_path``)."""
+    f = _fs(fs)
+    bdir = snap_branch_path(path, name)  # validates the name
+    if f.exists(_tag_path(path, name)):
+        raise ValueError(f"ref {name!r} already names a tag at {path!r}")
+    if f.exists(_current_path(bdir)):
+        raise ValueError(f"branch {name!r} already exists at {path!r}")
+    snap_clone(path, bdir, version=version, timestamp=timestamp, fs=fs)
+    return bdir
+
+
+def resolve_ref(
+    path: str, ref: str, fs: LocalSnapshotFS | None = None
+) -> tuple[str, object]:
+    """``("branch", branch_dir)`` or ``("tag", version)``."""
+    _check_ref_name(ref)
+    f = _fs(fs)
+    bdir = os.path.join(path, _BRANCHES_DIR, ref)
+    if f.exists(_current_path(bdir)):
+        return ("branch", bdir)
+    tp = _tag_path(path, ref)
+    if f.exists(tp):
+        return ("tag", int(json.loads(f.read_text(tp))["version"]))
+    raise ValueError(f"unknown ref {ref!r} at {path!r}")
+
+
+def snap_list_refs(
+    path: str, fs: LocalSnapshotFS | None = None
+) -> list[dict]:
+    """Every named ref: tags (name, pinned version) and branches
+    (name, head version, fork version), sorted by name."""
+    f = _fs(fs)
+    out: list[dict] = []
+    for name, v in _tagged_versions(path, f).items():
+        out.append({"name": name, "type": "tag", "version": v})
+    broot = os.path.join(path, _BRANCHES_DIR)
+    if f.exists(broot):
+        for name in f.listdir(broot):
+            bd = os.path.join(broot, name)
+            if not f.exists(_current_path(bd)):
+                continue  # dropped-branch remnant, not a ref
+            try:
+                bm = read_manifest(bd, None, fs)
+            except (FileNotFoundError, ValueError):
+                continue
+            out.append(
+                {
+                    "name": name,
+                    "type": "branch",
+                    "version": bm["version"],
+                    "fork_version": (bm.get("clone_of") or {}).get(
+                        "version"
+                    ),
+                }
+            )
+    return sorted(out, key=lambda r: (r["name"], r["type"]))
+
+
+def _strip_ids(e: dict) -> dict:
+    """Entry content minus lineage-local row-id assignment — the clone
+    re-numbered borrowed entries against ITS watermark, so equality
+    across lineages must ignore ``row_id_base``."""
+    return {k: v for k, v in e.items() if k != "row_id_base"}
+
+
+def snap_publish_branch(
+    path: str,
+    name: str,
+    fs: LocalSnapshotFS | None = None,
+) -> dict:
+    """Fold branch ``name`` into main as one commit (the WAP publish).
+
+    Fast-forward when main is still at the fork point; append-only
+    rebase when main moved but the branch only added files and
+    neither side changed metadata (refused on row-tracked/identity
+    tables — concurrent watermark allocation would collide ids).
+    Raises ``PublishConflict`` otherwise.  Zero data movement either
+    way: branch-born files are adopted by reference.
+
+    Returns ``{"version", "mode", "adds", "removes"}``."""
+    f = _fs(fs)
+    bdir = snap_branch_path(path, name)
+    if not f.exists(_current_path(bdir)):
+        raise ValueError(f"no branch {name!r} at {path!r}")
+    bm = read_manifest(bdir, None, fs)
+    clone_of = bm.get("clone_of") or {}
+    main_abs = os.path.abspath(path)
+    bdir_abs = os.path.abspath(bdir)
+    if os.path.abspath(clone_of.get("path") or "") != main_abs:
+        raise ValueError(
+            f"branch {name!r} does not fork from {path!r} "
+            f"(clone_of={clone_of!r})"
+        )
+    fork = int(clone_of["version"])
+    try:
+        fork_m = read_manifest(path, fork, fs)
+    except FileNotFoundError:
+        raise PublishConflict(
+            f"fork version v{fork} of {path!r} was expired — publish "
+            "cannot prove what the branch changed; re-branch from "
+            "CURRENT and replay (tag fork points or raise keep_last "
+            "to prevent this)"
+        ) from None
+    fork_by_name = {e["name"]: e for e in fork_m["files"]}
+
+    # normalize the branch head's entries into main's frame: files
+    # main already owned come home verbatim (ids/DV state stay
+    # main's unless the branch changed the file), branch-born files
+    # are adopted by reference
+    head_entries: list[dict] = []
+    branch_changed_shared = False
+    for e in bm["files"]:
+        b = e.get("base")
+        eabs = os.path.abspath(b) if b else bdir_abs
+        ne = dict(e)
+        if eabs == main_abs:
+            ne.pop("base", None)
+            fe = fork_by_name.get(ne["name"])
+            if fe is not None and _strip_ids(ne) == _strip_ids(fe):
+                ne = fe  # untouched: main's own entry, main's ids
+            else:
+                branch_changed_shared = True
+                if fe is not None and "row_id_base" in fe and not ne.get(
+                    "row_id_col"
+                ):
+                    # same bytes, branch-local dv/state change: row
+                    # identity follows the physical file — keep main's
+                    ne["row_id_base"] = fe["row_id_base"]
+        elif not b:
+            ne["base"] = bdir_abs
+        head_entries.append(ne)
+    head_names = {e["name"] for e in head_entries}
+    removed_from_fork = [
+        n for n in fork_by_name if n not in head_names
+    ]
+
+    carry = {k: bm[k] for k in _CARRY_KEYS if bm.get(k)}
+    # main is not a clone of its own branch; restore main's own
+    # provenance (it may itself be a clone of another table)
+    if fork_m.get("clone_of"):
+        carry["clone_of"] = fork_m["clone_of"]
+
+    # the marker lands BEFORE the commit (the snap_clone rule): once
+    # main references branch bytes, the branch's GC must already know
+    rec = json.dumps(
+        {"dst": main_abs, "src_version": bm["version"], "ts": time.time()}
+    )
+    cdir = os.path.join(bdir, _CLONES_DIR)
+    f.makedirs(cdir)
+    f.create_exclusive(
+        os.path.join(cdir, f"clone-{uuid.uuid4().hex[:12]}.json"), rec
+    )
+
+    last_err: Exception | None = None
+    for _attempt in range(COMMIT_RETRIES):
+        cur = current_version(path, fs)
+        if cur == fork:
+            # -------- fast-forward: adopt the branch head verbatim
+            adds = [
+                e
+                for e in head_entries
+                if fork_by_name.get(e["name"]) != e
+            ]
+            removes = removed_from_fork + [
+                e["name"]
+                for e in adds
+                if e["name"] in fork_by_name
+            ]
+            txns = dict(fork_m.get("txns") or {})
+            for app, batch in (bm.get("txns") or {}).items():
+                txns[app] = max(
+                    int(batch), int(txns.get(app, int(batch)))
+                )
+            try:
+                v = _commit(
+                    path,
+                    head_entries,
+                    bm["stats_cols"],
+                    base_version=cur,
+                    schema_json=bm.get("schema"),
+                    txns=txns,
+                    commit_info={
+                        "op": "publish_branch",
+                        "branch": name,
+                        "branch_version": bm["version"],
+                        "mode": "fast_forward",
+                    },
+                    fs=fs,
+                    carry=carry,
+                    adds=adds,
+                    removes=removes,
+                    keep_row_ids=True,
+                )
+            except CommitConflict as err:
+                last_err = err
+                continue
+            return {
+                "version": v,
+                "mode": "fast_forward",
+                "adds": len(adds),
+                "removes": len(removes),
+            }
+
+        # -------- main moved: append-only rebase or conflict
+        if bm.get("row_tracking") or bm.get("identity"):
+            raise PublishConflict(
+                f"main advanced past the fork (v{fork} -> v{cur}) and "
+                f"the table tracks row ids/identity — both lineages "
+                "allocated from the same watermark, so a rebase would "
+                "collide ids; re-branch from CURRENT and replay"
+            )
+        if branch_changed_shared or removed_from_fork:
+            raise PublishConflict(
+                f"main advanced past the fork (v{fork} -> v{cur}) and "
+                f"branch {name!r} rewrote or removed shared files — "
+                "fast-forward is impossible and a rebase could lose "
+                "main's concurrent changes; re-branch and replay"
+            )
+        mcur = read_manifest(path, None, fs)
+        for k in _META_KEYS:
+            if (bm.get(k) or None) != (fork_m.get(k) or None):
+                raise PublishConflict(
+                    f"branch {name!r} changed table metadata ({k}) "
+                    "and main moved — DDL publishes only by "
+                    "fast-forward; re-branch and replay"
+                )
+            if (mcur.get(k) or None) != (fork_m.get(k) or None):
+                raise PublishConflict(
+                    f"main changed table metadata ({k}) after the "
+                    f"fork — the branch's files were never validated "
+                    "against it; re-branch and replay"
+                )
+        new_entries = [
+            e for e in head_entries if e["name"] not in fork_by_name
+        ]
+        files = list(mcur["files"]) + new_entries
+        txns = dict(mcur.get("txns") or {})
+        for app, batch in (bm.get("txns") or {}).items():
+            txns[app] = max(int(batch), int(txns.get(app, int(batch))))
+        try:
+            v = _commit(
+                path,
+                files,
+                mcur["stats_cols"],
+                base_version=mcur["version"],
+                schema_json=mcur.get("schema"),
+                txns=txns,
+                commit_info={
+                    "op": "publish_branch",
+                    "branch": name,
+                    "branch_version": bm["version"],
+                    "mode": "rebase",
+                },
+                fs=fs,
+                carry=mcur,
+                adds=new_entries,
+                removes=[],
+            )
+        except CommitConflict as err:
+            last_err = err
+            continue
+        return {
+            "version": v,
+            "mode": "rebase",
+            "adds": len(new_entries),
+            "removes": 0,
+        }
+    raise CommitConflict(
+        f"snap_publish_branch: lost the commit race {COMMIT_RETRIES} "
+        f"times at {path!r}"
+    ) from last_err
+
+
+def snap_drop_branch(
+    path: str, name: str, fs: LocalSnapshotFS | None = None
+) -> list[str]:
+    """Delete branch ``name``: its manifests and every private file
+    no OTHER table still reads.  Files main (or a clone) adopted via
+    publish are kept in place — main's ``expire_snapshots`` sweeps
+    them once its own retention lets go.  Unpublished branch work is
+    discarded by design (that is the audit gate's failure arm).
+    Returns the deleted names."""
+    f = _fs(fs)
+    bdir = snap_branch_path(path, name)
+    if not f.exists(_current_path(bdir)):
+        raise ValueError(f"no branch {name!r} at {path!r}")
+    nested = os.path.join(bdir, _BRANCHES_DIR)
+    if f.exists(nested):
+        live = [
+            n
+            for n in f.listdir(nested)
+            if f.exists(_current_path(os.path.join(nested, n)))
+        ]
+        if live:
+            raise ValueError(
+                f"branch {name!r} has live sub-branches {live!r}; "
+                "drop them first"
+            )
+    protected = _clone_protected(bdir, f, fs, retire=True)
+    deleted: list[str] = []
+    # manifests first: the branch stops resolving (and stops being a
+    # ref) even if a later deletion fails midway
+    f.rmtree(os.path.join(bdir, "_manifests"))
+    deleted.append("_manifests")
+    for n in f.listdir(bdir):
+        full = os.path.join(bdir, n)
+        if n.startswith("_stage-"):
+            f.rmtree(full)
+            deleted.append(n)
+            continue
+        if not (
+            (n.startswith(("data-", "dv-")) and n.endswith(".parquet"))
+            or (n.startswith("bloom-") and n.endswith(".json"))
+        ):
+            continue
+        if n in protected:
+            continue
+        f.remove(full)
+        deleted.append(n)
+    if not protected:
+        f.rmtree(bdir)
+    return deleted

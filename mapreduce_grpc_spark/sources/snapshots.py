@@ -113,6 +113,10 @@ _MANIFEST_DIR = "_manifests"
 # shallow-clone markers INSIDE the source table dir (``snap_clone``):
 # the source's GC discovers its clones here with no global catalog
 _CLONES_DIR = "_clones"
+# named refs (sources/refs.py): immutable tags live as files under
+# ``_refs/``; writable branches are full tables under ``_branches/``
+_REFS_DIR = "_refs"
+_BRANCHES_DIR = "_branches"
 
 # retries for a mutator that loses the commit race (each retry re-reads
 # the winner's manifest and re-derives the change from current state)
@@ -2631,6 +2635,7 @@ def snap_read(
     fs: LocalSnapshotFS | None = None,
     timestamp=None,
     with_row_ids: bool = False,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read the table at a committed version (default: CURRENT).
 
@@ -2651,7 +2656,23 @@ def snap_read(
     ``timestamp`` (exclusive with ``version``) time-travels by commit
     time instead of version number — epoch seconds, ``datetime``
     (naive = UTC), or ISO-8601 string (``version_at_timestamp`` has
-    the resolution rules)."""
+    the resolution rules).
+
+    ``ref`` reads a NAMED ref (``sources/refs.py``): a tag resolves to
+    its pinned version, a branch to the branch table's CURRENT."""
+    if ref is not None:
+        from .refs import resolve_ref
+
+        if version is not None or timestamp is not None:
+            raise ValueError(
+                "snap_read: pass ref OR version/timestamp, not both"
+            )
+        kind, val = resolve_ref(path, ref, fs)
+        if kind == "branch":
+            return snap_read(
+                spark, val, None, fs, None, with_row_ids
+            )
+        version = val
     if timestamp is not None:
         if version is not None:
             raise ValueError(
@@ -2922,6 +2943,7 @@ def snap_scan(
     version: int | None = None,
     fs: LocalSnapshotFS | None = None,
     planner: str = "auto",
+    ref: str | None = None,
 ) -> DataFrame:
     """Predicate-pruned read of a snapshot table: files whose manifest
     statistics cannot satisfy the conjunction of ``predicates`` are
@@ -2950,7 +2972,21 @@ def snap_scan(
     default: distributed exactly when a multi-part checkpoint exists
     and no reconstruction is cached, i.e. when the listing is ≥ ~50k
     entries and cold — the regime where the driver loop is the
-    planner's bottleneck)."""
+    planner's bottleneck).
+
+    ``ref`` scans a NAMED ref (``sources/refs.py``): a tag resolves
+    to its pinned version, a branch to the branch table's CURRENT."""
+    if ref is not None:
+        from .refs import resolve_ref
+
+        if version is not None:
+            raise ValueError(
+                "snap_scan: pass ref OR version, not both"
+            )
+        kind, val = resolve_ref(path, ref, fs)
+        if kind == "branch":
+            return snap_scan(spark, val, predicates, None, fs, planner)
+        version = val
     if planner != "driver":
         from .plan_distributed import plan_scan_entries
 
@@ -5967,6 +6003,25 @@ def _clone_protected(
     return protected
 
 
+def _tagged_versions(path: str, f: LocalSnapshotFS) -> dict[str, int]:
+    """Tag name -> pinned version, from ``_refs/tag-*.json``
+    (``sources/refs.py``).  Unreadable markers are skipped — a tag
+    protects history only while its record parses."""
+    rdir = os.path.join(path, _REFS_DIR)
+    if not f.exists(rdir):
+        return {}
+    out: dict[str, int] = {}
+    for name in f.listdir(rdir):
+        if not (name.startswith("tag-") and name.endswith(".json")):
+            continue
+        try:
+            rec = json.loads(f.read_text(os.path.join(rdir, name)))
+            out[name[4:-5]] = int(rec["version"])
+        except (ValueError, KeyError, FileNotFoundError):
+            continue
+    return out
+
+
 def expire_snapshots(
     path: str,
     keep_last: int = 1,
@@ -5997,6 +6052,15 @@ def expire_snapshots(
         return []
     keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
     v_min = min(keep_versions)
+    # a TAG pins its version outside the keep_last window (sources/
+    # refs.py): its manifest, checkpoint, and files all survive GC
+    # until the tag is dropped — the Iceberg tag-retention contract
+    tagged = {
+        v
+        for v in _tagged_versions(path, f).values()
+        if f.exists(_manifest_path(path, v))
+    }
+    keep_versions |= tagged
     live: set[str] = set()
     referenced: set[str] = set()
     all_versions: list[int] = []
@@ -6023,17 +6087,25 @@ def expire_snapshots(
     # reconstruction path of the retained versions (permanent table
     # loss); aborting here leaves the table fully intact.
     if any(v < v_min for v in all_versions) and not dry_run:
-        _maybe_checkpoint(
-            f, path, v_min, read_manifest(path, v_min, fs)["files"],
-            force=True,
-        )
-        if not f.exists(_ckpt_path(path, v_min)):
-            raise RuntimeError(
-                f"expire_snapshots: retention-floor checkpoint "
-                f"{_ckpt_path(path, v_min)!r} is missing after a forced "
-                "write; aborting GC — deleting the delta chain without "
-                "it would make every retained version unreconstructable"
+        # every retained version below the contiguous floor (tags)
+        # needs its OWN checkpoint: the delta chain beneath AND
+        # between tagged versions is about to be deleted, so each
+        # must become reconstructible standalone (_find_checkpoint
+        # picks the exact-version checkpoint, replaying zero deltas)
+        for v_keep in sorted(v for v in tagged if v < v_min) + [v_min]:
+            _maybe_checkpoint(
+                f, path, v_keep,
+                read_manifest(path, v_keep, fs)["files"],
+                force=True,
             )
+            if not f.exists(_ckpt_path(path, v_keep)):
+                raise RuntimeError(
+                    f"expire_snapshots: retention checkpoint "
+                    f"{_ckpt_path(path, v_keep)!r} is missing after a "
+                    "forced write; aborting GC — deleting the delta "
+                    "chain without it would make the retained version "
+                    "unreconstructable"
+                )
     now = time.time()
     deleted = []
     for name in f.listdir(path):
@@ -6076,10 +6148,52 @@ def expire_snapshots(
                 v = int(name[len("checkpoint-v"):].split(".", 1)[0])
             except ValueError:
                 continue
-            if v < v_min:
+            if v < v_min and v not in keep_versions:
                 if not dry_run:
                     f.remove(os.path.join(path, _MANIFEST_DIR, name))
                 deleted.append(name)
+    # dropped-branch remnants (sources/refs.py): a branch dir whose
+    # manifests are gone but whose data files main still references
+    # (zero-copy publish) lingers until main's own retention lets go;
+    # each GC pass here reclaims whatever became unreferenced since
+    broot = os.path.join(path, _BRANCHES_DIR)
+    if f.exists(broot):
+        for bname in f.listdir(broot):
+            bd = os.path.join(broot, bname)
+            if f.exists(_current_path(bd)):
+                continue  # live branch: it runs its own GC
+            protected = _clone_protected(bd, f, fs, retire=not dry_run)
+            rel = f"{_BRANCHES_DIR}/{bname}"
+            empty = True
+            for n in f.listdir(bd):
+                full = os.path.join(bd, n)
+                if n.startswith("_stage-"):
+                    if now - f.getmtime(full) >= orphan_grace_seconds:
+                        if not dry_run:
+                            f.rmtree(full)
+                        deleted.append(f"{rel}/{n}")
+                    else:
+                        empty = False
+                    continue
+                if not (
+                    (
+                        n.startswith(("data-", "dv-"))
+                        and n.endswith(".parquet")
+                    )
+                    or (n.startswith("bloom-") and n.endswith(".json"))
+                ):
+                    continue
+                if n in protected:
+                    empty = False
+                    continue
+                if now - f.getmtime(full) >= orphan_grace_seconds:
+                    if not dry_run:
+                        f.remove(full)
+                    deleted.append(f"{rel}/{n}")
+                else:
+                    empty = False
+            if empty and not protected and not dry_run:
+                f.rmtree(bd)
     return deleted
 
 

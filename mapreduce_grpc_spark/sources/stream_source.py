@@ -1085,7 +1085,28 @@ class SnapshotTableStreamSource(DataSource):
         p = self.options.get("path")
         if not p:
             raise ValueError("snapshot_table source requires .option('path', ...)")
+        kind, val = self._ref()
+        if kind == "branch":
+            return val  # the branch's own table dir (sources/refs.py)
         return p
+
+    def _ref(self) -> tuple[str | None, object]:
+        """Resolve the ``ref`` option ONCE per DataSource instance
+        (same caching rule as timestampAsOf: plan-time calls must all
+        see one resolution even if the ref is retargeted mid-plan).
+        ``(None, None)`` without the option; else ``("branch", dir)``
+        or ``("tag", version)``."""
+        ref = self.options.get("ref")
+        if not ref:
+            return (None, None)
+        cached = getattr(self, "_ref_resolved", None)
+        if cached is None:
+            from .refs import resolve_ref
+
+            p = self.options.get("path")
+            cached = resolve_ref(p, ref, self._fs())
+            self._ref_resolved = cached
+        return cached
 
     def _fs(self):
         from .snapshots import load_fs
@@ -1105,6 +1126,14 @@ class SnapshotTableStreamSource(DataSource):
     def _version_as_of(self) -> int | None:
         v = self.options.get("versionasof")
         t = self.options.get("timestampasof")
+        kind, val = self._ref()
+        if kind == "tag":
+            if v is not None or t is not None:
+                raise ValueError(
+                    "snapshot_table: a tag ref already pins a version"
+                    " — drop versionAsOf/timestampAsOf"
+                )
+            return int(val)
         if t is not None:
             # Delta-style timestamp time travel (epoch seconds or ISO
             # string; snapshots.version_at_timestamp has the rules).
@@ -1355,6 +1384,11 @@ class SnapshotTableStreamSource(DataSource):
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):
+        if self._ref()[0] == "tag":
+            raise ValueError(
+                "cannot write to a TAG ref (immutable pointer) — "
+                "write to a branch or to the table itself"
+            )
         if overwrite:
             raise ValueError(
                 "snapshot_table sink is append-only (one append commit "
@@ -1399,6 +1433,11 @@ class SnapshotTableStreamSource(DataSource):
         )
 
     def writer(self, schema: StructType, overwrite: bool):
+        if self._ref()[0] == "tag":
+            raise ValueError(
+                "cannot write to a TAG ref (immutable pointer) — "
+                "write to a branch or to the table itself"
+            )
         from .batch_source import SnapshotBatchWriter
 
         raw = self.options.get("statscols", "")

@@ -1,0 +1,442 @@
+"""Named refs: tags, branches, zero-copy publish (write-audit-publish).
+
+``sources/refs.py`` — the Iceberg ref model on this engine's commit
+protocol: a tag pins a version against GC, a branch is an in-table
+shallow clone every existing mutator works on, and publish folds the
+branch back into main as ONE optimistic commit with no data movement
+(fast-forward, or append-only rebase when main moved).  Runs under
+BOTH commit-protocol FS backends.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mapreduce_grpc_spark.sources.refs import (
+    PublishConflict,
+    resolve_ref,
+    snap_branch_path,
+    snap_create_branch,
+    snap_create_tag,
+    snap_drop_branch,
+    snap_drop_tag,
+    snap_list_refs,
+    snap_publish_branch,
+)
+from mapreduce_grpc_spark.sources.snapshots import (
+    current_version,
+    delete_where_mor,
+    expire_snapshots,
+    merge_upsert_cow,
+    read_manifest,
+    snap_add_column,
+    snap_add_constraint,
+    snap_append,
+    snap_enable_row_tracking,
+    snap_init,
+    snap_read,
+    snap_scan,
+    table_changes,
+    verify_snapshot,
+)
+
+pytestmark = pytest.mark.usefixtures("snapshot_fs")
+
+
+def _rng(spark, a, b):
+    return spark.range(a, b).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+
+
+def _mk(spark, path, n=200):
+    snap_init(spark, _rng(spark, 0, n // 2), path, stats_cols=["k"])
+    snap_append(spark, path, _rng(spark, n // 2, n))
+    return path
+
+
+# --------------------------------------------------------------------- tags
+
+
+def test_tag_pins_resolves_and_drops(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    v = snap_create_tag(t, "rel-1.0")
+    assert v == current_version(t) == 2
+    snap_append(spark, t, _rng(spark, 200, 300))
+    assert snap_read(spark, t, ref="rel-1.0").count() == 200
+    assert snap_read(spark, t).count() == 300
+    assert resolve_ref(t, "rel-1.0") == ("tag", 2)
+    # tags are immutable: re-creating the name is refused
+    with pytest.raises(ValueError, match="immutable"):
+        snap_create_tag(t, "rel-1.0")
+    refs = snap_list_refs(t)
+    assert refs == [{"name": "rel-1.0", "type": "tag", "version": 2}]
+    snap_drop_tag(t, "rel-1.0")
+    with pytest.raises(ValueError, match="unknown ref"):
+        resolve_ref(t, "rel-1.0")
+    with pytest.raises(ValueError, match="no tag"):
+        snap_drop_tag(t, "rel-1.0")
+
+
+def test_tag_names_validated_and_unambiguous(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    for bad in ("", "a/b", "-lead", "x" * 65, "a b"):
+        with pytest.raises(ValueError, match="invalid"):
+            snap_create_tag(t, bad)
+    snap_create_branch(t, "dev")
+    with pytest.raises(ValueError, match="names a branch"):
+        snap_create_tag(t, "dev")
+    snap_create_tag(t, "pin")
+    with pytest.raises(ValueError, match="names a tag"):
+        snap_create_branch(t, "pin")
+
+
+def test_tag_survives_gc_and_release_reclaims(spark, tmp_path):
+    """The retention contract: a tagged version stays readable through
+    aggressive expire_snapshots (its manifest gets its own retention
+    checkpoint once the delta chain below it is deleted); dropping the
+    tag lets the NEXT GC reclaim the version and its files."""
+    t = str(tmp_path / "t")
+    snap_init(spark, _rng(spark, 0, 100), t, stats_cols=["k"])
+    snap_append(spark, t, _rng(spark, 100, 200))
+    snap_create_tag(t, "audit")
+    tagged_files = {e["name"] for e in read_manifest(t, 2)["files"]}
+    # every row rewritten twice -> tagged files leave ALL live versions
+    merge_upsert_cow(
+        spark, t,
+        _rng(spark, 0, 200).withColumn("v", F.lit(99).cast("bigint")), keys=["k"],
+    )
+    snap_append(spark, t, _rng(spark, 200, 300))
+    deleted = expire_snapshots(t, keep_last=1, orphan_grace_seconds=0)
+    assert not (tagged_files & set(deleted)), (
+        "GC deleted files the tag pins"
+    )
+    assert snap_read(spark, t, ref="audit").count() == 200
+    # second pass: the tagged version must reconstruct from its own
+    # checkpoint (the deltas below it are gone now)
+    expire_snapshots(t, keep_last=1, orphan_grace_seconds=0)
+    got = snap_read(spark, t, ref="audit")
+    assert got.count() == 200
+    assert got.filter("v = 99").count() == 0, "tag shows pre-rewrite rows"
+    assert verify_snapshot(t, 2)["missing"] == []
+    snap_drop_tag(t, "audit")
+    deleted2 = expire_snapshots(t, keep_last=1, orphan_grace_seconds=0)
+    assert tagged_files <= set(deleted2), (
+        "dropped tag must stop pinning its files"
+    )
+    with pytest.raises(FileNotFoundError):
+        read_manifest(t, 2)
+
+
+# ----------------------------------------------------------------- branches
+
+
+def test_branch_isolation_both_directions(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    bdir = snap_create_branch(t, "dev")
+    assert bdir == snap_branch_path(t, "dev")
+    assert resolve_ref(t, "dev") == ("branch", bdir)
+    # zero-copy fork: no data files in the branch dir
+    assert not [n for n in os.listdir(bdir) if n.startswith("data-")]
+    snap_append(spark, bdir, _rng(spark, 1000, 1100))
+    snap_append(spark, t, _rng(spark, 2000, 2050))
+    assert snap_read(spark, t, ref="dev").count() == 300
+    assert snap_read(spark, t).count() == 250
+    # snap_scan through the ref prunes like any table
+    assert (
+        snap_scan(spark, t, [("k", ">=", 1000)], ref="dev").count()
+        == 100
+    )
+    # duplicate branch refused
+    with pytest.raises(ValueError, match="already exists"):
+        snap_create_branch(t, "dev")
+    refs = {r["name"]: r for r in snap_list_refs(t)}
+    assert refs["dev"]["type"] == "branch"
+    assert refs["dev"]["fork_version"] == 2
+
+
+def test_parent_gc_protects_live_branch(spark, tmp_path):
+    """Main rewrites everything after the fork; its GC must keep the
+    files the branch still borrows (clone markers), and the branch's
+    own GC never touches main's bytes."""
+    t = _mk(spark, str(tmp_path / "t"))
+    orig = {e["name"] for e in read_manifest(t)["files"]}
+    bdir = snap_create_branch(t, "dev")
+    merge_upsert_cow(
+        spark, t,
+        _rng(spark, 0, 200).withColumn("v", F.lit(42).cast("bigint")), keys=["k"],
+    )
+    deleted = expire_snapshots(t, keep_last=1, orphan_grace_seconds=0)
+    assert not (orig & set(deleted))
+    assert snap_read(spark, t, ref="dev").filter("v = 42").count() == 0
+    expire_snapshots(bdir, keep_last=1, orphan_grace_seconds=0)
+    assert snap_read(spark, t, ref="dev").count() == 200
+    # dropping the unpublished branch removes its dir and, once the
+    # marker retires, frees main's old bytes
+    snap_drop_branch(t, "dev")
+    assert not os.path.exists(bdir)
+    deleted2 = expire_snapshots(t, keep_last=1, orphan_grace_seconds=0)
+    assert orig <= set(deleted2)
+
+
+# ------------------------------------------------------------------ publish
+
+
+def test_publish_fast_forward_zero_copy(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    bdir = snap_create_branch(t, "wk33")
+    snap_append(spark, bdir, _rng(spark, 500, 600))
+    delete_where_mor(spark, bdir, [("k", "<", 10)])
+    main_files_before = sorted(
+        n for n in os.listdir(t) if n.startswith("data-")
+    )
+    cur = current_version(t)
+    r = snap_publish_branch(t, "wk33")
+    assert r["mode"] == "fast_forward" and r["version"] == cur + 1
+    assert snap_read(spark, t).count() == 290
+    # zero-copy: not one data file landed in main's dir
+    assert main_files_before == sorted(
+        n for n in os.listdir(t) if n.startswith("data-")
+    )
+    # branch-born entries resolve into the branch dir by reference
+    m = read_manifest(t)
+    borrowed = [
+        e
+        for e in m["files"]
+        if e.get("base")
+        and os.path.abspath(e["base"]) == os.path.abspath(bdir)
+    ]
+    assert borrowed, "published entries must reference the branch dir"
+    # CDF sees the branch's NET change as one squash commit
+    ch = table_changes(spark, t, ["k"], cur, cur + 1)
+    agg = {
+        row["_change_type"]: row["n"]
+        for row in ch.groupBy("_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert agg == {"insert": 100, "delete": 10}
+    # dropping the published branch keeps the adopted bytes readable
+    snap_drop_branch(t, "wk33")
+    assert snap_read(spark, t).count() == 290
+    assert verify_snapshot(t)["missing"] == []
+
+
+def test_publish_carries_branch_ddl(spark, tmp_path):
+    """WAP for DDL: schema evolution and a new constraint staged on
+    the branch publish with the data (fast-forward carries the branch
+    head's metadata)."""
+    t = _mk(spark, str(tmp_path / "t"))
+    bdir = snap_create_branch(t, "ddl")
+    snap_add_column(bdir, "score", "bigint", default=0)
+    snap_add_constraint(
+        spark, bdir, "score_nonneg", "score >= 0"
+    )
+    snap_append(
+        spark, bdir,
+        _rng(spark, 900, 910).withColumn("score", F.lit(5).cast("bigint")),
+    )
+    snap_publish_branch(t, "ddl")
+    m = read_manifest(t)
+    assert "score" in [
+        f["name"]
+        for f in __import__("json").loads(m["schema"])["fields"]
+    ]
+    assert "score_nonneg" in (m.get("constraints") or {})
+    got = snap_read(spark, t)
+    assert got.filter("score = 5").count() == 10
+    assert got.filter("score IS NULL").count() == 200  # pre-DDL rows
+
+
+def test_publish_rebase_append_only(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    snap_create_branch(t, "b")
+    snap_append(
+        spark, snap_branch_path(t, "b"), _rng(spark, 700, 750)
+    )
+    snap_append(spark, t, _rng(spark, 800, 860))  # main moves
+    r = snap_publish_branch(t, "b")
+    assert r["mode"] == "rebase"
+    assert snap_read(spark, t).count() == 310
+    assert snap_read(spark, t).filter("k >= 800").count() == 60, (
+        "rebase must keep main's concurrent append"
+    )
+
+
+def test_publish_conflicts_are_loud(spark, tmp_path):
+    # branch rewrote shared files + main moved -> conflict
+    t = _mk(spark, str(tmp_path / "t"))
+    snap_create_branch(t, "b1")
+    delete_where_mor(
+        spark, snap_branch_path(t, "b1"), [("k", "=", 5)]
+    )
+    snap_append(spark, t, _rng(spark, 800, 810))
+    with pytest.raises(PublishConflict, match="rewrote or removed"):
+        snap_publish_branch(t, "b1")
+    # main did DDL after the fork -> append-only rebase still refused
+    snap_create_branch(t, "b2")
+    snap_append(
+        spark, snap_branch_path(t, "b2"), _rng(spark, 900, 910)
+    )
+    snap_add_column(t, "extra", "bigint", default=1)
+    with pytest.raises(PublishConflict, match="metadata"):
+        snap_publish_branch(t, "b2")
+    # fork version expired -> publish explains itself
+    snap_create_branch(t, "b3")
+    snap_append(spark, t, _rng(spark, 950, 960))
+    expire_snapshots(t, keep_last=1, orphan_grace_seconds=0)
+    with pytest.raises(PublishConflict, match="expired"):
+        snap_publish_branch(t, "b3")
+
+
+def test_publish_row_tracked_keeps_main_ids(spark, tmp_path):
+    """Row identity across publish: files main already owned keep
+    main's ids verbatim; branch-born appends adopt the branch's
+    (collision-free: the branch watermark started at main's).  A
+    moved main refuses rebase on tracked tables."""
+    t = str(tmp_path / "t")
+    snap_init(spark, _rng(spark, 0, 100), t, stats_cols=["k"])
+    snap_enable_row_tracking(t)
+    snap_append(spark, t, _rng(spark, 100, 200))
+    ids_before = {
+        r["k"]: r["_row_id"]
+        for r in snap_read(spark, t, with_row_ids=True).collect()
+    }
+    snap_create_branch(t, "b")
+    snap_append(
+        spark, snap_branch_path(t, "b"), _rng(spark, 200, 250)
+    )
+    snap_publish_branch(t, "b")
+    after = {
+        r["k"]: r["_row_id"]
+        for r in snap_read(spark, t, with_row_ids=True).collect()
+    }
+    assert all(after[k] == i for k, i in ids_before.items()), (
+        "publish renumbered rows main already owned"
+    )
+    new_ids = [i for k, i in after.items() if k >= 200]
+    assert len(set(new_ids)) == 50
+    assert not (set(new_ids) & set(ids_before.values())), (
+        "branch-born ids collide with main's"
+    )
+    # identity CDF over the publish shows ONLY the branch's net adds
+    ch = table_changes(
+        spark, t, None, current_version(t) - 1, current_version(t)
+    )
+    assert ch.filter("_change_type <> 'insert'").count() == 0
+    assert ch.count() == 50
+    # tracked table + moved main -> rebase refused
+    snap_create_branch(t, "b2")
+    snap_append(
+        spark, snap_branch_path(t, "b2"), _rng(spark, 300, 310)
+    )
+    snap_append(spark, t, _rng(spark, 400, 410))
+    with pytest.raises(PublishConflict, match="watermark"):
+        snap_publish_branch(t, "b2")
+
+
+def test_dropped_published_branch_swept_incrementally(spark, tmp_path):
+    """After publish + drop, the branch dir lingers only as long as
+    main references its bytes: once main rewrites those rows and its
+    retention lets go, main's OWN expire_snapshots reclaims the
+    remnant dir."""
+    t = _mk(spark, str(tmp_path / "t"))
+    bdir = snap_create_branch(t, "b")
+    snap_append(spark, bdir, _rng(spark, 500, 550))
+    snap_publish_branch(t, "b")
+    snap_drop_branch(t, "b")
+    assert os.path.exists(bdir), (
+        "published bytes must survive the drop"
+    )
+    assert snap_read(spark, t).count() == 250
+    # main rewrites everything -> branch bytes leave main's manifests
+    merge_upsert_cow(
+        spark, t,
+        _rng(spark, 0, 550).withColumn("v", F.lit(1).cast("bigint")), keys=["k"],
+    )
+    deleted = expire_snapshots(t, keep_last=1, orphan_grace_seconds=0)
+    assert any(n.startswith("_branches/b/") for n in deleted), (
+        "remnant sweep must reclaim the dropped branch's files"
+    )
+    assert not os.path.exists(bdir)
+    assert snap_read(spark, t).count() == 550
+
+
+# ------------------------------------------------------- reads via the ref
+
+
+def test_ref_reads_and_datasource_option(spark, tmp_path, snapshot_fs):
+    from mapreduce_grpc_spark.sources.stream_source import (
+        SnapshotTableStreamSource,
+    )
+
+    spark.dataSource.register(SnapshotTableStreamSource)
+    t = _mk(spark, str(tmp_path / "t"))
+    snap_create_tag(t, "pin")
+    snap_append(spark, t, _rng(spark, 200, 260))
+    snap_create_branch(t, "dev")
+    snap_append(
+        spark, snap_branch_path(t, "dev"), _rng(spark, 300, 320)
+    )
+    # ref + version are mutually exclusive
+    with pytest.raises(ValueError, match="not both"):
+        snap_read(spark, t, version=1, ref="pin")
+    assert snap_read(spark, t, ref="pin").count() == 200
+    assert snap_read(spark, t, ref="dev").count() == 280
+    ds = (
+        spark.read.format("snapshot_table")
+        .option("path", t)
+        .option("fsImpl", snapshot_fs.spec)
+    )
+    assert ds.option("ref", "pin").load().count() == 200
+    assert ds.option("ref", "dev").load().count() == 280
+    with pytest.raises(Exception, match="pins a version"):
+        ds.option("ref", "pin").option("versionAsOf", "1").load()
+    # writes: branch ok, tag refused
+    _rng(spark, 900, 903).write.format("snapshot_table").option(
+        "path", t
+    ).option("fsImpl", snapshot_fs.spec).option("ref", "dev").mode(
+        "append"
+    ).save()
+    assert snap_read(spark, t, ref="dev").count() == 283
+    assert snap_read(spark, t).count() == 260
+    with pytest.raises(Exception, match="TAG ref"):
+        _rng(spark, 0, 1).write.format("snapshot_table").option(
+            "path", t
+        ).option("fsImpl", snapshot_fs.spec).option(
+            "ref", "pin"
+        ).mode("append").save()
+
+
+# ------------------------------------------------------------- WAP end-to-end
+
+
+def test_write_audit_publish_gate(spark, tmp_path):
+    """The pattern this module exists for: stage a batch on a branch,
+    audit it there, publish only when the audit passes — main never
+    sees the bad intermediate state."""
+    t = _mk(spark, str(tmp_path / "t"))
+    snap_add_constraint(spark, t, "v_small", "v < 7")
+    bdir = snap_create_branch(t, "staging")
+    # the bad batch fails the branch's own constraint (carried by the
+    # fork) — exactly the audit that must NOT run against main
+    from mapreduce_grpc_spark.sources.snapshots import (
+        ConstraintViolation,
+    )
+
+    bad = spark.createDataFrame([(9999, 99)], "k bigint, v bigint")
+    with pytest.raises(ConstraintViolation):
+        snap_append(spark, bdir, bad)
+    # audit query against the staged branch state
+    snap_append(spark, bdir, _rng(spark, 1000, 1050))
+    staged = snap_read(spark, t, ref="staging")
+    assert staged.filter("v >= 7").count() == 0  # audit passes
+    assert snap_read(spark, t).count() == 200  # main untouched so far
+    snap_publish_branch(t, "staging")
+    snap_drop_branch(t, "staging")
+    assert snap_read(spark, t).count() == 250
+    assert verify_snapshot(t)["missing"] == []
