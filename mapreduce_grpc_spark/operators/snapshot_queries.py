@@ -1114,6 +1114,76 @@ WHERE o.o_orderkey % 9 = 0
 """
 
 
+def snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish over named refs (``sources/refs.py``) under
+    the hash comparator: init the table from the NON-urgent ``orders``
+    (the published state), fork a ``staging`` branch (zero-copy,
+    in-table shallow clone), stage the urgent rows on the branch, run
+    an audit fix-up THERE (a merge-on-read delete of low keys — which
+    lands deletion vectors on BORROWED files, the ``_dv_path``
+    ownership case), then fast-forward publish: one commit on main
+    adopting the branch's files by reference, and drop the branch
+    (published bytes survive as a protected remnant).  Main never sees
+    the un-audited intermediate state.  The oracle recomputes the
+    final state from the fixture: all orders minus the audited-out
+    keys.  Money is projected to exact integer cents per row before
+    the sum, so the hashed surface carries no floating aggregate."""
+    from ..sources.refs import (
+        snap_create_branch,
+        snap_drop_branch,
+        snap_publish_branch,
+    )
+    from ..sources.snapshots import delete_where_mor
+
+    tmp = tempfile.mkdtemp(prefix="snap-wap-")
+    path = os.path.join(tmp, "t")
+    try:
+        ords = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        urgent = F.col("o_orderpriority") == "1-URGENT"
+        snap_init(
+            spark,
+            ords.filter(~urgent),
+            path,
+            stats_cols=["o_orderkey"],
+        )
+        bdir = snap_create_branch(path, "staging")
+        snap_append(spark, bdir, ords.filter(urgent))
+        # audit fix-up on the branch: DVs land on borrowed files too
+        delete_where_mor(spark, bdir, [("o_orderkey", "<", 150)])
+        snap_publish_branch(path, "staging")
+        snap_drop_branch(path, "staging")
+        out = (
+            snap_read(spark, path)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("sum_cents"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SNAPSHOT_WAP_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT
+       ) AS sum_cents
+FROM orders
+WHERE o_orderkey >= 150
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "snapshot_timetravel": snapshot_timetravel,
     # rotated IN (round 7, replacing the redundant ngrams text query):
@@ -1168,9 +1238,11 @@ AUX_QUERIES = {
     "streaming_cdf_feed": streaming_cdf_feed,
     "snapshot_generated_cols": snapshot_generated_cols,
     "snapshot_identity_cols": snapshot_identity_cols,
+    "snapshot_wap": snapshot_wap,
 }
 AUX_ORACLES = {
     "snapshot_identity_cols": SNAPSHOT_IDENTITY_COLS_SQL,
+    "snapshot_wap": SNAPSHOT_WAP_SQL,
     "snapshot_update_restore": SNAPSHOT_UPDATE_RESTORE_SQL,
     "snapshot_prefix_scan": SNAPSHOT_PREFIX_SCAN_SQL,
     "streaming_cdf_feed": STREAMING_CDF_FEED_SQL,

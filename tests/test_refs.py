@@ -440,3 +440,19 @@ def test_write_audit_publish_gate(spark, tmp_path):
     snap_drop_branch(t, "staging")
     assert snap_read(spark, t).count() == 250
     assert verify_snapshot(t)["missing"] == []
+
+
+def test_snapshot_wap_oracle_parity(spark, sf_dir):
+    """The AUX query's DuckDB hash: branch-staged ingest + audited MoR
+    fix-up + fast-forward publish == the fixture minus the audited-out
+    keys, summed in exact integer cents."""
+    from mapreduce_grpc_spark import registry
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["snapshot_wap"](spark, sf_dir)
+    assert_oracle_match(
+        df,
+        registry.AUX_ORACLES["snapshot_wap"],
+        sf_dir,
+        "snapshot_wap",
+    )
