@@ -607,6 +607,156 @@ def compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(compute, out_schema)
 
 
+def nb_quality(docs: DataFrame, label_col: str = "pos") -> DataFrame:
+    """Trainable quality classifier: multinomial Naive Bayes over the
+    bag of tokens, trained on a boolean reference label and scoring
+    every document by its class log-odds — the deterministic analogue
+    of the linear quality classifiers real pipelines train (GPT-3's
+    logistic regression over WebText-vs-crawl, Brown et al. 2020
+    App. A; CCNet's fastText gate, Wenzek et al. 2019).  NB's
+    decision function IS a linear bag-of-words scorer; using closed-
+    form counts instead of SGD makes the model a pure function of the
+    corpus, so it is exactly reproducible in SQL.
+
+    ``docs`` carries ``doc_id``, ``text``, and boolean ``label_col``
+    (True = reference/"curated" class).  Returns one row per document:
+    ``n_tokens``, ``sum_llr_u`` (exact integer micro-nat sum of
+    per-token Laplace-smoothed log-likelihood ratios), ``avg_llr``,
+    and ``pred_quality`` (prior log-odds + evidence > 0).
+
+    Numeric contract (the ``unigram_logprob`` scheme): each class
+    log-probability is quantized to integer micro-nats BEFORE the
+    subtraction and the per-doc sums, so aggregation order can never
+    move a hash; the only doubles on the output are display columns.
+
+    100 TB shape: two hash-partial aggregations over the Zipf-compact
+    token-type relation (doc-term counts, then class counts), one
+    broadcast totals row, one broadcast prior row, and a join back to
+    doc terms — no all-pairs stage, no driver materialization; the
+    model itself is O(vocab) and never leaves the cluster."""
+    pos = F.col(label_col)
+    doc_w = (
+        docs.select(
+            "doc_id", pos.alias("pos"), F.explode(tokens("text")).alias("w")
+        )
+        .groupBy("doc_id", "pos", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    cls = doc_w.groupBy("w").agg(
+        F.sum(F.when(F.col("pos"), F.col("c")).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(~F.col("pos"), F.col("c")).otherwise(0)).alias("c_neg"),
+    )
+    tot = cls.agg(
+        F.sum("c_pos").alias("t_pos"),
+        F.sum("c_neg").alias("t_neg"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    prior = docs.agg(
+        F.round(
+            F.log(
+                F.sum(pos.cast("long")).cast("double")
+                / F.sum((~pos).cast("long"))
+            )
+            * F.lit(1e8),
+            0,
+        )
+        .cast("long")
+        .alias("prior_u")
+    )
+
+    def _q(num, den):
+        return (
+            F.round(F.log(num.cast("double") / den) * F.lit(1e8), 0)
+            .cast("long")
+        )
+
+    llr = cls.crossJoin(F.broadcast(tot)).select(
+        "w",
+        (
+            _q(F.col("c_pos") + 1, F.col("t_pos") + F.col("v"))
+            - _q(F.col("c_neg") + 1, F.col("t_neg") + F.col("v"))
+        ).alias("llr_u"),
+    )
+    per_doc = (
+        doc_w.join(llr, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("llr_u")).alias("sum_llr_u"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(prior)).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("sum_llr_u").cast("long").alias("sum_llr_u"),
+        (
+            F.col("sum_llr_u").cast("double")
+            / F.lit(1e8)
+            / F.col("n_tokens")
+        ).alias("avg_llr"),
+        (F.col("prior_u") + F.col("sum_llr_u") > 0).alias("pred_quality"),
+    )
+
+
+def nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nb_quality`` over the ``documents`` fixture with the
+    deterministic stand-in label ``lang = 'en'`` (a curated reference
+    corpus in a real pipeline)."""
+    docs = table(spark, sf_dir, "documents")
+    return nb_quality(
+        docs.select(
+            "doc_id", "text", (F.col("lang") == "en").alias("pos")
+        )
+    )
+
+
+NB_QUALITY_SCORES_SQL = f"""
+WITH lab AS (
+  SELECT doc_id, (lang = 'en') AS pos, text FROM documents
+),
+doc_w AS (
+  SELECT doc_id, pos, w, count(*) AS c FROM (
+    SELECT doc_id, pos, unnest({tokens_sql('text')}) AS w FROM lab
+  ) t GROUP BY doc_id, pos, w
+),
+cls AS (
+  SELECT w,
+         CAST(sum(CASE WHEN pos THEN c ELSE 0 END) AS BIGINT) AS c_pos,
+         CAST(sum(CASE WHEN pos THEN 0 ELSE c END) AS BIGINT) AS c_neg
+  FROM doc_w GROUP BY w
+),
+tot AS (
+  SELECT CAST(sum(c_pos) AS BIGINT) AS t_pos,
+         CAST(sum(c_neg) AS BIGINT) AS t_neg,
+         CAST(count(*) AS BIGINT) AS v
+  FROM cls
+),
+prior AS (
+  SELECT CAST(round(ln(
+           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+           / sum(CASE WHEN pos THEN 0 ELSE 1 END)) * 1e8, 0) AS BIGINT)
+         AS prior_u
+  FROM lab
+),
+llr AS (
+  SELECT w,
+         CAST(round(ln(CAST(c_pos + 1 AS DOUBLE) / (t_pos + v)) * 1e8, 0)
+              AS BIGINT)
+         - CAST(round(ln(CAST(c_neg + 1 AS DOUBLE) / (t_neg + v)) * 1e8, 0)
+                AS BIGINT) AS llr_u
+  FROM cls, tot
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(c * llr_u) AS BIGINT) AS sum_llr_u,
+       CAST(sum(c * llr_u) AS DOUBLE) / 1e8 / CAST(sum(c) AS BIGINT)
+         AS avg_llr,
+       (prior_u + sum(c * llr_u)) > 0 AS pred_quality
+FROM doc_w JOIN llr USING (w), prior
+GROUP BY doc_id, prior_u
+"""
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
@@ -616,6 +766,7 @@ AUX_QUERIES = {
     "bigram_logprob_kn": bigram_logprob_kn,
     "span_dup_stats": span_dup_stats,
     "compression_stats": compression_stats,
+    "nb_quality_scores": nb_quality_scores,
 }
 
 AUX_ORACLES = {
@@ -623,4 +774,5 @@ AUX_ORACLES = {
     "unigram_logprob": UNIGRAM_LOGPROB_SQL,
     "bigram_logprob_kn": BIGRAM_LOGPROB_KN_SQL,
     "span_dup_stats": SPAN_DUP_STATS_SQL,
+    "nb_quality_scores": NB_QUALITY_SCORES_SQL,
 }

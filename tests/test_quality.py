@@ -25,7 +25,7 @@ from tests.oracle import assert_oracle_match
 
 QUALITY = [
     "repetition_stats", "unigram_logprob", "bigram_logprob_kn",
-    "span_dup_stats",
+    "span_dup_stats", "nb_quality_scores",
 ]
 
 
@@ -555,3 +555,54 @@ def test_dedup_spans_staged_plan_reads_corpus_once(spark, sf_dir):
     finally:
         os.environ.pop("SPARK_GRAFT_STAGING", None)
     assert staged == unstaged
+
+
+def test_nb_quality_separates_planted_classes(spark):
+    """The classifier half of the contract (the fixture's vocabularies
+    overlap fully, so the AUX parity pins only determinism): on a
+    corpus whose reference and junk classes use disjoint-ish token
+    distributions, NB must predict every training doc's class and
+    rank a mixed doc strictly between them."""
+    from mapreduce_grpc_spark.operators.quality import nb_quality
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    junk = "zzz qqq xxx zzz qqq xxx kkk zzz qqq xxx kkk vvv"
+    rows = (
+        [(i, good + f" extra{i % 3}", True) for i in range(8)]
+        + [(100 + i, junk + f" noise{i % 3}", False) for i in range(8)]
+        + [(500, good + " " + junk, True)]  # mixed, labelled reference
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, pos boolean")
+    got = {r.doc_id: r for r in nb_quality(docs).collect()}
+    assert all(got[i].pred_quality for i in range(8))
+    assert all(not got[100 + i].pred_quality for i in range(8))
+    mixed = got[500].avg_llr
+    assert max(got[100 + i].avg_llr for i in range(8)) < mixed < min(
+        got[i].avg_llr for i in range(8)
+    ), "mixed doc must score strictly between the classes"
+    # exact-integer surface: sum is the quantized evidence, the
+    # prediction is the prior-shifted sign of it
+    for r in got.values():
+        assert r.n_tokens > 0
+        assert abs(r.avg_llr - r.sum_llr_u / 1e8 / r.n_tokens) < 1e-12
+
+
+def test_nb_quality_deterministic_under_partitioning(spark):
+    """Integer micro-nat quantization before summation: scores are
+    bit-identical no matter how the corpus is partitioned."""
+    from mapreduce_grpc_spark.operators.quality import nb_quality
+
+    rows = [
+        (i, f"tok{i % 5} tok{(i * 3) % 7} common common", i % 2 == 0)
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, pos boolean")
+    a = sorted(
+        (r.doc_id, r.sum_llr_u, r.pred_quality)
+        for r in nb_quality(docs.repartition(1)).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.sum_llr_u, r.pred_quality)
+        for r in nb_quality(docs.repartition(16, "doc_id")).collect()
+    )
+    assert a == b
