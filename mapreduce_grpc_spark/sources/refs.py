@@ -131,6 +131,28 @@ class PublishConflict(RuntimeError):
     CURRENT and replay the change."""
 
 
+def _wait_commit_visible(
+    path: str,
+    failed_base: int,
+    fs: LocalSnapshotFS | None,
+    timeout: float = 2.0,
+) -> None:
+    """A lost commit claim proves manifest v(failed_base+1) exists,
+    but the winner may still sit between its ``create_exclusive`` and
+    the CURRENT swap.  Publish attempts are MICROSECONDS of driver
+    work — unlike the data mutators, whose Spark-job-sized retries
+    amortize this window naturally — so without a bounded wait a
+    loser can burn every retry against the same stale pointer.  The
+    protocol invariant (commits only ever build on CURRENT — CURRENT
+    never regresses) stays untouched: we wait for visibility, never
+    build past the pointer."""
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if current_version(path, fs) > failed_base:
+            return
+        time.sleep(0.005)
+
+
 def _check_ref_name(name: str) -> str:
     if not isinstance(name, str) or not _REF_NAME.match(name):
         raise ValueError(
@@ -413,6 +435,7 @@ def snap_publish_branch(
                 )
             except CommitConflict as err:
                 last_err = err
+                _wait_commit_visible(path, cur, fs)
                 continue
             return {
                 "version": v,
@@ -478,6 +501,7 @@ def snap_publish_branch(
             )
         except CommitConflict as err:
             last_err = err
+            _wait_commit_visible(path, mcur["version"], fs)
             continue
         return {
             "version": v,

@@ -456,3 +456,91 @@ def test_snapshot_wap_oracle_parity(spark, sf_dir):
         sf_dir,
         "snapshot_wap",
     )
+
+
+def test_append_stream_across_publish(spark, tmp_path, snapshot_fs):
+    """Downstream streaming semantics of publish: an append-only
+    publish flows through a running append-mode stream like any
+    append; a publish that carries branch fix-up deletes is a CHANGE
+    commit and must refuse by default (skipChangeCommits opts out) —
+    the Delta change-commit contract, unchanged by refs."""
+    from pyspark.sql import functions as SF
+
+    from mapreduce_grpc_spark.sources.stream_source import (
+        SnapshotTableStreamSource,
+    )
+
+    spark.dataSource.register(SnapshotTableStreamSource)
+    t = _mk(spark, str(tmp_path / "t"))
+
+    def drain(qname, opts=None):
+        r = (
+            spark.readStream.format("snapshot_table")
+            .option("path", t)
+            .option("fsImpl", snapshot_fs.spec)
+        )
+        for k, v in (opts or {}).items():
+            r = r.option(k, v)
+        q = (
+            r.load()
+            .groupBy()
+            .agg(SF.count(SF.lit(1)).alias("n"))
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        return spark.sql(f"select n from {qname}").first().n
+
+    # append-only branch publish: just more rows to a streaming reader
+    snap_create_branch(t, "adds")
+    snap_append(spark, snap_branch_path(t, "adds"), _rng(spark, 500, 560))
+    snap_publish_branch(t, "adds")
+    assert drain("s1") == 260
+    # publish carrying a MoR fix-up delete = a change commit
+    snap_create_branch(t, "fix")
+    delete_where_mor(spark, snap_branch_path(t, "fix"), [("k", "<", 5)])
+    snap_publish_branch(t, "fix")
+    with pytest.raises(Exception, match="append-only|skipChangeCommits"):
+        drain("s2")
+    assert drain("s3", {"skipChangeCommits": "true"}) == 260
+
+
+def test_concurrent_publishes_both_land(spark, tmp_path):
+    """Two append-only branches published concurrently: the OCC loop
+    lets the first fast-forward and rebases the second — neither
+    writer's rows are lost (the commit-claim rule mutators already
+    obey, exercised through publish)."""
+    import threading
+
+    t = _mk(spark, str(tmp_path / "t"))
+    for name, lo in (("b1", 1000), ("b2", 2000)):
+        snap_create_branch(t, name)
+        snap_append(
+            spark, snap_branch_path(t, name), _rng(spark, lo, lo + 50)
+        )
+    results: dict[str, dict] = {}
+    errs: list[Exception] = []
+
+    def pub(name):
+        try:
+            results[name] = snap_publish_branch(t, name)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    th = [threading.Thread(target=pub, args=(n,)) for n in ("b1", "b2")]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs, errs
+    modes = sorted(r["mode"] for r in results.values())
+    assert modes in (["fast_forward", "rebase"], ["rebase", "rebase"])
+    got = snap_read(spark, t)
+    assert got.count() == 300
+    assert got.filter("k >= 1000 and k < 1050").count() == 50
+    assert got.filter("k >= 2000 and k < 2050").count() == 50
