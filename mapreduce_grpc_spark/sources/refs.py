@@ -42,12 +42,15 @@ Design (each piece reuses an existing invariant):
     data.  CDF sees the branch's NET change as one commit — squash
     semantics, exactly Iceberg's fast-forward.
   * **rebase** — main moved, but the branch only APPENDED files and
-    neither side changed table metadata: the branch's new files are
-    appended onto main's current state.  Refused on row-tracked or
-    identity tables (both sides allocated from the same fork
-    watermark — publishing would collide ids), and refused when the
-    branch rewrote or deleted shared files (the user must re-branch
-    and replay).
+    the two heads agree on table metadata: the branch's new files are
+    appended onto main's current state.  The diff runs against MAIN'S
+    HEAD, so publish is idempotent and incremental — a branch staged
+    further after an earlier publish re-lands only its delta, and an
+    unchanged re-publish is a version-free no-op.  Refused on
+    row-tracked or identity tables (both sides allocated from the
+    same fork watermark — publishing would collide ids), and refused
+    when the branch rewrote or removed shared files main still serves
+    (the user must re-branch and replay).
 
   Before committing, publish registers main as a clone of the BRANCH
   (a ``_clones`` marker inside the branch dir), so the branch's own
@@ -350,7 +353,6 @@ def snap_publish_branch(
     # main's unless the branch changed the file), branch-born files
     # are adopted by reference
     head_entries: list[dict] = []
-    branch_changed_shared = False
     for e in bm["files"]:
         b = e.get("base")
         eabs = os.path.abspath(b) if b else bdir_abs
@@ -361,7 +363,6 @@ def snap_publish_branch(
             if fe is not None and _strip_ids(ne) == _strip_ids(fe):
                 ne = fe  # untouched: main's own entry, main's ids
             else:
-                branch_changed_shared = True
                 if fe is not None and "row_id_base" in fe and not ne.get(
                     "row_id_col"
                 ):
@@ -444,7 +445,12 @@ def snap_publish_branch(
                 "removes": len(removes),
             }
 
-        # -------- main moved: append-only rebase or conflict
+        # -------- main moved: append-only rebase or conflict.
+        # The rebase diffs against main's HEAD, not the fork, so a
+        # branch published before (and staged further since) re-lands
+        # only its delta instead of double-adding already-published
+        # files; an unchanged branch re-publish is a version-free
+        # no-op (idempotent publish).
         if bm.get("row_tracking") or bm.get("identity"):
             raise PublishConflict(
                 f"main advanced past the fork (v{fork} -> v{cur}) and "
@@ -452,30 +458,62 @@ def snap_publish_branch(
                 "allocated from the same watermark, so a rebase would "
                 "collide ids; re-branch from CURRENT and replay"
             )
-        if branch_changed_shared or removed_from_fork:
+        mcur = read_manifest(path, cur, fs)
+        for k in _META_KEYS:
+            # rebase requires IDENTICAL current DDL state: branch DDL
+            # main never saw, or main DDL the branch's files were
+            # never validated against, both refuse (a previously
+            # PUBLISHED branch DDL matches mcur and passes)
+            if (bm.get(k) or None) != (mcur.get(k) or None):
+                raise PublishConflict(
+                    f"table metadata ({k}) differs between branch "
+                    f"{name!r} and main's head after the fork — DDL "
+                    "publishes only by fast-forward; re-branch and "
+                    "replay"
+                )
+        mcur_by_name = {e["name"]: e for e in mcur["files"]}
+        # branch removals main still serves are unpublished rewrites
+        unpublished_rm = [
+            n for n in removed_from_fork if n in mcur_by_name
+        ]
+        if unpublished_rm:
             raise PublishConflict(
                 f"main advanced past the fork (v{fork} -> v{cur}) and "
-                f"branch {name!r} rewrote or removed shared files — "
-                "fast-forward is impossible and a rebase could lose "
-                "main's concurrent changes; re-branch and replay"
+                f"branch {name!r} removed/rewrote shared files main "
+                f"still serves ({unpublished_rm[:3]!r}...) — a rebase "
+                "could lose main's concurrent changes; re-branch and "
+                "replay"
             )
-        mcur = read_manifest(path, None, fs)
-        for k in _META_KEYS:
-            if (bm.get(k) or None) != (fork_m.get(k) or None):
+        new_entries = []
+        for e in head_entries:
+            me = mcur_by_name.get(e["name"])
+            if me is not None:
+                if _strip_ids(me) == _strip_ids(e):
+                    continue  # already on main (published or shared)
                 raise PublishConflict(
-                    f"branch {name!r} changed table metadata ({k}) "
-                    "and main moved — DDL publishes only by "
-                    "fast-forward; re-branch and replay"
+                    f"file {e['name']!r} diverged between branch "
+                    f"{name!r} and main after the fork (concurrent "
+                    "rewrite on one side); re-branch and replay"
                 )
-            if (mcur.get(k) or None) != (fork_m.get(k) or None):
-                raise PublishConflict(
-                    f"main changed table metadata ({k}) after the "
-                    f"fork — the branch's files were never validated "
-                    "against it; re-branch and replay"
-                )
-        new_entries = [
-            e for e in head_entries if e["name"] not in fork_by_name
-        ]
+            fe = fork_by_name.get(e["name"])
+            if fe is not None:
+                if _strip_ids(e) != _strip_ids(fe):
+                    raise PublishConflict(
+                        f"branch {name!r} changed shared file "
+                        f"{e['name']!r} which main dropped/rewrote "
+                        "after the fork; re-branch and replay"
+                    )
+                # shared file main dropped/rewrote since the fork and
+                # the branch left untouched: main's change wins
+                continue
+            new_entries.append(e)
+        if not new_entries:
+            return {
+                "version": cur,
+                "mode": "noop",
+                "adds": 0,
+                "removes": 0,
+            }
         files = list(mcur["files"]) + new_entries
         txns = dict(mcur.get("txns") or {})
         for app, batch in (bm.get("txns") or {}).items():

@@ -275,7 +275,7 @@ def test_publish_conflicts_are_loud(spark, tmp_path):
         spark, snap_branch_path(t, "b1"), [("k", "=", 5)]
     )
     snap_append(spark, t, _rng(spark, 800, 810))
-    with pytest.raises(PublishConflict, match="rewrote or removed"):
+    with pytest.raises(PublishConflict, match="diverged|rewrote"):
         snap_publish_branch(t, "b1")
     # main did DDL after the fork -> append-only rebase still refused
     snap_create_branch(t, "b2")
@@ -544,3 +544,36 @@ def test_concurrent_publishes_both_land(spark, tmp_path):
     assert got.count() == 300
     assert got.filter("k >= 1000 and k < 1050").count() == 50
     assert got.filter("k >= 2000 and k < 2050").count() == 50
+
+
+def test_publish_is_incremental_and_idempotent(spark, tmp_path):
+    """The continued-staging lifecycle: publish, stage more on the
+    SAME branch, publish again — the second publish lands only the
+    delta (no double-added files), an unchanged re-publish is a
+    version-free no-op, and a genuine divergence (main rewrites a
+    published branch file) still conflicts."""
+    t = _mk(spark, str(tmp_path / "t"))
+    bdir = snap_create_branch(t, "staging")
+    snap_append(spark, bdir, _rng(spark, 1000, 1050))
+    r1 = snap_publish_branch(t, "staging")
+    assert r1["mode"] == "fast_forward"
+    assert snap_read(spark, t).count() == 250
+    # unchanged branch re-publish: no-op, no version bump
+    v = current_version(t)
+    r2 = snap_publish_branch(t, "staging")
+    assert r2 == {"version": v, "mode": "noop", "adds": 0, "removes": 0}
+    assert current_version(t) == v
+    # stage MORE on the same branch, publish again: only the delta
+    snap_append(spark, bdir, _rng(spark, 2000, 2030))
+    r3 = snap_publish_branch(t, "staging")
+    assert r3["mode"] == "rebase"
+    got = snap_read(spark, t)
+    assert got.count() == 280, "double-published files would inflate this"
+    assert got.filter("k >= 1000 and k < 1050").count() == 50
+    assert got.filter("k >= 2000 and k < 2030").count() == 30
+    # main rewrites rows of a published branch file -> next publish of
+    # a branch change to that same region conflicts loudly
+    delete_where_mor(spark, t, [("k", "between", 1000, 1010)])
+    snap_append(spark, bdir, _rng(spark, 3000, 3010))
+    with pytest.raises(PublishConflict, match="diverged|replay"):
+        snap_publish_branch(t, "staging")
