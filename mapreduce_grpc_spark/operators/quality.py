@@ -651,11 +651,13 @@ def nb_quality(docs: DataFrame, label_col: str = "pos") -> DataFrame:
         F.sum("c_neg").alias("t_neg"),
         F.count(F.lit(1)).alias("v"),
     )
+    # add-one smoothing on the PRIOR too: a one-class corpus (every
+    # doc labelled reference, or none) must score, not divide by zero
     prior = docs.agg(
         F.round(
             F.log(
-                F.sum(pos.cast("long")).cast("double")
-                / F.sum((~pos).cast("long"))
+                (F.sum(pos.cast("long")) + 1).cast("double")
+                / (F.sum((~pos).cast("long")) + 1)
             )
             * F.lit(1e8),
             0,
@@ -733,9 +735,9 @@ tot AS (
 ),
 prior AS (
   SELECT CAST(round(ln(
-           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
-           / sum(CASE WHEN pos THEN 0 ELSE 1 END)) * 1e8, 0) AS BIGINT)
-         AS prior_u
+           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+           / (sum(CASE WHEN pos THEN 0 ELSE 1 END) + 1)) * 1e8, 0)
+         AS BIGINT) AS prior_u
   FROM lab
 ),
 llr AS (

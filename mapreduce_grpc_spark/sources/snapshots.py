@@ -6655,6 +6655,7 @@ def snap_restore(
     fs: LocalSnapshotFS | None = None,
     spark: SparkSession | None = None,
     timestamp=None,
+    ref: str | None = None,
 ) -> int:
     """``RESTORE TABLE ... TO VERSION AS OF n`` (or ``TO TIMESTAMP AS
     OF t`` — pass ``timestamp``, exclusive with ``version``, resolved
@@ -6678,6 +6679,24 @@ def snap_restore(
     case) so a rollback cannot resurface rows a later constraint
     outlawed."""
     f = _fs(fs)
+    if ref is not None:
+        # the WAP failure arm: roll back to a pinned last-known-good
+        # TAG (``snap_create_tag``).  Branch refs are refused — a
+        # branch is a separate lineage; fold it in via publish.
+        from .refs import resolve_ref
+
+        if version is not None or timestamp is not None:
+            raise ValueError(
+                "snap_restore: pass ref OR version/timestamp, not both"
+            )
+        kind, val = resolve_ref(path, ref, fs)
+        if kind != "tag":
+            raise ValueError(
+                f"snap_restore: ref {ref!r} is a branch — restore "
+                "targets a committed version of THIS lineage; use "
+                "snap_publish_branch to adopt branch state"
+            )
+        version = int(val)
     if timestamp is not None:
         if version is not None:
             raise ValueError(

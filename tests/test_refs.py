@@ -577,3 +577,30 @@ def test_publish_is_incremental_and_idempotent(spark, tmp_path):
     snap_append(spark, bdir, _rng(spark, 3000, 3010))
     with pytest.raises(PublishConflict, match="diverged|replay"):
         snap_publish_branch(t, "staging")
+
+
+def test_restore_to_tag(spark, tmp_path):
+    """The WAP failure arm completed: pin last-known-good with a tag,
+    take bad commits, RESTORE to the tag by name (metadata-only), and
+    the tag keeps protecting the files so even an aggressive GC
+    between the bad commits and the restore cannot strand it.  Branch
+    refs are refused."""
+    t = _mk(spark, str(tmp_path / "t"))
+    snap_create_tag(t, "last-good")
+    good = sorted(_rows(spark, t))
+    snap_append(spark, t, _rng(spark, 9000, 9100))  # the bad batch
+    expire_snapshots(t, keep_last=1, orphan_grace_seconds=0)
+    from mapreduce_grpc_spark.sources.snapshots import snap_restore
+
+    v = snap_restore(t, ref="last-good")
+    assert v == current_version(t)
+    assert sorted(_rows(spark, t)) == good
+    snap_create_branch(t, "b")
+    with pytest.raises(ValueError, match="is a branch"):
+        snap_restore(t, ref="b")
+    with pytest.raises(ValueError, match="not both"):
+        snap_restore(t, version=1, ref="last-good")
+
+
+def _rows(spark, t):
+    return [(r.k, r.v) for r in snap_read(spark, t).collect()]
