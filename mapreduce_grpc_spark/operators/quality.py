@@ -633,7 +633,13 @@ def nb_quality(docs: DataFrame, label_col: str = "pos") -> DataFrame:
     token-type relation (doc-term counts, then class counts), one
     broadcast totals row, one broadcast prior row, and a join back to
     doc terms — no all-pairs stage, no driver materialization; the
-    model itself is O(vocab) and never leaves the cluster."""
+    model itself is O(vocab) and never leaves the cluster.  The plan
+    is whole-stage-codegen end to end (zero Python); the declarative
+    form re-derives the doc-term relation per consumer (Catalyst's
+    exchange reuse collapses what it can), so a production run over a
+    full corpus should stage doc-term counts once (the
+    ``sources/staging.py`` pattern the dedup family uses) and train
+    from the staged relation — tokenization then costs one pass."""
     pos = F.col(label_col)
     doc_w = (
         docs.select(

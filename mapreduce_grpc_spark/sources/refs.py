@@ -316,11 +316,16 @@ def snap_publish_branch(
     """Fold branch ``name`` into main as one commit (the WAP publish).
 
     Fast-forward when main is still at the fork point; append-only
-    rebase when main moved but the branch only added files and
-    neither side changed metadata (refused on row-tracked/identity
-    tables — concurrent watermark allocation would collide ids).
-    Raises ``PublishConflict`` otherwise.  Zero data movement either
-    way: branch-born files are adopted by reference.
+    rebase when main moved, the two heads agree on table metadata,
+    and every branch change main doesn't already serve is a pure
+    addition (refused on row-tracked/identity tables — concurrent
+    watermark allocation would collide ids).  The rebase diff runs
+    against MAIN'S HEAD, so publish is incremental and idempotent: a
+    branch staged further after an earlier publish re-lands only its
+    delta, and an unchanged re-publish returns ``mode="noop"`` with
+    no version bump.  Raises ``PublishConflict`` otherwise.  Zero
+    data movement either way: branch-born files are adopted by
+    reference.
 
     Returns ``{"version", "mode", "adds", "removes"}``."""
     f = _fs(fs)
