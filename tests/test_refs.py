@@ -604,3 +604,123 @@ def test_restore_to_tag(spark, tmp_path):
 
 def _rows(spark, t):
     return [(r.k, r.v) for r in snap_read(spark, t).collect()]
+
+
+def test_refs_randomized_soak(spark, tmp_path):
+    """Model-checked soak: a seeded random interleaving of main
+    appends, branch forks, branch appends, branch MoR deletes,
+    publishes, drops, tags, restores, and aggressive GC — after every
+    step main must match a pure-Python row model, every live ref must
+    resolve, and fsck must find nothing missing.  Publish outcomes are
+    folded into the model exactly as the API defines them (a conflict
+    drops the branch and discards its unpublished delta)."""
+    import random
+
+    from mapreduce_grpc_spark.sources.snapshots import snap_restore
+
+    rng = random.Random(0x14F5)
+    t = str(tmp_path / "t")
+    snap_init(spark, _rng(spark, 0, 100), t, stats_cols=["k"])
+    model: set[int] = set(range(100))          # keys on main
+    branches: dict[str, set[int]] = {}         # unpublished delta keys
+    branch_dirty: dict[str, bool] = {}         # did MoR-delete on branch
+    tags: dict[str, set[int]] = {}
+    next_key = 10_000
+    bseq = 0
+
+    def fresh_keys(n):
+        nonlocal next_key
+        ks = set(range(next_key, next_key + n))
+        next_key += n
+        return ks
+
+    for step in range(60):
+        ops = ["main_append", "gc"]
+        if len(branches) < 2:
+            ops.append("fork")
+        if branches:
+            ops += ["branch_append", "publish", "drop"]
+            ops.append("branch_delete")
+        if len(tags) < 2:
+            ops.append("tag")
+        if tags:
+            ops.append("restore")
+        op = rng.choice(ops)
+        if op == "main_append":
+            ks = fresh_keys(rng.randint(5, 40))
+            snap_append(
+                spark, t, _rng(spark, min(ks), max(ks) + 1)
+            )
+            model |= ks
+        elif op == "fork":
+            bseq += 1
+            name = f"b{bseq}"
+            snap_create_branch(t, name)
+            branches[name] = set()
+            branch_dirty[name] = False
+        elif op == "branch_append":
+            name = rng.choice(sorted(branches))
+            ks = fresh_keys(rng.randint(5, 30))
+            snap_append(
+                spark,
+                snap_branch_path(t, name),
+                _rng(spark, min(ks), max(ks) + 1),
+            )
+            branches[name] |= ks
+        elif op == "branch_delete":
+            # MoR-delete the branch's OWN unpublished keys only, so
+            # the branch stays rebase-publishable unless main moved
+            name = rng.choice(sorted(branches))
+            if branches[name]:
+                kill = sorted(branches[name])[: rng.randint(1, 3)]
+                delete_where_mor(
+                    spark,
+                    snap_branch_path(t, name),
+                    [("k", "in", kill)],
+                )
+                branches[name] -= set(kill)
+                branch_dirty[name] = True
+        elif op == "publish":
+            name = rng.choice(sorted(branches))
+            try:
+                snap_publish_branch(t, name)
+                model |= branches[name]
+                branches[name] = set()
+                branch_dirty[name] = False
+            except PublishConflict:
+                # unpublishable divergence: the audit-gate failure arm
+                snap_drop_branch(t, name)
+                del branches[name], branch_dirty[name]
+        elif op == "drop":
+            name = rng.choice(sorted(branches))
+            snap_drop_branch(t, name)
+            del branches[name], branch_dirty[name]
+        elif op == "tag":
+            name = f"t{step}"
+            snap_create_tag(t, name)
+            tags[name] = set(model)
+        elif op == "restore":
+            name = rng.choice(sorted(tags))
+            snap_restore(t, ref=name)
+            model = set(tags[name])
+        elif op == "gc":
+            expire_snapshots(t, keep_last=1, orphan_grace_seconds=0)
+        # ---- invariants, every step
+        got = {
+            r.k for r in snap_read(spark, t).select("k").collect()
+        }
+        assert got == model, (
+            f"step {step} op {op}: main diverged from the model "
+            f"(missing={sorted(model - got)[:5]}, "
+            f"extra={sorted(got - model)[:5]})"
+        )
+        assert verify_snapshot(t)["missing"] == []
+        for name, delta in branches.items():
+            assert snap_read(spark, t, ref=name).count() >= len(delta)
+        for name, keys in tags.items():
+            assert {
+                r.k
+                for r in snap_read(spark, t, ref=name)
+                .select("k")
+                .collect()
+            } == keys, f"step {step}: tag {name} no longer pins its rows"
