@@ -724,3 +724,26 @@ def test_refs_randomized_soak(spark, tmp_path):
                 .select("k")
                 .collect()
             } == keys, f"step {step}: tag {name} no longer pins its rows"
+
+
+def test_branch_gc_cannot_reclaim_published_bytes(spark, tmp_path):
+    """After publish, the LIVE branch keeps mutating and running its
+    own aggressive GC — the publish-time marker makes the branch's
+    expire_snapshots protect every file main adopted, even once the
+    branch itself no longer references them."""
+    t = _mk(spark, str(tmp_path / "t"))
+    bdir = snap_create_branch(t, "b")
+    snap_append(spark, bdir, _rng(spark, 1000, 1050))
+    snap_publish_branch(t, "b")
+    # the branch rewrites ITS OWN lineage completely: the published
+    # files leave every branch version
+    merge_upsert_cow(
+        spark, bdir,
+        _rng(spark, 0, 1050).withColumn("v", F.lit(7).cast("bigint")),
+        keys=["k"],
+    )
+    expire_snapshots(bdir, keep_last=1, orphan_grace_seconds=0)
+    got = snap_read(spark, t)
+    assert got.count() == 250
+    assert got.filter("v = 7").count() == 0, "branch rewrite leaked in"
+    assert verify_snapshot(t)["missing"] == []
