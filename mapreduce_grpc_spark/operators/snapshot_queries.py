@@ -24,9 +24,6 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-import datetime
-import json
-
 from ..catalog import table
 from ..sources.matview import mv_init, mv_read, mv_refresh
 from ..sources.snapshots import (
@@ -99,61 +96,6 @@ def snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, diff.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-
-
-#: Where matview_orders appends its in-run evidence line.  Repo root,
-#: resolved from this file so the trace lands in the same place no
-#: matter what cwd the grading driver uses.
-MV_TRACE_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "MV_TRACE.jsonl",
-)
-
-
-def _conf_effective(spark, key):
-    """Effective conf value (including Spark's built-in default), not
-    just the explicitly-set one — ``conf.get(key, None)`` hides the
-    default, which is exactly the value we need to compare across
-    environments."""
-    try:
-        return spark.conf.get(key)
-    except Exception:
-        return None
-
-
-def _mv_trace(spark, rows, schema, refresh_stats, src_fp) -> None:
-    """Append one JSON evidence line for a matview_orders run.
-
-    matview_orders was red in the grading driver's hash check two
-    rounds running (CORRECTNESS_r11/r12: rows 7/7, schema match,
-    hash_match false) while ~230 local reps across a
-    local[32]/local[4] x PYTHONHASHSEED x timezone matrix all matched
-    the DuckDB oracle exactly.  Instead of guessing at the divergence,
-    every run now records its own canonical result (exact ``str()`` of
-    every value — Decimals keep full scale), the refresh stats, a
-    per-group fingerprint of the post-CDC source, and the session/env
-    knobs that could plausibly differ in the driver.  Best-effort by
-    contract: any failure here is swallowed so the trace can never
-    break the query itself."""
-    try:
-        line = {
-            "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(),
-            "rows": sorted([str(v) for v in row] for row in rows),
-            "schema": schema.simpleString(),
-            "refresh": refresh_stats,
-            "source_groups": src_fp,
-            "spark_version": spark.version,
-            "default_parallelism": spark.sparkContext.defaultParallelism,
-            "session_tz": _conf_effective(spark, "spark.sql.session.timeZone"),
-            "ansi": _conf_effective(spark, "spark.sql.ansi.enabled"),
-            "pythonhashseed": os.environ.get("PYTHONHASHSEED"),
-            "tz_env": os.environ.get("TZ"),
-            "pid": os.getpid(),
-        }
-        with open(MV_TRACE_PATH, "a") as f:
-            f.write(json.dumps(line, default=str) + "\n")
-    except Exception:
-        pass
 
 
 def matview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,7 +180,7 @@ def matview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         batch = upd.unionByName(dele).unionByName(ins)
         apply_cdc_cow(spark, src_path, batch, keys=["o_orderkey"])
-        refresh_stats = mv_refresh(
+        mv_refresh(
             spark, src_path, mv_path,
             keys=["o_orderkey"],
             dims=["o_orderpriority"], agg_col="o_totalprice",
@@ -256,33 +198,6 @@ def matview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_cents"),
         )
         rows = mv.collect()
-        # In-run evidence (see _mv_trace): independent recompute of the
-        # post-CDC source per-group (cnt, sum) — gated so grading /
-        # production runs can switch the telemetry (and its extra
-        # collect) off; default ON for one confirming round after the
-        # r14 integer-cents fix, then slated for removal.
-        if os.environ.get("SPARK_GRAFT_MV_TRACE", "1") == "1":
-            try:
-                src_fp = sorted(
-                    [str(v) for v in r]
-                    for r in snap_read(spark, src_path)
-                    .groupBy("o_orderpriority")
-                    .agg(
-                        F.count(F.lit(1)).alias("cnt"),
-                        (
-                            F.sum(
-                                F.col("o_totalprice").cast("decimal(20,2)")
-                            ).cast("decimal(20,2)")
-                            * F.lit(100)
-                        )
-                        .cast("bigint")
-                        .alias("sum_cents"),
-                    )
-                    .collect()
-                )
-            except Exception:
-                src_fp = None
-            _mv_trace(spark, rows, mv.schema, refresh_stats, src_fp)
         return spark.createDataFrame(rows, mv.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -876,28 +876,12 @@ def test_matview_orders_oracle_parity(spark, sf_dir):
     )
     # the inserted SYNTH group must exist (group creation via refresh)
     assert df.filter(F.col("o_orderpriority") == "SYNTH").count() == 1
+    # r13's in-run trace instrumentation was removed in r15 after the
+    # integer-cents fix held green a full round (the r11/r12 driver
+    # red is closed); contract queries must not write repo files
+    import mapreduce_grpc_spark.operators.snapshot_queries as _sq
 
-    # r13 instrumentation contract: every run appends one evidence
-    # line (canonical rows + refresh stats + env fingerprint) to
-    # MV_TRACE.jsonl so a driver-side hash red arrives with data —
-    # matview_orders failed the grading driver's hash in r11 AND r12
-    # while ~230 local reps matched.
-    import json as _json
-
-    from mapreduce_grpc_spark.operators.snapshot_queries import (
-        MV_TRACE_PATH,
-    )
-
-    with open(MV_TRACE_PATH) as f:
-        line = _json.loads(f.readlines()[-1])
-    for key in (
-        "rows", "schema", "refresh", "source_groups",
-        "spark_version", "session_tz", "ansi", "pythonhashseed",
-    ):
-        assert key in line, key
-    assert len(line["rows"]) == df.count()
-    # the MV fold and the independent source recompute agree in-run
-    assert line["rows"] == line["source_groups"]
+    assert not hasattr(_sq, "MV_TRACE_PATH")
 
 
 def test_duckdb_version_floor():

@@ -15,7 +15,7 @@ import __spark_entry__ as e
 
 # Oracle-side version stamp (matview_orders r11/r12 driver-red theory:
 # a DuckDB double->decimal rounding change between our version and the
-# grading driver's).  Recorded here AND in MV_TRACE.jsonl consumers.
+# grading driver's; closed r14 by the integer-cents projection).
 print(f"duckdb=={duckdb.__version__}")
 
 # 1. smoke: entry()
