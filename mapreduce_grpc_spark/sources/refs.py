@@ -46,10 +46,15 @@ Design (each piece reuses an existing invariant):
     appended onto main's current state.  The diff runs against MAIN'S
     HEAD, so publish is idempotent and incremental — a branch staged
     further after an earlier publish re-lands only its delta, and an
-    unchanged re-publish is a version-free no-op.  Refused on
-    row-tracked or identity tables (both sides allocated from the
-    same fork watermark — publishing would collide ids), and refused
-    when the branch rewrote or removed shared files main still serves
+    unchanged re-publish is a version-free no-op.  Row-TRACKED tables
+    rebase by re-drawing the branch-born ``row_id_base`` slices under
+    main's current watermark (ids are metadata — zero data movement;
+    only branch files that MATERIALIZED ids physically refuse).
+    IDENTITY tables rebase iff main's allocator advances since the
+    fork are all attributable to this branch's own earlier publishes
+    (physical surrogate keys cannot be re-mapped, so a foreign
+    allocation overlapping the branch's range refuses).  Refused when
+    the branch rewrote or removed shared files main still serves
     (the user must re-branch and replay).
 
   Before committing, publish registers main as a clone of the BRANCH
@@ -218,6 +223,25 @@ def snap_create_tag(
             f"tag {name!r} already exists at {path!r} — tags are "
             "immutable; drop it first to retarget"
         ) from None
+    # TOCTOU guard: a concurrent ``expire_snapshots`` that listed
+    # ``_refs/`` BEFORE this file landed may have expired the version
+    # we just pinned — re-verify the pin took, else undo the tag and
+    # raise instead of leaving a silently dangling ref (GC skips
+    # unresolvable tags, so without this the "tag survives GC"
+    # contract would fail with no error at creation time).  A GC pass
+    # that starts after the verify sees the tag and protects it.
+    try:
+        read_manifest(path, m["version"], fs)
+    except (FileNotFoundError, ValueError):
+        try:
+            f.remove(_tag_path(path, name))
+        except FileNotFoundError:
+            pass
+        raise ValueError(
+            f"tag {name!r}: version v{m['version']} of {path!r} was "
+            "expired concurrently with tag creation — the pin did not "
+            "take; retry against a retained version"
+        ) from None
     return m["version"]
 
 
@@ -308,6 +332,92 @@ def _strip_ids(e: dict) -> dict:
     return {k: v for k, v in e.items() if k != "row_id_base"}
 
 
+def _identity_rebase_carry(
+    path: str,
+    name: str,
+    fork: int,
+    fork_m: dict,
+    bm: dict,
+    mcur: dict,
+    fs: LocalSnapshotFS | None,
+) -> dict | None:
+    """Reconcile GENERATED-ALWAYS-AS-IDENTITY allocators for an
+    append-only rebase publish, or refuse.
+
+    Identity values are PHYSICAL (written into the branch's parquet
+    from the allocator's slot counter, ``snap_append``), so unlike row
+    ids they cannot be re-mapped at publish.  The branch consumed
+    slots ``[fork_high, branch_high)``.  Main's head may be past the
+    fork for two very different reasons: its advances came from THIS
+    branch's own earlier publishes (safe — those are the same physical
+    values, and the incremental diff already skips their files), or a
+    FOREIGN writer appended (its slots start at main's then-current
+    counter, which sits inside the branch's range whenever it is below
+    ``branch_high`` — physical surrogate keys would collide).  Walking
+    the manifests between fork and head attributes every counter
+    advance to its commit (driver JSON reads, O(versions since fork) —
+    the cost class publish already pays for the fork diff).
+
+    Returns the reconciled identity dict for the publish commit's
+    carry (highs = max of both sides), ``None`` when the table has no
+    identity columns, and raises ``PublishConflict`` when a foreign
+    allocation overlaps the branch's range or the interleaving cannot
+    be proven (expired mid-manifests)."""
+    bid = bm.get("identity") or {}
+    mid = mcur.get("identity") or {}
+    if not bid and not mid:
+        return None
+    if set(bid) != set(mid) or any(
+        (int(bid[c]["start"]), int(bid[c]["step"]))
+        != (int(mid[c]["start"]), int(mid[c]["step"]))
+        for c in bid
+    ):
+        raise PublishConflict(
+            f"identity declarations differ between branch {name!r} "
+            f"and main's head after the fork — identity DDL publishes "
+            "only by fast-forward; re-branch and replay"
+        )
+    fid = fork_m.get("identity") or {}
+    prev = {c: int((fid.get(c) or {}).get("high") or 0) for c in mid}
+    foreign_floor: dict[str, int] = {}
+    for v in range(fork + 1, int(mcur["version"]) + 1):
+        try:
+            mv = read_manifest(path, v, fs)
+        except (FileNotFoundError, ValueError):
+            raise PublishConflict(
+                f"manifest v{v} of {path!r} between the fork and head "
+                "was expired — publish cannot attribute main's "
+                "identity allocation since the fork; re-branch from "
+                "CURRENT and replay"
+            ) from None
+        ci = mv.get("commit_info") or {}
+        own = (
+            ci.get("op") == "publish_branch" and ci.get("branch") == name
+        )
+        vid = mv.get("identity") or {}
+        for c in mid:
+            h = int((vid.get(c) or {}).get("high") or 0)
+            if h > prev[c] and not own:
+                foreign_floor[c] = min(
+                    foreign_floor.get(c, prev[c]), prev[c]
+                )
+            prev[c] = max(prev[c], h)
+    out = {}
+    for c, spec in mid.items():
+        bh = int(bid[c]["high"])
+        fl = foreign_floor.get(c)
+        if fl is not None and fl < bh:
+            raise PublishConflict(
+                f"main allocated identity values for column {c!r} "
+                f"after the fork (slots from {fl}) inside the range "
+                f"branch {name!r} consumed (up to {bh}) — physical "
+                "surrogate keys would collide; re-branch from CURRENT "
+                "and replay"
+            )
+        out[c] = {**spec, "high": max(bh, int(spec["high"]))}
+    return out
+
+
 def snap_publish_branch(
     path: str,
     name: str,
@@ -318,8 +428,11 @@ def snap_publish_branch(
     Fast-forward when main is still at the fork point; append-only
     rebase when main moved, the two heads agree on table metadata,
     and every branch change main doesn't already serve is a pure
-    addition (refused on row-tracked/identity tables — concurrent
-    watermark allocation would collide ids).  The rebase diff runs
+    addition.  Row-tracked tables rebase with branch-born row-id
+    slices re-drawn under main's watermark (metadata-only); identity
+    tables rebase unless a foreign allocation since the fork overlaps
+    the branch's physical value range (``_identity_rebase_carry``).
+    The rebase diff runs
     against MAIN'S HEAD, so publish is incremental and idempotent: a
     branch staged further after an earlier publish re-lands only its
     delta, and an unchanged re-publish returns ``mode="noop"`` with
@@ -389,15 +502,36 @@ def snap_publish_branch(
         carry["clone_of"] = fork_m["clone_of"]
 
     # the marker lands BEFORE the commit (the snap_clone rule): once
-    # main references branch bytes, the branch's GC must already know
-    rec = json.dumps(
-        {"dst": main_abs, "src_version": bm["version"], "ts": time.time()}
-    )
+    # main references branch bytes, the branch's GC must already know.
+    # One marker per dst: protection is by DESTINATION (``_clone_protected``
+    # walks the dst's manifests and never reads ``src_version``), so a
+    # repeated incremental publish reuses the marker it already wrote
+    # instead of accumulating duplicates that each add a full manifest
+    # walk to every GC pass.
     cdir = os.path.join(bdir, _CLONES_DIR)
     f.makedirs(cdir)
-    f.create_exclusive(
-        os.path.join(cdir, f"clone-{uuid.uuid4().hex[:12]}.json"), rec
-    )
+    have_marker = False
+    for mn in f.listdir(cdir):
+        if not mn.endswith(".json"):
+            continue
+        try:
+            r0 = json.loads(f.read_text(os.path.join(cdir, mn)))
+        except (ValueError, FileNotFoundError):
+            continue
+        if os.path.abspath(r0.get("dst") or "") == main_abs:
+            have_marker = True
+            break
+    if not have_marker:
+        rec = json.dumps(
+            {
+                "dst": main_abs,
+                "src_version": bm["version"],
+                "ts": time.time(),
+            }
+        )
+        f.create_exclusive(
+            os.path.join(cdir, f"clone-{uuid.uuid4().hex[:12]}.json"), rec
+        )
 
     last_err: Exception | None = None
     for _attempt in range(COMMIT_RETRIES):
@@ -456,19 +590,17 @@ def snap_publish_branch(
         # only its delta instead of double-adding already-published
         # files; an unchanged branch re-publish is a version-free
         # no-op (idempotent publish).
-        if bm.get("row_tracking") or bm.get("identity"):
-            raise PublishConflict(
-                f"main advanced past the fork (v{fork} -> v{cur}) and "
-                f"the table tracks row ids/identity — both lineages "
-                "allocated from the same watermark, so a rebase would "
-                "collide ids; re-branch from CURRENT and replay"
-            )
         mcur = read_manifest(path, cur, fs)
         for k in _META_KEYS:
             # rebase requires IDENTICAL current DDL state: branch DDL
             # main never saw, or main DDL the branch's files were
             # never validated against, both refuse (a previously
-            # PUBLISHED branch DDL matches mcur and passes)
+            # PUBLISHED branch DDL matches mcur and passes).  identity
+            # is reconciled separately — its allocator high-water
+            # moves with every append, so raw equality would refuse
+            # every staged identity batch.
+            if k == "identity":
+                continue
             if (bm.get(k) or None) != (mcur.get(k) or None):
                 raise PublishConflict(
                     f"table metadata ({k}) differs between branch "
@@ -492,15 +624,21 @@ def snap_publish_branch(
         new_entries = []
         for e in head_entries:
             me = mcur_by_name.get(e["name"])
+            fe = fork_by_name.get(e["name"])
             if me is not None:
                 if _strip_ids(me) == _strip_ids(e):
                     continue  # already on main (published or shared)
+                if fe is not None and _strip_ids(e) == _strip_ids(fe):
+                    # branch left the file at fork state and main
+                    # changed it in place since (e.g. grew a DV):
+                    # main's change wins — the exact analogue of the
+                    # dropped/rewrote arm below
+                    continue
                 raise PublishConflict(
                     f"file {e['name']!r} diverged between branch "
                     f"{name!r} and main after the fork (concurrent "
                     "rewrite on one side); re-branch and replay"
                 )
-            fe = fork_by_name.get(e["name"])
             if fe is not None:
                 if _strip_ids(e) != _strip_ids(fe):
                     raise PublishConflict(
@@ -519,6 +657,34 @@ def snap_publish_branch(
                 "adds": 0,
                 "removes": 0,
             }
+        if bm.get("row_tracking"):
+            # row ids are METADATA (implicit ``row_id_base`` slices),
+            # so branch-born appends rebase cleanly: drop the ids the
+            # branch drew under the FORK watermark — they may collide
+            # with main's concurrent assignment — and let ``_commit``
+            # re-draw each slice under MAIN'S current watermark.  The
+            # one thing that cannot be re-mapped is a file that
+            # MATERIALIZED its ids as a physical column (an OPTIMIZE
+            # on the branch preserving pre-assigned ids): refuse it.
+            pinned = [
+                e["name"] for e in new_entries if e.get("row_id_col")
+            ]
+            if pinned:
+                raise PublishConflict(
+                    f"branch {name!r} materialized row ids as a "
+                    f"physical column ({pinned[:3]!r}...) under the "
+                    "fork watermark — physical ids cannot be re-mapped "
+                    "at publish while main moved; publish before "
+                    "compacting the branch, or re-branch and replay"
+                )
+            for e in new_entries:
+                e.pop("row_id_base", None)
+        id_carry = _identity_rebase_carry(
+            path, name, fork, fork_m, bm, mcur, fs
+        )
+        carry_m = mcur if id_carry is None else {
+            **mcur, "identity": id_carry,
+        }
         files = list(mcur["files"]) + new_entries
         txns = dict(mcur.get("txns") or {})
         for app, batch in (bm.get("txns") or {}).items():
@@ -538,7 +704,7 @@ def snap_publish_branch(
                     "mode": "rebase",
                 },
                 fs=fs,
-                carry=mcur,
+                carry=carry_m,
                 adds=new_entries,
                 removes=[],
             )

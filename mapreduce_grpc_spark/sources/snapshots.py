@@ -5960,7 +5960,8 @@ def _clone_protected(
         return set()
     src_abs = os.path.abspath(path)
     protected: set[str] = set()
-    for name in f.listdir(cdir):
+    seen_dst: set[str] = set()
+    for name in sorted(f.listdir(cdir)):
         if not name.endswith(".json"):
             continue
         marker = os.path.join(cdir, name)
@@ -5969,6 +5970,16 @@ def _clone_protected(
         except (ValueError, FileNotFoundError):
             continue
         dst = rec.get("dst")
+        if dst:
+            # protection is per-DESTINATION: a duplicate marker for a
+            # dst this pass already walked adds nothing but another
+            # O(versions x files) manifest walk — retire it
+            dst_abs = os.path.abspath(dst)
+            if dst_abs in seen_dst:
+                if retire:
+                    f.remove(marker)
+                continue
+            seen_dst.add(dst_abs)
         refs: set[str] = set()
         if dst and f.exists(_current_path(dst)):
             mdir = os.path.join(dst, _MANIFEST_DIR)

@@ -329,14 +329,131 @@ def test_publish_row_tracked_keeps_main_ids(spark, tmp_path):
     )
     assert ch.filter("_change_type <> 'insert'").count() == 0
     assert ch.count() == 50
-    # tracked table + moved main -> rebase refused
-    snap_create_branch(t, "b2")
-    snap_append(
-        spark, snap_branch_path(t, "b2"), _rng(spark, 300, 310)
+
+
+def test_publish_row_tracked_rebase_remaps_ids(spark, tmp_path):
+    """Tracked table + moved main: the rebase re-draws branch-born
+    ``row_id_base`` slices under MAIN'S current watermark (metadata
+    only — the r14 refusal lifted).  Main's rows keep their ids, the
+    published rows get fresh non-colliding ids, the CDF shows the
+    publish as pure inserts carrying the NEW ids, and the duplicate-
+    live-row-id audit stays clean."""
+    t = str(tmp_path / "t")
+    snap_init(spark, _rng(spark, 0, 100), t, stats_cols=["k"])
+    snap_enable_row_tracking(t)
+    snap_create_branch(t, "b")
+    snap_append(spark, snap_branch_path(t, "b"), _rng(spark, 300, 310))
+    snap_append(spark, t, _rng(spark, 400, 410))  # main moves too
+    pre = {
+        r["k"]: r["_row_id"]
+        for r in snap_read(spark, t, with_row_ids=True).collect()
+    }
+    res = snap_publish_branch(t, "b")
+    assert res["mode"] == "rebase"
+    after = {
+        r["k"]: r["_row_id"]
+        for r in snap_read(spark, t, with_row_ids=True).collect()
+    }
+    assert all(after[k] == i for k, i in pre.items()), (
+        "rebase publish renumbered rows main already owned"
     )
+    reb = [i for k, i in after.items() if 300 <= k < 310]
+    assert len(set(reb)) == 10
+    assert not (set(reb) & set(pre.values())), (
+        "rebased branch-born ids collide with main's"
+    )
+    assert len(set(after.values())) == len(after)
+    assert verify_snapshot(t)["missing"] == []
+    # CDF parity over the publish: 10 inserts, each with its NEW id
+    ch = table_changes(
+        spark, t, None, current_version(t) - 1, current_version(t)
+    )
+    assert ch.filter("_change_type <> 'insert'").count() == 0
+    assert sorted(
+        r["_row_id"] for r in ch.select("_row_id").collect()
+    ) == sorted(reb)
+    # incremental re-publish after more branch staging: only the delta
+    snap_append(spark, snap_branch_path(t, "b"), _rng(spark, 500, 505))
+    res2 = snap_publish_branch(t, "b")
+    assert res2["mode"] == "rebase" and res2["adds"] >= 1
+    again = snap_read(spark, t, with_row_ids=True).collect()
+    ids = [r["_row_id"] for r in again]
+    assert len(set(ids)) == len(ids), "duplicate ids after re-publish"
+    assert {r["k"] for r in again} == (
+        set(range(100)) | set(range(300, 310))
+        | set(range(400, 410)) | set(range(500, 505))
+    )
+
+
+def test_publish_row_tracked_rebase_refuses_materialized_ids(
+    spark, tmp_path
+):
+    """A branch OPTIMIZE materializes pre-assigned ids as a PHYSICAL
+    column (``row_id_col``) — those cannot be re-mapped at publish, so
+    the rebase arm refuses them loudly (fast-forward still fine)."""
+    from mapreduce_grpc_spark.sources.snapshots import optimize_snapshot
+
+    t = str(tmp_path / "t")
+    snap_init(spark, _rng(spark, 0, 50), t, stats_cols=["k"])
+    snap_enable_row_tracking(t)
+    bdir = snap_create_branch(t, "b")
+    snap_append(spark, bdir, _rng(spark, 100, 150))
+    snap_append(spark, bdir, _rng(spark, 150, 200))
+    # compact ONLY branch-born files (touching shared files would
+    # refuse earlier, as an unpublished rewrite)
+    optimize_snapshot(spark, bdir, where=[("k", ">=", 100)])
+    assert any(
+        e.get("row_id_col") for e in read_manifest(bdir)["files"]
+    ), "branch OPTIMIZE should have materialized ids physically"
+    snap_append(spark, t, _rng(spark, 900, 910))  # main moves
+    with pytest.raises(PublishConflict, match="materialized"):
+        snap_publish_branch(t, "b")
+
+
+def test_publish_identity_rebase(spark, tmp_path):
+    """Identity tables rebase iff main's allocator advances since the
+    fork all came from THIS branch's earlier publishes: physical
+    surrogate keys cannot be re-mapped, so a FOREIGN allocation
+    overlapping the branch's range refuses, while the branch's own
+    incremental publish chain keeps landing (and main's high-water
+    ends past every published value)."""
+    from mapreduce_grpc_spark.sources.snapshots import snap_add_column
+
+    t = str(tmp_path / "t")
+    snap_init(spark, _rng(spark, 0, 20), t, stats_cols=["k"])
+    snap_add_column(t, "sid", "bigint", identity=(1000, 3))
+    snap_append(spark, t, _rng(spark, 20, 30))  # main consumes 10 slots
+    bdir = snap_create_branch(t, "b")
+    snap_append(spark, bdir, _rng(spark, 100, 120))  # branch: 20 slots
+    # main moved WITHOUT consuming identity (MoR delete) -> rebase OK
+    delete_where_mor(spark, t, [("k", "=", 3)])
+    res = snap_publish_branch(t, "b")
+    assert res["mode"] == "rebase"
+    got = snap_read(spark, t).select("k", "sid").collect()
+    # pre-identity rows read NULL sid; allocated values must be unique
+    sids = [r["sid"] for r in got if r["sid"] is not None]
+    assert len(sids) == 30, "10 main + 20 branch allocated rows"
+    assert len(set(sids)) == len(sids), "surrogate keys collided"
+    m = read_manifest(t)
+    assert m["identity"]["sid"]["high"] == 30  # 10 main + 20 branch
+    # incremental publish chain: branch stages more, publishes again —
+    # main's advance came from publish #1 (own), so #2 still lands
+    snap_append(spark, bdir, _rng(spark, 200, 205))
+    res2 = snap_publish_branch(t, "b")
+    assert res2["mode"] == "rebase"
+    sids2 = [
+        r["sid"]
+        for r in snap_read(spark, t).select("sid").collect()
+        if r["sid"] is not None
+    ]
+    assert len(sids2) == 35 and len(set(sids2)) == len(sids2)
+    assert read_manifest(t)["identity"]["sid"]["high"] == 35
+    # a FOREIGN identity append after the fork overlaps the branch's
+    # unpublished range -> refuse
+    snap_append(spark, bdir, _rng(spark, 300, 310))
     snap_append(spark, t, _rng(spark, 400, 410))
-    with pytest.raises(PublishConflict, match="watermark"):
-        snap_publish_branch(t, "b2")
+    with pytest.raises(PublishConflict, match="collide"):
+        snap_publish_branch(t, "b")
 
 
 def test_dropped_published_branch_swept_incrementally(spark, tmp_path):
@@ -606,14 +723,18 @@ def _rows(spark, t):
     return [(r.k, r.v) for r in snap_read(spark, t).collect()]
 
 
-def test_refs_randomized_soak(spark, tmp_path):
+@pytest.mark.parametrize("tracked", [False, True], ids=["plain", "tracked"])
+def test_refs_randomized_soak(spark, tmp_path, tracked):
     """Model-checked soak: a seeded random interleaving of main
     appends, branch forks, branch appends, branch MoR deletes,
     publishes, drops, tags, restores, and aggressive GC — after every
     step main must match a pure-Python row model, every live ref must
     resolve, and fsck must find nothing missing.  Publish outcomes are
     folded into the model exactly as the API defines them (a conflict
-    drops the branch and discards its unpublished delta)."""
+    drops the branch and discards its unpublished delta).  The
+    ``tracked`` arm runs the same interleaving on a ROW-TRACKED table
+    (rebase publishes re-draw branch ids under main's watermark) and
+    additionally asserts live row-ids stay unique at every step."""
     import random
 
     from mapreduce_grpc_spark.sources.snapshots import snap_restore
@@ -621,6 +742,8 @@ def test_refs_randomized_soak(spark, tmp_path):
     rng = random.Random(0x14F5)
     t = str(tmp_path / "t")
     snap_init(spark, _rng(spark, 0, 100), t, stats_cols=["k"])
+    if tracked:
+        snap_enable_row_tracking(t)
     model: set[int] = set(range(100))          # keys on main
     branches: dict[str, set[int]] = {}         # unpublished delta keys
     branch_dirty: dict[str, bool] = {}         # did MoR-delete on branch
@@ -706,9 +829,17 @@ def test_refs_randomized_soak(spark, tmp_path):
         elif op == "gc":
             expire_snapshots(t, keep_last=1, orphan_grace_seconds=0)
         # ---- invariants, every step
-        got = {
-            r.k for r in snap_read(spark, t).select("k").collect()
-        }
+        if tracked:
+            live = snap_read(spark, t, with_row_ids=True).collect()
+            ids = [r["_row_id"] for r in live]
+            assert len(set(ids)) == len(ids), (
+                f"step {step} op {op}: duplicate live row ids"
+            )
+            got = {r.k for r in live}
+        else:
+            got = {
+                r.k for r in snap_read(spark, t).select("k").collect()
+            }
         assert got == model, (
             f"step {step} op {op}: main diverged from the model "
             f"(missing={sorted(model - got)[:5]}, "
