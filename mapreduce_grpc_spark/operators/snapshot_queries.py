@@ -1036,13 +1036,16 @@ def snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-table shallow clone), stage the urgent rows on the branch, run
     an audit fix-up THERE (a merge-on-read delete of low keys — which
     lands deletion vectors on BORROWED files, the ``_dv_path``
-    ownership case), then fast-forward publish: one commit on main
-    adopting the branch's files by reference, and drop the branch
-    (published bytes survive as a protected remnant).  Main never sees
-    the un-audited intermediate state.  The oracle recomputes the
-    final state from the fixture: all orders minus the audited-out
-    keys.  Money is projected to exact integer cents per row before
-    the sum, so the hashed surface carries no floating aggregate."""
+    ownership case), then fast-forward publish THROUGH THE DECLARATIVE
+    GATE: ``snap_publish_branch(audits=...)`` re-validates the staged
+    expectations against the branch head (DV-aware, session-free)
+    before the one commit on main adopts the branch's files by
+    reference; the branch is dropped after (published bytes survive as
+    a protected remnant).  Main never sees the un-audited intermediate
+    state.  The oracle recomputes the final state from the fixture:
+    all orders minus the audited-out keys.  Money is projected to
+    exact integer cents per row before the sum, so the hashed surface
+    carries no floating aggregate."""
     from ..sources.refs import (
         snap_create_branch,
         snap_drop_branch,
@@ -1071,7 +1074,16 @@ def snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap_append(spark, bdir, ords.filter(urgent))
         # audit fix-up on the branch: DVs land on borrowed files too
         delete_where_mor(spark, bdir, [("o_orderkey", "<", 150)])
-        snap_publish_branch(path, "staging")
+        # the declarative gate re-checks the expectations the fix-up
+        # was meant to satisfy — publish happens iff they hold
+        snap_publish_branch(
+            path,
+            "staging",
+            audits={
+                "no_low_keys": "o_orderkey >= 150",
+                "priority_present": "o_orderpriority IS NOT NULL",
+            },
+        )
         snap_drop_branch(path, "staging")
         out = (
             snap_read(spark, path)
@@ -1136,6 +1148,12 @@ QUERIES = {
     # is r13's flagship and the most algorithmically delicate surface
     # that was still outside the driver's comparator
     "snapshot_row_ids": snapshot_row_ids,
+    # rotated IN (round 15, replacing the redundant dedup_simhash row —
+    # its pair-graph twin stays): the refs lifecycle (branch fork,
+    # borrowed-file DVs, declarative audit gate, zero-copy publish,
+    # protected-remnant drop) is r14's flagship and the most delicate
+    # new surface outside the driver's comparator
+    "snapshot_wap": snapshot_wap,
 }
 ORACLES = {
     "snapshot_timetravel": SNAPSHOT_TIMETRAVEL_SQL,
@@ -1146,6 +1164,7 @@ ORACLES = {
     "snapshot_delete_scan": SNAPSHOT_DELETE_SCAN_SQL,
     "snapshot_column_evolution": SNAPSHOT_COLUMN_EVOLUTION_SQL,
     "snapshot_row_ids": SNAPSHOT_ROW_IDS_SQL,
+    "snapshot_wap": SNAPSHOT_WAP_SQL,
 }
 AUX_QUERIES = {
     "snapshot_update_restore": snapshot_update_restore,
@@ -1153,11 +1172,9 @@ AUX_QUERIES = {
     "streaming_cdf_feed": streaming_cdf_feed,
     "snapshot_generated_cols": snapshot_generated_cols,
     "snapshot_identity_cols": snapshot_identity_cols,
-    "snapshot_wap": snapshot_wap,
 }
 AUX_ORACLES = {
     "snapshot_identity_cols": SNAPSHOT_IDENTITY_COLS_SQL,
-    "snapshot_wap": SNAPSHOT_WAP_SQL,
     "snapshot_update_restore": SNAPSHOT_UPDATE_RESTORE_SQL,
     "snapshot_prefix_scan": SNAPSHOT_PREFIX_SCAN_SQL,
     "streaming_cdf_feed": STREAMING_CDF_FEED_SQL,

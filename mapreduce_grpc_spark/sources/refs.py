@@ -57,6 +57,14 @@ Design (each piece reuses an existing invariant):
     the branch rewrote or removed shared files main still serves
     (the user must re-branch and replay).
 
+  Publish optionally runs the AUDIT step itself:
+  ``snap_publish_branch(..., audits={name: sql_bool_expr})``
+  evaluates each expectation per row against the branch head —
+  DV-aware and session-free (the streaming sink's ANSI evaluator
+  shape) — and a failure raises ``PublishAuditFailed`` with the
+  violating rows, main untouched.  The gate is part of the protocol,
+  not caller convention.
+
   Before committing, publish registers main as a clone of the BRANCH
   (a ``_clones`` marker inside the branch dir), so the branch's own
   GC — and ``snap_drop_branch`` — can never reclaim bytes main now
@@ -137,6 +145,106 @@ class PublishConflict(RuntimeError):
     """Publish could not fold the branch into main — main diverged in
     a way fast-forward/rebase cannot reconcile.  Re-branch from
     CURRENT and replay the change."""
+
+
+class PublishAuditFailed(RuntimeError):
+    """A declarative WAP audit failed against the branch head — main
+    is untouched.  ``violations`` maps each failing audit name to its
+    sample of violating rows (tuples in the branch head's column
+    order)."""
+
+    def __init__(self, msg: str, violations: dict[str, list]):
+        super().__init__(msg)
+        self.violations = violations
+
+
+def _audit_branch_head(bdir: str, bm: dict, audits) -> None:
+    """Run declarative expectations against the branch HEAD before
+    publish — the audit step of write-audit-publish as part of the
+    PROTOCOL instead of caller convention.
+
+    ``audits`` is a mapping ``name -> SQL boolean expression`` (or an
+    iterable of expressions, auto-named ``audit_1..n``) with CHECK
+    semantics per row: a row fails only when the expression evaluates
+    to FALSE (NULL passes — audit ``col IS NOT NULL`` to reject
+    nulls).  Evaluation reuses the streaming sink's session-free
+    ANSI-SQL evaluator shape (DuckDB over the head's parquet files, no
+    SparkSession), extended to be DV-AWARE: rows masked by the
+    branch's deletion vectors are excluded before evaluation, so the
+    canonical gate flow — stage, MoR-delete the bad rows, re-audit,
+    publish — sees exactly what a reader of the branch sees.  Column
+    mapping re-surfaces physical names under their logical ones.
+    Raises ``PublishAuditFailed`` with per-audit violation samples;
+    an inscrutable expression fails LOUDLY rather than skipping."""
+    from .snapshots import _cm, _dv_path, _entry_path
+
+    if isinstance(audits, dict):
+        named = dict(audits)
+    else:
+        named = {
+            f"audit_{i + 1}": a for i, a in enumerate(audits)
+        }
+    if not named:
+        return
+    entries = bm["files"]
+    if not entries:
+        return
+    import duckdb
+
+    def _lit(paths):
+        return ", ".join(
+            "'" + p.replace("'", "''") + "'" for p in paths
+        )
+
+    data = [_entry_path(bdir, e) for e in entries]
+    dved = [e for e in entries if e.get("dv")]
+    if dved:
+        sidecars = sorted({_dv_path(bdir, e) for e in dved})
+        masked = _lit(e["name"] for e in dved)
+        rel = (
+            "(SELECT * EXCLUDE (filename, file_row_number) FROM "
+            f"read_parquet([{_lit(data)}], filename=true, "
+            "file_row_number=true) d ANTI JOIN "
+            f"(SELECT file_name, pos FROM read_parquet([{_lit(sidecars)}]) "
+            f"WHERE file_name IN ({masked})) v "
+            "ON parse_filename(d.filename) = v.file_name "
+            "AND d.file_row_number = v.pos)"
+        )
+    else:
+        rel = f"read_parquet([{_lit(data)}])"
+    cm = _cm(bm)
+    renames = [(p, l) for l, p in sorted(cm.items()) if p != l]
+    if renames:
+        aliased = ", ".join(f'"{p}" AS "{l}"' for p, l in renames)
+        excluded = ", ".join(f'"{p}"' for p, _ in renames)
+        rel = f"(SELECT {aliased}, * EXCLUDE ({excluded}) FROM {rel})"
+    con = duckdb.connect()
+    violations: dict[str, list] = {}
+    for aname, expr in sorted(named.items()):
+        try:
+            bad = con.execute(
+                f"SELECT * FROM {rel} "
+                f"WHERE NOT coalesce(({expr}), TRUE) LIMIT 20"
+            ).fetchall()
+        except Exception as e:
+            raise PublishAuditFailed(
+                f"audit {aname!r} ({expr}) could not be evaluated by "
+                f"the session-free validator (ANSI SQL via DuckDB): "
+                f"{e}; rewrite the expression portably",
+                {aname: []},
+            ) from e
+        if bad:
+            violations[aname] = bad
+    if violations:
+        raise PublishAuditFailed(
+            "write-audit-publish gate failed — main untouched; "
+            "failing audits: "
+            + ", ".join(
+                f"{k!r} ({len(v)}+ rows, sample {v[:2]!r})"
+                for k, v in sorted(violations.items())
+            ),
+            violations,
+        )
 
 
 def _wait_commit_visible(
@@ -422,8 +530,16 @@ def snap_publish_branch(
     path: str,
     name: str,
     fs: LocalSnapshotFS | None = None,
+    audits: dict | list | tuple | None = None,
 ) -> dict:
     """Fold branch ``name`` into main as one commit (the WAP publish).
+
+    ``audits`` makes the AUDIT step declarative: a mapping
+    ``name -> SQL boolean expression`` (or a plain list of
+    expressions) evaluated per row against the BRANCH HEAD — DV-aware
+    and session-free (``_audit_branch_head``) — before anything else
+    happens.  A failing audit raises ``PublishAuditFailed`` carrying
+    the violating rows; main is untouched (no marker, no commit).
 
     Fast-forward when main is still at the fork point; append-only
     rebase when main moved, the two heads agree on table metadata,
@@ -454,6 +570,8 @@ def snap_publish_branch(
             f"branch {name!r} does not fork from {path!r} "
             f"(clone_of={clone_of!r})"
         )
+    if audits is not None:
+        _audit_branch_head(bdir, bm, audits)
     fork = int(clone_of["version"])
     try:
         fork_m = read_manifest(path, fork, fs)

@@ -15,14 +15,14 @@ CONTRACT_ORDER = [
     "above_avg_orders", "pivot_agg", "group_percentiles",
     "orders_by_month", "topk", "partitioned_sorted_output", "set_ops",
     "window_analytic", "dedup_exact", "dedup_near",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_ngram_jaccard", "dedup_simhash_pairs",
     "similarity_topk", "ann_lsh_topk", "ivf_topk", "dedup_embedding",
     "session_window",
     "multimodal_features", "frame_sample", "zscore_outliers",
     "snapshot_timetravel", "snapshot_merge_into",
     "streaming_table_pipeline", "snapshot_partitioned_scan",
     "matview_orders", "snapshot_delete_scan",
-    "snapshot_column_evolution", "snapshot_row_ids",
+    "snapshot_column_evolution", "snapshot_row_ids", "snapshot_wap",
 ]
 
 

@@ -559,17 +559,70 @@ def test_write_audit_publish_gate(spark, tmp_path):
     assert verify_snapshot(t)["missing"] == []
 
 
+def test_declarative_audit_gate(spark, tmp_path):
+    """``snap_publish_branch(audits=...)`` makes the AUDIT step part
+    of the protocol: expectations run against the branch head (DV-
+    aware, session-free), a failure raises with the violating rows and
+    leaves main untouched, and the canonical flow — stage, MoR-delete
+    the bad rows, re-audit, publish — goes green because masked rows
+    are excluded before evaluation.  Column-mapped tables audit under
+    LOGICAL names."""
+    from mapreduce_grpc_spark.sources.refs import PublishAuditFailed
+    from mapreduce_grpc_spark.sources.snapshots import (
+        snap_rename_column,
+    )
+
+    t = _mk(spark, str(tmp_path / "t"))  # k 0..199, v = k%7
+    snap_rename_column(t, "v", "val")  # audits see logical names
+    v0 = current_version(t)
+    bdir = snap_create_branch(t, "b")
+    snap_append(
+        spark,
+        snap_branch_path(t, "b"),
+        _rng(spark, 500, 520).withColumnRenamed("v", "val"),
+    )
+    with pytest.raises(PublishAuditFailed) as ei:
+        snap_publish_branch(t, "b", audits={"small_keys": "k < 300"})
+    assert "small_keys" in ei.value.violations
+    assert len(ei.value.violations["small_keys"]) >= 1
+    assert current_version(t) == v0, (
+        "failed audit must leave main untouched"
+    )
+    # fix-up: MoR-delete the violating rows ON THE BRANCH, re-audit —
+    # the gate must not see DV-masked rows
+    delete_where_mor(spark, bdir, [("k", ">=", 510)])
+    r = snap_publish_branch(
+        t,
+        "b",
+        audits={
+            "small_keys": "k < 510",
+            "val_domain": "val BETWEEN 0 AND 6",
+        },
+    )
+    assert r["mode"] == "fast_forward"
+    assert snap_read(spark, t).count() == 210
+    # list-form audits; an inscrutable expression fails LOUDLY
+    snap_create_branch(t, "b2")
+    with pytest.raises(PublishAuditFailed, match="evaluated"):
+        snap_publish_branch(
+            t, "b2", audits=["no_such_function_xyz(k)"]
+        )
+    snap_drop_branch(t, "b2")
+
+
 def test_snapshot_wap_oracle_parity(spark, sf_dir):
-    """The AUX query's DuckDB hash: branch-staged ingest + audited MoR
-    fix-up + fast-forward publish == the fixture minus the audited-out
-    keys, summed in exact integer cents."""
+    """Branch-staged ingest + declaratively audited MoR fix-up +
+    fast-forward publish == the fixture minus the audited-out keys,
+    summed in exact integer cents.  Rotated INTO the driver contract
+    in round 15 — same check, now from the contract dicts (the driver
+    re-hashes it independently)."""
     from mapreduce_grpc_spark import registry
     from tests.oracle import assert_oracle_match
 
-    df = registry.AUX_QUERIES["snapshot_wap"](spark, sf_dir)
+    df = registry.QUERIES["snapshot_wap"](spark, sf_dir)
     assert_oracle_match(
         df,
-        registry.AUX_ORACLES["snapshot_wap"],
+        registry.ORACLES["snapshot_wap"],
         sf_dir,
         "snapshot_wap",
     )

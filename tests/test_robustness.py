@@ -145,6 +145,23 @@ def test_minhash_signatures_oracle_parity(spark, sf_dir):
     )
 
 
+def test_dedup_simhash_oracle_parity(spark, sf_dir):
+    """dedup_simhash rotated from the driver contract to AUX in round
+    15 (made room for snapshot_wap; its pair-graph twin
+    dedup_simhash_pairs stays contract and exercises the same
+    fingerprints through the banded join) — it keeps the SAME DuckDB
+    hash comparator here."""
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["dedup_simhash"](spark, sf_dir)
+    assert_oracle_match(
+        df,
+        registry.AUX_ORACLES["dedup_simhash"],
+        sf_dir,
+        "dedup_simhash",
+    )
+
+
 def test_events_json_oracle_parity(spark, sf_dir):
     """events_json rotated from the driver contract to AUX in round
     11 (made room for matview_orders) — it keeps the SAME DuckDB hash
