@@ -8,16 +8,20 @@ row-at-a-time UDFs).
 
 The decode seam (`decode_media`) carries REAL stdlib decoders for all
 three modalities — PNG images (``pngcodec``: zlib IDAT + unfilter),
-WAV/PCM audio (``wavcodec``: RIFF chunk walk, exact integer sample
-stats), and YUV4MPEG2 video (``y4mcodec``: offset-indexed frames, so
-sampling reads only sampled frames) — plus a feature-detected Pillow
-hook; compressed formats raise NotImplementedError naming the gap
-(ffmpeg-class codecs slot in at the same seam).  The deterministic
-fake codec (md5/length arithmetic) remains the CONTRACT path: it is
-reproducible in pure SQL over the same bytes, which keeps the driver's
-multimodal queries value-hash-checkable; the real codecs get their own
+baseline JPEG (``jpegcodec``: Huffman + dequant + IDCT + YCbCr->RGB —
+the dominant web image format), WAV/PCM audio (``wavcodec``: RIFF
+chunk walk, exact integer sample stats), and YUV4MPEG2 video
+(``y4mcodec``: offset-indexed frames, so sampling reads only sampled
+frames) — plus a feature-detected Pillow hook; remaining compressed
+formats (progressive JPEG, MP3-class audio, H.26x video) raise
+NotImplementedError naming the gap (ffmpeg-class codecs slot in at
+the same seam).  The deterministic fake codec (md5/length arithmetic)
+remains the CONTRACT path: it is reproducible in pure SQL over the
+same bytes, which keeps the driver's multimodal queries
+value-hash-checkable; the real codecs get their own
 closed-form-oracle AUX queries (`multimodal_png_decode`,
-`multimodal_wav_decode`, `multimodal_y4m_frames`).
+`multimodal_jpeg_decode`, `multimodal_wav_decode`,
+`multimodal_y4m_frames`).
 
 The fixture has no binary table; ``media_table`` manufactures one from
 ``documents`` (payload = utf8 bytes of text, media_type cycled by doc_id)
@@ -83,6 +87,9 @@ def decode_media(payload: bytes, media_type: str, codec: str = "fake"):
       ``fake``.
     - ``png``: real stdlib image decode (zlib IDAT + unfilter,
       ``pngcodec``) — no dependencies, always available.
+    - ``jpeg``: real baseline-sequential JFIF decode (Huffman +
+      dequant + IDCT + YCbCr->RGB, ``jpegcodec``) — no dependencies;
+      progressive/arithmetic/12-bit raise naming the gap.
     - ``wav``: real stdlib audio decode (RIFF/PCM, ``wavcodec``) —
       exact integer sample statistics, no dependencies.
     - ``y4m``: real stdlib video decode (YUV4MPEG2, ``y4mcodec``) —
@@ -91,6 +98,7 @@ def decode_media(payload: bytes, media_type: str, codec: str = "fake"):
       NotImplementedError when not installed).  ffmpeg plugs in the
       same way for compressed video/float-audio.
     """
+    from .jpegcodec import decode_jpeg, is_jpeg
     from .pngcodec import decode_png, is_png
     from .wavcodec import decode_wav, is_wav
     from .y4mcodec import decode_y4m, is_y4m
@@ -100,6 +108,8 @@ def decode_media(payload: bytes, media_type: str, codec: str = "fake"):
             codec = "pil"
         elif media_type == "image" and is_png(payload):
             codec = "png"
+        elif media_type == "image" and is_jpeg(payload):
+            codec = "jpeg"
         elif media_type == "audio" and is_wav(payload):
             codec = "wav"
         elif media_type == "video" and is_y4m(payload):
@@ -131,8 +141,8 @@ def decode_media(payload: bytes, media_type: str, codec: str = "fake"):
             "peak_abs": d["peak_abs"],
             "sumsq": d["sumsq"],
         }
-    if codec == "png":
-        d = decode_png(payload)
+    if codec in ("png", "jpeg"):
+        d = decode_png(payload) if codec == "png" else decode_jpeg(payload)
         return {
             "n_bytes": len(payload),
             "checksum": hashlib.md5(payload).hexdigest(),
@@ -363,6 +373,101 @@ FROM px
 """
 
 
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode under the hash comparator — the JPEG
+    twin of ``multimodal_png_decode``: synthesize a deterministic
+    grayscale JPEG per document from CONSTANT 8x8 tiles (tile value
+    closed-form in doc_id; restart interval ``doc_id % 4``, so the
+    RSTn resync + DC-predictor reset path is under the hash),
+    round-trip it through the stdlib codec (``jpegcodec``: marker
+    walk, Huffman entropy decode, dequant, IDCT, level shift), and
+    emit the decoded dimensions and exact pixel statistics.  Constant
+    tiles with quant=1 make baseline JPEG LOSSLESS here (the only
+    coefficient is DC ``8*(v-128)``, whose IDCT is exactly ``v``), so
+    the DuckDB oracle reproduces every stat in closed form with no
+    image library; ``pixels_ok`` pins byte-exact recovery against the
+    tile expansion.  Varying tile values exercise the DC difference
+    categories and the Huffman paths; DC-only blocks keep the oracle
+    exact (AC/color/subsampling are pinned in ``tests/
+    test_jpegcodec.py`` against an independent IDCT).
+
+    Scale shape: identical to the PNG path — ``mapInPandas`` over a
+    one-column scan, row-local decode, no shuffle; libjpeg-turbo swaps
+    in at the ``decode_media`` seam."""
+    import numpy as np
+
+    from .jpegcodec import decode_jpeg, encode_jpeg_const_gray
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bx, by = 2 + d % 3, 1 + d % 2
+                i = np.arange(by, dtype=np.int64)[:, None] * 61
+                j = np.arange(bx, dtype=np.int64)[None, :] * 17
+                bv = (d * 37 + i + j) % 256
+                blob = encode_jpeg_const_gray(
+                    bx * 8, by * 8, bv, restart_interval=d % 4
+                )
+                dec = decode_jpeg(blob)
+                exp = np.repeat(
+                    np.repeat(bv, 8, axis=0), 8, axis=1
+                ).astype(np.uint8)
+                rows.append((
+                    d, dec["width"], dec["height"], dec["channels"],
+                    dec["bit_depth"], dec["pixel_sum"],
+                    dec["pixel_min"], dec["pixel_max"],
+                    dec["n_pixels"], dec["pixels"] == exp.tobytes(),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "bit_depth", "pixel_sum", "pixel_min",
+                    "pixel_max", "n_pixels", "pixels_ok",
+                ],
+            )
+
+    return docs.mapInPandas(work, PNG_DECODE_SCHEMA)
+
+
+# Closed-form mirror of the constant tiles: tile (i, j) of doc d holds
+# value (37d + 61i + 17j) % 256 across 64 pixels, so the stats are
+# pure SQL over the lateral tile grid.
+MULTIMODAL_JPEG_DECODE_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(2 + doc_id % 3 AS INTEGER) AS bx,
+         CAST(1 + doc_id % 2 AS INTEGER) AS by
+  FROM documents
+), tiles AS (
+  SELECT d.doc_id, d.bx, d.by,
+         CAST(64 * SUM((37 * d.doc_id + 61 * y.i + 17 * x.j) % 256)
+              AS BIGINT) AS pixel_sum,
+         CAST(MIN((37 * d.doc_id + 61 * y.i + 17 * x.j) % 256)
+              AS INTEGER) AS pixel_min,
+         CAST(MAX((37 * d.doc_id + 61 * y.i + 17 * x.j) % 256)
+              AS INTEGER) AS pixel_max
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.by - 1)) AS i) y,
+       LATERAL (SELECT unnest(generate_series(0, d.bx - 1)) AS j) x
+  GROUP BY d.doc_id, d.bx, d.by
+)
+SELECT doc_id,
+       CAST(bx * 8 AS INTEGER) AS width,
+       CAST(by * 8 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(8 AS INTEGER) AS bit_depth,
+       pixel_sum, pixel_min, pixel_max,
+       CAST(bx AS BIGINT) * by * 64 AS n_pixels,
+       TRUE AS pixels_ok
+FROM tiles
+"""
+
+
 WAV_DECODE_SCHEMA = (
     "doc_id long, sample_rate int, channels int, bit_depth int, "
     "n_frames long, duration_ms long, peak_abs int, sumsq long, "
@@ -551,12 +656,14 @@ GROUP BY fr.doc_id, fr.f, fr.w, fr.h
 
 AUX_QUERIES = {
     "multimodal_png_decode": multimodal_png_decode,
+    "multimodal_jpeg_decode": multimodal_jpeg_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
     "multimodal_y4m_frames": multimodal_y4m_frames,
 }
 
 AUX_ORACLES = {
     "multimodal_png_decode": MULTIMODAL_PNG_DECODE_SQL,
+    "multimodal_jpeg_decode": MULTIMODAL_JPEG_DECODE_SQL,
     "multimodal_wav_decode": MULTIMODAL_WAV_DECODE_SQL,
     "multimodal_y4m_frames": MULTIMODAL_Y4M_FRAMES_SQL,
 }
