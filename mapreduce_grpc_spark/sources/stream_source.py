@@ -1091,20 +1091,41 @@ class SnapshotTableStreamSource(DataSource):
         return p
 
     def _ref(self) -> tuple[str | None, object]:
-        """Resolve the ``ref`` option ONCE per DataSource instance
-        (same caching rule as timestampAsOf: plan-time calls must all
-        see one resolution even if the ref is retargeted mid-plan).
-        ``(None, None)`` without the option; else ``("branch", dir)``
+        """Resolve the ``ref`` / ``branch`` / ``tag`` options ONCE per
+        DataSource instance (same caching rule as timestampAsOf:
+        plan-time calls must all see one resolution even if the ref is
+        retargeted mid-plan).  ``ref`` accepts either kind; the
+        Iceberg-shaped ``branch`` / ``tag`` options additionally
+        ASSERT the kind, so a pipeline wired to read a branch fails
+        loudly if the name turns out to pin a tag (and vice versa).
+        ``(None, None)`` without any option; else ``("branch", dir)``
         or ``("tag", version)``."""
-        ref = self.options.get("ref")
-        if not ref:
+        given = {
+            k: self.options.get(k)
+            for k in ("ref", "branch", "tag")
+            if self.options.get(k)
+        }
+        if not given:
             return (None, None)
+        if len(given) > 1:
+            raise ValueError(
+                "snapshot_table: pass ONE of ref/branch/tag, got "
+                f"{sorted(given)}"
+            )
         cached = getattr(self, "_ref_resolved", None)
         if cached is None:
             from .refs import resolve_ref
 
+            (opt, name), = given.items()
             p = self.options.get("path")
-            cached = resolve_ref(p, ref, self._fs())
+            cached = resolve_ref(p, name, self._fs())
+            if opt != "ref" and cached[0] != opt:
+                raise ValueError(
+                    f"snapshot_table: option('{opt}', {name!r}) but "
+                    f"{name!r} names a {cached[0]} — use "
+                    f".option('{cached[0]}', ...) or the kind-agnostic "
+                    ".option('ref', ...)"
+                )
             self._ref_resolved = cached
         return cached
 

@@ -504,15 +504,33 @@ def test_ref_reads_and_datasource_option(spark, tmp_path, snapshot_fs):
         snap_read(spark, t, version=1, ref="pin")
     assert snap_read(spark, t, ref="pin").count() == 200
     assert snap_read(spark, t, ref="dev").count() == 280
-    ds = (
-        spark.read.format("snapshot_table")
-        .option("path", t)
-        .option("fsImpl", snapshot_fs.spec)
-    )
-    assert ds.option("ref", "pin").load().count() == 200
-    assert ds.option("ref", "dev").load().count() == 280
+    def ds(**opts):
+        # fresh reader per case: DataFrameReader.option ACCUMULATES
+        r = (
+            spark.read.format("snapshot_table")
+            .option("path", t)
+            .option("fsImpl", snapshot_fs.spec)
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    assert ds(ref="pin").count() == 200
+    assert ds(ref="dev").count() == 280
+    # Iceberg-shaped kind-asserting aliases
+    assert ds(tag="pin").count() == 200
+    assert ds(branch="dev").count() == 280
+    with pytest.raises(Exception, match="names a tag"):
+        ds(branch="pin").count()
+    with pytest.raises(Exception, match="names a branch"):
+        ds(tag="dev").count()
+    with pytest.raises(Exception, match="ONE of"):
+        ds(ref="pin", branch="dev").count()
     with pytest.raises(Exception, match="pins a version"):
-        ds.option("ref", "pin").option("versionAsOf", "1").load()
+        ds(ref="pin", versionAsOf="1")
+    # the tag keeps reading through aggressive GC via the DataSource
+    expire_snapshots(t, keep_last=1, orphan_grace_seconds=0)
+    assert ds(tag="pin").count() == 200
     # writes: branch ok, tag refused
     _rng(spark, 900, 903).write.format("snapshot_table").option(
         "path", t
