@@ -180,8 +180,9 @@ def test_decode_media_png_and_auto_dispatch(monkeypatch):
     monkeypatch.setattr(mm, "_load_pil", lambda: None)
     auto = mm.decode_media(blob, "image", codec="auto")
     assert (auto["width"], auto["height"]) == (5, 4)
-    # non-PNG image bytes fall back to the fake codec
-    fake = mm.decode_media(b"\xff\xd8\xff not a png", "image", codec="auto")
+    # bytes no stdlib image codec claims (not PNG, and since r15 a
+    # JPEG signature would route to jpegcodec) fall back to the fake
+    fake = mm.decode_media(b"GIF89a not decodable", "image", codec="auto")
     assert set(fake) == {"n_bytes", "checksum", "width", "height"}
     # audio/video payloads never hit the image decoders
     assert "pixel_sum" not in mm.decode_media(blob, "video", codec="auto")
