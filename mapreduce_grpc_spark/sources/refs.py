@@ -158,7 +158,7 @@ class PublishAuditFailed(RuntimeError):
         self.violations = violations
 
 
-def _audit_branch_head(bdir: str, bm: dict, audits) -> None:
+def _audit_branch_head(bdir: str, bm: dict, audits, agg_audits) -> None:
     """Run declarative expectations against the branch HEAD before
     publish — the audit step of write-audit-publish as part of the
     PROTOCOL instead of caller convention.
@@ -167,27 +167,41 @@ def _audit_branch_head(bdir: str, bm: dict, audits) -> None:
     iterable of expressions, auto-named ``audit_1..n``) with CHECK
     semantics per row: a row fails only when the expression evaluates
     to FALSE (NULL passes — audit ``col IS NOT NULL`` to reject
-    nulls).  Evaluation reuses the streaming sink's session-free
-    ANSI-SQL evaluator shape (DuckDB over the head's parquet files, no
-    SparkSession), extended to be DV-AWARE: rows masked by the
-    branch's deletion vectors are excluded before evaluation, so the
-    canonical gate flow — stage, MoR-delete the bad rows, re-audit,
-    publish — sees exactly what a reader of the branch sees.  Column
-    mapping re-surfaces physical names under their logical ones.
-    Raises ``PublishAuditFailed`` with per-audit violation samples;
-    an inscrutable expression fails LOUDLY rather than skipping."""
+    nulls).  ``agg_audits`` are whole-relation expectations — each
+    expression must AGGREGATE to one boolean (``count(*) >= 1000``,
+    ``count(DISTINCT k) = count(*)``, ``avg(score) > 0.5`` — the
+    Iceberg-WAP audit shape); an aggregate audit fails when its value
+    is FALSE or NULL.  Evaluation reuses the streaming sink's
+    session-free ANSI-SQL evaluator shape (DuckDB over the head's
+    parquet files, no SparkSession), extended to be DV-AWARE: rows
+    masked by the branch's deletion vectors are excluded before
+    evaluation, so the canonical gate flow — stage, MoR-delete the
+    bad rows, re-audit, publish — sees exactly what a reader of the
+    branch sees.  Column mapping re-surfaces physical names under
+    their logical ones.  Raises ``PublishAuditFailed`` with per-audit
+    violation samples (row audits) / evaluated values (aggregate
+    audits); an inscrutable expression fails LOUDLY rather than
+    skipping."""
     from .snapshots import _cm, _dv_path, _entry_path
 
     if isinstance(audits, dict):
         named = dict(audits)
     else:
         named = {
-            f"audit_{i + 1}": a for i, a in enumerate(audits)
+            f"audit_{i + 1}": a for i, a in enumerate(audits or ())
         }
-    if not named:
+    agg_named = dict(agg_audits or {})
+    if not named and not agg_named:
         return
     entries = bm["files"]
     if not entries:
+        if agg_named:
+            raise PublishAuditFailed(
+                "write-audit-publish gate failed — the branch head "
+                "has no data files, so aggregate expectations "
+                f"{sorted(agg_named)} cannot hold; main untouched",
+                {k: [] for k in agg_named},
+            )
         return
     import duckdb
 
@@ -235,6 +249,29 @@ def _audit_branch_head(bdir: str, bm: dict, audits) -> None:
             ) from e
         if bad:
             violations[aname] = bad
+    for aname, expr in sorted(agg_named.items()):
+        try:
+            rows = con.execute(
+                f"SELECT ({expr}) FROM {rel} LIMIT 2"
+            ).fetchall()
+        except Exception as e:
+            raise PublishAuditFailed(
+                f"aggregate audit {aname!r} ({expr}) could not be "
+                "evaluated by the session-free validator (ANSI SQL "
+                f"via DuckDB): {e}; the expression must aggregate the "
+                "relation to ONE boolean",
+                {aname: []},
+            ) from e
+        if len(rows) != 1:
+            raise PublishAuditFailed(
+                f"aggregate audit {aname!r} ({expr}) returned "
+                f"{len(rows)} rows — it must AGGREGATE the relation "
+                "to one boolean (use audits= for per-row checks)",
+                {aname: []},
+            )
+        val = rows[0][0]
+        if val is not True:
+            violations[aname] = [(val,)]
     if violations:
         raise PublishAuditFailed(
             "write-audit-publish gate failed — main untouched; "
@@ -531,6 +568,8 @@ def snap_publish_branch(
     name: str,
     fs: LocalSnapshotFS | None = None,
     audits: dict | list | tuple | None = None,
+    agg_audits: dict | None = None,
+    dry_run: bool = False,
 ) -> dict:
     """Fold branch ``name`` into main as one commit (the WAP publish).
 
@@ -538,8 +577,19 @@ def snap_publish_branch(
     ``name -> SQL boolean expression`` (or a plain list of
     expressions) evaluated per row against the BRANCH HEAD — DV-aware
     and session-free (``_audit_branch_head``) — before anything else
-    happens.  A failing audit raises ``PublishAuditFailed`` carrying
-    the violating rows; main is untouched (no marker, no commit).
+    happens.  ``agg_audits`` adds whole-relation expectations (each
+    expression aggregates to one boolean: ``count(*) >= 1000``,
+    ``count(DISTINCT k) = count(*)`` — the Iceberg-WAP audit shape).
+    A failing audit raises ``PublishAuditFailed`` carrying the
+    violating rows / evaluated values; main is untouched (no marker,
+    no commit).
+
+    ``dry_run=True`` answers "what would publish do" with ZERO side
+    effects: audits run, the fast-forward/rebase/noop plan and its
+    add/remove counts are computed against CURRENT, conflicts raise
+    exactly as a real publish would — but no clone marker lands and
+    no commit happens.  The returned dict carries ``version=None``
+    and ``dry_run=True``.
 
     Fast-forward when main is still at the fork point; append-only
     rebase when main moved, the two heads agree on table metadata,
@@ -570,8 +620,8 @@ def snap_publish_branch(
             f"branch {name!r} does not fork from {path!r} "
             f"(clone_of={clone_of!r})"
         )
-    if audits is not None:
-        _audit_branch_head(bdir, bm, audits)
+    if audits is not None or agg_audits is not None:
+        _audit_branch_head(bdir, bm, audits, agg_audits)
     fork = int(clone_of["version"])
     try:
         fork_m = read_manifest(path, fork, fs)
@@ -626,30 +676,32 @@ def snap_publish_branch(
     # repeated incremental publish reuses the marker it already wrote
     # instead of accumulating duplicates that each add a full manifest
     # walk to every GC pass.
-    cdir = os.path.join(bdir, _CLONES_DIR)
-    f.makedirs(cdir)
-    have_marker = False
-    for mn in f.listdir(cdir):
-        if not mn.endswith(".json"):
-            continue
-        try:
-            r0 = json.loads(f.read_text(os.path.join(cdir, mn)))
-        except (ValueError, FileNotFoundError):
-            continue
-        if os.path.abspath(r0.get("dst") or "") == main_abs:
-            have_marker = True
-            break
-    if not have_marker:
-        rec = json.dumps(
-            {
-                "dst": main_abs,
-                "src_version": bm["version"],
-                "ts": time.time(),
-            }
-        )
-        f.create_exclusive(
-            os.path.join(cdir, f"clone-{uuid.uuid4().hex[:12]}.json"), rec
-        )
+    if not dry_run:
+        cdir = os.path.join(bdir, _CLONES_DIR)
+        f.makedirs(cdir)
+        have_marker = False
+        for mn in f.listdir(cdir):
+            if not mn.endswith(".json"):
+                continue
+            try:
+                r0 = json.loads(f.read_text(os.path.join(cdir, mn)))
+            except (ValueError, FileNotFoundError):
+                continue
+            if os.path.abspath(r0.get("dst") or "") == main_abs:
+                have_marker = True
+                break
+        if not have_marker:
+            rec = json.dumps(
+                {
+                    "dst": main_abs,
+                    "src_version": bm["version"],
+                    "ts": time.time(),
+                }
+            )
+            f.create_exclusive(
+                os.path.join(cdir, f"clone-{uuid.uuid4().hex[:12]}.json"),
+                rec,
+            )
 
     last_err: Exception | None = None
     for _attempt in range(COMMIT_RETRIES):
@@ -666,6 +718,14 @@ def snap_publish_branch(
                 for e in adds
                 if e["name"] in fork_by_name
             ]
+            if dry_run:
+                return {
+                    "version": None,
+                    "mode": "fast_forward",
+                    "adds": len(adds),
+                    "removes": len(removes),
+                    "dry_run": True,
+                }
             txns = dict(fork_m.get("txns") or {})
             for app, batch in (bm.get("txns") or {}).items():
                 txns[app] = max(
@@ -769,12 +829,15 @@ def snap_publish_branch(
                 continue
             new_entries.append(e)
         if not new_entries:
-            return {
+            out = {
                 "version": cur,
                 "mode": "noop",
                 "adds": 0,
                 "removes": 0,
             }
+            if dry_run:
+                out["dry_run"] = True
+            return out
         if bm.get("row_tracking"):
             # row ids are METADATA (implicit ``row_id_base`` slices),
             # so branch-born appends rebase cleanly: drop the ids the
@@ -800,6 +863,14 @@ def snap_publish_branch(
         id_carry = _identity_rebase_carry(
             path, name, fork, fork_m, bm, mcur, fs
         )
+        if dry_run:
+            return {
+                "version": None,
+                "mode": "rebase",
+                "adds": len(new_entries),
+                "removes": 0,
+                "dry_run": True,
+            }
         carry_m = mcur if id_carry is None else {
             **mcur, "identity": id_carry,
         }

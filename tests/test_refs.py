@@ -628,6 +628,64 @@ def test_declarative_audit_gate(spark, tmp_path):
     snap_drop_branch(t, "b2")
 
 
+def test_aggregate_audits_and_dry_run(spark, tmp_path):
+    """Whole-relation expectations (the Iceberg-WAP audit shape) and
+    the zero-side-effect publish preview: ``agg_audits`` aggregate to
+    one boolean each (FALSE or NULL fails, with the evaluated value in
+    the violations); ``dry_run=True`` reports the exact
+    fast-forward/rebase plan without landing a marker or a commit, and
+    still raises the conflicts a real publish would."""
+    from mapreduce_grpc_spark.sources.refs import PublishAuditFailed
+
+    t = _mk(spark, str(tmp_path / "t"))  # k 0..199
+    bdir = snap_create_branch(t, "b")
+    snap_append(spark, snap_branch_path(t, "b"), _rng(spark, 500, 520))
+    ok = {
+        "grew": "count(*) >= 220",
+        "keys_unique": "count(DISTINCT k) = count(*)",
+        "v_mean_sane": "avg(v) BETWEEN 0 AND 6",
+    }
+    # dry run: plan reported, nothing happens
+    v0 = current_version(t)
+    plan = snap_publish_branch(t, "b", agg_audits=ok, dry_run=True)
+    assert plan["mode"] == "fast_forward" and plan["dry_run"]
+    assert plan["version"] is None and plan["adds"] >= 1
+    assert current_version(t) == v0
+    assert not os.path.exists(os.path.join(bdir, "_clones")), (
+        "dry run must not land a clone marker"
+    )
+    # failing aggregate audit carries the evaluated value
+    with pytest.raises(PublishAuditFailed) as ei:
+        snap_publish_branch(
+            t, "b", agg_audits={"huge": "count(*) >= 10000"}
+        )
+    assert ei.value.violations == {"huge": [(False,)]}
+    assert current_version(t) == v0
+    # a non-aggregating expression is rejected loudly
+    with pytest.raises(PublishAuditFailed, match="must AGGREGATE"):
+        snap_publish_branch(t, "b", agg_audits={"rowish": "k > 3"})
+    # row + aggregate audits compose; then the real publish lands
+    r = snap_publish_branch(
+        t, "b", audits={"domain": "v BETWEEN 0 AND 6"}, agg_audits=ok
+    )
+    assert r["mode"] == "fast_forward" and r["version"] == v0 + 1
+    assert snap_read(spark, t).count() == 220
+    # rebase dry run after main moves: delta-only plan, still no commit
+    snap_append(spark, snap_branch_path(t, "b"), _rng(spark, 600, 605))
+    snap_append(spark, t, _rng(spark, 700, 710))
+    v1 = current_version(t)
+    plan2 = snap_publish_branch(t, "b", dry_run=True)
+    assert plan2["mode"] == "rebase" and plan2["adds"] >= 1
+    assert plan2["dry_run"] and current_version(t) == v1
+    # dry run raises the same conflicts a real publish would
+    delete_where_mor(
+        spark, snap_branch_path(t, "b"), [("k", "=", 5)]
+    )
+    with pytest.raises(PublishConflict):
+        snap_publish_branch(t, "b", dry_run=True)
+    assert current_version(t) == v1
+
+
 def test_snapshot_wap_oracle_parity(spark, sf_dir):
     """Branch-staged ingest + declaratively audited MoR fix-up +
     fast-forward publish == the fixture minus the audited-out keys,
