@@ -704,6 +704,25 @@ def test_snapshot_wap_oracle_parity(spark, sf_dir):
     )
 
 
+def test_pipeline_ingest_wap_oracle_parity(spark, sf_dir):
+    """The composed production ingest gate under the driver's own
+    comparator: row-tracked corpus -> branch-staged batch -> on-branch
+    dedup-vs-corpus + quality MoR deletes -> concurrent corpus append
+    -> audited REBASE publish (r15's re-drawn row-id slices) -> final
+    per-source stats with ``count(DISTINCT _row_id)`` under the hash,
+    vs a pure-SQL recompute of the final relation."""
+    from mapreduce_grpc_spark import registry
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["pipeline_ingest_wap"](spark, sf_dir)
+    assert_oracle_match(
+        df,
+        registry.AUX_ORACLES["pipeline_ingest_wap"],
+        sf_dir,
+        "pipeline_ingest_wap",
+    )
+
+
 def test_append_stream_across_publish(spark, tmp_path, snapshot_fs):
     """Downstream streaming semantics of publish: an append-only
     publish flows through a running append-mode stream like any
