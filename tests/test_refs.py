@@ -775,14 +775,20 @@ def test_append_stream_across_publish(spark, tmp_path, snapshot_fs):
     assert drain("s3", {"skipChangeCommits": "true"}) == 260
 
 
-def test_concurrent_publishes_both_land(spark, tmp_path):
+@pytest.mark.parametrize("tracked", [False, True], ids=["plain", "tracked"])
+def test_concurrent_publishes_both_land(spark, tmp_path, tracked):
     """Two append-only branches published concurrently: the OCC loop
     lets the first fast-forward and rebases the second — neither
     writer's rows are lost (the commit-claim rule mutators already
-    obey, exercised through publish)."""
+    obey, exercised through publish).  On a ROW-TRACKED table the
+    losing publish must also re-draw its branch ids against the
+    winner's ADVANCED watermark mid-race — every live id stays
+    unique."""
     import threading
 
     t = _mk(spark, str(tmp_path / "t"))
+    if tracked:
+        snap_enable_row_tracking(t)
     for name, lo in (("b1", 1000), ("b2", 2000)):
         snap_create_branch(t, name)
         snap_append(
@@ -809,6 +815,14 @@ def test_concurrent_publishes_both_land(spark, tmp_path):
     assert got.count() == 300
     assert got.filter("k >= 1000 and k < 1050").count() == 50
     assert got.filter("k >= 2000 and k < 2050").count() == 50
+    if tracked:
+        ids = [
+            r["_row_id"]
+            for r in snap_read(spark, t, with_row_ids=True).collect()
+        ]
+        assert len(set(ids)) == 300, (
+            "racing tracked publishes produced colliding row ids"
+        )
 
 
 def test_publish_is_incremental_and_idempotent(spark, tmp_path):

@@ -42,6 +42,7 @@ from mapreduce_grpc_spark.sources.snapshots import (
     current_version,
     read_manifest,
     snap_append,
+    snap_enable_row_tracking,
     snap_init,
 )
 
@@ -96,7 +97,9 @@ def build_checkpointed(spark, path: str, n_entries: int) -> int:
     return len(read_manifest(path)["files"])
 
 
-def measure(spark, t: str, label: str, got: int) -> None:
+def measure(
+    spark, t: str, label: str, got: int, move_main: bool = False
+) -> None:
     listing_before = sorted(
         x for x in os.listdir(t) if x.startswith("data-")
     )
@@ -112,6 +115,18 @@ def measure(spark, t: str, label: str, got: int) -> None:
         ),
     )
     t_append = time.time() - t0
+    if move_main:
+        # main moves after the fork -> publish takes the REBASE arm
+        snap_append(
+            spark, t,
+            spark.range(10).select(
+                (F.col("id") - 100).alias("k"),
+                (F.col("id") % 97).alias("v"),
+            ),
+        )
+        listing_before = sorted(
+            x for x in os.listdir(t) if x.startswith("data-")
+        )
     t0 = time.time()
     r = snap_publish_branch(t, "b")
     t_publish = time.time() - t0
@@ -147,6 +162,15 @@ def main() -> None:
         got = build(spark, t, n)
         measure(spark, t, "plain", got)
         shutil.rmtree(tmp, ignore_errors=True)
+    # row-tracked rebase (the r15 arm): branch ids re-drawn under
+    # main's moved watermark at publish — metadata-only, so the cost
+    # must match the plain rebase's O(manifest + changed files)
+    tmp = tempfile.mkdtemp(prefix="refs-scale-")
+    t = os.path.join(tmp, "t")
+    got = build(spark, t, sizes[-1])
+    snap_enable_row_tracking(t)
+    measure(spark, t, "tracked", got, move_main=True)
+    shutil.rmtree(tmp, ignore_errors=True)
     if ckpt_entries:
         tmp = tempfile.mkdtemp(prefix="refs-scale-")
         t = os.path.join(tmp, "t")
