@@ -5682,6 +5682,88 @@ def snapshot_audit(path: str, fs: LocalSnapshotFS | None = None) -> list[dict]:
     return out
 
 
+def snap_history(
+    spark: SparkSession,
+    path: str,
+    fs: LocalSnapshotFS | None = None,
+) -> DataFrame:
+    """``DESCRIBE HISTORY`` as a DataFrame — the commit log queryable
+    with Spark SQL (join it against metrics, filter by op, chart
+    live-row growth).  One row per still-readable version, flattening
+    the fields ops tooling filters on (``op``, ``mode``, ``branch``)
+    and carrying the full ``commit_info``/``txns`` as JSON strings.
+    Built on ``snapshot_audit`` (manifest-reconstructed, so it
+    survives restarts and shows exactly what a crashed ingest left);
+    driver cost O(versions x files) — the audit cost class, not a
+    scan."""
+    rows = [
+        (
+            int(r["version"]),
+            float(r["ts"]) if r.get("ts") is not None else None,
+            (r["commit_info"] or {}).get("op"),
+            (r["commit_info"] or {}).get("mode"),
+            (r["commit_info"] or {}).get("branch"),
+            int(r["files"]),
+            int(r["rows"]),
+            int(r["dv_rows"]),
+            int(r["live_rows"]),
+            json.dumps(r["commit_info"] or {}, sort_keys=True),
+            json.dumps(r["txns"] or {}, sort_keys=True),
+        )
+        for r in snapshot_audit(path, fs)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, ts double, op string, mode string, "
+        "branch string, files long, rows long, dv_rows long, "
+        "live_rows long, commit_info string, txns string",
+    )
+
+
+def snap_files(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    fs: LocalSnapshotFS | None = None,
+    ref: str | None = None,
+) -> DataFrame:
+    """The files metadata table (the Iceberg ``.files`` shape) — one
+    row per manifest entry of the resolved version/ref, as a DataFrame
+    for SQL over table LAYOUT: file sizes for compaction planning, DV
+    mask fractions for rewrite scheduling, row-id bases for tracking
+    audits, stats envelopes as JSON for skew/pruning analysis.  Reads
+    manifests only — no data file is opened."""
+    if ref is not None:
+        from .refs import resolve_ref
+
+        if version is not None:
+            raise ValueError("snap_files: pass ref OR version, not both")
+        kind, val = resolve_ref(path, ref, fs)
+        if kind == "branch":
+            return snap_files(spark, val, None, fs)
+        version = int(val)
+    m = read_manifest(path, version, fs)
+    rows = [
+        (
+            e["name"],
+            e.get("base"),
+            int(e.get("rows") or 0),
+            int(e.get("bytes") or 0),
+            int(e["dv"]["rows"]) if e.get("dv") else 0,
+            int(e["row_id_base"]) if "row_id_base" in e else None,
+            bool(e.get("row_id_col")),
+            json.dumps(e.get("stats") or {}, sort_keys=True),
+        )
+        for e in m["files"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "name string, base string, rows long, bytes long, "
+        "dv_rows long, row_id_base long, row_id_col boolean, "
+        "stats string",
+    )
+
+
 def verify_snapshot(
     path: str,
     version: int | None = None,

@@ -837,6 +837,74 @@ def test_snapshot_audit_reconstructs_history(spark, tmp_path):
     assert audit[1]["rows"] == 100
 
 
+def test_history_and_files_metadata_tables(spark, tmp_path):
+    """`snap_history` (DESCRIBE HISTORY) and `snap_files` (the Iceberg
+    `.files` shape) expose the manifest state as DataFrames for SQL
+    over operations and layout — no data file opened, ref-resolvable,
+    DV/row-id columns populated."""
+    from mapreduce_grpc_spark.sources.refs import (
+        snap_create_branch,
+        snap_create_tag,
+        snap_publish_branch,
+    )
+    from mapreduce_grpc_spark.sources.snapshots import (
+        delete_where_mor,
+        snap_append,
+        snap_enable_row_tracking,
+        snap_files,
+        snap_history,
+    )
+
+    path = str(tmp_path / "snap")
+    _mk_table(spark, path, n=100, n_files=2)
+    snap_enable_row_tracking(path)
+    delete_where_mor(spark, path, [("k", "<", 10)])
+    snap_create_tag(path, "pin")
+    bdir = snap_create_branch(path, "b")
+    snap_append(
+        spark, bdir,
+        spark.range(500, 520).select(
+            F.col("id").alias("k"), F.lit("B").alias("v")
+        ),
+    )
+    snap_publish_branch(path, "b")
+
+    h = snap_history(spark, path)
+    rows = {r["version"]: r for r in h.collect()}
+    assert rows[1]["op"] in (None, "init")
+    assert rows[3]["op"] == "delete_where_mor"
+    last = rows[max(rows)]
+    assert last["op"] == "publish_branch"
+    assert last["branch"] == "b" and last["mode"] == "fast_forward"
+    assert last["live_rows"] == 110  # 100 - 10 masked + 20 published
+    assert rows[3]["dv_rows"] == 10
+    # SQL over the history (the point of the DataFrame surface)
+    h.createOrReplaceTempView("hist")
+    assert (
+        spark.sql(
+            "select count(*) n from hist where op = 'publish_branch'"
+        ).first().n
+        == 1
+    )
+
+    fdf = snap_files(spark, path)
+    fr = fdf.collect()
+    assert sum(r["rows"] for r in fr) == 120
+    assert sum(r["dv_rows"] for r in fr) == 10
+    # tracked table: every entry has a base or a materialized column
+    assert all(
+        r["row_id_base"] is not None or r["row_id_col"] for r in fr
+    )
+    # branch-born published files resolve by base reference
+    assert any(r["base"] for r in fr)
+    # ref resolution: the tag pins the pre-branch layout
+    tag_files = snap_files(spark, path, ref="pin")
+    assert sum(r["rows"] for r in tag_files.collect()) == 100
+    assert snap_files(spark, path, ref="b").count() >= fdf.count() - 1
+    with pytest.raises(ValueError, match="not both"):
+        snap_files(spark, path, version=1, ref="pin")
+
+
 def test_snapshot_timetravel_oracle_parity(spark, sf_dir):
     """The table layer's driver-style hash check: the v1-vs-CURRENT diff
     through snap_init -> CoW merge -> two time-travel reads must
