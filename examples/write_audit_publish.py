@@ -13,12 +13,20 @@ visible the instant it commits.  With refs the flow becomes:
 3. write + fix up ON THE BRANCH — every table operation works there
                             unchanged (append, MERGE, MoR delete,
                             OPTIMIZE, even DDL)
-4. audit the branch       — any query via `snap_read(..., ref=...)`
+4. audit declaratively    — `snap_publish_branch(audits=...,
+                            agg_audits=...)` runs the expectations
+                            against the branch head (DV-aware,
+                            session-free) and refuses to publish
+                            while any fails; `dry_run=True` previews
+                            the whole gate + plan with zero side
+                            effects
 5. `snap_publish_branch`  — ONE commit on main adopts the branch's
                             files by reference (fast-forward; or an
-                            append-only rebase if main moved)
-   ... or, if the audit fails: `snap_drop_branch` — main never saw a
-   thing.
+                            append-only rebase if main moved — since
+                            r15 row-tracked tables rebase too, ids
+                            re-drawn under main's watermark)
+   ... or, if the audit fails: fix up and re-audit, or
+   `snap_drop_branch` — main never saw a thing.
 """
 
 from __future__ import annotations
@@ -33,6 +41,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_grpc_spark.session import get_spark, tune_session
 from mapreduce_grpc_spark.sources.refs import (
+    PublishAuditFailed,
     PublishConflict,
     snap_branch_path,
     snap_create_branch,
@@ -72,18 +81,24 @@ def main() -> None:
     print("staged on branch:", snap_read(spark, t, ref="ingest-wk33").count())
     print("main still serves:", snap_read(spark, t).count())
 
-    # ---- 2. audit the branch, fix up THERE --------------------------
-    staged = snap_read(spark, t, ref="ingest-wk33")
-    bad = staged.filter("k >= 1000 AND k % 100 = 0").count()
-    print(f"audit: {bad} rows fail the freshness rule — deleting on branch")
+    # ---- 2. the DECLARATIVE gate: publish refuses while audits fail --
+    GATE = {"freshness": "k < 1000 OR k % 100 <> 0"}
+    AGG = {"grew": "count(*) >= 1400",
+           "keys_unique": "count(DISTINCT k) = count(*)"}
+    try:
+        snap_publish_branch(t, "ingest-wk33", audits=GATE, agg_audits=AGG)
+    except PublishAuditFailed as e:
+        print("gate refused (as designed):",
+              sorted(e.violations), "- fixing up on the branch")
     # a merge-on-read delete: positions recorded, nothing rewritten
     delete_where_mor(spark, bdir, [("k", "in", [1000, 1100, 1200, 1300, 1400])])
-    assert snap_read(spark, t, ref="ingest-wk33").filter(
-        "k >= 1000 AND k % 100 = 0"
-    ).count() == 0
+
+    # preview first: audits + plan, zero side effects
+    print("dry run:", snap_publish_branch(
+        t, "ingest-wk33", audits=GATE, dry_run=True))
 
     # ---- 3. publish: one commit, zero bytes moved --------------------
-    r = snap_publish_branch(t, "ingest-wk33")
+    r = snap_publish_branch(t, "ingest-wk33", audits=GATE, agg_audits=AGG)
     print("published:", r)
     print("main now serves:", snap_read(spark, t).count(), "rows")
     snap_drop_branch(t, "ingest-wk33")
