@@ -5623,13 +5623,37 @@ def snap_register(
     name: str,
     version: int | None = None,
     fs: LocalSnapshotFS | None = None,
+    ref: str | None = None,
+    include_metadata: bool = False,
 ) -> None:
     """Expose a snapshot version to the SQL surface as a temp view:
     ``spark.sql("SELECT ... FROM name")`` then runs over that version's
     exact file list (reader isolation included — the view pins the
     resolved version, later commits don't leak in).  Re-register to
-    pick up a newer version."""
-    snap_read(spark, path, version, fs).createOrReplaceTempView(name)
+    pick up a newer version.  ``ref=`` registers a branch head or a
+    tag-pinned version by name; ``include_metadata=True`` additionally
+    registers ``<name>_history`` and ``<name>_files`` (the Delta
+    ``table$history`` / Iceberg ``.files`` idea on the temp-view
+    surface) so ops SQL can join data against operations and
+    layout."""
+    snap_read(
+        spark, path, version, fs, ref=ref
+    ).createOrReplaceTempView(name)
+    if include_metadata:
+        mpath, mver = path, version
+        if ref is not None:
+            from .refs import resolve_ref
+
+            kind, val = resolve_ref(path, ref, fs)
+            mpath, mver = (
+                (val, None) if kind == "branch" else (path, int(val))
+            )
+        snap_history(spark, mpath, fs).createOrReplaceTempView(
+            f"{name}_history"
+        )
+        snap_files(spark, mpath, mver, fs).createOrReplaceTempView(
+            f"{name}_files"
+        )
 
 
 def snap_count(

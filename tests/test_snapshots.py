@@ -903,6 +903,20 @@ def test_history_and_files_metadata_tables(spark, tmp_path):
     assert snap_files(spark, path, ref="b").count() >= fdf.count() - 1
     with pytest.raises(ValueError, match="not both"):
         snap_files(spark, path, version=1, ref="pin")
+    # SQL registration with the metadata companions
+    from mapreduce_grpc_spark.sources.snapshots import snap_register
+
+    snap_register(spark, path, "corpus", include_metadata=True)
+    joined = spark.sql(
+        "select (select count(*) from corpus) live, "
+        "(select max(version) from corpus_history) v, "
+        "(select sum(dv_rows) from corpus_files) masked"
+    ).first()
+    assert joined.live == 110 and joined.masked == 10
+    assert joined.v == max(rows)
+    snap_register(spark, path, "pinned", ref="pin")
+    # the tag pinned the post-delete version: 100 file rows, 10 masked
+    assert spark.sql("select count(*) n from pinned").first().n == 90
 
 
 def test_snapshot_timetravel_oracle_parity(spark, sf_dir):
