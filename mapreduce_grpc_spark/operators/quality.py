@@ -765,10 +765,173 @@ GROUP BY doc_id, prior_u
 """
 
 
+def gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher document-quality rule set (Rae et al.
+    2021, "Scaling Language Models: ... Gopher", Table A1 — the gate
+    MassiveWeb/MassiveText shipped with, reused by many later
+    corpora), each rule as its own boolean column plus the combined
+    keep decision:
+
+    - word count in [50, 100_000]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio ('#' chars + '...'/ellipsis runs) < 0.1
+    - <= 90% of lines start with a bullet; <= 30% end with an ellipsis
+    - >= 80% of words contain at least one alphabetic character
+    - at least 2 distinct members of the 8-word English stop list
+
+    Fully JVM-side (split + higher-order array functions, no UDF) and
+    DIVISION-FREE: every ratio threshold is an exact integer
+    cross-multiplication (``10*symbols < n_words`` etc.), so the
+    booleans are bit-stable and the DuckDB oracle reproduces them with
+    the same integer arithmetic — no float epsilon anywhere.  Tokens
+    are whitespace splits with empties dropped (both engines), lines
+    are newline splits kept as-is.  At 100 TB this is one
+    scan-shaped projection: no shuffle, no Python, whole-stage
+    codegen end-to-end.
+
+    The reference has no quality gating of any kind (its pipeline
+    vocabulary is map/emit/reduce —
+    /root/reference/external/include/mr_task_factory.h); this is
+    north-star LLM-pipeline surface from the public recipe."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda w: w != F.lit("")
+    )
+    lines = F.split(F.col("text"), "\n")
+    d = docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).alias("word_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "#", ""))
+            + (
+                F.length("text")
+                - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+            )
+            / F.lit(3)
+        ).cast("long").alias("symbols"),
+        F.size(lines).alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.ltrim(ln).rlike("^[-*•]"),
+            )
+        ).alias("bullet_lines"),
+        F.size(
+            F.filter(lines, lambda ln: ln.rlike(r"\.\.\.$"))
+        ).alias("ellipsis_lines"),
+        F.size(
+            F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+        ).alias("alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(
+                    F.transform(words, lambda w: F.lower(w))
+                ),
+                F.array(
+                    *[
+                        F.lit(w)
+                        for w in (
+                            "the", "be", "to", "of", "and",
+                            "that", "have", "with",
+                        )
+                    ]
+                ),
+            )
+        ).alias("stop_hits"),
+    )
+    nw = F.col("n_words")
+    keep_cols = {
+        "keep_word_count": (nw >= 50) & (nw <= 100_000),
+        "keep_mean_word_len": (F.col("word_chars") >= 3 * nw)
+        & (F.col("word_chars") <= 10 * nw),
+        "keep_symbol_ratio": (10 * F.col("symbols")) < nw,
+        "keep_bullets": (10 * F.col("bullet_lines"))
+        <= (9 * F.col("n_lines")),
+        "keep_ellipsis": (10 * F.col("ellipsis_lines"))
+        <= (3 * F.col("n_lines")),
+        "keep_alpha": (5 * F.col("alpha_words")) >= (4 * nw),
+        "keep_stopwords": F.col("stop_hits") >= 2,
+    }
+    import functools
+
+    out = d
+    for c, expr in keep_cols.items():
+        out = out.withColumn(c, expr)
+    keep = functools.reduce(
+        lambda a, b: a & b, (F.col(c) for c in keep_cols)
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        *keep_cols.keys(),
+        keep.alias("keep"),
+    )
+
+
+GOPHER_GATE_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     w -> w <> '') AS words,
+         string_split(text, chr(10)) AS lines,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) / 3
+              AS BIGINT) AS symbols
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(words,
+                                               w -> length(w))), 0)
+              AS BIGINT) AS word_chars,
+         symbols,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+              l -> regexp_matches(ltrim(l), '^[-*•]')))
+              AS BIGINT) AS bullet_lines,
+         CAST(len(list_filter(lines,
+              l -> regexp_matches(l, '\\.\\.\\.$')))
+              AS BIGINT) AS ellipsis_lines,
+         CAST(len(list_filter(words,
+              w -> regexp_matches(w, '[A-Za-z]')))
+              AS BIGINT) AS alpha_words,
+         CAST(len(list_intersect(
+              list_distinct(list_transform(words, w -> lower(w))),
+              ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+               'with'])) AS BIGINT) AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_words,
+       n_words >= 50 AND n_words <= 100000 AS keep_word_count,
+       word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+         AS keep_mean_word_len,
+       10 * symbols < n_words AS keep_symbol_ratio,
+       10 * bullet_lines <= 9 * n_lines AS keep_bullets,
+       10 * ellipsis_lines <= 3 * n_lines AS keep_ellipsis,
+       5 * alpha_words >= 4 * n_words AS keep_alpha,
+       stop_hits >= 2 AS keep_stopwords,
+       (n_words >= 50 AND n_words <= 100000)
+         AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+         AND (10 * symbols < n_words)
+         AND (10 * bullet_lines <= 9 * n_lines)
+         AND (10 * ellipsis_lines <= 3 * n_lines)
+         AND (5 * alpha_words >= 4 * n_words)
+         AND (stop_hits >= 2) AS keep
+FROM m
+"""
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
 AUX_QUERIES = {
+    "gopher_gate": gopher_gate,
     "repetition_stats": repetition_stats,
     "unigram_logprob": unigram_logprob,
     "bigram_logprob_kn": bigram_logprob_kn,
@@ -778,6 +941,7 @@ AUX_QUERIES = {
 }
 
 AUX_ORACLES = {
+    "gopher_gate": GOPHER_GATE_SQL,
     "repetition_stats": REPETITION_STATS_SQL,
     "unigram_logprob": UNIGRAM_LOGPROB_SQL,
     "bigram_logprob_kn": BIGRAM_LOGPROB_KN_SQL,

@@ -25,7 +25,7 @@ from tests.oracle import assert_oracle_match
 
 QUALITY = [
     "repetition_stats", "unigram_logprob", "bigram_logprob_kn",
-    "span_dup_stats", "nb_quality_scores",
+    "span_dup_stats", "nb_quality_scores", "gopher_gate",
 ]
 
 
@@ -606,3 +606,47 @@ def test_nb_quality_deterministic_under_partitioning(spark):
         for r in nb_quality(docs.repartition(16, "doc_id")).collect()
     )
     assert a == b
+
+
+def test_gopher_gate_planted_docs(spark, tmp_path, sf_dir):
+    """Each Gopher rule pinned on a hand-built document that violates
+    EXACTLY that rule while a clean 60-word doc passes all seven
+    (Rae et al. 2021 Table A1 semantics, integer-ratio arithmetic)."""
+    from mapreduce_grpc_spark.operators.quality import gopher_gate
+
+    clean = " ".join(
+        "the quick brown fox jumps over that lazy dog with ease".split()
+        * 6
+    )  # 60 words, all alphabetic, stopword-rich, mean len in [3,10]
+    short = "the fox and that dog with style"  # 7 words
+    symbols = " ".join(["woah#tag the##big of### and that with"] * 9)
+    bullets = "\n".join(["- the item of note and that thing"] * 10)
+    ellipsis = "\n".join(["the story trails of and that way..."] * 10)
+    numeric = " ".join(["12345 67890 00000 11111 22222 the of"] * 9)
+    nostops = " ".join(["alpha beta gamma delta epsilon zeta eta"] * 9)
+    rows_sql = " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, '{t}' AS text, 'en' AS lang, "
+        f"'s' AS source, {len(t)} AS n_chars"
+        for i, t in enumerate(
+            [clean, short, symbols, bullets, ellipsis, numeric,
+             nostops],
+            start=1,
+        )
+    )
+    fake_sf = _fake_docs_dir(tmp_path, sf_dir, rows_sql)
+    got = {r.doc_id: r for r in gopher_gate(spark, fake_sf).collect()}
+    assert got[1].keep, got[1]
+    assert not got[2].keep_word_count and got[2].keep_stopwords
+    assert not got[3].keep_symbol_ratio and got[3].keep_word_count
+    assert not got[4].keep_bullets and got[4].keep_alpha
+    assert not got[5].keep_ellipsis
+    assert not got[6].keep_alpha and got[6].keep_word_count
+    assert not got[7].keep_stopwords and got[7].keep_alpha
+    # only the clean doc survives the combined gate
+    assert [i for i, r in sorted(got.items()) if r.keep] == [1]
+    assert_oracle_match(
+        gopher_gate(spark, fake_sf),
+        registry.AUX_ORACLES["gopher_gate"],
+        fake_sf,
+        "gopher_gate",
+    )
