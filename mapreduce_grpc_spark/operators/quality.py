@@ -927,11 +927,110 @@ FROM m
 """
 
 
+def c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published C4 cleaning rules (Raffel et al. 2020, the
+    Colossal Clean Crawled Corpus recipe — the other canonical public
+    web-cleaning gate next to Gopher's): line-level retention plus
+    page-level discards, each surfaced as its own column so a pipeline
+    can tune rather than re-derive:
+
+    - a line is RETAINED iff it ends in terminal punctuation
+      (``. ! ? "``) and has at least 5 words;
+    - page discarded if it has fewer than 3 retained sentences
+      (terminal-mark count over retained lines), mentions
+      ``javascript`` on any line (case-insensitive), contains the
+      phrase ``lorem ipsum``, or contains a curly bracket.
+
+    Same engineering stance as ``gopher_gate``: JVM-side higher-order
+    array functions only (no UDF), integer counts only (no float
+    ratios), scan-shaped with no shuffle, and a DuckDB oracle running
+    the identical arithmetic.  Emits per-doc ``n_lines``,
+    ``kept_lines``, ``kept_words``, ``n_sentences``, the three discard
+    flags, and ``keep``."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    lines = F.split(F.col("text"), "\n")
+
+    def _words(ln):
+        return F.filter(
+            F.split(F.trim(ln), r"\s+"), lambda w: w != F.lit("")
+        )
+
+    def _retained(ln):
+        return ln.rlike('[.!?"]\\s*$') & (F.size(_words(ln)) >= 5)
+
+    kept = F.filter(lines, _retained)
+    kept_text = F.array_join(kept, "\n")
+    d = docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("kept_lines"),
+        F.aggregate(
+            F.transform(kept, lambda ln: F.size(_words(ln))),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).cast("long").alias("kept_words"),
+        (
+            F.length(kept_text)
+            - F.length(F.regexp_replace(kept_text, "[.!?]", ""))
+        ).cast("long").alias("n_sentences"),
+        F.lower("text").contains("javascript").alias("has_javascript"),
+        F.lower("text").contains("lorem ipsum").alias("has_lorem"),
+        (
+            F.col("text").contains("{") | F.col("text").contains("}")
+        ).alias("has_brace"),
+    )
+    return d.withColumn(
+        "keep",
+        (F.col("n_sentences") >= 3)
+        & ~F.col("has_javascript")
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace"),
+    )
+
+
+C4_FILTERS_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(
+           string_split(text, chr(10)),
+           l -> regexp_matches(l, '[.!?"]\\s*$')
+                AND len(list_filter(
+                      regexp_split_to_array(trim(l), '\\s+'),
+                      w -> w <> '')) >= 5
+         ) AS kept,
+         CAST(len(string_split(text, chr(10))) AS INTEGER) AS n_lines
+  FROM documents
+), m AS (
+  SELECT doc_id, n_lines,
+         CAST(len(kept) AS INTEGER) AS kept_lines,
+         CAST(coalesce(list_sum(list_transform(kept,
+              l -> len(list_filter(
+                     regexp_split_to_array(trim(l), '\\s+'),
+                     w -> w <> '')))), 0) AS BIGINT) AS kept_words,
+         CAST(coalesce(
+              length(array_to_string(kept, chr(10)))
+              - length(regexp_replace(array_to_string(kept, chr(10)),
+                                      '[.!?]', '', 'g')), 0)
+              AS BIGINT) AS n_sentences,
+         contains(lower(text), 'javascript') AS has_javascript,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         (contains(text, '{') OR contains(text, '}')) AS has_brace
+  FROM t
+)
+SELECT doc_id, n_lines, kept_lines, kept_words, n_sentences,
+       has_javascript, has_lorem, has_brace,
+       n_sentences >= 3 AND NOT has_javascript AND NOT has_lorem
+         AND NOT has_brace AS keep
+FROM m
+"""
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
 AUX_QUERIES = {
     "gopher_gate": gopher_gate,
+    "c4_filters": c4_filters,
     "repetition_stats": repetition_stats,
     "unigram_logprob": unigram_logprob,
     "bigram_logprob_kn": bigram_logprob_kn,
@@ -942,6 +1041,7 @@ AUX_QUERIES = {
 
 AUX_ORACLES = {
     "gopher_gate": GOPHER_GATE_SQL,
+    "c4_filters": C4_FILTERS_SQL,
     "repetition_stats": REPETITION_STATS_SQL,
     "unigram_logprob": UNIGRAM_LOGPROB_SQL,
     "bigram_logprob_kn": BIGRAM_LOGPROB_KN_SQL,

@@ -650,3 +650,45 @@ def test_gopher_gate_planted_docs(spark, tmp_path, sf_dir):
         fake_sf,
         "gopher_gate",
     )
+
+
+def test_c4_filters_planted_docs(spark, tmp_path, sf_dir):
+    """Each C4 rule pinned in isolation (Raffel et al. 2020 recipe):
+    line retention needs terminal punctuation AND >=5 words; pages
+    drop for <3 sentences, javascript, lorem ipsum, or braces."""
+    from mapreduce_grpc_spark.operators.quality import c4_filters
+
+    good = ("This is a perfectly fine sentence one.\n"
+            "Here comes another proper sentence two!\n"
+            "And a third full sentence closes it?")
+    shortlines = "too short.\nalso tiny!\nnope?"  # <5 words each
+    nopunct = ("this line has plenty of words but no mark\n"
+               "another long line missing its terminal mark here")
+    js = good + "\nPlease enable JavaScript to view this page."
+    lorem = good + "\nLorem ipsum dolor sit amet consectetur elite."
+    brace = good + "\nfunction f() returns nothing much really."
+    brace = brace.replace("returns", "{ returns }")
+    rows_sql = " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, '{t}' AS text, 'en' AS lang, "
+        f"'s' AS source, {len(t)} AS n_chars"
+        for i, t in enumerate(
+            [good, shortlines, nopunct, js, lorem, brace], start=1
+        )
+    )
+    fake_sf = _fake_docs_dir(
+        tmp_path, sf_dir, rows_sql.replace("\n", "' || chr(10) || '")
+    )
+    got = {r.doc_id: r for r in c4_filters(spark, fake_sf).collect()}
+    assert got[1].keep and got[1].kept_lines == 3
+    assert got[1].n_sentences == 3
+    assert not got[2].keep and got[2].kept_lines == 0, got[2]
+    assert not got[3].keep and got[3].kept_lines == 0
+    assert not got[4].keep and got[4].has_javascript
+    assert not got[5].keep and got[5].has_lorem
+    assert not got[6].keep and got[6].has_brace
+    assert_oracle_match(
+        c4_filters(spark, fake_sf),
+        registry.AUX_ORACLES["c4_filters"],
+        fake_sf,
+        "c4_filters",
+    )
