@@ -913,6 +913,59 @@ def snap_publish_branch(
     ) from last_err
 
 
+def snap_expire_refs(
+    path: str,
+    max_branch_age_seconds: float,
+    fs: LocalSnapshotFS | None = None,
+    dry_run: bool = False,
+) -> list[dict]:
+    """Retire STALE branches (the Iceberg ``max-ref-age`` retention
+    knob): a branch whose HEAD commit is older than the threshold is
+    dropped via ``snap_drop_branch`` — published bytes main adopted
+    survive as protected remnants, unpublished work is discarded (the
+    audit gate's failure arm, now on a schedule).  Tags are never
+    aged: a pin is an explicit promise, released only by
+    ``snap_drop_tag``.  Abandoned staging branches are real
+    operational debt at 100 TB — every live branch keeps clone
+    markers that main's GC must walk, and keeps bytes alive that main
+    no longer reads.
+
+    Age is measured from the branch head's COMMITTER timestamp (the
+    same clock time travel resolves against), so an actively-staged
+    branch never ages out no matter how old its fork point is.
+    ``dry_run=True`` reports without dropping.  Returns one record
+    per considered-stale branch: ``{"name", "age_seconds",
+    "action"}`` where action is ``"dropped"``, ``"would_drop"``, or
+    ``"skipped: <reason>"`` (e.g. live sub-branches)."""
+    out: list[dict] = []
+    now = time.time()
+    for r in snap_list_refs(path, fs):
+        if r["type"] != "branch":
+            continue
+        bd = os.path.join(path, _BRANCHES_DIR, r["name"])
+        try:
+            bm = read_manifest(bd, None, fs)
+        except (FileNotFoundError, ValueError):
+            continue
+        ts = bm.get("ts")
+        if ts is None:
+            continue  # pre-timestamp manifest: age unknowable
+        age = now - float(ts)
+        if age <= max_branch_age_seconds:
+            continue
+        rec = {"name": r["name"], "age_seconds": age}
+        if dry_run:
+            rec["action"] = "would_drop"
+        else:
+            try:
+                snap_drop_branch(path, r["name"], fs)
+                rec["action"] = "dropped"
+            except ValueError as e:
+                rec["action"] = f"skipped: {e}"
+        out.append(rec)
+    return out
+
+
 def snap_drop_branch(
     path: str, name: str, fs: LocalSnapshotFS | None = None
 ) -> list[str]:

@@ -1019,6 +1019,110 @@ def test_refs_randomized_soak(spark, tmp_path, tracked):
             } == keys, f"step {step}: tag {name} no longer pins its rows"
 
 
+def test_expire_refs_ages_out_stale_branches(spark, tmp_path):
+    """Branch retention (the Iceberg max-ref-age knob): a branch whose
+    HEAD commit aged past the threshold is dropped; an actively-staged
+    branch and every tag survive; dry_run reports without dropping."""
+    import json as _json
+
+    from mapreduce_grpc_spark.sources.refs import snap_expire_refs
+    from mapreduce_grpc_spark.sources.snapshots import (
+        _current_path,
+        _manifest_path,
+        current_version,
+    )
+
+    t = _mk(spark, str(tmp_path / "t"))
+    snap_create_tag(t, "keepme")
+    snap_create_branch(t, "stale")
+    snap_append(spark, snap_branch_path(t, "stale"), _rng(spark, 500, 510))
+    snap_create_branch(t, "active")
+    snap_append(spark, snap_branch_path(t, "active"), _rng(spark, 600, 610))
+    # age the stale branch's head by rewriting its committer stamp
+    bdir = snap_branch_path(t, "stale")
+    bv = current_version(bdir)
+    mp = _manifest_path(bdir, bv)
+    with open(mp) as f:
+        raw = _json.loads(f.read())
+    raw["ts"] = raw["ts"] - 10_000
+    with open(mp, "w") as f:
+        f.write(_json.dumps(raw))
+    # dry run: reported, nothing dropped
+    plan = snap_expire_refs(t, 3600, dry_run=True)
+    assert [(r["name"], r["action"]) for r in plan] == [
+        ("stale", "would_drop")
+    ]
+    assert {r["name"] for r in snap_list_refs(t)} == {
+        "keepme", "stale", "active"
+    }
+    # real pass: only the aged branch goes; the tag is never aged
+    acted = snap_expire_refs(t, 3600)
+    assert [(r["name"], r["action"]) for r in acted] == [
+        ("stale", "dropped")
+    ]
+    assert {r["name"] for r in snap_list_refs(t)} == {
+        "keepme", "active",
+    }
+    assert snap_read(spark, t, ref="active").count() == 210
+    assert snap_read(spark, t).count() == 200, "main untouched"
+
+
+def test_stream_into_branch_then_audited_publish(
+    spark, tmp_path, snapshot_fs
+):
+    """The streaming WAP composition: a Structured Streaming query
+    writes INTO a staging branch through the native sink
+    (``.option("branch", ...)``), main never sees the in-flight rows,
+    and the audited publish lands the streamed batch as one commit."""
+    from pyspark.sql import functions as SF
+
+    from mapreduce_grpc_spark.sources.refs import snap_expire_refs
+    from mapreduce_grpc_spark.sources.snapshots import snap_init
+    from mapreduce_grpc_spark.sources.stream_source import (
+        SnapshotTableStreamSource,
+    )
+
+    spark.dataSource.register(SnapshotTableStreamSource)
+    t = _mk(spark, str(tmp_path / "t"))  # k 0..199
+    src = str(tmp_path / "src")
+    snap_init(spark, _rng(spark, 1000, 1100), src, stats_cols=["k"])
+    snap_create_branch(t, "stage")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", src)
+        .option("fsImpl", snapshot_fs.spec)
+        .load()
+        .filter(SF.col("k") % 2 == 0)
+        .writeStream.format("snapshot_table")
+        .option("path", t)
+        .option("branch", "stage")
+        .option("txnAppId", "stream-into-branch-test")
+        .option("fsImpl", snapshot_fs.spec)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+    assert snap_read(spark, t).count() == 200, (
+        "main saw in-flight streamed rows"
+    )
+    assert snap_read(spark, t, ref="stage").count() == 250
+    r = snap_publish_branch(
+        t,
+        "stage",
+        audits={"evens_only": "k < 1000 OR k % 2 = 0"},
+        agg_audits={"landed": "count(*) = 250"},
+    )
+    assert r["mode"] == "fast_forward"
+    assert snap_read(spark, t).count() == 250
+    snap_expire_refs(t, -1)  # retire the drained staging branch
+    assert all(x["type"] == "tag" for x in snap_list_refs(t))
+    assert snap_read(spark, t).count() == 250
+
+
 def test_branch_gc_cannot_reclaim_published_bytes(spark, tmp_path):
     """After publish, the LIVE branch keeps mutating and running its
     own aggressive GC — the publish-time marker makes the branch's
