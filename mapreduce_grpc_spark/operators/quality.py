@@ -786,8 +786,12 @@ def gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same integer arithmetic — no float epsilon anywhere.  Tokens
     are whitespace splits with empties dropped (both engines), lines
     are newline splits kept as-is.  At 100 TB this is one
-    scan-shaped projection: no shuffle, no Python, whole-stage
-    codegen end-to-end.
+    scan-shaped projection: no shuffle and no Python serialization
+    boundary.  The higher-order lambdas evaluate interpreted inside
+    the JVM (not codegen — the dedup.py 20x note is about JOIN-side
+    hot paths); here each lambda does O(words-per-doc) string work
+    per row, the same order as the split itself, so the scan stays
+    I/O-bound.
 
     The reference has no quality gating of any kind (its pipeline
     vocabulary is map/emit/reduce —
@@ -942,9 +946,11 @@ def c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
       phrase ``lorem ipsum``, or contains a curly bracket.
 
     Same engineering stance as ``gopher_gate``: JVM-side higher-order
-    array functions only (no UDF), integer counts only (no float
-    ratios), scan-shaped with no shuffle, and a DuckDB oracle running
-    the identical arithmetic.  Emits per-doc ``n_lines``,
+    array functions only (no UDF, no Python boundary; interpreted
+    per-element, O(words) per row like the split itself), integer
+    counts only (no float ratios), scan-shaped with no shuffle, and a
+    DuckDB oracle running the identical arithmetic.  Emits per-doc
+    ``n_lines``,
     ``kept_lines``, ``kept_words``, ``n_sentences``, the three discard
     flags, and ``keep``."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
