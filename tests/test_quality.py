@@ -26,6 +26,7 @@ from tests.oracle import assert_oracle_match
 QUALITY = [
     "repetition_stats", "unigram_logprob", "bigram_logprob_kn",
     "span_dup_stats", "nb_quality_scores", "gopher_gate",
+    "c4_filters",
 ]
 
 
