@@ -5401,10 +5401,19 @@ def table_changes(
     fs: LocalSnapshotFS | None = None,
     from_timestamp=None,
     to_timestamp=None,
+    from_ref: str | None = None,
+    to_ref: str | None = None,
 ) -> DataFrame:
     """Row-level CHANGE DATA FEED between committed versions (the Delta
     CDF / Iceberg changelog surface), derived purely from the manifests
     — no change files are ever written.
+
+    ``from_ref``/``to_ref`` accept TAG names (exclusive with the
+    version/timestamp forms of the same endpoint): the release-diff
+    use — "what changed between corpus tags v1 and v2" — without the
+    caller resolving versions by hand.  Branch refs are refused: a
+    branch is a different LINEAGE, and a cross-lineage row diff is
+    publish's dry-run job, not the feed's.
 
     For each commit step the only files that can hold changed rows are
     the step's REMOVED and ADDED files (carried files are byte-identical
@@ -5435,6 +5444,33 @@ def table_changes(
     O(rewritten files across the range + join of their rows) — for a
     clustered table that is the update slice, not the table.
     """
+    def _tag_version(ref: str, which: str) -> int:
+        from .refs import resolve_ref
+
+        kind, val = resolve_ref(path, ref, fs)
+        if kind != "tag":
+            raise ValueError(
+                f"table_changes: {which} {ref!r} is a branch — the "
+                "feed diffs THIS lineage's commits; use "
+                "snap_publish_branch(dry_run=True) to preview a "
+                "branch against main"
+            )
+        return int(val)
+
+    if from_ref is not None:
+        if from_version is not None or from_timestamp is not None:
+            raise ValueError(
+                "table_changes: pass ONE of from_version/"
+                "from_timestamp/from_ref"
+            )
+        from_version = _tag_version(from_ref, "from_ref")
+    if to_ref is not None:
+        if to_version is not None or to_timestamp is not None:
+            raise ValueError(
+                "table_changes: pass ONE of to_version/"
+                "to_timestamp/to_ref"
+            )
+        to_version = _tag_version(to_ref, "to_ref")
     if from_timestamp is not None:
         if from_version is not None:
             raise ValueError(
@@ -5444,7 +5480,8 @@ def table_changes(
         from_version = version_before_timestamp(path, from_timestamp, fs)
     if from_version is None:
         raise ValueError(
-            "table_changes: pass from_version or from_timestamp"
+            "table_changes: pass from_version, from_timestamp, or "
+            "from_ref"
         )
     if to_timestamp is not None:
         if to_version is not None:

@@ -1019,6 +1019,51 @@ def test_refs_randomized_soak(spark, tmp_path, tracked):
             } == keys, f"step {step}: tag {name} no longer pins its rows"
 
 
+def test_table_changes_between_tags(spark, tmp_path):
+    """Release-diff CDF: ``table_changes(from_ref=, to_ref=)`` resolves
+    TAG names to the version range — the "what changed between corpus
+    v1 and v2" query without manual version bookkeeping.  Branch refs
+    refuse (different lineage; that's publish dry-run's job)."""
+    t = str(tmp_path / "t")
+    snap_init(spark, _rng(spark, 0, 100), t, stats_cols=["k"])
+    snap_create_tag(t, "v1.0")
+    snap_append(spark, t, _rng(spark, 100, 150))
+    merge_upsert_cow(
+        spark, t,
+        _rng(spark, 0, 10).withColumn("v", F.lit(99).cast("bigint")),
+        keys=["k"],
+    )
+    snap_create_tag(t, "v2.0")
+    snap_append(spark, t, _rng(spark, 500, 510))  # past v2.0
+    ch = table_changes(
+        spark, t, ["k"], from_ref="v1.0", to_ref="v2.0"
+    )
+    by_type = {
+        r["_change_type"]: r["count"]
+        for r in ch.groupBy("_change_type").count().collect()
+    }
+    assert by_type == {
+        "insert": 50,
+        "update_preimage": 10,
+        "update_postimage": 10,
+    }, by_type
+    # open-ended: from a tag to CURRENT
+    assert (
+        table_changes(spark, t, ["k"], from_ref="v2.0")
+        .filter("_change_type = 'insert'")
+        .count()
+        == 10
+    )
+    snap_create_branch(t, "dev")
+    with pytest.raises(ValueError, match="branch"):
+        table_changes(spark, t, ["k"], from_ref="v1.0", to_ref="dev")
+    with pytest.raises(ValueError, match="ONE of"):
+        table_changes(
+            spark, t, ["k"], from_version=1, from_ref="v1.0"
+        )
+    snap_drop_branch(t, "dev")
+
+
 def test_expire_refs_ages_out_stale_branches(spark, tmp_path):
     """Branch retention (the Iceberg max-ref-age knob): a branch whose
     HEAD commit aged past the threshold is dropped; an actively-staged
