@@ -154,3 +154,25 @@ def test_ivf_pq_adc_scan_reads_codes_not_vectors(spark, tmp_path):
     )
     pushed = " ".join(pushed_filters(codes))
     assert "cell" in pushed, f"cell probe not pushed: {pushed}"
+
+
+def test_quality_gates_scan_shaped_no_python(spark, sf_dir):
+    """The Gopher/C4 gates must stay one column-pruned scan: zero
+    exchanges (no shuffle at any corpus size) and zero Python
+    evaluation nodes (the lambdas are JVM higher-order functions, not
+    UDFs).  If a refactor introduces either, the 100 TB plan breaks
+    before the slowdown ships."""
+    from mapreduce_grpc_spark.operators.quality import (
+        c4_filters,
+        gopher_gate,
+    )
+
+    for fn in (gopher_gate, c4_filters):
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, (fn.__name__, plan)
+        assert "Python" not in plan and "ArrowEval" not in plan, (
+            fn.__name__
+        )
+        (cols,) = read_schema_columns(df)
+        assert set(cols) == {"doc_id", "text"}, cols
