@@ -4352,7 +4352,7 @@ def test_table_changes_timestamp_bounds(spark, tmp_path):
             spark, path, keys=["k"],
             from_version=1, to_version=3, to_timestamp=ts[2],
         )
-    with pytest.raises(ValueError, match="from_version or from_timestamp"):
+    with pytest.raises(ValueError, match="from_version, from_timestamp"):
         table_changes(spark, path, keys=["k"])
 
 
