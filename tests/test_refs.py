@@ -456,6 +456,29 @@ def test_publish_identity_rebase(spark, tmp_path):
         snap_publish_branch(t, "b")
 
 
+def test_publish_identity_rebase_refuses_unprovable_history(
+    spark, tmp_path
+):
+    """The identity walk must REFUSE when it cannot attribute main's
+    allocator advances: a mid-range manifest between the (tagged,
+    retained) fork and head was expired, so the interleaving is
+    unprovable — publish says so instead of guessing."""
+    from mapreduce_grpc_spark.sources.snapshots import snap_add_column
+
+    t = str(tmp_path / "t")
+    snap_init(spark, _rng(spark, 0, 20), t, stats_cols=["k"])
+    snap_add_column(t, "sid", "bigint", identity=(1, 1))
+    snap_create_tag(t, "fork-pin")  # keeps the fork readable past GC
+    bdir = snap_create_branch(t, "b")
+    snap_append(spark, bdir, _rng(spark, 100, 110))
+    # main moves twice WITHOUT identity use, then GC drops the middle
+    delete_where_mor(spark, t, [("k", "=", 1)])
+    delete_where_mor(spark, t, [("k", "=", 2)])
+    expire_snapshots(t, keep_last=1, orphan_grace_seconds=0)
+    with pytest.raises(PublishConflict, match="attribute|expired"):
+        snap_publish_branch(t, "b")
+
+
 def test_dropped_published_branch_swept_incrementally(spark, tmp_path):
     """After publish + drop, the branch dir lingers only as long as
     main references its bytes: once main rewrites those rows and its
