@@ -797,7 +797,12 @@ def gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary is map/emit/reduce —
     /root/reference/external/include/mr_task_factory.h); this is
     north-star LLM-pipeline surface from the public recipe."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL text reads as the empty document (deterministic FALSE
+    # gates on both engines — NULL-propagating booleans differ
+    # between Spark and SQL once AND short-circuits touch them)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
     words = F.filter(
         F.split(F.col("text"), r"\s+"), lambda w: w != F.lit("")
     )
@@ -879,7 +884,9 @@ def gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GOPHER_GATE_SQL = """
-WITH t AS (
+WITH src AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), t AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(text, '\\s+'),
                      w -> w <> '') AS words,
@@ -887,7 +894,7 @@ WITH t AS (
          CAST(length(text) - length(replace(text, '#', ''))
               + (length(text) - length(replace(text, '...', ''))) / 3
               AS BIGINT) AS symbols
-  FROM documents
+  FROM src
 ), m AS (
   SELECT doc_id,
          CAST(len(words) AS BIGINT) AS n_words,
@@ -952,8 +959,11 @@ def c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle running the identical arithmetic.  Emits per-doc
     ``n_lines``,
     ``kept_lines``, ``kept_words``, ``n_sentences``, the three discard
-    flags, and ``keep``."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    flags, and ``keep``.  NULL text reads as the empty document (same
+    rationale as ``gopher_gate``)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
     lines = F.split(F.col("text"), "\n")
 
     def _words(ln):
@@ -995,7 +1005,9 @@ def c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 C4_FILTERS_SQL = """
-WITH t AS (
+WITH src AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), t AS (
   SELECT doc_id, text,
          list_filter(
            string_split(text, chr(10)),
@@ -1005,7 +1017,7 @@ WITH t AS (
                       w -> w <> '')) >= 5
          ) AS kept,
          CAST(len(string_split(text, chr(10))) AS INTEGER) AS n_lines
-  FROM documents
+  FROM src
 ), m AS (
   SELECT doc_id, n_lines,
          CAST(len(kept) AS INTEGER) AS kept_lines,

@@ -693,3 +693,39 @@ def test_c4_filters_planted_docs(spark, tmp_path, sf_dir):
         fake_sf,
         "c4_filters",
     )
+
+
+def test_gates_null_text_cross_engine(spark, tmp_path, sf_dir):
+    """A NULL text row through both gates reads as the EMPTY document
+    — deterministic FALSE keep on both engines.  NULL-propagating
+    booleans are the classic cross-engine trap (``FALSE AND NULL`` is
+    FALSE in SQL but the Spark column stayed NULL end-to-end), so the
+    gates coalesce at the source instead; the hash comparator proves
+    the surfaces identical, and non-null rows are unaffected."""
+    from mapreduce_grpc_spark.operators.quality import (
+        c4_filters,
+        gopher_gate,
+    )
+
+    fake_sf = _fake_docs_dir(
+        tmp_path,
+        sf_dir,
+        """
+        SELECT 1 AS doc_id, CAST(NULL AS VARCHAR) AS text,
+               'en' AS lang, 's' AS source, 0 AS n_chars
+        UNION ALL SELECT 2, 'the quick brown fox jumps over dogs.',
+               'en', 's', 36
+        """,
+    )
+    for name, fn in (
+        ("gopher_gate", gopher_gate), ("c4_filters", c4_filters)
+    ):
+        rows = {r.doc_id: r for r in fn(spark, fake_sf).collect()}
+        assert rows[1].keep is False, (name, rows[1])
+        assert rows[2].keep is not None
+        assert_oracle_match(
+            fn(spark, fake_sf),
+            registry.AUX_ORACLES[name],
+            fake_sf,
+            f"{name}_null",
+        )
