@@ -651,6 +651,34 @@ def test_declarative_audit_gate(spark, tmp_path):
     snap_drop_branch(t, "b2")
 
 
+def test_audit_gate_masks_inherited_dvs(spark, tmp_path):
+    """A branch forked from a main that ALREADY had MoR deletes: the
+    audit's DV masking must also exclude rows masked by the inherited
+    (main-owned) sidecars — the dv record's own ``base`` resolves the
+    sidecar in main's dir for borrowed entries."""
+    from mapreduce_grpc_spark.sources.refs import PublishAuditFailed
+
+    t = _mk(spark, str(tmp_path / "t"))  # k 0..199
+    delete_where_mor(spark, t, [("k", "<", 50)])  # main masks 50 rows
+    snap_create_branch(t, "b")
+    snap_append(spark, snap_branch_path(t, "b"), _rng(spark, 500, 510))
+    # the masked k<50 rows must be INVISIBLE to the audit: this audit
+    # fails iff any k<50 row leaks through the inherited DV
+    r = snap_publish_branch(
+        t, "b",
+        audits={"no_deleted_rows": "k >= 50"},
+        agg_audits={"visible": "count(*) = 160"},
+    )
+    assert r["mode"] == "fast_forward"
+    assert snap_read(spark, t).count() == 160
+    # control: an audit over a value only masked rows had still fails
+    # when the mask is NOT there — prove the gate isn't vacuous
+    snap_create_branch(t, "b2")
+    snap_append(spark, snap_branch_path(t, "b2"), _rng(spark, 20, 30))
+    with pytest.raises(PublishAuditFailed):
+        snap_publish_branch(t, "b2", audits={"no_low": "k >= 50"})
+
+
 def test_aggregate_audits_and_dry_run(spark, tmp_path):
     """Whole-relation expectations (the Iceberg-WAP audit shape) and
     the zero-side-effect publish preview: ``agg_audits`` aggregate to
