@@ -845,6 +845,85 @@ def _bloom_hashes(value_bytes: bytes) -> tuple[int, int]:
     return h1, h2
 
 
+# --- integer fast path (sidecar "hv": 2) -----------------------------
+#
+# The md5-per-value build loop was the single largest DRIVER cost of a
+# commit at bench scale (r15 profile: 300k md5 calls ≈ 2.5 s inside one
+# matview_orders run, repeated for every snapshot-table query).  For
+# INTEGER key columns the whole build vectorizes: two splitmix64-style
+# mixes of the raw 64-bit value give (h1, h2), computed for the entire
+# column in a handful of numpy ops.  Determinism across processes and
+# sessions is arithmetic, not library state, so build and probe always
+# agree.  Sidecars built this way carry ``"hv": 2`` per column filter;
+# probes dispatch on it, and legacy sidecars (no ``hv``) keep the md5
+# path forever — no rewrite, no compat break.
+
+_MIX_K1 = 0x9E3779B97F4A7C15
+_MIX_K2 = 0xBF58476D1CE4E5B9
+_MIX_K3 = 0x94D049BB133111EB
+_U64 = (1 << 64) - 1
+
+
+def _mix64_int(v: int) -> int:
+    """splitmix64 finalizer over a 64-bit lane (scalar probe twin of
+    the vectorized build below — MUST stay bit-identical to it)."""
+    z = (v + _MIX_K1) & _U64
+    z = ((z ^ (z >> 30)) * _MIX_K2) & _U64
+    z = ((z ^ (z >> 27)) * _MIX_K3) & _U64
+    return z ^ (z >> 31)
+
+
+def _bloom_hashes_int(v: int) -> tuple[int, int]:
+    """(h1, h2) for an integer key under the hv2 scheme."""
+    u = v & _U64
+    h1 = _mix64_int(u)
+    h2 = _mix64_int(u ^ _MIX_K1) | 1  # odd: full-period probe
+    return h1, h2
+
+
+def _bloom_build_int_np(values) -> dict | None:
+    """Vectorized hv2 build over a DISTINCT, null-free numpy int array.
+    Same m/k sizing and same bit layout (LSB-first within each byte) as
+    the md5 loop; only the per-value hash differs, declared by ``hv``."""
+    import base64
+    import math
+
+    import numpy as np
+
+    n = int(values.size)
+    if n == 0:
+        return None
+    m = min(int(math.ceil(-n * math.log(BLOOM_FPP) / (_LN2**2))), BLOOM_MAX_BITS)
+    k = max(1, round(m / n * _LN2))
+    if (1 - math.exp(-k * n / m)) ** k > 0.5:
+        return None  # oversized column: filter would prune ~nothing
+    u = values.astype(np.uint64, copy=False)
+
+    def mix(z):
+        z = (z + np.uint64(_MIX_K1))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(_MIX_K2)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(_MIX_K3)
+        return z ^ (z >> np.uint64(31))
+
+    with np.errstate(over="ignore"):
+        h1 = mix(u)
+        h2 = mix(u ^ np.uint64(_MIX_K1)) | np.uint64(1)
+        idx = (
+            h1[:, None]
+            + np.arange(k, dtype=np.uint64)[None, :] * h2[:, None]
+        ) % np.uint64(m)
+    bitarr = np.zeros(m, dtype=bool)
+    bitarr[idx.ravel()] = True
+    bits = np.packbits(bitarr, bitorder="little").tobytes()
+    return {
+        "m": m,
+        "k": k,
+        "t": "i",
+        "hv": 2,
+        "bits": base64.b64encode(bits).decode("ascii"),
+    }
+
+
 def _bloom_key_bytes(v) -> bytes | None:
     """Canonical byte form of a key value for bloom hashing.  Only
     int-like and string values are bloom-tracked (the common key
@@ -881,6 +960,7 @@ def _bloom_build(values) -> dict | None:
     try:
         import pyarrow as pa
         import pyarrow.compute as pc
+        import pyarrow.types as pt
 
         if isinstance(values, (pa.Array, pa.ChunkedArray)):
             uniq = pc.unique(
@@ -890,6 +970,13 @@ def _bloom_build(values) -> dict | None:
             )
             if len(uniq) > _BLOOM_MAX_DISTINCT:
                 return None
+            if pt.is_integer(uniq.type) and not pt.is_boolean(uniq.type):
+                # hv2 fast path: the entire build stays in numpy — no
+                # per-value Python, no md5 (the measured driver hot
+                # spot of every commit, see _bloom_build_int_np)
+                return _bloom_build_int_np(
+                    uniq.drop_null().to_numpy(zero_copy_only=False)
+                )
             values = uniq.to_pylist()
     except ImportError:
         pass
@@ -945,6 +1032,20 @@ def _bloom_contains(bloom: dict, v) -> bool:
         bits = base64.b64decode(bloom["bits"])
         bloom["_raw"] = bits  # decode once per loaded sidecar
     m, k = bloom["m"], bloom["k"]
+    if bloom.get("hv") == 2 and not isinstance(v, bool) and isinstance(v, int):
+        # hv2 sidecars hashed integers with the splitmix scheme; the
+        # tag guard above already bounced non-int probes as
+        # conservative hits, so reaching here with an int is the only
+        # typed case an hv2 filter ever answers.  The probe combines
+        # (h1 + i·h2) in WRAPPED 64-bit arithmetic — the build side is
+        # numpy uint64, and an unwrapped Python-int sum would land on a
+        # different bit whenever it crosses 2^64 (a false negative).
+        h1, h2 = _bloom_hashes_int(v)
+        for i in range(k):
+            bit = ((h1 + i * h2) & _U64) % m
+            if not (bits[bit >> 3] >> (bit & 7)) & 1:
+                return False
+        return True
     h1, h2 = _bloom_hashes(kb)
     for i in range(k):
         bit = (h1 + i * h2) % m

@@ -376,3 +376,41 @@ def test_bloom_build_rejects_untrackable_and_over_cardinality():
     with mock.patch.object(S, "_BLOOM_MAX_DISTINCT", 10):
         assert S._bloom_build(pa.array(list(range(50)))) is None
         assert S._bloom_build(pa.array(list(range(9)))) is not None
+
+
+def test_bloom_hv2_int_fast_path_and_legacy_interop():
+    """r15 optimization: arrow INTEGER columns build via the vectorized
+    splitmix scheme (sidecar ``hv: 2``) — the md5-per-value loop was the
+    measured top driver cost of every commit.  Pins:
+
+    - arrow-int builds are hv2 and never false-negative, including the
+      64-bit-wrap-adversarial band near 2^62 (the probe must combine
+      h1 + i*h2 in WRAPPED arithmetic exactly like the numpy build);
+    - a LEGACY filter (no ``hv`` — built from a plain list, the shape
+      of every sidecar written before this round) still probes ints
+      via md5, so pre-existing tables keep pruning correctly;
+    - both schemes share the m/k sizing, so the FP budget is unchanged.
+    """
+    import pyarrow as pa
+
+    from mapreduce_grpc_spark.sources import snapshots as S
+
+    vals = (
+        list(range(-5, 6))
+        + [2**62 - 1, -(2**62), 2**31, -(2**31) - 1]
+        + [k * 1_000_003 for k in range(2000)]
+    )
+    hv2 = S._bloom_build(pa.array(vals))
+    assert hv2 is not None and hv2.get("hv") == 2 and hv2["t"] == "i"
+    for v in vals:
+        assert S._bloom_contains(hv2, v), v
+    # a string probe against an int-typed filter is a conservative hit
+    assert S._bloom_contains(hv2, "7")
+
+    legacy = S._bloom_build(list(vals))  # plain list -> md5 loop
+    assert legacy is not None and "hv" not in legacy
+    for v in vals:
+        assert S._bloom_contains(legacy, v), v
+
+    # identical sizing maths: same n -> same (m, k)
+    assert (hv2["m"], hv2["k"]) == (legacy["m"], legacy["k"])
