@@ -30,7 +30,31 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# (path, mtime) -> parquet row-group count.  Footer-only read, cached so
+# repeated table() calls in one process don't re-open the file.  This is
+# scan-layout metadata (like Spark's own file listing cache), never data
+# or results.
+_RG_CACHE: dict[tuple[str, float], int] = {}
+
+
+def _row_group_count(path: str) -> int:
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        return 1 << 30  # unknown layout: assume splittable, never spread
+    if key not in _RG_CACHE:
+        try:
+            import pyarrow.parquet as pq
+
+            _RG_CACHE[key] = pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            _RG_CACHE[key] = 1 << 30
+    return _RG_CACHE[key]
+
+
+def table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan).
 
     ``events.ts`` is normalized to TIMESTAMP whatever the writer did:
@@ -47,13 +71,35 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    fpath = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(fpath)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if spread:
+        # Parquet splits at ROW-GROUP granularity: a single-row-group
+        # file is effectively unsplittable, so the scan — and every
+        # narrow op fused above the first exchange (tokenization,
+        # decimal casts, Python decode batches) — runs as ONE task no
+        # matter how many byte-range partitions Spark plans.  For
+        # compute-heavy consumers that opt in, round-robin the rows
+        # across the session's cores (optimization guide §2.5: "input
+        # skew — one huge unsplittable file ... repartition immediately
+        # after the read").  ADAPTIVE, not a local[32] constant: a
+        # properly laid-out input (row groups >= cores — any real
+        # multi-file/multi-row-group table at scale) takes the no-op
+        # branch and never pays the extra exchange; the core count
+        # follows the session, so the driver's low-core bench run
+        # scales the same way.  Opt-in is restricted to queries whose
+        # results are partitioning-independent (exact/decimal
+        # aggregates, row-local maps) — every caller A/B-verified
+        # row-identical before adopting it.
+        cores = spark.sparkContext.defaultParallelism
+        if _row_group_count(fpath) < cores:
+            df = df.repartition(cores)
     return df
 
 

@@ -543,7 +543,7 @@ def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     means "looks more like the target than the raw mix"; resampling
     keeps documents with probability proportional to ``exp(llr)``.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     tok = docs.select(
         "doc_id", "lang", F.explode(tokens("text")).alias("w")
     )

@@ -1219,7 +1219,7 @@ def span_gram_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .quality import SPAN_K
 
     def build() -> DataFrame:
-        docs = table(spark, sf_dir, "documents")
+        docs = table(spark, sf_dir, "documents", spread=True)
         base = docs.select("doc_id", tokens("text").alias("tk"))
         grams = F.expr(
             f"transform(slice(tk, 1, greatest(size(tk) - {SPAN_K - 1}, 0)), "
@@ -1287,7 +1287,7 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns ``doc_id, n_tokens, removed_tokens, clean_text``."""
     from .quality import SPAN_K
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     base = docs.select("doc_id", tokens("text").alias("tk"))
     win = span_gram_windows(spark, sf_dir)
     shared = (
@@ -1344,7 +1344,7 @@ def dedup_spans_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns ``doc_id, n_tokens, removed_tokens, clean_text``."""
     from .quality import SPAN_K
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     base = docs.select("doc_id", tokens("text").alias("tk"))
     win = span_gram_windows(spark, sf_dir)
     shared = (

@@ -440,7 +440,7 @@ def span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns ``doc_id, n_spans, dup_spans, span_dup_frac, keep`` —
     documents shorter than ``SPAN_K`` tokens have 0 spans, score 0.0,
     and keep (too-short is not boilerplate)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     base = docs.select("doc_id", tokens("text").alias("tk"))
     grams = F.expr(
         f"transform(slice(tk, 1, greatest(size(tk) - {SPAN_K - 1}, 0)), "

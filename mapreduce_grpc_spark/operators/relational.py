@@ -490,7 +490,7 @@ def group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_percentile`` (t-digest, mergeable sketches) — kept exact
     here so the oracle hash-matches.
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", spread=True)
     return li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
         F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
@@ -890,7 +890,7 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation makes the shuffle O(1) rows; ``stack`` unpivots the
     single moment row into one row per column pair.
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", spread=True)
     aggs = [F.count("*").alias("n")]
     for c in STATS_COLS:
         aggs.append(F.sum(F.col(c).cast(_CORR_DEC)).alias(f"s_{c}"))

@@ -79,7 +79,7 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/src/worker.h:83-117).  Emitted as a comma-joined string
     so the value-hash check is representation-stable across engines.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return (
         docs.select("doc_id", F.explode(tokens("text")).alias("word"))
         .groupBy("word")
