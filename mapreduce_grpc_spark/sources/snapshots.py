@@ -3457,7 +3457,33 @@ def _batch_key_probe(batch_keys: DataFrame, keys: list[str]) -> dict:
     checks), falling back to bounding boxes only for oversized batches.
     Returns ``{"lows", "highs", "key_rows"}`` with values normalized by
     ``_json_val``; ``key_rows`` is ``None`` on fallback."""
-    rows = batch_keys.distinct().limit(KEY_PROBE_CAP + 1).collect()
+    distinct = batch_keys.distinct().limit(KEY_PROBE_CAP + 1)
+    # r15 optimization (guide §4/§5): for the common key types the
+    # probe transfers as ONE Arrow batch instead of up to 100k pickled
+    # Rows (measured 0.87 s of a single CDC commit's driver wall).
+    # int/string arrow scalars convert to the same Python values a
+    # collected Row carries, so the probe dict is byte-identical;
+    # types with divergent canonical forms (timestamps, decimals,
+    # bytes) keep the row path.
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    _simple = (ByteType, ShortType, IntegerType, LongType, StringType)
+    if all(
+        isinstance(batch_keys.schema[k].dataType, _simple) for k in keys
+    ):
+        tbl = distinct.toArrow()
+        cols = {k: tbl.column(k).to_pylist() for k in keys}
+        rows = [
+            {k: cols[k][i] for k in keys} for i in range(tbl.num_rows)
+        ]
+    else:
+        rows = [{k: r[k] for k in keys} for r in distinct.collect()]
     if not rows:
         return {"lows": {}, "highs": {}, "key_rows": [], "empty": True}
     if len(rows) > KEY_PROBE_CAP:

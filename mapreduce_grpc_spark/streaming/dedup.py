@@ -37,7 +37,7 @@ def dedup_stream(events: DataFrame) -> DataFrame:
 
 def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    with _stateful_shuffle_partitions(spark):
+    with _stateful_shuffle_partitions(spark, cap=8):
         q = (
             dedup_stream(_events_stream(spark, sf_dir))
             .writeStream.format("memory")

