@@ -61,7 +61,7 @@ def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for each of the first 10 vectors."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     q = _queries(spark, sf_dir)
     scored = (
         emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
@@ -328,7 +328,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     with cosine >= threshold.  The block join is the scale lever: the
     all-pairs O(n²) never materializes, only O(Σ block²).
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     # norms precomputed once per vector (N folds), not once per pair
     # (N² folds) — the pair stage then does a single dot fold
     with_norm = emb.withColumn("nsq", norm_sq(F.col("embedding")))

@@ -133,7 +133,7 @@ def run_streaming_anomaly(
         spark, sf_dir, max_files_per_trigger=max_files_per_trigger
     ).select("user_id", "event_id", "ts", "value")
     name = f"stream_anomaly_{uuid.uuid4().hex[:8]}"
-    with _stateful_shuffle_partitions(spark, cap=8):
+    with _stateful_shuffle_partitions(spark, cap=16):
         q = (
             stream.groupBy("user_id")
             .applyInPandasWithState(

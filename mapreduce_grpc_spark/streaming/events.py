@@ -45,15 +45,18 @@ def _stateful_shuffle_partitions(spark: SparkSession, cap: int = 32):
     On a real cluster this is a deliberate knob: state partitions should
     track total cores, not the relational shuffle default.
 
-    r15 optimization (guide §2.2 "fewer, larger partitions"): every
-    stateful caller now passes ``cap=8`` — the same figure the interval
+    r15 optimization (guide §2.2 "fewer, larger partitions"): the
+    JVM-state callers now pass ``cap=8`` — the same figure the interval
     join measured in r14 and for the same reason: at fixture-scale
-    state volume the per-partition state-store commit (and, for the
-    pandas-stateful operators, the per-partition Python/Arrow round
-    trip) dominates, and a 32→8 sweep measured tumbling 3.0→1.2 s,
-    dedup 5.7→1.5 s, anomaly 4.1→2.1 s, sessionize 3.5→2.2 s with
-    identical hashed outputs (cap=4 regressed sessionize — 8 is the
-    floor that keeps parallelism headroom).  The cap still follows
+    state volume the per-partition state-store commit dominates, and a
+    32→8 sweep measured tumbling 3.0→1.2 s, dedup 5.7→1.5 s, enrich
+    2.3→1.2 s with identical hashed outputs (cap=4 regressed the
+    pandas-stateful queries — below 8 the lost parallelism outweighs
+    the saved overhead).  The two PANDAS-stateful callers (sessionize,
+    anomaly) pass ``cap=16``: their per-partition cost is a Python
+    worker round-trip that overlaps across workers, and the warm
+    interleaved A/B put 16 ahead of both 8 and 32 (anomaly 1.7 vs 2.1
+    @32; sessionize 2.0 vs 2.2 @8 / 2.6 @32).  The cap still follows
     ``defaultParallelism`` downward, so a low-core driver bench scales
     the same way; deployments size it to state volume / executor
     memory, not core count.

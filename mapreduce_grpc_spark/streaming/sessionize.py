@@ -112,7 +112,7 @@ def run_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     stream = _events_stream(spark, sf_dir)
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    with _stateful_shuffle_partitions(spark, cap=8):
+    with _stateful_shuffle_partitions(spark, cap=16):
         q = (
             stream.groupBy("user_id")
             .applyInPandasWithState(
