@@ -153,13 +153,23 @@ def _fit_books_np(X, m: int, k: int, seed: int) -> list:
         # replaced.  min is exact in floating point, so d2 (and hence
         # every rng draw and the final books) is bit-identical.
         d2 = ((Xj - cents[0]) ** 2).sum(axis=1)
+        # preallocated buffers for the per-center distance update —
+        # the same ops on the same operands (subtract, square, axis-1
+        # sum, running min), just without ~4 fresh allocations per
+        # center; bit-identical by construction and A/B-checked over
+        # the full fit (r15, same treatment as _lloyd)
+        diff = np.empty_like(Xj)
+        dnew = np.empty(len(Xj), dtype=np.float64)
         for _ in range(1, min(k, len(Xj))):
             tot = d2.sum()
             if tot <= 0.0:
                 break
             c = Xj[rng.choice(len(Xj), p=d2 / tot)]
             cents.append(c)
-            d2 = np.minimum(d2, ((Xj - c) ** 2).sum(axis=1))
+            np.subtract(Xj, c, out=diff)
+            np.multiply(diff, diff, out=diff)
+            diff.sum(axis=1, out=dnew)
+            np.minimum(d2, dnew, out=d2)
         books.append(_lloyd(Xj, np.stack(cents), 100))
     return books
 

@@ -54,7 +54,7 @@ def udtf_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path.
     """
     spark.udtf.register("split_words", SplitWords)
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     view = "udtf_docs_view"
     docs.createOrReplaceTempView(view)
     return spark.sql(

@@ -141,7 +141,7 @@ def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring for what the round-trip pins)."""
     import html as _html
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
