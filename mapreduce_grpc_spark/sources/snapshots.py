@@ -3413,16 +3413,15 @@ def delete_keys_mor(
     in ``delete_where_mor``."""
     _check_isolation(isolation)
     kdf = keys_df.select(*keys).distinct()
-    null_pred = F.lit(False)
-    for k in keys:
-        null_pred = null_pred | F.isnull(F.col(k))
-    if kdf.filter(null_pred).limit(1).collect():
+    # kdf is already distinct, so the fused audit can only flag NULL
+    # keys (duplicates are legal in a delete batch and collapse above)
+    probe, bad = _batch_key_audit(kdf, keys)
+    if bad:
         raise ValueError(
             "delete_keys_mor: NULL key in delete batch — SQL joins never "
             "match NULLs, so the delete would silently miss its target; "
             "coalesce keys upstream"
         )
-    probe = _batch_key_probe(kdf, keys)
     if probe.get("empty"):
         return _skipped_result(read_manifest(path, fs=fs))
 
@@ -3504,6 +3503,113 @@ def _batch_key_probe(batch_keys: DataFrame, keys: list[str]) -> dict:
         lows[k] = min(vals) if vals else None
         highs[k] = max(vals) if vals else None
     return {"lows": lows, "highs": highs, "key_rows": key_rows}
+
+
+def _batch_key_audit(batch_keys: DataFrame, keys: list[str]):
+    """ONE action serving both the pruning probe and the illegal-key
+    validation every keyed mutator runs (r15 optimization, guide §1.2:
+    the two separate actions each re-executed the batch lineage).
+
+    ``groupBy(keys).count()`` carries exactly the distinct key rows the
+    probe collects PLUS the per-key multiplicity and null-ness the
+    validators need, so for batches under ``KEY_PROBE_CAP`` with
+    int/string keys everything comes back in one Arrow transfer.
+    Over-cap or non-simple-typed batches fall back to the classic two
+    actions (a capped slice cannot prove the absence of duplicates) —
+    never more work than before, one pass fewer on the common shape.
+
+    Returns ``(probe, bad)``: ``probe`` exactly as ``_batch_key_probe``
+    returns it; ``bad`` is ``None`` or ``({key: value}, had_null)`` for
+    one offending key (duplicate or NULL) — callers raise their own
+    operation-specific message.
+    """
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    _simple = (ByteType, ShortType, IntegerType, LongType, StringType)
+    if all(
+        isinstance(batch_keys.schema[k].dataType, _simple) for k in keys
+    ):
+        tbl = (
+            batch_keys.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .limit(KEY_PROBE_CAP + 1)
+            .toArrow()
+        )
+        if tbl.num_rows > KEY_PROBE_CAP:
+            # over-cap: this capped slice can prove neither
+            # duplicate-freedom nor bounds — run the full dup/null
+            # check and the bounding-box agg directly (total actions
+            # equal the pre-fusion path's over-cap count)
+            rows = _bad_key_rows(batch_keys, keys)
+            bad = None
+            if rows:
+                r = rows[0]
+                bad = (
+                    {k: r[k] for k in keys},
+                    any(r[k] is None for k in keys),
+                )
+            bounds = batch_keys.agg(
+                *[F.min(k).alias(f"lo_{k}") for k in keys],
+                *[F.max(k).alias(f"hi_{k}") for k in keys],
+            ).collect()[0]
+            return (
+                {
+                    "lows": {
+                        k: _json_val(bounds[f"lo_{k}"]) for k in keys
+                    },
+                    "highs": {
+                        k: _json_val(bounds[f"hi_{k}"]) for k in keys
+                    },
+                    "key_rows": None,
+                },
+                bad,
+            )
+        if tbl.num_rows <= KEY_PROBE_CAP:
+            cols = {k: tbl.column(k).to_pylist() for k in keys}
+            ns = tbl.column("__n").to_pylist()
+            bad = None
+            for i in range(tbl.num_rows):
+                had_null = any(cols[k][i] is None for k in keys)
+                if had_null or ns[i] > 1:
+                    bad = ({k: cols[k][i] for k in keys}, had_null)
+                    break
+            if tbl.num_rows == 0:
+                return (
+                    {"lows": {}, "highs": {}, "key_rows": [],
+                     "empty": True},
+                    None,
+                )
+            key_rows = [
+                {k: _json_val(cols[k][i]) for k in keys}
+                for i in range(tbl.num_rows)
+            ]
+            lows: dict = {}
+            highs: dict = {}
+            for k in keys:
+                vals = [r[k] for r in key_rows if r[k] is not None]
+                lows[k] = min(vals) if vals else None
+                highs[k] = max(vals) if vals else None
+            return (
+                {"lows": lows, "highs": highs, "key_rows": key_rows},
+                bad,
+            )
+    # classic fallback: the full-relation dup/null check plus the
+    # capped/bounding-box probe, two actions as before
+    rows = _bad_key_rows(batch_keys, keys)
+    bad = None
+    if rows:
+        r = rows[0]
+        bad = (
+            {k: r[k] for k in keys},
+            any(r[k] is None for k in keys),
+        )
+    return _batch_key_probe(batch_keys, keys), bad
 
 
 def _value_in_ranges(v, ranges: list[list]) -> bool:
@@ -3857,10 +3963,10 @@ def merge_upsert_cow(
     already-written files instead of re-deriving the merge.
     """
     _check_isolation(isolation)
-    bad = _bad_key_rows(updates, keys)
+    probe, bad = _batch_key_audit(updates.select(*keys), keys)
     if bad:
-        row = bad[0]
-        if any(row[k] is None for k in keys):
+        row, had_null = bad
+        if had_null:
             raise ValueError(
                 f"merge_upsert_cow: NULL merge key in batch row "
                 f"{tuple(row[k] for k in keys)!r} — SQL equi/anti joins "
@@ -3871,7 +3977,6 @@ def merge_upsert_cow(
             f"merge_upsert_cow: update batch has multiple rows for key "
             f"{tuple(row[k] for k in keys)!r}; dedup the batch first"
         )
-    probe = _batch_key_probe(updates.select(*keys), keys)
     if probe.get("empty"):
         # empty batch: a commit would only add an empty file per call —
         # an at-least-once upstream retrying empties must not grow the
@@ -4083,10 +4188,10 @@ def apply_cdc_cow(
         raise ValueError(f"apply_cdc_cow: unknown op codes {sorted(bad)}")
     n_upserts = op_counts.get("I", 0) + op_counts.get("U", 0)
     n_deletes = op_counts.get("D", 0)
-    bad = _bad_key_rows(batch, keys)
+    probe, bad = _batch_key_audit(batch.select(*keys), keys)
     if bad:
-        row = bad[0]
-        if any(row[k] is None for k in keys):
+        row, had_null = bad
+        if had_null:
             raise ValueError(
                 f"apply_cdc_cow: NULL key in batch row "
                 f"{tuple(row[k] for k in keys)!r} — NULL-keyed changes "
@@ -4102,13 +4207,12 @@ def apply_cdc_cow(
     upserts = batch.filter(F.upper(F.col(op_col)).isin("I", "U")).drop(
         op_col
     )
-    all_keys = batch.select(*keys).distinct()
-    probe = _batch_key_probe(all_keys, keys)
     if probe.get("empty"):
         res = _skipped_result(read_manifest(path, fs=fs))
         res["upserted"] = 0
         res["deleted"] = 0
         return res
+    all_keys = batch.select(*keys).distinct()
     del_keys = (
         batch.filter(F.upper(F.col(op_col)) == "D").select(*keys).distinct()
     )
@@ -7161,10 +7265,10 @@ def merge_into(
                 f"values|None): {c!r}"
             )
 
-    bad = _bad_key_rows(source, keys)
+    probe, bad = _batch_key_audit(source.select(*keys), keys)
     if bad:
-        row = bad[0]
-        if any(row[k] is None for k in keys):
+        row, had_null = bad
+        if had_null:
             raise ValueError(
                 f"merge_into: NULL merge key in source row "
                 f"{tuple(row[k] for k in keys)!r}; coalesce keys upstream"
@@ -7175,7 +7279,6 @@ def merge_into(
             "rule); collapse the source first"
         )
     _check_isolation(isolation)
-    probe = _batch_key_probe(source.select(*keys), keys)
     if probe.get("empty") and not by_source:
         # an empty source with by-source clauses is NOT a no-op: every
         # target row is not-matched-by-source (a full purge/sync)
