@@ -130,6 +130,11 @@ def main() -> None:
         "metric": "suite_total_runtime",
         "value": round(sum(times.values()), 2),
         "unit": "sec",
+        # the live session's parallelism, so the driver's low-core
+        # scaling run is verifiable from the bench line itself (r15
+        # PERF flagged "suspect_cpus_ignored" because nothing on the
+        # line proved which core count actually ran)
+        "cpus": int(spark.sparkContext.defaultParallelism),
         "queries": times,
         "sf": sf_val,
     }
@@ -168,12 +173,19 @@ def main() -> None:
     # final line as JSON.  Round 9's line was ~2.3 KB (the old 2400 cap plus
     # a trim loop that stopped at the first >=1s entry even while still over
     # budget), so the captured tail was left-truncated and BENCH_r09 landed
-    # as "parsed": null.  Trim unconditionally, cheapest queries first, until
-    # the line fits with margin; every dropped timing is still in
-    # BENCH_DETAIL.json under "queries_full".
+    # as "parsed": null.  Trim until the line fits with margin; every
+    # dropped timing is still in BENCH_DETAIL.json under "queries_full".
+    # r16 (the r15 PERF misread 4 queries that got FASTER as
+    # "dropped_from_bench"): the 50 CONTRACT queries are never trimmed —
+    # their printed membership is stable round-to-round — only AUX
+    # timings go, cheapest first (cheapest = least information lost on
+    # the line; the full roster stays in the detail file).
     LINE_BUDGET = 1800
     line = json.dumps(out, separators=(",", ":"))
-    for name in sorted(times, key=times.get):
+    trimmable = sorted(
+        (n for n in times if n not in registry.QUERIES), key=times.get
+    )
+    for name in trimmable:
         if len(line) <= LINE_BUDGET:
             break
         del out["queries"][name]

@@ -30,32 +30,44 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# (path, mtime) -> parquet row-group count.  Footer-only read, cached so
-# repeated table() calls in one process don't re-open the file.  This is
-# scan-layout metadata (like Spark's own file listing cache), never data
-# or results.
-_RG_CACHE: dict[tuple[str, float], int] = {}
+# path -> (mtime, parquet row-group count).  Footer-only read, cached so
+# repeated table() calls in one process don't re-open the file; a
+# rewritten path overwrites its single entry (no unbounded growth in a
+# long-lived process).  This is scan-layout metadata (like Spark's own
+# file listing cache), never data or results.
+_RG_CACHE: dict[str, tuple[float, int]] = {}
 
 
 def _row_group_count(path: str) -> int:
     try:
-        key = (path, os.path.getmtime(path))
+        mtime = os.path.getmtime(path)
     except OSError:
         return 1 << 30  # unknown layout: assume splittable, never spread
-    if key not in _RG_CACHE:
+    hit = _RG_CACHE.get(path)
+    if hit is None or hit[0] != mtime:
         try:
             import pyarrow.parquet as pq
 
-            _RG_CACHE[key] = pq.ParquetFile(path).metadata.num_row_groups
+            count = pq.ParquetFile(path).metadata.num_row_groups
         except Exception:
-            _RG_CACHE[key] = 1 << 30
-    return _RG_CACHE[key]
+            count = 1 << 30
+        _RG_CACHE[path] = hit = (mtime, count)
+    return hit[1]
 
 
 def table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan).
+
+    ``spread=True`` (opt-in) may insert a round-robin repartition right
+    after the scan when the file is effectively unsplittable (fewer row
+    groups than session cores).  CONTRACT FOR CALLERS: the round-robin
+    exchange makes downstream row ORDER and partition assignment
+    nondeterministic, so only queries whose results are
+    partitioning-independent (exact/decimal aggregates, row-local maps,
+    explicitly re-sorted outputs) may pass it — never keep-first /
+    limit / first-row-wins shapes.
 
     ``events.ts`` is normalized to TIMESTAMP whatever the writer did:
     parquet TIMESTAMP(NANOS) (the driver fixtures — surfaced as a long

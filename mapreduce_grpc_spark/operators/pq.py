@@ -60,13 +60,11 @@ TOP_K = 5
 RERANK_FACTOR = 10  # ADC keeps 10x top-k candidates for the exact pass
 
 
-def _sample_matrix(emb: DataFrame, seed: int, sample_cap: int):
-    """Deterministic hash-sample of the embedding relation as a
-    float64 matrix (rows = vectors).  One distributed sort-limit; the
+def _sample_rows(emb: DataFrame, seed: int, sample_cap: int) -> list:
+    """Deterministic hash-sample of the embedding relation as collected
+    rows (vec_id, embedding, h).  One distributed sort-limit; the
     result is model-fit-sized regardless of corpus size."""
-    import numpy as np
-
-    sample = (
+    return (
         emb.select(
             "vec_id", "embedding",
             F.xxhash64("vec_id", F.lit(seed)).alias("h"),
@@ -75,9 +73,22 @@ def _sample_matrix(emb: DataFrame, seed: int, sample_cap: int):
         .limit(sample_cap)
         .collect()
     )
+
+
+def _rows_matrix(sample: list):
+    """The sample rows as a float64 matrix (rows = vectors)."""
+    import numpy as np
+
     if not sample:
         raise ValueError("pq_fit: empty embedding relation")
     return np.stack([list(r.embedding) for r in sample]).astype(np.float64)
+
+
+def _sample_matrix(emb: DataFrame, seed: int, sample_cap: int):
+    """Deterministic hash-sample of the embedding relation as a
+    float64 matrix (rows = vectors).  One distributed sort-limit; the
+    result is model-fit-sized regardless of corpus size."""
+    return _rows_matrix(_sample_rows(emb, seed, sample_cap))
 
 
 def _lloyd(Xj, C, iters: int):
@@ -131,6 +142,113 @@ def _lloyd(Xj, C, iters: int):
     return C
 
 
+# below this many sample rows the batched Lloyd loses to the per-
+# subspace loop (cache locality beats call-count, measured at n=2000:
+# 0.73 s/loop vs 0.79-1.6 s/batch; at n=20000 the batch wins 71->60 s)
+_LLOYD_BATCH_MIN_N = 10_000
+
+
+def _lloyd_batch(X, books: list, iters: int, sub: int) -> list:
+    """Run ``_lloyd`` for EVERY subspace of ``X`` in one batched loop
+    (r16, guide §1.2 per-task work): one ufunc/argmin/bincount call per
+    iteration over a ``(active, n, k)`` stack instead of ~16 small
+    numpy calls × M subspaces × iterations — the fit at sample scale is
+    Python-call-overhead bound, not flops-bound (measured 1.4 s of
+    pure ``_lloyd`` frame time inside one opq fit).
+
+    Bit-identical to the per-subspace ``_lloyd`` loop by construction,
+    and A/B-gated on the real fixture before landing:
+
+    - the matmul stays a PER-SLICE call on the same column views of
+      ``X`` (byte-identical operands → the same BLAS kernel; a stacked
+      3-D matmul may pick a different kernel and flip low bits),
+    - every elementwise op broadcasts over the stack (same op, same
+      operands, same order per slice),
+    - the per-slice bincounts fuse via offset labels (each bin still
+      accumulates its own slice's values in the same row order —
+      bincount is sequential in input order),
+    - convergence freezes a slice at its PRE-update centroids, exactly
+      like ``_lloyd``'s break-before-assign, while the others keep
+      iterating.
+    """
+    import numpy as np
+
+    m = len(books)
+    n = X.shape[0]
+    out: list = [None] * m
+    cur = [np.asarray(C) for C in books]
+    kk = len(cur[0])
+    if any(len(C) != kk for C in cur):
+        # ragged codebooks (len(Xj) < k edge case): per-subspace path
+        return [
+            _lloyd(X[:, j * sub : (j + 1) * sub], C, iters)
+            for j, C in enumerate(cur)
+        ]
+    # per-slice x_sq: same square + last-axis pairwise sum as _lloyd
+    x_sq_all = np.stack(
+        [
+            (X[:, j * sub : (j + 1) * sub] ** 2).sum(axis=1)
+            for j in range(m)
+        ]
+    )
+    active = np.arange(m)
+    G = np.empty((m, n, kk), dtype=np.float64)
+    D = np.empty((m, n, kk), dtype=np.float64)
+    for _ in range(iters):
+        a = len(active)
+        Ca = np.stack([cur[j] for j in active])
+        Ga, Da = G[:a], D[:a]
+        for i, j in enumerate(active):
+            # same operands as _lloyd's np.matmul(Xj, C.T, out=G):
+            # the identical column view of X and the identical C
+            np.matmul(X[:, j * sub : (j + 1) * sub], cur[j].T, out=Ga[i])
+        np.multiply(Ga, 2.0, out=Ga)
+        np.add(
+            x_sq_all[active][:, :, None],
+            (Ca**2).sum(axis=2)[:, None, :],
+            out=Da,
+        )
+        np.subtract(Da, Ga, out=Da)
+        lab = Da.argmin(axis=2)
+        offs = np.arange(a, dtype=np.intp)[:, None] * kk
+        flat = (lab + offs).ravel()
+        counts = (
+            np.bincount(flat, minlength=a * kk)
+            .reshape(a, kk)
+            .astype(np.float64)
+        )
+        sums = np.empty((a, kk, sub), dtype=np.float64)
+        for dd in range(sub):
+            w = np.stack(
+                [X[:, j * sub + dd] for j in active]
+            ).ravel()
+            sums[:, :, dd] = np.bincount(
+                flat, weights=w, minlength=a * kk
+            ).reshape(a, kk)
+        newC = np.where(
+            (counts > 0)[:, :, None],
+            sums / np.maximum(counts, 1.0)[:, :, None],
+            Ca,
+        )
+        conv = (np.abs(newC - Ca) <= 1e-8 + 1e-5 * np.abs(Ca)).all(
+            axis=(1, 2)
+        )
+        still = []
+        for i, j in enumerate(active):
+            if conv[i]:
+                out[j] = Ca[i]  # pre-update, like _lloyd's break
+            else:
+                cur[j] = newC[i]
+                still.append(j)
+        if not still:
+            break
+        active = np.asarray(still, dtype=np.intp)
+    for j in range(m):
+        if out[j] is None:
+            out[j] = cur[j]
+    return out
+
+
 def _fit_books_np(X, m: int, k: int, seed: int) -> list:
     """Per-subspace k-means++ init + Lloyd on a sample matrix.
     Returns ``list[np.ndarray (k × dim/m)]`` — the numpy core shared
@@ -142,7 +260,7 @@ def _fit_books_np(X, m: int, k: int, seed: int) -> list:
     if dim % m:
         raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
     sub = dim // m
-    books = []
+    inits = []
     for j in range(m):
         Xj = X[:, j * sub : (j + 1) * sub]
         rng = np.random.RandomState(seed * 1000 + j)
@@ -170,8 +288,18 @@ def _fit_books_np(X, m: int, k: int, seed: int) -> list:
             np.multiply(diff, diff, out=diff)
             diff.sum(axis=1, out=dnew)
             np.minimum(d2, dnew, out=d2)
-        books.append(_lloyd(Xj, np.stack(cents), 100))
-    return books
+        inits.append(np.stack(cents))
+    if len(X) >= _LLOYD_BATCH_MIN_N:
+        # batched Lloyd across all subspaces (r16): bit-identical (A/B
+        # gated) and ~15% faster at production sample sizes, but CACHE-
+        # HOSTILE at fixture scale (the (m, n, k) stack evicts the
+        # per-slice working set, measured neutral-to-slower at n=2000),
+        # so it gates on sample size
+        return _lloyd_batch(X, inits, 100, sub)
+    return [
+        _lloyd(X[:, j * sub : (j + 1) * sub], C, 100)
+        for j, C in enumerate(inits)
+    ]
 
 
 def pq_fit(
@@ -246,9 +374,31 @@ def opq_fit(
     the codebooks track the rotation instead of refitting from
     scratch).  ``history_out`` (optional) receives the per-round
     distortion ``‖XR − Y‖²`` for curve tools and tests."""
+    X = _sample_matrix(emb, seed, sample_cap)
+    R, books = _opq_fit_np(
+        X, m, k, seed, outer_iters, lloyd_iters, history_out
+    )
+    rotation = [[float(v) for v in row] for row in R]
+    return rotation, [
+        [[float(v) for v in c] for c in C] for C in books
+    ]
+
+
+def _opq_fit_np(
+    X,
+    m: int,
+    k: int,
+    seed: int,
+    outer_iters: int = 8,
+    lloyd_iters: int = 25,
+    history_out: list | None = None,
+):
+    """The numpy core of ``opq_fit`` over an already-collected sample
+    matrix — factored out (r16) so ``_pq_topk_impl`` reuses ONE sample
+    collect for fit + query LUTs instead of re-sampling.  Arithmetic
+    unchanged; returns ``(R ndarray, [codebook ndarray])``."""
     import numpy as np
 
-    X = _sample_matrix(emb, seed, sample_cap)
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"opq_fit: dim {dim} not divisible by m={m}")
@@ -267,6 +417,11 @@ def opq_fit(
         Xr = X @ R
         if books is None:
             books = _fit_books_np(Xr, m, k, seed)
+        elif len(Xr) >= _LLOYD_BATCH_MIN_N:
+            # warm-start Lloyd for all M subspaces, batched (r16) —
+            # same arithmetic as the per-subspace _lloyd loop (see
+            # _LLOYD_BATCH_MIN_N for the gate's measurements)
+            books = _lloyd_batch(Xr, books, lloyd_iters, sub)
         else:
             books = [
                 _lloyd(Xr[:, j * sub : (j + 1) * sub], C, lloyd_iters)
@@ -279,10 +434,7 @@ def opq_fit(
         if prev is not None and prev - dist <= 1e-9 * max(prev, 1.0):
             break
         prev = dist
-    rotation = [[float(v) for v in row] for row in R]
-    return rotation, [
-        [[float(v) for v in c] for c in C] for C in books
-    ]
+    return R, books
 
 
 def pq_encode(
@@ -436,28 +588,54 @@ def _pq_topk_impl(
     rotate: bool,
 ) -> DataFrame:
     """Shared fit -> encode -> ADC scan -> exact re-rank body behind
-    ``pq_topk`` (rotate=False) and ``opq_topk`` (rotate=True)."""
+    ``pq_topk`` (rotate=False) and ``opq_topk`` (rotate=True).
+
+    r16 (guide §1.2 — don't run jobs whose answers you already have):
+    ONE sample collect serves the emptiness check (empty sample ⇔
+    empty relation), the fit matrix, and — whenever the sample is
+    under its cap, i.e. it IS the whole relation — the query vectors,
+    replacing the previous three driver actions (``take(1)``, the fit
+    sample, the query collect).  Values are identical: the sample rows
+    come from the same scan, and the fit consumes the same matrix."""
     emb = table(spark, sf_dir, "embeddings")
-    if not emb.take(1):
+    sample = _sample_rows(emb, 42, FIT_SAMPLE)
+    if not sample:
         # empty relation: empty result with the contract schema (the
         # robustness suite runs every query on zero-row fixtures)
         return spark.createDataFrame(
             [], "q_id long, neighbor_id long, cos_sim double, rank int"
         )
+    X = _rows_matrix(sample)
     if rotate:
-        rotation, books = opq_fit(spark, emb, m=m, k=k)
+        R_np, books_np = _opq_fit_np(X, m, k, seed=42)
+        rotation = [[float(v) for v in row] for row in R_np]
+        books = [
+            [[float(v) for v in c] for c in C] for C in books_np
+        ]
     else:
-        rotation, books = None, pq_fit(spark, emb, m=m, k=k)
+        rotation = None
+        books = [
+            [[float(v) for v in c] for c in C]
+            for C in _fit_books_np(X, m, k, 42)
+        ]
     coded = pq_encode(
         emb.select("vec_id", "embedding"), "embedding", books,
         rotation=rotation,
     ).select("vec_id", "pq_code")
 
-    q_rows = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    if len(sample) < FIT_SAMPLE:
+        # the sample is the whole relation: the query vectors are
+        # already on the driver (same rows, same values)
+        q_rows = sorted(
+            (r for r in sample if r.vec_id < N_QUERIES),
+            key=lambda r: r.vec_id,
+        )
+    else:
+        q_rows = (
+            emb.filter(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "embedding")
+            .collect()
+        )
     luts = {
         int(r.vec_id): adc_tables(list(r.embedding), books, rotation)
         for r in q_rows

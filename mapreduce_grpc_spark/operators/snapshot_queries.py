@@ -26,6 +26,16 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..sources.matview import mv_init, mv_read, mv_refresh
+from ..sources.snapshots import (
+    apply_cdc_cow,
+    delete_keys_mor,
+    delete_where_mor,
+    merge_upsert_cow,
+    snap_append,
+    snap_init,
+    snap_read,
+    snap_scan,
+)
 
 
 def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -42,16 +52,6 @@ def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
     types, nullability, values — checked row-identical before landing)
     is byte-for-byte what the row path produced."""
     return spark.createDataFrame(df.toArrow(), schema=df.schema)
-from ..sources.snapshots import (
-    apply_cdc_cow,
-    delete_keys_mor,
-    delete_where_mor,
-    merge_upsert_cow,
-    snap_append,
-    snap_init,
-    snap_read,
-    snap_scan,
-)
 
 
 def snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1027,6 +1027,13 @@ def _bloom_contains(bloom: dict, v) -> bool:
         return True
     if kb[:1].decode() not in bloom.get("t", "is"):
         return True
+    if bloom.get("hv") not in (None, 2):
+        # sidecar built with a hash scheme this reader does not know:
+        # treat as "no filter" (conservative hit).  Falling through to
+        # an older hash would probe the wrong bits and could FALSE-
+        # NEGATIVE — silently skipping a rewrite — which violates the
+        # module invariant that bloom misses are proofs of absence.
+        return True
     bits = bloom.get("_raw")
     if bits is None:
         bits = base64.b64decode(bloom["bits"])
@@ -3570,35 +3577,37 @@ def _batch_key_audit(batch_keys: DataFrame, keys: list[str]):
                 },
                 bad,
             )
-        if tbl.num_rows <= KEY_PROBE_CAP:
-            cols = {k: tbl.column(k).to_pylist() for k in keys}
-            ns = tbl.column("__n").to_pylist()
-            bad = None
-            for i in range(tbl.num_rows):
-                had_null = any(cols[k][i] is None for k in keys)
-                if had_null or ns[i] > 1:
-                    bad = ({k: cols[k][i] for k in keys}, had_null)
-                    break
-            if tbl.num_rows == 0:
-                return (
-                    {"lows": {}, "highs": {}, "key_rows": [],
-                     "empty": True},
-                    None,
-                )
-            key_rows = [
-                {k: _json_val(cols[k][i]) for k in keys}
-                for i in range(tbl.num_rows)
-            ]
-            lows: dict = {}
-            highs: dict = {}
-            for k in keys:
-                vals = [r[k] for r in key_rows if r[k] is not None]
-                lows[k] = min(vals) if vals else None
-                highs[k] = max(vals) if vals else None
+        # at-or-under cap (the over-cap branch returned above): the
+        # capped slice is the FULL distinct-key relation, so it serves
+        # validation and probe in one pass
+        cols = {k: tbl.column(k).to_pylist() for k in keys}
+        ns = tbl.column("__n").to_pylist()
+        bad = None
+        for i in range(tbl.num_rows):
+            had_null = any(cols[k][i] is None for k in keys)
+            if had_null or ns[i] > 1:
+                bad = ({k: cols[k][i] for k in keys}, had_null)
+                break
+        if tbl.num_rows == 0:
             return (
-                {"lows": lows, "highs": highs, "key_rows": key_rows},
-                bad,
+                {"lows": {}, "highs": {}, "key_rows": [],
+                 "empty": True},
+                None,
             )
+        key_rows = [
+            {k: _json_val(cols[k][i]) for k in keys}
+            for i in range(tbl.num_rows)
+        ]
+        lows: dict = {}
+        highs: dict = {}
+        for k in keys:
+            vals = [r[k] for r in key_rows if r[k] is not None]
+            lows[k] = min(vals) if vals else None
+            highs[k] = max(vals) if vals else None
+        return (
+            {"lows": lows, "highs": highs, "key_rows": key_rows},
+            bad,
+        )
     # classic fallback: the full-relation dup/null check plus the
     # capped/bounding-box probe, two actions as before
     rows = _bad_key_rows(batch_keys, keys)

@@ -70,6 +70,28 @@ def _stateful_shuffle_partitions(spark: SparkSession, cap: int = 32):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+# (path, mtime) -> events schema.  Schema inference for the stream
+# reader is a driver-side batch-reader round (~0.11 s measured) paid by
+# EVERY streaming query invocation; the schema is scan-layout metadata
+# (never data or results), so cache it like the catalog's row-group
+# counts.  One entry per path, overwritten on mtime change.
+_SCHEMA_CACHE: dict[str, tuple[float, object]] = {}
+
+
+def _events_schema(spark: SparkSession, path: str):
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return spark.read.parquet(path).schema  # let Spark raise/resolve
+    hit = _SCHEMA_CACHE.get(path)
+    if hit is None or hit[0] != mtime:
+        _SCHEMA_CACHE[path] = hit = (
+            mtime,
+            spark.read.parquet(path).schema,
+        )
+    return hit[1]
+
+
 def _events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -81,7 +103,7 @@ def _events_stream(
     many-file directory-shaped table cannot split across triggers."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _events_schema(spark, path)
     if os.path.isdir(path):
         # directory-shaped table (the production layout): stream it as-is
         reader = spark.readStream.schema(schema)
