@@ -274,8 +274,21 @@ def mv_refresh(
     # the delta/join lineage re-reads the change feed per action; it is
     # consumed by up to three actions below (recompute-key collect, the
     # incremental batch, the recompute union) — materialize ONCE
-    # (O(touched groups) rows, the refresh's own cost class)
-    merged = j.select(*out_cols, needs.alias("_rec")).localCheckpoint()
+    # (O(touched groups) rows, the refresh's own cost class).  r16: for
+    # refreshes under RECOMPUTE_COLLECT_CAP touched groups (the normal
+    # case — the cap already bounds what this module will collect) the
+    # materialization is ONE Arrow round-trip to a LOCAL relation, so
+    # the three consumers plan local scans instead of re-reading
+    # checkpointed blocks through the full distributed plan (measured
+    # ~1.1 s of matview_orders' localCheckpoint + downstream planning).
+    # A mass-extremum refresh over the cap keeps the distributed
+    # checkpoint: driver memory stays O(cap) either way.
+    merged_plan = j.select(*out_cols, needs.alias("_rec"))
+    probe = merged_plan.limit(RECOMPUTE_COLLECT_CAP + 1).toArrow()
+    if probe.num_rows <= RECOMPUTE_COLLECT_CAP:
+        merged = spark.createDataFrame(probe, schema=merged_plan.schema)
+    else:
+        merged = merged_plan.localCheckpoint()
 
     agg_names = list(spec)
 

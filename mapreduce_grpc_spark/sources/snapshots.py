@@ -3512,7 +3512,9 @@ def _batch_key_probe(batch_keys: DataFrame, keys: list[str]) -> dict:
     return {"lows": lows, "highs": highs, "key_rows": key_rows}
 
 
-def _batch_key_audit(batch_keys: DataFrame, keys: list[str]):
+def _batch_key_audit(
+    batch_keys: DataFrame, keys: list[str], op_col: str | None = None
+):
     """ONE action serving both the pruning probe and the illegal-key
     validation every keyed mutator runs (r15 optimization, guide §1.2:
     the two separate actions each re-executed the batch lineage).
@@ -3524,6 +3526,15 @@ def _batch_key_audit(batch_keys: DataFrame, keys: list[str]):
     Over-cap or non-simple-typed batches fall back to the classic two
     actions (a capped slice cannot prove the absence of duplicates) —
     never more work than before, one pass fewer on the common shape.
+
+    ``op_col`` (r16, apply_cdc_cow): ride the upper-cased distinct op
+    codes and per-op row counts on the SAME action (a
+    ``collect_set``/``count`` pair per key group), replacing the
+    separate ``groupBy(op)`` action the CDC path ran first.  When set,
+    the return is a 3-tuple ``(probe, bad, opinfo)`` with ``opinfo``
+    either ``{"ops": set, "counts": {op: rows}, "has_null_op": bool}``
+    or ``None`` when this audit fell back to a classic path (the
+    caller then runs its own op action, total actions as before).
 
     Returns ``(probe, bad)``: ``probe`` exactly as ``_batch_key_probe``
     returns it; ``bad`` is ``None`` or ``({key: value}, had_null)`` for
@@ -3538,13 +3549,21 @@ def _batch_key_audit(batch_keys: DataFrame, keys: list[str]):
         StringType,
     )
 
+    def _ret(probe, bad, opinfo=None):
+        return (probe, bad, opinfo) if op_col is not None else (probe, bad)
+
     _simple = (ByteType, ShortType, IntegerType, LongType, StringType)
     if all(
         isinstance(batch_keys.schema[k].dataType, _simple) for k in keys
     ):
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        if op_col is not None:
+            up = F.upper(F.col(op_col))
+            aggs.append(F.collect_set(up).alias("__ops"))
+            aggs.append(F.count(up).alias("__nn"))
         tbl = (
             batch_keys.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(*aggs)
             .limit(KEY_PROBE_CAP + 1)
             .toArrow()
         )
@@ -3553,7 +3572,8 @@ def _batch_key_audit(batch_keys: DataFrame, keys: list[str]):
             # duplicate-freedom nor bounds — run the full dup/null
             # check and the bounding-box agg directly (total actions
             # equal the pre-fusion path's over-cap count)
-            rows = _bad_key_rows(batch_keys, keys)
+            key_rel = batch_keys.select(*keys)
+            rows = _bad_key_rows(key_rel, keys)
             bad = None
             if rows:
                 r = rows[0]
@@ -3561,11 +3581,11 @@ def _batch_key_audit(batch_keys: DataFrame, keys: list[str]):
                     {k: r[k] for k in keys},
                     any(r[k] is None for k in keys),
                 )
-            bounds = batch_keys.agg(
+            bounds = key_rel.agg(
                 *[F.min(k).alias(f"lo_{k}") for k in keys],
                 *[F.max(k).alias(f"hi_{k}") for k in keys],
             ).collect()[0]
-            return (
+            return _ret(
                 {
                     "lows": {
                         k: _json_val(bounds[f"lo_{k}"]) for k in keys
@@ -3582,6 +3602,26 @@ def _batch_key_audit(batch_keys: DataFrame, keys: list[str]):
         # validation and probe in one pass
         cols = {k: tbl.column(k).to_pylist() for k in keys}
         ns = tbl.column("__n").to_pylist()
+        opinfo = None
+        if op_col is not None:
+            ops_lists = tbl.column("__ops").to_pylist()
+            nns = tbl.column("__nn").to_pylist()
+            counts: dict = {}
+            ops_all: set = set()
+            for i in range(tbl.num_rows):
+                ops_all.update(ops_lists[i])
+                for o in ops_lists[i]:
+                    # exact row counts only matter on the success path,
+                    # where every group holds ONE row of ONE op; a bad
+                    # batch raises before these counts are consumed
+                    counts[o] = counts.get(o, 0) + ns[i]
+            opinfo = {
+                "ops": ops_all,
+                "counts": counts,
+                "has_null_op": any(
+                    nns[i] < ns[i] for i in range(tbl.num_rows)
+                ),
+            }
         bad = None
         for i in range(tbl.num_rows):
             had_null = any(cols[k][i] is None for k in keys)
@@ -3589,10 +3629,11 @@ def _batch_key_audit(batch_keys: DataFrame, keys: list[str]):
                 bad = ({k: cols[k][i] for k in keys}, had_null)
                 break
         if tbl.num_rows == 0:
-            return (
+            return _ret(
                 {"lows": {}, "highs": {}, "key_rows": [],
                  "empty": True},
                 None,
+                opinfo,
             )
         key_rows = [
             {k: _json_val(cols[k][i]) for k in keys}
@@ -3604,13 +3645,15 @@ def _batch_key_audit(batch_keys: DataFrame, keys: list[str]):
             vals = [r[k] for r in key_rows if r[k] is not None]
             lows[k] = min(vals) if vals else None
             highs[k] = max(vals) if vals else None
-        return (
+        return _ret(
             {"lows": lows, "highs": highs, "key_rows": key_rows},
             bad,
+            opinfo,
         )
     # classic fallback: the full-relation dup/null check plus the
     # capped/bounding-box probe, two actions as before
-    rows = _bad_key_rows(batch_keys, keys)
+    key_rel = batch_keys.select(*keys)
+    rows = _bad_key_rows(key_rel, keys)
     bad = None
     if rows:
         r = rows[0]
@@ -3618,7 +3661,7 @@ def _batch_key_audit(batch_keys: DataFrame, keys: list[str]):
             {k: r[k] for k in keys},
             any(r[k] is None for k in keys),
         )
-    return _batch_key_probe(batch_keys, keys), bad
+    return _ret(_batch_key_probe(key_rel, keys), bad)
 
 
 def _value_in_ranges(v, ranges: list[list]) -> bool:
@@ -3972,6 +4015,10 @@ def merge_upsert_cow(
     already-written files instead of re-deriving the merge.
     """
     _check_isolation(isolation)
+    # NOTE (r16, measured-and-rejected): persisting the batch lineage
+    # for the call's 3 consumers (audit, key broadcast, CoW rewrite)
+    # was A/B'd and REVERTED — building the InMemoryRelation cost more
+    # than the re-scans it saved (matview_orders 3.96 -> 4.48 s).
     probe, bad = _batch_key_audit(updates.select(*keys), keys)
     if bad:
         row, had_null = bad
@@ -4186,18 +4233,40 @@ def apply_cdc_cow(
     ``isolation`` as in ``delete_where_mor``.
     """
     _check_isolation(isolation)
-    op_counts = {
-        r["o"]: r["n"]
-        for r in batch.groupBy(F.upper(F.col(op_col)).alias("o"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    bad = set(op_counts) - {"I", "U", "D"}
-    if bad:
-        raise ValueError(f"apply_cdc_cow: unknown op codes {sorted(bad)}")
-    n_upserts = op_counts.get("I", 0) + op_counts.get("U", 0)
-    n_deletes = op_counts.get("D", 0)
-    probe, bad = _batch_key_audit(batch.select(*keys), keys)
+    # ONE action validates op codes, validates keys, and feeds the
+    # pruning probe (r16 — the op-code groupBy was a separate pass over
+    # the batch lineage before).  The audit returns opinfo=None when it
+    # took a classic fallback (over-cap / non-simple keys); the op
+    # action then runs separately, total actions as before.
+    probe, bad, opinfo = _batch_key_audit(
+        batch.select(*keys, op_col), keys, op_col=op_col
+    )
+    if opinfo is not None:
+        bad_ops = sorted(opinfo["ops"] - {"I", "U", "D"})
+        if opinfo["has_null_op"]:
+            bad_ops = [None] + bad_ops
+        if bad_ops:
+            raise ValueError(
+                f"apply_cdc_cow: unknown op codes {bad_ops}"
+            )
+        n_upserts = opinfo["counts"].get("I", 0) + opinfo["counts"].get(
+            "U", 0
+        )
+        n_deletes = opinfo["counts"].get("D", 0)
+    else:
+        op_counts = {
+            r["o"]: r["n"]
+            for r in batch.groupBy(F.upper(F.col(op_col)).alias("o"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        bad_ops = set(op_counts) - {"I", "U", "D"}
+        if bad_ops:
+            raise ValueError(
+                f"apply_cdc_cow: unknown op codes {sorted(bad_ops)}"
+            )
+        n_upserts = op_counts.get("I", 0) + op_counts.get("U", 0)
+        n_deletes = op_counts.get("D", 0)
     if bad:
         row, had_null = bad
         if had_null:
