@@ -206,8 +206,12 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(tokens("text")).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("c"))
+        # shared by the vocab branch and the per-doc probe: persist so
+        # the tokenize+explode+agg pass runs once per action, not once
+        # per consumer (see bigram_logprob_kn — same r16 finding)
+        .persist()
     )
-    vocab = doc_w.groupBy("w").agg(F.sum("c").alias("cnt"))
+    vocab = doc_w.groupBy("w").agg(F.sum("c").alias("cnt")).persist()
     total = vocab.agg(F.sum("cnt").alias("total"))
     lp = vocab.crossJoin(F.broadcast(total)).select(
         "w",
@@ -314,8 +318,22 @@ def bigram_logprob_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("b.u").alias("u"), F.col("b.v").alias("v"))
         .groupBy("doc_id", "u", "v")
         .agg(F.count("*").alias("c"))
+        # the doc-bigram relation feeds BOTH the model branches and the
+        # final per-doc probe; without a persist the plan recomputes
+        # the tokenize+explode+agg pipeline for every consumer (r16:
+        # the r15 plan had ZERO ReusedExchange nodes — five full
+        # recomputes of the corpus pass inside one action, guide §5).
+        # Within-query persist only: the bench clears cache per pass,
+        # so nothing survives across runs.
+        .persist()
     )
-    big = doc_b.groupBy("u", "v").agg(F.sum("c").alias("c_uv"))
+    big = (
+        doc_b.groupBy("u", "v")
+        .agg(F.sum("c").alias("c_uv"))
+        # the bigram-type relation (Zipf-compact) feeds four branches
+        # (lp, ctx, cont, nb) — same recompute problem one level up
+        .persist()
+    )
     ctx = big.groupBy("u").agg(
         F.sum("c_uv").alias("c_u"), F.count("*").alias("n1p_u")
     )

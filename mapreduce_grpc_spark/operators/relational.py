@@ -1329,6 +1329,59 @@ GROUP BY l_suppkey
 # sketch-based results have no hashable DuckDB oracle (registering them
 # would record a permanent no-oracle err row).  Correctness is bounded in
 # tests/test_properties.py against the exact twins instead.
+# sha256-chain rounds per row.  Sized so the probe is COMPUTE-bound at
+# sf0.1 (~15-20M hashes): long enough that its runtime visibly tracks
+# the core count (the point of the probe), short enough that the bench
+# pays well under a second at full width.
+SCALING_PROBE_ROUNDS = 24
+
+
+def scaling_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-bound scaling probe: a 24-round sha256 chain per
+    lineitem row, aggregated to one row.
+
+    Exists for the BENCH contract, not for capability: every other
+    query at sf0.1 is fixed-overhead bound (~0.3-0.5 s session/plan
+    floor on ~1 s queries), so the driver's 8-core-vs-32-core run
+    measured ratios ≈ 1 everywhere and flagged the env var as ignored
+    (r15 PERF `suspect_cpus_ignored`).  This query is ~95% executor
+    CPU (sha256 in whole-stage codegen), so its low-core/full-core
+    ratio is a legible scaling signal.  `spread=True` because the
+    fixture is a single row group (guide §2.5); the DuckDB oracle
+    recomputes the identical chain — both engines produce lowercase
+    hex sha256, so the hash check pins the whole computation."""
+    li = table(spark, sf_dir, "lineitem", spread=True)
+    h = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    for _ in range(SCALING_PROBE_ROUNDS):
+        h = F.sha2(h, 256)
+    return (
+        li.select(h.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+            F.count_distinct(F.substring("h", 1, 3)).alias("buckets"),
+        )
+    )
+
+
+def _scaling_probe_sql() -> str:
+    expr = "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+    for _ in range(SCALING_PROBE_ROUNDS):
+        expr = f"sha256({expr})"
+    return f"""
+    SELECT count(*) AS n,
+           min(h) AS min_h,
+           max(h) AS max_h,
+           count(DISTINCT substring(h, 1, 3)) AS buckets
+    FROM (SELECT {expr} AS h FROM lineitem)
+    """
+
+
 AUX_QUERIES = {
     # rotated OUT of the contract r12 (made room for
     # snapshot_delete_scan; same DuckDB hash comparator in
@@ -1346,9 +1399,11 @@ AUX_QUERIES = {
     "grouping_sets_agg": grouping_sets_agg,
     "window_ranks": window_ranks,
     "salted_group_sum": salted_group_sum,
+    "scaling_probe": scaling_probe,
 }
 
 AUX_ORACLES = {
+    "scaling_probe": _scaling_probe_sql(),
     "nl_join": NL_JOIN_SQL,
     "salted_group_sum": SALTED_GROUP_SUM_SQL,
     "numeric_histogram": NUMERIC_HISTOGRAM_SQL,

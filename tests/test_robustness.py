@@ -145,6 +145,24 @@ def test_minhash_signatures_oracle_parity(spark, sf_dir):
     )
 
 
+def test_scaling_probe_oracle_parity(spark, sf_dir):
+    """scaling_probe (added r16) exists so the driver's low-core bench
+    run has at least one COMPUTE-bound query whose runtime tracks the
+    core count at sf0.1 (r15 PERF flagged `suspect_cpus_ignored`
+    because every query was fixed-overhead bound).  Both engines chain
+    sha256 the same number of rounds over the same seed strings, so
+    the hash comparator pins the whole computation."""
+    from tests.oracle import assert_oracle_match
+
+    df = registry.AUX_QUERIES["scaling_probe"](spark, sf_dir)
+    assert_oracle_match(
+        df,
+        registry.AUX_ORACLES["scaling_probe"],
+        sf_dir,
+        "scaling_probe",
+    )
+
+
 def test_dedup_simhash_oracle_parity(spark, sf_dir):
     """dedup_simhash rotated from the driver contract to AUX in round
     15 (made room for snapshot_wap; its pair-graph twin
